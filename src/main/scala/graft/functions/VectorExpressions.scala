@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftglue.{BinaryFloatVectorExpression, UnaryFloatVectorExpression}
+import org.apache.spark.sql.types._
+
+/** Tight-loop kernels shared by interpreted eval and generated code.
+  *
+  * Reference semantics: vectors are float32 (`/root/reference/vsu/base/
+  * VectorSearchBase.py:74-75`), k-NN distance is SQUARED L2 (faiss
+  * IndexFlatL2 convention surfaced by sqlite-vss, `VectorSearchBase.py:
+  * 193-201`), zero-shot similarity is dot product on L2-normalized
+  * vectors ×100 (`/root/reference/vsu/text/_classes.py:33-36`).
+  *
+  * Accumulation is in double for numerical stability; element access is
+  * float32 (or float64 for `array<double>` inputs — `af`/`bf` flags are
+  * compile-time constants in generated code, so the JIT folds the
+  * branch). A static method call keeps the expression inside whole-stage
+  * codegen; the JIT inlines these loops.
+  */
+object VectorOps {
+  @inline private def checkLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"vector length mismatch: $n vs ${b.numElements()}")
+    }
+    n
+  }
+
+  @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def dot(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
+    val n = checkLen(a, b)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += get(a, i, af) * get(b, i, bf); i += 1 }
+    acc
+  }
+
+  def squaredL2(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
+    val n = checkLen(a, b)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(a, i, af) - get(b, i, bf)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  def norm(a: ArrayData, af: Boolean): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val v = get(a, i, af); acc += v * v; i += 1 }
+    math.sqrt(acc)
+  }
+
+  def cosine(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
+    val na = norm(a, af)
+    val nb = norm(b, bf)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b, af, bf) / (na * nb)
+  }
+
+  /** L2-normalize to unit length; zero vectors pass through unchanged
+    * (torch `F.normalize` clamps the denominator — a zero vector stays
+    * zero, `/root/reference/vsu/text/_classes.py:33-35`). Output is
+    * always float32 (F5 discipline). */
+  def l2Normalize(a: ArrayData, af: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Float](n)
+    val nrm = norm(a, af)
+    var i = 0
+    if (nrm == 0.0) {
+      while (i < n) { out(i) = get(a, i, af).toFloat; i += 1 }
+    } else {
+      val inv = 1.0 / nrm
+      while (i < n) { out(i) = (get(a, i, af) * inv).toFloat; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+abstract class BinaryVectorExpression extends BinaryFloatVectorExpression {
+  /** Fully-qualified static kernel, e.g. "graft.functions.VectorOps.dot". */
+  protected def kernel: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $kernel($a, $b, $leftIsFloat, $rightIsFloat);")
+}
+
+/** dot(a, b): double — zero-shot scoring kernel (J2/F3 in SURVEY §2). */
+case class VectorDot(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override protected def kernel: String = "graft.functions.VectorOps.dot"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftIsFloat, rightIsFloat)
+  override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** squared_l2(a, b): double — the k-NN distance (F4/Q4 in SURVEY §2). */
+case class SquaredL2(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override protected def kernel: String = "graft.functions.VectorOps.squaredL2"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.squaredL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftIsFloat, rightIsFloat)
+  override def prettyName: String = "squared_l2"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** cosine_sim(a, b): double — normalized dot (F2+F3 composition). */
+case class CosineSim(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override protected def kernel: String = "graft.functions.VectorOps.cosine"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftIsFloat, rightIsFloat)
+  override def prettyName: String = "cosine_sim"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** vec_norm(a): double — L2 norm. */
+case class VectorNorm(child: Expression) extends UnaryFloatVectorExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.norm(a.asInstanceOf[ArrayData], childIsFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.norm($a, $childIsFloat)")
+  override def prettyName: String = "vec_norm"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** l2_normalize(a): array<float> — unit-length copy (F2 in SURVEY §2). */
+case class L2Normalize(child: Expression) extends UnaryFloatVectorExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.l2Normalize(a.asInstanceOf[ArrayData], childIsFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.l2Normalize($a, $childIsFloat)")
+  override def prettyName: String = "l2_normalize"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}

@@ -1,0 +1,40 @@
+package org.apache.spark.sql.graftglue
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Bridge into `private[sql]` Spark internals (Column <-> Expression and
+  * `AbstractDataType`), kept to the minimum surface the graft package
+  * needs. Lives under `org.apache.spark.sql` for access, contains no
+  * engine logic.
+  */
+object SqlGlue {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** Binary expression over two numeric-array inputs returning double.
+  * Accepts `array<float>` (the canonical vector type) and `array<double>`
+  * (what SQL literals like `array(1.0, 2.0)` produce — double→float is
+  * narrowing, so Catalyst will not coerce it implicitly). */
+abstract class BinaryFloatVectorExpression extends BinaryExpression with ExpectsInputTypes {
+  private val anyVec = TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))
+  override def inputTypes: Seq[AbstractDataType] = Seq(anyVec, anyVec)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  protected def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected def rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+}
+
+/** Unary expression over one numeric-array input. */
+abstract class UnaryFloatVectorExpression extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def nullIntolerant: Boolean = true
+  protected def childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+}

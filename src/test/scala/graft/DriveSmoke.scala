@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Manual end-to-end drive of the public API against real testdata.
+  * Run: sbt "Test/runMain graft.DriveSmoke". Not part of the test suite.
+  */
+object DriveSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 7).select($"embedding").as[Seq[Float]].head()
+    println(s"QVEC_DIM=${q.size}")
+    val top = emb
+      .withColumn("distance", squared_l2($"embedding", typedlit(q)))
+      .orderBy($"distance", $"vec_id").limit(5)
+    top.show(false)
+    top.explain("formatted")
+
+    VectorFunctions.registerAll(spark)
+    emb.createOrReplaceTempView("emb")
+    spark.sql(
+      """SELECT vec_id, round(cosine_sim(embedding,
+        |  (SELECT embedding FROM emb WHERE vec_id=7)), 4) c
+        |FROM emb ORDER BY c DESC, vec_id LIMIT 3""".stripMargin).show()
+
+    println("cast-probe: " + spark.sql(
+      "SELECT vec_dot(array(1.0d,2.0d), array(3.0f,4.0f))").head())
+    println("null-probe: " + spark.sql(
+      "SELECT squared_l2(CAST(NULL AS array<float>), array(1.0f))").head())
+    try spark.sql("SELECT vec_dot(array(1.0f), array(1.0f,2.0f))").head()
+    catch { case e: Throwable =>
+      println("mismatch-probe: " + e.getMessage.linesIterator.next())
+    }
+    spark.stop()
+  }
+}
