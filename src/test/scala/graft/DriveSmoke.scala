@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.VectorFunctions
+import graft.functions.{HashEmbedder, VectorFunctions}
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -42,6 +42,18 @@ object DriveSmoke {
     catch { case e: Throwable =>
       println("mismatch-probe: " + e.getMessage.linesIterator.next())
     }
+
+    // Embed the documents table and k-NN search it with a text query.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val embedded = graft.functions.Embed.embedColumn(
+      docs, "text", "vector", HashEmbedder(dim = 64), batchSize = 50)
+    val qv = HashEmbedder(dim = 64).embedOne("spark query join filter")
+    embedded
+      .withColumn("distance", squared_l2($"vector", typedlit(qv.toSeq)))
+      .orderBy($"distance", $"doc_id")
+      .select($"doc_id", substring($"text", 1, 40).as("text40"), $"distance")
+      .limit(3).show(false)
+    println("EMBED_DRIVE_ROWS=" + embedded.count())
     spark.stop()
   }
 }
