@@ -1,13 +1,188 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.VectorFunctions._
+import graft.operators.{Metric, Similarity}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with DuckDB-equivalent `oracleSql` where expressible.
+  *
+  * Oracle determinism rules used throughout (SURVEY §7.4):
+  *  - every query ends in an explicit, total ORDER BY (ties broken by id);
+  *  - double-valued SUMs go through a DECIMAL cast (order-independent
+  *    exact accumulation) and back to DOUBLE, because partial-aggregation
+  *    order differs between Spark and DuckDB;
+  *  - vector math matches the Catalyst kernels bit-for-bit: float32
+  *    elements widened to double, sequential accumulation.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * SURVEY §7.2 minimum slice: documents ⋈ embeddings → k-NN top-5. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+    val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(emb("vec_id"), docs("text"), emb("embedding"))
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    Similarity.topK(corpus, "embedding", "vec_id", q, k = 5)
+  }
+
+  // DuckDB squared-L2 between e.embedding and q.embedding, matching
+  // VectorOps.squaredL2: per-element float→double widening, sequential
+  // double accumulation (list_sum), no FMA.
+  private val sqDist =
+    "list_sum(list_transform(range(1, len(e.embedding) + 1), i -> " +
+      "(CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) * " +
+      "(CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))))"
+
+  private val dotEq =
+    "list_sum(list_transform(range(1, len(e.embedding) + 1), i -> " +
+      "CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+
+  private def normOf(expr: String): String =
+    s"sqrt(list_sum(list_transform($expr, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  private val cosineEq =
+    s"(CASE WHEN ${normOf("e.embedding")} = 0 OR ${normOf("q.embedding")} = 0 " +
+      s"THEN 0.0 ELSE $dotEq / (${normOf("e.embedding")} * ${normOf("q.embedding")}) END)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- builtin relational surface (harness TPC-H-ish coverage) ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(24,8)")).cast("double").as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+            .cast("decimal(24,8)")).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q2_join_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("order_cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_revenue"))
+        .orderBy("n_name")
+    }),
+    "q3_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+    "q4_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+    "q5_events_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("event_type")),
+
+    // ---- vector engine surface (SURVEY §2 J1/W1/F2-F4) ----
+    "knn_top5" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      Similarity.topK(emb.select("vec_id", "embedding"), "embedding", "vec_id", q, k = 5)
+        .select("vec_id", "distance")
+    }),
+    "cosine_top5" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      Similarity.topK(emb.select("vec_id", "embedding"), "embedding", "vec_id", q,
+        k = 5, metric = Metric.Cosine, scoreCol = "sim")
+        .select("vec_id", "sim")
+    }),
+    "vec_norms" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), vec_norm(col("embedding")).as("norm"))
+        .orderBy("vec_id")),
+    "knn_batch_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.topKJoin(emb.select("vec_id", "embedding"), queries, k = 3,
+        corpusIdCol = "vec_id", corpusVecCol = "embedding",
+        queryIdCol = "query_id", queryVecCol = "embedding")
+        .select("query_id", "vec_id", "distance")
+        .orderBy("query_id", "distance", "vec_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT n_name, COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q3_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q5_events_json" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "knn_top5" ->
+      s"""SELECT e.vec_id, $sqDist AS distance
+         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin,
+    "cosine_top5" ->
+      s"""SELECT e.vec_id, $cosineEq AS sim
+         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY sim DESC, e.vec_id LIMIT 5""".stripMargin,
+    "vec_norms" ->
+      s"""SELECT vec_id, ${normOf("embedding")} AS norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "knn_batch_join" ->
+      s"""SELECT query_id, vec_id, distance FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, $sqDist AS distance,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $sqDist, e.vec_id) AS rn
+         |  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q)
+         |WHERE rn <= 3 ORDER BY query_id, distance, vec_id""".stripMargin
+  )
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Similarity scoring metrics for k-NN search and similarity joins.
+  *
+  * Reference parity: the core k-NN distance is SQUARED L2 ascending
+  * (faiss IndexFlatL2 convention via sqlite-vss,
+  * `/root/reference/vsu/base/VectorSearchBase.py:193-201`); zero-shot
+  * scoring is cosine on normalized vectors
+  * (`/root/reference/vsu/text/_classes.py:33-36`).
+  */
+sealed trait Metric {
+  def score(a: Column, b: Column): Column
+
+  /** true = smaller is closer (distance); false = larger is closer. */
+  def ascending: Boolean
+}
+
+object Metric {
+  case object SquaredL2 extends Metric {
+    override def score(a: Column, b: Column): Column = squared_l2(a, b)
+    override val ascending = true
+  }
+  case object Cosine extends Metric {
+    override def score(a: Column, b: Column): Column = cosine_sim(a, b)
+    override val ascending = false
+  }
+  case object Dot extends Metric {
+    override def score(a: Column, b: Column): Column = vec_dot(a, b)
+    override val ascending = false
+  }
+}
+
+/** Exact brute-force similarity search — the engine's flagship operator
+  * (J1/W1 in SURVEY §2): score every corpus vector, keep top-k.
+  *
+  * Scale design (100 TB): the single-query form plans as
+  * `TakeOrderedAndProject` — per-partition top-k heaps, only
+  * k×partitions rows reach the driver, no shuffle of the corpus. The
+  * batch form broadcasts the (small) query side, scores in a narrow
+  * map, and relies on Spark's `WindowGroupLimit` pushdown to reduce
+  * each partition to ≤ k rows per query BEFORE the rank shuffle, so
+  * shuffle volume is O(queries × k × partitions), not O(corpus).
+  */
+object Similarity {
+
+  /** Single-query k-NN: top-k rows of `corpus` closest to `query`.
+    * Ties broken by `idCol` ascending for deterministic results
+    * (SURVEY §7.4). Mirrors `query()` —
+    * `/root/reference/vsu/base/VectorSearchBase.py:193-202`. */
+  def topK(corpus: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], k: Int, metric: Metric = Metric.SquaredL2,
+      scoreCol: String = "distance"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val scored = corpus.withColumn(scoreCol,
+      metric.score(col(vecCol), typedLit(query)))
+    val ord = if (metric.ascending) col(scoreCol).asc else col(scoreCol).desc
+    scored.orderBy(ord, col(idCol).asc).limit(k)
+  }
+
+  /** Batch similarity join: per query row, the top-k nearest corpus
+    * rows. Output = corpus columns + `queryIdCol` + `scoreCol`.
+    *
+    * The query side must be broadcast-small (queries × corpus is
+    * scored); for corpus-×-corpus scale use the LSH/IVF path instead.
+    * `queryIdCol` must not collide with a corpus column. */
+  def topKJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusIdCol: String, corpusVecCol: String,
+      queryIdCol: String, queryVecCol: String,
+      metric: Metric = Metric.SquaredL2,
+      scoreCol: String = "distance"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(!corpus.columns.contains(queryIdCol),
+      s"queryIdCol '$queryIdCol' collides with a corpus column — alias it")
+    val qvec = "__graft_qvec"
+    val rn = "__graft_rn"
+    val q = queries.select(col(queryIdCol), col(queryVecCol).as(qvec))
+    val scored = corpus.crossJoin(broadcast(q))
+      .withColumn(scoreCol, metric.score(col(corpusVecCol), col(qvec)))
+    val ord = if (metric.ascending) col(scoreCol).asc else col(scoreCol).desc
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(ord, col(corpusIdCol).asc)
+    scored.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(rn, qvec)
+  }
+}
