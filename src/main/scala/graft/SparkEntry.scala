@@ -1,7 +1,9 @@
 package graft
 
 import graft.functions.VectorFunctions._
+import graft.functions.HashEmbedder
 import graft.operators.{Metric, Similarity}
+import graft.store.VectorStore
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -23,16 +25,29 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * SURVEY §7.2 minimum slice: documents ⋈ embeddings → k-NN top-5. */
+    * SURVEY §7.2 minimum slice: documents ⋈ embeddings → VectorStore
+    * ingest (pre-supplied vectors branch) → queryWithInfo top-5. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val docs = t(spark, dir, "documents")
     val emb = t(spark, dir, "embeddings")
-    val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
-      .select(emb("vec_id"), docs("text"), emb("embedding"))
+    val store = storeOf(spark, dir)
     val q = emb.filter(col("vec_id") === 0).select("embedding")
       .head.getSeq[Float](0).toArray
-    Similarity.topK(corpus, "embedding", "vec_id", q, k = 5)
+    store.queryVectorWithInfo(q, k = 5)
+  }
+
+  /** In-memory VectorStore over documents ⋈ embeddings: `text → target`,
+    * `lang → option1`, `source → option2`, `embedding → vector`
+    * (FIXTURES.md §B mapping); ids follow target order. */
+  private def storeOf(s: SparkSession, dir: String): VectorStore = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val in = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("text").as("target"), col("lang").as("option1"),
+        col("source").as("option2"), col("embedding").as("vector"))
+    val store = new VectorStore(s, HashEmbedder(dim = 64))
+    store.setData(in)
+    store
   }
 
   // DuckDB squared-L2 between e.embedding and q.embedding, matching
@@ -133,6 +148,30 @@ object SparkEntry {
         queryIdCol = "query_id", queryVecCol = "embedding")
         .select("query_id", "vec_id", "distance")
         .orderBy("query_id", "distance", "vec_id")
+    }),
+    "l2_normalize_vecs" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), l2_normalize(col("embedding")).as("unit"))
+        .orderBy("vec_id")),
+
+    // ---- VectorStore surface (SURVEY §2.10 set_data/query_with_info) ----
+    "store_knn" -> ((s, dir) => {
+      val store = storeOf(s, dir)
+      val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      store.queryVectorWithInfo(q, k = 5)
+    }),
+    "store_append_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val all = docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text").as("target"),
+          col("lang").as("option1"), col("source").as("option2"),
+          col("embedding").as("vector"))
+      val store = new VectorStore(s, HashEmbedder(dim = 64))
+      store.setData(all.filter(col("doc_id") < 250).drop("doc_id"))
+      store.setData(all.drop("doc_id"), append = true)
+      store.data.select("id", "target", "option1", "option2").orderBy("id")
     })
   )
 
@@ -183,6 +222,28 @@ object SparkEntry {
          |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, $sqDist AS distance,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $sqDist, e.vec_id) AS rn
          |  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q)
-         |WHERE rn <= 3 ORDER BY query_id, distance, vec_id""".stripMargin
+         |WHERE rn <= 3 ORDER BY query_id, distance, vec_id""".stripMargin,
+    // float-faithful normalize: widen to double, multiply by 1/norm
+    // (matching the kernel's multiply-by-reciprocal), truncate to float
+    "l2_normalize_vecs" ->
+      s"""SELECT vec_id,
+         |  CASE WHEN ${normOf("embedding")} = 0 THEN embedding
+         |       ELSE list_transform(embedding, x ->
+         |         CAST(CAST(x AS DOUBLE) * (1.0 / ${normOf("embedding")}) AS FLOAT)) END AS unit
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // store ids are row_number in target (= text) order; texts are unique
+    "store_knn" ->
+      s"""SELECT id, target, option1, option2, distance FROM (
+         |  SELECT row_number() OVER (ORDER BY d.text) AS id, d.text AS target,
+         |    d.lang AS option1, d.source AS option2, $sqDist AS distance
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id,
+         |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+         |ORDER BY distance, id LIMIT 5""".stripMargin,
+    // two-batch append: batch-1 rows (doc_id < 250) get ids 1..n in text
+    // order, appended batch-2 survivors continue after them
+    "store_append_ids" ->
+      """SELECT row_number() OVER (ORDER BY (doc_id >= 250), text) AS id,
+        |  text AS target, lang AS option1, source AS option2
+        |FROM documents ORDER BY id""".stripMargin
   )
 }

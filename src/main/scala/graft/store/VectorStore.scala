@@ -1,0 +1,224 @@
+package graft.store
+
+import graft.Schemas
+import graft.functions.{Embed, Embedder}
+import graft.operators.{Metric, Similarity}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Schema coercion for ingest — the bulk form of the reference's
+  * `set_data` preprocessing (`/root/reference/vsu/base/VectorSearchBase
+  * .py:101-126`): require `target` (P3 — the reference silently no-ops,
+  * quirk Q3; we raise), pad missing `option1..5` with NULL (P6), drop
+  * extra columns (projection to `save_columns + vector`), keep a
+  * pre-supplied `vector` column if present.
+  */
+object Ingest {
+  def normalizeToSchema(df: DataFrame): DataFrame = {
+    require(df.columns.contains("target"),
+      "ingest frame must have a 'target' column (reference quirk Q3: " +
+        "silently ignored there; rejected here)")
+    val padded = Schemas.optionCols.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(StringType))
+      else d.withColumn(c, lit(null).cast(StringType))
+    }
+    val keep = Schemas.saveCols ++
+      (if (df.columns.contains("vector")) Seq("vector") else Nil)
+    padded.select(keep.map(col): _*)
+  }
+
+  /** Deterministic sequential ids `startAt..startAt+N-1` in `sortCols`
+    * order — rowid parity (Q5, `/root/reference/vsu/base/
+    * VectorSearchBase.py:47,89`).
+    *
+    * Scale: `orderBy` range-partitions (partitions are globally
+    * ordered), then `zipWithIndex` numbers across partitions with one
+    * extra count job — no single-partition window, survives 100×.
+    */
+  def withSequentialIds(df: DataFrame, startAt: Long,
+      sortCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted =
+      if (sortCols.nonEmpty) df.orderBy(sortCols.map(col): _*) else df
+    val schema = sorted.schema.add("id", LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (startAt + i))
+    }
+    spark.createDataFrame(rdd, schema)
+      .select(("id" +: sorted.columns.toSeq).map(col): _*)
+  }
+}
+
+/** Spark-native vector store — capability mirror of the reference's
+  * `VectorSearchBase` (`/root/reference/vsu/base/VectorSearchBase.py`):
+  * ingest (schema-coerce, embed-if-missing, first-wins dedup on
+  * `target`, sequential ids), exact k-NN query, and reset. Storage is a
+  * cached DataFrame (`:memory:` parity) or a parquet path (durable,
+  * `db_name` parity — `VectorSearchBase.py:18,26`).
+  *
+  * Scale design: ingest is bulk (no per-row inserts — S7 is a single
+  * `write.mode(append)`), dedup is a hash-shuffle anti-join on `target`
+  * (never post-union dropDuplicates — U1), queries are brute-force
+  * scans planned as `TakeOrderedAndProject` (no corpus shuffle).
+  */
+final class VectorStore(
+    val spark: SparkSession,
+    val embedder: Embedder,
+    val path: Option[String] = None,
+    val batchSize: Int = 256,
+    val queryPrefix: String = "query: ") {
+
+  import Ingest._
+
+  private var mem: Option[DataFrame] = None
+
+  private def emptyData: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.record)
+
+  /** Current store contents (id, target, option1..5, vector). */
+  def data: DataFrame = mem.getOrElse {
+    val df = path match {
+      case Some(p) if fileExists(p) => spark.read.parquet(p)
+      case _ => emptyData
+    }
+    mem = Some(df)
+    df
+  }
+
+  private def fileExists(p: String): Boolean = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(p)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hadoopPath)
+  }
+
+  def isEmpty: Boolean = data.isEmpty
+
+  /** Bulk ingest (`set_data` parity, `VectorSearchBase.py:101-133`).
+    *
+    * @param df       input frame; must have `target`; `vector` optional
+    *                 (embedded with `embedder` when missing — the
+    *                 "vector already present" branch is
+    *                 `VectorSearchBase.py:115`)
+    * @param append   false = replace (drop + reinsert, S8/U2); true =
+    *                 append with first-wins dedup on `target` (U1/J3)
+    * @param sortCols deterministic insertion order for id assignment
+    *                 (Q5) and first-wins tiebreaks; defaults to
+    *                 `target` order
+    */
+  def setData(df: DataFrame, append: Boolean = false,
+      sortCols: Seq[String] = Seq("target")): Unit = {
+    val coerced = normalizeToSchema(df)
+    val embedded =
+      if (coerced.columns.contains("vector")) {
+        // float32 discipline (F5): cast only when the element type
+        // differs — casting array<float,nullable> to the non-null
+        // variant is rejected by Catalyst, and parquet-read arrays are
+        // nullable-element even when no element is null
+        import org.apache.spark.sql.types.{ArrayType, FloatType}
+        coerced.schema("vector").dataType match {
+          case ArrayType(FloatType, _) => coerced
+          case ArrayType(_, n) =>
+            coerced.withColumn("vector", col("vector").cast(ArrayType(FloatType, n)))
+          case other => throw new IllegalArgumentException(
+            s"'vector' column must be an array of floats, got $other")
+        }
+      } else
+        Embed.embedColumn(coerced, "target", "vector", embedder, batchSize,
+          prefix = queryPrefix)
+    // first-wins WITHIN the incoming batch (reference: pandas
+    // drop_duplicates keep-first, VectorSearchBase.py:124) — window on
+    // target ordered by the deterministic sort key, keep first.
+    val ordered = withSequentialIds(embedded, startAt = 0L, sortCols)
+      .withColumnRenamed("id", "__ord")
+    val w = Window.partitionBy("target").orderBy("__ord")
+    val inBatchDeduped = ordered
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    val result =
+      if (append && !isEmpty) {
+        val existing = data
+        // first-wins vs existing rows: left-anti on target (J3) — the
+        // deterministic bulk form of insert-if-absent
+        // (VectorSearchBase.py:79-87); existing rows always win.
+        val fresh = inBatchDeduped
+          .join(existing.select("target"), Seq("target"), "left_anti")
+        val maxId = existing.agg(max("id")).head.getLong(0)
+        val freshWithIds =
+          withSequentialIds(fresh.orderBy("__ord").drop("__ord"),
+            startAt = maxId + 1, sortCols = Nil)
+            .select(Schemas.record.fieldNames.map(col): _*)
+        existing.unionByName(freshWithIds)
+      } else {
+        withSequentialIds(inBatchDeduped.orderBy("__ord").drop("__ord"),
+          startAt = 1L, sortCols = Nil)
+          .select(Schemas.record.fieldNames.map(col): _*)
+      }
+    persist(result)
+  }
+
+  private def persist(df: DataFrame): Unit = {
+    path match {
+      case Some(p) =>
+        // write to a staging dir then re-read: parquet overwrite of the
+        // path we are also reading from would race
+        df.write.mode("overwrite").parquet(p + "__staging")
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        fs.rename(new org.apache.hadoop.fs.Path(p + "__staging"),
+          new org.apache.hadoop.fs.Path(p))
+        mem = Some(spark.read.parquet(p))
+      case None =>
+        mem.foreach(_.unpersist())
+        val cached = df.cache()
+        cached.count() // materialize now: later queries reuse the cache
+        mem = Some(cached)
+    }
+  }
+
+  /** Drop everything (`reset_db`, `VectorSearchBase.py:96-99`). */
+  def reset(): Unit = {
+    mem.foreach(_.unpersist())
+    mem = None
+    path.foreach { p =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    mem = Some(emptyData)
+  }
+
+  /** k-NN by raw vector (`query` parity minus the embed step). Returns
+    * `(id, target, option1..5, distance)` ascending squared-L2 with id
+    * tiebreak; empty result on empty store (P5 — the reference returns
+    * None, `VectorSearchBase.py:209-210`). */
+  def queryVector(q: Array[Float], k: Int = 5): DataFrame =
+    Similarity.topK(data, "vector", "id", q, k, Metric.SquaredL2)
+      .select(("id" +: Schemas.saveCols :+ "distance").map(col): _*)
+
+  /** k-NN by text: embed with the single query prefix (quirk Q1: the
+    * reference double-prefixes queries, `/root/reference/vsu/text/
+    * _classes.py:48,62-64`; we apply it once) then search. */
+  def query(q: String, k: Int = 5): DataFrame =
+    queryVector(embedder.embedOne(queryPrefix + q), k)
+
+  /** `query_with_info` parity (`VectorSearchBase.py:215-217`): query
+    * result with all-null columns dropped (P4 — unused option slots
+    * vanish). The null-count aggregation runs on ≤ k rows. */
+  def queryWithInfo(q: String, k: Int = 5): DataFrame =
+    dropAllNullColumns(query(q, k))
+
+  def queryVectorWithInfo(q: Array[Float], k: Int = 5): DataFrame =
+    dropAllNullColumns(queryVector(q, k))
+
+  private def dropAllNullColumns(df: DataFrame): DataFrame = {
+    val counts = df.select(df.columns.map(c => count(col(c)).as(c)): _*)
+      .head
+    val keep = df.columns.zipWithIndex
+      .collect { case (c, i) if counts.getLong(i) > 0 => c }
+    if (keep.isEmpty) df else df.select(keep.map(col): _*)
+  }
+}

@@ -54,6 +54,19 @@ object DriveSmoke {
       .select($"doc_id", substring($"text", 1, 40).as("text40"), $"distance")
       .limit(3).show(false)
     println("EMBED_DRIVE_ROWS=" + embedded.count())
+
+    // VectorStore end-to-end: ingest documents (embed-if-missing via
+    // HashEmbedder), append with overlap, text query with info.
+    val store = new graft.store.VectorStore(spark, HashEmbedder(dim = 64),
+      batchSize = 128)
+    store.setData(docs.limit(300).select($"text".as("target"),
+      $"lang".as("option1")))
+    store.setData(docs.select($"text".as("target"), $"lang".as("option1")),
+      append = true)
+    println("STORE_ROWS=" + store.data.count())
+    val qres = store.queryWithInfo("spark query join filter", k = 3)
+    qres.show(false)
+    qres.explain("formatted")
     spark.stop()
   }
 }

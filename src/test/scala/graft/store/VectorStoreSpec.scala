@@ -1,0 +1,125 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.functions.HashEmbedder
+
+/** Semantics parity with the reference's sample scenarios
+  * (`/root/reference/vsu/sample/main.py:31-54`): replace vs append with
+  * overlap dedup, sequential ids, null-column drop, empty-store guard.
+  */
+class VectorStoreSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def freshStore() =
+    new VectorStore(spark, HashEmbedder(dim = 16), batchSize = 7)
+
+  private def frame(names: (String, String)*) = {
+    import spark.implicits._
+    names.toSeq.toDF("target", "option1")
+  }
+
+  test("replace ingest: schema coercion, sequential ids, embed-if-missing") {
+    val store = freshStore()
+    store.setData(frame("banana" -> "b", "apple" -> "a", "cherry" -> "c"))
+    val rows = store.data.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // default sortCols = target → alphabetical insertion order
+    assert(rows.map(_.getString(1)).toSeq == Seq("apple", "banana", "cherry"))
+    assert(rows.forall(_.getSeq[Float](7).length == 16))
+    // option2..5 padded with null
+    assert(rows.forall(r => (3 to 6).forall(r.isNullAt)))
+  }
+
+  test("append dedup is first-wins on target (main.py:39-51 overlap)") {
+    val store = freshStore()
+    store.setData(frame("a" -> "first", "b" -> "first", "c" -> "first"))
+    store.setData(frame("b" -> "second", "c" -> "second", "d" -> "second"),
+      append = true)
+    val byTarget = store.data.collect()
+      .map(r => r.getString(1) -> (r.getLong(0), r.getString(2))).toMap
+    assert(byTarget.keySet == Set("a", "b", "c", "d"))
+    // existing rows won; only 'd' was appended, with the next id
+    assert(byTarget("b")._2 == "first" && byTarget("c")._2 == "first")
+    assert(byTarget("d") == (4L, "second"))
+  }
+
+  test("in-batch duplicate targets keep the first by sort order") {
+    val store = freshStore()
+    store.setData(frame("x" -> "keep", "x" -> "keep", "y" -> "only"),
+      sortCols = Seq("target", "option1"))
+    assert(store.data.count() == 2)
+  }
+
+  test("replace drops prior contents (S8/U2)") {
+    val store = freshStore()
+    store.setData(frame("a" -> "1", "b" -> "1"))
+    store.setData(frame("z" -> "2"))
+    val rows = store.data.collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("z"))
+    assert(rows.head.getLong(0) == 1L) // ids restart at 1
+  }
+
+  test("ingest without target raises (quirk Q3 hardened)") {
+    import spark.implicits._
+    val store = freshStore()
+    intercept[IllegalArgumentException] {
+      store.setData(Seq("x").toDF("nottarget"))
+    }
+  }
+
+  test("query returns ascending squared-L2 with id tiebreak") {
+    val store = freshStore()
+    store.setData(frame("alpha beta" -> "1", "beta gamma" -> "2",
+      "alpha beta" -> "dup", "delta" -> "3"))
+    val res = store.query("alpha beta", k = 2).collect()
+    assert(res.length == 2)
+    assert(res.head.getString(1) == "alpha beta") // exact text is nearest
+    val dists = res.map(_.getDouble(7))
+    assert(dists.sameElements(dists.sorted))
+  }
+
+  test("queryWithInfo drops all-null option columns (P4)") {
+    val store = freshStore()
+    store.setData(frame("one" -> "x", "two" -> "y"))
+    val res = store.queryWithInfo("one", k = 2)
+    assert(res.columns.toSeq == Seq("id", "target", "option1", "distance"))
+  }
+
+  test("empty store: isEmpty guard and empty query result (P5)") {
+    val store = freshStore()
+    assert(store.isEmpty)
+    assert(store.queryVector(Array.fill(16)(0f), k = 3).isEmpty)
+  }
+
+  test("reset drops everything (reset_db parity)") {
+    val store = freshStore()
+    store.setData(frame("a" -> "1"))
+    store.reset()
+    assert(store.isEmpty)
+  }
+
+  test("pre-supplied vectors skip the embedder (VectorSearchBase.py:115)") {
+    import spark.implicits._
+    val df = Seq(
+      ("p", Array(1f, 0f)), ("q", Array(0f, 1f)), ("r", Array(1f, 1f))
+    ).toDF("target", "vector")
+    val store = new VectorStore(spark, HashEmbedder(dim = 2))
+    store.setData(df)
+    val res = store.queryVector(Array(1f, 0f), k = 1).collect()
+    assert(res.head.getString(1) == "p")
+    assert(res.head.getDouble(7) == 0.0)
+  }
+
+  test("durable store round-trips through parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val store = new VectorStore(spark, HashEmbedder(dim = 8),
+      path = Some(s"$dir/db"))
+    store.setData(frame("a" -> "1", "b" -> "2"))
+    store.setData(frame("c" -> "3"), append = true)
+    // a second store over the same path sees the data
+    val reopened = new VectorStore(spark, HashEmbedder(dim = 8),
+      path = Some(s"$dir/db"))
+    assert(reopened.data.count() == 3)
+    assert(reopened.data.agg(max("id")).head.getLong(0) == 3L)
+  }
+}
