@@ -172,6 +172,33 @@ object SparkEntry {
       store.setData(all.filter(col("doc_id") < 250).drop("doc_id"))
       store.setData(all.drop("doc_id"), append = true)
       store.data.select("id", "target", "option1", "option2").orderBy("id")
+    }),
+
+    // ---- zero-shot classification (SURVEY §2.8 M5/M6, J2/A3/W2) ----
+    "zeroshot_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val labels = emb.filter(col("vec_id") < 4)
+        .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0).toString, r.getSeq[Float](1).toArray)).toSeq
+      graft.operators.ZeroShot.classify(
+        emb.select("vec_id", "embedding"), "embedding", labels)
+        .select(col("vec_id"), col("zeroshot_pred").as("pred"),
+          array_max(col("zeroshot_scores")).as("best_score"))
+        .orderBy("vec_id")
+    }),
+    // softmax variant: exp() is not bit-identical across libm
+    // implementations, so no value oracle — rows-only check + unit tests
+    "zeroshot_softmax" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val labels = emb.filter(col("vec_id") < 4)
+        .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0).toString, r.getSeq[Float](1).toArray)).toSeq
+      graft.operators.ZeroShot.classifySoftmax(
+        emb.select("vec_id", "embedding"), "embedding", labels,
+        normalizeData = true)
+        .select(col("vec_id"), col("zeroshot_pred").as("pred"),
+          array_max(col("zeroshot_probs")).as("best_prob"))
+        .orderBy("vec_id")
     })
   )
 
@@ -244,6 +271,24 @@ object SparkEntry {
     "store_append_ids" ->
       """SELECT row_number() OVER (ORDER BY (doc_id >= 250), text) AS id,
         |  text AS target, lang AS option1, source AS option2
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+    // labels = embeddings 0..3; both sides L2-normalized with float32
+    // truncation (matching the l2_normalize kernel), then cosine×100
+    // with first-occurrence argmax (score DESC, label_id ASC)
+    "zeroshot_cosine" ->
+      s"""WITH nrm AS (
+         |  SELECT vec_id, CASE WHEN n = 0 THEN embedding
+         |    ELSE list_transform(embedding, x ->
+         |      CAST(CAST(x AS DOUBLE) * (1.0 / n) AS FLOAT)) END AS nv
+         |  FROM (SELECT vec_id, embedding, ${normOf("embedding")} AS n FROM embeddings)),
+         |scored AS (
+         |  SELECT e.vec_id, l.vec_id AS label_id,
+         |    list_sum(list_transform(range(1, len(e.nv) + 1), i ->
+         |      CAST(e.nv[i] AS DOUBLE) * CAST(l.nv[i] AS DOUBLE))) * 100.0 AS score
+         |  FROM nrm e, (SELECT vec_id, nv FROM nrm WHERE vec_id < 4) l)
+         |SELECT vec_id, pred, best_score FROM (
+         |  SELECT vec_id, CAST(label_id AS VARCHAR) AS pred, score AS best_score,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label_id) AS rn
+         |  FROM scored) WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }

@@ -67,6 +67,23 @@ object VectorOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b, af, bf) / (na * nb)
   }
 
+  /** Driver-side twin of [[l2Normalize]] for plain float arrays (label
+    * vectors, query vectors): identical arithmetic — double accumulate,
+    * multiply by reciprocal, truncate to float32. */
+  def l2NormalizeFloats(v: Array[Float]): Array[Float] = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+    if (acc == 0.0) v.clone()
+    else {
+      val inv = 1.0 / math.sqrt(acc)
+      val out = new Array[Float](v.length)
+      i = 0
+      while (i < v.length) { out(i) = (v(i).toDouble * inv).toFloat; i += 1 }
+      out
+    }
+  }
+
   /** L2-normalize to unit length; zero vectors pass through unchanged
     * (torch `F.normalize` clamps the denominator — a zero vector stays
     * zero, `/root/reference/vsu/text/_classes.py:33-35`). Output is

@@ -191,6 +191,30 @@ final class VectorStore(
     mem = Some(emptyData)
   }
 
+  private var zsLabels: Seq[(String, Array[Float])] = Nil
+
+  /** Embed the zero-shot label set (`set_zeroshot_labels`,
+    * `/root/reference/vsu/base/VectorSearchBase.py:135-139`). Labels
+    * are embedded WITHOUT the query prefix (they are class names, not
+    * queries). */
+  def setZeroshotLabels(labels: Seq[String]): Unit = {
+    require(labels.nonEmpty, "label set must be non-empty")
+    zsLabels = labels.zip(embedder.embed(labels).map(_.clone()))
+  }
+
+  /** Classify every stored row against the label set (`do_zeroshot`).
+    * E5 semantics by default: stored vectors normalized on the fly
+    * (quirk Q6); pass `softmax = true` for the CLIP probability variant
+    * (`/root/reference/vsu/image/_classes.py:21-36`). */
+  def doZeroshot(softmax: Boolean = false): DataFrame = {
+    require(zsLabels.nonEmpty, "call setZeroshotLabels first")
+    if (softmax)
+      graft.operators.ZeroShot.classifySoftmax(data, "vector", zsLabels,
+        normalizeData = true)
+    else
+      graft.operators.ZeroShot.classify(data, "vector", zsLabels)
+  }
+
   /** k-NN by raw vector (`query` parity minus the embed step). Returns
     * `(id, target, option1..5, distance)` ascending squared-L2 with id
     * tiebreak; empty result on empty store (P5 — the reference returns
