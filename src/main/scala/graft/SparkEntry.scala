@@ -1,8 +1,9 @@
 package graft
 
 import graft.functions.VectorFunctions._
+import graft.functions.TextFunctions._
 import graft.functions.HashEmbedder
-import graft.operators.{Metric, Similarity}
+import graft.operators.{Dedup, Metric, Similarity}
 import graft.store.VectorStore
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -199,8 +200,66 @@ object SparkEntry {
         .select(col("vec_id"), col("zeroshot_pred").as("pred"),
           array_max(col("zeroshot_probs")).as("best_prob"))
         .orderBy("vec_id")
-    })
+    }),
+
+    // ---- dedup + text analysis (LLM-pipeline operators) ----
+    "exact_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("key", array_join(slice(tokens(col("text")), 1, 3), " "))
+      Dedup.exactFirstWins(docs, Seq("key"), Seq("doc_id"))
+        .select("doc_id", "key").orderBy("doc_id")
+    }),
+    "ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      val a = docs.select(col("doc_id"), shingles(col("text"), 2).as("sa"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"),
+        shingles(col("text"), 2).as("sb"))
+      a.join(b, Seq("doc_id"))
+        .select(col("doc_id"), jaccard(col("sa"), col("sb")).as("jac"))
+        .orderBy("doc_id")
+    }),
+    "token_counts" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          token_count(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")),
+    "doc_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), qualityFeatures(col("text")).as("q"))
+        .select(col("doc_id"), col("q.n_tokens").cast("long").as("n_tokens"),
+          col("q.avg_token_len").as("avg_token_len"),
+          col("q.alpha_ratio").as("alpha_ratio"),
+          col("q.punct_ratio").as("punct_ratio"),
+          col("q.stopword_ratio").as("stopword_ratio"),
+          col("q.quality_score").as("quality_score"))
+        .orderBy("doc_id")),
+    // custom-hash kernels: not expressible in DuckDB → rows-only checks
+    "simhash_sigs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), simhash64(col("text")).as("sig"))
+        .orderBy("doc_id")),
+    "fingerprint_counts" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(fingerprints(col("text"))).cast("long").as("n_fp"))
+        .orderBy("doc_id")),
+    "langid_docs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), lang_id(col("text")).as("lang_guess"))
+        .orderBy("doc_id")),
+    "minhash_neardup" -> ((s, dir) =>
+      Dedup.dedupNearMinHash(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)
+        .select("doc_id").orderBy("doc_id"))
   )
+
+  // DuckDB twin of TextFunctions.tokens: lowercase, split on \s+, drop
+  // empties. DuckDB standard strings keep backslashes literal.
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
+
+  private def shSql(toks: String): String =
+    s"list_transform(range(1, len($toks)), j -> $toks[j] || ' ' || $toks[j + 1])"
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -289,6 +348,42 @@ object SparkEntry {
          |SELECT vec_id, pred, best_score FROM (
          |  SELECT vec_id, CAST(label_id AS VARCHAR) AS pred, score AS best_score,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label_id) AS rn
-         |  FROM scored) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+         |  FROM scored) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "exact_dedup" ->
+      s"""SELECT doc_id, key FROM (
+         |  SELECT doc_id, key, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
+         |  FROM (SELECT doc_id, array_to_string(list_slice($toksSql, 1, 3), ' ') AS key
+         |        FROM documents))
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "ngram_jaccard" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_distinct(list_intersect(sh1, sh2))) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(sh1, sh2))) AS DOUBLE) AS jac
+         |FROM (SELECT doc_id, ${shSql("toks")} AS sh1
+         |      FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 100)) d1
+         |JOIN (SELECT doc_id - 1 AS doc_id, ${shSql("toks")} AS sh2
+         |      FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 100)) d2
+         |USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "token_counts" ->
+      s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_quality" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS avg_token_len,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |      ELSE CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS alpha_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |      ELSE CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS punct_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE CAST(len(list_distinct(list_intersect(toks, ['the','a','and','of','to','in','is','it','that','for']))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+         |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))
+         |SELECT doc_id, n_tokens, avg_token_len, alpha_ratio, punct_ratio, stopword_ratio,
+         |  least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4 + alpha_ratio * 0.3 +
+         |  least(stopword_ratio * 5.0, 1.0) * 0.2 +
+         |  (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1 AS quality_score
+         |FROM f ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftglue.UnaryStringExpression
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-analysis kernels for the LLM-data-pipeline operators (builder
+  * brief: dedup fingerprints, language ID, document hashing). All
+  * deterministic, dependency-free, and called from codegen'd
+  * expressions — the hot path stays inside whole-stage codegen.
+  *
+  * Algorithms are textbook/public: FNV-1a 64-bit hashing, SimHash
+  * (Charikar 2002), winnowing fingerprints (Schleimer/Wilkerson/Aiken
+  * SIGMOD 2003), stopword-profile language guessing.
+  */
+object TextOps {
+
+  def fnv1a64(s: CharSequence): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private def tokenize(s: String): Array[String] =
+    s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  /** 64-bit SimHash over whitespace tokens: per-bit vote of each
+    * token's FNV-1a hash; near-duplicate docs land within a small
+    * hamming distance. */
+  def simhash64(s: UTF8String): Long = {
+    val toks = tokenize(s.toString)
+    val acc = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = fnv1a64(toks(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var res = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) res |= (1L << b)
+      b += 1
+    }
+    res
+  }
+
+  /** Winnowing fingerprints: rolling FNV-1a over char k-grams, minimum
+    * per sliding window of `w` hashes (rightmost min on ties —
+    * standard winnowing), distinct + sorted for set semantics. Short
+    * docs (< k chars) fingerprint to the whole-text hash. */
+  def fingerprints(s: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val str = s.toString.toLowerCase
+    if (str.length < k)
+      return new GenericArrayData(Array(fnv1a64(str)))
+    val n = str.length - k + 1
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) { hashes(i) = fnv1a64(str.subSequence(i, i + k)); i += 1 }
+    val picks = scala.collection.mutable.SortedSet.empty[Long]
+    val win = math.min(w, n)
+    var start = 0
+    while (start <= n - win) {
+      var minIdx = start
+      var j = start + 1
+      while (j < start + win) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j
+        j += 1
+      }
+      picks += hashes(minIdx)
+      start += 1
+    }
+    new GenericArrayData(picks.toArray)
+  }
+
+  // Stopword profiles: ~15 highest-frequency function words per
+  // language. Tiny on purpose — this is a heuristic classifier for
+  // pipeline routing, not a linguistics model.
+  private val profiles: Array[(String, Set[String])] = Array(
+    "en" -> Set("the", "a", "and", "of", "to", "in", "is", "it", "you",
+      "that", "for", "on", "are", "with", "as"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ich", "du",
+      "mit", "für", "auf", "ein", "eine", "zu", "den"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "je", "tu",
+      "pour", "dans", "que", "ne", "pas", "sur"),
+    "es" -> Set("el", "los", "las", "y", "es", "en", "no", "por", "con",
+      "para", "se", "del", "su", "al", "como"))
+
+  /** Heuristic language ID: CJK char ratio → "zh"; otherwise the
+    * stopword profile with the highest hit ratio (first profile wins
+    * ties); "und" when nothing matches. */
+  def langId(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (str.isEmpty) return UTF8String.fromString("und")
+    var cjk = 0
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if ((c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF)) cjk += 1
+      i += 1
+    }
+    if (cjk.toDouble / str.length > 0.2) return UTF8String.fromString("zh")
+    val toks = tokenize(str)
+    if (toks.isEmpty) return UTF8String.fromString("und")
+    var best = "und"
+    var bestHits = 0
+    var p = 0
+    while (p < profiles.length) {
+      val (lang, words) = profiles(p)
+      var hits = 0
+      var t = 0
+      while (t < toks.length) { if (words.contains(toks(t))) hits += 1; t += 1 }
+      if (hits > bestHits) { best = lang; bestHits = hits }
+      p += 1
+    }
+    UTF8String.fromString(best)
+  }
+}
+
+/** simhash64(text): bigint — SimHash document signature. */
+case class SimHash64(child: Expression) extends UnaryStringExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any =
+    TextOps.simhash64(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.simhash64($s)")
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** fingerprints(text): array<bigint> — winnowing fingerprint set
+  * (k-gram size and window are compile-time parameters). */
+case class Fingerprints(child: Expression, k: Int = 9, window: Int = 4)
+    extends UnaryStringExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    TextOps.fingerprints(s.asInstanceOf[UTF8String], k, window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.TextOps.fingerprints($s, $k, $window)")
+  override def prettyName: String = "fingerprints"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** lang_id(text): string — heuristic language guess (en/de/fr/es/zh/und). */
+case class LangId(child: Expression) extends UnaryStringExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    TextOps.langId(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.langId($s)")
+  override def prettyName: String = "lang_id"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}

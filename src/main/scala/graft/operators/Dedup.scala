@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import scala.util.Random
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (builder brief): exact first-wins, MinHash/LSH near-dup, SimHash
+  * near-dup, and embedding-cosine near-dup. The reference's only dedup
+  * is the first-wins target dedup (U1/J3,
+  * `/root/reference/vsu/base/VectorSearchBase.py:77-94,123-124`) —
+  * generalized here to arbitrary keys; the near-dup family is the
+  * beyond-reference scale path.
+  *
+  * Scale design: every variant is bucketed — candidates meet only
+  * inside a hash bucket (`groupBy`-equivalent shuffle on the bucket
+  * key), NEVER via an all-pairs crossJoin. Verification (exact
+  * Jaccard / cosine) runs per candidate pair only.
+  */
+object Dedup {
+
+  /** Keep the first row per key under a deterministic order — the bulk
+    * form of the reference's keep-first dedup (U1). One hash shuffle
+    * on `keyCols`. */
+  def exactFirstWins(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty,
+      "key and order columns required")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** MinHash signature: `numHashes` independent min-hashes over a
+    * string-array column. Hash family = Spark's murmur3 `hash()` with
+    * per-function salt, all inside codegen (no UDF). Empty shingle
+    * sets produce null signatures (filtered by callers). */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    require(numHashes >= 1, "numHashes must be >= 1")
+    when(size(shingleCol) === 0, lit(null)).otherwise(
+      array((0 until numHashes).map { i =>
+        array_min(transform(shingleCol, x => hash(concat(lit(s"mh$i:"), x))))
+      }: _*))
+  }
+
+  /** LSH band keys: hash of each `rowsPerBand`-slice of the signature.
+    * Two docs with Jaccard ≥ t collide in ≥1 band with high
+    * probability (t ≈ (1/bands)^(1/rowsPerBand)). */
+  def minhashBands(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      hash(slice(sigCol, b * rowsPerBand + 1, rowsPerBand))
+    }: _*)
+
+  /** Near-duplicate candidate pairs via MinHash LSH banding, verified
+    * by exact shingle-set Jaccard. Returns (idA, idB, jaccard) with
+    * idA < idB, one row per verified pair.
+    *
+    * @param maxBucketSize skip pathological buckets (boilerplate/
+    *                      stopword shingles) — at 100 TB a single hot
+    *                      bucket would otherwise quadratically explode
+    */
+  def nearDupPairsMinHash(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val sh = shingles(col(textCol), shingleWidth)
+    val base = df.select(col(idCol), sh.as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    val banded = base.select(col(idCol), col("__sh"),
+      posexplode(minhashBands(col("__sig"), bands, rowsPerBand))
+        .as(Seq("__band", "__bh")))
+    // prune hot buckets BEFORE the self-join
+    val bucketW = Window.partitionBy("__band", "__bh")
+    val pruned = banded.withColumn("__bsz", count(lit(1)).over(bucketW))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val a = pruned.select(col("__band"), col("__bh"),
+      col(idCol).as("idA"), col("__sh").as("__shA"))
+    val b = pruned.select(col("__band"), col("__bh"),
+      col(idCol).as("idB"), col("__sh").as("__shB"))
+    a.join(b, Seq("__band", "__bh"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        jaccard(col("__shA"), col("__shB")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("idA", "idB").agg(first("jaccard").as("jaccard"))
+  }
+
+  /** Drop near-duplicates, keeping the smallest id of each verified
+    * pair (greedy canonical-first; not a transitive closure — chains
+    * A~B~C with A!~C keep A and C, drop B). */
+  def dedupNearMinHash(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = nearDupPairsMinHash(df, idCol, textCol, shingleWidth,
+      numHashes, bands, threshold)
+    df.join(pairs.select(col("idB").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
+  /** SimHash near-dup candidate pairs: 64-bit signatures bucketed by
+    * 16-bit quarters (any pair within hamming ≤ 3 of each other
+    * collides in ≥1 quarter by pigeonhole when bits differ in ≤3
+    * quarters), verified by exact hamming distance. */
+  def nearDupPairsSimHash(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val sig = simhash64(col(textCol))
+    val base = df.select(col(idCol), sig.as("__sig"))
+    val quartered = base.select(col(idCol), col("__sig"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("__sig"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("__q", "__qv")))
+    val bucketW = Window.partitionBy("__q", "__qv")
+    val pruned = quartered.withColumn("__bsz", count(lit(1)).over(bucketW))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val a = pruned.select(col("__q"), col("__qv"),
+      col(idCol).as("idA"), col("__sig").as("__sigA"))
+    val b = pruned.select(col("__q"), col("__qv"),
+      col(idCol).as("idB"), col("__sig").as("__sigB"))
+    a.join(b, Seq("__q", "__qv"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        hamming64(col("__sigA"), col("__sigB")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
+  }
+
+  /** Embedding near-dup candidate pairs: random-hyperplane LSH buckets
+    * (sign bits of dot products with `numPlanes` seeded planes),
+    * verified by exact cosine ≥ threshold. Deterministic planes from
+    * `seed`. */
+  def nearDupPairsCosine(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, numPlanes: Int = 12,
+      seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame = {
+    val rnd = new Random(seed)
+    val planes = Array.fill(numPlanes)(
+      Array.fill(dim)((rnd.nextGaussian()).toFloat))
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(vec_dot(col(vecCol), typedLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val base = df.select(col(idCol), col(vecCol).as("__v"),
+      bucket.as("__bucket"))
+    val bucketW = Window.partitionBy("__bucket")
+    val pruned = base.withColumn("__bsz", count(lit(1)).over(bucketW))
+      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val a = pruned.select(col("__bucket"), col(idCol).as("idA"),
+      col("__v").as("__vA"))
+    val b = pruned.select(col("__bucket"), col(idCol).as("idB"),
+      col("__v").as("__vB"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        cosine_sim(col("__vA"), col("__vB")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

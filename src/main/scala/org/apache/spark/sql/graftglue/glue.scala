@@ -38,3 +38,10 @@ abstract class UnaryFloatVectorExpression extends UnaryExpression with ExpectsIn
   protected def childIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 }
+
+/** Unary expression over one string input (text kernels).
+  * `AbstractDataType` is private[sql], hence this lives in the glue. */
+abstract class UnaryStringExpression extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+}

@@ -1,0 +1,102 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def one[T](c: org.apache.spark.sql.Column): T = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c).head.get(0).asInstanceOf[T]
+  }
+
+  test("tokens and token_count handle spacing and empties") {
+    import spark.implicits._
+    val df = Seq("a  b\tc", "", "  ", "single").toDF("t")
+      .select(token_count(col("t")).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("shingles produce w-grams; short docs give empty array") {
+    import spark.implicits._
+    val res = Seq("a b c d").toDF("t")
+      .select(shingles(col("t"), 2)).head.getSeq[String](0)
+    assert(res == Seq("a b", "b c", "c d"))
+    val short = Seq("a").toDF("t")
+      .select(shingles(col("t"), 3)).head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("jaccard on shingle sets") {
+    import spark.implicits._
+    val df = Seq(("a b c d", "a b c e")).toDF("x", "y")
+      .select(jaccard(shingles(col("x"), 2), shingles(col("y"), 2)).as("j"))
+    // shingles: {a b, b c, c d} vs {a b, b c, c e}: |∩|=2 |∪|=4
+    assert(df.head.getDouble(0) == 0.5)
+  }
+
+  test("simhash64: identical text same hash, edit stays near") {
+    import spark.implicits._
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox leaps over the lazy dog").toDF("t")
+      .select(simhash64(col("t")).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(2)) <= 16)
+  }
+
+  test("fingerprints: deterministic, shared for overlapping docs") {
+    import spark.implicits._
+    val a = "spark catalyst optimizer rewrites logical plans before execution begins"
+    val b = "spark catalyst optimizer rewrites logical plans before execution ends today"
+    val df = Seq(a, a, b).toDF("t").select(fingerprints(col("t")).as("f"))
+    val fs = df.collect().map(_.getSeq[Long](0))
+    assert(fs(0) == fs(1))
+    assert(fs(0).toSet.intersect(fs(2).toSet).nonEmpty)
+    // short text falls back to whole-text hash
+    val short = Seq("hi").toDF("t").select(fingerprints(col("t"))).head.getSeq[Long](0)
+    assert(short.length == 1)
+  }
+
+  test("lang_id guesses common languages") {
+    import spark.implicits._
+    val samples = Seq(
+      "the cat is on the mat and it is happy" -> "en",
+      "der Hund ist nicht zu Hause und ich bin mit dir" -> "de",
+      "le chat est dans la maison et je ne sais pas" -> "fr",
+      "el perro es grande y no come con los gatos" -> "es",
+      "这是一个中文句子用来测试语言识别功能" -> "zh",
+      "zzz qqq xxx" -> "und")
+    val out = samples.map(_._1).toDF("t")
+      .select(lang_id(col("t"))).collect().map(_.getString(0))
+    assert(out.toSeq == samples.map(_._2))
+  }
+
+  test("qualityFeatures: sane ranges and ordering") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and runs to the forest for a while"
+    val bad = "!!! ??? ..- ,,,"
+    val df = Seq(good, bad).toDF("t")
+      .select(qualityFeatures(col("t")).as("q"))
+    val rows = df.select("q.n_tokens", "q.quality_score", "q.alpha_ratio",
+      "q.punct_ratio").collect()
+    assert(rows(0).getDouble(1) > rows(1).getDouble(1))
+    assert(rows(0).getDouble(2) > 0.7)
+    assert(rows(1).getDouble(3) > 0.5)
+  }
+
+  test("SQL registration with arity validation") {
+    TextFunctions.registerAll(spark)
+    assert(spark.sql("SELECT lang_id('the cat is on the mat')")
+      .head.getString(0) == "en")
+    assert(spark.sql("SELECT simhash64('a b c')").head.getLong(0) ==
+      spark.sql("SELECT simhash64('a b c')").head.getLong(0))
+    val err = intercept[Exception] {
+      spark.sql("SELECT lang_id('a', 'b')").head
+    }
+    assert(err.getMessage.contains("1 argument"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpec
+
+import scala.util.Random
+
+class DedupSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("exactFirstWins keeps lowest-order row per key") {
+    import spark.implicits._
+    val df = Seq((1L, "k1", "a"), (2L, "k1", "b"), (3L, "k2", "c"),
+      (4L, "k2", "d"), (5L, "k3", "e")).toDF("id", "key", "payload")
+    val out = Dedup.exactFirstWins(df, Seq("key"), Seq("id"))
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    assert(out.map(_.getString(2)).toSeq == Seq("a", "c", "e"))
+  }
+
+  // Deterministic corpus: 30 base docs of 40 words; every third doc
+  // gets a planted near-duplicate with 2 words substituted.
+  private def plantedCorpus: (Seq[(Long, String)], Set[(Long, Long)]) = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu", "nu",
+      "xi", "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+    val rnd = new Random(7)
+    val base = (0 until 30).map { i =>
+      i.toLong -> Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val dups = base.collect { case (id, text) if id % 3 == 0 =>
+      val words = text.split(" ")
+      words(5) = "changed"
+      words(25) = "words"
+      (id + 100L) -> words.mkString(" ")
+    }
+    val expected = dups.map { case (dupId, _) => (dupId - 100L, dupId) }.toSet
+    (base ++ dups, expected)
+  }
+
+  test("MinHash LSH finds planted near-duplicates, no false positives") {
+    import spark.implicits._
+    val (docs, expected) = plantedCorpus
+    val df = docs.toDF("id", "text")
+    val pairs = Dedup.nearDupPairsMinHash(df, "id", "text",
+      shingleWidth = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pairs intersect expected).size.toDouble / expected.size
+    assert(recall >= 0.9, s"recall $recall over ${expected.size} planted pairs")
+    // verification step guarantees precision: every reported pair has
+    // exact jaccard >= threshold, so unrelated random docs never pair
+    assert((pairs -- expected).isEmpty, s"false positives: ${pairs -- expected}")
+  }
+
+  test("dedupNearMinHash drops the higher id of each pair") {
+    import spark.implicits._
+    val (docs, expected) = plantedCorpus
+    val df = docs.toDF("id", "text")
+    val kept = Dedup.dedupNearMinHash(df, "id", "text", threshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val dropped = docs.map(_._1).toSet -- kept
+    // dropped ids are exactly (modulo LSH recall) the planted dup ids
+    assert(dropped.subsetOf(expected.map(_._2)))
+    assert(dropped.size >= (expected.size * 0.9).toInt)
+  }
+
+  test("SimHash pairs identical and near-identical docs") {
+    import spark.implicits._
+    // longer doc: one-word edits move few bits (vote margins ~sqrt(n))
+    val base = Seq("the quick brown fox jumps over the lazy dog",
+      "a stitch in time saves nine every single day",
+      "pack my box with five dozen liquor jugs now",
+      "how vexingly quick daft zebras jump around here",
+      "sphinx of black quartz judge my vow tonight").mkString(" ")
+    val df = Seq(
+      1L -> base,
+      2L -> base, // identical → hamming 0
+      3L -> base.replace("today", "tomorrow").replace("zebras", "horses"),
+      4L -> "completely unrelated text about spark catalyst optimizer internals rules"
+    ).toDF("id", "text")
+    val pairs = Dedup.nearDupPairsSimHash(df, "id", "text", maxHamming = 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("cosine LSH finds near-identical embeddings") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val dim = 16
+    val base = (0 until 20).map { i =>
+      i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val dups = base.take(5).map { case (id, v) =>
+      val w = v.clone(); w(0) = w(0) + 0.01f
+      (id + 100L) -> w
+    }
+    val df = (base ++ dups).toDF("id", "vec")
+    val pairs = Dedup.nearDupPairsCosine(df, "id", "vec", dim,
+      threshold = 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = dups.map { case (dupId, _) => (dupId - 100L, dupId) }.toSet
+    // hyperplane LSH is probabilistic; near-identical vectors land in
+    // the same bucket unless a plane splits the tiny angle
+    assert((pairs intersect expected).size >= 4,
+      s"found ${pairs intersect expected} of $expected")
+    assert((pairs -- expected).isEmpty)
+  }
+}
