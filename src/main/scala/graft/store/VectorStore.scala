@@ -215,6 +215,25 @@ final class VectorStore(
       graft.operators.ZeroShot.classify(data, "vector", zsLabels)
   }
 
+  /** Train an MLP classifier on stored vectors against a stored label
+    * column (`MLP_Classifier`, `/root/reference/vsu/base/
+    * VectorSearchBase.py:219-234`): stratified 75/25 split, holdout
+    * accuracy, predictions for ALL rows. */
+  def mlpClassifier(yLabel: String, hidden: Seq[Int] = Seq(100),
+      maxIter: Int = 300): graft.ml.MlpResult = {
+    require(!isEmpty, "store is empty")
+    graft.ml.MlpBridge.trainClassifier(
+      data.filter(col(yLabel).isNotNull), "vector", yLabel, hidden, maxIter)
+  }
+
+  /** Train a regressor on stored vectors (`MLP_Regressor` capability —
+    * GBT substitute, see MlpBridge M8 note). */
+  def mlpRegressor(yLabel: String, maxIter: Int = 50): graft.ml.MlpResult = {
+    require(!isEmpty, "store is empty")
+    graft.ml.MlpBridge.trainRegressor(
+      data.filter(col(yLabel).isNotNull), "vector", yLabel, maxIter)
+  }
+
   /** k-NN by raw vector (`query` parity minus the embed step). Returns
     * `(id, target, option1..5, distance)` ascending squared-L2 with id
     * tiebreak; empty result on empty store (P5 — the reference returns

@@ -110,6 +110,22 @@ class VectorStoreSpec extends SparkSpec {
     assert(res.head.getDouble(7) == 0.0)
   }
 
+  test("mlpClassifier trains on stored vectors against an option column") {
+    import spark.implicits._
+    val rows = (0 until 40).map(i => (s"apple pie number $i", "fruit")) ++
+      (0 until 40).map(i => (s"car engine number $i", "vehicle"))
+    val store = new VectorStore(spark, HashEmbedder(dim = 16), batchSize = 32)
+    store.setData(rows.toDF("target", "option1"))
+    val res = store.mlpClassifier("option1", hidden = Seq(8), maxIter = 80)
+    assert(res.holdoutMetric >= 0.8, s"holdout ${res.holdoutMetric}")
+    assert(res.predictions.count() == 80)
+  }
+
+  test("mlp on empty store raises") {
+    val store = freshStore()
+    intercept[IllegalArgumentException] { store.mlpClassifier("option1") }
+  }
+
   test("durable store round-trips through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
     val store = new VectorStore(spark, HashEmbedder(dim = 8),
