@@ -102,6 +102,8 @@ object Embed {
         val texts = rows.map(r =>
           prefix + Option(r.get(inIdx)).map(_.toString).getOrElse(""))
         val vecs = embedder.embed(texts)
+        require(vecs.length == rows.length,
+          s"embedder returned ${vecs.length} vectors for ${rows.length} rows")
         rows.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v))
       }
     }(Encoders.row(outSchema))

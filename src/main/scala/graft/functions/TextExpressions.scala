@@ -98,6 +98,78 @@ object TextOps {
     "es" -> Set("el", "los", "las", "y", "es", "en", "no", "por", "con",
       "para", "se", "del", "su", "al", "como"))
 
+  /** Word w-shingles in one pass (lowercase, whitespace split, w-grams
+    * space-joined; fewer than w tokens → empty). The higher-order-
+    * function formulation re-evaluated the token split per lambda call
+    * (O(tokens²) string work — 20s of the round-2 bench); this kernel
+    * is O(chars). */
+  def wordShingles(s: UTF8String, w: Int): GenericArrayData = {
+    val toks = tokenize(s.toString)
+    if (toks.length < w) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - w + 1)
+    var i = 0
+    while (i <= toks.length - w) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // Affine minhash family g_j(h) = A(j)*h + B(j) over the murmur base
+  // hash (wraparound int arithmetic — standard hashing-trick family).
+  // Constants from splitmix32 so they are deterministic and odd.
+  private val MaxMinhashFns = 512
+  private val mhA, mhB = new Array[Int](MaxMinhashFns)
+  locally {
+    var x = 0x9E3779B9
+    def next(): Int = {
+      x += 0x9E3779B9
+      var z = x
+      z = (z ^ (z >>> 16)) * 0x85EBCA6B
+      z = (z ^ (z >>> 13)) * 0xC2B2AE35
+      z ^ (z >>> 16)
+    }
+    var i = 0
+    while (i < MaxMinhashFns) {
+      mhA(i) = next() | 1 // odd multiplier → bijective mod 2^32
+      mhB(i) = next()
+      i += 1
+    }
+  }
+
+  /** MinHash signature in ONE pass: murmur-hash each shingle once,
+    * then k affine derivations — O(shingles × k) int ops instead of k
+    * full string-hash passes (the 64-transform builtin formulation was
+    * the round's bench bottleneck: 30s → ~1s at sf0.1). Empty input →
+    * null (callers filter empty shingle sets). */
+  def minhashSig(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int): GenericArrayData = {
+    require(numHashes <= MaxMinhashFns, s"numHashes must be <= $MaxMinhashFns")
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sig = new Array[Int](numHashes)
+    java.util.Arrays.fill(sig, Int.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getUTF8String(i).hashCode // murmur3 over the bytes
+      var j = 0
+      while (j < numHashes) {
+        val g = mhA(j) * h + mhB(j)
+        if (g < sig(j)) sig(j) = g
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** Heuristic language ID: CJK char ratio → "zh"; otherwise the
     * stopword profile with the highest hit ratio (first profile wins
     * ties); "und" when nothing matches. */
@@ -151,6 +223,39 @@ case class Fingerprints(child: Expression, k: Int = 9, window: Int = 4)
     defineCodeGen(ctx, ev,
       s => s"graft.functions.TextOps.fingerprints($s, $k, $window)")
   override def prettyName: String = "fingerprints"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** word_shingles(text): array<string> — one-pass w-gram shingling. */
+case class WordShingles(child: Expression, width: Int)
+    extends UnaryStringExpression {
+  require(width >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    TextOps.wordShingles(s.asInstanceOf[UTF8String], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.TextOps.wordShingles($s, $width)")
+  override def prettyName: String = "word_shingles"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** minhash_sig(shingles): array<int> — one-pass MinHash signature over
+  * a string array (k is a compile-time parameter). Null on null or
+  * empty input. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.graftglue.UnaryStringArrayExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    TextOps.minhashSig(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.TextOps.minhashSig($a, $numHashes);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+    code
+  }
+  override def prettyName: String = "minhash_sig"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

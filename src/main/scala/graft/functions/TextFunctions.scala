@@ -19,14 +19,10 @@ object TextFunctions {
 
   def token_count(c: Column): Column = size(tokens(c))
 
-  /** Word w-shingles ("a b", "b c", ...) from whitespace tokens. */
-  def shingles(c: Column, w: Int): Column = {
-    require(w >= 1, "shingle width must be >= 1")
-    val toks = tokens(c)
-    when(size(toks) < w, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(toks) - (w - 1)),
-        j => concat_ws(" ", (0 until w).map(o => element_at(toks, j + o)): _*)))
-  }
+  /** Word w-shingles ("a b", "b c", ...) from whitespace tokens —
+    * native one-pass kernel (see TextOps.wordShingles perf note). */
+  def shingles(c: Column, w: Int): Column =
+    column(WordShingles(expression(c), w))
 
   /** Jaccard similarity of two arrays under set semantics. */
   def jaccard(a: Column, b: Column): Column =

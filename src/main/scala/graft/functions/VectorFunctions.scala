@@ -20,13 +20,23 @@ object VectorFunctions {
 
   def l2_normalize(a: Column): Column = column(L2Normalize(expression(a)))
 
-  /** Register all kernels for `spark.sql(...)` use. */
+  /** Register all kernels for `spark.sql(...)` use. Arity is validated
+    * here — the raw builders would otherwise throw index errors on
+    * e.g. `vec_dot(a)`. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot", es => VectorDot(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("squared_l2", es => SquaredL2(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("vec_norm", es => VectorNorm(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
+    def fn(name: String, arity: Int)(
+        f: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => {
+        require(es.length == arity,
+          s"$name expects exactly $arity argument(s), got ${es.length}")
+        f(es)
+      }, "scala_udf")
+    fn("vec_dot", 2)(es => VectorDot(es(0), es(1)))
+    fn("squared_l2", 2)(es => SquaredL2(es(0), es(1)))
+    fn("cosine_sim", 2)(es => CosineSim(es(0), es(1)))
+    fn("vec_norm", 1)(es => VectorNorm(es.head))
+    fn("l2_normalize", 1)(es => L2Normalize(es.head))
   }
 }

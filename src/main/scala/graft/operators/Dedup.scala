@@ -38,15 +38,14 @@ object Dedup {
   }
 
   /** MinHash signature: `numHashes` independent min-hashes over a
-    * string-array column. Hash family = Spark's murmur3 `hash()` with
-    * per-function salt, all inside codegen (no UDF). Empty shingle
-    * sets produce null signatures (filtered by callers). */
+    * string-array column. One-pass native expression (murmur base hash
+    * per shingle + affine family) — stays in codegen, no UDF. Empty
+    * shingle sets produce null signatures (filtered by callers). */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
     require(numHashes >= 1, "numHashes must be >= 1")
-    when(size(shingleCol) === 0, lit(null)).otherwise(
-      array((0 until numHashes).map { i =>
-        array_min(transform(shingleCol, x => hash(concat(lit(s"mh$i:"), x))))
-      }: _*))
+    import org.apache.spark.sql.graftglue.SqlGlue
+    SqlGlue.column(graft.functions.MinHashSignature(
+      SqlGlue.expression(shingleCol), numHashes))
   }
 
   /** LSH band keys: hash of each `rowsPerBand`-slice of the signature.

@@ -18,7 +18,13 @@ object SqlGlue {
 /** Binary expression over two numeric-array inputs returning double.
   * Accepts `array<float>` (the canonical vector type) and `array<double>`
   * (what SQL literals like `array(1.0, 2.0)` produce — double→float is
-  * narrowing, so Catalyst will not coerce it implicitly). */
+  * narrowing, so Catalyst will not coerce it implicitly).
+  *
+  * Null-element semantics: `containsNull` arrays are accepted and NULL
+  * elements are read as 0.0 (ArrayData.getFloat/getDouble convention) —
+  * the same convention as treating a missing dimension as zero mass.
+  * Vectors produced by this engine are containsNull=false; only
+  * hand-built arrays can hit this path. */
 abstract class BinaryFloatVectorExpression extends BinaryExpression with ExpectsInputTypes {
   private val anyVec = TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))
   override def inputTypes: Seq[AbstractDataType] = Seq(anyVec, anyVec)
@@ -43,5 +49,11 @@ abstract class UnaryFloatVectorExpression extends UnaryExpression with ExpectsIn
   * `AbstractDataType` is private[sql], hence this lives in the glue. */
 abstract class UnaryStringExpression extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+}
+
+/** Unary expression over one array<string> input. */
+abstract class UnaryStringArrayExpression extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def nullIntolerant: Boolean = true
 }
