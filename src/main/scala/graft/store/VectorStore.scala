@@ -215,6 +215,34 @@ final class VectorStore(
       graft.operators.ZeroShot.classify(data, "vector", zsLabels)
   }
 
+  /** Single-row insert-if-absent (`insert_data` parity,
+    * `/root/reference/vsu/base/VectorSearchBase.py:77-94`): a 1-row
+    * append — existing `target` wins. Bulk ingest should use
+    * [[setData]]; this is API-parity convenience. */
+  def insertData(target: String, options: Seq[String] = Nil,
+      vector: Option[Array[Float]] = None): Unit = {
+    require(options.length <= Schemas.optionCols.length,
+      s"at most ${Schemas.optionCols.length} option columns")
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val padded = options.padTo(Schemas.optionCols.length, null)
+    val (schema, values) = vector match {
+      case Some(v) =>
+        (StructType(
+          StructField("target", StringType) +:
+            Schemas.optionCols.map(StructField(_, StringType)) :+
+            StructField("vector", Schemas.vectorType)),
+          (target +: padded) :+ v)
+      case None =>
+        (StructType(
+          StructField("target", StringType) +:
+            Schemas.optionCols.map(StructField(_, StringType))),
+          target +: padded)
+    }
+    val row = spark.createDataFrame(
+      java.util.List.of(Row.fromSeq(values)), schema)
+    setData(row, append = !isEmpty)
+  }
+
   /** Train an MLP classifier on stored vectors against a stored label
     * column (`MLP_Classifier`, `/root/reference/vsu/base/
     * VectorSearchBase.py:219-234`): stratified 75/25 split, holdout
