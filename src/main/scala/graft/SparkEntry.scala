@@ -250,7 +250,16 @@ object SparkEntry {
     "minhash_neardup" -> ((s, dir) =>
       Dedup.dedupNearMinHash(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5)
-        .select("doc_id").orderBy("doc_id"))
+        .select("doc_id").orderBy("doc_id")),
+    // batch twin of the streaming tumbling-window agg (ts read as
+    // epoch nanos via nanosAsLong)
+    "events_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy("hour_bucket", "event_type"))
   )
 
   // DuckDB twin of TextFunctions.tokens: lowercase, split on \s+, drop
@@ -384,6 +393,11 @@ object SparkEntry {
          |  least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4 + alpha_ratio * 0.3 +
          |  least(stopword_ratio * 5.0, 1.0) * 0.2 +
          |  (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1 AS quality_score
-         |FROM f ORDER BY doc_id""".stripMargin
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "events_hourly" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
   )
 }

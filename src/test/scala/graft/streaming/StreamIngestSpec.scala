@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.functions.HashEmbedder
+import graft.store.VectorStore
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.sql.Timestamp
+
+class StreamIngestSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("streaming ingest: micro-batches append with first-wins dedup") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(String, String)]
+    val stream = source.toDF().toDF("target", "option1")
+    val store = new VectorStore(spark, HashEmbedder(dim = 8))
+    val q = StreamIngest.intoStore(stream, store)
+    try {
+      source.addData(("a", "batch1"), ("b", "batch1"))
+      q.processAllAvailable()
+      assert(store.data.count() == 2)
+      // overlap across batches: existing rows win
+      source.addData(("b", "batch2"), ("c", "batch2"))
+      q.processAllAvailable()
+      val byTarget = store.data.collect()
+        .map(r => r.getString(1) -> r.getString(2)).toMap
+      assert(byTarget == Map("a" -> "batch1", "b" -> "batch1", "c" -> "batch2"))
+      // ids stay sequential across micro-batches
+      assert(store.data.select(max("id")).head.getLong(0) == 3L)
+    } finally q.stop()
+  }
+
+  test("watermarked windowed aggregation over an event stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamIngest.windowedAgg(
+      source.toDF().toDF("ts", "etype", "value"),
+      "ts", "etype", "value", windowLength = "1 hour")
+    val q = agg.writeStream.format("memory")
+      .queryName("win_agg").outputMode("complete").start()
+    try {
+      source.addData(
+        (Timestamp.valueOf("2026-01-01 10:10:00"), "click", 1.0),
+        (Timestamp.valueOf("2026-01-01 10:50:00"), "click", 2.0),
+        (Timestamp.valueOf("2026-01-01 11:10:00"), "click", 4.0),
+        (Timestamp.valueOf("2026-01-01 10:20:00"), "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT date_format(window.start, 'HH:mm') s, etype, cnt, total
+          |FROM win_agg ORDER BY s, etype""".stripMargin).collect()
+      assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq == Seq(
+        ("10:00", "click", 2L, 3.0), ("10:00", "view", 1L, 8.0),
+        ("11:00", "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+}
