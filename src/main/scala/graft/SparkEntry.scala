@@ -251,6 +251,16 @@ object SparkEntry {
       Dedup.dedupNearMinHash(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5)
         .select("doc_id").orderBy("doc_id")),
+    // IVF ANN: KMeans cells are seed-deterministic but partitioning-
+    // sensitive → rows-only check (recall properties are unit-tested)
+    "ivf_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val idx = graft.operators.IvfIndex.build(emb, "embedding", "vec_id",
+        nClusters = 16)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5, nprobe = 4).select("vec_id", "distance")
+    }),
     // batch twin of the streaming tumbling-window agg (ts read as
     // epoch nanos via nanosAsLong)
     "events_hourly" -> ((s, dir) =>

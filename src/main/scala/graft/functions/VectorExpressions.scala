@@ -67,6 +67,20 @@ object VectorOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b, af, bf) / (na * nb)
   }
 
+  /** Driver-side squared L2 for plain float arrays (centroid ranking). */
+  def squaredL2Floats(a: Array[Float], b: Array[Float]): Double = {
+    require(a.length == b.length,
+      s"vector length mismatch: ${a.length} vs ${b.length}")
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** Driver-side twin of [[l2Normalize]] for plain float arrays (label
     * vectors, query vectors): identical arithmetic — double accumulate,
     * multiply by reciprocal, truncate to float32. */

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class IvfIndexSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private lazy val emb = spark.read
+    .parquet(s"${sf()}/embeddings.parquet")
+    .select("vec_id", "embedding")
+    .cache()
+
+  private lazy val index =
+    IvfIndex.build(emb, "embedding", "vec_id", nClusters = 16)
+
+  private def bruteTop(q: Array[Float], k: Int): Seq[Long] =
+    Similarity.topK(emb, "embedding", "vec_id", q, k)
+      .collect().map(_.getLong(0)).toSeq
+
+  private def queries: Seq[Array[Float]] =
+    emb.filter(col("vec_id") < 20).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toArray).toSeq
+
+  test("every row is assigned its nearest centroid") {
+    val n = index.assigned.count()
+    assert(n == 500)
+    val nCells = index.assigned.select(IvfIndex.ClusterCol).distinct().count()
+    assert(nCells > 1 && nCells <= 16)
+  }
+
+  test("nprobe = nClusters is exact (matches brute force)") {
+    for (q <- queries.take(5)) {
+      val ivf = index.query(q, k = 10, nprobe = 16)
+        .collect().map(_.getLong(0)).toSeq
+      assert(ivf == bruteTop(q, 10))
+    }
+  }
+
+  test("nprobe=4 of 16 keeps high recall@10") {
+    val recalls = queries.map { q =>
+      val ivf = index.query(q, k = 10, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet
+      val exact = bruteTop(q, 10).toSet
+      (ivf intersect exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@10 $mean over ${recalls.size} queries")
+  }
+
+  test("partitioned write prunes probed cells at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    index.writePartitioned(s"$dir/ivf")
+    val reloaded = IvfIndex.load(spark, s"$dir/ivf", index.centroids,
+      "embedding", "vec_id")
+    val q = queries.head
+    assert(reloaded.query(q, 5, nprobe = 16).collect().map(_.getLong(0)).toSeq
+      == bruteTop(q, 5))
+    // the probed query's scan must carry partition filters
+    val plan = reloaded.query(q, 5, nprobe = 2).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains(s"${IvfIndex.ClusterCol}#"),
+      s"expected pruned scan, got:\n$plan")
+  }
+}
