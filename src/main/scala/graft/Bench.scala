@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup so the alphabetically-first query doesn't
+    // absorb ~4s of classloading; touches no benchmark data.
+    spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 100)")
+      .collect()
     // A failed query must NOT silently record a timing (round-1 defect:
     // errors were swallowed into -1L counts). Failures are excluded
     // from `queries`/total and reported in `errors`.

@@ -251,12 +251,25 @@ object SparkEntry {
       Dedup.dedupNearMinHash(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5)
         .select("doc_id").orderBy("doc_id")),
+    // grouped centroid via the custom vec_sum TypedImperativeAggregate
+    // (partial aggregation: one dim-sized buffer per partition-group);
+    // element values rounded to 9 decimals for cross-engine sum-order
+    // independence
+    "label_centroids" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(vec_sum(col("embedding")).as("sums"), count(lit(1)).as("n"))
+        .select(col("label"),
+          transform(col("sums"),
+            x => (x / col("n").cast("double"))
+              .cast("decimal(18,9)").cast("double")).as("centroid"))
+        .orderBy("label")),
     // IVF ANN: KMeans cells are seed-deterministic but partitioning-
     // sensitive → rows-only check (recall properties are unit-tested)
     "ivf_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val idx = graft.operators.IvfIndex.build(emb, "embedding", "vec_id",
-        nClusters = 16)
+        nClusters = 16, maxIter = 8)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head.getSeq[Float](0).toArray
       idx.query(q, k = 5, nprobe = 4).select("vec_id", "distance")
@@ -408,6 +421,12 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+    "label_centroids" ->
+      """SELECT label, list(CAST(CAST(s / n AS DECIMAL(18,9)) AS DOUBLE) ORDER BY i) AS centroid
+        |FROM (SELECT label, i, SUM(CAST(embedding[i] AS DOUBLE)) AS s, COUNT(*) AS n
+        |      FROM embeddings, range(1, 65) t(i)
+        |      GROUP BY label, i)
+        |GROUP BY label ORDER BY label""".stripMargin
   )
 }

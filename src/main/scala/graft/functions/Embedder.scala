@@ -89,7 +89,10 @@ final case class HashEmbedder(dim: Int = 64, normalized: Boolean = false,
   * `repartition` beforehand if upstream partitioning is skewed.
   */
 object Embed {
-  val DefaultBatchSize = 10 // reference `sp` default (VectorSearchBase.py:101)
+  /** Production default. The reference's `sp=10`
+    * (VectorSearchBase.py:101) is far too small for real model
+    * inference — callers wanting exact reference chunking pass 10. */
+  val DefaultBatchSize = 256
 
   def embedColumn(df: DataFrame, inCol: String, outCol: String,
       embedder: Embedder, batchSize: Int = DefaultBatchSize,

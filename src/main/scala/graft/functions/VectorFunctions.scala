@@ -20,6 +20,17 @@ object VectorFunctions {
 
   def l2_normalize(a: Column): Column = column(L2Normalize(expression(a)))
 
+  /** Element-wise vector sum aggregate (partial-aggregation friendly —
+    * see [[VectorSumAgg]]). */
+  def vec_sum(a: Column): Column =
+    column(VectorSumAgg(expression(a)).toAggregateExpression())
+
+  /** Element-wise mean: vec_sum / count, computed per group as a
+    * post-projection: `vec_mean_of(vec_sum(v), count(*))`. */
+  def vec_mean_of(sumCol: Column, countCol: Column): Column =
+    org.apache.spark.sql.functions.transform(sumCol,
+      x => x / countCol.cast("double"))
+
   /** Register all kernels for `spark.sql(...)` use. Arity is validated
     * here — the raw builders would otherwise throw index errors on
     * e.g. `vec_dot(a)`. */

@@ -57,3 +57,14 @@ abstract class UnaryStringArrayExpression extends UnaryExpression with ExpectsIn
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def nullIntolerant: Boolean = true
 }
+
+/** Typed imperative aggregate over one numeric-array input (vector
+  * aggregation kernels; buffer type is the implementor's). */
+abstract class FloatVectorAggregate[B]
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[B]
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  protected def childIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+}
