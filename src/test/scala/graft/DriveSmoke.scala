@@ -67,6 +67,31 @@ object DriveSmoke {
     val qres = store.queryWithInfo("spark query join filter", k = 3)
     qres.show(false)
     qres.explain("formatted")
+
+    // zero-shot over the store
+    store.setZeroshotLabels(Seq("spark query join", "customer order data"))
+    val zs = store.doZeroshot()
+    zs.groupBy("zeroshot_pred").count().show()
+
+    // dedup family on the documents table
+    import graft.operators.{Dedup, IvfIndex, Similarity}
+    println("EXACT_DEDUP_KEPT=" + Dedup.exactFirstWins(
+      docs.withColumn("k", substring($"text", 1, 20)),
+      Seq("k"), Seq("doc_id")).count())
+    println("MINHASH_PAIRS=" + Dedup.nearDupPairsMinHash(
+      docs, "doc_id", "text", threshold = 0.4).count())
+    println("SIMHASH_PAIRS=" + Dedup.nearDupPairsSimHash(
+      docs, "doc_id", "text", maxHamming = 10).count())
+
+    // IVF vs brute force
+    val ivf = IvfIndex.build(
+      emb.select($"vec_id", $"embedding"), "embedding", "vec_id",
+      nClusters = 8, maxIter = 5)
+    val ivfTop = ivf.query(q.toArray, k = 5, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val bruteTop = Similarity.topK(emb.select($"vec_id", $"embedding"),
+      "embedding", "vec_id", q.toArray, 5).collect().map(_.getLong(0)).toSeq
+    println(s"IVF_EXACT_MATCH=${ivfTop == bruteTop}")
     spark.stop()
   }
 }
