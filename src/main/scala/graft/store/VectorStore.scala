@@ -129,11 +129,12 @@ final class VectorStore(
           prefix = queryPrefix)
     // first-wins WITHIN the incoming batch (reference: pandas
     // drop_duplicates keep-first, VectorSearchBase.py:124) — window on
-    // target ordered by the deterministic sort key, keep first.
-    val ordered = withSequentialIds(embedded, startAt = 0L, sortCols)
-      .withColumnRenamed("id", "__ord")
-    val w = Window.partitionBy("target").orderBy("__ord")
-    val inBatchDeduped = ordered
+    // target ordered by the sort key, keep first. Ties among rows with
+    // identical sortCols values are arbitrary (there is no "input
+    // order" in a distributed frame) — pass a unique key for full
+    // determinism.
+    val w = Window.partitionBy("target").orderBy(sortCols.map(col): _*)
+    val inBatchDeduped = embedded
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
 
@@ -146,14 +147,11 @@ final class VectorStore(
         val fresh = inBatchDeduped
           .join(existing.select("target"), Seq("target"), "left_anti")
         val maxId = existing.agg(max("id")).head.getLong(0)
-        val freshWithIds =
-          withSequentialIds(fresh.orderBy("__ord").drop("__ord"),
-            startAt = maxId + 1, sortCols = Nil)
-            .select(Schemas.record.fieldNames.map(col): _*)
+        val freshWithIds = withSequentialIds(fresh, maxId + 1, sortCols)
+          .select(Schemas.record.fieldNames.map(col): _*)
         existing.unionByName(freshWithIds)
       } else {
-        withSequentialIds(inBatchDeduped.orderBy("__ord").drop("__ord"),
-          startAt = 1L, sortCols = Nil)
+        withSequentialIds(inBatchDeduped, startAt = 1L, sortCols)
           .select(Schemas.record.fieldNames.map(col): _*)
       }
     persist(result)
