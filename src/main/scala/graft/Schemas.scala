@@ -2,6 +2,18 @@ package graft
 
 import org.apache.spark.sql.types._
 
+/** Typed view of a stored record (SURVEY §1.4: typed surface for the
+  * public API and tests; internals stay DataFrame for Catalyst). */
+final case class VectorRecord(
+    id: Long,
+    target: String,
+    option1: Option[String],
+    option2: Option[String],
+    option3: Option[String],
+    option4: Option[String],
+    option5: Option[String],
+    vector: Array[Float])
+
 /** Canonical record schema of the vector store.
   *
   * Reference parity: the fixed `data` table of stkdev/VectorSearchUtil

@@ -95,6 +95,13 @@ final class VectorStore(
 
   def isEmpty: Boolean = data.isEmpty
 
+  /** Typed view of the store (SURVEY §1.4). */
+  def typed: org.apache.spark.sql.Dataset[graft.VectorRecord] = {
+    implicit val enc: org.apache.spark.sql.Encoder[graft.VectorRecord] =
+      org.apache.spark.sql.Encoders.product[graft.VectorRecord]
+    data.as[graft.VectorRecord]
+  }
+
   /** Bulk ingest (`set_data` parity, `VectorSearchBase.py:101-133`).
     *
     * @param df       input frame; must have `target`; `vector` optional

@@ -110,6 +110,16 @@ class VectorStoreSpec extends SparkSpec {
     assert(res.head.getDouble(7) == 0.0)
   }
 
+  test("typed view exposes Dataset[VectorRecord]") {
+    val store = freshStore()
+    store.setData(frame("hello world" -> "x"))
+    val recs = store.typed.collect()
+    assert(recs.length == 1)
+    assert(recs.head.id == 1L && recs.head.target == "hello world")
+    assert(recs.head.option1.contains("x") && recs.head.option2.isEmpty)
+    assert(recs.head.vector.length == 16)
+  }
+
   test("mlpClassifier trains on stored vectors against an option column") {
     import spark.implicits._
     val rows = (0 until 40).map(i => (s"apple pie number $i", "fruit")) ++
