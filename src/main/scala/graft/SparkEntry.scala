@@ -236,6 +236,11 @@ object SparkEntry {
         .select(col("doc_id"),
           token_count(col("text")).cast("long").as("n_tokens"))
         .orderBy("doc_id")),
+    "bpe_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          token_count_bpe(col("text")).cast("long").as("n_bpe"))
+        .orderBy("doc_id")),
     "doc_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), qualityFeatures(col("text")).as("q"))
@@ -421,6 +426,10 @@ object SparkEntry {
     "token_counts" ->
       s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "bpe_token_counts" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
+        "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe " +
+        "FROM documents ORDER BY doc_id"),
     "doc_quality" ->
       s"""WITH f AS (
          |  SELECT doc_id,

@@ -19,6 +19,16 @@ object TextFunctions {
 
   def token_count(c: Column): Column = size(tokens(c))
 
+  /** BPE-ish subword token pattern (GPT-2-style pretokenizer shape:
+    * contractions, letter runs, digit runs, punctuation runs) — the
+    * approximate LLM token counter of the builder brief. Constructs
+    * used are portable between Java regex and RE2 (oracle parity). */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  def token_count_bpe(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeTokenPattern), lit(0)))
+
   /** Word w-shingles ("a b", "b c", ...) from whitespace tokens —
     * native one-pass kernel (see TextOps.wordShingles perf note). */
   def shingles(c: Column, w: Int): Column =

@@ -58,6 +58,55 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Resize plumbing (STUB transform): batches rows, emits a resized
+    * binary payload + target dims. The byte transform is a
+    * deterministic truncation fake — a real decoder resamples pixels;
+    * schema/batching/partitioning are the real contract. */
+  def resizeImages(df: DataFrame, inCol: String, width: Int, height: Int,
+      outCol: String = "resized", batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema.add(outCol, BinaryType)
+    val inIdx = df.schema.fieldIndex(inCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { r =>
+          val bytes = Option(r.get(inIdx)).map(_.asInstanceOf[Array[Byte]])
+            .getOrElse(Array.emptyByteArray)
+          // STUB: proportional truncation in lieu of pixel resampling
+          val fakeLen = math.max(1,
+            math.min(bytes.length, width * height / 256))
+          Row.fromSeq(r.toSeq :+ bytes.take(fakeLen))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Frame-sampling plumbing for video columns (STUB decode): emits
+    * one row per sampled frame with (frame_idx, frame bytes). The
+    * "frames" are fixed-size byte slices — a real decoder would seek
+    * keyframes; the explode shape, schema, and ordering are real. */
+  def sampleFrames(df: DataFrame, inCol: String, everyNth: Int = 10,
+      frameSize: Int = 4096, outPrefix: String = "frame"): DataFrame = {
+    require(everyNth >= 1 && frameSize >= 1, "positive sampling params")
+    val idxCol = s"${outPrefix}_idx"
+    val bytesCol = s"${outPrefix}_bytes"
+    val outSchema = df.schema
+      .add(idxCol, IntegerType)
+      .add(bytesCol, BinaryType)
+    val inIdx = df.schema.fieldIndex(inCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = Option(r.get(inIdx)).map(_.asInstanceOf[Array[Byte]])
+          .getOrElse(Array.emptyByteArray)
+        val nFrames = math.max(1, bytes.length / frameSize)
+        (0 until nFrames by everyNth).map { f =>
+          val start = f * frameSize
+          val end = math.min(bytes.length, start + frameSize)
+          Row.fromSeq(r.toSeq :+ f :+ bytes.slice(start, end))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Attach decoded image metadata. STUB decode (see class doc): field
     * values are deterministic fakes derived from the bytes, NOT a real
     * decode — replace [[StubImageDecoder]] with a real one outside

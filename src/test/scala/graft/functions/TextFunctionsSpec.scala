@@ -61,6 +61,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(short.length == 1)
   }
 
+  test("BPE-ish token count: contractions and runs split") {
+    import spark.implicits._
+    val df = Seq("it's 2026, friend!", "hello world").toDF("t")
+      .select(token_count_bpe(col("t")).as("n"))
+    // "it" "'s" " 2026" "," " friend" "!" → 6; "hello" " world" → 2
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(6, 2))
+  }
+
   test("lang_id guesses common languages") {
     import spark.implicits._
     val samples = Seq(

@@ -61,6 +61,26 @@ class MultimodalSpec extends SparkSpec {
     assert(vecs.map(_.toSeq).distinct.length == 3)
   }
 
+  test("resize stub: schema + deterministic payload, real plumbing") {
+    val df = Multimodal.resizeImages(
+      Multimodal.readBinaryDir(spark, dir), "content", 64, 64)
+    val lens = df.select(length(col("resized"))).collect().map(_.getInt(0))
+    assert(lens.forall(l => l >= 1 && l <= 16))
+    assert(df.columns.contains("resized"))
+  }
+
+  test("frame sampling explodes one row per sampled frame") {
+    val df = Multimodal.sampleFrames(
+      Multimodal.readBinaryDir(spark, dir, "*.png"), "content",
+      everyNth = 1, frameSize = 64)
+    // 264-byte files → 4 frames each, 2 files
+    assert(df.count() == 8)
+    val idx = df.select("frame_idx").distinct().collect()
+      .map(_.getInt(0)).sorted
+    assert(idx.sameElements(Array(0, 1, 2, 3)))
+    assert(df.filter(length(col("frame_bytes")) =!= 64).count() == 0)
+  }
+
   test("mixed text+binary table embeds and k-NNs end-to-end") {
     import spark.implicits._
     val dim = 32
