@@ -37,13 +37,24 @@ object SparkEntry {
     store.queryVectorWithInfo(q, k = 5)
   }
 
-  /** In-memory VectorStore over documents ⋈ embeddings: `text → target`,
+  /** documents ⋈ embeddings pre-deduplicated by text keeping the
+    * lowest doc_id — a DETERMINISTIC first-wins base (duplicate texts
+    * exist at sf0.1; dedup ties inside setData would otherwise depend
+    * on which duplicate's options happen to sort first). */
+  private def storeBase(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val joined = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("embedding"))
+    Dedup.exactFirstWins(joined, Seq("text"), Seq("doc_id"))
+  }
+
+  /** In-memory VectorStore over [[storeBase]]: `text → target`,
     * `lang → option1`, `source → option2`, `embedding → vector`
     * (FIXTURES.md §B mapping); ids follow target order. */
   private def storeOf(s: SparkSession, dir: String): VectorStore = {
-    val docs = t(s, dir, "documents")
-    val emb = t(s, dir, "embeddings")
-    val in = docs.join(emb, col("doc_id") === col("vec_id"))
+    val in = storeBase(s, dir)
       .select(col("text").as("target"), col("lang").as("option1"),
         col("source").as("option2"), col("embedding").as("vector"))
     val store = new VectorStore(s, HashEmbedder(dim = 64))
@@ -176,9 +187,7 @@ object SparkEntry {
       store.queryVectorWithInfo(q, k = 5)
     }),
     "store_append_ids" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-      val all = docs.join(emb, col("doc_id") === col("vec_id"))
+      val all = storeBase(s, dir)
         .select(col("doc_id"), col("text").as("target"),
           col("lang").as("option1"), col("source").as("option2"),
           col("embedding").as("vector"))
@@ -314,17 +323,17 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,8))) AS VARCHAR) AS DOUBLE) AS sum_charge,
         |  COUNT(*) AS count_order,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_join_agg" ->
       """SELECT n_name, COUNT(*) AS order_cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
@@ -343,12 +352,12 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q7_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q5_events_json" ->
       """SELECT event_type, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value,
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "knn_top5" ->
@@ -376,20 +385,28 @@ object SparkEntry {
          |       ELSE list_transform(embedding, x ->
          |         CAST(CAST(x AS DOUBLE) * (1.0 / ${normOf("embedding")}) AS FLOAT)) END AS unit
          |FROM embeddings ORDER BY vec_id""".stripMargin,
-    // store ids are row_number in target (= text) order; texts are unique
+    // store base = documents ⋈ embeddings, first-wins dedup on text by
+    // doc_id; ids are row_number in target (= text) order
     "store_knn" ->
-      s"""SELECT id, target, option1, option2, distance FROM (
-         |  SELECT row_number() OVER (ORDER BY d.text) AS id, d.text AS target,
-         |    d.lang AS option1, d.source AS option2, $sqDist AS distance
-         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id,
-         |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+      s"""WITH base AS (
+         |  SELECT d.text, d.lang, d.source, em.embedding FROM documents d
+         |  JOIN embeddings em ON d.doc_id = em.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY d.text ORDER BY d.doc_id) = 1)
+         |SELECT id, target, option1, option2, distance FROM (
+         |  SELECT row_number() OVER (ORDER BY e.text) AS id, e.text AS target,
+         |    e.lang AS option1, e.source AS option2, $sqDist AS distance
+         |  FROM base e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
          |ORDER BY distance, id LIMIT 5""".stripMargin,
     // two-batch append: batch-1 rows (doc_id < 250) get ids 1..n in text
     // order, appended batch-2 survivors continue after them
     "store_append_ids" ->
-      """SELECT row_number() OVER (ORDER BY (doc_id >= 250), text) AS id,
+      """WITH base AS (
+        |  SELECT d.doc_id, d.text, d.lang, d.source FROM documents d
+        |  JOIN embeddings em ON d.doc_id = em.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY d.text ORDER BY d.doc_id) = 1)
+        |SELECT row_number() OVER (ORDER BY (doc_id >= 250), text) AS id,
         |  text AS target, lang AS option1, source AS option2
-        |FROM documents ORDER BY id""".stripMargin,
+        |FROM base ORDER BY id""".stripMargin,
     // labels = embeddings 0..3; both sides L2-normalized with float32
     // truncation (matching the l2_normalize kernel), then cosine×100
     // with first-occurrence argmax (score DESC, label_id ASC)
@@ -451,10 +468,10 @@ object SparkEntry {
     "events_hourly" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
     "label_centroids" ->
-      """SELECT label, list(CAST(CAST(s / n AS DECIMAL(18,9)) AS DOUBLE) ORDER BY i) AS centroid
+      """SELECT label, list(CAST(CAST(CAST(s / n AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) ORDER BY i) AS centroid
         |FROM (SELECT label, i, SUM(CAST(embedding[i] AS DOUBLE)) AS s, COUNT(*) AS n
         |      FROM embeddings, range(1, 65) t(i)
         |      GROUP BY label, i)
