@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.store.VectorStore
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
 
 /** Structured Streaming surface. The reference has NO streaming
   * (SURVEY §2.9) — this is the beyond-reference extension: append-mode
@@ -30,6 +30,37 @@ object StreamIngest {
       }
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     writer.start()
+  }
+
+  /** Streaming exact dedup with EXPLICIT state (first-wins across the
+    * whole stream, not just a watermark horizon): per key,
+    * `flatMapGroupsWithState` keeps one boolean "seen" flag and emits
+    * only the first row. This is the custom-state form of the U1/J3
+    * first-wins semantics for unbounded streams — use the built-in
+    * watermarked `dropDuplicates` when a bounded horizon suffices
+    * (bounded state); this operator's state grows with distinct keys
+    * (the LLM-pipeline "dedup the whole crawl" contract).
+    *
+    * Emission order inside a micro-batch is per-group; "first" among
+    * same-key rows in one batch is arbitrary, matching the batch
+    * ingest's tie semantics. */
+  def streamingFirstWins(stream: DataFrame, keyCol: String): DataFrame = {
+    val enc: Encoder[Row] = Encoders.row(stream.schema)
+    implicit val rowEnc: Encoder[Row] = enc
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val keyIdx = stream.schema.fieldIndex(keyCol)
+    val grouped = stream.groupByKey(r => String.valueOf(r.get(keyIdx)))
+    val deduped: Dataset[Row] = grouped.flatMapGroupsWithState[Boolean, Row](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          rows.take(1)
+        }
+    }
+    deduped.toDF()
   }
 
   /** Watermarked tumbling-window aggregation over an event stream —

@@ -32,6 +32,25 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingFirstWins: custom-state dedup across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(String, String)]
+    val deduped = StreamIngest.streamingFirstWins(
+      source.toDF().toDF("key", "payload"), "key")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      source.addData(("a", "b1"), ("b", "b1"))
+      q.processAllAvailable()
+      source.addData(("a", "b2"), ("c", "b2")) // a is a dup across batches
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT key, payload FROM dedup_out ORDER BY key")
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      assert(rows.toSeq == Seq("a" -> "b1", "b" -> "b1", "c" -> "b2"))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
