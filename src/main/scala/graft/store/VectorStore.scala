@@ -161,10 +161,10 @@ final class VectorStore(
         withSequentialIds(inBatchDeduped, startAt = 1L, sortCols)
           .select(Schemas.record.fieldNames.map(col): _*)
       }
-    persist(result)
+    persist(result, truncateLineage = append)
   }
 
-  private def persist(df: DataFrame): Unit = {
+  private def persist(df: DataFrame, truncateLineage: Boolean = false): Unit = {
     path match {
       case Some(p) =>
         // write to a staging dir then re-read: parquet overwrite of the
@@ -177,10 +177,19 @@ final class VectorStore(
           new org.apache.hadoop.fs.Path(p))
         mem = Some(spark.read.parquet(p))
       case None =>
-        mem.foreach(_.unpersist())
-        val cached = df.cache()
-        cached.count() // materialize now: later queries reuse the cache
-        mem = Some(cached)
+        // Appends localCheckpoint (eager): materializes AND truncates
+        // lineage — without it, iterated appends (streaming ingest)
+        // accumulate an unbounded plan chain where batch N depends on
+        // the full history of batches 1..N-1. Replace ingests start a
+        // fresh lineage from the source, so a plain cache suffices
+        // (cheaper: no block-store write of every partition). The old
+        // cache is dropped only after the new materialization, which
+        // reads it cheaply.
+        val materialized =
+          if (truncateLineage) df.localCheckpoint(true)
+          else { val c = df.cache(); c.count(); c }
+        mem.foreach(old => if (old ne materialized) old.unpersist())
+        mem = Some(materialized)
     }
   }
 
