@@ -473,7 +473,8 @@ object SparkEntry {
     "label_centroids" ->
       """SELECT label, list(CAST(CAST(CAST(s / n AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) ORDER BY i) AS centroid
         |FROM (SELECT label, i, SUM(CAST(embedding[i] AS DOUBLE)) AS s, COUNT(*) AS n
-        |      FROM embeddings, range(1, 65) t(i)
+        |      FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        |            FROM embeddings)
         |      GROUP BY label, i)
         |GROUP BY label ORDER BY label""".stripMargin
   )

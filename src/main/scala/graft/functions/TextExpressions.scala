@@ -29,8 +29,11 @@ object TextOps {
     h
   }
 
+  // Locale.ROOT: locale-independent lowercase, matching Spark's
+  // lower() and the DuckDB oracle (a tr_TR default locale would
+  // otherwise map I→ı and diverge per-executor)
   private def tokenize(s: String): Array[String] =
-    s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    s.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 
   /** 64-bit SimHash over whitespace tokens: per-bit vote of each
     * token's FNV-1a hash; near-duplicate docs land within a small
@@ -62,7 +65,7 @@ object TextOps {
     * standard winnowing), distinct + sorted for set semantics. Short
     * docs (< k chars) fingerprint to the whole-text hash. */
   def fingerprints(s: UTF8String, k: Int, w: Int): GenericArrayData = {
-    val str = s.toString.toLowerCase
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     if (str.length < k)
       return new GenericArrayData(Array(fnv1a64(str)))
     val n = str.length - k + 1
@@ -246,6 +249,10 @@ case class WordShingles(child: Expression, width: Int)
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends org.apache.spark.sql.graftglue.UnaryStringArrayExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // empty input → null signature even when the child is non-nullable;
+  // without this override codegen would assign to an undeclared isNull
+  // and the optimizer would fold IsNotNull(sig) to true
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any): Any =
     TextOps.minhashSig(
       a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)

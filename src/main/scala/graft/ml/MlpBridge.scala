@@ -38,13 +38,14 @@ object MlpBridge {
   def trainClassifier(df: DataFrame, vecCol: String, labelCol: String,
       hidden: Seq[Int] = Seq(100), maxIter: Int = 300,
       seed: Long = 810L): MlpResult = {
-    val labels = df.select(labelCol).distinct().collect()
+    val clean = df.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+    val labels = clean.select(labelCol).distinct().collect()
       .map(_.get(0)).sortBy(_.toString)
     require(labels.length >= 2, "need at least 2 classes")
     val labelIdx = labels.zipWithIndex
       .map { case (v, i) => v.toString -> i.toDouble }.toMap
     val idxUdf = udf((s: String) => labelIdx(s))
-    val prepared = df
+    val prepared = clean
       .withColumn("features", array_to_vector(col(vecCol).cast("array<double>")))
       .withColumn("label", idxUdf(col(labelCol).cast("string")))
       .cache()
@@ -71,6 +72,8 @@ object MlpBridge {
     val all = model.transform(prepared)
       .withColumn("mlp_pred", invUdf(col("prediction")))
       .drop("features", "label", "rawPrediction", "probability", "prediction")
+      .localCheckpoint(true) // materialize so the cache can be released
+    prepared.unpersist()
     MlpResult(all, acc)
   }
 
@@ -81,6 +84,7 @@ object MlpBridge {
   def trainRegressor(df: DataFrame, vecCol: String, labelCol: String,
       maxIter: Int = 50, seed: Long = 810L): MlpResult = {
     val prepared = df
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
       .withColumn("features", array_to_vector(col(vecCol).cast("array<double>")))
       .withColumn("label", col(labelCol).cast("double"))
       .cache()
@@ -96,6 +100,8 @@ object MlpBridge {
     val all = model.transform(prepared)
       .withColumnRenamed("prediction", "mlp_pred")
       .drop("features", "label")
+      .localCheckpoint(true)
+    prepared.unpersist()
     MlpResult(all, r2)
   }
 

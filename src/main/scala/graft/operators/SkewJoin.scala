@@ -19,9 +19,17 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object SkewJoin {
 
+  private val SupportedJoinTypes = Set("inner", "cross", "left", "left_outer",
+    "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti")
+
   def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
       saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
+    // right/full outer would emit saltFactor null-padded copies of
+    // every unmatched (replicated) small-side row — reject up front
+    require(SupportedJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"unsupported joinType '$joinType' for a salted join (small side is " +
+        "replicated; only inner/left/semi/anti variants are sound)")
     val salt = "__graft_salt"
     val salted = large.withColumn(salt,
       (rand(seed = 42) * saltFactor).cast("int"))

@@ -50,7 +50,9 @@ object StreamIngest {
     implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
     implicit val keyEnc: Encoder[String] = Encoders.STRING
     val keyIdx = stream.schema.fieldIndex(keyCol)
-    val grouped = stream.groupByKey(r => String.valueOf(r.get(keyIdx)))
+    // prefix-discriminate null from the literal string "null"
+    val grouped = stream.groupByKey(r =>
+      if (r.isNullAt(keyIdx)) "n" else "v" + r.get(keyIdx))
     val deduped: Dataset[Row] = grouped.flatMapGroupsWithState[Boolean, Row](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
       (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>

@@ -17,6 +17,23 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getString(2)).toSeq == Seq("a", "c", "e"))
   }
 
+  test("minhash signature of an empty shingle set is null even for " +
+      "non-nullable literal input (codegen regression)") {
+    import graft.functions.TextFunctions._
+    import spark.implicits._
+    // "a b" has < 3 tokens → empty shingle array → null signature;
+    // literal input makes the child non-nullable, exercising the
+    // nullable-override codegen path
+    val row = Seq(1).toDF("x")
+      .select(Dedup.minhashSignature(shingles(lit("a b"), 3), 8).as("sig"))
+      .collect()(0)
+    assert(row.isNullAt(0))
+    val ok = Seq(1).toDF("x")
+      .select(Dedup.minhashSignature(shingles(lit("a b c d"), 3), 8))
+      .head.getSeq[Int](0)
+    assert(ok.length == 8)
+  }
+
   // Deterministic corpus: 30 base docs of 40 words; every third doc
   // gets a planted near-duplicate with 2 words substituted.
   private def plantedCorpus: (Seq[(Long, String)], Set[(Long, Long)]) = {

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/verify_local.py <sfDir> <outDir>
+Usage: python3 tools/oracle_check.py <sfDir> <outDir>
   (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
 
 For each query name in <outDir>/oracle_sql.json: registers every parquet
