@@ -49,7 +49,8 @@ final case class HashEmbedder(dim: Int = 64, normalized: Boolean = false,
 
   override def embed(batch: Seq[String]): Seq[Array[Float]] = batch.map { s =>
     val v = new Array[Float](dim)
-    val toks = Option(s).getOrElse("").toLowerCase.split("\\s+")
+    val toks = Option(s).getOrElse("")
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+")
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
