@@ -67,6 +67,32 @@ object VectorOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b, af, bf) / (na * nb)
   }
 
+  /** Argmin squared-L2 over a centroid matrix; lowest index wins ties. */
+  def nearestCentroid(a: ArrayData, af: Boolean,
+      centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = a.numElements()
+      if (n != cent.length) {
+        throw new IllegalArgumentException(
+          s"vector length mismatch: $n vs centroid dim ${cent.length}")
+      }
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = get(a, i, af) - cent(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestDist) { bestDist = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Driver-side squared L2 for plain float arrays (centroid ranking). */
   def squaredL2Floats(a: Array[Float], b: Array[Float]): Double = {
     require(a.length == b.length,
@@ -164,6 +190,28 @@ case class VectorNorm(child: Expression) extends UnaryFloatVectorExpression {
     defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.norm($a, $childIsFloat)")
   override def prettyName: String = "vec_norm"
   override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** nearest_centroid(v): int — argmin squared-L2 over an embedded
+  * centroid matrix (IVF cell assignment). One expression regardless of
+  * cluster count: the matrix rides along as a referenced object, the
+  * kernel loops cells × dim inside codegen — unlike an
+  * argmin-over-N-subexpressions projection, this survives thousands of
+  * cells without hitting Janino method-size limits. Ties take the
+  * lowest cell id. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryFloatVectorExpression {
+  require(centroids.nonEmpty, "centroid matrix must be non-empty")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.nearestCentroid(a.asInstanceOf[ArrayData], childIsFloat, centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorOps.nearestCentroid($a, $childIsFloat, $ref)")
+  }
+  override def prettyName: String = "nearest_centroid"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** l2_normalize(a): array<float> — unit-length copy (F2 in SURVEY §2). */

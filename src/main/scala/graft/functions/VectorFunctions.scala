@@ -20,6 +20,11 @@ object VectorFunctions {
 
   def l2_normalize(a: Column): Column = column(L2Normalize(expression(a)))
 
+  /** IVF cell assignment: argmin squared-L2 over an embedded centroid
+    * matrix (see [[NearestCentroid]]). */
+  def nearest_centroid(a: Column, centroids: Array[Array[Float]]): Column =
+    column(NearestCentroid(expression(a), centroids))
+
   /** Element-wise vector sum aggregate (partial-aggregation friendly —
     * see [[VectorSumAgg]]). */
   def vec_sum(a: Column): Column =

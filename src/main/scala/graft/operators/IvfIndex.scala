@@ -1,8 +1,6 @@
 package graft.operators
 
 import graft.functions.VectorOps
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -13,10 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[Similarity.topK]] matches that. This index trades recall for a
   * `nprobe/nClusters` scan fraction:
   *
-  *  - '''build''': MLlib KMeans (sampled) → centroids on the driver
+  *  - '''build''': seeded Lloyd's k-means on a sample (one
+  *    vec_sum-aggregate job per iteration) → centroids on the driver
   *    (nClusters × dim floats — tiny); every row gets a `cluster`
-  *    column via a codegen'd nearest-centroid projection (NO MLlib
-  *    transform on the full data — just squared-L2 expressions).
+  *    column via one codegen'd nearest-centroid kernel expression.
   *  - '''persist''': `partitionBy(cluster)` parquet. Queries filter on
   *    cluster ids → Spark partition pruning reads only nprobe
   *    directories of the lake, never the full corpus.
@@ -60,26 +58,56 @@ final class IvfIndex(
 object IvfIndex {
   val ClusterCol = "cluster"
 
-  /** Fit centroids on a sample, assign every row its nearest centroid.
+  /** Fit centroids with a self-contained seeded Lloyd's loop, assign
+    * every row its nearest centroid.
     *
-    * @param sampleFraction KMeans training sample (fit cost is
-    *                       O(sample × nClusters) per iteration; the
-    *                       full data only pays one narrow projection)
+    * The loop is built from this engine's own operators: cell
+    * assignment is the codegen'd [[graft.functions.NearestCentroid]]
+    * kernel, centroid refresh is one `groupBy(cell).agg(vec_sum, n)`
+    * (partial aggregation — nClusters × dim doubles cross the
+    * shuffle), so each iteration is ONE light job on the sample,
+    * versus the many init+iteration jobs of an MLlib fit. Empty cells
+    * keep their previous centroid.
+    *
+    * @param sampleFraction training sample for the fit (iteration cost
+    *                       is O(sample × nClusters); the full data
+    *                       only pays the final narrow assignment)
     */
   def build(df: DataFrame, vecCol: String, idCol: String, nClusters: Int,
       seed: Long = 42L, sampleFraction: Double = 1.0,
-      maxIter: Int = 20): IvfIndex = {
+      maxIter: Int = 8): IvfIndex = {
     require(nClusters >= 2, "need at least 2 clusters")
+    import graft.functions.VectorFunctions.vec_sum
     val sample =
-      if (sampleFraction >= 1.0) df else df.sample(sampleFraction, seed)
-    val feats = sample
-      .select(array_to_vector(col(vecCol).cast("array<double>")).as("__features"))
-    val model = new KMeans().setK(nClusters).setSeed(seed)
-      .setMaxIter(maxIter).setFeaturesCol("__features")
-      .fit(feats)
-    val centroids = model.clusterCenters
-      .map(_.toArray.map(_.toFloat))
-    new IvfIndex(centroids, assignCells(df, vecCol, centroids), vecCol, idCol)
+      (if (sampleFraction >= 1.0) df else df.sample(sampleFraction, seed))
+        .select(col(vecCol)).cache()
+    try {
+      // deterministic init: nClusters rows in hash-of-vector order
+      var centroids = sample
+        .withColumn("__h", hash(col(vecCol), lit(seed.toInt)))
+        .orderBy("__h").limit(nClusters)
+        .collect().map(_.getSeq[Float](0).toArray)
+      require(centroids.length >= 2,
+        s"need >= 2 distinct rows to build $nClusters clusters")
+      var it = 0
+      while (it < maxIter) {
+        val stats = assignCells(sample, vecCol, centroids)
+          .groupBy(ClusterCol)
+          .agg(vec_sum(col(vecCol)).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = centroids.map(_.clone())
+        stats.foreach { r =>
+          val cell = r.getInt(0)
+          val s = r.getSeq[Double](1)
+          val n = r.getLong(2).toDouble
+          next(cell) = s.map(x => (x / n).toFloat).toArray
+        }
+        centroids = next
+        it += 1
+      }
+      new IvfIndex(centroids, assignCells(df, vecCol, centroids), vecCol,
+        idCol)
+    } finally sample.unpersist()
   }
 
   /** Reload a partitioned index written by [[IvfIndex.writePartitioned]]. */
@@ -88,16 +116,14 @@ object IvfIndex {
       idCol: String): IvfIndex =
     new IvfIndex(centroids, spark.read.parquet(path), vecCol, idCol)
 
-  /** Nearest-centroid assignment as a pure codegen'd projection:
-    * argmin over nClusters squared-L2 expressions (same shape as the
-    * zero-shot scorer — no shuffle, no MLlib dependency at read
-    * time). */
+  /** Nearest-centroid assignment as one codegen'd kernel expression —
+    * the centroid matrix rides along as a reference object, so the
+    * projection stays a single expression at any cluster count (an
+    * argmin over N subexpressions would hit codegen size limits in the
+    * thousands). Narrow map: no shuffle, no ML dependency. */
   def assignCells(df: DataFrame, vecCol: String,
       centroids: Array[Array[Float]]): DataFrame = {
-    import graft.functions.VectorFunctions._
-    val dists = array(centroids.map(c =>
-      squared_l2(col(vecCol), typedLit(c))): _*)
-    df.withColumn(ClusterCol,
-      (array_position(dists, array_min(dists)) - 1).cast("int"))
+    import graft.functions.VectorFunctions.nearest_centroid
+    df.withColumn(ClusterCol, nearest_centroid(col(vecCol), centroids))
   }
 }
