@@ -278,6 +278,18 @@ object SparkEntry {
       Dedup.dedupNearMinHash(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5)
         .select("doc_id").orderBy("doc_id")),
+    // full text pipeline at bench scale: embed every document with the
+    // offline hash embedder (mapPartitions batched inference), then
+    // text-query top-5 — custom hashing → rows-only check
+    "embed_knn" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val embedder = HashEmbedder(dim = 64)
+      val embedded = graft.functions.Embed.embedColumn(
+        docs.select("doc_id", "text"), "text", "vector", embedder)
+      val qv = embedder.embedOne("spark query join filter")
+      Similarity.topK(embedded, "vector", "doc_id", qv, k = 5)
+        .select("doc_id", "distance")
+    }),
     // grouped centroid via the custom vec_sum TypedImperativeAggregate
     // (partial aggregation: one dim-sized buffer per partition-group);
     // element values rounded to 9 decimals for cross-engine sum-order

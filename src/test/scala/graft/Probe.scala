@@ -22,6 +22,14 @@ object Probe {
       r
     }
 
+    // exact_dedup stages
+    time("scan only")(docs.select("doc_id").count())
+    val keyed = docs.withColumn("key",
+      array_join(slice(tokens(col("text")), 1, 3), " "))
+    time("key compute")(keyed.select(sum(length(col("key")))).head)
+    time("full exact_dedup")(
+      Dedup.exactFirstWins(keyed, Seq("key"), Seq("doc_id")).count())
+
     val base = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", Dedup.minhashSignature(col("sh"), 64))
