@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f)),
+      (4L, Array(2f, 0f)), (5L, Array(-1f, 0f))
+    ).toDF("id", "vec")
+  }
+
+  test("topK squared-L2 ascending with id tiebreak") {
+    val res = Similarity.topK(corpus, "vec", "id", Array(1f, 0f), k = 3)
+      .collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    // ids 3 and 4 tie at distance 1 → lower id first
+    assert(res(1).getLong(0) == 3L && res(2).getLong(0) == 4L)
+    assert(res.map(_.getDouble(2)).toSeq == Seq(0.0, 1.0, 1.0))
+  }
+
+  test("topK cosine descending ranks direction not magnitude") {
+    val res = Similarity.topK(corpus, "vec", "id", Array(1f, 0f), k = 2,
+      metric = Metric.Cosine, scoreCol = "sim").collect()
+    // ids 1 and 4 point the same way (cos=1, tie → lower id first)
+    assert(res.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    assert(res.map(_.getDouble(2)).forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("topK dot descending rewards magnitude") {
+    val res = Similarity.topK(corpus, "vec", "id", Array(1f, 0f), k = 1,
+      metric = Metric.Dot, scoreCol = "score").collect()
+    assert(res.head.getLong(0) == 4L) // (2,0)·(1,0) = 2 beats (1,0)·(1,0)
+  }
+
+  test("topKJoin: per-query top-k matches per-query brute force") {
+    import spark.implicits._
+    val queries = Seq((100L, Array(1f, 0f)), (200L, Array(0f, 1f)))
+      .toDF("qid", "qvec")
+    val res = Similarity.topKJoin(corpus, queries, k = 2,
+      corpusIdCol = "id", corpusVecCol = "vec",
+      queryIdCol = "qid", queryVecCol = "qvec")
+    assert(res.groupBy("qid").count().collect()
+      .forall(_.getLong(1) == 2))
+    val perQuery = res.collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    val brute1 = Similarity.topK(corpus, "vec", "id", Array(1f, 0f), 2)
+      .collect().map(_.getLong(0)).toSet
+    val brute2 = Similarity.topK(corpus, "vec", "id", Array(0f, 1f), 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(perQuery(100L) == brute1 && perQuery(200L) == brute2)
+  }
+
+  test("topKJoin cosine variant orders descending per query") {
+    import spark.implicits._
+    val queries = Seq((9L, Array(1f, 0f))).toDF("qid", "qvec")
+    val res = Similarity.topKJoin(corpus, queries, k = 3,
+      corpusIdCol = "id", corpusVecCol = "vec",
+      queryIdCol = "qid", queryVecCol = "qvec",
+      metric = Metric.Cosine, scoreCol = "sim")
+      .orderBy(desc("sim"), col("id")).collect()
+    val sims = res.map(_.getAs[Double]("sim"))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(res.head.getAs[Long]("id") == 1L)
+  }
+
+  test("topKJoin rejects query-id collision with corpus columns") {
+    import spark.implicits._
+    val queries = Seq((1L, Array(1f, 0f))).toDF("id", "qvec")
+    intercept[IllegalArgumentException] {
+      Similarity.topKJoin(corpus, queries, k = 1,
+        corpusIdCol = "id", corpusVecCol = "vec",
+        queryIdCol = "id", queryVecCol = "qvec")
+    }
+  }
+
+  test("k larger than corpus returns whole corpus, k<=0 rejected") {
+    assert(Similarity.topK(corpus, "vec", "id", Array(0f, 0f), 100)
+      .count() == 5)
+    intercept[IllegalArgumentException] {
+      Similarity.topK(corpus, "vec", "id", Array(0f, 0f), 0)
+    }
+  }
+}
