@@ -39,11 +39,14 @@ object MlpBridge {
       hidden: Seq[Int] = Seq(100), maxIter: Int = 300,
       seed: Long = 810L): MlpResult = {
     val clean = df.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
-    val labels = clean.select(labelCol).distinct().collect()
-      .map(_.get(0)).sortBy(_.toString)
+    // index by Spark's OWN string rendering (cast-to-string), which is
+    // what the UDF probes with — JVM toString differs for
+    // timestamp/decimal values and would miss the map
+    val labels = clean.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
     require(labels.length >= 2, "need at least 2 classes")
     val labelIdx = labels.zipWithIndex
-      .map { case (v, i) => v.toString -> i.toDouble }.toMap
+      .map { case (v, i) => v -> i.toDouble }.toMap
     val idxUdf = udf((s: String) => labelIdx(s))
     val prepared = clean
       .withColumn("features", array_to_vector(col(vecCol).cast("array<double>")))

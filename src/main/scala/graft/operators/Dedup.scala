@@ -77,10 +77,7 @@ object Dedup {
     val banded = base.select(col(idCol), col("__sh"),
       posexplode(minhashBands(col("__sig"), bands, rowsPerBand))
         .as(Seq("__band", "__bh")))
-    // prune hot buckets BEFORE the self-join
-    val bucketW = Window.partitionBy("__band", "__bh")
-    val pruned = banded.withColumn("__bsz", count(lit(1)).over(bucketW))
-      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val pruned = pruneHotBuckets(banded, Seq("__band", "__bh"), maxBucketSize)
     val a = pruned.select(col("__band"), col("__bh"),
       col(idCol).as("idA"), col("__sh").as("__shA"))
     val b = pruned.select(col("__band"), col("__bh"),
@@ -93,9 +90,25 @@ object Dedup {
       .groupBy("idA", "idB").agg(first("jaccard").as("jaccard"))
   }
 
-  /** Drop near-duplicates, keeping the smallest id of each verified
-    * pair (greedy canonical-first; not a transitive closure — chains
-    * A~B~C with A!~C keep A and C, drop B). */
+  /** Prune buckets larger than `max` BEFORE a self-join, using a SLIM
+    * count: bucket sizes come from a projection of the key columns
+    * only (column pruning keeps heavy payload columns out of that
+    * shuffle), then an equi-join filters the full rows. A count-window
+    * over the payload-carrying frame would shuffle the heavy columns
+    * an extra full pass. */
+  private def pruneHotBuckets(df: DataFrame, keys: Seq[String],
+      max: Int): DataFrame = {
+    val keep = df.groupBy(keys.map(col): _*).count()
+      .filter(col("count") <= max).drop("count")
+    df.join(keep, keys)
+  }
+
+  /** Drop near-duplicates: a row is removed when ANY smaller id is its
+    * verified near-duplicate (aggressive greedy — along a chain
+    * A~B~C with A!~C, both B and C are dropped, because each
+    * near-matches a smaller id; a transitive-closure variant that
+    * keeps C would need connected components). Deterministic given
+    * the pair set. */
   def dedupNearMinHash(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
@@ -105,21 +118,29 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
-  /** SimHash near-dup candidate pairs: 64-bit signatures bucketed by
-    * 16-bit quarters (any pair within hamming ≤ 3 of each other
-    * collides in ≥1 quarter by pigeonhole when bits differ in ≤3
-    * quarters), verified by exact hamming distance. */
+  /** SimHash near-dup candidate pairs: 64-bit signatures bucketed into
+    * `bands` equal bit-slices — by pigeonhole, any pair within hamming
+    * ≤ bands-1 collides in ≥1 band, so completeness is guaranteed for
+    * `maxHamming ≤ bands-1` (enforced). More bands = wider guaranteed
+    * radius but coarser (hotter) buckets; the bucket-size cap then
+    * bounds the blowup at the cost of recall on pruned buckets.
+    * Verified by exact hamming distance. */
   def nearDupPairsSimHash(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      bands: Int = 4): DataFrame = {
+    require(Set(2, 4, 8, 16).contains(bands), "bands must divide 64: 2/4/8/16")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming=$maxHamming exceeds the guaranteed radius of " +
+        s"$bands bands (${bands - 1}); raise `bands` for a wider radius")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
     val sig = simhash64(col(textCol))
     val base = df.select(col(idCol), sig.as("__sig"))
     val quartered = base.select(col(idCol), col("__sig"),
-      posexplode(array((0 until 4).map(q =>
-        shiftright(col("__sig"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until bands).map(q =>
+        shiftright(col("__sig"), q * bits).bitwiseAND(lit(mask))): _*))
         .as(Seq("__q", "__qv")))
-    val bucketW = Window.partitionBy("__q", "__qv")
-    val pruned = quartered.withColumn("__bsz", count(lit(1)).over(bucketW))
-      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val pruned = pruneHotBuckets(quartered, Seq("__q", "__qv"), maxBucketSize)
     val a = pruned.select(col("__q"), col("__qv"),
       col(idCol).as("idA"), col("__sig").as("__sigA"))
     val b = pruned.select(col("__q"), col("__qv"),
@@ -132,32 +153,41 @@ object Dedup {
       .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
   }
 
-  /** Embedding near-dup candidate pairs: random-hyperplane LSH buckets
-    * (sign bits of dot products with `numPlanes` seeded planes),
-    * verified by exact cosine ≥ threshold. Deterministic planes from
-    * `seed`. */
+  /** Embedding near-dup candidate pairs: random-hyperplane LSH with
+    * BAND AMPLIFICATION — `numTables` independent hash tables of
+    * `planesPerTable` sign bits each; a pair is a candidate if it
+    * collides in ANY table, then verified by exact cosine ≥ threshold.
+    * One 12-bit code alone keeps only ~(1-θ/π)^12 ≈ 28% of
+    * threshold-0.95 pairs; 4×8-bit tables keep ≈ 89%. Deterministic
+    * planes from `seed`. */
   def nearDupPairsCosine(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double = 0.95, numPlanes: Int = 12,
-      seed: Long = 42L, maxBucketSize: Int = 1000): DataFrame = {
+      dim: Int, threshold: Double = 0.95, numTables: Int = 4,
+      planesPerTable: Int = 8, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numTables >= 1 && planesPerTable >= 1 && planesPerTable <= 30,
+      "need 1..30 planes per table and >= 1 table")
     val rnd = new Random(seed)
-    val planes = Array.fill(numPlanes)(
-      Array.fill(dim)((rnd.nextGaussian()).toFloat))
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      when(vec_dot(col(vecCol), typedLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+    val codes = (0 until numTables).map { _ =>
+      val planes = Array.fill(planesPerTable)(
+        Array.fill(dim)(rnd.nextGaussian().toFloat))
+      planes.zipWithIndex.map { case (p, i) =>
+        when(vec_dot(col(vecCol), typedLit(p)) > 0, lit(1 << i))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    }
     val base = df.select(col(idCol), col(vecCol).as("__v"),
-      bucket.as("__bucket"))
-    val bucketW = Window.partitionBy("__bucket")
-    val pruned = base.withColumn("__bsz", count(lit(1)).over(bucketW))
-      .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
-    val a = pruned.select(col("__bucket"), col(idCol).as("idA"),
-      col("__v").as("__vA"))
-    val b = pruned.select(col("__bucket"), col(idCol).as("idB"),
-      col("__v").as("__vB"))
-    a.join(b, Seq("__bucket"))
+      posexplode(array(codes: _*)).as(Seq("__table", "__bucket")))
+    val pruned = pruneHotBuckets(base, Seq("__table", "__bucket"),
+      maxBucketSize)
+    val a = pruned.select(col("__table"), col("__bucket"),
+      col(idCol).as("idA"), col("__v").as("__vA"))
+    val b = pruned.select(col("__table"), col("__bucket"),
+      col(idCol).as("idB"), col("__v").as("__vB"))
+    a.join(b, Seq("__table", "__bucket"))
       .filter(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
         cosine_sim(col("__vA"), col("__vB")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .groupBy("idA", "idB").agg(first("cosine").as("cosine"))
   }
 }

@@ -82,13 +82,15 @@ object IvfIndex {
       (if (sampleFraction >= 1.0) df else df.sample(sampleFraction, seed))
         .select(col(vecCol)).cache()
     try {
-      // deterministic init: nClusters rows in hash-of-vector order
-      var centroids = sample
+      // deterministic init: nClusters DISTINCT vectors in hash order
+      // (duplicate vectors — common in dedup corpora — would seed
+      // identical centroids and leave cells permanently dead)
+      var centroids = sample.distinct()
         .withColumn("__h", hash(col(vecCol), lit(seed.toInt)))
         .orderBy("__h").limit(nClusters)
         .collect().map(_.getSeq[Float](0).toArray)
       require(centroids.length >= 2,
-        s"need >= 2 distinct rows to build $nClusters clusters")
+        s"need >= 2 distinct vectors to build $nClusters clusters")
       var it = 0
       while (it < maxIter) {
         val stats = assignCells(sample, vecCol, centroids)

@@ -56,6 +56,8 @@ object Similarity {
       query: Array[Float], k: Int, metric: Metric = Metric.SquaredL2,
       scoreCol: String = "distance"): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!corpus.columns.contains(scoreCol),
+      s"scoreCol '$scoreCol' collides with a corpus column — rename one")
     val scored = corpus.withColumn(scoreCol,
       metric.score(col(vecCol), typedLit(query)))
     val ord = if (metric.ascending) col(scoreCol).asc else col(scoreCol).desc
@@ -76,6 +78,8 @@ object Similarity {
     require(k > 0, "k must be positive")
     require(!corpus.columns.contains(queryIdCol),
       s"queryIdCol '$queryIdCol' collides with a corpus column — alias it")
+    require(!corpus.columns.contains(scoreCol),
+      s"scoreCol '$scoreCol' collides with a corpus column — rename one")
     val qvec = "__graft_qvec"
     val rn = "__graft_rn"
     val q = queries.select(col(queryIdCol), col(queryVecCol).as(qvec))

@@ -35,6 +35,8 @@ object ZeroShot {
       predCol: String = "zeroshot_pred",
       scoresCol: String = "zeroshot_scores"): DataFrame = {
     require(labels.nonEmpty, "at least one zero-shot label required")
+    require(!df.columns.contains(predCol) && !df.columns.contains(scoresCol),
+      s"output columns '$predCol'/'$scoresCol' collide with input columns")
     val v: Column =
       if (normalizeData) l2_normalize(col(vecCol)) else col(vecCol)
     val scoreExprs = labels.map { case (_, lv) =>
@@ -57,6 +59,8 @@ object ZeroShot {
       normalizeData: Boolean = false, normalizeLabels: Boolean = true,
       predCol: String = "zeroshot_pred",
       probsCol: String = "zeroshot_probs"): DataFrame = {
+    require(!df.columns.contains(probsCol),
+      s"output column '$probsCol' collides with an input column")
     val raw = "__graft_raw_scores"
     val scored = classify(df, vecCol, labels, scale, normalizeData,
       normalizeLabels, predCol, raw)

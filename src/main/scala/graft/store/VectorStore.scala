@@ -209,11 +209,13 @@ final class VectorStore(
 
   /** Embed the zero-shot label set (`set_zeroshot_labels`,
     * `/root/reference/vsu/base/VectorSearchBase.py:135-139`). Labels
-    * are embedded WITHOUT the query prefix (they are class names, not
-    * queries). */
+    * get the SAME prefix as stored rows — the reference's label path
+    * delegates to the main embed function, which prepends 'query: '
+    * (`/root/reference/vsu/text/_classes.py:47-59`). */
   def setZeroshotLabels(labels: Seq[String]): Unit = {
     require(labels.nonEmpty, "label set must be non-empty")
-    zsLabels = labels.zip(embedder.embed(labels).map(_.clone()))
+    zsLabels = labels.zip(
+      embedder.embed(labels.map(queryPrefix + _)).map(_.clone()))
   }
 
   /** Classify every stored row against the label set (`do_zeroshot`).

@@ -81,7 +81,7 @@ object DriveSmoke {
     println("MINHASH_PAIRS=" + Dedup.nearDupPairsMinHash(
       docs, "doc_id", "text", threshold = 0.4).count())
     println("SIMHASH_PAIRS=" + Dedup.nearDupPairsSimHash(
-      docs, "doc_id", "text", maxHamming = 10).count())
+      docs, "doc_id", "text", maxHamming = 10, bands = 16).count())
 
     // IVF vs brute force
     val ivf = IvfIndex.build(

@@ -94,11 +94,66 @@ class DedupSpec extends SparkSpec {
       3L -> base.replace("today", "tomorrow").replace("zebras", "horses"),
       4L -> "completely unrelated text about spark catalyst optimizer internals rules"
     ).toDF("id", "text")
-    val pairs = Dedup.nearDupPairsSimHash(df, "id", "text", maxHamming = 12)
+    val pairs = Dedup.nearDupPairsSimHash(df, "id", "text",
+      maxHamming = 12, bands = 16)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0)
     assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0)
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("simhash maxHamming beyond the band guarantee is rejected") {
+    import spark.implicits._
+    val df = Seq(1L -> "a b c").toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupPairsSimHash(df, "id", "text", maxHamming = 10)
+    }
+  }
+
+  test("dedupNearMinHash chain semantics: every row with a smaller " +
+      "near-dup id is dropped") {
+    import spark.implicits._
+    // A~B and B~C by construction (shared shingles), A!~C weakly
+    val a = "one two three four five six seven eight nine ten"
+    val b = "one two three four five six seven eight nine eleven"
+    val c = "zero two three four five six seven eight nine eleven"
+    val df = Seq(1L -> a, 2L -> b, 3L -> c).toDF("id", "text")
+    val kept = Dedup.dedupNearMinHash(df, "id", "text", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // B pairs with A, C pairs with B → both dropped (documented greedy)
+    assert(kept == Set(1L))
+  }
+
+  test("cosine LSH band amplification keeps recall at the threshold") {
+    import spark.implicits._
+    val rnd = new Random(5)
+    val dim = 32
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // pairs engineered at cosine ≈ 0.96 — NOT near-identical, the
+    // regime where a single 12-bit code collapses to ~30% recall
+    val cos = 0.96f
+    val pairs = (0 until 40).map { i =>
+      val aRaw = unit(Array.fill(dim)(rnd.nextGaussian().toFloat))
+      val o = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val proj = aRaw.zip(o).map { case (x, y) => x * y }.sum
+      val orth = unit(o.zip(aRaw).map { case (y, x) => y - proj * x })
+      val bVec = aRaw.zip(orth).map { case (x, y) =>
+        cos * x + math.sqrt(1 - cos * cos).toFloat * y
+      }
+      (i.toLong, aRaw, i.toLong + 1000L, bVec)
+    }
+    val df = pairs.flatMap { case (ia, va, ib, vb) =>
+      Seq((ia, va), (ib, vb))
+    }.toDF("id", "vec")
+    val found = Dedup.nearDupPairsCosine(df, "id", "vec", dim,
+      threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = pairs.map { case (ia, _, ib, _) => (ia, ib) }.toSet
+    val recall = (found intersect expected).size.toDouble / expected.size
+    assert(recall >= 0.7, s"recall $recall with 4x8 amplified tables")
   }
 
   test("cosine LSH finds near-identical embeddings") {
