@@ -278,6 +278,31 @@ object SparkEntry {
       Dedup.dedupNearMinHash(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5)
         .select("doc_id").orderBy("doc_id")),
+    // as-of temporal join: each event matched to the user's latest
+    // preceding order (union + running-last window, no range join)
+    "asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          // NTZ → TZ is identity wall-clock under the UTC session TZ
+          (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("ots"),
+          col("o_orderkey"))
+      graft.operators.AsOfJoin.asOf(ev, ord, Seq("user_id"), "ts", "ots",
+        Seq("o_orderkey"), rightTieCol = "o_orderkey")
+        .filter(col("o_orderkey").isNotNull)
+        .select("event_id", "o_orderkey")
+        .orderBy("event_id")
+    }),
+    // corpus tf-idf (df over the FULL corpus, output sliced for size);
+    // ln() differs by ulps across libms → decimal-rounded on both sides
+    "tfidf_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.tfIdf(docs, "doc_id", "text")
+        .filter(col("doc_id") < 20)
+        .withColumn("tfidf",
+          col("tfidf").cast("decimal(18,9)").cast("double"))
+        .orderBy("doc_id", "token")
+    }),
     // full text pipeline at bench scale: embed every document with the
     // offline hash embedder (mapPartitions batched inference), then
     // text-query top-5 — custom hashing → rows-only check
@@ -477,6 +502,24 @@ object SparkEntry {
          |  least(stopword_ratio * 5.0, 1.0) * 0.2 +
          |  (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1 AS quality_score
          |FROM f ORDER BY doc_id""".stripMargin,
+    "asof_join" ->
+      """SELECT event_id, o_orderkey FROM (
+        |  SELECT e.event_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND epoch_ns(o.o_orderdate) <= epoch_ns(e.ts))
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "tfidf_sample" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT token, COUNT(*) AS df
+         |          FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT doc_id, token, tf, df,
+         |  CAST(CAST(CAST(tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0) AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS tfidf
+         |FROM tf JOIN dfreq USING (token), n
+         |WHERE doc_id < 20 ORDER BY doc_id, token""".stripMargin,
     "events_hourly" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  COUNT(*) AS cnt,

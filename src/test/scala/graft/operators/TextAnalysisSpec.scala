@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("tfIdf: hand-computed tf/df/idf on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat dog cat"), (2L, "dog fish"), (3L, "cat bird")
+    ).toDF("id", "text")
+    val res = TextAnalysis.tfIdf(docs, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(res((1L, "cat"))._1 == 2) // tf
+    assert(res((1L, "cat"))._2 == 2) // df: docs 1 and 3
+    assert(res((2L, "fish"))._2 == 1)
+    // smooth idf: tf * (ln((N+1)/(df+1)) + 1), N = 3
+    val expected = 2.0 * (math.log(4.0 / 3.0) + 1.0)
+    assert(math.abs(res((1L, "cat"))._3 - expected) < 1e-12)
+    // rarer terms score higher at equal tf
+    assert(res((2L, "fish"))._3 > res((2L, "dog"))._3)
+  }
+
+  test("vocabulary: document frequencies, ties by token") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b")).toDF("id", "text")
+    val v = TextAnalysis.vocabulary(docs, "id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(v.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+}
