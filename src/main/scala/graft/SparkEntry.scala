@@ -293,6 +293,19 @@ object SparkEntry {
         .select("event_id", "o_orderkey")
         .orderBy("event_id")
     }),
+    // bucketed point-in-interval range join (equi-join on bins + exact
+    // containment filter — no inequality cross product)
+    "range_join" -> ((s, dir) => {
+      val pts = t(s, dir, "events").filter(col("event_id") < 500)
+        .select("event_id", "value")
+      val ivs = t(s, dir, "part")
+        .select(col("p_partkey"), (col("p_size") * 2.0).as("lo"),
+          (col("p_size") * 2.0 + 3.0).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(pts, ivs,
+        "value", "lo", "hi", binWidth = 4.0)
+        .select("event_id", "p_partkey")
+        .orderBy("event_id", "p_partkey")
+    }),
     // corpus tf-idf (df over the FULL corpus, output sliced for size);
     // ln() differs by ulps across libms → decimal-rounded on both sides
     "tfidf_sample" -> ((s, dir) => {
@@ -510,6 +523,10 @@ object SparkEntry {
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND epoch_ns(o.o_orderdate) <= epoch_ns(e.ts))
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "range_join" ->
+      """SELECT event_id, p_partkey FROM events e JOIN part p
+        |  ON e.value >= p.p_size * 2.0 AND e.value <= p.p_size * 2.0 + 3.0
+        |WHERE e.event_id < 500 ORDER BY event_id, p_partkey""".stripMargin,
     "tfidf_sample" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
          |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
