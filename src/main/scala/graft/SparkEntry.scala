@@ -174,10 +174,16 @@ object SparkEntry {
         .select("query_id", "vec_id", "distance")
         .orderBy("query_id", "distance", "vec_id")
     }),
+    // scalar-shaped output (vec_id, i, value): the driver's pandas
+    // comparator can't sort array columns, so the unit vector is
+    // posexploded to one row per element
     "l2_normalize_vecs" -> ((s, dir) =>
       t(s, dir, "embeddings")
-        .select(col("vec_id"), l2_normalize(col("embedding")).as("unit"))
-        .orderBy("vec_id")),
+        .select(col("vec_id"),
+          posexplode(l2_normalize(col("embedding"))).as(Seq("i", "v")))
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          col("v").cast("double").as("value"))
+        .orderBy("vec_id", "i")),
 
     // ---- VectorStore surface (SURVEY §2.10 set_data/query_with_info) ----
     "store_knn" -> ((s, dir) => {
@@ -332,15 +338,18 @@ object SparkEntry {
     // (partial aggregation: one dim-sized buffer per partition-group);
     // element values rounded to 9 decimals for cross-engine sum-order
     // independence
+    // scalar-shaped output (label, i, value) — same comparator
+    // constraint as l2_normalize_vecs
     "label_centroids" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .groupBy("label")
         .agg(vec_sum(col("embedding")).as("sums"), count(lit(1)).as("n"))
-        .select(col("label"),
-          transform(col("sums"),
-            x => (x / col("n").cast("double"))
-              .cast("decimal(18,9)").cast("double")).as("centroid"))
-        .orderBy("label")),
+        .select(col("label"), col("n"),
+          posexplode(col("sums")).as(Seq("i", "s")))
+        .select(col("label"), col("i").cast("long").as("i"),
+          (col("s") / col("n").cast("double"))
+            .cast("decimal(18,9)").cast("double").as("value"))
+        .orderBy("label", "i")),
     // IVF ANN: KMeans cells are seed-deterministic but partitioning-
     // sensitive → rows-only check (recall properties are unit-tested)
     "ivf_knn" -> ((s, dir) => {
@@ -408,7 +417,7 @@ object SparkEntry {
     "q5_events_json" ->
       """SELECT event_type, COUNT(*) AS cnt,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "knn_top5" ->
       s"""SELECT e.vec_id, $sqDist AS distance
@@ -428,13 +437,18 @@ object SparkEntry {
          |  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q)
          |WHERE rn <= 3 ORDER BY query_id, distance, vec_id""".stripMargin,
     // float-faithful normalize: widen to double, multiply by 1/norm
-    // (matching the kernel's multiply-by-reciprocal), truncate to float
+    // (matching the kernel's multiply-by-reciprocal), truncate to float;
+    // unnested to (vec_id, i, value) scalars for the comparator
     "l2_normalize_vecs" ->
-      s"""SELECT vec_id,
-         |  CASE WHEN ${normOf("embedding")} = 0 THEN embedding
-         |       ELSE list_transform(embedding, x ->
-         |         CAST(CAST(x AS DOUBLE) * (1.0 / ${normOf("embedding")}) AS FLOAT)) END AS unit
-         |FROM embeddings ORDER BY vec_id""".stripMargin,
+      s"""SELECT vec_id, CAST(i - 1 AS BIGINT) AS i, CAST(unit[i] AS DOUBLE) AS value
+         |FROM (
+         |  SELECT vec_id, unit, unnest(range(1, len(unit) + 1)) AS i
+         |  FROM (SELECT vec_id,
+         |    CASE WHEN ${normOf("embedding")} = 0 THEN embedding
+         |         ELSE list_transform(embedding, x ->
+         |           CAST(CAST(x AS DOUBLE) * (1.0 / ${normOf("embedding")}) AS FLOAT)) END AS unit
+         |    FROM embeddings))
+         |ORDER BY vec_id, i""".stripMargin,
     // store base = documents ⋈ embeddings, first-wins dedup on text by
     // doc_id; ids are row_number in target (= text) order
     "store_knn" ->
@@ -543,11 +557,12 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
     "label_centroids" ->
-      """SELECT label, list(CAST(CAST(CAST(s / n AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) ORDER BY i) AS centroid
+      """SELECT label, CAST(i - 1 AS BIGINT) AS i,
+        |  CAST(CAST(CAST(s / n AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS value
         |FROM (SELECT label, i, SUM(CAST(embedding[i] AS DOUBLE)) AS s, COUNT(*) AS n
         |      FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
         |            FROM embeddings)
         |      GROUP BY label, i)
-        |GROUP BY label ORDER BY label""".stripMargin
+        |ORDER BY label, i""".stripMargin
   )
 }

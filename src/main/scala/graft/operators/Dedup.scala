@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -18,23 +17,31 @@ import scala.util.Random
   *
   * Scale design: every variant is bucketed — candidates meet only
   * inside a hash bucket (`groupBy`-equivalent shuffle on the bucket
-  * key), NEVER via an all-pairs crossJoin. Verification (exact
-  * Jaccard / cosine) runs per candidate pair only.
+  * key), NEVER via an all-pairs crossJoin. The candidate self-join
+  * carries ONLY (id, band, bucket) — heavy payloads (shingle arrays,
+  * vectors) are joined back by id for one verification per distinct
+  * pair, so the dominant shuffle is id-sized regardless of document
+  * size. Verification (exact Jaccard / hamming / cosine) runs once per
+  * candidate pair.
   */
 object Dedup {
 
   /** Keep the first row per key under a deterministic order — the bulk
-    * form of the reference's keep-first dedup (U1). One hash shuffle
-    * on `keyCols`. */
+    * form of the reference's keep-first dedup (U1). One hash shuffle on
+    * `keyCols` with PARTIAL aggregation: `min_by(struct(row),
+    * struct(order))` combines map-side, so only one candidate row per
+    * (partition, key) crosses the shuffle — unlike a `row_number`
+    * window, which ships every row and sorts. Order columns must be
+    * non-null (null ordering keys are skipped by `min_by`). */
   def exactFirstWins(df: DataFrame, keyCols: Seq[String],
       orderCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && orderCols.nonEmpty,
       "key and order columns required")
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
-    df.withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1)
-      .drop("__graft_rn")
+    val cols = df.columns.toSeq
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(cols.map(col): _*),
+        struct(orderCols.map(col): _*)).as("__graft_row"))
+      .select(col("__graft_row.*"))
   }
 
   /** MinHash signature: `numHashes` independent min-hashes over a
@@ -56,9 +63,37 @@ object Dedup {
       hash(slice(sigCol, b * rowsPerBand + 1, rowsPerBand))
     }: _*)
 
-  /** Near-duplicate candidate pairs via MinHash LSH banding, verified
-    * by exact shingle-set Jaccard. Returns (idA, idB, jaccard) with
-    * idA < idB, one row per verified pair.
+  /** Distinct (idA, idB) candidate pairs (idA < idB) from a slim
+    * (id, band, bucket) frame: prune hot buckets, self-join on the
+    * bucket key, dedup pairs that collide in several bands BEFORE any
+    * payload is attached. */
+  private def candidatePairs(slim: DataFrame, idCol: String,
+      bucketKeys: Seq[String], maxBucketSize: Int): DataFrame = {
+    val pruned = pruneHotBuckets(slim, bucketKeys, maxBucketSize)
+    val a = pruned.select(bucketKeys.map(col) :+ col(idCol).as("idA"): _*)
+    val b = pruned.select(bucketKeys.map(col) :+ col(idCol).as("idB"): _*)
+    a.join(b, bucketKeys)
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+  }
+
+  /** Attach `payloadCol` from `payload` (keyed by idCol) to both sides
+    * of a candidate-pair frame, as `<payloadCol>A` / `<payloadCol>B`. */
+  private def attachPayload(pairs: DataFrame, payload: DataFrame,
+      idCol: String, payloadCol: String): DataFrame =
+    pairs
+      .join(payload.select(col(idCol).as("idA"),
+        col(payloadCol).as(payloadCol + "A")), Seq("idA"))
+      .join(payload.select(col(idCol).as("idB"),
+        col(payloadCol).as(payloadCol + "B")), Seq("idB"))
+
+  /** Near-duplicate pairs via MinHash LSH banding, verified by exact
+    * shingle-set Jaccard. Returns (idA, idB, jaccard) with idA < idB,
+    * one row per verified pair.
+    *
+    * Shuffle budget: banding shuffles (id, band, int32-bucket) only;
+    * shingle arrays cross a shuffle exactly twice (the two payload
+    * re-joins), not 2×bands times; Jaccard runs once per DISTINCT pair.
     *
     * @param maxBucketSize skip pathological buckets (boilerplate/
     *                      stopword shingles) — at 100 TB a single hot
@@ -73,21 +108,17 @@ object Dedup {
     val sh = shingles(col(textCol), shingleWidth)
     val base = df.select(col(idCol), sh.as("__sh"))
       .filter(size(col("__sh")) > 0)
+    val slim = base
       .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
-    val banded = base.select(col(idCol), col("__sh"),
-      posexplode(minhashBands(col("__sig"), bands, rowsPerBand))
-        .as(Seq("__band", "__bh")))
-    val pruned = pruneHotBuckets(banded, Seq("__band", "__bh"), maxBucketSize)
-    val a = pruned.select(col("__band"), col("__bh"),
-      col(idCol).as("idA"), col("__sh").as("__shA"))
-    val b = pruned.select(col("__band"), col("__bh"),
-      col(idCol).as("idB"), col("__sh").as("__shB"))
-    a.join(b, Seq("__band", "__bh"))
-      .filter(col("idA") < col("idB"))
+      .select(col(idCol),
+        posexplode(minhashBands(col("__sig"), bands, rowsPerBand))
+          .as(Seq("__band", "__bh")))
+    val pairs = candidatePairs(slim, idCol, Seq("__band", "__bh"),
+      maxBucketSize)
+    attachPayload(pairs, base, idCol, "__sh")
       .select(col("idA"), col("idB"),
         jaccard(col("__shA"), col("__shB")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .groupBy("idA", "idB").agg(first("jaccard").as("jaccard"))
   }
 
   /** Prune buckets larger than `max` BEFORE a self-join, using a SLIM
@@ -103,19 +134,160 @@ object Dedup {
     df.join(keep, keys)
   }
 
-  /** Drop near-duplicates: a row is removed when ANY smaller id is its
-    * verified near-duplicate (aggressive greedy — along a chain
-    * A~B~C with A!~C, both B and C are dropped, because each
-    * near-matches a smaller id; a transitive-closure variant that
-    * keeps C would need connected components). Deterministic given
-    * the pair set. */
+  /** Connected components over an undirected edge list, via alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14 — public algorithm).
+    * Returns (id, component) for every node that appears in an edge,
+    * with component = the minimum id in the node's component.
+    *
+    * Scale shape: each round is two hash shuffles (neighborhood min +
+    * re-key), edge count never grows beyond 2×input, convergence in
+    * O(log n) rounds — no driver-side graph, no collect of edges.
+    * Lineage is truncated per round via localCheckpoint so the plan
+    * doesn't deepen exponentially. Ids may be any orderable type. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    var e = edges
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // one star round: point (a filtered side of) each neighborhood at
+    // its minimum. large keeps neighbors > u, small keeps neighbors < u
+    // plus the center itself.
+    def round(edgesIn: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = edgesIn.union(
+        edgesIn.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      val rekeyed =
+        if (large)
+          nbrs.filter(col("v") > col("u")).join(mins, "u")
+            .select(col("v").as("u"), col("m").as("v"))
+        else
+          nbrs.filter(col("v") < col("u")).join(mins, "u")
+            .select(col("v").as("u"), col("m").as("v"))
+            .union(mins.select(col("u"), col("m").as("v")))
+      rekeyed.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    }
+
+    // converged when the canonical edge set is a stable star forest:
+    // detected via a (count, xor-of-hashes) signature — one light job
+    // per round; xor is order-independent and cannot overflow
+    def signature(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var sig = signature(e)
+    var it = 0
+    var converged = false
+    while (it < maxRounds && !converged) {
+      val next = round(round(e, large = true), large = false)
+        .localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      it += 1
+    }
+    // stable state: every edge is (root, member) with root = min id
+    e.select(col("v").as("id"), col("u").as("component"))
+      .union(e.select(col("u").as("id"), col("u").as("component")))
+      .distinct()
+  }
+
+  /** Drop policy for near-dup dedup given the verified pair graph.
+    *
+    *  - [[NearDupPolicy.IndependentSet]] (default): greedy-by-id
+    *    maximal independent set — a row is dropped ONLY when a KEPT
+    *    smaller id is its verified near-duplicate. Chain A~B~C with
+    *    A≁C keeps A and C (B is a dup of kept A; C's only near-dup B
+    *    was dropped, and C is NOT a near-dup of A). Maximal data
+    *    retention: never drops a row that isn't a true near-dup of a
+    *    kept row.
+    *  - [[NearDupPolicy.ComponentRep]]: one representative (minimum
+    *    id) per connected component of the pair graph — the stricter
+    *    cluster-collapse policy; the same chain keeps only A.
+    */
+  sealed trait NearDupPolicy
+  object NearDupPolicy {
+    case object IndependentSet extends NearDupPolicy
+    case object ComponentRep extends NearDupPolicy
+  }
+
+  /** Drop near-duplicates of `df` given verified (idA, idB) pairs
+    * (idA < idB) under the chosen [[NearDupPolicy]]. */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+      policy: NearDupPolicy = NearDupPolicy.IndependentSet): DataFrame = {
+    val doomed = (policy match {
+      case NearDupPolicy.IndependentSet => misDropped(pairs)
+      case NearDupPolicy.ComponentRep =>
+        connectedComponents(pairs, "idA", "idB")
+          .filter(col("id") =!= col("component")).select(col("id"))
+    }).select(col("id").as(idCol)).distinct()
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   def dedupNearMinHash(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      policy: NearDupPolicy = NearDupPolicy.IndependentSet): DataFrame = {
     val pairs = nearDupPairsMinHash(df, idCol, textCol, shingleWidth,
       numHashes, bands, threshold)
-    df.join(pairs.select(col("idB").as(idCol)).distinct(),
-      Seq(idCol), "left_anti")
+    dedupByPairs(df, idCol, pairs, policy)
+  }
+
+  /** Dropped ids under the greedy-by-id maximal-independent-set rule,
+    * computed by iterative status propagation along smaller→larger
+    * edges: a node is KEPT when every smaller near-dup neighbor is
+    * DROPPED (vacuously, when it has none), DROPPED when any smaller
+    * neighbor is KEPT. Each round decides at least the next layer of
+    * every dependency chain; rounds needed = longest id-increasing
+    * path (short in real near-dup graphs — components are bucket-
+    * bounded). Nodes still undecided after `maxRounds` default to KEPT
+    * (conservative: never drops unique data). Generic over any
+    * orderable id type; no driver-side graph. */
+  private def misDropped(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val e = pairs.select(col("idA").as("u"), col("idB").as("v"))
+      .distinct().localCheckpoint()
+    val targets = e.select(col("v").as("id")).distinct()
+    val nodes = e.select(col("u").as("id")).union(targets.select(col("id")))
+      .distinct()
+    // st: 1 kept / 0 dropped / null undecided; roots (no smaller
+    // neighbor) are immediately kept
+    var status = nodes
+      .join(targets, Seq("id"), "left_anti")
+      .withColumn("st", lit(1))
+      .unionByName(nodes.join(targets, Seq("id"), "left_semi")
+        .withColumn("st", lit(null).cast("int")))
+      .localCheckpoint()
+    var undecided = status.filter(col("st").isNull).count()
+    var it = 0
+    while (undecided > 0 && it < maxRounds) {
+      val inc = e.join(
+        status.select(col("id").as("u"), col("st").as("__ust")), Seq("u"))
+      val verdicts = inc.groupBy(col("v").as("id")).agg(
+        max(when(col("__ust") === 1, 1).otherwise(0)).as("__anyKept"),
+        min(when(col("__ust").isNull, 0).otherwise(1)).as("__allDecided"))
+      status = status.join(verdicts, Seq("id"), "left")
+        .select(col("id"),
+          when(col("st").isNotNull, col("st"))
+            .when(col("__anyKept") === 1, lit(0))
+            .when(col("__allDecided") === 1, lit(1))
+            .otherwise(lit(null).cast("int")).as("st"))
+        .localCheckpoint()
+      undecided = status.filter(col("st").isNull).count()
+      it += 1
+    }
+    status.filter(col("st") === 0).select("id")
   }
 
   /** SimHash near-dup candidate pairs: 64-bit signatures bucketed into
@@ -124,7 +296,7 @@ object Dedup {
     * `maxHamming ≤ bands-1` (enforced). More bands = wider guaranteed
     * radius but coarser (hotter) buckets; the bucket-size cap then
     * bounds the blowup at the cost of recall on pruned buckets.
-    * Verified by exact hamming distance. */
+    * Verified by exact hamming distance, once per distinct pair. */
   def nearDupPairsSimHash(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1000,
       bands: Int = 4): DataFrame = {
@@ -134,32 +306,27 @@ object Dedup {
         s"$bands bands (${bands - 1}); raise `bands` for a wider radius")
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
-    val sig = simhash64(col(textCol))
-    val base = df.select(col(idCol), sig.as("__sig"))
-    val quartered = base.select(col(idCol), col("__sig"),
+    val base = df.select(col(idCol), simhash64(col(textCol)).as("__sig"))
+    val slim = base.select(col(idCol),
       posexplode(array((0 until bands).map(q =>
         shiftright(col("__sig"), q * bits).bitwiseAND(lit(mask))): _*))
         .as(Seq("__q", "__qv")))
-    val pruned = pruneHotBuckets(quartered, Seq("__q", "__qv"), maxBucketSize)
-    val a = pruned.select(col("__q"), col("__qv"),
-      col(idCol).as("idA"), col("__sig").as("__sigA"))
-    val b = pruned.select(col("__q"), col("__qv"),
-      col(idCol).as("idB"), col("__sig").as("__sigB"))
-    a.join(b, Seq("__q", "__qv"))
-      .filter(col("idA") < col("idB"))
+    val pairs = candidatePairs(slim, idCol, Seq("__q", "__qv"),
+      maxBucketSize)
+    attachPayload(pairs, base, idCol, "__sig")
       .select(col("idA"), col("idB"),
         hamming64(col("__sigA"), col("__sigB")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .groupBy("idA", "idB").agg(first("hamming").as("hamming"))
   }
 
   /** Embedding near-dup candidate pairs: random-hyperplane LSH with
     * BAND AMPLIFICATION — `numTables` independent hash tables of
     * `planesPerTable` sign bits each; a pair is a candidate if it
-    * collides in ANY table, then verified by exact cosine ≥ threshold.
-    * One 12-bit code alone keeps only ~(1-θ/π)^12 ≈ 28% of
-    * threshold-0.95 pairs; 4×8-bit tables keep ≈ 89%. Deterministic
-    * planes from `seed`. */
+    * collides in ANY table, then verified by exact cosine ≥ threshold,
+    * once per distinct pair (vectors cross the shuffle only in the two
+    * payload re-joins, not ×tables). One 12-bit code alone keeps only
+    * ~(1-θ/π)^12 ≈ 28% of threshold-0.95 pairs; 4×8-bit tables keep
+    * ≈ 89%. Deterministic planes from `seed`. */
   def nearDupPairsCosine(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, numTables: Int = 4,
       planesPerTable: Int = 8, seed: Long = 42L,
@@ -175,19 +342,14 @@ object Dedup {
           .otherwise(lit(0))
       }.reduce(_ + _)
     }
-    val base = df.select(col(idCol), col(vecCol).as("__v"),
+    val base = df.select(col(idCol), col(vecCol).as("__v"))
+    val slim = df.select(col(idCol),
       posexplode(array(codes: _*)).as(Seq("__table", "__bucket")))
-    val pruned = pruneHotBuckets(base, Seq("__table", "__bucket"),
+    val pairs = candidatePairs(slim, idCol, Seq("__table", "__bucket"),
       maxBucketSize)
-    val a = pruned.select(col("__table"), col("__bucket"),
-      col(idCol).as("idA"), col("__v").as("__vA"))
-    val b = pruned.select(col("__table"), col("__bucket"),
-      col(idCol).as("idB"), col("__v").as("__vB"))
-    a.join(b, Seq("__table", "__bucket"))
-      .filter(col("idA") < col("idB"))
+    attachPayload(pairs, base, idCol, "__v")
       .select(col("idA"), col("idB"),
         cosine_sim(col("__vA"), col("__vB")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .groupBy("idA", "idB").agg(first("cosine").as("cosine"))
   }
 }

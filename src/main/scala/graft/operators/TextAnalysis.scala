@@ -16,16 +16,18 @@ object TextAnalysis {
     * convention). Returns (idCol, token, tf, df, tfidf).
     *
     * Scale shape: explode → two hash aggregations (tf by (doc, token),
-    * df by token — both partial-aggregated) → broadcast-friendly join
-    * of the df side (distinct terms ≪ corpus). `docCount` is the only
-    * driver-side scalar. */
+    * df by token — both partial-aggregated) → equi-join on token with
+    * NO forced broadcast: at 100 TB the distinct-token table is far
+    * beyond broadcast range, so the join is left to AQE, which picks a
+    * broadcast join at runtime exactly when the df side is actually
+    * small. `docCount` is the only driver-side scalar. */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = df.count()
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tf = toks.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
     val dfreq = toks.select(idCol, "token").distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), Seq("token"))
+    tf.join(dfreq, Seq("token"))
       .withColumn("tfidf",
         col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))

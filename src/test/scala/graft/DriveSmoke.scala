@@ -82,6 +82,18 @@ object DriveSmoke {
       docs, "doc_id", "text", threshold = 0.4).count())
     println("SIMHASH_PAIRS=" + Dedup.nearDupPairsSimHash(
       docs, "doc_id", "text", maxHamming = 10, bands = 16).count())
+    val ndPairs = Dedup.nearDupPairsMinHash(docs, "doc_id", "text",
+      threshold = 0.4)
+    println("CC_COMPONENTS=" + Dedup.connectedComponents(
+      ndPairs, "idA", "idB").select("component").distinct().count())
+    println("NEARDUP_KEPT_MIS=" + Dedup.dedupNearMinHash(
+      docs, "doc_id", "text", threshold = 0.4).count())
+    println("NEARDUP_KEPT_CC=" + Dedup.dedupNearMinHash(
+      docs, "doc_id", "text", threshold = 0.4,
+      policy = Dedup.NearDupPolicy.ComponentRep).count())
+    // partial-aggregation shape of the min_by exact dedup
+    Dedup.exactFirstWins(docs.withColumn("k", substring($"text", 1, 20)),
+      Seq("k"), Seq("doc_id")).explain("formatted")
 
     // IVF vs brute force
     val ivf = IvfIndex.build(

@@ -110,18 +110,50 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("dedupNearMinHash chain semantics: every row with a smaller " +
-      "near-dup id is dropped") {
+  test("dedupNearMinHash chain semantics: A~B~C with A!~C keeps A and C " +
+      "(independent-set policy)") {
     import spark.implicits._
-    // A~B and B~C by construction (shared shingles), A!~C weakly
+    // 3-shingle Jaccards by construction: J(a,b) = J(b,c) = 7/9 ≈ 0.78
+    // (one token substituted at opposite ends), J(a,c) = 6/10 = 0.6 —
+    // so at threshold 0.7 the verified pairs are exactly A~B and B~C
     val a = "one two three four five six seven eight nine ten"
     val b = "one two three four five six seven eight nine eleven"
     val c = "zero two three four five six seven eight nine eleven"
     val df = Seq(1L -> a, 2L -> b, 3L -> c).toDF("id", "text")
-    val kept = Dedup.dedupNearMinHash(df, "id", "text", threshold = 0.5)
+    val pairs = Dedup.nearDupPairsMinHash(df, "id", "text", threshold = 0.7)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (2L, 3L)))
+    val kept = Dedup.dedupNearMinHash(df, "id", "text", threshold = 0.7)
       .collect().map(_.getLong(0)).toSet
-    // B pairs with A, C pairs with B → both dropped (documented greedy)
-    assert(kept == Set(1L))
+    // B is a near-dup of kept A → dropped; C's only near-dup B was
+    // dropped and C !~ A → C is kept
+    assert(kept == Set(1L, 3L))
+    // stricter cluster-collapse policy: one representative per component
+    val keptCc = Dedup.dedupNearMinHash(df, "id", "text", threshold = 0.7,
+      policy = Dedup.NearDupPolicy.ComponentRep)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptCc == Set(1L))
+  }
+
+  test("connectedComponents labels chains, triangles and singleton pairs") {
+    import spark.implicits._
+    // components: {1,2,3,4} (path), {10,11,12} (triangle), {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (11L, 12L), (10L, 12L), (20L, 21L)).toDF("idA", "idB")
+    val comp = Dedup.connectedComponents(edges, "idA", "idB")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents handles a long path in O(log n) rounds") {
+    import spark.implicits._
+    val n = 64
+    val edges = (0 until n).map(i => (i.toLong, i + 1L)).toDF("idA", "idB")
+    val comp = Dedup.connectedComponents(edges, "idA", "idB").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(comp.length == n + 1)
+    assert(comp.forall(_._2 == 0L))
   }
 
   test("cosine LSH band amplification keeps recall at the threshold") {

@@ -4,11 +4,13 @@
 Usage: python3 tools/oracle_check.py <sfDir> <outDir>
   (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
 
-For each query name in <outDir>/oracle_sql.json: registers every parquet
-table in <sfDir> as a DuckDB view, runs the oracle SQL, loads the Spark
-result parquet, sorts columns by name + rows by all columns, and compares
-values exactly (strict — if this passes, any tolerance-based driver
-compare passes too).
+Driver-faithful semantics (aligned after the r02 divergence):
+  - rows are sorted with pandas sort_values over all columns, NOT a
+    stringified key — array-typed result columns therefore fail loudly
+    here exactly as they crash the driver's comparator;
+  - values compare via their string representation post-pandas, so an
+    int64 99111 does NOT equal a float64 99111.0 (DuckDB HUGEINT sums
+    materialize as float64 in pandas — cast sums in the oracle SQL).
 """
 import json, sys, glob, os, math
 import duckdb
@@ -18,27 +20,26 @@ import numpy as np
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple, np.ndarray, dict))).any():
+            raise TypeError(
+                f"array-typed result column '{c}': the driver's pandas "
+                "sort_values cannot sort it — reshape the query to scalars "
+                "(posexplode/unnest)")
     if len(df.columns):
-        # stringify for a stable sort across dtypes incl. lists
-        key = df.apply(lambda r: tuple(str(v) for v in r), axis=1)
-        df = df.iloc[np.argsort(key, kind="stable")].reset_index(drop=True)
+        df = df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
     return df
 
 
+def canon_value(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        return "NULL"
+    return str(v)
+
+
 def values_equal(a, b) -> bool:
-    if isinstance(a, (list, np.ndarray)) or isinstance(b, (list, np.ndarray)):
-        a = list(a) if a is not None else None
-        b = list(b) if b is not None else None
-        if a is None or b is None:
-            return a == b
-        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
-    if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
-        an = a is None or (isinstance(a, float) and math.isnan(a))
-        bn = b is None or (isinstance(b, float) and math.isnan(b))
-        return an == bn
-    if isinstance(a, float) or isinstance(b, float):
-        return float(a) == float(b)
-    return a == b
+    # strict: int64 99111 != float64 99111.0 (mirrors the driver's hash)
+    return canon_value(a) == canon_value(b)
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -58,10 +59,15 @@ def main(sf_dir: str, out_dir: str) -> int:
         try:
             odf = canon(con.execute(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}")
+            print(f"FAIL {name}: oracle side error: {e}")
             fails += 1
             continue
-        sdf = canon(pd.concat([pd.read_parquet(p) for p in spark_glob]))
+        try:
+            sdf = canon(pd.concat([pd.read_parquet(p) for p in spark_glob]))
+        except Exception as e:
+            print(f"FAIL {name}: spark side error: {e}")
+            fails += 1
+            continue
         ok_rows = len(odf) == len(sdf)
         ok_schema = list(odf.columns) == list(sdf.columns)
         ok_vals = False
