@@ -18,17 +18,25 @@ object Bench {
     // A failed query must NOT silently record a timing (round-1 defect:
     // errors were swallowed into -1L counts). Failures are excluded
     // from `queries`/total and reported in `errors`.
+    // Each query runs twice and reports the min: the first run absorbs
+    // per-query codegen + parquet-footer first-touch costs that at toy
+    // scale dominate the actual operator time and made round-over-round
+    // numbers swing ~2x.
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val outcome = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Some(e.getClass.getSimpleName)
+      def once(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            Left(e.getClass.getSimpleName)
+        }
       }
-      (name, (System.nanoTime() - t0) / 1e9, outcome)
+      val best = once().flatMap(t1 => once().map(t2 => math.min(t1, t2)))
+      (name, best)
     }
-    val ok = runs.collect { case (n, sec, None) => n -> sec }
-    val failed = runs.collect { case (n, _, Some(err)) => n -> err }
+    val ok = runs.collect { case (n, Right(sec)) => n -> sec }
+    val failed = runs.collect { case (n, Left(err)) => n -> err }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }

@@ -49,12 +49,19 @@ object AsOfJoin {
     val tie = "__graft_tie"
     val payload = "__graft_payload"
 
-    val r = right.select(
+    // null timestamps have no position on the time axis: a null right
+    // ts would sort nulls-first and act as an "earlier than everything"
+    // match for the whole key; a null left ts would always miss. Both
+    // are dropped up front.
+    val left0 = left.filter(col(leftTsCol).isNotNull)
+    val right0 = right.filter(col(rightTsCol).isNotNull)
+
+    val r = right0.select(
       keyCols.map(col) ++ Seq(
         col(rightTsCol).as(ts), lit(0).as(src), col(rightTieCol).as(tie),
         struct(valueCols.map(col): _*).as(payload)): _*)
     val leftCols = left.columns.toSeq
-    val l = left.select(
+    val l = left0.select(
       leftCols.map(col) ++ Seq(
         col(leftTsCol).as(ts), lit(1).as(src),
         lit(null).cast(r.schema(tie).dataType).as(tie),

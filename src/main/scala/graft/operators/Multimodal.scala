@@ -6,6 +6,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 /** Multimodal column support (S10 + builder brief): image/audio/video
   * as opaque `binary` columns with typed metadata, embedded by a
   * pluggable [[BinaryEmbedder]]. The reference's image path is
@@ -14,11 +19,11 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
   * batched executor-side embedding — same shape as the text path, no
   * shuffle, inference-bound.
   *
-  * The actual image decode is STUBBED (no image libraries in this
-  * container): [[StubImageDecoder]] produces deterministic fake
-  * metadata from the byte header. The Spark-side plumbing — schema,
-  * batching, partitioning, mixed-modality tables — is real and tested;
-  * swapping in a real decoder/CLIP embedder is a one-class change.
+  * Image decode/resize are REAL (JDK `javax.imageio` — PNG/JPEG/GIF/
+  * BMP, zero external deps, [[ImageCodec]]). Video frame-sampling
+  * remains a documented stub: the JDK has no video codec and none is
+  * installable offline, so [[Multimodal.sampleFrames]] keeps the real
+  * explode shape over fixed-size byte slices.
   */
 object Multimodal {
 
@@ -58,12 +63,14 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Resize plumbing (STUB transform): batches rows, emits a resized
-    * binary payload + target dims. The byte transform is a
-    * deterministic truncation fake — a real decoder resamples pixels;
-    * schema/batching/partitioning are the real contract. */
+  /** Real pixel resize: decode, bilinear-resample to width×height,
+    * re-encode as PNG (reference: `image/_classes.py` resizes via PIL
+    * before embedding). Rows whose bytes do not decode as an image get
+    * a null `outCol` — corrupt payloads are data, not errors, at
+    * 100 TB. Per-partition batching, no shuffle. */
   def resizeImages(df: DataFrame, inCol: String, width: Int, height: Int,
       outCol: String = "resized", batchSize: Int = 64): DataFrame = {
+    require(width > 0 && height > 0, "positive target dims")
     val outSchema = df.schema.add(outCol, BinaryType)
     val inIdx = df.schema.fieldIndex(inCol)
     df.mapPartitions { it =>
@@ -71,19 +78,18 @@ object Multimodal {
         rows.map { r =>
           val bytes = Option(r.get(inIdx)).map(_.asInstanceOf[Array[Byte]])
             .getOrElse(Array.emptyByteArray)
-          // STUB: proportional truncation in lieu of pixel resampling
-          val fakeLen = math.max(1,
-            math.min(bytes.length, width * height / 256))
-          Row.fromSeq(r.toSeq :+ bytes.take(fakeLen))
+          val resized = ImageCodec.resizeToPng(bytes, width, height).orNull
+          Row.fromSeq(r.toSeq :+ resized)
         }
       }
     }(Encoders.row(outSchema))
   }
 
-  /** Frame-sampling plumbing for video columns (STUB decode): emits
-    * one row per sampled frame with (frame_idx, frame bytes). The
-    * "frames" are fixed-size byte slices — a real decoder would seek
-    * keyframes; the explode shape, schema, and ordering are real. */
+  /** Frame-sampling plumbing for video columns (STUB decode — the JDK
+    * ships no video codec and the container is offline): emits one row
+    * per sampled frame with (frame_idx, frame bytes). The "frames" are
+    * fixed-size byte slices — a real decoder would seek keyframes; the
+    * explode shape, schema, and ordering are real. */
   def sampleFrames(df: DataFrame, inCol: String, everyNth: Int = 10,
       frameSize: Int = 4096, outPrefix: String = "frame"): DataFrame = {
     require(everyNth >= 1 && frameSize >= 1, "positive sampling params")
@@ -107,10 +113,11 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Attach decoded image metadata. STUB decode (see class doc): field
-    * values are deterministic fakes derived from the bytes, NOT a real
-    * decode — replace [[StubImageDecoder]] with a real one outside
-    * this container. */
+  /** Attach REAL decoded image metadata (width, height, channels,
+    * format) via JDK ImageIO. Format comes from the container magic
+    * bytes; dimensions/channels are null when the payload does not
+    * decode (matching the reference's open-or-fail semantics at
+    * `image/_classes.py:40` without failing the job). */
   def withImageMeta(df: DataFrame, inCol: String,
       outCol: String = "image_meta", batchSize: Int = 64): DataFrame = {
     val outSchema = df.schema.add(outCol, imageMetaType)
@@ -120,38 +127,138 @@ object Multimodal {
         rows.map { r =>
           val bytes = Option(r.get(inIdx)).map(_.asInstanceOf[Array[Byte]])
             .getOrElse(Array.emptyByteArray)
-          val (w, h, c, f) = StubImageDecoder.decode(bytes)
-          Row.fromSeq(r.toSeq :+ Row(w, h, c, f))
+          val fmt = ImageCodec.sniffFormat(bytes)
+          val meta = ImageCodec.decode(bytes) match {
+            case Some(img) => Row(img.getWidth, img.getHeight,
+              img.getColorModel.getNumComponents, fmt)
+            case None => Row(null, null, null, fmt)
+          }
+          Row.fromSeq(r.toSeq :+ meta)
         }
       }
     }(Encoders.row(outSchema))
   }
 }
 
-/** STUB image decoder — deterministic fake. A real implementation
-  * would parse the container format (PNG IHDR / JPEG SOF0); this one
-  * only sniffs magic bytes for `format` and derives fake dimensions
-  * from a byte hash so tests are stable offline. */
-object StubImageDecoder {
-  def decode(bytes: Array[Byte]): (Int, Int, Int, String) = {
-    val fmt =
-      if (bytes.length >= 8 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
-      else if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
-      else "unknown"
-    var h = 1469598103934665603L // FNV offset basis
-    var i = 0
-    while (i < math.min(bytes.length, 64)) {
-      h ^= bytes(i); h *= 1099511628211L; i += 1
+/** Real image codec on JDK `javax.imageio` — no external dependencies.
+  * Decodes PNG/JPEG/GIF/BMP (the formats the JDK readers ship with),
+  * resamples bilinearly, re-encodes PNG, and pools pixels to a
+  * luminance grid for embedding. Corrupt/non-image bytes yield None
+  * everywhere — callers decide row-level null semantics. */
+object ImageCodec {
+
+  /** Container format by magic bytes (decode-independent, so corrupt
+    * files still report what they claimed to be). */
+  def sniffFormat(bytes: Array[Byte]): String =
+    if (bytes == null || bytes.length < 3) "unknown"
+    else if (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N') "png"
+    else if (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') "gif"
+    else if (bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else "unknown"
+
+  def decode(bytes: Array[Byte]): Option[BufferedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+  /** Decode → bilinear resample to (w, h) → PNG bytes. */
+  def resizeToPng(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decode(bytes).map { img =>
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
     }
-    val w = 16 + math.floorMod(h, 1024).toInt
-    val ht = 16 + math.floorMod(h >>> 20, 1024).toInt
-    (w, ht, 3, fmt)
+
+  /** Mean luminance (0..1) per cell of a gw×gh grid — spatial mean
+    * pooling (A2) over real pixels, via one bilinear resample so cost
+    * is O(gw×gh), not O(image). */
+  def luminanceGrid(img: BufferedImage, gw: Int, gh: Int): Array[Float] = {
+    val cells = new BufferedImage(gw, gh, BufferedImage.TYPE_INT_RGB)
+    val g = cells.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, gw, gh, null)
+    } finally g.dispose()
+    val out = new Array[Float](gw * gh)
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw) {
+        val rgb = cells.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF
+        val gg = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        // ITU-R BT.601 luma
+        out(y * gw + x) = ((0.299 * r + 0.587 * gg + 0.114 * b) / 255.0).toFloat
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 }
 
+/** Image embedder over REAL decoded pixels: bilinear-pool the image to
+  * a luminance grid of ~dim cells (spatial mean pooling, A2), centered
+  * and optionally L2-normalized — the offline substitute for CLIP /
+  * EfficientNet image towers (M2/M4; reference embeds via torch at
+  * `image/_classes.py:74-79`). Bytes that do not decode as an image
+  * fall back to [[HashBinaryEmbedder]]'s byte hashing so mixed binary
+  * corpora still embed every row deterministically. */
+final case class ImageGridEmbedder(dim: Int = 64,
+    normalized: Boolean = true) extends BinaryEmbedder {
+  require(dim > 0, "dim must be positive")
+  private val gridW = math.max(1, math.sqrt(dim.toDouble).toInt)
+  private val gridH = (dim + gridW - 1) / gridW
+  private val fallback = HashBinaryEmbedder(dim, normalized)
+
+  override def embedBytes(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+    batch.map { bytes =>
+      ImageCodec.decode(bytes) match {
+        case Some(img) =>
+          val grid = ImageCodec.luminanceGrid(img, gridW, gridH)
+          val v = new Array[Float](dim)
+          // center so constant-color images don't all collapse to the
+          // same direction after normalization
+          var mean = 0.0
+          var i = 0
+          while (i < dim) { mean += grid(i); i += 1 }
+          mean /= dim
+          i = 0
+          while (i < dim) { v(i) = (grid(i) - mean).toFloat; i += 1 }
+          if (normalized) {
+            var acc = 0.0
+            i = 0
+            while (i < dim) { acc += v(i).toDouble * v(i); i += 1 }
+            if (acc > 1e-12) {
+              val inv = (1.0 / math.sqrt(acc)).toFloat
+              i = 0
+              while (i < dim) { v(i) *= inv; i += 1 }
+            } else {
+              // flat image: deterministic unit vector keyed by mean
+              v(math.min(dim - 1, (mean * (dim - 1)).toInt)) = 1f
+            }
+          }
+          v
+        case None => fallback.embedBytes(Seq(bytes)).head
+      }
+    }
+}
+
 /** Deterministic, dependency-free binary embedder: hashing trick over
-  * sliding 8-byte windows (offline substitute for CLIP/EfficientNet
-  * image embedding — M2/M4). Same bytes → same vector on every JVM. */
+  * sliding 8-byte windows (works on ANY binary payload — audio, video,
+  * corrupt images). For decodable images prefer [[ImageGridEmbedder]],
+  * which pools real pixels. Same bytes → same vector on every JVM. */
 final case class HashBinaryEmbedder(dim: Int = 64,
     normalized: Boolean = true) extends BinaryEmbedder {
   require(dim > 0, "dim must be positive")

@@ -20,7 +20,11 @@ object Ingest {
     require(df.columns.contains("target"),
       "ingest frame must have a 'target' column (reference quirk Q3: " +
         "silently ignored there; rejected here)")
-    val padded = Schemas.optionCols.foldLeft(df) { (d, c) =>
+    // target is cast alongside the options: a non-string target (e.g.
+    // numeric ids) would otherwise produce a store schema that diverges
+    // from Schemas.record and break the append path's unionByName
+    val padded = Schemas.optionCols.foldLeft(
+      df.withColumn("target", col("target").cast(StringType))) { (d, c) =>
       if (d.columns.contains(c)) d.withColumn(c, col(c).cast(StringType))
       else d.withColumn(c, lit(null).cast(StringType))
     }
@@ -80,11 +84,25 @@ final class VectorStore(
   /** Current store contents (id, target, option1..5, vector). */
   def data: DataFrame = mem.getOrElse {
     val df = path match {
-      case Some(p) if fileExists(p) => spark.read.parquet(p)
+      case Some(p) =>
+        recoverIfInterrupted(p)
+        if (fileExists(p)) spark.read.parquet(p) else emptyData
       case _ => emptyData
     }
     mem = Some(df)
     df
+  }
+
+  /** Crash recovery for the durable swap (see [[persist]]): if a crash
+    * hit between "live → __old" and "__staging → live", the backup is
+    * still intact — restore it. A stale __staging dir is deleted before
+    * the next write, never renamed over live data. */
+  private def recoverIfInterrupted(p: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(p)
+    val backup = new org.apache.hadoop.fs.Path(p + "__old")
+    if (!fs.exists(live) && fs.exists(backup)) fs.rename(backup, live)
   }
 
   private def fileExists(p: String): Boolean = {
@@ -167,14 +185,23 @@ final class VectorStore(
   private def persist(df: DataFrame, truncateLineage: Boolean = false): Unit = {
     path match {
       case Some(p) =>
-        // write to a staging dir then re-read: parquet overwrite of the
-        // path we are also reading from would race
-        df.write.mode("overwrite").parquet(p + "__staging")
+        // staging write + swap-via-backup: the live dir is renamed
+        // aside (not deleted) before staging is promoted, so a crash at
+        // any point leaves either the old or the new data recoverable
+        // (see recoverIfInterrupted); delete-then-rename would lose the
+        // store if the rename never ran. Staging also can't be read
+        // concurrently with the overwrite of the path we read from.
         val conf = spark.sparkContext.hadoopConfiguration
         val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
-        fs.delete(new org.apache.hadoop.fs.Path(p), true)
-        fs.rename(new org.apache.hadoop.fs.Path(p + "__staging"),
-          new org.apache.hadoop.fs.Path(p))
+        val live = new org.apache.hadoop.fs.Path(p)
+        val backup = new org.apache.hadoop.fs.Path(p + "__old")
+        val staging = new org.apache.hadoop.fs.Path(p + "__staging")
+        fs.delete(staging, true) // stale staging from a crashed write
+        df.write.mode("overwrite").parquet(p + "__staging")
+        fs.delete(backup, true)
+        if (fs.exists(live)) fs.rename(live, backup)
+        fs.rename(staging, live)
+        fs.delete(backup, true)
         mem = Some(spark.read.parquet(p))
       case None =>
         // Appends localCheckpoint (eager): materializes AND truncates
@@ -259,23 +286,41 @@ final class VectorStore(
     setData(row, append = !isEmpty)
   }
 
+  // trained-model caches for skip_build parity (reference keeps
+  // self.clf / self.regr on the instance, initialized to None — quirk
+  // Q2, VectorSearchBase.py:227-228,244 — and reuses them across calls;
+  // like the reference, set_data/reset do NOT invalidate them)
+  private var clfCache: Option[graft.ml.MlpResult] = None
+  private var regrCache: Option[graft.ml.MlpResult] = None
+
   /** Train an MLP classifier on stored vectors against a stored label
     * column (`MLP_Classifier`, `/root/reference/vsu/base/
     * VectorSearchBase.py:219-234`): stratified 75/25 split, holdout
-    * accuracy, predictions for ALL rows. */
+    * accuracy, predictions for ALL rows.
+    *
+    * @param skipBuild reuse the previously trained classifier when one
+    *                  exists (`skip_build` parity); first call always
+    *                  trains
+    */
   def mlpClassifier(yLabel: String, hidden: Seq[Int] = Seq(100),
-      maxIter: Int = 300): graft.ml.MlpResult = {
+      maxIter: Int = 300, skipBuild: Boolean = false): graft.ml.MlpResult = {
     require(!isEmpty, "store is empty")
-    graft.ml.MlpBridge.trainClassifier(
-      data.filter(col(yLabel).isNotNull), "vector", yLabel, hidden, maxIter)
+    if (!skipBuild || clfCache.isEmpty)
+      clfCache = Some(graft.ml.MlpBridge.trainClassifier(
+        data.filter(col(yLabel).isNotNull), "vector", yLabel, hidden, maxIter))
+    clfCache.get
   }
 
   /** Train a regressor on stored vectors (`MLP_Regressor` capability —
-    * GBT substitute, see MlpBridge M8 note). */
-  def mlpRegressor(yLabel: String, maxIter: Int = 50): graft.ml.MlpResult = {
+    * GBT substitute, see MlpBridge M8 note). `skipBuild` reuses the
+    * cached model as in [[mlpClassifier]]. */
+  def mlpRegressor(yLabel: String, maxIter: Int = 50,
+      skipBuild: Boolean = false): graft.ml.MlpResult = {
     require(!isEmpty, "store is empty")
-    graft.ml.MlpBridge.trainRegressor(
-      data.filter(col(yLabel).isNotNull), "vector", yLabel, maxIter)
+    if (!skipBuild || regrCache.isEmpty)
+      regrCache = Some(graft.ml.MlpBridge.trainRegressor(
+        data.filter(col(yLabel).isNotNull), "vector", yLabel, maxIter))
+    regrCache.get
   }
 
   /** k-NN by raw vector (`query` parity minus the embed step). Returns

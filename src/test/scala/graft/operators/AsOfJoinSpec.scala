@@ -55,6 +55,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(res.head.getString(3) == "a2" && res.head.getString(4) == "b2")
   }
 
+  test("null timestamps never match: null right ts is not an " +
+      "'earlier than everything' row, null left ts rows are dropped") {
+    import spark.implicits._
+    val right = Seq(
+      (Some("k"), Option.empty[Long], "poison", 1L),
+      (Some("k"), Some(5L), "real", 2L))
+      .map { case (k, ts, v, t) => (k.get, ts, v, t) }
+      .toDF("key", "rts", "v", "tid")
+    val left = Seq(("k", Some(3L), "before"), ("k", Some(9L), "after"),
+      ("k", Option.empty[Long], "null_ts"))
+      .toDF("key", "lts", "name")
+    val res = AsOfJoin.asOf(left, right, Seq("key"), "lts", "rts",
+      Seq("v"), rightTieCol = "tid").collect()
+    val byName = res.map(r => r.getString(2) -> Option(r.get(3))).toMap
+    // t=3 precedes the only real quote → no match (the null-ts right
+    // row must NOT back-fill it)
+    assert(byName("before").isEmpty)
+    assert(byName("after").contains("real"))
+    // the null-ts left row has no position on the time axis → dropped
+    assert(!byName.contains("null_ts") && res.length == 2)
+  }
+
   test("value-column collision with left is rejected") {
     intercept[IllegalArgumentException] {
       AsOfJoin.asOf(trades, quotes.withColumnRenamed("price", "trade"),

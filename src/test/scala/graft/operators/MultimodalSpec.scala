@@ -1,50 +1,106 @@
 package graft.operators
 
 import graft.SparkSpec
-import graft.functions.VectorFunctions._
 import graft.functions.HashEmbedder
 import graft.functions.Embed
 
+import java.awt.Color
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
 import java.nio.file.{Files, Paths}
+import javax.imageio.ImageIO
 
 class MultimodalSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
 
+  private def makeImage(w: Int, h: Int, seed: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      // deterministic two-tone gradient so resizes/embeddings differ per seed
+      g.setColor(new Color(seed * 37 % 255, seed * 91 % 255, seed * 53 % 255))
+      g.fillRect(0, 0, w, h)
+      g.setColor(Color.WHITE)
+      g.fillRect(0, 0, w / 2, h / 2)
+    } finally g.dispose()
+    img
+  }
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  // real image files written by JDK ImageIO: 2 PNGs + 1 JPEG + 1 corrupt
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft-bin")
-    // two fake PNGs (magic header + deterministic payload) + one jpeg
-    val png = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
-    val jpg = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
-    Files.write(Paths.get(d.toString, "a.png"),
-      png ++ Array.tabulate(256)(i => (i % 251).toByte))
-    Files.write(Paths.get(d.toString, "b.png"),
-      png ++ Array.tabulate(256)(i => ((i * 7) % 251).toByte))
-    Files.write(Paths.get(d.toString, "c.jpg"),
-      jpg ++ Array.tabulate(128)(i => (i % 17).toByte))
+    Files.write(Paths.get(d.toString, "a.png"), encode(makeImage(48, 32, 1), "png"))
+    Files.write(Paths.get(d.toString, "b.png"), encode(makeImage(64, 64, 2), "png"))
+    Files.write(Paths.get(d.toString, "c.jpg"), encode(makeImage(40, 20, 3), "jpg"))
+    // PNG magic + garbage: claims png, does not decode
+    val fakePng = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    Files.write(Paths.get(d.toString, "broken.png"),
+      fakePng ++ Array.tabulate(256)(i => (i % 251).toByte))
     d.toString
   }
 
   test("binaryFile source reads path/length/content (S10)") {
     val df = Multimodal.readBinaryDir(spark, dir, glob = "*.png")
-    assert(df.count() == 2)
+    assert(df.count() == 3)
     assert(df.columns.toSet ==
       Set("path", "modificationTime", "length", "content"))
-    assert(df.select("length").collect().map(_.getLong(0)).forall(_ == 264))
   }
 
-  test("stub image metadata is deterministic and format-aware") {
+  test("withImageMeta decodes real dimensions and channels via ImageIO") {
     val df = Multimodal.withImageMeta(
       Multimodal.readBinaryDir(spark, dir), "content")
     val metas = df.select(element_at(split(col("path"), "/"), -1).as("f"),
-        col("image_meta.format"), col("image_meta.width")).collect()
-      .map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
-    assert(metas("a.png")._1 == "png" && metas("c.jpg")._1 == "jpeg")
-    // deterministic: same run twice gives identical fake dims
-    val again = Multimodal.withImageMeta(
-      Multimodal.readBinaryDir(spark, dir), "content")
-      .select(col("image_meta.width")).collect().map(_.getInt(0)).sorted
-    assert(again.sameElements(
-      metas.values.map(_._2).toArray.sorted))
+        col("image_meta.*")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getInt(3))),
+          r.getString(4))).toMap
+    assert(metas("a.png") == (Some((48, 32, 3)), "png"))
+    assert(metas("b.png") == (Some((64, 64, 3)), "png"))
+    assert(metas("c.jpg") == (Some((40, 20, 3)), "jpeg"))
+    // corrupt payload: format from magic bytes, null dimensions
+    assert(metas("broken.png") == (None, "png"))
+  }
+
+  test("resizeImages resamples real pixels to the target dimensions") {
+    val df = Multimodal.resizeImages(
+      Multimodal.readBinaryDir(spark, dir), "content", 16, 12)
+    val out = df.select(element_at(split(col("path"), "/"), -1).as("f"),
+        col("resized")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Array[Byte]]))
+      .toMap
+    // decodable images come back as real 16x12 PNGs
+    for (f <- Seq("a.png", "b.png", "c.jpg")) {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(out(f).get))
+      assert(img.getWidth == 16 && img.getHeight == 12, s"$f dims")
+    }
+    // corrupt payload → null, not a crash
+    assert(out("broken.png").isEmpty)
+  }
+
+  test("ImageGridEmbedder pools real pixels; similar images are closer") {
+    val dim = 64
+    val e = ImageGridEmbedder(dim = dim)
+    val img1 = encode(makeImage(48, 32, 1), "png")
+    // same content re-encoded at a different size → similar grid
+    val img1big = encode(makeImage(96, 64, 1), "png")
+    val img2 = encode(makeImage(64, 64, 9), "png")
+    val Seq(v1, v1b, v2) = e.embedBytes(Seq(img1, img1big, img2))
+    assert(v1.length == dim)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(math.abs(cos(v1, v1) - 1.0) < 1e-5) // unit norm
+    assert(cos(v1, v1b) > 0.99, s"scale-invariant: ${cos(v1, v1b)}")
+    assert(cos(v1, v1b) > cos(v1, v2))
+    // non-image bytes take the hash fallback deterministically
+    val junk = Array.tabulate[Byte](100)(_.toByte)
+    val Seq(f1, f2) = e.embedBytes(Seq(junk, junk))
+    assert(f1.sameElements(f2))
   }
 
   test("binary embedding: deterministic, unit-norm, right dim") {
@@ -58,23 +114,15 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(n - 1.0) < 1e-5)
     }
     // distinct payloads → distinct vectors
-    assert(vecs.map(_.toSeq).distinct.length == 3)
-  }
-
-  test("resize stub: schema + deterministic payload, real plumbing") {
-    val df = Multimodal.resizeImages(
-      Multimodal.readBinaryDir(spark, dir), "content", 64, 64)
-    val lens = df.select(length(col("resized"))).collect().map(_.getInt(0))
-    assert(lens.forall(l => l >= 1 && l <= 16))
-    assert(df.columns.contains("resized"))
+    assert(vecs.map(_.toSeq).distinct.length == 4)
   }
 
   test("frame sampling explodes one row per sampled frame") {
     val df = Multimodal.sampleFrames(
-      Multimodal.readBinaryDir(spark, dir, "*.png"), "content",
+      Multimodal.readBinaryDir(spark, dir, "broken.png"), "content",
       everyNth = 1, frameSize = 64)
-    // 264-byte files → 4 frames each, 2 files
-    assert(df.count() == 8)
+    // 264-byte file → 4 frames
+    assert(df.count() == 4)
     val idx = df.select("frame_idx").distinct().collect()
       .map(_.getInt(0)).sorted
     assert(idx.sameElements(Array(0, 1, 2, 3)))
@@ -83,10 +131,10 @@ class MultimodalSpec extends SparkSpec {
 
   test("mixed text+binary table embeds and k-NNs end-to-end") {
     import spark.implicits._
-    val dim = 32
+    val dim = 64
     val binVecs = Multimodal.embedBinaryColumn(
       Multimodal.readBinaryDir(spark, dir), "content", "vector",
-      HashBinaryEmbedder(dim = dim))
+      ImageGridEmbedder(dim = dim))
       .select(col("path").as("target"), lit("image").as("modality"),
         col("vector"))
     val texts = Seq("spark vector search", "catalyst optimizer rules")
@@ -95,7 +143,7 @@ class MultimodalSpec extends SparkSpec {
       HashEmbedder(dim = dim, normalized = true), batchSize = 8)
       .select("target", "modality", "vector")
     val corpus = binVecs.unionByName(textVecs)
-    assert(corpus.count() == 5)
+    assert(corpus.count() == 6)
     // query with one of the image vectors: itself comes back first
     val q = binVecs.orderBy("target").select("vector")
       .head.getSeq[Float](0).toArray

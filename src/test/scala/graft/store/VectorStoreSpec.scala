@@ -148,4 +148,60 @@ class VectorStoreSpec extends SparkSpec {
     assert(reopened.data.count() == 3)
     assert(reopened.data.agg(max("id")).head.getLong(0) == 3L)
   }
+
+  test("durable persist survives a crash between backup and promote") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val p = s"$dir/db"
+    val store = new VectorStore(spark, HashEmbedder(dim = 8), path = Some(p))
+    store.setData(frame("a" -> "1", "b" -> "2"))
+    // simulate the crash window of the swap: live renamed to __old,
+    // staging never promoted (and left stale)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p),
+      new org.apache.hadoop.fs.Path(p + "__old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p + "__staging"))
+    val reopened = new VectorStore(spark, HashEmbedder(dim = 8),
+      path = Some(p))
+    // backup is restored, data intact
+    assert(reopened.data.count() == 2)
+    // and the stale staging dir is discarded (not renamed over live
+    // data) by the next write
+    reopened.setData(frame("z" -> "9"))
+    assert(reopened.data.count() == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "__staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "__old")))
+  }
+
+  test("non-string target is coerced to string (schema stays uniform)") {
+    import spark.implicits._
+    val store = freshStore()
+    store.setData(Seq((101, "x"), (7, "y")).toDF("target", "option1"))
+    store.setData(Seq((102, "z")).toDF("target", "option1"), append = true)
+    val targets = store.data.orderBy("id").collect().map(_.getString(1))
+    assert(store.data.schema("target").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(targets.toSet == Set("101", "7", "102"))
+  }
+
+  test("skipBuild reuses the trained model across calls (skip_build parity)") {
+    import spark.implicits._
+    val rows =
+      (0 until 30).map(i => (s"apple pie number $i", "fruit", s"${i % 7}")) ++
+        (0 until 30).map(i => (s"car engine number $i", "vehicle", s"${i % 5}"))
+    val store = new VectorStore(spark, HashEmbedder(dim = 16), batchSize = 32)
+    store.setData(rows.toDF("target", "option1", "option2"))
+    val first = store.mlpClassifier("option1", hidden = Seq(8), maxIter = 40)
+    // skipBuild=true returns the SAME cached result object — no refit
+    val second = store.mlpClassifier("option1", hidden = Seq(8), maxIter = 40,
+      skipBuild = true)
+    assert(second eq first)
+    // default (skipBuild=false) retrains: a fresh result instance
+    val third = store.mlpClassifier("option1", hidden = Seq(8), maxIter = 40)
+    assert(!(third eq first))
+    // regressor cache is independent and follows the same contract
+    val regFirst = store.mlpRegressor("option2", maxIter = 5)
+    assert(store.mlpRegressor("option2", maxIter = 5,
+      skipBuild = true) eq regFirst)
+  }
 }
