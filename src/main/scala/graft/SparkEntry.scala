@@ -368,7 +368,107 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-        .orderBy("hour_bucket", "event_type"))
+        .orderBy("hour_bucket", "event_type")),
+    // CSV ingest round-trip (S1/S2): parquet → header CSV on disk →
+    // CsvSource.read + renamed → typed projection. Driver-checks the
+    // CSV path end-to-end against the original parquet table.
+    "csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .coalesce(4).write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      val back = graft.sources.CsvSource.read(s, tmp)
+      graft.sources.CsvSource.renamed(back, Map(
+        "doc_id" -> "doc_id", "lang" -> "language", "n_chars" -> "n_chars"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("language"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // salted skew join equals the plain join it accelerates
+    "salted_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      graft.operators.SkewJoin.saltedEquiJoin(orders, cust, "o_custkey",
+        saltFactor = 4)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("c_nationkey")
+    }),
+    // durable (parquet-backed) store path: ingest → swap-persist →
+    // REOPEN from disk → k-NN; result must equal the in-memory store's
+    "store_durable_knn" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-db").toString
+      val in = storeBase(s, dir)
+        .select(col("text").as("target"), col("lang").as("option1"),
+          col("source").as("option2"), col("embedding").as("vector"))
+      val writer = new VectorStore(s, HashEmbedder(dim = 64),
+        path = Some(s"$tmp/db"))
+      writer.setData(in)
+      val reopened = new VectorStore(s, HashEmbedder(dim = 64),
+        path = Some(s"$tmp/db"))
+      val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      reopened.queryVectorWithInfo(q, k = 5)
+    }),
+    // Pearson correlation (A6) via exact decimal sums + one fixed
+    // double expression — order-independent, so cross-engine checkable
+    // (plain corr() drifts with accumulation order)
+    "pearson_corr" -> ((s, dir) => {
+      val sums = t(s, dir, "lineitem").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sx"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sy"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,4)"))
+          .cast("double").as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice"))
+          .cast("decimal(38,4)")).cast("double").as("syy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(38,4)"))
+          .cast("double").as("sxy"))
+      sums.select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .cast("decimal(18,12)").cast("double").as("pearson"))
+    }),
+    // corpus vocabulary with document frequencies (TextAnalysis)
+    "vocab_top" -> ((s, dir) =>
+      graft.operators.TextAnalysis.vocabulary(
+        t(s, dir, "documents"), "doc_id", "text", topN = 200)),
+    // connected components over the verified near-dup graph (custom
+    // hash family upstream → rows-only check; algorithm unit-tested)
+    "neardup_components" -> ((s, dir) => {
+      val pairs = Dedup.nearDupPairsMinHash(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.5)
+      Dedup.connectedComponents(pairs, "idA", "idB").orderBy("id")
+    }),
+    // multimodal pipeline: deterministic PNGs generated on the fly →
+    // binaryFile source → REAL ImageIO metadata decode (no backing
+    // table → rows-only check; decode correctness is unit-tested)
+    "image_pipeline" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-img")
+      (1 to 8).foreach { i =>
+        val img = new java.awt.image.BufferedImage(16 * i, 8 * i,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try {
+          g.setColor(new java.awt.Color(i * 20 % 256, i * 10, i * 5))
+          g.fillRect(0, 0, 16 * i, 8 * i)
+        } finally g.dispose()
+        javax.imageio.ImageIO.write(img, "png",
+          new java.io.File(tmp.toFile, s"img$i.png"))
+      }
+      graft.operators.Multimodal.withImageMeta(
+        graft.operators.Multimodal.readBinaryDir(s, tmp.toString, "*.png"),
+        "content")
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          col("image_meta.width"), col("image_meta.height"),
+          col("image_meta.channels"), col("image_meta.format"))
+        .orderBy("file")
+    })
   )
 
   // DuckDB twin of TextFunctions.tokens: lowercase, split on \s+, drop
@@ -556,6 +656,45 @@ object SparkEntry {
         |  COUNT(*) AS cnt,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+    "csv_roundtrip" ->
+      """SELECT doc_id, lang AS language, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "salted_join" ->
+      """SELECT c_nationkey, COUNT(*) AS cnt,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "store_durable_knn" ->
+      s"""WITH base AS (
+         |  SELECT d.text, d.lang, d.source, em.embedding FROM documents d
+         |  JOIN embeddings em ON d.doc_id = em.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY d.text ORDER BY d.doc_id) = 1)
+         |SELECT id, target, option1, option2, distance FROM (
+         |  SELECT row_number() OVER (ORDER BY e.text) AS id, e.text AS target,
+         |    e.lang AS option1, e.source AS option2, $sqDist AS distance
+         |  FROM base e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+         |ORDER BY distance, id LIMIT 5""".stripMargin,
+    // identical double expression over exact decimal sums on both
+    // engines → bit-equal result (corr() itself is order-sensitive)
+    "pearson_corr" ->
+      """WITH s AS (SELECT
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS syy,
+        |  CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM lineitem)
+        |SELECT CAST(CAST(CAST(
+        |  (n * sxy - sx * sy) /
+        |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |  AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS pearson
+        |FROM s""".stripMargin,
+    "vocab_top" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |d AS (SELECT DISTINCT doc_id, token FROM toks)
+         |SELECT token, COUNT(*) AS df FROM d
+         |GROUP BY token ORDER BY df DESC, token LIMIT 200""".stripMargin,
     "label_centroids" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS i,
         |  CAST(CAST(CAST(s / n AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS value
