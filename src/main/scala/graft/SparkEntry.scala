@@ -378,11 +378,35 @@ object SparkEntry {
         .coalesce(4).write.mode("overwrite")
         .option("header", "true").csv(tmp)
       val back = graft.sources.CsvSource.read(s, tmp)
-      graft.sources.CsvSource.renamed(back, Map(
+      val renamed = graft.sources.CsvSource.renamed(back, Map(
         "doc_id" -> "doc_id", "lang" -> "language", "n_chars" -> "n_chars"))
         .select(col("doc_id").cast("long").as("doc_id"), col("language"),
           col("n_chars").cast("long").as("n_chars"))
+      // S3: relative paths resolve against a base dir, absolute pass
+      graft.sources.CsvSource.resolvePaths(
+        renamed.withColumn("file",
+          when(col("doc_id") % 2 === 0, concat(col("doc_id"), lit(".txt")))
+            .otherwise(concat(lit("/abs/"), col("doc_id"), lit(".txt")))),
+        "file", "/base")
         .orderBy("doc_id")
+    }),
+    // bucketed layout: both sides written bucketBy(custkey) once, then
+    // joined WITHOUT a shuffle (the scale play: pay the exchange at
+    // layout time, amortize over every later join)
+    "bucketed_join" -> ((s, dir) => {
+      graft.operators.Bucketing.writeBucketed(
+        t(s, dir, "orders").select(col("o_custkey").as("custkey"),
+          col("o_totalprice")), "g_orders_b", "custkey", numBuckets = 8)
+      graft.operators.Bucketing.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+          col("c_nationkey")), "g_customer_b", "custkey", numBuckets = 8)
+      graft.operators.Bucketing.coLocatedJoin(s, "g_orders_b",
+        "g_customer_b", "custkey")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("c_nationkey")
     }),
     // salted skew join equals the plain join it accelerates
     "salted_join" -> ((s, dir) => {
@@ -657,8 +681,15 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
     "csv_roundtrip" ->
-      """SELECT doc_id, lang AS language, n_chars FROM documents
-        |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, lang AS language, n_chars,
+        |  CASE WHEN doc_id % 2 = 0 THEN '/base/' || doc_id || '.txt'
+        |       ELSE '/abs/' || doc_id || '.txt' END AS file
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "bucketed_join" ->
+      """SELECT c_nationkey, COUNT(*) AS cnt,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "salted_join" ->
       """SELECT c_nationkey, COUNT(*) AS cnt,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
