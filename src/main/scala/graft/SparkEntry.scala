@@ -462,6 +462,23 @@ object SparkEntry {
     "vocab_top" -> ((s, dir) =>
       graft.operators.TextAnalysis.vocabulary(
         t(s, dir, "documents"), "doc_id", "text", topN = 200)),
+    // text-cleaning pipeline (strip tags / redact PII+URLs / normalize
+    // whitespace); a noisy suffix is appended so every stage fires on
+    // every row
+    "clean_docs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextClean.clean(concat(col("text"),
+            lit(" contact: a.b@test.com https://ex.com/x?q=1 <b>hi</b>")))
+            .as("cleaned"))
+        .orderBy("doc_id")),
+    // gap-based sessionization (1h gap over epoch-nanos event time)
+    "sessionized_events" -> ((s, dir) =>
+      graft.operators.Sessionize.sessionize(
+        t(s, dir, "events").select("event_id", "user_id", "ts"),
+        Seq("user_id"), "ts", maxGap = 3600L * 1000000000L)
+        .select("event_id", "session_idx", "session_id")
+        .orderBy("event_id")),
     // connected components over the verified near-dup graph (custom
     // hash family upstream → rows-only check; algorithm unit-tested)
     "neardup_components" -> ((s, dir) => {
@@ -726,6 +743,32 @@ object SparkEntry {
          |d AS (SELECT DISTINCT doc_id, token FROM toks)
          |SELECT token, COUNT(*) AS df FROM d
          |GROUP BY token ORDER BY df DESC, token LIMIT 200""".stripMargin,
+    // same regex pipeline, same RE2 patterns, 'g' = replace-all
+    "clean_docs" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |  regexp_replace(
+        |  regexp_replace(
+        |  regexp_replace(
+        |  regexp_replace(text || ' contact: a.b@test.com https://ex.com/x?q=1 <b>hi</b>',
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'),
+        |    '<[^>]*>', ' ', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '\s+', ' ', 'g')) AS cleaned
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sessionized_events" ->
+      """SELECT event_id, session_idx,
+        |  CAST(user_id AS VARCHAR) || '#' || CAST(session_idx AS VARCHAR) AS session_id
+        |FROM (
+        |  SELECT event_id, user_id,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR tsn - prev <= 3600000000000
+        |                  THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY tsn
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM (SELECT event_id, user_id, epoch_ns(ts) AS tsn,
+        |          lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS prev
+        |        FROM events))
+        |ORDER BY event_id""".stripMargin,
     "label_centroids" ->
       """SELECT label, CAST(i - 1 AS BIGINT) AS i,
         |  CAST(CAST(CAST(s / n AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS value

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextCleanSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def cleanOne(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(TextClean.clean(col("t"))).head.getString(0)
+  }
+
+  test("strips tags, keeps token boundaries") {
+    assert(cleanOne("foo<br>bar <b>baz</b>") == "foo bar baz")
+  }
+
+  test("redacts emails and urls") {
+    assert(cleanOne("mail a.b+c@ex-ample.co.uk now") == "mail <EMAIL> now")
+    assert(cleanOne("see https://ex.com/x?q=1&y=2 and http://a.io") ==
+      "see <URL> and <URL>")
+  }
+
+  test("collapses whitespace and drops control chars") {
+    assert(cleanOne("a\u0000b\t c\n\n  d\u0007") == "ab c d")
+  }
+
+  test("null and empty pass through") {
+    import spark.implicits._
+    val out = Seq(Some(""), Option.empty[String]).toDF("t")
+      .select(TextClean.clean(col("t")).as("c")).collect()
+    assert(out(0).getString(0) == "")
+    assert(out(1).isNullAt(0))
+  }
+}
