@@ -360,6 +360,19 @@ object SparkEntry {
         .head.getSeq[Float](0).toArray
       idx.query(q, k = 5, nprobe = 4).select("vec_id", "distance")
     }),
+    // batch ANN join through the IVF index: every query row gets its
+    // approximate top-3 without broadcasting the query side (KMeans
+    // cells are partitioning-sensitive → rows-only; exactness at full
+    // probe is unit-tested against the brute-force join)
+    "ivf_batch_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val idx = graft.operators.IvfIndex.build(emb, "embedding", "vec_id",
+        nClusters = 16, maxIter = 8)
+      val qdf = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      idx.queryBatch(qdf, "query_id", "embedding", k = 3, nprobe = 4)
+        .orderBy("query_id", "distance", "vec_id")
+    }),
     // batch twin of the streaming tumbling-window agg (ts read as
     // epoch nanos via nanosAsLong)
     "events_hourly" -> ((s, dir) =>

@@ -93,6 +93,45 @@ object VectorOps {
     best
   }
 
+  /** Indexes of the `nprobe` nearest centroids, ascending by
+    * (distance, cell id) — the multi-probe twin of [[nearestCentroid]]
+    * for batch ANN joins. Selection is an insertion pass into a k-slot
+    * buffer (k = nprobe is small); ties keep the lower cell id because
+    * cells are scanned in id order and insertion is strict-less-than. */
+  def nearestCentroids(a: ArrayData, af: Boolean,
+      centroids: Array[Array[Float]], nprobe: Int): ArrayData = {
+    val k = math.min(nprobe, centroids.length)
+    val bestIdx = new Array[Int](k)
+    val bestD = new Array[Double](k)
+    java.util.Arrays.fill(bestD, Double.MaxValue)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = a.numElements()
+      if (n != cent.length) {
+        throw new IllegalArgumentException(
+          s"vector length mismatch: $n vs centroid dim ${cent.length}")
+      }
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = get(a, i, af) - cent(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestD(k - 1)) {
+        var j = k - 1
+        while (j > 0 && acc < bestD(j - 1)) {
+          bestD(j) = bestD(j - 1); bestIdx(j) = bestIdx(j - 1); j -= 1
+        }
+        bestD(j) = acc
+        bestIdx(j) = c
+      }
+      c += 1
+    }
+    new GenericArrayData(bestIdx)
+  }
+
   /** Driver-side squared L2 for plain float arrays (centroid ranking). */
   def squaredL2Floats(a: Array[Float], b: Array[Float]): Double = {
     require(a.length == b.length,
@@ -211,6 +250,27 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
       a => s"graft.functions.VectorOps.nearestCentroid($a, $childIsFloat, $ref)")
   }
   override def prettyName: String = "nearest_centroid"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** nearest_centroids(v, nprobe): array<int> — the nprobe nearest cell
+  * ids, closest first (multi-probe IVF batch queries). Same
+  * reference-object embedding as [[NearestCentroid]]. */
+case class NearestCentroids(child: Expression,
+    centroids: Array[Array[Float]], nprobe: Int)
+    extends UnaryFloatVectorExpression {
+  require(centroids.nonEmpty, "centroid matrix must be non-empty")
+  require(nprobe >= 1, "nprobe must be >= 1")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.nearestCentroids(a.asInstanceOf[ArrayData], childIsFloat,
+      centroids, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorOps.nearestCentroids($a, $childIsFloat, $ref, $nprobe)")
+  }
+  override def prettyName: String = "nearest_centroids"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

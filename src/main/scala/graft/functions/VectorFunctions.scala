@@ -25,6 +25,12 @@ object VectorFunctions {
   def nearest_centroid(a: Column, centroids: Array[Array[Float]]): Column =
     column(NearestCentroid(expression(a), centroids))
 
+  /** Multi-probe IVF: the nprobe nearest cell ids, closest first (see
+    * [[NearestCentroids]]). */
+  def nearest_centroids(a: Column, centroids: Array[Array[Float]],
+      nprobe: Int): Column =
+    column(NearestCentroids(expression(a), centroids, nprobe))
+
   /** Element-wise vector sum aggregate (partial-aggregation friendly —
     * see [[VectorSumAgg]]). */
   def vec_sum(a: Column): Column =

@@ -47,6 +47,41 @@ final class IvfIndex(
       vecCol, idCol, q, k)
   }
 
+  /** Batch ANN join: approximate top-k corpus neighbors for EVERY row
+    * of a query DataFrame — the scale path when the query side is too
+    * big for [[Similarity.topKJoin]]'s broadcast (millions of queries ×
+    * billions of corpus rows). No broadcast, no all-pairs: each query
+    * expands to its `nprobe` nearest cells (one codegen'd
+    * multi-probe kernel — the centroid matrix is the only driver-side
+    * state), candidates meet in a hash join keyed by cell id, exact
+    * distances run inside probed cells only, and a rank-limit window
+    * (WindowGroupLimit pushes the top-k below the shuffle) keeps k per
+    * query. Hot cells skew the join the same way hot keys skew any
+    * join — AQE skew splitting applies.
+    *
+    * Returns (queryIdCol, idCol, distance), ascending per query. */
+  def queryBatch(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nClusters,
+      s"nprobe must be in [1, $nClusters]")
+    require(queryIdCol != idCol,
+      s"query id column '$queryIdCol' must differ from corpus id '$idCol'")
+    import graft.functions.VectorFunctions.{nearest_centroids, squared_l2}
+    import org.apache.spark.sql.expressions.Window
+    val probes = queries
+      .select(col(queryIdCol).as("__qid"), col(queryVecCol).as("__qv"))
+      .select(col("__qid"), col("__qv"),
+        explode(nearest_centroids(col("__qv"), centroids, nprobe))
+          .as(IvfIndex.ClusterCol))
+    val w = Window.partitionBy("__qid")
+      .orderBy(col("distance").asc, col(idCol).asc)
+    probes.join(assigned, Seq(IvfIndex.ClusterCol))
+      .withColumn("distance", squared_l2(col("__qv"), col(vecCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(queryIdCol), col(idCol), col("distance"))
+  }
+
   /** Persist partitioned by cluster: downstream reads of a probed
     * query prune to nprobe directories (`PartitionFilters` in the
     * scan). */

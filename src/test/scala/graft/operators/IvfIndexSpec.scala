@@ -47,6 +47,38 @@ class IvfIndexSpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall@10 $mean over ${recalls.size} queries")
   }
 
+  test("queryBatch with full probe matches the brute-force batch join") {
+    val qdf = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = index.queryBatch(qdf, "query_id", "embedding", k = 5,
+      nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3, t._2))
+    val want = Similarity.topKJoin(emb, qdf, k = 5,
+      corpusIdCol = "vec_id", corpusVecCol = "embedding",
+      queryIdCol = "query_id", queryVecCol = "embedding")
+      .select("query_id", "vec_id", "distance")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3, t._2))
+    assert(got.sameElements(want))
+  }
+
+  test("queryBatch multi-probe keeps high recall without broadcast") {
+    val qdf = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val approx = index.queryBatch(qdf, "query_id", "embedding", k = 10,
+      nprobe = 4)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = queries.zipWithIndex.map { case (q, i) =>
+      val exact = bruteTop(q, 10).toSet
+      (approx.getOrElse(i.toLong, Set.empty) intersect exact).size.toDouble /
+        exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@10 $mean over ${recalls.size} queries")
+  }
+
   test("partitioned write prunes probed cells at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     index.writePartitioned(s"$dir/ivf")
