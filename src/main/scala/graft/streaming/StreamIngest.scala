@@ -75,4 +75,77 @@ object StreamIngest {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLength), col(keyCol))
       .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total"))
+
+  /** Streaming gap-based sessionization — the unbounded twin of
+    * [[graft.operators.Sessionize]]: per key, events within `maxGapMs`
+    * of the running session's end extend it; a session is EMITTED when
+    * the event-time watermark passes `end + maxGapMs` (event-time
+    * timeout) or when a later batch opens a new session past the gap.
+    * Output rows: (key, session_start, session_end, n_events) as epoch
+    * millis — append mode, one row per closed session; state per key
+    * is three longs, dropped at close.
+    *
+    * Batch simplification (documented): events of one key arriving in
+    * one trigger merge into a single span — sub-batch gaps don't split
+    * within the trigger. At micro-batch cadence ≪ gap this is the
+    * standard behavior.
+    *
+    * @param tsCol TimestampType event-time column; the caller's
+    *              watermark delay bounds late data as usual
+    */
+  def streamingSessions(stream: DataFrame, keyCol: String, tsCol: String,
+      maxGapMs: Long, watermark: String = "10 minutes"): DataFrame = {
+    require(maxGapMs > 0, "maxGapMs must be positive")
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    // the event-time column must survive to the grouped Dataset as a
+    // TIMESTAMP for EventTimeTimeout to see the watermark — millis
+    // conversion happens inside the state function instead
+    implicit val inEnc: Encoder[(String, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP)
+    implicit val stEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc: Encoder[(String, Long, Long, Long)] = Encoders.tuple(
+      Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong)
+    val prepared = stream
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string"), col(tsCol))
+      .as[(String, java.sql.Timestamp)]
+    val sessions = prepared.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (String, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+            state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s, e, n) = state.get
+            state.remove()
+            Iterator.single((key, s, e, n))
+          } else {
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var cnt = 0L
+            rows.foreach { case (_, t) =>
+              val ts = t.getTime
+              if (ts < mn) mn = ts
+              if (ts > mx) mx = ts
+              cnt += 1
+            }
+            val closed = state.getOption match {
+              case Some((s, e, n)) if mn - e <= maxGapMs =>
+                state.update((math.min(s, mn), math.max(e, mx), n + cnt))
+                Iterator.empty
+              case Some((s, e, n)) => // batch starts past the gap
+                state.update((mn, mx, cnt))
+                Iterator.single((key, s, e, n))
+              case None =>
+                state.update((mn, mx, cnt))
+                Iterator.empty
+            }
+            state.setTimeoutTimestamp(state.get._2 + maxGapMs)
+            closed
+          }
+      }
+    sessions.toDF(keyCol, "session_start", "session_end", "n_events")
+  }
 }

@@ -51,6 +51,43 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSessions: gap closes a session, watermark flushes the last") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val sessions = StreamIngest.streamingSessions(
+      source.toDF().toDF("ts", "user"), "user", "ts",
+      maxGapMs = 10 * 60 * 1000L, watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_out").outputMode("append").start()
+    try {
+      // session 1: two events 5 min apart
+      source.addData(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), "u1"),
+        (Timestamp.valueOf("2026-01-01 10:05:00"), "u1"))
+      q.processAllAvailable()
+      // 30 min later (> gap): closes session 1, opens session 2; also
+      // advances the watermark past session 1's timeout
+      source.addData((Timestamp.valueOf("2026-01-01 10:35:00"), "u1"))
+      q.processAllAvailable()
+      // push the watermark far ahead so session 2 times out too
+      source.addData((Timestamp.valueOf("2026-01-01 12:00:00"), "u2"))
+      q.processAllAvailable()
+      source.addData((Timestamp.valueOf("2026-01-01 14:00:00"), "u2"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user, session_start, session_end, n_events
+          |FROM sess_out ORDER BY session_start""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      def ms(s: String): Long = Timestamp.valueOf(s).getTime
+      assert(rows.length >= 2)
+      assert(rows(0) == ("u1", ms("2026-01-01 10:00:00"),
+        ms("2026-01-01 10:05:00"), 2L))
+      assert(rows(1) == ("u1", ms("2026-01-01 10:35:00"),
+        ms("2026-01-01 10:35:00"), 1L))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
