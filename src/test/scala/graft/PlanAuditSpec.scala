@@ -1,0 +1,63 @@
+package graft
+
+/** Automated scale audit over EVERY registered query's physical plan —
+  * the regression gate behind the ".explain and iterate" rule: a
+  * future edit that sneaks in an unbounded cartesian product, loses a
+  * pushed filter, or drops the top-k plan shape fails here, not at
+  * 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // topKJoin deliberately crossJoins a BROADCAST query side (bounded,
+  // documented at Similarity.topKJoin); it plans as
+  // BroadcastNestedLoopJoin, never a shuffled CartesianProduct
+  private val broadcastNljAllowed = Set("knn_batch_join")
+
+  private def planOf(name: String): String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+  }
+
+  test("no query plans an unbounded cartesian product") {
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a shuffled cartesian product:\n$plan")
+      if (!broadcastNljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
+  test("single-query k-NN stays TakeOrderedAndProject over a pruned scan") {
+    for (name <- Seq("knn_top5", "cosine_top5")) {
+      val plan = planOf(name)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name lost the top-k plan:\n$plan")
+      // no shuffle of the corpus, and the scan reads only (id, vector)
+      assert(!plan.contains("Exchange"), s"$name shuffles the corpus:\n$plan")
+      assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+        s"$name reads more than it needs:\n$plan")
+    }
+  }
+
+  test("dimension joins broadcast the small side") {
+    val plan = planOf("q2_join_agg")
+    assert(plan.contains("BroadcastHashJoin"), s"q2 lost its broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"q2 shuffles a dimension:\n$plan")
+  }
+
+  test("batch top-k join ranks via WindowGroupLimit, not a full sort") {
+    val plan = planOf("knn_batch_join")
+    assert(plan.contains("WindowGroupLimit"),
+      s"knn_batch_join lost the group-limit pushdown:\n$plan")
+  }
+
+  test("projection-only queries prune the parquet scan to read columns") {
+    val plan = planOf("token_counts")
+    // documents has (doc_id, text, lang, source, n_chars); only two
+    // must be read
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"token_counts reads more than it projects:\n$plan")
+  }
+}
