@@ -215,8 +215,9 @@ object SparkEntry {
           array_max(col("zeroshot_scores")).as("best_score"))
         .orderBy("vec_id")
     }),
-    // softmax variant: exp() is not bit-identical across libm
-    // implementations, so no value oracle — rows-only check + unit tests
+    // softmax variant: the argmax prediction is exp-free and exact;
+    // the probability is rounded to 6 decimals on both sides because
+    // exp() and 4-term sum order drift by ulps across libms/engines
     "zeroshot_softmax" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val labels = emb.filter(col("vec_id") < 4)
@@ -226,7 +227,8 @@ object SparkEntry {
         emb.select("vec_id", "embedding"), "embedding", labels,
         normalizeData = true)
         .select(col("vec_id"), col("zeroshot_pred").as("pred"),
-          array_max(col("zeroshot_probs")).as("best_prob"))
+          array_max(col("zeroshot_probs"))
+            .cast("decimal(18,6)").cast("double").as("best_prob"))
         .orderBy("vec_id")
     }),
 
@@ -643,6 +645,29 @@ object SparkEntry {
          |  SELECT vec_id, CAST(label_id AS VARCHAR) AS pred, score AS best_score,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label_id) AS rn
          |  FROM scored) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // softmax twin: scores as in zeroshot_cosine; best_prob =
+    // exp(0)/Σexp(score−max) = 1/denom, rounded to 6 decimals
+    "zeroshot_softmax" ->
+      s"""WITH nrm AS (
+         |  SELECT vec_id, CASE WHEN n = 0 THEN embedding
+         |    ELSE list_transform(embedding, x ->
+         |      CAST(CAST(x AS DOUBLE) * (1.0 / n) AS FLOAT)) END AS nv
+         |  FROM (SELECT vec_id, embedding, ${normOf("embedding")} AS n FROM embeddings)),
+         |scored AS (
+         |  SELECT e.vec_id, l.vec_id AS label_id,
+         |    list_sum(list_transform(range(1, len(e.nv) + 1), i ->
+         |      CAST(e.nv[i] AS DOUBLE) * CAST(l.nv[i] AS DOUBLE))) * 100.0 AS score
+         |  FROM nrm e, (SELECT vec_id, nv FROM nrm WHERE vec_id < 4) l),
+         |mx AS (SELECT vec_id, MAX(score) AS m FROM scored GROUP BY vec_id),
+         |den AS (SELECT s.vec_id, SUM(exp(s.score - mx.m)) AS denom
+         |        FROM scored s JOIN mx USING (vec_id) GROUP BY s.vec_id),
+         |prd AS (SELECT vec_id, pred FROM (
+         |  SELECT vec_id, CAST(label_id AS VARCHAR) AS pred,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label_id) AS rn
+         |  FROM scored) WHERE rn = 1)
+         |SELECT prd.vec_id, prd.pred,
+         |  CAST(CAST(CAST(1.0 / den.denom AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS best_prob
+         |FROM prd JOIN den USING (vec_id) ORDER BY vec_id""".stripMargin,
     "exact_dedup" ->
       s"""SELECT doc_id, key FROM (
          |  SELECT doc_id, key, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
