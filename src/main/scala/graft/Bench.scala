@@ -32,7 +32,14 @@ object Bench {
             Left(e.getClass.getSimpleName)
         }
       }
-      val best = once().flatMap(t1 => once().map(t2 => math.min(t1, t2)))
+      // two independent runs; any success counts (a transient failure
+      // on one run must neither discard the other run's valid timing
+      // nor skip the retry)
+      val results = Seq(once(), once())
+      val successes = results.collect { case Right(t) => t }
+      val best: Either[String, Double] =
+        if (successes.nonEmpty) Right(successes.min)
+        else results.head
       (name, best)
     }
     val ok = runs.collect { case (n, Right(sec)) => n -> sec }

@@ -735,8 +735,11 @@ object SparkEntry {
         |  COUNT(*) AS cnt,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+    // nullif: CSV cannot represent empty-string vs NULL (Spark reads
+    // empty fields back as null), so the documented round-trip contract
+    // maps '' to NULL and the oracle does the same
     "csv_roundtrip" ->
-      """SELECT doc_id, lang AS language, n_chars,
+      """SELECT doc_id, nullif(lang, '') AS language, n_chars,
         |  CASE WHEN doc_id % 2 = 0 THEN '/base/' || doc_id || '.txt'
         |       ELSE '/abs/' || doc_id || '.txt' END AS file
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -198,6 +198,13 @@ object Dedup {
       e = next
       it += 1
     }
+    // returning from a non-star state would emit CONFLICTING component
+    // labels for the same node — fail loud instead (star contraction
+    // converges in O(log n) rounds, so maxRounds=20 covers ~2^20-round
+    // pathologies already; raise it rather than trusting bad labels)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds; " +
+        "raise maxRounds")
     // stable state: every edge is (root, member) with root = min id
     e.select(col("v").as("id"), col("u").as("component"))
       .union(e.select(col("u").as("id"), col("u").as("component")))

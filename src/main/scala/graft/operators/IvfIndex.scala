@@ -66,6 +66,11 @@ final class IvfIndex(
       s"nprobe must be in [1, $nClusters]")
     require(queryIdCol != idCol,
       s"query id column '$queryIdCol' must differ from corpus id '$idCol'")
+    // the join/window below introduce these names; a corpus column with
+    // the same name would be ambiguous or silently clobbered
+    for (reserved <- Seq("__qid", "__qv", "__rn", "distance"))
+      require(!assigned.columns.contains(reserved),
+        s"corpus frame must not contain a column named '$reserved'")
     import graft.functions.VectorFunctions.{nearest_centroids, squared_l2}
     import org.apache.spark.sql.expressions.Window
     val probes = queries

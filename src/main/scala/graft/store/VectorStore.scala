@@ -220,7 +220,10 @@ final class VectorStore(
     }
   }
 
-  /** Drop everything (`reset_db`, `VectorSearchBase.py:96-99`). */
+  /** Drop everything (`reset_db`, `VectorSearchBase.py:96-99`). Also
+    * removes any crash backup/staging dirs — otherwise a leftover
+    * `__old` would silently resurrect the deleted store through
+    * [[recoverIfInterrupted]] on the next open. */
   def reset(): Unit = {
     mem.foreach(_.unpersist())
     mem = None
@@ -228,6 +231,8 @@ final class VectorStore(
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
       fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      fs.delete(new org.apache.hadoop.fs.Path(p + "__old"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(p + "__staging"), true)
     }
     mem = Some(emptyData)
   }
@@ -289,9 +294,13 @@ final class VectorStore(
   // trained-model caches for skip_build parity (reference keeps
   // self.clf / self.regr on the instance, initialized to None — quirk
   // Q2, VectorSearchBase.py:227-228,244 — and reuses them across calls;
-  // like the reference, set_data/reset do NOT invalidate them)
-  private var clfCache: Option[graft.ml.MlpResult] = None
-  private var regrCache: Option[graft.ml.MlpResult] = None
+  // like the reference, set_data/reset do NOT invalidate them).
+  // Divergence from the reference, deliberately: the cache remembers
+  // the training arguments, so skipBuild NEVER hands back a model
+  // trained on a different label column / hyperparameters — it retrains
+  // instead (the reference would silently reuse the stale model).
+  private var clfCache: Option[(Seq[Any], graft.ml.MlpResult)] = None
+  private var regrCache: Option[(Seq[Any], graft.ml.MlpResult)] = None
 
   /** Train an MLP classifier on stored vectors against a stored label
     * column (`MLP_Classifier`, `/root/reference/vsu/base/
@@ -299,16 +308,18 @@ final class VectorStore(
     * accuracy, predictions for ALL rows.
     *
     * @param skipBuild reuse the previously trained classifier when one
-    *                  exists (`skip_build` parity); first call always
-    *                  trains
+    *                  was built WITH THE SAME arguments (`skip_build`
+    *                  parity); first or differently-parameterized calls
+    *                  always train
     */
   def mlpClassifier(yLabel: String, hidden: Seq[Int] = Seq(100),
       maxIter: Int = 300, skipBuild: Boolean = false): graft.ml.MlpResult = {
     require(!isEmpty, "store is empty")
-    if (!skipBuild || clfCache.isEmpty)
-      clfCache = Some(graft.ml.MlpBridge.trainClassifier(
+    val args = Seq[Any](yLabel, hidden, maxIter)
+    if (!skipBuild || !clfCache.exists(_._1 == args))
+      clfCache = Some(args -> graft.ml.MlpBridge.trainClassifier(
         data.filter(col(yLabel).isNotNull), "vector", yLabel, hidden, maxIter))
-    clfCache.get
+    clfCache.get._2
   }
 
   /** Train a regressor on stored vectors (`MLP_Regressor` capability —
@@ -317,10 +328,11 @@ final class VectorStore(
   def mlpRegressor(yLabel: String, maxIter: Int = 50,
       skipBuild: Boolean = false): graft.ml.MlpResult = {
     require(!isEmpty, "store is empty")
-    if (!skipBuild || regrCache.isEmpty)
-      regrCache = Some(graft.ml.MlpBridge.trainRegressor(
+    val args = Seq[Any](yLabel, maxIter)
+    if (!skipBuild || !regrCache.exists(_._1 == args))
+      regrCache = Some(args -> graft.ml.MlpBridge.trainRegressor(
         data.filter(col(yLabel).isNotNull), "vector", yLabel, maxIter))
-    regrCache.get
+    regrCache.get._2
   }
 
   /** k-NN by raw vector (`query` parity minus the embed step). Returns

@@ -132,9 +132,17 @@ object StreamIngest {
               cnt += 1
             }
             val closed = state.getOption match {
-              case Some((s, e, n)) if mn - e <= maxGapMs =>
+              // merge only when the batch span is within the gap of the
+              // stored session ON EITHER SIDE — a late batch that ends
+              // more than a gap BEFORE the session start must not merge
+              // (mn - e <= gap alone is vacuously true for late data)
+              case Some((s, e, n)) if mn <= e + maxGapMs && mx >= s - maxGapMs =>
                 state.update((math.min(s, mn), math.max(e, mx), n + cnt))
                 Iterator.empty
+              case Some((s, e, n)) if mx < s - maxGapMs =>
+                // late batch entirely before the open session: emit it
+                // as its own (already-past) session, keep the open one
+                Iterator.single((key, mn, mx, cnt))
               case Some((s, e, n)) => // batch starts past the gap
                 state.update((mn, mx, cnt))
                 Iterator.single((key, s, e, n))

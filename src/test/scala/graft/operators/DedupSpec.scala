@@ -156,6 +156,14 @@ class DedupSpec extends SparkSpec {
     assert(comp.forall(_._2 == 0L))
   }
 
+  test("connectedComponents fails loud instead of returning unconverged labels") {
+    import spark.implicits._
+    val edges = (0 until 64).map(i => (i.toLong, i + 1L)).toDF("idA", "idB")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, "idA", "idB", maxRounds = 1)
+    }
+  }
+
   test("cosine LSH band amplification keeps recall at the threshold") {
     import spark.implicits._
     val rnd = new Random(5)

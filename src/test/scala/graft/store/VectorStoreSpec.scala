@@ -173,6 +173,22 @@ class VectorStoreSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "__old")))
   }
 
+  test("reset clears crash backups so deleted data cannot resurrect") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val p = s"$dir/db"
+    val store = new VectorStore(spark, HashEmbedder(dim = 8), path = Some(p))
+    store.setData(frame("a" -> "1"))
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the mid-swap crash, then reset the (recovered) store
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p),
+      new org.apache.hadoop.fs.Path(p + "__old")))
+    store.reset()
+    val reopened = new VectorStore(spark, HashEmbedder(dim = 8),
+      path = Some(p))
+    assert(reopened.data.count() == 0, "reset store resurrected from __old")
+  }
+
   test("non-string target is coerced to string (schema stays uniform)") {
     import spark.implicits._
     val store = freshStore()
@@ -203,5 +219,10 @@ class VectorStoreSpec extends SparkSpec {
     val regFirst = store.mlpRegressor("option2", maxIter = 5)
     assert(store.mlpRegressor("option2", maxIter = 5,
       skipBuild = true) eq regFirst)
+    // skipBuild with DIFFERENT arguments must retrain, never hand back
+    // a model trained on another label column
+    val otherLabel = store.mlpClassifier("option2", hidden = Seq(8),
+      maxIter = 40, skipBuild = true)
+    assert(!(otherLabel eq third))
   }
 }

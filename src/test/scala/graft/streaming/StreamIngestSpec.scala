@@ -88,6 +88,34 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSessions: a late batch beyond the gap does not merge " +
+      "into the open session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val sessions = StreamIngest.streamingSessions(
+      source.toDF().toDF("ts", "user"), "user", "ts",
+      maxGapMs = 60 * 1000L, watermark = "30 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_late").outputMode("append").start()
+    try {
+      source.addData((Timestamp.valueOf("2026-01-01 10:00:00"), "u1"),
+        (Timestamp.valueOf("2026-01-01 10:00:30"), "u1"))
+      q.processAllAvailable()
+      // 10 min EARLIER than the open session (gap is 1 min) but inside
+      // the 30-min watermark: must come out as its own session, not
+      // stretch the open one back to 09:50
+      source.addData((Timestamp.valueOf("2026-01-01 09:50:00"), "u1"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT session_start, session_end, n_events FROM sess_late")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      def ms(s: String): Long = Timestamp.valueOf(s).getTime
+      assert(rows.toSeq == Seq(
+        (ms("2026-01-01 09:50:00"), ms("2026-01-01 09:50:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
