@@ -104,6 +104,38 @@ object DriveSmoke {
     val bruteTop = Similarity.topK(emb.select($"vec_id", $"embedding"),
       "embedding", "vec_id", q.toArray, 5).collect().map(_.getLong(0)).toSeq
     println(s"IVF_EXACT_MATCH=${ivfTop == bruteTop}")
+
+    // batch ANN join through the index (no broadcast of the query side)
+    val qdf = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    println("IVF_BATCH_ROWS=" + ivf.queryBatch(qdf, "query_id", "embedding",
+      k = 3, nprobe = 8).count())
+
+    // text cleaning + sessionization over real tables
+    import graft.operators.{Sessionize, TextClean}
+    println("CLEANED_NONEMPTY=" + docs
+      .select(TextClean.clean($"text").as("c"))
+      .filter(length($"c") > 0).count())
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "user_id", "ts")
+    val sess = Sessionize.sessionStats(events, Seq("user_id"), "ts",
+      maxGap = 3600L * 1000000000L)
+    println("SESSIONS=" + sess.count())
+    sess.orderBy(desc("n_events")).limit(3).show(false)
+
+    // bucketed co-located join: layout once, join Exchange-free
+    import graft.operators.Bucketing
+    Bucketing.writeBucketed(events.select($"user_id", $"event_id"),
+      "drive_ev_b", "user_id", numBuckets = 4)
+    Bucketing.writeBucketed(events.select($"user_id").distinct(),
+      "drive_us_b", "user_id", numBuckets = 4)
+    val coloc = Bucketing.coLocatedJoin(spark, "drive_ev_b", "drive_us_b",
+      "user_id")
+    println("COLOCATED_ROWS=" + coloc.count())
+    coloc.explain("formatted")
+    spark.sql("DROP TABLE IF EXISTS drive_ev_b")
+    spark.sql("DROP TABLE IF EXISTS drive_us_b")
     spark.stop()
   }
 }
