@@ -48,6 +48,17 @@ object Probe {
       a.join(bb, Seq("b", "bh")).filter(col("idA") < col("idB")).count()
     }
     println(s"candidate band-pairs: $cand")
+
+    // connected components at scale: 100k-edge graph of 10k-node chains
+    // (worst case for label propagation, fine for star contraction)
+    import spark.implicits._
+    val chains = spark.range(100000)
+      .select(col("id").as("idA"), (col("id") + 1).as("idB"))
+      .filter((col("id") + 1) % 10000 =!= 0)
+    time("CC 100k-edge chains") {
+      val comp = Dedup.connectedComponents(chains.toDF(), "idA", "idB")
+      println("components: " + comp.select("component").distinct().count())
+    }
     spark.stop()
   }
 }
