@@ -494,6 +494,15 @@ object SparkEntry {
         Seq("user_id"), "ts", maxGap = 3600L * 1000000000L)
         .select("event_id", "session_idx", "session_id")
         .orderBy("event_id")),
+    // exact distributed quantiles (rank window + bounds join — no
+    // collect_list); interpolation is one fixed double expression so
+    // both engines compute bit-identical values pre-rounding
+    "value_quantiles" -> ((s, dir) =>
+      graft.operators.Quantiles.exact(t(s, dir, "events"),
+        Seq("event_type"), "value", Seq(0.25, 0.5, 0.9))
+        .withColumn("quantile",
+          col("quantile").cast("decimal(18,9)").cast("double"))
+        .orderBy("event_type", "p")),
     // connected components over the verified near-dup graph (custom
     // hash family upstream → rows-only check; algorithm unit-tested)
     "neardup_components" -> ((s, dir) => {
@@ -797,6 +806,29 @@ object SparkEntry {
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '\s+', ' ', 'g')) AS cleaned
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // type-7 interpolation with the same double expression order as
+    // Quantiles.exact; p forced to DOUBLE up front (a DECIMAL literal
+    // would switch the rank arithmetic to decimal math)
+    "value_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE)) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |counts AS (SELECT event_type, COUNT(*) AS n FROM events
+        |           WHERE value IS NOT NULL GROUP BY event_type),
+        |bounds AS (
+        |  SELECT event_type, p,
+        |    CAST(floor(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) + 1 AS lo,
+        |    least(CAST(ceil(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) + 1, n) AS hi,
+        |    CAST(n - 1 AS DOUBLE) * p - floor(CAST(n - 1 AS DOUBLE) * p) AS g
+        |  FROM counts, (SELECT CAST(p AS DOUBLE) AS p
+        |                FROM (VALUES (0.25), (0.5), (0.9)) t(p)) ps)
+        |SELECT b.event_type, b.p,
+        |  CAST(CAST(CAST((1.0 - b.g) * l.v + b.g * h.v AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS quantile
+        |FROM bounds b
+        |JOIN ranked l ON b.event_type = l.event_type AND l.rn = b.lo
+        |JOIN ranked h ON b.event_type = h.event_type AND h.rn = b.hi
+        |ORDER BY b.event_type, b.p""".stripMargin,
     "sessionized_events" ->
       """SELECT event_id, session_idx,
         |  CAST(user_id AS VARCHAR) || '#' || CAST(session_idx AS VARCHAR) AS session_id
