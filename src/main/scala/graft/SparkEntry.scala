@@ -494,6 +494,10 @@ object SparkEntry {
         Seq("user_id"), "ts", maxGap = 3600L * 1000000000L)
         .select("event_id", "session_idx", "session_id")
         .orderBy("event_id")),
+    // column-profiling summary (one agg pass; exact distincts)
+    "profile_docs" -> ((s, dir) =>
+      graft.operators.Profile.summarize(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars")).orderBy("column")),
     // exact distributed quantiles (rank window + bounds join — no
     // collect_list); interpolation is one fixed double expression so
     // both engines compute bit-identical values pre-rounding
@@ -806,6 +810,21 @@ object SparkEntry {
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '\s+', ' ', 'g')) AS cleaned
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "profile_docs" ->
+      """SELECT c AS column, n_rows, n_nulls, n_distinct FROM (
+        |  SELECT 'doc_id' AS c, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(doc_id) AS n_nulls,
+        |    COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+        |    COUNT(DISTINCT lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+        |    COUNT(DISTINCT n_chars) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+        |    COUNT(DISTINCT source) FROM documents)
+        |ORDER BY c""".stripMargin,
     // type-7 interpolation with the same double expression order as
     // Quantiles.exact; p forced to DOUBLE up front (a DECIMAL literal
     // would switch the rank arithmetic to decimal math)

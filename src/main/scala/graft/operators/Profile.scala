@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Column-profiling summary for pipeline hygiene checks (row counts,
+  * null counts, exact distinct cardinalities) — the "is this ingest
+  * sane" primitive run before/after every large transform.
+  *
+  * Scale shape: ONE aggregation pass over the data computing all
+  * metrics together (count/conditional-count partial-aggregate;
+  * Catalyst plans the multi-distinct via expand). Only the
+  * |cols|-sized metric row reaches the driver; the pivot to one row
+  * per column happens on that constant-size result. Use
+  * `approx_count_distinct` instead when 2% error is acceptable and the
+  * expand cost is not.
+  */
+object Profile {
+
+  /** Per-column (column, n_rows, n_nulls, n_distinct), one row per
+    * profiled column, ordered by column name. */
+  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: $missing")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head
+    val n = r.getLong(0)
+    val rows = cols.sorted.map { c =>
+      Row(c, n, n - r.getAs[Long](s"__nn_$c"), r.getAs[Long](s"__nd_$c"))
+    }
+    val schema = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_nulls", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false)))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+  }
+}
