@@ -494,6 +494,17 @@ object SparkEntry {
         Seq("user_id"), "ts", maxGap = 3600L * 1000000000L)
         .select("event_id", "session_idx", "session_id")
         .orderBy("event_id")),
+    // model-free k-NN majority-vote classification of the embeddings
+    // table against its own label column
+    "knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.operators.KnnClassify.predict(
+        emb.select("vec_id", "embedding", "label"), "embedding", "vec_id",
+        "label", queries, "query_id", "embedding", k = 5)
+        .orderBy("query_id")
+    }),
     // column-profiling summary (one agg pass; exact distincts)
     "profile_docs" -> ((s, dir) =>
       graft.operators.Profile.summarize(t(s, dir, "documents"),
@@ -810,6 +821,24 @@ object SparkEntry {
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '\s+', ' ', 'g')) AS cleaned
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // 5-NN votes with (votes DESC, label ASC) tiebreak, neighbor rank
+    // by (squared-L2, corpus id) exactly as the Spark window
+    "knn_classify" ->
+      s"""WITH nn AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT q.vec_id AS query_id, e.label AS label,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $sqDist, e.vec_id) AS rn
+         |    FROM (SELECT vec_id, embedding, label FROM embeddings
+         |          WHERE label IS NOT NULL) e,
+         |         (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q)
+         |  WHERE rn <= 5),
+         |votes AS (SELECT query_id, label, COUNT(*) AS votes
+         |          FROM nn GROUP BY query_id, label)
+         |SELECT query_id, label AS knn_pred, votes FROM (
+         |  SELECT query_id, label, votes,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+         |  FROM votes)
+         |WHERE rn = 1 ORDER BY query_id""".stripMargin,
     "profile_docs" ->
       """SELECT c AS column, n_rows, n_nulls, n_distinct FROM (
         |  SELECT 'doc_id' AS c, COUNT(*) AS n_rows,

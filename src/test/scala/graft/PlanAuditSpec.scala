@@ -10,8 +10,9 @@ class PlanAuditSpec extends SparkSpec {
 
   // topKJoin deliberately crossJoins a BROADCAST query side (bounded,
   // documented at Similarity.topKJoin); it plans as
-  // BroadcastNestedLoopJoin, never a shuffled CartesianProduct
-  private val broadcastNljAllowed = Set("knn_batch_join")
+  // BroadcastNestedLoopJoin, never a shuffled CartesianProduct.
+  // knn_classify rides the same operator.
+  private val broadcastNljAllowed = Set("knn_batch_join", "knn_classify")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -51,6 +52,20 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf("knn_batch_join")
     assert(plan.contains("WindowGroupLimit"),
       s"knn_batch_join lost the group-limit pushdown:\n$plan")
+  }
+
+  test("tf-idf carries no mandatory broadcast hint (AQE decides at runtime)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val analyzed = SparkEntry.queries("tfidf_sample")(spark, sf())
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"tfidf re-grew a forced broadcast:\n$analyzed")
+  }
+
+  test("exact dedup aggregates with map-side partial min_by") {
+    val plan = planOf("exact_dedup")
+    assert(plan.contains("partial_min_by"),
+      s"exact_dedup lost partial aggregation:\n$plan")
   }
 
   test("projection-only queries prune the parquet scan to read columns") {
