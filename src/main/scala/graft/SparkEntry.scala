@@ -494,6 +494,13 @@ object SparkEntry {
         Seq("user_id"), "ts", maxGap = 3600L * 1000000000L)
         .select("event_id", "session_idx", "session_id")
         .orderBy("event_id")),
+    // bigram PMI collocations (ln drift across libms → decimal-rounded
+    // on both sides, same convention as tfidf_sample)
+    "bigram_pmi" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bigramPmi(
+        t(s, dir, "documents"), "text", minCount = 5)
+        .withColumn("pmi", col("pmi").cast("decimal(18,9)").cast("double"))
+        .orderBy("w1", "w2")),
     // model-free k-NN majority-vote classification of the embeddings
     // table against its own label column
     "knn_classify" -> ((s, dir) => {
@@ -821,6 +828,26 @@ object SparkEntry {
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '\s+', ' ', 'g')) AS cleaned
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical division/multiplication shape to bigramPmi's one fixed
+    // double expression; totals are exact BIGINTs cast to double
+    "bigram_pmi" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |allbg AS (SELECT unnest(${shSql("toks")}) AS bg FROM t),
+         |alluni AS (SELECT unnest(toks) AS tok FROM t),
+         |uni AS (SELECT tok, COUNT(*) AS c FROM alluni GROUP BY tok),
+         |bi AS (SELECT bg, COUNT(*) AS pair_count FROM allbg
+         |       GROUP BY bg HAVING COUNT(*) >= 5),
+         |nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM alluni),
+         |nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM allbg)
+         |SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         |  pair_count,
+         |  CAST(CAST(CAST(ln((CAST(pair_count AS DOUBLE) / nb.n) /
+         |    ((CAST(u1.c AS DOUBLE) / nu.n) * (CAST(u2.c AS DOUBLE) / nu.n)))
+         |    AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS pmi
+         |FROM bi
+         |JOIN uni u1 ON u1.tok = split_part(bg, ' ', 1)
+         |JOIN uni u2 ON u2.tok = split_part(bg, ' ', 2), nu, nb
+         |ORDER BY w1, w2""".stripMargin,
     // 5-NN votes with (votes DESC, label ASC) tiebreak, neighbor rank
     // by (squared-L2, corpus id) exactly as the Spark window
     "knn_classify" ->

@@ -40,4 +40,37 @@ object TextAnalysis {
       .distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), col("token")).limit(topN)
+
+  /** Bigram pointwise mutual information — collocation scoring
+    * (`pmi = ln(p(w1 w2) / (p(w1)·p(w2)))`), the standard signal for
+    * phrase mining / tokenizer-merge candidates over a crawl corpus.
+    * Returns (w1, w2, pair_count, pmi) for bigrams seen ≥ `minCount`
+    * times.
+    *
+    * Scale shape: two explode + hash-aggregate passes (unigrams,
+    * bigrams — both partial-aggregated), then two equi-joins of the
+    * bigram table against the unigram counts (no forced broadcast —
+    * AQE decides). The only driver-side values are the two corpus
+    * totals. */
+  def bigramPmi(df: DataFrame, textCol: String,
+      minCount: Long = 2L): DataFrame = {
+    val uni = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val bi = df.select(explode(shingles(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    // corpus totals: two scalars, computed once
+    val nUni = uni.agg(sum("c")).head.getLong(0).toDouble
+    val nBi = df.select(explode(shingles(col(textCol), 2)).as("bg"))
+      .count().toDouble
+    bi
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("tok").as("w1"), col("c").as("__c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("__c2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        log((col("pair_count").cast("double") / lit(nBi)) /
+          ((col("__c1").cast("double") / lit(nUni)) *
+            (col("__c2").cast("double") / lit(nUni)))).as("pmi"))
+  }
 }

@@ -30,4 +30,23 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(v.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
   }
+
+  test("bigramPmi: collocations score high, chance pairs near zero") {
+    import spark.implicits._
+    // "new york" always co-occurs; "the" pairs with everything
+    val docs = Seq(
+      (1L, "new york is big"), (2L, "new york is old"),
+      (3L, "the city is big"), (4L, "the city is old")
+    ).toDF("id", "text")
+    val pmi = TextAnalysis.bigramPmi(docs, "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val ny = pmi(("new", "york"))
+    assert(ny._1 == 2L)
+    // exact PMI: p(ab)=2/12, c(new)=c(york)=2, nUni=16
+    val expect = math.log((2.0 / 12.0) / ((2.0 / 16.0) * (2.0 / 16.0)))
+    assert(math.abs(ny._2 - expect) < 1e-12)
+    // the deterministic collocation outranks the promiscuous one
+    assert(ny._2 > pmi(("is", "big"))._2)
+  }
 }
