@@ -494,6 +494,17 @@ object SparkEntry {
         Seq("user_id"), "ts", maxGap = 3600L * 1000000000L)
         .select("event_id", "session_idx", "session_id")
         .orderBy("event_id")),
+    // curation cap: at most 50 docs per language, lowest doc_id first
+    "cap_per_lang" -> ((s, dir) =>
+      graft.operators.Sampling.capPerKey(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        Seq("lang"), Seq("doc_id"), n = 50)
+        .orderBy("doc_id")),
+    // deterministic md5-threshold sample (engine-portable, repeatable)
+    "hash_sample" -> ((s, dir) =>
+      graft.operators.Sampling.hashSample(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "28")
+        .orderBy("doc_id")),
     // bigram PMI collocations (ln drift across libms → decimal-rounded
     // on both sides, same convention as tfidf_sample)
     "bigram_pmi" -> ((s, dir) =>
@@ -828,6 +839,16 @@ object SparkEntry {
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '\s+', ' ', 'g')) AS cleaned
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "cap_per_lang" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+    "hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) < '28'
+        |ORDER BY doc_id""".stripMargin,
     // identical division/multiplication shape to bigramPmi's one fixed
     // double expression; totals are exact BIGINTs cast to double
     "bigram_pmi" ->

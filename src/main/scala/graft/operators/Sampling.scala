@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-curation sampling. Training-data pipelines
+  * need repeatable selections — "same inputs, same sample" across
+  * reruns, engines, and cluster sizes — which rules out `rand()`-based
+  * sampling. Both operators here are pure functions of the data.
+  */
+object Sampling {
+
+  /** Keep at most `n` rows per key, chosen by a total order — the
+    * "at most N documents per domain/language" curation cap.
+    * One hash shuffle; Spark's WindowGroupLimit pushes the cap below
+    * the shuffle so each partition forwards ≤ n rows per key. */
+  def capPerKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      n: Int): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty && n > 0,
+      "keys, order and a positive cap required")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= n)
+      .drop("__graft_rn")
+  }
+
+  /** Deterministic ~(k/16^len) sample: keep rows whose md5(idCol) hex
+    * digest is lexicographically below `thresholdHex` (e.g. "28" keeps
+    * ≈ 40/256 ≈ 15.6%). Repeatable everywhere md5 exists — the
+    * engine-portable alternative to seeded `sample()`, whose output
+    * depends on partitioning. Narrow map, no shuffle. */
+  def hashSample(df: DataFrame, idCol: String,
+      thresholdHex: String): DataFrame = {
+    require(thresholdHex.nonEmpty &&
+      thresholdHex.forall(c => "0123456789abcdef".contains(c)),
+      "threshold must be lowercase hex")
+    df.filter(md5(col(idCol).cast("string").cast("binary")) < thresholdHex)
+  }
+}
