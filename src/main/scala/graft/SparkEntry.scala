@@ -494,6 +494,11 @@ object SparkEntry {
         Seq("user_id"), "ts", maxGap = 3600L * 1000000000L)
         .select("event_id", "session_idx", "session_id")
         .orderBy("event_id")),
+    // fixed-width histogram of event values (profiling complement)
+    "value_histogram" -> ((s, dir) =>
+      graft.operators.Profile.histogram(t(s, dir, "events"), "value",
+        minVal = 0.0, maxVal = 100.0, buckets = 10)
+        .orderBy("bucket")),
     // curation cap: at most 50 docs per language, lowest doc_id first
     "cap_per_lang" -> ((s, dir) =>
       graft.operators.Sampling.capPerKey(
@@ -839,6 +844,17 @@ object SparkEntry {
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '\s+', ' ', 'g')) AS cleaned
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "value_histogram" ->
+      """WITH b AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(10)),
+        |c AS (SELECT least(greatest(
+        |        CAST(floor((CAST(value AS DOUBLE) - 0.0) / 10.0) AS BIGINT),
+        |        0), 9) AS bucket, COUNT(*) AS n
+        |      FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT b.bucket,
+        |  0.0 + CAST(b.bucket AS DOUBLE) * 10.0 AS lo,
+        |  0.0 + CAST(b.bucket + 1 AS DOUBLE) * 10.0 AS hi,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM b LEFT JOIN c USING (bucket) ORDER BY bucket""".stripMargin,
     "cap_per_lang" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,

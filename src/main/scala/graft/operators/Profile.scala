@@ -18,6 +18,30 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
+  /** Fixed-width histogram of a numeric column: counts per bucket over
+    * [min, max), with underflow/overflow clamped into the edge buckets
+    * and an explicit zero row for empty buckets (so downstream plots
+    * see the full axis). One partial-aggregated hash aggregation; the
+    * |buckets|-row result is joined against a range frame, never
+    * collected. */
+  def histogram(df: DataFrame, valCol: String, minVal: Double,
+      maxVal: Double, buckets: Int): DataFrame = {
+    require(buckets > 0 && maxVal > minVal, "need buckets > 0, max > min")
+    val spark = df.sparkSession
+    val width = (maxVal - minVal) / buckets
+    val bucket = least(greatest(
+      floor((col(valCol).cast("double") - minVal) / width).cast("long"),
+      lit(0L)), lit(buckets - 1L))
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
+    spark.range(buckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (lit(minVal) + col("bucket").cast("double") * width).as("lo"),
+        (lit(minVal) + (col("bucket") + 1).cast("double") * width).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Per-column (column, n_rows, n_nulls, n_distinct), one row per
     * profiled column, ordered by column name. */
   def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -17,6 +17,21 @@ class ProfileSpec extends SparkSpec {
     assert(out("v") == (4L, 1L, 2L))
   }
 
+  test("histogram buckets, clamps outliers, zero-fills empty buckets") {
+    import spark.implicits._
+    val df = Seq(-5.0, 0.0, 1.0, 1.5, 9.9, 25.0).toDF("v")
+    val h = Profile.histogram(df, "v", minVal = 0.0, maxVal = 10.0,
+      buckets = 5).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // -5 clamps into bucket 0; 25 clamps into bucket 4; bucket 1-3 span
+    assert(h.toSeq == Seq(
+      (0L, 0.0, 2.0, 4L), // -5, 0.0, 1.0, 1.5
+      (1L, 2.0, 4.0, 0L),
+      (2L, 4.0, 6.0, 0L),
+      (3L, 6.0, 8.0, 0L),
+      (4L, 8.0, 10.0, 2L))) // 9.9, 25
+  }
+
   test("unknown column is rejected") {
     import spark.implicits._
     val df = Seq(1).toDF("x")

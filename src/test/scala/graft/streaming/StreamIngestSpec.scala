@@ -51,6 +51,28 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: a stream joins against store contents") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new VectorStore(spark, HashEmbedder(dim = 8))
+    store.setData(Seq(("alpha", "dim-A"), ("beta", "dim-B"))
+      .toDF("target", "option1"))
+    val source = MemoryStream[(String, Double)]
+    val enriched = source.toDF().toDF("target", "amount")
+      .join(store.data.select("target", "option1"), Seq("target"), "left")
+    val q = enriched.writeStream.format("memory")
+      .queryName("enrich_out").outputMode("append").start()
+    try {
+      source.addData(("alpha", 1.0), ("beta", 2.0), ("gamma", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT target, amount, option1 FROM enrich_out ORDER BY target")
+        .collect().map(r => (r.getString(0), Option(r.getString(2))))
+      assert(rows.toSeq == Seq("alpha" -> Some("dim-A"),
+        "beta" -> Some("dim-B"), "gamma" -> None))
+    } finally q.stop()
+  }
+
   test("streamingSessions: gap closes a session, watermark flushes the last") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
