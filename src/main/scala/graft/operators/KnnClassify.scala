@@ -37,6 +37,9 @@ object KnnClassify {
     * share the same vote semantics. */
   def voteOnNeighbors(neighbors: DataFrame, queryIdCol: String,
       labelCol: String): DataFrame = {
+    for (reserved <- Seq("votes", "knn_pred", "__rn"))
+      require(queryIdCol != reserved && labelCol != reserved,
+        s"column name '$reserved' is reserved by the vote step — alias it")
     val votes = neighbors.groupBy(col(queryIdCol), col(labelCol))
       .agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy(col(queryIdCol))

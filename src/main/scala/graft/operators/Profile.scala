@@ -32,7 +32,10 @@ object Profile {
     val bucket = least(greatest(
       floor((col(valCol).cast("double") - minVal) / width).cast("long"),
       lit(0L)), lit(buckets - 1L))
-    val counts = df.filter(col(valCol).isNotNull)
+    // NaN/±Infinity belong to no bucket (NaN would otherwise land in
+    // bucket 0 via cast); between() is false for all three
+    val counts = df.filter(col(valCol).isNotNull &&
+        col(valCol).cast("double").between(-Double.MaxValue, Double.MaxValue))
       .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
     spark.range(buckets).select(col("id").as("bucket"))
       .join(counts, Seq("bucket"), "left")

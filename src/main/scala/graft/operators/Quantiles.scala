@@ -28,6 +28,13 @@ object Quantiles {
     require(keyCols.nonEmpty, "at least one key column")
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "probabilities must be in [0, 1]")
+    // the internals and the (p, quantile) output columns are introduced
+    // by name; a key with one of these names would be silently replaced
+    // by withColumn and corrupt the joins
+    for (reserved <- Seq("p", "quantile", "__v", "__n", "__rn", "__rank",
+        "__lo", "__hi", "__g"))
+      require(!keyCols.contains(reserved) && valCol != reserved,
+        s"column name '$reserved' is reserved by Quantiles.exact — alias it")
     val keys = keyCols.map(col)
     val clean = df.filter(col(valCol).isNotNull)
     val w = Window.partitionBy(keys: _*).orderBy(col("__v"))

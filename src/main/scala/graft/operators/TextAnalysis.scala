@@ -56,13 +56,20 @@ object TextAnalysis {
       minCount: Long = 2L): DataFrame = {
     val uni = df.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val bi = df.select(explode(shingles(col(textCol), 2)).as("bg"))
+    // ONE pass builds the unfiltered bigram counts; the pre-filter
+    // total falls out of the same aggregate instead of a second
+    // corpus-wide explode
+    val biAll = df.select(explode(shingles(col(textCol), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("pair_count"))
-      .filter(col("pair_count") >= minCount)
-    // corpus totals: two scalars, computed once
-    val nUni = uni.agg(sum("c")).head.getLong(0).toDouble
-    val nBi = df.select(explode(shingles(col(textCol), 2)).as("bg"))
-      .count().toDouble
+    val totals = biAll.agg(sum("pair_count")).head
+    val nBi = if (totals.isNullAt(0)) 0.0 else totals.getLong(0).toDouble
+    val uniTotal = uni.agg(sum("c")).head
+    val nUni = if (uniTotal.isNullAt(0)) 0.0 else uniTotal.getLong(0).toDouble
+    val bi = biAll.filter(col("pair_count") >= minCount)
+    // empty / untokenizable corpus: no bigrams, not a division by zero
+    if (nBi == 0.0 || nUni == 0.0)
+      return bi.select(lit("").as("w1"), lit("").as("w2"),
+        col("pair_count"), lit(0.0).as("pmi")).limit(0)
     bi
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))

@@ -32,6 +32,16 @@ class KnnClassifySpec extends SparkSpec {
     assert(tied.head.getString(1) == "a" && tied.head.getLong(2) == 1L)
   }
 
+  test("reserved output column names are rejected") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(0.0f), "a")).toDF("id", "vec", "votes")
+    val queries = Seq((9L, Array(0.0f))).toDF("qid", "vec")
+    intercept[IllegalArgumentException] {
+      KnnClassify.predict(corpus, "vec", "id", "votes",
+        queries, "qid", "vec", k = 1)
+    }
+  }
+
   test("null-labeled corpus rows never vote") {
     import spark.implicits._
     val corpus = Seq(

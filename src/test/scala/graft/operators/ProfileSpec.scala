@@ -32,6 +32,15 @@ class ProfileSpec extends SparkSpec {
       (4L, 8.0, 10.0, 2L))) // 9.9, 25
   }
 
+  test("histogram excludes NaN and infinities (no bucket owns them)") {
+    import spark.implicits._
+    val df = Seq(1.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity).toDF("v")
+    val h = Profile.histogram(df, "v", 0.0, 10.0, 2)
+      .orderBy("bucket").collect().map(_.getLong(3))
+    assert(h.toSeq == Seq(1L, 0L))
+  }
+
   test("unknown column is rejected") {
     import spark.implicits._
     val df = Seq(1).toDF("x")

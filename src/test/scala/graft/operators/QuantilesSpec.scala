@@ -24,6 +24,14 @@ class QuantilesSpec extends SparkSpec {
     assert(q == Map("a" -> 2.0, "b" -> 100.0))
   }
 
+  test("reserved column names are rejected up front") {
+    import spark.implicits._
+    val df = Seq(("k", 1.0)).toDF("p", "v")
+    intercept[IllegalArgumentException] {
+      Quantiles.exact(df, Seq("p"), "v", Seq(0.5))
+    }
+  }
+
   test("agrees with Spark's exact percentile aggregate") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

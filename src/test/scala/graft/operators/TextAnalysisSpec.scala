@@ -49,4 +49,11 @@ class TextAnalysisSpec extends SparkSpec {
     // the deterministic collocation outranks the promiscuous one
     assert(ny._2 > pmi(("is", "big"))._2)
   }
+
+  test("bigramPmi on an untokenizable corpus returns empty, not an error") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
+    assert(TextAnalysis.bigramPmi(docs, "text").count() == 0)
+    assert(TextAnalysis.bigramPmi(docs.limit(0), "text").count() == 0)
+  }
 }
