@@ -326,6 +326,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** 64-bit SimHash signatures of a text column — the compact (8-byte)
+    * state kept by incremental/streaming dedup. */
+  def simhashSignatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), simhash64(col(textCol)).as("sig"))
+
+  /** Distinct ids of `probeSigs` rows whose signature is within
+    * `maxHamming` of ANY `corpusSigs` row — the asymmetric
+    * (new-batch-vs-accepted-set) form of [[nearDupPairsSimHash]], for
+    * incremental pipelines where the corpus side is pre-signed state.
+    * The 8-byte signature rides the band rows directly (unlike the
+    * heavy-payload variants, re-joining by id would cost more than the
+    * ×bands duplication saves); both sides hot-bucket pruned. */
+  def nearDupProbeSimHash(probeSigs: DataFrame, corpusSigs: DataFrame,
+      idCol: String, sigCol: String = "sig", maxHamming: Int = 3,
+      bands: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    require(Set(2, 4, 8, 16).contains(bands), "bands must divide 64: 2/4/8/16")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming=$maxHamming exceeds the guaranteed radius of $bands bands")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
+    def slim(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(s"id$side"), col(sigCol).as(s"sig$side"))
+        .select(col(s"id$side"), col(s"sig$side"),
+          posexplode(array((0 until bands).map(q =>
+            shiftright(col(s"sig$side"), q * bits).bitwiseAND(lit(mask))): _*))
+            .as(Seq("__q", "__qv")))
+    val p = pruneHotBuckets(slim(probeSigs, "P"), Seq("__q", "__qv"),
+      maxBucketSize)
+    val c = pruneHotBuckets(slim(corpusSigs, "C"), Seq("__q", "__qv"),
+      maxBucketSize)
+    p.join(c, Seq("__q", "__qv"))
+      .filter(hamming64(col("sigP"), col("sigC")) <= maxHamming)
+      .select(col("idP").as(idCol)).distinct()
+  }
+
   /** Embedding near-dup candidate pairs: random-hyperplane LSH with
     * BAND AMPLIFICATION — `numTables` independent hash tables of
     * `planesPerTable` sign bits each; a pair is a candidate if it

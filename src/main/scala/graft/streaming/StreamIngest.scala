@@ -76,6 +76,60 @@ object StreamIngest {
       .groupBy(window(col(tsCol), windowLength), col(keyCol))
       .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total"))
 
+  /** Incremental streaming near-duplicate filter — the crawl-dedup
+    * contract over an unbounded stream: each micro-batch is
+    * deduplicated WITHIN itself (SimHash pairs + independent-set drop)
+    * and against every previously accepted document, survivors are
+    * appended to the accepted-signature state and handed to
+    * `onSurvivors`. State is one (id, sig64) row per accepted doc —
+    * ~16 bytes/doc, lineage-truncated per batch via localCheckpoint,
+    * so 1 B accepted docs ≈ 16 GB across the cluster.
+    *
+    * Returns the query plus an accessor for the accepted-signature
+    * frame (for checkpointing/bootstrap: pass a prior run's signatures
+    * as `bootstrap` to resume). */
+  final class NearDupFilter private[streaming] (
+      val query: StreamingQuery, state: () => DataFrame) {
+    def acceptedSignatures: DataFrame = state()
+  }
+
+  def nearDupIngest(stream: DataFrame, idCol: String, textCol: String,
+      onSurvivors: DataFrame => Unit, maxHamming: Int = 3,
+      bands: Int = 4, bootstrap: Option[DataFrame] = None,
+      queryName: String = "graft-neardup-ingest"): NearDupFilter = {
+    val spark = stream.sparkSession
+    var seen: DataFrame = bootstrap
+      .getOrElse(graft.operators.Dedup.simhashSignatures(
+        stream.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          stream.schema), idCol, textCol))
+      .localCheckpoint(true)
+    val q = stream.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // in-batch near-dup drop (chain-safe independent set)
+          val pairs = graft.operators.Dedup.nearDupPairsSimHash(
+            batch, idCol, textCol, maxHamming, bands = bands)
+          val inBatch = graft.operators.Dedup.dedupByPairs(
+            batch, idCol, pairs)
+          // drop anything near an already-accepted doc
+          val sigs = graft.operators.Dedup.simhashSignatures(
+            inBatch, idCol, textCol)
+          val dupIds = graft.operators.Dedup.nearDupProbeSimHash(
+            sigs, seen, idCol, maxHamming = maxHamming, bands = bands)
+          val survivors = inBatch.join(dupIds, Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          val survivorSigs = sigs.join(dupIds, Seq(idCol), "left_anti")
+          val next = seen.unionByName(survivorSigs).localCheckpoint(true)
+          seen = next
+          onSurvivors(survivors)
+        }
+      }
+      .start()
+    new NearDupFilter(q, () => seen)
+  }
+
   /** Streaming gap-based sessionization — the unbounded twin of
     * [[graft.operators.Sessionize]]: per key, events within `maxGapMs`
     * of the running session's end extend it; a session is EMITTED when

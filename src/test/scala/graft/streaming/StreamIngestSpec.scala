@@ -51,6 +51,32 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupIngest filters near-dups within and across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog tonight"
+    val textB = "sphinx of black quartz judge my vow at dawn today"
+    val textC = "pack my box with five dozen liquor jugs right now"
+    val source = MemoryStream[(Long, String)]
+    val survivors = scala.collection.mutable.ArrayBuffer[Long]()
+    val filter = StreamIngest.nearDupIngest(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s => survivors.synchronized {
+        survivors ++= s.select("doc_id").collect().map(_.getLong(0))
+      })
+    try {
+      source.addData((1L, textA), (2L, textB))
+      filter.query.processAllAvailable()
+      assert(survivors.toSet == Set(1L, 2L))
+      // 3 duplicates the ACCEPTED textA; 4 is new; 5 duplicates 4
+      // within the same batch → only 4 survives
+      source.addData((3L, textA), (4L, textC), (5L, textC))
+      filter.query.processAllAvailable()
+      assert(survivors.toSet == Set(1L, 2L, 4L))
+      assert(filter.acceptedSignatures.count() == 3)
+    } finally filter.query.stop()
+  }
+
   test("stream-static enrichment: a stream joins against store contents") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
