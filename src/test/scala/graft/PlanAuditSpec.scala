@@ -68,6 +68,20 @@ class PlanAuditSpec extends SparkSpec {
       s"exact_dedup lost partial aggregation:\n$plan")
   }
 
+  test("as-of join stays union+window — no join operator at all") {
+    val plan = planOf("asof_join")
+    // the operator's whole point: no per-key inequality join (which
+    // would plan as a nested-loop/cartesian product)
+    assert(!plan.contains("Join"), s"asof_join re-grew a join:\n$plan")
+    assert(plan.contains("Window"), s"asof_join lost its window:\n$plan")
+  }
+
+  test("range join binned to an equi-join, not an inequality join") {
+    val plan = planOf("range_join")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"range_join is not an equi-join:\n$plan")
+  }
+
   test("projection-only queries prune the parquet scan to read columns") {
     val plan = planOf("token_counts")
     // documents has (doc_id, text, lang, source, n_chars); only two
