@@ -356,8 +356,12 @@ object SparkEntry {
     // sensitive → rows-only check (recall properties are unit-tested)
     "ivf_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      // fit on a quarter sample: Lloyd's iteration cost is O(sample ×
+      // nClusters) and the seeding top-N scans only the sample, while
+      // the final cell assignment (a narrow codegen'd map) still covers
+      // the full data — at 100 TB the build is an offline job anyway
       val idx = graft.operators.IvfIndex.build(emb, "embedding", "vec_id",
-        nClusters = 16, maxIter = 8)
+        nClusters = 16, maxIter = 8, sampleFraction = 0.25)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head.getSeq[Float](0).toArray
       idx.query(q, k = 5, nprobe = 4).select("vec_id", "distance")
@@ -368,8 +372,9 @@ object SparkEntry {
     // probe is unit-tested against the brute-force join)
     "ivf_batch_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      // sample-fit for the same reason as ivf_knn above
       val idx = graft.operators.IvfIndex.build(emb, "embedding", "vec_id",
-        nClusters = 16, maxIter = 8)
+        nClusters = 16, maxIter = 8, sampleFraction = 0.25)
       val qdf = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding"))
       idx.queryBatch(qdf, "query_id", "embedding", k = 3, nprobe = 4)

@@ -112,27 +112,27 @@ object IvfIndex {
     * @param sampleFraction training sample for the fit (iteration cost
     *                       is O(sample × nClusters); the full data
     *                       only pays the final narrow assignment)
+    * @param tol            early-exit threshold on the max squared-L2
+    *                       centroid shift per iteration; the default 0
+    *                       exits only on an exact fixpoint (assignment
+    *                       is deterministic given centroids, so further
+    *                       iterations cannot change anything)
     */
   def build(df: DataFrame, vecCol: String, idCol: String, nClusters: Int,
       seed: Long = 42L, sampleFraction: Double = 1.0,
-      maxIter: Int = 8): IvfIndex = {
+      maxIter: Int = 8, tol: Double = 0.0): IvfIndex = {
     require(nClusters >= 2, "need at least 2 clusters")
     import graft.functions.VectorFunctions.vec_sum
     val sample =
       (if (sampleFraction >= 1.0) df else df.sample(sampleFraction, seed))
         .select(col(vecCol)).cache()
     try {
-      // deterministic init: nClusters DISTINCT vectors in hash order
-      // (duplicate vectors — common in dedup corpora — would seed
-      // identical centroids and leave cells permanently dead)
-      var centroids = sample.distinct()
-        .withColumn("__h", hash(col(vecCol), lit(seed.toInt)))
-        .orderBy("__h").limit(nClusters)
-        .collect().map(_.getSeq[Float](0).toArray)
+      var centroids = seedCentroids(sample, vecCol, nClusters, seed)
       require(centroids.length >= 2,
         s"need >= 2 distinct vectors to build $nClusters clusters")
       var it = 0
-      while (it < maxIter) {
+      var converged = false
+      while (it < maxIter && !converged) {
         val stats = assignCells(sample, vecCol, centroids)
           .groupBy(ClusterCol)
           .agg(vec_sum(col(vecCol)).as("s"), count(lit(1)).as("n"))
@@ -144,12 +144,44 @@ object IvfIndex {
           val n = r.getLong(2).toDouble
           next(cell) = s.map(x => (x / n).toFloat).toArray
         }
+        val shift = centroids.zip(next)
+          .map { case (a, b) => VectorOps.squaredL2Floats(a, b) }.max
         centroids = next
+        converged = shift <= tol
         it += 1
       }
       new IvfIndex(centroids, assignCells(df, vecCol, centroids), vecCol,
         idCol)
     } finally sample.unpersist()
+  }
+
+  /** Deterministic init: nClusters DISTINCT vectors in hash order
+    * (duplicate vectors — common in dedup corpora — would seed
+    * identical centroids and leave cells permanently dead).
+    *
+    * Implemented as a single `TakeOrderedAndProject` over
+    * `(hash, vector)` — a narrow top-N, no shuffle — oversampling 4×
+    * and deduplicating the tiny collected slice driver-side. Duplicate
+    * vectors hash identically, so they are adjacent in hash order and
+    * the oversample is exhausted only under extreme duplication; the
+    * full `distinct()` shuffle runs solely as that fallback. */
+  private def seedCentroids(sample: DataFrame, vecCol: String,
+      nClusters: Int, seed: Long): Array[Array[Float]] = {
+    val hashed = sample
+      .withColumn("__h", hash(col(vecCol), lit(seed.toInt)))
+    val over = hashed
+      .orderBy(col("__h"), col(vecCol))
+      .limit(math.max(nClusters * 4, nClusters + 16))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val distinctSeeds = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+    val seen = scala.collection.mutable.HashSet[Seq[Float]]()
+    for (v <- over if distinctSeeds.length < nClusters)
+      if (seen.add(v.toSeq)) distinctSeeds += v
+    if (distinctSeeds.length >= nClusters) distinctSeeds.toArray
+    else // oversample exhausted by duplicates: exact fallback
+      hashed.dropDuplicates(vecCol)
+        .orderBy(col("__h"), col(vecCol)).limit(nClusters)
+        .collect().map(_.getSeq[Float](0).toArray)
   }
 
   /** Reload a partitioned index written by [[IvfIndex.writePartitioned]]. */

@@ -82,28 +82,42 @@ object StreamIngest {
     * and against every previously accepted document, survivors are
     * appended to the accepted-signature state and handed to
     * `onSurvivors`. State is one (id, sig64) row per accepted doc —
-    * ~16 bytes/doc, lineage-truncated per batch via localCheckpoint,
-    * so 1 B accepted docs ≈ 16 GB across the cluster.
+    * ~16 bytes/doc, so 1 B accepted docs ≈ 16 GB across the cluster.
+    *
+    * State is SEGMENTED so a trigger writes O(batch), not O(accepted):
+    * a base segment (the bootstrap) plus one checkpointed delta per
+    * micro-batch; the probe scans their lazy union. Every
+    * `compactEvery` batches the delta tail is merged into one segment
+    * (the base is never rewritten), so segment count stays bounded and
+    * the amortized per-batch write is O(accepted-since-bootstrap /
+    * compactEvery) — an LSM-style leveling would tighten that further
+    * if ever needed. The previous implementation re-materialized the
+    * FULL accepted set every trigger (a 16 GB write per batch at the
+    * 1 B-doc design point).
     *
     * Returns the query plus an accessor for the accepted-signature
     * frame (for checkpointing/bootstrap: pass a prior run's signatures
     * as `bootstrap` to resume). */
   final class NearDupFilter private[streaming] (
-      val query: StreamingQuery, state: () => DataFrame) {
-    def acceptedSignatures: DataFrame = state()
+      val query: StreamingQuery, state: () => Vector[DataFrame]) {
+    def acceptedSignatures: DataFrame = state().reduce(_ unionByName _)
+    /** State segments, base first — exposed for tests asserting that a
+      * trigger appends one O(batch) delta without rewriting the rest. */
+    private[graft] def segments: Vector[DataFrame] = state()
   }
 
   def nearDupIngest(stream: DataFrame, idCol: String, textCol: String,
       onSurvivors: DataFrame => Unit, maxHamming: Int = 3,
       bands: Int = 4, bootstrap: Option[DataFrame] = None,
+      compactEvery: Int = 16,
       queryName: String = "graft-neardup-ingest"): NearDupFilter = {
-    val spark = stream.sparkSession
-    var seen: DataFrame = bootstrap
+    require(compactEvery >= 2, "compactEvery must be >= 2")
+    var segments: Vector[DataFrame] = Vector(bootstrap
       .getOrElse(graft.operators.Dedup.simhashSignatures(
         stream.sparkSession.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           stream.schema), idCol, textCol))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val q = stream.writeStream
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -116,18 +130,27 @@ object StreamIngest {
           // drop anything near an already-accepted doc
           val sigs = graft.operators.Dedup.simhashSignatures(
             inBatch, idCol, textCol)
+          val seen = segments.reduce(_ unionByName _)
           val dupIds = graft.operators.Dedup.nearDupProbeSimHash(
             sigs, seen, idCol, maxHamming = maxHamming, bands = bands)
           val survivors = inBatch.join(dupIds, Seq(idCol), "left_anti")
             .localCheckpoint(true)
+          // the only eager state write this trigger: one O(batch) delta
           val survivorSigs = sigs.join(dupIds, Seq(idCol), "left_anti")
-          val next = seen.unionByName(survivorSigs).localCheckpoint(true)
-          seen = next
+            .localCheckpoint(true)
+          segments = segments :+ survivorSigs
+          if (segments.length > compactEvery) {
+            val merged = segments.tail.reduce(_ unionByName _)
+              .localCheckpoint(true)
+            // dropped delta references are reclaimed by the
+            // ContextCleaner once unreachable
+            segments = Vector(segments.head, merged)
+          }
           onSurvivors(survivors)
         }
       }
       .start()
-    new NearDupFilter(q, () => seen)
+    new NearDupFilter(q, () => segments)
   }
 
   /** Streaming gap-based sessionization — the unbounded twin of
@@ -139,10 +162,13 @@ object StreamIngest {
     * millis — append mode, one row per closed session; state per key
     * is three longs, dropped at close.
     *
-    * Batch simplification (documented): events of one key arriving in
-    * one trigger merge into a single span — sub-batch gaps don't split
-    * within the trigger. At micro-batch cadence ≪ gap this is the
-    * standard behavior.
+    * Events of one key arriving in one trigger are sorted and SPLIT at
+    * >maxGapMs boundaries before merging, so a trigger spanning
+    * several gaps emits each earlier sub-span as its own session
+    * (including late sub-spans entirely before the open session), and
+    * only the newest sub-span stays open in state — a single trigger
+    * containing both an in-gap event and a much older late event no
+    * longer stretches the open session backwards.
     *
     * @param tsCol TimestampType event-time column; the caller's
     *              watermark delay bounds late data as usual
@@ -176,36 +202,38 @@ object StreamIngest {
             state.remove()
             Iterator.single((key, s, e, n))
           } else {
-            var mn = Long.MaxValue
-            var mx = Long.MinValue
-            var cnt = 0L
-            rows.foreach { case (_, t) =>
-              val ts = t.getTime
-              if (ts < mn) mn = ts
-              if (ts > mx) mx = ts
-              cnt += 1
+            // sort the trigger's events and split into sub-spans at
+            // >maxGapMs boundaries (a trigger is bounded, so the sort
+            // is in-memory per key — the standard FMGWS pattern)
+            val ts = rows.map(_._2.getTime).toArray
+            java.util.Arrays.sort(ts)
+            val spans = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+            var s0 = ts(0); var e0 = ts(0); var c0 = 1L
+            for (i <- 1 until ts.length) {
+              if (ts(i) - e0 > maxGapMs) {
+                spans += ((s0, e0, c0)); s0 = ts(i); e0 = ts(i); c0 = 1L
+              } else { e0 = ts(i); c0 += 1L }
             }
-            val closed = state.getOption match {
-              // merge only when the batch span is within the gap of the
-              // stored session ON EITHER SIDE — a late batch that ends
-              // more than a gap BEFORE the session start must not merge
-              // (mn - e <= gap alone is vacuously true for late data)
-              case Some((s, e, n)) if mn <= e + maxGapMs && mx >= s - maxGapMs =>
-                state.update((math.min(s, mn), math.max(e, mx), n + cnt))
-                Iterator.empty
-              case Some((s, e, n)) if mx < s - maxGapMs =>
-                // late batch entirely before the open session: emit it
-                // as its own (already-past) session, keep the open one
-                Iterator.single((key, mn, mx, cnt))
-              case Some((s, e, n)) => // batch starts past the gap
-                state.update((mn, mx, cnt))
-                Iterator.single((key, s, e, n))
-              case None =>
-                state.update((mn, mx, cnt))
-                Iterator.empty
+            spans += ((s0, e0, c0))
+            // fold the stored open session in as just another span,
+            // then chain-merge: spans within a gap of each other join;
+            // every span but the newest closes now, the newest stays
+            // open in state
+            state.getOption.foreach(spans += _)
+            val sorted = spans.sortBy(sp => (sp._1, sp._2))
+            val merged = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+            for (sp <- sorted) {
+              if (merged.nonEmpty && sp._1 <= merged.last._2 + maxGapMs) {
+                val l = merged.last
+                merged(merged.length - 1) =
+                  (l._1, math.max(l._2, sp._2), l._3 + sp._3)
+              } else merged += sp
             }
-            state.setTimeoutTimestamp(state.get._2 + maxGapMs)
-            closed
+            val open = merged.last
+            state.update(open)
+            state.setTimeoutTimestamp(open._2 + maxGapMs)
+            merged.dropRight(1).iterator
+              .map { case (s, e, n) => (key, s, e, n) }
           }
       }
     sessions.toDF(keyCol, "session_start", "session_end", "n_events")

@@ -77,6 +77,62 @@ class StreamIngestSpec extends SparkSpec {
     } finally filter.query.stop()
   }
 
+  test("nearDupIngest: a trigger writes one O(batch) delta segment and " +
+      "never rewrites prior state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two three four five six seven eight nine ten",
+      "red orange yellow green blue indigo violet pink brown black",
+      "north south east west up down left right front back")
+    val source = MemoryStream[(Long, String)]
+    val filter = StreamIngest.nearDupIngest(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text", _ => ())
+    try {
+      source.addData((1L, texts(0)), (2L, texts(1)))
+      filter.query.processAllAvailable()
+      val after1 = filter.segments
+      assert(after1.length == 2) // base + one delta
+      assert(after1.last.count() == 2)
+      source.addData((3L, texts(2)))
+      filter.query.processAllAvailable()
+      val after2 = filter.segments
+      // prior segments are the SAME frames (no re-materialization);
+      // the only new state write is the one-row delta for this batch
+      assert(after2.length == 3)
+      assert(after2(0).eq(after1(0)) && after2(1).eq(after1(1)))
+      assert(after2.last.count() == 1)
+      assert(filter.acceptedSignatures.count() == 3)
+    } finally filter.query.stop()
+  }
+
+  test("nearDupIngest: delta tail compacts every compactEvery batches, " +
+      "base untouched") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two three four five six seven eight nine ten",
+      "red orange yellow green blue indigo violet pink brown black")
+    val source = MemoryStream[(Long, String)]
+    val filter = StreamIngest.nearDupIngest(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text", _ => (),
+      compactEvery = 2)
+    try {
+      val base = filter.segments.head
+      for ((txt, i) <- texts.zipWithIndex) {
+        source.addData((i.toLong, txt))
+        filter.query.processAllAvailable()
+      }
+      // 3 batches with compactEvery=2: each time segments exceed 2 the
+      // delta tail merges into one — base survives by reference
+      assert(filter.segments.length == 2)
+      assert(filter.segments.head.eq(base))
+      assert(filter.acceptedSignatures.count() == 3)
+    } finally filter.query.stop()
+  }
+
   test("stream-static enrichment: a stream joins against store contents") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -161,6 +217,44 @@ class StreamIngestSpec extends SparkSpec {
       def ms(s: String): Long = Timestamp.valueOf(s).getTime
       assert(rows.toSeq == Seq(
         (ms("2026-01-01 09:50:00"), ms("2026-01-01 09:50:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("streamingSessions: one trigger spanning several gaps splits " +
+      "into sub-sessions instead of one stretched span") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val sessions = StreamIngest.streamingSessions(
+      source.toDF().toDF("ts", "user"), "user", "ts",
+      maxGapMs = 60 * 1000L, watermark = "30 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_split").outputMode("append").start()
+    try {
+      source.addData((Timestamp.valueOf("2026-01-01 10:00:00"), "u1"),
+        (Timestamp.valueOf("2026-01-01 10:00:30"), "u1"))
+      q.processAllAvailable()
+      // ONE trigger carrying an in-gap extension (10:01) AND a much
+      // older late event (09:50): the old guard only caught the late
+      // event arriving alone — now the batch splits at gap boundaries,
+      // 09:50 closes as its own session, 10:01 extends the open one
+      source.addData((Timestamp.valueOf("2026-01-01 09:50:00"), "u1"),
+        (Timestamp.valueOf("2026-01-01 10:01:00"), "u1"))
+      q.processAllAvailable()
+      // close the open session via watermark
+      source.addData((Timestamp.valueOf("2026-01-01 12:00:00"), "u2"))
+      q.processAllAvailable()
+      source.addData((Timestamp.valueOf("2026-01-01 14:00:00"), "u2"))
+      q.processAllAvailable()
+      def ms(s: String): Long = Timestamp.valueOf(s).getTime
+      val rows = spark.sql(
+        """SELECT session_start, session_end, n_events
+          |FROM sess_split WHERE user = 'u1'
+          |ORDER BY session_start""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(
+        (ms("2026-01-01 09:50:00"), ms("2026-01-01 09:50:00"), 1L),
+        (ms("2026-01-01 10:00:00"), ms("2026-01-01 10:01:00"), 3L)))
     } finally q.stop()
   }
 
