@@ -87,13 +87,15 @@ object StreamIngest {
     * State is SEGMENTED so a trigger writes O(batch), not O(accepted):
     * a base segment (the bootstrap) plus one checkpointed delta per
     * micro-batch; the probe scans their lazy union. Every
-    * `compactEvery` batches the delta tail is merged into one segment
-    * (the base is never rewritten), so segment count stays bounded and
-    * the amortized per-batch write is O(accepted-since-bootstrap /
-    * compactEvery) — an LSM-style leveling would tighten that further
-    * if ever needed. The previous implementation re-materialized the
-    * FULL accepted set every trigger (a 16 GB write per batch at the
-    * 1 B-doc design point).
+    * `compactEvery` batches (counted as deltas appended since the last
+    * compaction, so the cadence is exact even at `compactEvery = 2`)
+    * the non-base tail merges into one segment (the base is never
+    * rewritten), so segment count stays bounded and the amortized
+    * per-batch write is O(accepted-since-bootstrap / compactEvery) —
+    * an LSM-style leveling would tighten that further if ever needed.
+    * The previous implementation re-materialized the FULL accepted set
+    * every trigger (a 16 GB write per batch at the 1 B-doc design
+    * point).
     *
     * Returns the query plus an accessor for the accepted-signature
     * frame (for checkpointing/bootstrap: pass a prior run's signatures
@@ -112,12 +114,18 @@ object StreamIngest {
       compactEvery: Int = 16,
       queryName: String = "graft-neardup-ingest"): NearDupFilter = {
     require(compactEvery >= 2, "compactEvery must be >= 2")
-    var segments: Vector[DataFrame] = Vector(bootstrap
-      .getOrElse(graft.operators.Dedup.simhashSignatures(
-        stream.sparkSession.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          stream.schema), idCol, textCol))
-      .localCheckpoint(true))
+    // AtomicReference (not a captured var) so checkpointing readers on
+    // other threads see the latest published segment list — local vars
+    // cannot be @volatile and closure capture is not a safe publication
+    val segments = new java.util.concurrent.atomic.AtomicReference(
+      Vector(bootstrap
+        .getOrElse(graft.operators.Dedup.simhashSignatures(
+          stream.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            stream.schema), idCol, textCol))
+        .localCheckpoint(true)))
+    // touched only by the single micro-batch thread
+    var deltasSinceCompact = 0
     val q = stream.writeStream
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -130,7 +138,7 @@ object StreamIngest {
           // drop anything near an already-accepted doc
           val sigs = graft.operators.Dedup.simhashSignatures(
             inBatch, idCol, textCol)
-          val seen = segments.reduce(_ unionByName _)
+          val seen = segments.get().reduce(_ unionByName _)
           val dupIds = graft.operators.Dedup.nearDupProbeSimHash(
             sigs, seen, idCol, maxHamming = maxHamming, bands = bands)
           val survivors = inBatch.join(dupIds, Seq(idCol), "left_anti")
@@ -138,44 +146,55 @@ object StreamIngest {
           // the only eager state write this trigger: one O(batch) delta
           val survivorSigs = sigs.join(dupIds, Seq(idCol), "left_anti")
             .localCheckpoint(true)
-          segments = segments :+ survivorSigs
-          if (segments.length > compactEvery) {
-            val merged = segments.tail.reduce(_ unionByName _)
-              .localCheckpoint(true)
+          deltasSinceCompact += 1
+          if (deltasSinceCompact >= compactEvery) {
+            val merged = (segments.get().tail :+ survivorSigs)
+              .reduce(_ unionByName _).localCheckpoint(true)
             // dropped delta references are reclaimed by the
             // ContextCleaner once unreachable
-            segments = Vector(segments.head, merged)
-          }
+            segments.set(Vector(segments.get().head, merged))
+            deltasSinceCompact = 0
+          } else segments.set(segments.get() :+ survivorSigs)
           onSurvivors(survivors)
         }
       }
       .start()
-    new NearDupFilter(q, () => segments)
+    new NearDupFilter(q, () => segments.get())
   }
+
+  /** Multi-span sessionization state: the key's not-yet-sealed
+    * sub-spans as (start, end, n_events) epoch millis. */
+  private[streaming] final case class SessionSpans(
+      spans: List[(Long, Long, Long)])
 
   /** Streaming gap-based sessionization — the unbounded twin of
     * [[graft.operators.Sessionize]]: per key, events within `maxGapMs`
-    * of the running session's end extend it; a session is EMITTED when
-    * the event-time watermark passes `end + maxGapMs` (event-time
-    * timeout) or when a later batch opens a new session past the gap.
-    * Output rows: (key, session_start, session_end, n_events) as epoch
-    * millis — append mode, one row per closed session; state per key
-    * is three longs, dropped at close.
+    * of a span's end extend it. A session is EMITTED only once the
+    * event-time watermark passes `end + maxGapMs` — no event still
+    * admissible under the watermark can extend it — so append-mode
+    * output never contains two overlapping rows for one key. Output
+    * rows: (key, session_start, session_end, n_events) as epoch
+    * millis; state per key is the list of unsealed sub-spans (three
+    * longs each), each dropped when the watermark seals it.
     *
     * Events of one key arriving in one trigger are sorted and SPLIT at
-    * >maxGapMs boundaries before merging, so a trigger spanning
-    * several gaps emits each earlier sub-span as its own session
-    * (including late sub-spans entirely before the open session), and
-    * only the newest sub-span stays open in state — a single trigger
-    * containing both an in-gap event and a much older late event no
-    * longer stretches the open session backwards.
+    * >maxGapMs boundaries before merging with the stored spans, so a
+    * trigger spanning several gaps yields each sub-span as its own
+    * session (including late sub-spans entirely before the open one)
+    * rather than one stretched span. Per-key memory for that sort is
+    * bounded by `maxSortRows`: a hot key exceeding it in one trigger
+    * degrades to a single min/max/count span for that trigger (the
+    * skew fallback — internal gaps within that one batch go unsplit,
+    * which is the pre-split semantics).
     *
     * @param tsCol TimestampType event-time column; the caller's
     *              watermark delay bounds late data as usual
     */
   def streamingSessions(stream: DataFrame, keyCol: String, tsCol: String,
-      maxGapMs: Long, watermark: String = "10 minutes"): DataFrame = {
+      maxGapMs: Long, watermark: String = "10 minutes",
+      maxSortRows: Int = 1 << 21): DataFrame = {
     require(maxGapMs > 0, "maxGapMs must be positive")
+    require(maxSortRows > 0, "maxSortRows must be positive")
     import org.apache.spark.sql.streaming.GroupStateTimeout
     implicit val keyEnc: Encoder[String] = Encoders.STRING
     // the event-time column must survive to the grouped Dataset as a
@@ -183,8 +202,7 @@ object StreamIngest {
     // conversion happens inside the state function instead
     implicit val inEnc: Encoder[(String, java.sql.Timestamp)] =
       Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP)
-    implicit val stEnc: Encoder[(Long, Long, Long)] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stEnc: Encoder[SessionSpans] = Encoders.product[SessionSpans]
     implicit val outEnc: Encoder[(String, Long, Long, Long)] = Encoders.tuple(
       Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong,
       Encoders.scalaLong)
@@ -193,48 +211,61 @@ object StreamIngest {
       .select(col(keyCol).cast("string"), col(tsCol))
       .as[(String, java.sql.Timestamp)]
     val sessions = prepared.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), (String, Long, Long, Long)](
+      .flatMapGroupsWithState[SessionSpans, (String, Long, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: String, rows: Iterator[(String, java.sql.Timestamp)],
-            state: GroupState[(Long, Long, Long)]) =>
-          if (state.hasTimedOut) {
-            val (s, e, n) = state.get
-            state.remove()
-            Iterator.single((key, s, e, n))
-          } else {
-            // sort the trigger's events and split into sub-spans at
-            // >maxGapMs boundaries (a trigger is bounded, so the sort
-            // is in-memory per key — the standard FMGWS pattern)
-            val ts = rows.map(_._2.getTime).toArray
-            java.util.Arrays.sort(ts)
-            val spans = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-            var s0 = ts(0); var e0 = ts(0); var c0 = 1L
-            for (i <- 1 until ts.length) {
-              if (ts(i) - e0 > maxGapMs) {
-                spans += ((s0, e0, c0)); s0 = ts(i); e0 = ts(i); c0 = 1L
-              } else { e0 = ts(i); c0 += 1L }
+            state: GroupState[SessionSpans]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val spans = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          state.getOption.foreach(spans ++= _.spans)
+          if (!state.hasTimedOut) {
+            // collect this trigger's event times, bounded by maxSortRows
+            val buf = new scala.collection.mutable.ArrayBuffer[Long]
+            var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
+            var overflow = false
+            while (rows.hasNext) {
+              val t = rows.next()._2.getTime
+              if (!overflow) {
+                buf += t
+                if (buf.length >= maxSortRows) overflow = true
+              }
+              if (t < mn) mn = t
+              if (t > mx) mx = t
+              n += 1L
             }
-            spans += ((s0, e0, c0))
-            // fold the stored open session in as just another span,
-            // then chain-merge: spans within a gap of each other join;
-            // every span but the newest closes now, the newest stays
-            // open in state
-            state.getOption.foreach(spans += _)
-            val sorted = spans.sortBy(sp => (sp._1, sp._2))
-            val merged = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-            for (sp <- sorted) {
-              if (merged.nonEmpty && sp._1 <= merged.last._2 + maxGapMs) {
-                val l = merged.last
-                merged(merged.length - 1) =
-                  (l._1, math.max(l._2, sp._2), l._3 + sp._3)
-              } else merged += sp
+            if (overflow) spans += ((mn, mx, n))
+            else if (n > 0) {
+              // sort and split at >maxGapMs boundaries
+              val ts = buf.toArray
+              java.util.Arrays.sort(ts)
+              var s0 = ts(0); var e0 = ts(0); var c0 = 1L
+              for (i <- 1 until ts.length) {
+                if (ts(i) - e0 > maxGapMs) {
+                  spans += ((s0, e0, c0)); s0 = ts(i); e0 = ts(i); c0 = 1L
+                } else { e0 = ts(i); c0 += 1L }
+              }
+              spans += ((s0, e0, c0))
             }
-            val open = merged.last
-            state.update(open)
-            state.setTimeoutTimestamp(open._2 + maxGapMs)
-            merged.dropRight(1).iterator
-              .map { case (s, e, n) => (key, s, e, n) }
           }
+          // chain-merge: spans within a gap of each other join
+          val sorted = spans.sortBy(sp => (sp._1, sp._2))
+          val merged = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+          for (sp <- sorted) {
+            if (merged.nonEmpty && sp._1 <= merged.last._2 + maxGapMs) {
+              val l = merged.last
+              merged(merged.length - 1) =
+                (l._1, math.max(l._2, sp._2), l._3 + sp._3)
+            } else merged += sp
+          }
+          // a span is sealed once no in-watermark event can extend it
+          val (closed, open) = merged.partition(_._2 + maxGapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionSpans(open.toList))
+            // fires when the watermark passes the earliest unsealed close
+            state.setTimeoutTimestamp(open.map(_._2).min + maxGapMs)
+          }
+          closed.iterator.map { case (s, e, n) => (key, s, e, n) }
       }
     sessions.toDF(keyCol, "session_start", "session_end", "n_events")
   }

@@ -114,7 +114,8 @@ class StreamIngestSpec extends SparkSpec {
     val texts = Seq(
       "alpha beta gamma delta epsilon zeta eta theta iota kappa",
       "one two three four five six seven eight nine ten",
-      "red orange yellow green blue indigo violet pink brown black")
+      "red orange yellow green blue indigo violet pink brown black",
+      "north south east west up down left right front back")
     val source = MemoryStream[(Long, String)]
     val filter = StreamIngest.nearDupIngest(
       source.toDF().toDF("doc_id", "text"), "doc_id", "text", _ => (),
@@ -125,11 +126,18 @@ class StreamIngestSpec extends SparkSpec {
         source.addData((i.toLong, txt))
         filter.query.processAllAvailable()
       }
-      // 3 batches with compactEvery=2: each time segments exceed 2 the
-      // delta tail merges into one — base survives by reference
+      // exact cadence: batches 2 and 4 compact (2 deltas each time),
+      // batch 3's delta rides until batch 4 — base survives by
+      // reference throughout
       assert(filter.segments.length == 2)
       assert(filter.segments.head.eq(base))
-      assert(filter.acceptedSignatures.count() == 3)
+      assert(filter.acceptedSignatures.count() == 4)
+      source.addData((99L, "purple silver golden copper bronze iron tin"))
+      filter.query.processAllAvailable()
+      // one delta after a compaction: nothing merges yet
+      assert(filter.segments.length == 3)
+      assert(filter.segments.head.eq(base))
+      assert(filter.acceptedSignatures.count() == 5)
     } finally filter.query.stop()
   }
 
@@ -211,12 +219,22 @@ class StreamIngestSpec extends SparkSpec {
       // stretch the open one back to 09:50
       source.addData((Timestamp.valueOf("2026-01-01 09:50:00"), "u1"))
       q.processAllAvailable()
+      // nothing emits until the watermark seals the spans — append-mode
+      // output must never hold overlapping sessions for one key
+      assert(spark.sql("SELECT * FROM sess_late").count() == 0)
+      // advance the watermark past both spans' close times
+      source.addData((Timestamp.valueOf("2026-01-01 11:00:00"), "u2"))
+      q.processAllAvailable()
+      source.addData((Timestamp.valueOf("2026-01-01 12:00:00"), "u2"))
+      q.processAllAvailable()
       val rows = spark.sql(
-        "SELECT session_start, session_end, n_events FROM sess_late")
+        """SELECT session_start, session_end, n_events FROM sess_late
+          |WHERE user = 'u1' ORDER BY session_start""".stripMargin)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       def ms(s: String): Long = Timestamp.valueOf(s).getTime
       assert(rows.toSeq == Seq(
-        (ms("2026-01-01 09:50:00"), ms("2026-01-01 09:50:00"), 1L)))
+        (ms("2026-01-01 09:50:00"), ms("2026-01-01 09:50:00"), 1L),
+        (ms("2026-01-01 10:00:00"), ms("2026-01-01 10:00:30"), 2L)))
     } finally q.stop()
   }
 
@@ -255,6 +273,42 @@ class StreamIngestSpec extends SparkSpec {
       assert(rows.toSeq == Seq(
         (ms("2026-01-01 09:50:00"), ms("2026-01-01 09:50:00"), 1L),
         (ms("2026-01-01 10:00:00"), ms("2026-01-01 10:01:00"), 3L)))
+    } finally q.stop()
+  }
+
+  test("streamingSessions: a late in-watermark event merges into an " +
+      "unsealed sub-span instead of spawning an overlapping session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val sessions = StreamIngest.streamingSessions(
+      source.toDF().toDF("ts", "user"), "user", "ts",
+      maxGapMs = 60 * 1000L, watermark = "30 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_overlap").outputMode("append").start()
+    try {
+      // one trigger with two sub-spans 5 min apart (gap is 1 min)
+      source.addData((Timestamp.valueOf("2026-01-01 10:00:00"), "u1"),
+        (Timestamp.valueOf("2026-01-01 10:05:00"), "u1"))
+      q.processAllAvailable()
+      // late but in-watermark, inside the FIRST sub-span's gap: the
+      // eager-close form had already emitted (10:00, 10:00) and now
+      // emitted an overlapping (10:00, 10:00:30); sealed-by-watermark
+      // emission merges instead
+      source.addData((Timestamp.valueOf("2026-01-01 10:00:30"), "u1"))
+      q.processAllAvailable()
+      source.addData((Timestamp.valueOf("2026-01-01 11:30:00"), "u2"))
+      q.processAllAvailable()
+      source.addData((Timestamp.valueOf("2026-01-01 13:00:00"), "u2"))
+      q.processAllAvailable()
+      def ms(s: String): Long = Timestamp.valueOf(s).getTime
+      val rows = spark.sql(
+        """SELECT session_start, session_end, n_events FROM sess_overlap
+          |WHERE user = 'u1' ORDER BY session_start""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(
+        (ms("2026-01-01 10:00:00"), ms("2026-01-01 10:00:30"), 2L),
+        (ms("2026-01-01 10:05:00"), ms("2026-01-01 10:05:00"), 1L)))
     } finally q.stop()
   }
 
