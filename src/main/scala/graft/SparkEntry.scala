@@ -268,6 +268,12 @@ object SparkEntry {
           col("q.stopword_ratio").as("stopword_ratio"),
           col("q.quality_score").as("quality_score"))
         .orderBy("doc_id")),
+    // lang-ID is hash-free (CJK ratio + stopword-profile argmax) so it
+    // carries a full DuckDB twin, unlike the hash kernels below
+    "langid_docs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), lang_id(col("text")).as("lang_guess"))
+        .orderBy("doc_id")),
     // custom-hash kernels: not expressible in DuckDB → rows-only checks
     "simhash_sigs" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -277,10 +283,6 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           size(fingerprints(col("text"))).cast("long").as("n_fp"))
-        .orderBy("doc_id")),
-    "langid_docs" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), lang_id(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
     "minhash_neardup" -> ((s, dir) =>
       Dedup.dedupNearMinHash(t(s, dir, "documents"), "doc_id", "text",
@@ -533,10 +535,13 @@ object SparkEntry {
         "label", queries, "query_id", "embedding", k = 5)
         .orderBy("query_id")
     }),
-    // column-profiling summary (one agg pass; exact distincts)
+    // column-profiling summary (one agg pass; exact distincts so the
+    // DuckDB oracle can hash-match — production default is the HLL
+    // sketch, see Profile.summarize)
     "profile_docs" -> ((s, dir) =>
       graft.operators.Profile.summarize(t(s, dir, "documents"),
-        Seq("doc_id", "lang", "source", "n_chars")).orderBy("column")),
+        Seq("doc_id", "lang", "source", "n_chars"), exact = true)
+        .orderBy("column")),
     // exact distributed quantiles (rank window + bounds join — no
     // collect_list); interpolation is one fixed double expression so
     // both engines compute bit-identical values pre-rounding
@@ -738,6 +743,37 @@ object SparkEntry {
     "token_counts" ->
       s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // twin of TextOps.langId: CJK char ratio > 0.2 → zh, else stopword
+    // profile with most token hits (multiplicity counts; ties fall to
+    // the earlier profile in en/de/fr/es order; zero hits → und). The
+    // chained >= CASE reproduces first-profile-wins: a later profile is
+    // chosen only when it strictly beats every earlier one.
+    "langid_docs" ->
+      s"""WITH hits AS (
+         |  SELECT doc_id, text,
+         |    len(tk) AS n_tok,
+         |    len(list_filter(tk, x -> list_contains(
+         |      ['the','a','and','of','to','in','is','it','you','that','for','on','are','with','as'], x))) AS h_en,
+         |    len(list_filter(tk, x -> list_contains(
+         |      ['der','die','das','und','ist','nicht','ich','du','mit','für','auf','ein','eine','zu','den'], x))) AS h_de,
+         |    len(list_filter(tk, x -> list_contains(
+         |      ['le','la','les','et','est','un','une','je','tu','pour','dans','que','ne','pas','sur'], x))) AS h_fr,
+         |    len(list_filter(tk, x -> list_contains(
+         |      ['el','los','las','y','es','en','no','por','con','para','se','del','su','al','como'], x))) AS h_es
+         |  FROM (SELECT doc_id, text, $toksSql AS tk FROM documents))
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN len(text) = 0 THEN 'und'
+         |    WHEN len(regexp_replace(text,
+         |      '[^\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]', '', 'g')) * 1.0
+         |      / len(text) > 0.2 THEN 'zh'
+         |    WHEN n_tok = 0 OR greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+         |    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+         |    WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+         |    WHEN h_fr >= h_es THEN 'fr'
+         |    ELSE 'es'
+         |  END AS lang_guess
+         |FROM hits ORDER BY doc_id""".stripMargin,
     "bpe_token_counts" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
         "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe " +

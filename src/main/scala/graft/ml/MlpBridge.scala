@@ -40,17 +40,21 @@ object MlpBridge {
       seed: Long = 810L): MlpResult = {
     val clean = df.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
     // index by Spark's OWN string rendering (cast-to-string), which is
-    // what the UDF probes with — JVM toString differs for
+    // what the lookup probes with — JVM toString differs for
     // timestamp/decimal values and would miss the map
     val labels = clean.select(col(labelCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
     require(labels.length >= 2, "need at least 2 classes")
     val labelIdx = labels.zipWithIndex
       .map { case (v, i) => v -> i.toDouble }.toMap
-    val idxUdf = udf((s: String) => labelIdx(s))
+    // label indexing as a codegen'd map-literal lookup, not a Scala UDF
+    // — stays inside whole-stage codegen (the label map is driver-sized
+    // already: it was collected to index it)
+    val idxMap = map(labels.zipWithIndex.flatMap { case (v, i) =>
+      Seq(lit(v), lit(i.toDouble)) }: _*)
     val prepared = clean
       .withColumn("features", array_to_vector(col(vecCol).cast("array<double>")))
-      .withColumn("label", idxUdf(col(labelCol).cast("string")))
+      .withColumn("label", element_at(idxMap, col(labelCol).cast("string")))
       .cache()
     val dim = prepared.select(size(col(vecCol))).head.getInt(0)
 
@@ -70,10 +74,12 @@ object MlpBridge {
     val acc = new MulticlassClassificationEvaluator()
       .setMetricName("accuracy")
       .evaluate(model.transform(testSet))
-    val invIdx = labelIdx.map(_.swap)
-    val invUdf = udf((d: Double) => invIdx(d))
+    // inverse lookup by exact class-index double — same map-literal
+    // form as the indexer (predictions are exact index doubles)
+    val invMap = map(labels.zipWithIndex.flatMap { case (v, i) =>
+      Seq(lit(i.toDouble), lit(v)) }: _*)
     val all = model.transform(prepared)
-      .withColumn("mlp_pred", invUdf(col("prediction")))
+      .withColumn("mlp_pred", element_at(invMap, col("prediction")))
       .drop("features", "label", "rawPrediction", "probability", "prediction")
       .localCheckpoint(true) // materialize so the cache can be released
     prepared.unpersist()

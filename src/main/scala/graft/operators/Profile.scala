@@ -5,16 +5,16 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
 /** Column-profiling summary for pipeline hygiene checks (row counts,
-  * null counts, exact distinct cardinalities) — the "is this ingest
-  * sane" primitive run before/after every large transform.
+  * null counts, distinct cardinalities) — the "is this ingest sane"
+  * primitive run before/after every large transform.
   *
   * Scale shape: ONE aggregation pass over the data computing all
   * metrics together (count/conditional-count partial-aggregate;
-  * Catalyst plans the multi-distinct via expand). Only the
-  * |cols|-sized metric row reaches the driver; the pivot to one row
-  * per column happens on that constant-size result. Use
-  * `approx_count_distinct` instead when 2% error is acceptable and the
-  * expand cost is not.
+  * distinct counts are HyperLogLog sketches by default so the pass
+  * stays a plain partial aggregation — exact multi-distinct would
+  * Expand the scan |cols|×). Only the |cols|-sized metric row reaches
+  * the driver; the pivot to one row per column happens on that
+  * constant-size result.
   */
 object Profile {
 
@@ -46,14 +46,23 @@ object Profile {
   }
 
   /** Per-column (column, n_rows, n_nulls, n_distinct), one row per
-    * profiled column, ordered by column name. */
-  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * profiled column, ordered by column name.
+    *
+    * Distinct counts are HyperLogLog estimates by default (~2% error,
+    * one plain aggregation pass): exact multi-column `countDistinct`
+    * makes Catalyst Expand the scan — every input row is replayed once
+    * per profiled column, which at 100 TB turns a hygiene check into
+    * the most expensive query of the day. Pass `exact = true` when the
+    * precise cardinality is the point (small frames, oracle checks). */
+  def summarize(df: DataFrame, cols: Seq[String],
+      exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: $missing")
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"))
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__nd_$c"))
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head
     val n = r.getLong(0)

@@ -3,7 +3,6 @@ package graft.store
 import graft.Schemas
 import graft.functions.{Embed, Embedder}
 import graft.operators.{Metric, Similarity}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -153,15 +152,15 @@ final class VectorStore(
         Embed.embedColumn(coerced, "target", "vector", embedder, batchSize,
           prefix = queryPrefix)
     // first-wins WITHIN the incoming batch (reference: pandas
-    // drop_duplicates keep-first, VectorSearchBase.py:124) — window on
-    // target ordered by the sort key, keep first. Ties among rows with
-    // identical sortCols values are arbitrary (there is no "input
+    // drop_duplicates keep-first, VectorSearchBase.py:124) — min_by
+    // partial aggregation (one candidate per (partition, target)
+    // crosses the shuffle), mirroring Dedup.exactFirstWins; a
+    // row_number window would ship and sort every row. Ties among rows
+    // with identical sortCols values are arbitrary (there is no "input
     // order" in a distributed frame) — pass a unique key for full
     // determinism.
-    val w = Window.partitionBy("target").orderBy(sortCols.map(col): _*)
-    val inBatchDeduped = embedded
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val inBatchDeduped =
+      graft.operators.Dedup.exactFirstWins(embedded, Seq("target"), sortCols)
 
     val result =
       if (append && !isEmpty) {

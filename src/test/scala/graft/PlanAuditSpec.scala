@@ -68,6 +68,40 @@ class PlanAuditSpec extends SparkSpec {
       s"exact_dedup lost partial aggregation:\n$plan")
   }
 
+  test("store in-batch dedup takes the same partial min_by shape") {
+    // setData's first-wins dedup delegates to Dedup.exactFirstWins;
+    // guard the plan on a record-schema frame so a regression back to
+    // the row_number window (which ships every row) fails here
+    val records = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("text AS target", "lang AS option1", "source AS option2")
+    val plan = graft.operators.Dedup
+      .exactFirstWins(records, Seq("target"), Seq("target"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min_by"),
+      s"store-path dedup lost partial aggregation:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window"),
+      s"store-path dedup regressed to a window:\n$plan")
+  }
+
+  test("IVF batch join needs no broadcast of either side and keeps " +
+      "WindowGroupLimit") {
+    // the operator's contract: millions of queries × billions of corpus
+    // rows meet in a hash join keyed by cell id — it must plan cleanly
+    // with broadcasting disabled entirely
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf("ivf_batch_knn")
+      assert(plan.contains("WindowGroupLimit"),
+        s"ivf_batch_knn lost the group-limit pushdown:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"ivf_batch_knn is not a shuffled equi-join on cell id:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+        s"ivf_batch_knn degenerates without broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("as-of join stays union+window — no join operator at all") {
     val plan = planOf("asof_join")
     // the operator's whole point: no per-key inequality join (which

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class ProfileSpec extends SparkSpec {
 
@@ -10,11 +11,27 @@ class ProfileSpec extends SparkSpec {
       (Some("a"), Some(1)), (Some("a"), Some(2)),
       (Some("b"), None), (None, Some(2))
     ).toDF("s", "v")
-    val out = Profile.summarize(df, Seq("s", "v")).collect()
+    val out = Profile.summarize(df, Seq("s", "v"), exact = true).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(out("s") == (4L, 1L, 2L))
     assert(out("v") == (4L, 1L, 2L))
+  }
+
+  test("default approx profile estimates distincts without Expand") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (s"k${i % 7}", i)).toDF("s", "v")
+    val profiled = Profile.summarize(df, Seq("s", "v"))
+    val out = profiled.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // HLL at these cardinalities is exact in practice; assert tight
+    assert(out("s") == (1000L, 0L, 7L))
+    assert(out("v")._1 == 1000L && math.abs(out("v")._3 - 1000L) <= 30L)
+    // the scale point: the default path must NOT multiply the scan via
+    // Expand the way exact multi-distinct does
+    val agg = df.agg(count(lit(1)),
+      approx_count_distinct($"s"), approx_count_distinct($"v"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Expand"))
   }
 
   test("histogram buckets, clamps outliers, zero-fills empty buckets") {
