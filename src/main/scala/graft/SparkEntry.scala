@@ -460,6 +460,23 @@ object SparkEntry {
         .select("embedding").head.getSeq[Float](0).toArray
       reopened.queryVectorWithInfo(q, k = 5)
     }),
+    // bucketed-table store mode: two-batch ingest where the APPEND
+    // anti-joins against the bucketed layout (no Exchange on the
+    // existing side — PlanAuditSpec) and writes only the fresh rows;
+    // ids continue across batches exactly like store_append_ids
+    "store_bucketed_knn" -> ((s, dir) => {
+      val in = storeBase(s, dir)
+        .select(col("doc_id"), col("text").as("target"),
+          col("lang").as("option1"), col("source").as("option2"),
+          col("embedding").as("vector"))
+      val store = new VectorStore(s, HashEmbedder(dim = 64),
+        bucketedTable = Some("graft_q_store_bucketed"))
+      store.setData(in.filter(col("doc_id") < 250).drop("doc_id"))
+      store.setData(in.drop("doc_id"), append = true)
+      val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      store.queryVectorWithInfo(q, k = 5)
+    }),
     // Pearson correlation (A6) via exact decimal sums + one fixed
     // double expression — order-independent, so cross-engine checkable
     // (plain corr() drifts with accumulation order)
@@ -841,6 +858,21 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // same base as store_append_ids (two-batch id assignment) ranked by
+    // distance to the vec_id=0 query
+    "store_bucketed_knn" ->
+      s"""WITH base AS (
+         |  SELECT d.doc_id, d.text, d.lang, d.source, em.embedding FROM documents d
+         |  JOIN embeddings em ON d.doc_id = em.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY d.text ORDER BY d.doc_id) = 1),
+         |ids AS (
+         |  SELECT row_number() OVER (ORDER BY (doc_id >= 250), text) AS id,
+         |    text AS target, lang AS option1, source AS option2, embedding
+         |  FROM base)
+         |SELECT id, target, option1, option2, distance FROM (
+         |  SELECT e.id, e.target, e.option1, e.option2, $sqDist AS distance
+         |  FROM ids e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+         |ORDER BY distance, id LIMIT 5""".stripMargin,
     "store_durable_knn" ->
       s"""WITH base AS (
          |  SELECT d.text, d.lang, d.source, em.embedding FROM documents d

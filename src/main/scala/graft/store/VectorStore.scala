@@ -58,20 +58,39 @@ object Ingest {
   * `VectorSearchBase` (`/root/reference/vsu/base/VectorSearchBase.py`):
   * ingest (schema-coerce, embed-if-missing, first-wins dedup on
   * `target`, sequential ids), exact k-NN query, and reset. Storage is a
-  * cached DataFrame (`:memory:` parity) or a parquet path (durable,
-  * `db_name` parity — `VectorSearchBase.py:18,26`).
+  * cached DataFrame (`:memory:` parity), a parquet path (durable,
+  * `db_name` parity — `VectorSearchBase.py:18,26`), or a catalog table
+  * bucketed by `target` (the 100 TB append path — see below).
   *
   * Scale design: ingest is bulk (no per-row inserts — S7 is a single
   * `write.mode(append)`), dedup is a hash-shuffle anti-join on `target`
   * (never post-union dropDuplicates — U1), queries are brute-force
   * scans planned as `TakeOrderedAndProject` (no corpus shuffle).
+  *
+  * '''Bucketed durable mode''' (`bucketedTable`): the store persists as
+  * a catalog table `bucketBy(numBuckets, target)`. Appends then (a)
+  * anti-join the incoming batch against a bucketed scan whose
+  * `outputPartitioning` already matches the join key — only the
+  * O(batch) incoming side shuffles, the existing store is NEVER
+  * re-exchanged — and (b) write ONLY the fresh rows as new per-bucket
+  * files, so an append writes O(batch), not O(store). The plain `path`
+  * mode rewrites the full store every append (fine for small stores;
+  * its swap-rename gives stronger crash atomicity), which at 100 TB
+  * makes the append loop quadratic — bucketed mode is the scale
+  * default. Plan shape is regression-guarded in PlanAuditSpec.
   */
 final class VectorStore(
     val spark: SparkSession,
     val embedder: Embedder,
     val path: Option[String] = None,
     val batchSize: Int = 256,
-    val queryPrefix: String = "query: ") {
+    val queryPrefix: String = "query: ",
+    val bucketedTable: Option[String] = None,
+    val numBuckets: Int = 32) {
+
+  require(path.isEmpty || bucketedTable.isEmpty,
+    "choose ONE durable mode: parquet path or bucketed table")
+  require(numBuckets > 0, "numBuckets must be positive")
 
   import Ingest._
 
@@ -82,10 +101,12 @@ final class VectorStore(
 
   /** Current store contents (id, target, option1..5, vector). */
   def data: DataFrame = mem.getOrElse {
-    val df = path match {
-      case Some(p) =>
+    val df = (path, bucketedTable) match {
+      case (Some(p), _) =>
         recoverIfInterrupted(p)
         if (fileExists(p)) spark.read.parquet(p) else emptyData
+      case (_, Some(tbl)) =>
+        if (spark.catalog.tableExists(tbl)) spark.table(tbl) else emptyData
       case _ => emptyData
     }
     mem = Some(df)
@@ -162,24 +183,46 @@ final class VectorStore(
     val inBatchDeduped =
       graft.operators.Dedup.exactFirstWins(embedded, Seq("target"), sortCols)
 
-    val result =
-      if (append && !isEmpty) {
-        val existing = data
-        // first-wins vs existing rows: left-anti on target (J3) — the
-        // deterministic bulk form of insert-if-absent
-        // (VectorSearchBase.py:79-87); existing rows always win.
-        val fresh = inBatchDeduped
-          .join(existing.select("target"), Seq("target"), "left_anti")
-        val maxId = existing.agg(max("id")).head.getLong(0)
-        val freshWithIds = withSequentialIds(fresh, maxId + 1, sortCols)
-          .select(Schemas.record.fieldNames.map(col): _*)
-        existing.unionByName(freshWithIds)
-      } else {
-        withSequentialIds(inBatchDeduped, startAt = 1L, sortCols)
-          .select(Schemas.record.fieldNames.map(col): _*)
+    if (append && !isEmpty) {
+      val existing = data
+      val fresh = appendAntiJoin(inBatchDeduped)
+      val maxId = existing.agg(max("id")).head.getLong(0)
+      val freshWithIds = withSequentialIds(fresh, maxId + 1, sortCols)
+        .select(Schemas.record.fieldNames.map(col): _*)
+      bucketedTable match {
+        case Some(tbl) =>
+          // the bucketed win: write ONLY the fresh rows as new
+          // per-bucket files — the existing store is neither read back
+          // nor rewritten (saveAsTable(append) resolves by name and
+          // enforces the matching bucket spec)
+          freshWithIds.write.mode("append").format("parquet")
+            .bucketBy(numBuckets, "target").sortBy("target")
+            .saveAsTable(tbl)
+          spark.catalog.refreshTable(tbl)
+          mem = Some(spark.table(tbl))
+        case None =>
+          persist(existing.unionByName(freshWithIds), truncateLineage = true)
       }
-    persist(result, truncateLineage = append)
+    } else {
+      val withIds = withSequentialIds(inBatchDeduped, startAt = 1L, sortCols)
+        .select(Schemas.record.fieldNames.map(col): _*)
+      bucketedTable match {
+        case Some(tbl) =>
+          graft.operators.Bucketing.writeBucketed(withIds, tbl, "target",
+            numBuckets)
+          mem = Some(spark.table(tbl))
+        case None => persist(withIds)
+      }
+    }
   }
+
+  /** First-wins vs existing rows: left-anti on `target` (J3) — the
+    * deterministic bulk form of insert-if-absent
+    * (`VectorSearchBase.py:79-87`); existing rows always win. Exposed
+    * package-private so PlanAuditSpec can pin the bucketed-mode shape
+    * (existing side scans its buckets with no Exchange). */
+  private[graft] def appendAntiJoin(inBatch: DataFrame): DataFrame =
+    inBatch.join(data.select("target"), Seq("target"), "left_anti")
 
   private def persist(df: DataFrame, truncateLineage: Boolean = false): Unit = {
     path match {
@@ -233,6 +276,7 @@ final class VectorStore(
       fs.delete(new org.apache.hadoop.fs.Path(p + "__old"), true)
       fs.delete(new org.apache.hadoop.fs.Path(p + "__staging"), true)
     }
+    bucketedTable.foreach(tbl => spark.sql(s"DROP TABLE IF EXISTS $tbl"))
     mem = Some(emptyData)
   }
 

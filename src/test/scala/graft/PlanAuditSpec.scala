@@ -83,6 +83,37 @@ class PlanAuditSpec extends SparkSpec {
       s"store-path dedup regressed to a window:\n$plan")
   }
 
+  test("bucketed store append anti-joins with NO Exchange on the " +
+      "existing side") {
+    import org.apache.spark.sql.functions.lit
+    val tbl = "graft_plan_audit_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val store = new graft.store.VectorStore(spark,
+        graft.functions.HashEmbedder(dim = 8),
+        bucketedTable = Some(tbl), numBuckets = 4)
+      val base = spark.read.parquet(s"${sf()}/documents.parquet")
+        .selectExpr("text AS target", "lang AS option1")
+      store.setData(base)
+      val incoming = base.withColumn("option1", lit("new"))
+      val plan = store.appendAntiJoin(incoming)
+        .queryExecution.executedPlan.toString
+      // exactly ONE hash exchange — the O(batch) incoming side; the
+      // store side reads its buckets pre-partitioned
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      assert(exchanges == 1,
+        s"bucketed append should exchange only the incoming side:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"existing side lost its bucketed scan:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("IVF batch join needs no broadcast of either side and keeps " +
       "WindowGroupLimit") {
     // the operator's contract: millions of queries × billions of corpus

@@ -200,6 +200,46 @@ class VectorStoreSpec extends SparkSpec {
     assert(targets.toSet == Set("101", "7", "102"))
   }
 
+  test("bucketed store: replace + append semantics match the in-memory " +
+      "store and survive reopen") {
+    import spark.implicits._
+    val tbl = "graft_store_spec_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val store = new VectorStore(spark, HashEmbedder(dim = 8),
+      bucketedTable = Some(tbl), numBuckets = 4)
+    try {
+      store.setData(Seq(("a", "b1"), ("b", "b1")).toDF("target", "option1"))
+      assert(store.data.count() == 2)
+      // append: existing targets win, fresh rows get continuing ids
+      store.setData(Seq(("b", "b2"), ("c", "b2")).toDF("target", "option1"),
+        append = true)
+      val byTarget = store.data.collect()
+        .map(r => r.getString(1) -> (r.getLong(0), r.getString(2))).toMap
+      assert(byTarget == Map(
+        "a" -> (1L, "b1"), "b" -> (2L, "b1"), "c" -> (3L, "b2")))
+      // a NEW handle on the same table sees the same rows (durable)
+      val reopened = new VectorStore(spark, HashEmbedder(dim = 8),
+        bucketedTable = Some(tbl), numBuckets = 4)
+      assert(reopened.data.count() == 3)
+      // the table really is bucketed: catalog reports the spec
+      val ddl = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+        .map(r => s"${r.getString(0)}=${r.getString(1)}").mkString(";")
+      assert(ddl.contains("Num Buckets=4") && ddl.contains("target"))
+      // queries run over the bucketed layout
+      val top = store.query("a", k = 1).collect()
+      assert(top.length == 1)
+      store.reset()
+      assert(!spark.catalog.tableExists(tbl) && store.isEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("bucketed and path modes are mutually exclusive") {
+    intercept[IllegalArgumentException] {
+      new VectorStore(spark, HashEmbedder(dim = 8), path = Some("/tmp/x"),
+        bucketedTable = Some("y"))
+    }
+  }
+
   test("skipBuild reuses the trained model across calls (skip_build parity)") {
     import spark.implicits._
     val rows =
