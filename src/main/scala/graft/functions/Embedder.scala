@@ -33,6 +33,53 @@ trait BinaryEmbedder extends Serializable {
   def embedBytes(batch: Seq[Array[Byte]]): Seq[Array[Float]]
 }
 
+/** Columnar inference surface — the drop-in point for a REAL model
+  * runtime (ONNX Runtime, a JNI-wrapped torch export, TVM): a batch
+  * arrives as ONE contiguous Arrow-style varchar block (concatenated
+  * UTF-8 value bytes + `n+1` int offsets) and the model writes all
+  * embeddings into ONE caller-allocated `n × dim` float buffer. Both
+  * buffers map 1:1 onto Arrow `LargeUtf8`/`FixedSizeList<Float32>`
+  * vectors, so a native runtime binds them zero-copy; nothing in the
+  * contract forces per-row JVM objects anywhere between the scan and
+  * the model.
+  *
+  * Implementations hold their session/weights in `@transient lazy val`s
+  * (one per executor, like [[Embedder]]).
+  */
+trait ColumnarEmbedder extends Serializable {
+  def dim: Int
+
+  /** Embed one packed batch.
+    *
+    * @param values  concatenated UTF-8 bytes of all `n` strings
+    * @param offsets `n + 1` offsets into `values` (row j spans
+    *                `[offsets(j), offsets(j+1))` — Arrow varchar layout)
+    * @param n       rows in this batch
+    * @param out     caller-allocated `n * dim` output buffer; row j's
+    *                embedding goes to `[j * dim, (j+1) * dim)`
+    */
+  def embedBatch(values: Array[Byte], offsets: Array[Int], n: Int,
+      out: Array[Float]): Unit
+}
+
+object ColumnarEmbedder {
+  /** Adapt a columnar model to the Seq-based [[Embedder]] surface (so
+    * `VectorStore` and zero-shot paths take it unchanged): each Seq
+    * batch is packed into one varchar block and embedded with ONE
+    * `embedBatch` call — the adapter never degrades to per-row calls. */
+  final case class AsEmbedder(model: ColumnarEmbedder) extends Embedder {
+    override def dim: Int = model.dim
+    override def embed(batch: Seq[String]): Seq[Array[Float]] = {
+      val n = batch.length
+      val (values, offsets) = Embed.packUtf8(batch.iterator, n)
+      val out = new Array[Float](n * dim)
+      model.embedBatch(values, offsets, n, out)
+      (0 until n).map(j =>
+        java.util.Arrays.copyOfRange(out, j * dim, (j + 1) * dim))
+    }
+  }
+}
+
 /** Deterministic, dependency-free text embedder for offline use: signed
   * feature hashing over lowercase whitespace tokens (the classic
   * hashing-trick bag-of-words). Same string → same vector on every JVM
@@ -109,6 +156,53 @@ object Embed {
         require(vecs.length == rows.length,
           s"embedder returned ${vecs.length} vectors for ${rows.length} rows")
         rows.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Pack `n` strings into one Arrow-style varchar block: concatenated
+    * UTF-8 value bytes + `n + 1` offsets. The only per-row JVM work is
+    * the UTF-8 encode; a future Arrow-native scan hands equivalent
+    * buffers straight from parquet. */
+  private[graft] def packUtf8(strings: Iterator[String],
+      n: Int): (Array[Byte], Array[Int]) = {
+    val offsets = new Array[Int](n + 1)
+    val buf = new java.io.ByteArrayOutputStream(n * 64)
+    var i = 0
+    while (strings.hasNext) {
+      val b = strings.next()
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      buf.write(b, 0, b.length)
+      offsets(i + 1) = offsets(i) + b.length
+      i += 1
+    }
+    require(i == n, s"packed $i strings, expected $n")
+    (buf.toByteArray, offsets)
+  }
+
+  /** Columnar twin of [[embedColumn]]: batches are packed into
+    * contiguous buffers (see [[ColumnarEmbedder]]) and embedded with
+    * ONE model call per batch — there is no per-row inference path at
+    * all, so a real native runtime dropped in behind the trait runs at
+    * full batch width from day one. Narrow map, no shuffle. */
+  def embedColumnColumnar(df: DataFrame, inCol: String, outCol: String,
+      model: ColumnarEmbedder, batchSize: Int = DefaultBatchSize,
+      prefix: String = ""): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val outSchema = df.schema.add(outCol, Schemas.vectorType)
+    val inIdx = df.schema.fieldIndex(inCol)
+    val dim = model.dim
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        val n = rows.length
+        val (values, offsets) = packUtf8(rows.iterator.map(r =>
+          prefix + Option(r.get(inIdx)).map(_.toString).getOrElse("")), n)
+        val out = new Array[Float](n * dim)
+        model.embedBatch(values, offsets, n, out)
+        rows.zipWithIndex.map { case (r, j) =>
+          Row.fromSeq(r.toSeq :+
+            java.util.Arrays.copyOfRange(out, j * dim, (j + 1) * dim))
+        }
       }
     }(Encoders.row(outSchema))
   }

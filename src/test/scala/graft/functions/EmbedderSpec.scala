@@ -53,6 +53,38 @@ class EmbedderSpec extends SparkSpec {
     assert(withP != emb.embedOne("hello world").toSeq)
   }
 
+  test("columnar plumbing: full batches reach the model, offsets carry " +
+      "exact row bytes, per-row calls never fire") {
+    EmbedderSpec.batchSizes.clear()
+    val df = (1 to 550).map(i => (i.toLong, "x" * (i % 17)))
+      .toDF("id", "text").repartition(1)
+    val out = Embed.embedColumnColumnar(df, "text", "vector",
+      EmbedderSpec.ProbeColumnar(4), batchSize = 256)
+      .orderBy("id").select("id", "vector").as[(Long, Seq[Float])].collect()
+    // the model saw three packed batches, never a per-row call
+    val sizes = {
+      val it = EmbedderSpec.batchSizes.iterator()
+      val b = scala.collection.mutable.ArrayBuffer[Int]()
+      while (it.hasNext) b += it.next()
+      b.sorted.toSeq
+    }
+    assert(sizes == Seq(38, 256, 256), s"unexpected batch sizes $sizes")
+    // vector(0) = row's UTF-8 length decoded from the offset buffer;
+    // vector(1) = batch width the model received
+    for ((id, v) <- out) {
+      assert(v(0) == (id % 17).toFloat, s"row $id bytes ${v(0)}")
+      assert(v(1) == 256f || v(1) == 38f)
+      assert(v(1) != 1f, s"row $id came through a per-row call")
+    }
+    // the Embedder adapter packs a whole Seq batch into one call too
+    EmbedderSpec.batchSizes.clear()
+    val vecs = ColumnarEmbedder.AsEmbedder(EmbedderSpec.ProbeColumnar(4))
+      .embed(Seq("ab", "cdef", ""))
+    assert(EmbedderSpec.batchSizes.size() == 1 &&
+      EmbedderSpec.batchSizes.peek() == 3)
+    assert(vecs.map(_(0)).toSeq == Seq(2f, 4f, 0f))
+  }
+
   test("similar texts more similar than disjoint texts") {
     val df = Seq(
       (1L, "spark sql query engine fast"),
@@ -68,5 +100,29 @@ class EmbedderSpec extends SparkSpec {
       d / (na * nb)
     }
     assert(cos(rows(0), rows(1)) > cos(rows(0), rows(2)))
+  }
+}
+
+object EmbedderSpec {
+  /** Batch widths observed by the probe model (local-mode tasks share
+    * the JVM, so a static collector sees executor-side calls). */
+  val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+
+  /** Synthetic columnar model: records the batch width it was handed
+    * and emits per-row vectors decodable from the packed buffers —
+    * `[utf8ByteLen, batchWidth, 0, ...]` — so the spec can prove the
+    * offsets were packed right and no per-row path ran. */
+  final case class ProbeColumnar(dim: Int)
+      extends graft.functions.ColumnarEmbedder {
+    override def embedBatch(values: Array[Byte], offsets: Array[Int],
+        n: Int, out: Array[Float]): Unit = {
+      batchSizes.add(n)
+      var j = 0
+      while (j < n) {
+        out(j * dim) = (offsets(j + 1) - offsets(j)).toFloat
+        out(j * dim + 1) = n.toFloat
+        j += 1
+      }
+    }
   }
 }
