@@ -382,6 +382,17 @@ object SparkEntry {
       idx.queryBatch(qdf, "query_id", "embedding", k = 3, nprobe = 4)
         .orderBy("query_id", "distance", "vec_id")
     }),
+    // product-quantization ANN: 32× compressed codes + ADC scan +
+    // exact re-rank (kmeans partitioning-sensitive → rows-only; ADC
+    // exactness-on-centroids and refine-vs-brute-force are unit-tested)
+    "pq_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val idx = graft.operators.PqIndex.train(emb, "embedding", "vec_id",
+        m = 8, codesPerBook = 16, sampleFraction = 0.25)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5, refineFactor = 8)
+    }),
     // batch twin of the streaming tumbling-window agg (ts read as
     // epoch nanos via nanosAsLong)
     "events_hourly" -> ((s, dir) =>

@@ -132,6 +132,94 @@ object VectorOps {
     new GenericArrayData(bestIdx)
   }
 
+  /** Product-quantization encode: per subspace, argmin squared-L2 over
+    * that subspace's codebook → one unsigned byte code (Jégou et al.
+    * TPAMI 2011). `codebooks(s)(c)` is centroid c of subspace s; the
+    * input dim must equal the summed sub-dims; ties take the lowest
+    * code (centroid scan order). */
+  def pqEncode(a: ArrayData, af: Boolean,
+      codebooks: Array[Array[Array[Float]]]): Array[Byte] = {
+    val m = codebooks.length
+    var dim = 0
+    var s0 = 0
+    while (s0 < m) { dim += codebooks(s0)(0).length; s0 += 1 }
+    if (a.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"vector length ${a.numElements()} != codebook dim $dim")
+    }
+    val out = new Array[Byte](m)
+    var off = 0
+    var s = 0
+    while (s < m) {
+      val book = codebooks(s)
+      val subDim = book(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val d = get(a, off + i, af) - cent(i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      off += subDim
+      s += 1
+    }
+    out
+  }
+
+  /** Asymmetric-distance computation over PQ codes: the query's
+    * precomputed table holds squared-L2 from each of its subvectors to
+    * every centroid; a row's approximate distance is m table lookups —
+    * no float math per row at scan time. Codes are unsigned. */
+  def pqAdc(codes: Array[Byte], table: Array[Double], k: Int): Double = {
+    val m = codes.length
+    if (table.length != m * k) {
+      throw new IllegalArgumentException(
+        s"ADC table length ${table.length} != m*k = ${m * k}")
+    }
+    var acc = 0.0
+    var s = 0
+    while (s < m) { acc += table(s * k + (codes(s) & 0xFF)); s += 1 }
+    acc
+  }
+
+  /** Subspace-indexed nearest centroid: argmin over `codebooks(sub)`
+    * for a full (sub-dimensional) input vector — the PQ training
+    * assignment kernel, one expression for all subspaces. */
+  def nearestSubCentroid(sub: Int, a: ArrayData, af: Boolean,
+      codebooks: Array[Array[Array[Float]]]): Int = {
+    if (sub < 0 || sub >= codebooks.length) {
+      throw new IllegalArgumentException(
+        s"subspace $sub out of range [0, ${codebooks.length})")
+    }
+    val book = codebooks(sub)
+    val n = a.numElements()
+    if (n != book(0).length) {
+      throw new IllegalArgumentException(
+        s"subvector length $n != sub-centroid dim ${book(0).length}")
+    }
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val cent = book(c)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { val d = get(a, i, af) - cent(i); acc += d * d; i += 1 }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Driver-side squared L2 for plain float arrays (centroid ranking). */
   def squaredL2Floats(a: Array[Float], b: Array[Float]): Double = {
     require(a.length == b.length,
@@ -272,6 +360,66 @@ case class NearestCentroids(child: Expression,
   }
   override def prettyName: String = "nearest_centroids"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** pq_encode(v): binary — m-byte product-quantization code (one
+  * unsigned byte per subspace codebook). The codebook tensor rides
+  * along as a reference object like [[NearestCentroid]]'s matrix. */
+case class PqEncode(child: Expression,
+    codebooks: Array[Array[Array[Float]]])
+    extends UnaryFloatVectorExpression {
+  require(codebooks.nonEmpty && codebooks.forall(b =>
+    b.nonEmpty && b.length <= 256), "each codebook needs 1..256 centroids")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.pqEncode(a.asInstanceOf[ArrayData], childIsFloat, codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorOps.pqEncode($a, $childIsFloat, $ref)")
+  }
+  override def prettyName: String = "pq_encode"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** pq_adc(codes): double — asymmetric-distance lookup against a
+  * query's precomputed table (m × codesPerBook doubles, embedded as a
+  * reference object): the compressed-scan distance kernel. */
+case class PqAdcDistance(child: Expression, table: Array[Double],
+    codesPerBook: Int)
+    extends org.apache.spark.sql.graftglue.UnaryBinaryInputExpression {
+  require(codesPerBook >= 1 && table.length % codesPerBook == 0,
+    "table length must be a multiple of codesPerBook")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.pqAdc(a.asInstanceOf[Array[Byte]], table, codesPerBook)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcTable", table, "double[]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorOps.pqAdc($a, $ref, $codesPerBook)")
+  }
+  override def prettyName: String = "pq_adc"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** nearest_sub_centroid(sub, subvec): int — PQ training assignment
+  * (argmin over the sub-th codebook). */
+case class NearestSubCentroid(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Float]]])
+    extends org.apache.spark.sql.graftglue.IntVectorExpression {
+  require(codebooks.nonEmpty, "codebooks must be non-empty")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(s: Any, a: Any): Any =
+    VectorOps.nearestSubCentroid(s.asInstanceOf[Int],
+      a.asInstanceOf[ArrayData], rightIsFloat, codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (s, a) =>
+      s"${ev.value} = graft.functions.VectorOps.nearestSubCentroid($s, $a, $rightIsFloat, $ref);")
+  }
+  override def prettyName: String = "nearest_sub_centroid"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** l2_normalize(a): array<float> — unit-length copy (F2 in SURVEY §2). */

@@ -31,6 +31,19 @@ object VectorFunctions {
       nprobe: Int): Column =
     column(NearestCentroids(expression(a), centroids, nprobe))
 
+  /** Product-quantization encode (see [[PqEncode]]). */
+  def pq_encode(a: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    column(PqEncode(expression(a), codebooks))
+
+  /** ADC distance over PQ codes (see [[PqAdcDistance]]). */
+  def pq_adc(codes: Column, table: Array[Double], codesPerBook: Int): Column =
+    column(PqAdcDistance(expression(codes), table, codesPerBook))
+
+  /** PQ training assignment (see [[NearestSubCentroid]]). */
+  def nearest_sub_centroid(sub: Column, subvec: Column,
+      codebooks: Array[Array[Array[Float]]]): Column =
+    column(NearestSubCentroid(expression(sub), expression(subvec), codebooks))
+
   /** Element-wise vector sum aggregate (partial-aggregation friendly —
     * see [[VectorSumAgg]]). */
   def vec_sum(a: Column): Column =

@@ -93,6 +93,45 @@ final class IvfIndex(
   def writePartitioned(path: String): Unit =
     assigned.write.mode("overwrite")
       .partitionBy(IvfIndex.ClusterCol).parquet(path)
+
+  /** Incrementally extend the index: new rows get cells from the
+    * EXISTING centroids (the same narrow codegen'd kernel — no refit,
+    * no shuffle, no touch of prior rows). This is the streaming-ingest
+    * contract: assignment quality degrades only as far as the data
+    * drifts from the trained centroids; call [[refreshCentroids]]
+    * periodically to re-center. */
+  def append(newRows: DataFrame): IvfIndex =
+    new IvfIndex(centroids,
+      assigned.unionByName(IvfIndex.assignCells(newRows, vecCol, centroids)),
+      vecCol, idCol)
+
+  /** Append-only write of NEW rows into an existing partitioned layout
+    * (see [[writePartitioned]]): only the incoming batch's cell
+    * directories gain files; the rest of the lake is untouched. */
+  def appendPartitioned(path: String, newRows: DataFrame): Unit =
+    IvfIndex.assignCells(newRows, vecCol, centroids)
+      .write.mode("append").partitionBy(IvfIndex.ClusterCol).parquet(path)
+
+  /** One Lloyd's step over the CURRENT index: recompute each cell's
+    * mean (one vec_sum job — nClusters × dim doubles cross the
+    * shuffle) and reassign all rows to the refreshed centroids (one
+    * narrow map). Run this as the periodic offline re-center after
+    * sustained appends; empty cells keep their previous centroid. */
+  def refreshCentroids(): IvfIndex = {
+    import graft.functions.VectorFunctions.vec_sum
+    val stats = assigned.groupBy(IvfIndex.ClusterCol)
+      .agg(vec_sum(col(vecCol)).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val next = centroids.map(_.clone())
+    stats.foreach { r =>
+      val s = r.getSeq[Double](1)
+      val n = r.getLong(2).toDouble
+      next(r.getInt(0)) = s.map(x => (x / n).toFloat).toArray
+    }
+    new IvfIndex(next,
+      IvfIndex.assignCells(assigned.drop(IvfIndex.ClusterCol), vecCol, next),
+      vecCol, idCol)
+  }
 }
 
 object IvfIndex {

@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import graft.functions.VectorOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Product-quantization ANN — the MEMORY side of the 100 TB scale story
+  * (Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011; faiss `IndexPQ` semantics). The vector is split
+  * into `m` subspaces, each quantized against its own `codesPerBook`
+  * centroids, so a row compresses to `m` bytes: a 64-dim float32 corpus
+  * shrinks 32× (256 B → 8 B/row), which is the difference between "the
+  * candidate scan fits in cluster memory" and "it does not" at 10⁹+
+  * rows.
+  *
+  *  - '''train''': joint Lloyd's over ALL subspaces at once — the
+  *    sample explodes to (sub, subvec) rows ONCE, each iteration is ONE
+  *    job (codegen'd [[graft.functions.NearestSubCentroid]] assignment
+  *    + `groupBy(sub, cell)` vec_sum refresh with partial aggregation),
+  *    so cost does not multiply by m the way per-subspace fits would.
+  *  - '''encode''': one narrow codegen'd [[graft.functions.PqEncode]]
+  *    projection → `codes` frame of (id, m-byte code).
+  *  - '''query''': the ADC table (m × codesPerBook squared-L2 entries
+  *    from the query's subvectors to every centroid) is computed
+  *    driver-side; the scan then does m BYTE-indexed lookups per row —
+  *    no float math — planned as `TakeOrderedAndProject` over the
+  *    codes-only columns (no shuffle, no vector reads). `refineFactor`
+  *    re-ranks the ADC candidates by exact distance against the
+  *    original corpus (the standard PQ re-rank): a k×refine-row join,
+  *    negligible beside the scan.
+  *
+  * Compose with [[IvfIndex]] for IVF-PQ: partition the CODES frame by
+  * the IVF cell (`IvfIndex.assignCells` on the same vectors) and probe
+  * nprobe cells of the compressed table — cell pruning cuts rows
+  * scanned, PQ cuts bytes per row.
+  */
+final class PqIndex(
+    val codebooks: Array[Array[Array[Float]]],
+    val corpus: DataFrame,
+    val codes: DataFrame,
+    vecCol: String, idCol: String) extends Serializable {
+
+  def m: Int = codebooks.length
+  def codesPerBook: Int = codebooks(0).length
+  def subDim: Int = codebooks(0)(0).length
+
+  /** ADC lookup table for `q`: entry `s * codesPerBook + c` is the
+    * squared-L2 between q's s-th subvector and centroid c of codebook
+    * s (driver-side — m × codesPerBook × subDim flops, microseconds). */
+  def adcTable(q: Array[Float]): Array[Double] = {
+    require(q.length == m * subDim,
+      s"query dim ${q.length} != ${m * subDim}")
+    val k = codesPerBook
+    val t = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      val book = codebooks(s)
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val d = q(s * subDim + i).toDouble - cent(i)
+          acc += d * d
+          i += 1
+        }
+        t(s * k + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    t
+  }
+
+  /** Approximate top-k. Returns (idCol, distance) ascending — ADC
+    * distances when `refineFactor == 1`, exact squared-L2 over the
+    * re-ranked `k * refineFactor` ADC candidates otherwise. */
+  def query(q: Array[Float], k: Int, refineFactor: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(refineFactor >= 1, "refineFactor must be >= 1")
+    val table = adcTable(q)
+    val cand = codes
+      .withColumn("distance",
+        pq_adc(col(PqIndex.CodeCol), table, codesPerBook))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k * refineFactor)
+      .select(col(idCol), col("distance"))
+    if (refineFactor == 1) cand
+    else cand.drop("distance")
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .withColumn("distance", squared_l2(col(vecCol), typedLit(q)))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("distance"))
+  }
+
+  /** Persist the compressed table — (id, code) only, m bytes of payload
+    * per row; downstream ADC scans read THIS, never the vectors. */
+  def writeCodes(path: String): Unit =
+    codes.write.mode("overwrite").parquet(path)
+}
+
+object PqIndex {
+  val CodeCol = "pq_code"
+
+  /** Train codebooks on (a sample of) `df` and lazily encode the full
+    * frame. `codesPerBook` ≤ 256 (one byte per subspace); `df`'s vector
+    * dim must divide evenly into `m` subspaces.
+    *
+    * Training shape: the sample pays ONE explode into (sub, subvec)
+    * rows (cached), then `maxIter` single-job Lloyd's rounds; only
+    * m × codesPerBook centroid stats cross the shuffle per round. Seeds
+    * are distinct subvectors in deterministic hash order, per subspace
+    * (duplicate-heavy corpora would otherwise seed dead centroids);
+    * under-populated subspaces pad by repeating their first seed —
+    * padded duplicates never win an argmin tie, so they are inert. */
+  def train(df: DataFrame, vecCol: String, idCol: String, m: Int = 8,
+      codesPerBook: Int = 256, seed: Long = 42L,
+      sampleFraction: Double = 1.0, maxIter: Int = 8): PqIndex = {
+    require(m >= 1, "need at least 1 subspace")
+    require(codesPerBook >= 2 && codesPerBook <= 256,
+      "codesPerBook must be in [2, 256] (one byte per code)")
+    require(!df.columns.contains(CodeCol),
+      s"input frame must not contain a column named '$CodeCol'")
+    val dim = df.select(col(vecCol)).head.getSeq[Float](0).length
+    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val sample =
+      (if (sampleFraction >= 1.0) df else df.sample(sampleFraction, seed))
+        .select(col(vecCol))
+    val subSlices = array((0 until m).map(s =>
+      slice(col(vecCol), s * subDim + 1, subDim)): _*)
+    val exploded = sample.select(posexplode(subSlices))
+      .toDF("sub", "subvec").cache()
+    try {
+      var books = seedBooks(exploded, m, codesPerBook, seed)
+      var it = 0
+      var converged = false
+      while (it < maxIter && !converged) {
+        val stats = exploded
+          .withColumn("cell",
+            nearest_sub_centroid(col("sub"), col("subvec"), books))
+          .groupBy("sub", "cell")
+          .agg(vec_sum(col("subvec")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        stats.foreach { r =>
+          val s = r.getSeq[Double](2)
+          val n = r.getLong(3).toDouble
+          next(r.getInt(0))(r.getInt(1)) =
+            s.map(x => (x / n).toFloat).toArray
+        }
+        var shift = 0.0
+        for (s <- 0 until m; c <- 0 until codesPerBook)
+          shift = math.max(shift,
+            VectorOps.squaredL2Floats(books(s)(c), next(s)(c)))
+        books = next
+        converged = shift == 0.0
+        it += 1
+      }
+      new PqIndex(books, df,
+        df.select(col(idCol), pq_encode(col(vecCol), books).as(CodeCol)),
+        vecCol, idCol)
+    } finally exploded.unpersist()
+  }
+
+  /** Reload a codes table written by [[PqIndex.writeCodes]] against its
+    * corpus (for the exact re-rank) and codebooks. */
+  def load(spark: SparkSession, codesPath: String,
+      codebooks: Array[Array[Array[Float]]], corpus: DataFrame,
+      vecCol: String, idCol: String): PqIndex =
+    new PqIndex(codebooks, corpus, spark.read.parquet(codesPath), vecCol,
+      idCol)
+
+  /** Per-subspace seeding: the first `codesPerBook` DISTINCT subvectors
+    * in seeded hash order (one window pass over the exploded sample;
+    * the 4× oversample absorbs duplicate-heavy data, and the collected
+    * slice is m × 4k rows — driver-tiny). */
+  private def seedBooks(exploded: DataFrame, m: Int, codesPerBook: Int,
+      seed: Long): Array[Array[Array[Float]]] = {
+    val w = Window.partitionBy("sub")
+      .orderBy(col("__h"), col("subvec"))
+    val over = exploded
+      .withColumn("__h", hash(col("subvec"), lit(seed.toInt)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= codesPerBook * 4)
+      .select("sub", "subvec").collect()
+    val books = Array.fill(m)(
+      scala.collection.mutable.ArrayBuffer[Array[Float]]())
+    val seen = Array.fill(m)(scala.collection.mutable.HashSet[Seq[Float]]())
+    for (r <- over) {
+      val s = r.getInt(0)
+      val v = r.getSeq[Float](1)
+      if (books(s).length < codesPerBook && seen(s).add(v))
+        books(s) += v.toArray
+    }
+    books.map { b =>
+      require(b.nonEmpty, "subspace has no vectors to seed from")
+      // pad under-populated books with their first seed (inert: a
+      // duplicate centroid never wins the lowest-index argmin tie)
+      while (b.length < codesPerBook) b += b.head.clone()
+      b.toArray
+    }
+  }
+}

@@ -162,6 +162,34 @@ object StreamIngest {
     new NearDupFilter(q, () => segments.get())
   }
 
+  /** Continuously ingest a vector stream into a partitioned IVF layout
+    * (see [[graft.operators.IvfIndex]]): each micro-batch pays one
+    * narrow codegen'd cell assignment against the FIXED trained
+    * centroids and appends only its own rows' files into their cell
+    * directories — O(batch) work and write per trigger, no shuffle, no
+    * touch of the existing lake. Queries load the layout with
+    * `IvfIndex.load` and partition-prune to their probed cells as
+    * usual. Centroid refresh stays a periodic OFFLINE job
+    * (`IvfIndex.refreshCentroids`) — rewriting the lake inside a
+    * trigger would be the O(accepted)-per-batch mistake again. */
+  def intoIvfLayout(stream: DataFrame, centroids: Array[Array[Float]],
+      vecCol: String, path: String,
+      checkpoint: Option[String] = None,
+      queryName: String = "graft-ivf-ingest"): StreamingQuery = {
+    val writer = stream.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.IvfIndex.assignCells(batch, vecCol, centroids)
+            .write.mode("append")
+            .partitionBy(graft.operators.IvfIndex.ClusterCol)
+            .parquet(path)
+        }
+      }
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer.start()
+  }
+
   /** Multi-span sessionization state: the key's not-yet-sealed
     * sub-spans as (start, end, n_events) epoch millis. */
   private[streaming] final case class SessionSpans(

@@ -45,6 +45,22 @@ abstract class UnaryFloatVectorExpression extends UnaryExpression with ExpectsIn
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 }
 
+/** Binary expression over (int, numeric-array) inputs — subspace-
+  * indexed vector kernels (PQ training assignment). */
+abstract class IntVectorExpression extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(IntegerType, TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def nullIntolerant: Boolean = true
+  protected def rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+}
+
+/** Unary expression over one binary input (compressed-code kernels). */
+abstract class UnaryBinaryInputExpression extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def nullIntolerant: Boolean = true
+}
+
 /** Unary expression over one string input (text kernels).
   * `AbstractDataType` is private[sql], hence this lives in the glue. */
 abstract class UnaryStringExpression extends UnaryExpression with ExpectsInputTypes {

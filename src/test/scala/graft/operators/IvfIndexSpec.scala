@@ -94,4 +94,62 @@ class IvfIndexSpec extends SparkSpec {
       plan.contains(s"${IvfIndex.ClusterCol}#"),
       s"expected pruned scan, got:\n$plan")
   }
+
+  test("incremental append: new rows assigned to existing centroids, " +
+      "full-probe query stays exact over the union") {
+    val first = emb.filter(col("vec_id") < 400)
+    val rest = emb.filter(col("vec_id") >= 400)
+    val partial = IvfIndex.build(first, "embedding", "vec_id",
+      nClusters = 16)
+    val extended = partial.append(rest)
+    assert(extended.assigned.count() == 500)
+    // appended rows got cells from the SAME centroids (no refit)
+    assert(extended.centroids.zip(partial.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
+    val q = queries.head
+    assert(extended.query(q, 10, nprobe = 16)
+      .collect().map(_.getLong(0)).toSeq == bruteTop(q, 10))
+  }
+
+  test("appendPartitioned writes only the new rows' cell files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-a").toString
+    val first = emb.filter(col("vec_id") < 400)
+    val rest = emb.filter(col("vec_id") >= 400)
+    val partial = IvfIndex.build(first, "embedding", "vec_id",
+      nClusters = 16)
+    partial.writePartitioned(s"$dir/ivf")
+    val filesBefore = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$dir/ivf"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    partial.appendPartitioned(s"$dir/ivf", rest)
+    val filesAfter = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$dir/ivf"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    assert(filesAfter > filesBefore)
+    val reloaded = IvfIndex.load(spark, s"$dir/ivf", partial.centroids,
+      "embedding", "vec_id")
+    assert(reloaded.assigned.count() == 500)
+    val q = queries.head
+    assert(reloaded.query(q, 10, nprobe = 16)
+      .collect().map(_.getLong(0)).toSeq == bruteTop(q, 10))
+  }
+
+  test("refreshCentroids is one Lloyd's step: moves centroids toward " +
+      "cell means, keeps full-probe exactness") {
+    val refreshed = index.refreshCentroids()
+    assert(refreshed.assigned.count() == 500)
+    val q = queries.head
+    assert(refreshed.query(q, 10, nprobe = 16)
+      .collect().map(_.getLong(0)).toSeq == bruteTop(q, 10))
+    // non-empty cells now sit exactly on their (pre-refresh) cell means
+    import graft.functions.VectorFunctions.{vec_mean_of, vec_sum}
+    val means = index.assigned.groupBy(IvfIndex.ClusterCol)
+      .agg(vec_mean_of(vec_sum(col("embedding")), count(lit(1))).as("mu"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    for ((cell, mu) <- means) {
+      val c = refreshed.centroids(cell)
+      assert(c.zip(mu).forall { case (a, b) =>
+        math.abs(a - b.toFloat) <= math.ulp(b.toFloat) })
+    }
+  }
 }

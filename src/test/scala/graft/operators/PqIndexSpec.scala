@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random floats (no Random: reproducible)
+  private def noise(i: Int, j: Int): Float = {
+    var h = i * 0x9E3779B9 + j * 0x85EBCA6B
+    h = (h ^ (h >>> 16)) * 0xC2B2AE35
+    ((h & 0xFFFF).toFloat / 0xFFFF.toFloat - 0.5f) * 0.02f
+  }
+
+  // 4 well-separated cluster anchors in 8 dims; 20 rows per cluster
+  // with tiny deterministic jitter
+  private def clustered(): Seq[(Long, Array[Float])] = {
+    val anchors = Seq(
+      Array.fill(8)(0f), Array.fill(8)(3f),
+      Array.tabulate(8)(i => if (i < 4) 6f else 0f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 0f else 6f))
+    for (c <- 0 until 4; r <- 0 until 20) yield {
+      val id = (c * 20 + r).toLong
+      (id, Array.tabulate(8)(j => anchors(c)(j) + noise(id.toInt, j)))
+    }
+  }
+
+  test("codes are m bytes and ADC equals exact distance when vectors " +
+      "sit on their centroids") {
+    // every subvector is exactly one of 3 values per subspace → with
+    // codesPerBook >= 3 the quantization is lossless and ADC must
+    // reproduce exact squared-L2
+    val vals = Seq(0f, 2f, 5f)
+    val rows = (for (a <- vals; b <- vals; c <- vals) yield
+      Array(a, a, b, b, c, c)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("vid", "vec")
+    val idx = PqIndex.train(df, "vec", "vid", m = 3, codesPerBook = 4,
+      maxIter = 6)
+    val codeLens = idx.codes.select(length(col(PqIndex.CodeCol)))
+      .distinct().as[Int].collect().toSeq
+    assert(codeLens == Seq(3))
+    val q = Array(2f, 2f, 0f, 0f, 5f, 5f)
+    val adc = idx.query(q, k = rows.length, refineFactor = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((vid, vec) <- rows) {
+      val exact = vec.zip(q)
+        .map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+      assert(math.abs(adc(vid) - exact) < 1e-9,
+        s"row $vid: adc ${adc(vid)} vs exact $exact")
+    }
+  }
+
+  test("refined PQ top-k matches brute force on clustered data") {
+    val df = clustered().toDF("vid", "vec")
+    val idx = PqIndex.train(df, "vec", "vid", m = 4, codesPerBook = 8)
+    val q = Array.tabulate(8)(j => 3f + noise(999, j))
+    val pq = idx.query(q, k = 5, refineFactor = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.topK(df, "vec", "vid", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pq == exact, s"pq $pq vs exact $exact")
+  }
+
+  test("full-corpus refine is exact by construction") {
+    val df = clustered().toDF("vid", "vec")
+    val idx = PqIndex.train(df, "vec", "vid", m = 2, codesPerBook = 4,
+      maxIter = 3)
+    val q = Array.tabulate(8)(j => 1f + noise(5, j))
+    // refine covering the whole corpus degrades to exact search no
+    // matter how coarse the codebooks are
+    val pq = idx.query(q, k = 3, refineFactor = 80)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Similarity.topK(df, "vec", "vid", q, 3)
+      .select("vid", "distance")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pq == exact)
+  }
+
+  test("codes round-trip through parquet and ADC scan reads only the " +
+      "codes table") {
+    val df = clustered().toDF("vid", "vec")
+    val idx = PqIndex.train(df, "vec", "vid", m = 4, codesPerBook = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    idx.writeCodes(s"$tmp/codes")
+    val loaded = PqIndex.load(spark, s"$tmp/codes", idx.codebooks, df,
+      "vec", "vid")
+    val q = Array.tabulate(8)(j => noise(7, j))
+    val a = idx.query(q, 5).collect().map(_.getLong(0)).toSeq
+    val b = loaded.query(q, 5).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    // the ADC candidate stage is a top-k over the codes table alone:
+    // TakeOrderedAndProject, no Exchange, no vector column in the scan
+    val plan = loaded.query(q, 5, refineFactor = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"ADC scan shuffles:\n$plan")
+    assert(!plan.contains("vec#"), s"ADC scan reads vectors:\n$plan")
+  }
+
+  test("rejects bad shapes") {
+    val df = Seq((1L, Array(1f, 2f, 3f))).toDF("vid", "vec")
+    intercept[IllegalArgumentException] {
+      PqIndex.train(df, "vec", "vid", m = 2, codesPerBook = 4)
+    }
+    intercept[IllegalArgumentException] {
+      PqIndex.train(df, "vec", "vid", m = 3, codesPerBook = 300)
+    }
+  }
+}

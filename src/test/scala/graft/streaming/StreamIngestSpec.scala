@@ -141,6 +141,36 @@ class StreamIngestSpec extends SparkSpec {
     } finally filter.query.stop()
   }
 
+  test("intoIvfLayout: streaming cell assignment appends each batch " +
+      "into the partitioned layout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-s").toString
+    val centroids = Array(Array(0f, 0f), Array(10f, 10f))
+    val source = MemoryStream[(Long, Array[Float])]
+    val q = StreamIngest.intoIvfLayout(
+      source.toDF().toDF("vec_id", "embedding"), centroids, "embedding",
+      s"$dir/ivf")
+    try {
+      source.addData((1L, Array(0.1f, 0.2f)), (2L, Array(9.8f, 9.9f)))
+      q.processAllAvailable()
+      source.addData((3L, Array(0.3f, 0.1f)))
+      q.processAllAvailable()
+      val idx = IvfIndex.load(spark, s"$dir/ivf", centroids, "embedding",
+        "vec_id")
+      assert(idx.assigned.count() == 3)
+      // rows landed in their nearest cells' directories
+      val byCell = idx.assigned.select("vec_id", IvfIndex.ClusterCol)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(byCell == Map(1L -> 0, 2L -> 1, 3L -> 0))
+      // probing cell 0 alone finds the near neighbors without cell 1
+      val near = idx.query(Array(0f, 0f), k = 2, nprobe = 1)
+        .collect().map(_.getLong(0)).toSet
+      assert(near == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: a stream joins against store contents") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
