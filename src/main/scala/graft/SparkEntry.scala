@@ -393,6 +393,18 @@ object SparkEntry {
         .head.getSeq[Float](0).toArray
       idx.query(q, k = 5, refineFactor = 8)
     }),
+    // composed IVF-PQ (residual-encoded): cell pruning cuts rows
+    // scanned, PQ cuts bytes per row — the 10^9-row layout (rows-only
+    // for the same kmeans reason; exactness & recall unit-tested)
+    "ivfpq_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val idx = graft.operators.IvfPqIndex.build(emb, "embedding",
+        "vec_id", nClusters = 16, m = 8, codesPerBook = 16,
+        sampleFraction = 0.25)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5, nprobe = 4, refineFactor = 8)
+    }),
     // batch twin of the streaming tumbling-window agg (ts read as
     // epoch nanos via nanosAsLong)
     "events_hourly" -> ((s, dir) =>

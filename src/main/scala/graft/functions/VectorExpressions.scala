@@ -220,6 +220,31 @@ object VectorOps {
     best
   }
 
+  /** Residual against an indexed coarse centroid: `a - centroids(cell)`
+    * (float32 out) — what IVF-PQ quantizes instead of the raw vector
+    * (the residual distribution is tighter, so the same codebook budget
+    * buys more precision). */
+  def cellResidual(cell: Int, a: ArrayData, af: Boolean,
+      centroids: Array[Array[Float]]): ArrayData = {
+    if (cell < 0 || cell >= centroids.length) {
+      throw new IllegalArgumentException(
+        s"cell $cell out of range [0, ${centroids.length})")
+    }
+    val cent = centroids(cell)
+    val n = a.numElements()
+    if (n != cent.length) {
+      throw new IllegalArgumentException(
+        s"vector length $n != centroid dim ${cent.length}")
+    }
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (get(a, i, af) - cent(i)).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Driver-side squared L2 for plain float arrays (centroid ranking). */
   def squaredL2Floats(a: Array[Float], b: Array[Float]): Double = {
     require(a.length == b.length,
@@ -418,6 +443,26 @@ case class NearestSubCentroid(left: Expression, right: Expression,
       s"${ev.value} = graft.functions.VectorOps.nearestSubCentroid($s, $a, $rightIsFloat, $ref);")
   }
   override def prettyName: String = "nearest_sub_centroid"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** cell_residual(cell, v): array<float> — `v - centroids(cell)`, the
+  * IVF-PQ residual kernel (centroid matrix embedded by reference). */
+case class CellResidual(left: Expression, right: Expression,
+    centroids: Array[Array[Float]])
+    extends org.apache.spark.sql.graftglue.IntVectorExpression {
+  require(centroids.nonEmpty, "centroid matrix must be non-empty")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(c: Any, a: Any): Any =
+    VectorOps.cellResidual(c.asInstanceOf[Int], a.asInstanceOf[ArrayData],
+      rightIsFloat, centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, (c, a) =>
+      s"${ev.value} = graft.functions.VectorOps.cellResidual($c, $a, $rightIsFloat, $ref);")
+  }
+  override def prettyName: String = "cell_residual"
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

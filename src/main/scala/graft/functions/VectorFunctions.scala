@@ -44,6 +44,12 @@ object VectorFunctions {
       codebooks: Array[Array[Array[Float]]]): Column =
     column(NearestSubCentroid(expression(sub), expression(subvec), codebooks))
 
+  /** IVF-PQ residual against an indexed coarse centroid (see
+    * [[CellResidual]]). */
+  def cell_residual(cell: Column, v: Column,
+      centroids: Array[Array[Float]]): Column =
+    column(CellResidual(expression(cell), expression(v), centroids))
+
   /** Element-wise vector sum aggregate (partial-aggregation friendly —
     * see [[VectorSumAgg]]). */
   def vec_sum(a: Column): Column =

@@ -46,34 +46,8 @@ final class PqIndex(
   def codesPerBook: Int = codebooks(0).length
   def subDim: Int = codebooks(0)(0).length
 
-  /** ADC lookup table for `q`: entry `s * codesPerBook + c` is the
-    * squared-L2 between q's s-th subvector and centroid c of codebook
-    * s (driver-side — m × codesPerBook × subDim flops, microseconds). */
-  def adcTable(q: Array[Float]): Array[Double] = {
-    require(q.length == m * subDim,
-      s"query dim ${q.length} != ${m * subDim}")
-    val k = codesPerBook
-    val t = new Array[Double](m * k)
-    var s = 0
-    while (s < m) {
-      val book = codebooks(s)
-      var c = 0
-      while (c < book.length) {
-        val cent = book(c)
-        var acc = 0.0
-        var i = 0
-        while (i < subDim) {
-          val d = q(s * subDim + i).toDouble - cent(i)
-          acc += d * d
-          i += 1
-        }
-        t(s * k + c) = acc
-        c += 1
-      }
-      s += 1
-    }
-    t
-  }
+  /** ADC lookup table for `q` (see [[PqIndex.adcTable]]). */
+  def adcTable(q: Array[Float]): Array[Double] = PqIndex.adcTable(codebooks, q)
 
   /** Approximate top-k. Returns (idCol, distance) ascending — ADC
     * distances when `refineFactor == 1`, exact squared-L2 over the
@@ -105,6 +79,37 @@ final class PqIndex(
 
 object PqIndex {
   val CodeCol = "pq_code"
+
+  /** ADC lookup table: entry `s * codesPerBook + c` is the squared-L2
+    * between q's s-th subvector and centroid c of codebook s
+    * (driver-side — m × codesPerBook × subDim flops, microseconds). */
+  def adcTable(codebooks: Array[Array[Array[Float]]],
+      q: Array[Float]): Array[Double] = {
+    val m = codebooks.length
+    val k = codebooks(0).length
+    val subDim = codebooks(0)(0).length
+    require(q.length == m * subDim, s"query dim ${q.length} != ${m * subDim}")
+    val t = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      val book = codebooks(s)
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val d = q(s * subDim + i).toDouble - cent(i)
+          acc += d * d
+          i += 1
+        }
+        t(s * k + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    t
+  }
 
   /** Train codebooks on (a sample of) `df` and lazily encode the full
     * frame. `codesPerBook` ≤ 256 (one byte per subspace); `df`'s vector
