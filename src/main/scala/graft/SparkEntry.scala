@@ -557,6 +557,30 @@ object SparkEntry {
       graft.operators.Sampling.hashSample(
         t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "28")
         .orderBy("doc_id")),
+    // deterministic stratified sampling: per-language md5 thresholds
+    // (rebalance the language mix — pure function of the data, unlike
+    // sampleBy which moves with partitioning)
+    "stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedHashSample(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        Map("en" -> 0.25, "de" -> 0.5, "fr" -> 1.0, "es" -> 0.125),
+        defaultFraction = 0.5)
+        .orderBy("doc_id")),
+    // Unicode hygiene: NFC + accent strip (identity on this ASCII
+    // corpus — the oracle checks the plumbing; real accent/combining
+    // cases are unit-tested)
+    "normalize_docs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextClean.normalizeUnicode(col("text"))
+            .as("norm_text"))
+        .orderBy("doc_id")),
+    // Gopher-style repetition: share of bigrams taken by the most
+    // repeated bigram (single double division → bit-exact oracle)
+    "repetition_docs" -> ((s, dir) =>
+      graft.operators.TextAnalysis.repetition(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // bigram PMI collocations (ln drift across libms → decimal-rounded
     // on both sides, same convention as tfidf_sample)
     "bigram_pmi" -> ((s, dir) =>
@@ -961,6 +985,27 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE md5(CAST(doc_id AS VARCHAR)) < '28'
         |ORDER BY doc_id""".stripMargin,
+    // per-language thresholds mirror stratifiedHashSample's 16-bit hex
+    // encoding: 0.25→4000, 0.5→8000, 0.125→2000, 1.0→'g' (above hex)
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000'
+        |            WHEN 'fr' THEN 'g' WHEN 'es' THEN '2000'
+        |            ELSE '8000' END
+        |ORDER BY doc_id""".stripMargin,
+    "normalize_docs" ->
+      """SELECT doc_id, strip_accents(nfc_normalize(text)) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "repetition_docs" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, unnest(${shSql(toksSql)}) AS bigram
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |  CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+         |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_ratio
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // identical division/multiplication shape to bigramPmi's one fixed
     // double expression; totals are exact BIGINTs cast to double
     "bigram_pmi" ->

@@ -202,6 +202,30 @@ object TextOps {
     }
     UTF8String.fromString(best)
   }
+
+  /** Canonical NFC normalization (é as one codepoint, not e +
+    * combining accent) — run FIRST in cleaning pipelines so
+    * hash-based dedup sees one byte form per grapheme. */
+  def nfcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+
+  /** Accent stripping: NFD-decompose, drop non-spacing marks,
+    * recompose to NFC ("café" → "cafe") — matches the utf8proc
+    * convention DuckDB's strip_accents exposes. */
+  def stripAccents(s: UTF8String): UTF8String = {
+    val d = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val c = d.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      sb.toString, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** simhash64(text): bigint — SimHash document signature. */
@@ -264,6 +288,28 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   }
   override def prettyName: String = "minhash_sig"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** nfc_normalize(text): string — canonical Unicode NFC form. */
+case class NfcNormalize(child: Expression) extends UnaryStringExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    TextOps.nfcNormalize(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.nfcNormalize($s)")
+  override def prettyName: String = "nfc_normalize"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** strip_accents(text): string — drop combining marks, recompose. */
+case class StripAccents(child: Expression) extends UnaryStringExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    TextOps.stripAccents(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.stripAccents($s)")
+  override def prettyName: String = "strip_accents"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
 /** lang_id(text): string — heuristic language guess (en/de/fr/es/zh/und). */

@@ -46,6 +46,12 @@ object TextFunctions {
 
   def lang_id(c: Column): Column = column(LangId(expression(c)))
 
+  /** Canonical Unicode NFC normalization (see [[NfcNormalize]]). */
+  def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
+
+  /** Accent stripping via NFD + mark removal (see [[StripAccents]]). */
+  def strip_accents(c: Column): Column = column(StripAccents(expression(c)))
+
   /** Hamming distance between two 64-bit signatures (SimHash pairs). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

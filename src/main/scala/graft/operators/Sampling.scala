@@ -38,4 +38,36 @@ object Sampling {
       "threshold must be lowercase hex")
     df.filter(md5(col(idCol).cast("string").cast("binary")) < thresholdHex)
   }
+
+  /** Deterministic STRATIFIED sampling — the "rebalance the language /
+    * domain mix" curation primitive: each stratum keeps ≈ its fraction
+    * of rows via a per-key md5 threshold (16-bit granularity, so
+    * fractions are honored to ±1/65536). Like [[hashSample]] this is a
+    * pure function of the data: same inputs → same sample on any
+    * engine, any partitioning, any cluster size — unlike
+    * `DataFrame.stat.sampleBy`, whose output moves with partition
+    * layout. The key→threshold map compiles to a codegen'd map literal
+    * lookup; narrow map, no shuffle.
+    *
+    * @param fractions       per-key keep fraction in [0, 1]
+    * @param defaultFraction keep fraction for keys absent from the map
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, keyCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    require(fractions.nonEmpty, "at least one stratum fraction")
+    require((fractions.values ++ Seq(defaultFraction))
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0, 1]")
+    // 1.0 → "g": lexicographically above every hex digest, keeps all
+    def hex(f: Double): String = {
+      val t = math.round(f * 65536.0).toInt
+      if (t >= 65536) "g" else f"$t%04x"
+    }
+    val thrMap = map(fractions.toSeq.sortBy(_._1).flatMap {
+      case (k, f) => Seq(lit(k), lit(hex(f)))
+    }: _*)
+    val thr = coalesce(element_at(thrMap, col(keyCol).cast("string")),
+      lit(hex(defaultFraction)))
+    df.filter(md5(col(idCol).cast("string").cast("binary")) < thr)
+  }
 }

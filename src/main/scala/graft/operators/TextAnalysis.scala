@@ -41,6 +41,26 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), col("token")).limit(topN)
 
+  /** Gopher-style repetition signal: per document, the share of
+    * bigrams taken by the single most repeated bigram — boilerplate,
+    * keyword-stuffed, and loop-generated pages score high and get
+    * filtered before training. Returns (idCol, n_bigrams,
+    * top_bigram_n, top_bigram_ratio); documents with < 2 tokens have
+    * no bigrams and drop out (nothing to measure).
+    *
+    * Scale shape: explode + two partial-aggregated hash aggregations
+    * keyed by (doc, bigram) then doc — the ratio is one double
+    * division, so the oracle matches bit-for-bit. */
+  def repetition(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol), 2)).as("bigram"))
+      .groupBy(idCol, "bigram").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(
+        sum("c").cast("long").as("n_bigrams"),
+        max("c").as("top_bigram_n"))
+      .withColumn("top_bigram_ratio",
+        col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
+
   /** Bigram pointwise mutual information — collocation scoring
     * (`pmi = ln(p(w1 w2) / (p(w1)·p(w2)))`), the standard signal for
     * phrase mining / tokenizer-merge candidates over a crawl corpus.

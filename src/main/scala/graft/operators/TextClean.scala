@@ -36,6 +36,14 @@ object TextClean {
   def stripControlChars(c: Column): Column =
     regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
 
+  /** Canonical Unicode hygiene: NFC-normalize so every grapheme has
+    * ONE byte form (hash dedup/fingerprints would otherwise see "é"
+    * and "e+◌́" as different documents), then strip accents. Both are
+    * codegen'd kernel expressions (java.text.Normalizer inside). */
+  def normalizeUnicode(c: Column): Column =
+    graft.functions.TextFunctions.strip_accents(
+      graft.functions.TextFunctions.nfc_normalize(c))
+
   /** Full pipeline: control chars → tags → redactions → whitespace.
     * Order matters: whitespace collapse runs LAST so every earlier
     * step may emit spaces freely. */

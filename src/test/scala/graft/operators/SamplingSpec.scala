@@ -32,4 +32,49 @@ class SamplingSpec extends SparkSpec {
       Sampling.hashSample(Seq(1).toDF("id"), "id", "ZZ")
     }
   }
+
+  test("stratifiedHashSample honors per-key fractions deterministically") {
+    import spark.implicits._
+    val df = spark.range(12000)
+      .select(col("id"), (col("id") % 3).cast("string").as("k"))
+    val fr = Map("0" -> 1.0, "1" -> 0.25, "2" -> 0.0)
+    val a = Sampling.stratifiedHashSample(df, "id", "k", fr)
+    val byKey = a.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fraction 1.0 keeps everything, 0.0 keeps nothing
+    assert(byKey("0") == 4000L)
+    assert(!byKey.contains("2"))
+    val f1 = byKey("1").toDouble / 4000
+    assert(f1 > 0.2 && f1 < 0.3, s"stratum-1 fraction $f1 vs ~0.25")
+    // partitioning-independent: identical rows after a repartition
+    val b = Sampling.stratifiedHashSample(df.repartition(13), "id", "k", fr)
+    assert(a.select("id").collect().map(_.getLong(0)).toSet ==
+      b.select("id").collect().map(_.getLong(0)).toSet)
+    // a row's fate depends only on its own id+key: the stratum-1
+    // survivors are exactly the global hashSample survivors of that key
+    val direct = Sampling.hashSample(df.filter(col("k") === "1"), "id",
+      "4000").select("id").collect().map(_.getLong(0)).toSet
+    assert(a.filter(col("k") === "1").select("id").collect()
+      .map(_.getLong(0)).toSet == direct)
+  }
+
+  test("stratifiedHashSample applies the default fraction to unmapped keys") {
+    import spark.implicits._
+    val df = spark.range(4000)
+      .select(col("id"), lit("zz").as("k"))
+    val out = Sampling.stratifiedHashSample(df, "id", "k",
+      Map("en" -> 0.5), defaultFraction = 1.0)
+    assert(out.count() == 4000L)
+    val none = Sampling.stratifiedHashSample(df, "id", "k",
+      Map("en" -> 0.5), defaultFraction = 0.0)
+    assert(none.count() == 0L)
+  }
+
+  test("stratifiedHashSample rejects out-of-range fractions") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedHashSample(Seq((1L, "a")).toDF("id", "k"),
+        "id", "k", Map("a" -> 1.5))
+    }
+  }
 }

@@ -50,6 +50,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ny._2 > pmi(("is", "big"))._2)
   }
 
+  test("repetition: most repeated bigram share, short docs drop out") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "buy now buy now buy now today"), // "buy now" 3 of 6 bigrams
+      (2L, "all distinct words here"),       // every bigram unique
+      (3L, "single")                          // no bigrams at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 2)
+    assert(out(0) == ((1L, 6L, 3L, 0.5)))
+    assert(out(1) == ((2L, 3L, 1L, 1.0 / 3.0)))
+  }
+
   test("bigramPmi on an untokenizable corpus returns empty, not an error") {
     import spark.implicits._
     val docs = Seq((1L, ""), (2L, "   ")).toDF("id", "text")

@@ -24,6 +24,26 @@ class TextCleanSpec extends SparkSpec {
     assert(cleanOne("a\u0000b\t c\n\n  d\u0007") == "ab c d")
   }
 
+  test("normalizeUnicode: NFC-composes combining marks, strips accents") {
+    import spark.implicits._
+    def norm(s: String): String =
+      Seq(s).toDF("t").select(TextClean.normalizeUnicode(col("t")))
+        .head.getString(0)
+    // decomposed e + combining acute and precomposed é both → plain e
+    assert(norm("café") == "cafe")
+    assert(norm("café") == "cafe")
+    // NFC alone must unify the two byte forms (dedup-hash stability)
+    def nfc(s: String): String =
+      Seq(s).toDF("t")
+        .select(graft.functions.TextFunctions.nfc_normalize(col("t")))
+        .head.getString(0)
+    assert(nfc("café") == nfc("café"))
+    // umlauts, tildes, cedillas
+    assert(norm("über señor façade") == "uber senor facade")
+    // non-accent text untouched
+    assert(norm("plain ascii 123") == "plain ascii 123")
+  }
+
   test("null and empty pass through") {
     import spark.implicits._
     val out = Seq(Some(""), Option.empty[String]).toDF("t")
