@@ -557,6 +557,22 @@ object SparkEntry {
       graft.operators.Sampling.hashSample(
         t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "28")
         .orderBy("doc_id")),
+    // END-TO-END curation pipeline — the composed "prepare a training
+    // slice" flow: language gate → quality gate → exact first-wins
+    // dedup → deterministic sample → token accounting. Every stage is
+    // an already-oracle-checked operator; this query checks their
+    // COMPOSITION end to end.
+    "curation_pipeline" -> ((s, dir) => {
+      val en = t(s, dir, "documents").filter(col("lang") === "en")
+      val gated = en.withColumn("q", qualityFeatures(col("text")))
+        .filter(col("q.quality_score") >= 0.55 && col("q.n_tokens") >= 20)
+        .select("doc_id", "text")
+      val deduped = Dedup.exactFirstWins(gated, Seq("text"), Seq("doc_id"))
+      graft.operators.Sampling.hashSample(deduped, "doc_id", "c0")
+        .select(col("doc_id"),
+          token_count(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
     // deterministic stratified sampling: per-language md5 thresholds
     // (rebalance the language mix — pure function of the data, unlike
     // sampleBy which moves with partitioning)
@@ -644,6 +660,31 @@ object SparkEntry {
         .select(element_at(split(col("path"), "/"), -1).as("file"),
           col("image_meta.width"), col("image_meta.height"),
           col("image_meta.channels"), col("image_meta.format"))
+        .orderBy("file")
+    }),
+    // audio pipeline: deterministic WAVs synthesized on the fly →
+    // binaryFile source → REAL javax.sound decode of meta + signal
+    // features (no backing table → rows-only; decode/feature math is
+    // unit-tested against known sine properties)
+    "audio_pipeline" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-aud")
+      (1 to 6).foreach { i =>
+        val rate = 8000
+        val hz = 110.0 * i
+        val wav = graft.operators.AudioCodec.synthWavPcm16(rate,
+          Array.tabulate(rate / 2)(j =>
+            (math.sin(2 * math.Pi * hz * j / rate) * 0.4 * 32767).toShort))
+        java.nio.file.Files.write(
+          tmp.resolve(f"tone$i%02d.wav"), wav)
+      }
+      val withMeta = graft.operators.Multimodal.withAudioMeta(
+        graft.operators.Multimodal.readBinaryDir(s, tmp.toString, "*.wav"),
+        "content")
+      graft.operators.Multimodal.audioFeatures(withMeta, "content")
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          col("audio_meta.sample_rate"), col("audio_meta.n_frames"),
+          // zcr ≈ 2f/rate separates the tones; rounded for stability
+          round(col("audio_features.zero_cross_rate"), 3).as("zcr"))
         .orderBy("file")
     })
   )
@@ -985,6 +1026,35 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE md5(CAST(doc_id AS VARCHAR)) < '28'
         |ORDER BY doc_id""".stripMargin,
+    // composition of the already-green doc_quality, exact_dedup and
+    // hash_sample twins, in pipeline order
+    "curation_pipeline" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text, $toksSql AS toks FROM documents
+         |  WHERE lang = 'en'),
+         |q AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |      ELSE CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS alpha_ratio,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |      ELSE CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS punct_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE CAST(len(list_distinct(list_intersect(toks, ['the','a','and','of','to','in','is','it','that','for']))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+         |  FROM f),
+         |gated AS (
+         |  SELECT doc_id, text, n_tokens FROM q
+         |  WHERE least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4 +
+         |        alpha_ratio * 0.3 +
+         |        least(stopword_ratio * 5.0, 1.0) * 0.2 +
+         |        (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1 >= 0.55
+         |    AND n_tokens >= 20),
+         |deduped AS (
+         |  SELECT doc_id, n_tokens FROM gated
+         |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+         |SELECT doc_id, n_tokens FROM deduped
+         |WHERE md5(CAST(doc_id AS VARCHAR)) < 'c0'
+         |ORDER BY doc_id""".stripMargin,
     // per-language thresholds mirror stratifiedHashSample's 16-bit hex
     // encoding: 0.25→4000, 0.5→8000, 0.125→2000, 1.0→'g' (above hex)
     "stratified_sample" ->

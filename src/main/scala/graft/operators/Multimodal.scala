@@ -20,10 +20,13 @@ import javax.imageio.ImageIO
   * shuffle, inference-bound.
   *
   * Image decode/resize are REAL (JDK `javax.imageio` — PNG/JPEG/GIF/
-  * BMP, zero external deps, [[ImageCodec]]). Video frame-sampling
-  * remains a documented stub: the JDK has no video codec and none is
-  * installable offline, so [[Multimodal.sampleFrames]] keeps the real
-  * explode shape over fixed-size byte slices.
+  * BMP, zero external deps, [[ImageCodec]]), and so is audio decode
+  * (JDK `javax.sound.sampled` — WAV/AIFF/AU PCM, [[AudioCodec]]:
+  * metadata, signal features, energy-envelope embedding). Video
+  * frame-sampling remains a documented stub: the JDK has no video
+  * codec and none is installable offline, so
+  * [[Multimodal.sampleFrames]] keeps the real explode shape over
+  * fixed-size byte slices.
   */
 object Multimodal {
 
@@ -108,6 +111,87 @@ object Multimodal {
           val start = f * frameSize
           val end = math.min(bytes.length, start + frameSize)
           Row.fromSeq(r.toSeq :+ f :+ bytes.slice(start, end))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  val audioMetaType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_s", DoubleType),
+    StructField("format", StringType)))
+
+  /** Attach REAL decoded audio metadata (sample rate, channels, bit
+    * depth, frame count, duration) via JDK `javax.sound.sampled` —
+    * WAV/AIFF/AU decode genuinely offline, unlike video. Fields are
+    * null when the payload does not decode; format reports the
+    * container magic regardless. */
+  def withAudioMeta(df: DataFrame, inCol: String,
+      outCol: String = "audio_meta", batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema.add(outCol, audioMetaType)
+    val inIdx = df.schema.fieldIndex(inCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { r =>
+          val bytes = Option(r.get(inIdx)).map(_.asInstanceOf[Array[Byte]])
+            .getOrElse(Array.emptyByteArray)
+          val fmt = AudioCodec.sniffFormat(bytes)
+          val meta = AudioCodec.decodeMeta(bytes) match {
+            case Some(m) => Row(m.sampleRate, m.channels, m.bits,
+              m.frames, m.frames.toDouble / m.sampleRate, fmt)
+            case None => Row(null, null, null, null, null, fmt)
+          }
+          Row.fromSeq(r.toSeq :+ meta)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  val audioFeatureType: StructType = StructType(Seq(
+    StructField("duration_s", DoubleType),
+    StructField("rms", DoubleType),
+    StructField("peak", DoubleType),
+    StructField("zero_cross_rate", DoubleType)))
+
+  /** REAL signal features over decoded PCM (mono-mixed): duration, RMS
+    * energy, peak amplitude, zero-crossing rate — the
+    * silence/clipping/voice-activity screens an audio curation
+    * pipeline gates on. Null struct when the payload does not decode.
+    * Narrow map; decode cost is bounded by `maxFrames` per row. */
+  def audioFeatures(df: DataFrame, inCol: String,
+      outCol: String = "audio_features", maxFrames: Int = 1 << 20,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema.add(outCol, audioFeatureType)
+    val inIdx = df.schema.fieldIndex(inCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { r =>
+          val bytes = Option(r.get(inIdx)).map(_.asInstanceOf[Array[Byte]])
+            .getOrElse(Array.emptyByteArray)
+          val feat = (AudioCodec.decodeMeta(bytes),
+            AudioCodec.pcmSamples(bytes, maxFrames)) match {
+            case (Some(m), Some(samples)) if samples.nonEmpty =>
+              var sumSq = 0.0
+              var peak = 0.0
+              var crossings = 0L
+              var i = 0
+              while (i < samples.length) {
+                val s = samples(i).toDouble
+                sumSq += s * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                if (i > 0 && (samples(i - 1) >= 0f) != (s >= 0.0))
+                  crossings += 1
+                i += 1
+              }
+              Row(m.frames.toDouble / m.sampleRate,
+                math.sqrt(sumSq / samples.length), peak,
+                crossings.toDouble / samples.length)
+            case _ => Row(null, null, null, null)
+          }
+          Row.fromSeq(r.toSeq :+ feat)
         }
       }
     }(Encoders.row(outSchema))
@@ -206,6 +290,161 @@ object ImageCodec {
     }
     out
   }
+}
+
+/** Real audio codec on JDK `javax.sound.sampled` — no external
+  * dependencies, fully offline (WAV/AIFF/AU with PCM encodings; the
+  * JDK ships no mp3/aac decoder, which stays a documented gap like
+  * video). Corrupt/unsupported bytes yield None everywhere. */
+object AudioCodec {
+
+  final case class AudioMeta(sampleRate: Int, channels: Int, bits: Int,
+      frames: Long)
+
+  /** Container format by magic bytes. */
+  def sniffFormat(bytes: Array[Byte]): String =
+    if (bytes == null || bytes.length < 12) "unknown"
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A') "wav"
+    else if (bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' &&
+      bytes(3) == 'M') "aiff"
+    else if (bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' &&
+      bytes(3) == 'd') "au"
+    else "unknown"
+
+  def decodeMeta(bytes: Array[Byte]): Option[AudioMeta] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          Some(AudioMeta(f.getSampleRate.toInt, f.getChannels,
+            f.getSampleSizeInBits, in.getFrameLength))
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+  /** Decode up to `maxFrames` frames to mono float samples in [-1, 1]
+    * (channels averaged). Supports the PCM encodings the JDK reads:
+    * signed 16-bit (either endianness) and unsigned/signed 8-bit. */
+  def pcmSamples(bytes: Array[Byte], maxFrames: Int): Option[Array[Float]] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          val enc = f.getEncoding
+          val pcmSigned =
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val pcmUnsigned =
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          if (!pcmSigned && !pcmUnsigned) return None
+          val bits = f.getSampleSizeInBits
+          if (bits != 8 && bits != 16) return None
+          val ch = f.getChannels
+          val frameBytes = f.getFrameSize
+          val nFrames = math.min(
+            math.max(in.getFrameLength, 0L), maxFrames.toLong).toInt
+          val buf = new Array[Byte](nFrames * frameBytes)
+          var off = 0
+          var read = 0
+          while (off < buf.length && read >= 0) {
+            read = in.read(buf, off, buf.length - off)
+            if (read > 0) off += read
+          }
+          val gotFrames = off / frameBytes
+          val out = new Array[Float](gotFrames)
+          val big = f.isBigEndian
+          var fr = 0
+          while (fr < gotFrames) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val base = fr * frameBytes + c * (bits / 8)
+              val v =
+                if (bits == 16) {
+                  val lo = buf(base + (if (big) 1 else 0)) & 0xFF
+                  val hi = buf(base + (if (big) 0 else 1))
+                  ((hi << 8) | lo).toShort / 32768.0
+                } else if (pcmUnsigned) ((buf(base) & 0xFF) - 128) / 128.0
+                else buf(base) / 128.0
+              acc += v
+              c += 1
+            }
+            out(fr) = (acc / ch).toFloat
+            fr += 1
+          }
+          Some(out)
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+  /** Deterministic 16-bit PCM mono WAV synthesis (RIFF container) —
+    * the offline fixture generator for audio pipelines and specs. */
+  def synthWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+}
+
+/** Audio embedder over REAL decoded samples: pool the mono PCM energy
+  * envelope into `dim` windows (RMS per window), centered and
+  * optionally L2-normalized — the offline substitute for an audio
+  * tower, mirroring [[ImageGridEmbedder]]'s real-pixel pooling. Bytes
+  * that do not decode fall back to [[HashBinaryEmbedder]]. */
+final case class AudioEnvelopeEmbedder(dim: Int = 64,
+    normalized: Boolean = true, maxFrames: Int = 1 << 20)
+    extends BinaryEmbedder {
+  require(dim > 0, "dim must be positive")
+  private val fallback = HashBinaryEmbedder(dim, normalized)
+
+  override def embedBytes(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+    batch.map { bytes =>
+      AudioCodec.pcmSamples(bytes, maxFrames) match {
+        case Some(samples) if samples.length >= dim =>
+          val v = new Array[Float](dim)
+          val win = samples.length / dim
+          var w = 0
+          while (w < dim) {
+            var acc = 0.0
+            var i = w * win
+            val end = i + win
+            while (i < end) { acc += samples(i).toDouble * samples(i); i += 1 }
+            v(w) = math.sqrt(acc / win).toFloat
+            w += 1
+          }
+          var mean = 0.0
+          var i = 0
+          while (i < dim) { mean += v(i); i += 1 }
+          mean /= dim
+          i = 0
+          while (i < dim) { v(i) = (v(i) - mean).toFloat; i += 1 }
+          if (normalized) {
+            var acc = 0.0
+            i = 0
+            while (i < dim) { acc += v(i).toDouble * v(i); i += 1 }
+            if (acc > 1e-12) {
+              val inv = (1.0 / math.sqrt(acc)).toFloat
+              i = 0
+              while (i < dim) { v(i) *= inv; i += 1 }
+            } else v(0) = 1f // silence: deterministic unit vector
+          }
+          v
+        case _ => fallback.embedBytes(Seq(bytes)).head
+      }
+    }
 }
 
 /** Image embedder over REAL decoded pixels: bilinear-pool the image to

@@ -152,4 +152,61 @@ class MultimodalSpec extends SparkSpec {
     assert(top.head.getAs[String]("modality") == "image")
     assert(top.head.getAs[Double]("distance") == 0.0)
   }
+
+  private def sineWav(rate: Int, hz: Double, seconds: Double,
+      amplitude: Double = 0.5): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    AudioCodec.synthWavPcm16(rate, Array.tabulate(n)(i =>
+      (math.sin(2 * math.Pi * hz * i / rate) * amplitude * 32767).toShort))
+  }
+
+  test("withAudioMeta decodes real WAV sample rate, depth and duration") {
+    import spark.implicits._
+    val good = sineWav(8000, 440.0, 0.5)
+    val df = Seq((1L, good), (2L, Array[Byte](1, 2, 3)))
+      .toDF("id", "audio")
+    val out = Multimodal.withAudioMeta(df, "audio").orderBy("id").collect()
+    val m = out(0).getStruct(2)
+    assert(m.getInt(0) == 8000 && m.getInt(1) == 1 && m.getInt(2) == 16)
+    assert(m.getLong(3) == 4000L)
+    assert(math.abs(m.getDouble(4) - 0.5) < 1e-9)
+    assert(m.getString(5) == "wav")
+    // corrupt bytes: null fields, format from magic (none here)
+    val bad = out(1).getStruct(2)
+    assert(bad.isNullAt(0) && bad.getString(5) == "unknown")
+  }
+
+  test("audioFeatures computes real RMS, peak and zero-cross rate") {
+    import spark.implicits._
+    // 440 Hz sine at amplitude 0.5: rms = 0.5/sqrt(2), zcr = 2*440/8000
+    val df = Seq((1L, sineWav(8000, 440.0, 1.0))).toDF("id", "audio")
+    val f = Multimodal.audioFeatures(df, "audio").head.getStruct(2)
+    assert(math.abs(f.getDouble(0) - 1.0) < 1e-9) // duration
+    assert(math.abs(f.getDouble(1) - 0.5 / math.sqrt(2)) < 0.01) // rms
+    assert(math.abs(f.getDouble(2) - 0.5) < 0.01) // peak
+    assert(math.abs(f.getDouble(3) - 2 * 440.0 / 8000) < 0.005) // zcr
+  }
+
+  test("AudioEnvelopeEmbedder: real envelope pooling separates loud " +
+      "front from loud tail; corrupt bytes fall back deterministically") {
+    val rate = 8000
+    val n = 8000
+    // loud first half vs loud second half — envelopes must differ
+    def halfLoud(frontLoud: Boolean): Array[Byte] = {
+      val s = Array.tabulate(n) { i =>
+        val loud = if (i < n / 2) frontLoud else !frontLoud
+        val amp = if (loud) 0.8 else 0.05
+        (math.sin(2 * math.Pi * 300 * i / rate) * amp * 32767).toShort
+      }
+      AudioCodec.synthWavPcm16(rate, s)
+    }
+    val e = AudioEnvelopeEmbedder(dim = 16)
+    val Seq(front, tail) = e.embedBytes(Seq(halfLoud(true), halfLoud(false)))
+    val frontAgain = e.embedBytes(Seq(halfLoud(true))).head
+    assert(front.toSeq == frontAgain.toSeq) // deterministic
+    // front-loud: higher energy in early windows
+    assert(front(0) > front(15) && tail(15) > tail(0))
+    val corrupt = e.embedBytes(Seq(Array[Byte](9, 9, 9, 9)))
+    assert(corrupt.head.length == 16)
+  }
 }

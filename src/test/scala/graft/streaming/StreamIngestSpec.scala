@@ -141,6 +141,34 @@ class StreamIngestSpec extends SparkSpec {
     } finally filter.query.stop()
   }
 
+  test("streaming ingest into a BUCKETED store: appends write only " +
+      "fresh rows, dedup holds across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tbl = "graft_stream_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val source = MemoryStream[(String, String)]
+    val stream = source.toDF().toDF("target", "option1")
+    val store = new VectorStore(spark, HashEmbedder(dim = 8),
+      bucketedTable = Some(tbl), numBuckets = 4)
+    val q = StreamIngest.intoStore(stream, store)
+    try {
+      source.addData(("a", "batch1"), ("b", "batch1"))
+      q.processAllAvailable()
+      assert(store.data.count() == 2)
+      source.addData(("b", "batch2"), ("c", "batch2"))
+      q.processAllAvailable()
+      val byTarget = store.data.collect()
+        .map(r => r.getString(1) -> r.getString(2)).toMap
+      assert(byTarget == Map("a" -> "batch1", "b" -> "batch1",
+        "c" -> "batch2"))
+      assert(store.data.select(max("id")).head.getLong(0) == 3L)
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("intoIvfLayout: streaming cell assignment appends each batch " +
       "into the partitioned layout") {
     import spark.implicits._
