@@ -130,7 +130,9 @@ object PqIndex {
       "codesPerBook must be in [2, 256] (one byte per code)")
     require(!df.columns.contains(CodeCol),
       s"input frame must not contain a column named '$CodeCol'")
-    val dim = df.select(col(vecCol)).head.getSeq[Float](0).length
+    val firstRows = df.select(col(vecCol)).limit(1).collect()
+    require(firstRows.nonEmpty, "cannot train PQ codebooks on an empty frame")
+    val dim = firstRows(0).getSeq[Float](0).length
     require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
     val subDim = dim / m
     val sample =

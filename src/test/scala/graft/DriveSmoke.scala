@@ -136,6 +136,74 @@ object DriveSmoke {
     coloc.explain("formatted")
     spark.sql("DROP TABLE IF EXISTS drive_ev_b")
     spark.sql("DROP TABLE IF EXISTS drive_us_b")
+
+    // PQ + IVF-PQ: compressed ANN vs brute force
+    import graft.operators.{IvfPqIndex, PqIndex}
+    val pq = PqIndex.train(emb.select($"vec_id", $"embedding"),
+      "embedding", "vec_id", m = 8, codesPerBook = 16)
+    val pqTop = pq.query(q.toArray, k = 5, refineFactor = 100)
+      .collect().map(_.getLong(0)).toSeq
+    println(s"PQ_FULL_REFINE_MATCH=${pqTop == bruteTop}")
+    pq.query(q.toArray, k = 5, refineFactor = 1).explain("formatted")
+    val ivfpq = IvfPqIndex.build(emb.select($"vec_id", $"embedding"),
+      "embedding", "vec_id", nClusters = 8, m = 8, codesPerBook = 16)
+    println(s"IVFPQ_FULLPROBE_MATCH=${
+      ivfpq.query(q.toArray, k = 5, nprobe = 8, refineFactor = 100)
+        .collect().map(_.getLong(0)).toSeq == bruteTop}")
+
+    // bucketed durable store: append pays one Exchange (incoming side)
+    spark.sql("DROP TABLE IF EXISTS drive_store_b")
+    val bStore = new graft.store.VectorStore(spark, HashEmbedder(dim = 64),
+      bucketedTable = Some("drive_store_b"), numBuckets = 4)
+    bStore.setData(docs.limit(300).select($"text".as("target")))
+    bStore.setData(docs.select($"text".as("target")), append = true)
+    println("BUCKETED_STORE_ROWS=" + bStore.data.count())
+    bStore.appendAntiJoin(
+      docs.select($"text".as("target"))).explain("formatted")
+    spark.sql("DROP TABLE IF EXISTS drive_store_b")
+
+    // columnar embedder plumbing: packed batches end-to-end
+    val colEmb = graft.functions.Embed.embedColumnColumnar(
+      docs.limit(100), "text", "vec",
+      new graft.functions.ColumnarEmbedder {
+        override def dim: Int = 8
+        override def embedBatch(values: Array[Byte], offsets: Array[Int],
+            n: Int, out: Array[Float]): Unit = {
+          var j = 0
+          while (j < n) {
+            out(j * 8) = (offsets(j + 1) - offsets(j)).toFloat; j += 1
+          }
+        }
+      }, batchSize = 32)
+    println("COLUMNAR_EMBED_ROWS=" + colEmb.count())
+
+    // curation operators: stratified sample, unicode, repetition
+    import graft.operators.{Sampling, TextAnalysis}
+    println("STRATIFIED_ROWS=" + Sampling.stratifiedHashSample(
+      docs.select($"doc_id", $"lang"), "doc_id", "lang",
+      Map("en" -> 0.5), defaultFraction = 0.1).count())
+    println("NORM_ROWS=" + docs.select(
+      TextClean.normalizeUnicode($"text").as("t")).filter(length($"t") > 0)
+      .count())
+    println("REPETITION_ROWS=" + TextAnalysis.repetition(
+      docs, "doc_id", "text").count())
+
+    // real audio decode: synthesize, read back, feature-extract
+    import graft.operators.{AudioCodec, Multimodal}
+    val audioDir = java.nio.file.Files.createTempDirectory("drive-aud")
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.write(audioDir.resolve(s"t$i.wav"),
+        AudioCodec.synthWavPcm16(8000, Array.tabulate(4000)(j =>
+          (math.sin(2 * math.Pi * 200 * i * j / 8000) * 0.4 * 32767).toShort)))
+    }
+    val audio = Multimodal.audioFeatures(
+      Multimodal.withAudioMeta(
+        Multimodal.readBinaryDir(spark, audioDir.toString, "*.wav"),
+        "content"), "content")
+      .select($"audio_meta.sample_rate", $"audio_features.rms",
+        $"audio_features.zero_cross_rate")
+    audio.show(false)
+    println("AUDIO_ROWS=" + audio.count())
     spark.stop()
   }
 }
