@@ -203,6 +203,20 @@ object SparkEntry {
       store.data.select("id", "target", "option1", "option2").orderBy("id")
     }),
 
+    // last-wins upsert: matched targets replace values but KEEP ids,
+    // new targets append (beyond-reference store surface)
+    "store_update_ids" -> ((s, dir) => {
+      val all = storeBase(s, dir)
+        .select(col("doc_id"), col("text").as("target"),
+          col("lang").as("option1"), col("source").as("option2"),
+          col("embedding").as("vector"))
+      val store = new VectorStore(s, HashEmbedder(dim = 64))
+      store.setData(all.drop("doc_id"))
+      store.updateData(all.filter(col("doc_id") < 250)
+        .withColumn("option1", lit("updated")).drop("doc_id"))
+      store.data.select("id", "target", "option1", "option2").orderBy("id")
+    }),
+
     // ---- zero-shot classification (SURVEY §2.8 M5/M6, J2/A3/W2) ----
     "zeroshot_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -788,6 +802,17 @@ object SparkEntry {
         |  QUALIFY row_number() OVER (PARTITION BY d.text ORDER BY d.doc_id) = 1)
         |SELECT row_number() OVER (ORDER BY (doc_id >= 250), text) AS id,
         |  text AS target, lang AS option1, source AS option2
+        |FROM base ORDER BY id""".stripMargin,
+    // ids are the ORIGINAL ingest's text-order row numbers — the
+    // upsert replaces option1 for updated targets without renumbering
+    "store_update_ids" ->
+      """WITH base AS (
+        |  SELECT d.doc_id, d.text, d.lang, d.source FROM documents d
+        |  JOIN embeddings em ON d.doc_id = em.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY d.text ORDER BY d.doc_id) = 1)
+        |SELECT row_number() OVER (ORDER BY text) AS id, text AS target,
+        |  CASE WHEN doc_id < 250 THEN 'updated' ELSE lang END AS option1,
+        |  source AS option2
         |FROM base ORDER BY id""".stripMargin,
     // labels = embeddings 0..3; both sides L2-normalized with float32
     // truncation (matching the l2_normalize kernel), then cosine×100

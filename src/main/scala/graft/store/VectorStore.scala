@@ -154,34 +154,7 @@ final class VectorStore(
     */
   def setData(df: DataFrame, append: Boolean = false,
       sortCols: Seq[String] = Seq("target")): Unit = {
-    val coerced = normalizeToSchema(df)
-    val embedded =
-      if (coerced.columns.contains("vector")) {
-        // float32 discipline (F5): cast only when the element type
-        // differs — casting array<float,nullable> to the non-null
-        // variant is rejected by Catalyst, and parquet-read arrays are
-        // nullable-element even when no element is null
-        import org.apache.spark.sql.types.{ArrayType, FloatType}
-        coerced.schema("vector").dataType match {
-          case ArrayType(FloatType, _) => coerced
-          case ArrayType(_, n) =>
-            coerced.withColumn("vector", col("vector").cast(ArrayType(FloatType, n)))
-          case other => throw new IllegalArgumentException(
-            s"'vector' column must be an array of floats, got $other")
-        }
-      } else
-        Embed.embedColumn(coerced, "target", "vector", embedder, batchSize,
-          prefix = queryPrefix)
-    // first-wins WITHIN the incoming batch (reference: pandas
-    // drop_duplicates keep-first, VectorSearchBase.py:124) — min_by
-    // partial aggregation (one candidate per (partition, target)
-    // crosses the shuffle), mirroring Dedup.exactFirstWins; a
-    // row_number window would ship and sort every row. Ties among rows
-    // with identical sortCols values are arbitrary (there is no "input
-    // order" in a distributed frame) — pass a unique key for full
-    // determinism.
-    val inBatchDeduped =
-      graft.operators.Dedup.exactFirstWins(embedded, Seq("target"), sortCols)
+    val inBatchDeduped = prepareIngest(df, sortCols)
 
     if (append && !isEmpty) {
       val existing = data
@@ -213,6 +186,76 @@ final class VectorStore(
           mem = Some(spark.table(tbl))
         case None => persist(withIds)
       }
+    }
+  }
+
+  /** Shared ingest preparation: schema coercion, float32 discipline,
+    * embed-if-missing, first-wins in-batch dedup. */
+  private def prepareIngest(df: DataFrame,
+      sortCols: Seq[String]): DataFrame = {
+    val coerced = normalizeToSchema(df)
+    val embedded =
+      if (coerced.columns.contains("vector")) {
+        // float32 discipline (F5): cast only when the element type
+        // differs — casting array<float,nullable> to the non-null
+        // variant is rejected by Catalyst, and parquet-read arrays are
+        // nullable-element even when no element is null
+        import org.apache.spark.sql.types.{ArrayType, FloatType}
+        coerced.schema("vector").dataType match {
+          case ArrayType(FloatType, _) => coerced
+          case ArrayType(_, n) =>
+            coerced.withColumn("vector", col("vector").cast(ArrayType(FloatType, n)))
+          case other => throw new IllegalArgumentException(
+            s"'vector' column must be an array of floats, got $other")
+        }
+      } else
+        Embed.embedColumn(coerced, "target", "vector", embedder, batchSize,
+          prefix = queryPrefix)
+    // first-wins WITHIN the incoming batch (reference: pandas
+    // drop_duplicates keep-first, VectorSearchBase.py:124) — min_by
+    // partial aggregation (one candidate per (partition, target)
+    // crosses the shuffle), mirroring Dedup.exactFirstWins; a
+    // row_number window would ship and sort every row. Ties among rows
+    // with identical sortCols values are arbitrary (there is no "input
+    // order" in a distributed frame) — pass a unique key for full
+    // determinism.
+    graft.operators.Dedup.exactFirstWins(embedded, Seq("target"), sortCols)
+  }
+
+  /** Last-wins UPSERT — beyond-reference but the first thing a real
+    * user asks for: rows whose `target` already exists REPLACE the
+    * stored values while KEEPING their id (downstream references stay
+    * valid); new targets append with fresh sequential ids. Three
+    * equi-joins on `target` (inner for updates, two anti for the
+    * untouched/fresh splits), no windows; in bucketed mode the joins
+    * against the existing side stay Exchange-free like the append
+    * path. */
+  def updateData(df: DataFrame, sortCols: Seq[String] = Seq("target")): Unit = {
+    val batch = prepareIngest(df, sortCols)
+    if (isEmpty) { setData(batch); return }
+    val existing = data
+    val updated = existing.select(col("id"), col("target"))
+      .join(batch, Seq("target"))
+      .select(Schemas.record.fieldNames.map(col): _*)
+    val untouched = existing
+      .join(batch.select("target"), Seq("target"), "left_anti")
+      .select(Schemas.record.fieldNames.map(col): _*)
+    val fresh = batch.join(existing.select("target"), Seq("target"), "left_anti")
+    val maxId = existing.agg(max("id")).head.getLong(0)
+    val freshWithIds = withSequentialIds(fresh, maxId + 1, sortCols)
+      .select(Schemas.record.fieldNames.map(col): _*)
+    val result = untouched.unionByName(updated).unionByName(freshWithIds)
+    bucketedTable match {
+      case Some(tbl) =>
+        // an update rewrites matched rows, so this is a full-table
+        // rewrite by construction (append-only files cannot replace);
+        // materialize first — the plan reads the very table the
+        // rewrite drops
+        val materialized = result.localCheckpoint(true)
+        graft.operators.Bucketing.writeBucketed(materialized, tbl, "target",
+          numBuckets)
+        mem = Some(spark.table(tbl))
+      case None => persist(result, truncateLineage = true)
     }
   }
 

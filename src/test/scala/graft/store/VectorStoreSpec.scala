@@ -233,6 +233,34 @@ class VectorStoreSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("updateData: last-wins upsert keeps ids for matched targets, " +
+      "appends new ones (memory and bucketed modes)") {
+    import spark.implicits._
+    val tbl = "graft_store_spec_upsert"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val stores = Seq(
+      new VectorStore(spark, HashEmbedder(dim = 8)),
+      new VectorStore(spark, HashEmbedder(dim = 8),
+        bucketedTable = Some(tbl), numBuckets = 4))
+    try {
+      for (store <- stores) {
+        store.setData(Seq(("a", "x"), ("b", "y")).toDF("target", "option1"))
+        store.updateData(Seq(("b", "z"), ("c", "w")).toDF("target", "option1"))
+        val rows = store.data.collect()
+          .map(r => r.getString(1) -> (r.getLong(0), r.getString(2))).toMap
+        assert(rows == Map(
+          "a" -> (1L, "x"),  // untouched
+          "b" -> (2L, "z"),  // value replaced, id kept
+          "c" -> (3L, "w"))) // appended with the next id
+        // upsert into an empty store degrades to a plain ingest
+        store.reset()
+        store.updateData(Seq(("q", "v")).toDF("target", "option1"))
+        assert(store.data.count() == 1)
+        store.reset()
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("bucketed and path modes are mutually exclusive") {
     intercept[IllegalArgumentException] {
       new VectorStore(spark, HashEmbedder(dim = 8), path = Some("/tmp/x"),

@@ -107,6 +107,38 @@ class StreamIngestSpec extends SparkSpec {
     } finally filter.query.stop()
   }
 
+  test("nearDupIngest: bootstrap resumes dedup from a prior run's " +
+      "accepted signatures") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog tonight"
+    val textC = "pack my box with five dozen liquor jugs right now"
+    // run 1 accepts textA
+    val src1 = MemoryStream[(Long, String)]
+    val run1 = StreamIngest.nearDupIngest(
+      src1.toDF().toDF("doc_id", "text"), "doc_id", "text", _ => ())
+    val sigs = try {
+      src1.addData((1L, textA))
+      run1.query.processAllAvailable()
+      run1.acceptedSignatures.localCheckpoint(true)
+    } finally run1.query.stop()
+    // run 2 bootstraps from run 1's state: textA arrives again as a
+    // NEW id and must be dropped; only textC survives
+    val src2 = MemoryStream[(Long, String)]
+    val survivors = scala.collection.mutable.ArrayBuffer[Long]()
+    val run2 = StreamIngest.nearDupIngest(
+      src2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s => survivors.synchronized {
+        survivors ++= s.select("doc_id").collect().map(_.getLong(0))
+      }, bootstrap = Some(sigs))
+    try {
+      src2.addData((10L, textA), (11L, textC))
+      run2.query.processAllAvailable()
+      assert(survivors.toSet == Set(11L))
+      assert(run2.acceptedSignatures.count() == 2) // bootstrap + textC
+    } finally run2.query.stop()
+  }
+
   test("nearDupIngest: delta tail compacts every compactEvery batches, " +
       "base untouched") {
     import spark.implicits._
