@@ -103,5 +103,7 @@ object TextFunctions {
     one("simhash64")(es => SimHash64(es.head))
     one("fingerprints")(es => Fingerprints(es.head))
     one("lang_id")(es => LangId(es.head))
+    one("nfc_normalize")(es => NfcNormalize(es.head))
+    one("strip_accents")(es => StripAccents(es.head))
   }
 }

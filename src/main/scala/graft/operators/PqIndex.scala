@@ -185,7 +185,11 @@ object PqIndex {
   /** Per-subspace seeding: the first `codesPerBook` DISTINCT subvectors
     * in seeded hash order (one window pass over the exploded sample;
     * the 4× oversample absorbs duplicate-heavy data, and the collected
-    * slice is m × 4k rows — driver-tiny). */
+    * slice is m × 4k rows — driver-tiny). The window partitions by
+    * `sub` (only m reducers), which is fine exactly because it runs on
+    * the TRAINING SAMPLE — keep `sampleFraction` sized so the sample
+    * fits a handful of executors; the full corpus never passes through
+    * this window. */
   private def seedBooks(exploded: DataFrame, m: Int, codesPerBook: Int,
       seed: Long): Array[Array[Array[Float]]] = {
     val w = Window.partitionBy("sub")

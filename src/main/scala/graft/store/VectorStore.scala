@@ -267,6 +267,24 @@ final class VectorStore(
   private[graft] def appendAntiJoin(inBatch: DataFrame): DataFrame =
     inBatch.join(data.select("target"), Seq("target"), "left_anti")
 
+  /** Bucketed-mode maintenance: every append adds one file set per
+    * bucket, so a long append stream accumulates small files (the LSM
+    * problem every append-friendly layout has). `compactBuckets`
+    * rewrites the table once — same rows, same bucket spec, one file
+    * set — restoring scan efficiency; run it on the same cadence you
+    * would any table-maintenance job. No-op for non-bucketed stores. */
+  def compactBuckets(): Unit = bucketedTable.foreach { tbl =>
+    if (spark.catalog.tableExists(tbl)) {
+      // repartition to the bucket spec's own hash so each write task
+      // holds exactly one bucket → one file per bucket after rewrite
+      val materialized = data.localCheckpoint(true)
+        .repartition(numBuckets, col("target"))
+      graft.operators.Bucketing.writeBucketed(materialized, tbl, "target",
+        numBuckets)
+      mem = Some(spark.table(tbl))
+    }
+  }
+
   private def persist(df: DataFrame, truncateLineage: Boolean = false): Unit = {
     path match {
       case Some(p) =>
