@@ -169,14 +169,17 @@ object Embed {
     val offsets = new Array[Int](n + 1)
     val buf = new java.io.ByteArrayOutputStream(n * 64)
     var i = 0
-    while (strings.hasNext) {
+    // bound the loop by n as well: an oversized iterator must reach
+    // the require below, not overrun the offsets array
+    while (i < n && strings.hasNext) {
       val b = strings.next()
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       buf.write(b, 0, b.length)
       offsets(i + 1) = offsets(i) + b.length
       i += 1
     }
-    require(i == n, s"packed $i strings, expected $n")
+    require(i == n && !strings.hasNext,
+      s"packed $i strings (more remaining: ${strings.hasNext}), expected $n")
     (buf.toByteArray, offsets)
   }
 

@@ -212,16 +212,19 @@ object TextOps {
 
   /** Accent stripping: NFD-decompose, drop non-spacing marks,
     * recompose to NFC ("café" → "cafe") — matches the utf8proc
-    * convention DuckDB's strip_accents exposes. */
+    * convention DuckDB's strip_accents exposes. Iterates CODE POINTS,
+    * not UTF-16 units, so supplementary-plane combining marks strip
+    * too (surrogate halves never classify as Mn). */
   def stripAccents(s: UTF8String): UTF8String = {
     val d = java.text.Normalizer.normalize(s.toString,
       java.text.Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(d.length)
     var i = 0
     while (i < d.length) {
-      val c = d.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      i += 1
+      val cp = d.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(java.text.Normalizer.normalize(
       sb.toString, java.text.Normalizer.Form.NFC))

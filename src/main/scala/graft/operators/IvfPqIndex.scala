@@ -89,8 +89,13 @@ object IvfPqIndex {
       cell_residual(col(IvfIndex.ClusterCol), col(vecCol), ivf.centroids))
     val pq = PqIndex.train(resid.select(col(idCol), col("__resid")),
       "__resid", idCol, m, codesPerBook, seed, sampleFraction, maxIter)
+    // cache the codes table: queries fan out into nprobe filtered
+    // branches, and without this each branch would recompute cell
+    // assignment + residual + encode over the full corpus. The cached
+    // form is m bytes/row — "codes fit in memory" IS the PQ design
+    // point; the durable twin is writeTable's partitioned layout.
     val table = resid.select(col(idCol), col(IvfIndex.ClusterCol),
-      pq_encode(col("__resid"), pq.codebooks).as(PqIndex.CodeCol))
+      pq_encode(col("__resid"), pq.codebooks).as(PqIndex.CodeCol)).cache()
     new IvfPqIndex(ivf.centroids, pq.codebooks, table, df, vecCol, idCol)
   }
 

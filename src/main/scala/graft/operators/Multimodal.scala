@@ -140,8 +140,12 @@ object Multimodal {
             .getOrElse(Array.emptyByteArray)
           val fmt = AudioCodec.sniffFormat(bytes)
           val meta = AudioCodec.decodeMeta(bytes) match {
-            case Some(m) => Row(m.sampleRate, m.channels, m.bits,
-              m.frames, m.frames.toDouble / m.sampleRate, fmt)
+            // frame count can be NOT_SPECIFIED (-1) for streams with
+            // unknown data size — report what IS known, null the rest
+            case Some(m) if m.frames >= 0 => Row(m.sampleRate, m.channels,
+              m.bits, m.frames, m.frames.toDouble / m.sampleRate, fmt)
+            case Some(m) => Row(m.sampleRate, m.channels, m.bits, null,
+              null, fmt)
             case None => Row(null, null, null, null, null, fmt)
           }
           Row.fromSeq(r.toSeq :+ meta)
@@ -186,7 +190,11 @@ object Multimodal {
                   crossings += 1
                 i += 1
               }
-              Row(m.frames.toDouble / m.sampleRate,
+              // unknown total frame count → duration of what was READ
+              val duration =
+                if (m.frames >= 0) m.frames.toDouble / m.sampleRate
+                else samples.length.toDouble / m.sampleRate
+              Row(duration,
                 math.sqrt(sumSq / samples.length), peak,
                 crossings.toDouble / samples.length)
             case _ => Row(null, null, null, null)
@@ -346,8 +354,10 @@ object AudioCodec {
           if (bits != 8 && bits != 16) return None
           val ch = f.getChannels
           val frameBytes = f.getFrameSize
-          val nFrames = math.min(
-            math.max(in.getFrameLength, 0L), maxFrames.toLong).toInt
+          // unknown length (-1): read up to the cap, not zero frames
+          val nFrames =
+            if (in.getFrameLength < 0) maxFrames
+            else math.min(in.getFrameLength, maxFrames.toLong).toInt
           val buf = new Array[Byte](nFrames * frameBytes)
           var off = 0
           var read = 0

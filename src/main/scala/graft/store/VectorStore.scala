@@ -181,7 +181,14 @@ final class VectorStore(
         .select(Schemas.record.fieldNames.map(col): _*)
       bucketedTable match {
         case Some(tbl) =>
-          graft.operators.Bucketing.writeBucketed(withIds, tbl, "target",
+          // materialize BEFORE the rewrite when the table already
+          // exists: writeBucketed drops it (files included) before the
+          // write plan runs, so a replace whose input derives from the
+          // store itself would otherwise scan just-deleted files
+          val safe =
+            if (spark.catalog.tableExists(tbl)) withIds.localCheckpoint(true)
+            else withIds
+          graft.operators.Bucketing.writeBucketed(safe, tbl, "target",
             numBuckets)
           mem = Some(spark.table(tbl))
         case None => persist(withIds)

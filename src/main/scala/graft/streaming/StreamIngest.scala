@@ -215,6 +215,11 @@ object StreamIngest {
     * skew fallback — internal gaps within that one batch go unsplit,
     * which is the pre-split semantics).
     *
+    * NOTE: the state schema changed from a single (start, end, count)
+    * tuple to the multi-span list form — a checkpoint written by the
+    * earlier single-span operator cannot be resumed; start the query
+    * from a fresh checkpoint location.
+    *
     * @param tsCol TimestampType event-time column; the caller's
     *              watermark delay bounds late data as usual
     */
@@ -285,8 +290,11 @@ object StreamIngest {
                 (l._1, math.max(l._2, sp._2), l._3 + sp._3)
             } else merged += sp
           }
-          // a span is sealed once no in-watermark event can extend it
-          val (closed, open) = merged.partition(_._2 + maxGapMs <= wm)
+          // a span is sealed once no in-watermark event can extend it:
+          // STRICTLY below the watermark — an event at exactly
+          // t == end + maxGapMs == wm is still admissible and extends
+          // the span (the split condition is strictly > maxGapMs)
+          val (closed, open) = merged.partition(_._2 + maxGapMs < wm)
           if (open.isEmpty) state.remove()
           else {
             state.update(SessionSpans(open.toList))

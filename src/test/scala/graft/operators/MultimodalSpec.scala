@@ -176,6 +176,30 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.isNullAt(0) && bad.getString(5) == "unknown")
   }
 
+  test("audio with unknown stream length reports null frames/duration " +
+      "in meta but still feature-extracts what was read") {
+    import spark.implicits._
+    // AU container with the common 0xFFFFFFFF unknown-size header:
+    // .snd magic, data offset 24, size -1, encoding 3 (16-bit PCM BE),
+    // rate 8000, mono — then 1000 frames of a 400 Hz sine
+    val n = 1000
+    val bb = java.nio.ByteBuffer.allocate(24 + n * 2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(".snd".getBytes("US-ASCII")).putInt(24).putInt(-1)
+      .putInt(3).putInt(8000).putInt(1)
+    (0 until n).foreach(i => bb.putShort(
+      (math.sin(2 * math.Pi * 400 * i / 8000) * 0.5 * 32767).toShort))
+    val au = bb.array()
+    val df = Seq((1L, au)).toDF("id", "audio")
+    val m = Multimodal.withAudioMeta(df, "audio").head.getStruct(2)
+    assert(m.getInt(0) == 8000 && m.getString(5) == "au")
+    assert(m.isNullAt(3) && m.isNullAt(4)) // frames/duration unknown
+    val f = Multimodal.audioFeatures(df, "audio").head.getStruct(2)
+    // duration falls back to what was actually read
+    assert(math.abs(f.getDouble(0) - n / 8000.0) < 1e-9)
+    assert(math.abs(f.getDouble(1) - 0.5 / math.sqrt(2)) < 0.02)
+  }
+
   test("audioFeatures computes real RMS, peak and zero-cross rate") {
     import spark.implicits._
     // 440 Hz sine at amplitude 0.5: rms = 0.5/sqrt(2), zcr = 2*440/8000

@@ -42,6 +42,12 @@ class TextCleanSpec extends SparkSpec {
     assert(norm("über señor façade") == "uber senor facade")
     // non-accent text untouched
     assert(norm("plain ascii 123") == "plain ascii 123")
+    // supplementary-plane combining mark (Adlam U+1E944, category Mn):
+    // code-point iteration must strip it — surrogate halves never
+    // classify as Mn
+    val astralMark = new String(Character.toChars(0x1E944))
+    assert(Character.getType(0x1E944) == Character.NON_SPACING_MARK)
+    assert(norm("x" + astralMark + "y") == "xy")
   }
 
   test("null and empty pass through") {

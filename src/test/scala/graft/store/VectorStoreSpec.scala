@@ -261,6 +261,27 @@ class VectorStoreSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("bucketed replace whose input derives from the store itself " +
+      "does not destroy the table") {
+    import spark.implicits._
+    val tbl = "graft_store_spec_selfreplace"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val store = new VectorStore(spark, HashEmbedder(dim = 8),
+      bucketedTable = Some(tbl), numBuckets = 2)
+    try {
+      store.setData(Seq(("a", "1"), ("b", "2")).toDF("target", "option1"))
+      // replace with a frame READ FROM the store: the rewrite drops the
+      // table before writing, so without materialization the plan would
+      // scan deleted files
+      store.setData(store.data
+        .withColumn("option1", concat(col("option1"), lit("x")))
+        .drop("id"))
+      val rows = store.data.collect()
+        .map(r => r.getString(1) -> r.getString(2)).toMap
+      assert(rows == Map("a" -> "1x", "b" -> "2x"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("compactBuckets rewrites accumulated append files into one set") {
     import spark.implicits._
     val tbl = "graft_store_spec_compact"
