@@ -605,6 +605,15 @@ object SparkEntry {
           graft.operators.TextClean.normalizeUnicode(col("text"))
             .as("norm_text"))
         .orderBy("doc_id")),
+    // sequence packing: concatenate the corpus in doc order and cut
+    // into fixed-size context windows — two-phase distributed prefix
+    // scan, NOT a single-partition global window
+    "sequence_pack" -> ((s, dir) =>
+      graft.operators.PrefixScan.packSequences(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "n_chars", chunkSize = 8192, orderCols = Seq("doc_id"))
+        .select("doc_id", "start_offset", "chunk_id")
+        .orderBy("doc_id")),
     // Gopher-style repetition: share of bigrams taken by the most
     // repeated bigram (single double division → bit-exact oracle)
     "repetition_docs" -> ((s, dir) =>
@@ -1091,6 +1100,17 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "normalize_docs" ->
       """SELECT doc_id, strip_accents(nfc_normalize(text)) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // exclusive running sum via an explicit ROWS frame; chunk id is
+    // exact integer division on both engines
+    "sequence_pack" ->
+      """SELECT doc_id,
+        |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_offset,
+        |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 8192 AS BIGINT)
+        |    AS chunk_id
         |FROM documents ORDER BY doc_id""".stripMargin,
     "repetition_docs" ->
       s"""WITH bg AS (

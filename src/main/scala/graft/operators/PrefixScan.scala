@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Distributed prefix scan and the sequence-packing operator built on
+  * it — the "concatenate the corpus and cut it into fixed-size context
+  * windows" step of a pretraining data pipeline.
+  *
+  * The naive formulation is `sum(len) OVER (ORDER BY ...)` — a GLOBAL
+  * window, which Catalyst plans as a single-partition sort: one task
+  * owns 100 TB. This operator instead range-partitions by the order
+  * key (`orderBy` — globally ordered partitions), computes each
+  * partition's local running sum, collects only the PER-PARTITION
+  * totals (numPartitions longs) to prefix-add on the driver, and
+  * broadcasts the offsets back into a second narrow pass — the
+  * textbook two-phase scan, same shape as
+  * [[graft.store.Ingest.withSequentialIds]].
+  */
+object PrefixScan {
+
+  /** Append `outCol` = inclusive running sum of `valueCol` in
+    * `orderCols` order (ties resolved by the order columns given —
+    * pass a unique tiebreaker for full determinism). `valueCol` must
+    * be integral; nulls count as 0. */
+  def runningSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      outCol: String = "running_total"): DataFrame = {
+    require(orderCols.nonEmpty, "order columns required")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' collides — rename one")
+    val spark = df.sparkSession
+    val sorted = df.orderBy(orderCols.map(col): _*)
+      .withColumn("__v", coalesce(col(valueCol).cast(LongType), lit(0L)))
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val rdd = sorted.rdd
+    rdd.cache()
+    try {
+      // pass 1: one long per partition crosses to the driver
+      val partTotals = rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var s = 0L
+          it.foreach(r => s += r.getLong(vIdx))
+          Iterator((i, s))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = partTotals.scanLeft(0L)(_ + _) // exclusive prefix
+      // pass 2: narrow map adding the partition offset
+      val outSchema = sorted.schema.add(outCol, LongType, nullable = false)
+      val out = rdd.mapPartitionsWithIndex { (i, it) =>
+        var run = offsets(i)
+        it.map { r =>
+          run += r.getLong(vIdx)
+          Row.fromSeq(r.toSeq :+ run)
+        }
+      }
+      spark.createDataFrame(out, outSchema).drop("__v")
+    } finally { rdd.unpersist(); () }
+  }
+
+  /** Sequence packing: lay the corpus out as one concatenated token
+    * stream in `orderCols` order and assign every document the chunk
+    * (context window) its FIRST token falls into — exactly the
+    * "concatenate and cut every `chunkSize` tokens" layout pretraining
+    * uses (documents spanning a boundary belong to the chunk they
+    * start in; the trainer's loader handles the spill). Returns the
+    * input plus `start_offset` (0-based position of the doc's first
+    * token in the stream) and `chunk_id`. */
+  def packSequences(df: DataFrame, lenCol: String, chunkSize: Long,
+      orderCols: Seq[String]): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    runningSum(df, orderCols, lenCol, outCol = "__cum")
+      .withColumn("start_offset",
+        col("__cum") - coalesce(col(lenCol).cast(LongType), lit(0L)))
+      // integral division — a double floor() would lose exactness once
+      // the stream position passes 2^53 tokens
+      .withColumn("chunk_id",
+        expr(s"start_offset div ${chunkSize}L").cast(LongType))
+      .drop("__cum")
+  }
+}

@@ -188,6 +188,12 @@ object DriveSmoke {
     println("REPETITION_ROWS=" + TextAnalysis.repetition(
       docs, "doc_id", "text").count())
 
+    // sequence packing via the two-phase distributed prefix scan
+    val packed = graft.operators.PrefixScan.packSequences(
+      docs.select($"doc_id", $"n_chars"), "n_chars", chunkSize = 4096,
+      orderCols = Seq("doc_id"))
+    println("PACKED_CHUNKS=" + packed.select("chunk_id").distinct().count())
+
     // real audio decode: synthesize, read back, feature-extract
     import graft.operators.{AudioCodec, Multimodal}
     val audioDir = java.nio.file.Files.createTempDirectory("drive-aud")

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrefixScanSpec extends SparkSpec {
+
+  test("runningSum matches the single-partition window on any " +
+      "partitioning") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toLong, (i * 7 % 13).toLong))
+      .toDF("id", "len")
+    for (parts <- Seq(1, 7, 32)) {
+      val got = PrefixScan.runningSum(df.repartition(parts), Seq("id"),
+        "len", "cum")
+        .orderBy("id").select("id", "cum").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      var s = 0L
+      val want = (1 to 5000).map { i => s += i * 7 % 13; (i.toLong, s) }
+      assert(got.toSeq == want)
+    }
+  }
+
+  test("runningSum treats null lengths as zero and keeps all columns") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5L), "a"), (2L, None, "b"), (3L, Some(2L), "c"))
+      .toDF("id", "len", "tag")
+    val out = PrefixScan.runningSum(df, Seq("id"), "len", "cum")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 5L, "a"), (2L, 5L, "b"), (3L, 7L, "c")))
+  }
+
+  test("runningSum plans no single-partition global window") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, 1L)).toDF("id", "len")
+    val plan = PrefixScan.runningSum(df, Seq("id"), "len")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"scan fell back to a window:\n$plan")
+  }
+
+  test("packSequences assigns chunks by first-token offset") {
+    import spark.implicits._
+    // lengths 3,4,5,... over chunkSize 8:
+    // doc1 starts 0 (chunk 0), doc2 starts 3 (chunk 0),
+    // doc3 starts 7 (chunk 0), doc4 starts 12 (chunk 1), ...
+    val df = Seq((1L, 3L), (2L, 4L), (3L, 5L), (4L, 6L), (5L, 7L))
+      .toDF("doc_id", "n_tokens")
+    val out = PrefixScan.packSequences(df, "n_tokens", chunkSize = 8,
+      orderCols = Seq("doc_id"))
+      .orderBy("doc_id").select("doc_id", "start_offset", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L), (2L, 3L, 0L), (3L, 7L, 0L),
+      (4L, 12L, 1L), (5L, 18L, 2L)))
+  }
+
+  test("output-column collision is rejected") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      PrefixScan.runningSum(Seq((1L, 1L)).toDF("id", "running_total"),
+        Seq("id"), "id")
+    }
+  }
+}
