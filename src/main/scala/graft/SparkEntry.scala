@@ -605,6 +605,16 @@ object SparkEntry {
           graft.operators.TextClean.normalizeUnicode(col("text"))
             .as("norm_text"))
         .orderBy("doc_id")),
+    // weighted sampling (Efraimidis-Spirakis with md5-derived uniforms)
+    // — deterministic but ln() is libm-dependent at the ulp level, so
+    // the winner set near the cut could flip across engines → rows-only
+    // (determinism and weight-bias are spec-asserted)
+    "weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("double").as("w")),
+        "doc_id", "w", n = 100)
+        .select("doc_id").orderBy("doc_id")),
     // sequence packing: concatenate the corpus in doc order and cut
     // into fixed-size context windows — two-phase distributed prefix
     // scan, NOT a single-partition global window

@@ -39,6 +39,35 @@ object Sampling {
     df.filter(md5(col(idCol).cast("string").cast("binary")) < thresholdHex)
   }
 
+  /** Deterministic WEIGHTED sampling without replacement — "keep the n
+    * documents sampled proportional to quality/score" (Efraimidis &
+    * Spirakis 2006, A-Res): each row draws u ∈ (0,1) from its md5
+    * digest (not rand() — same row, same draw, on any engine or
+    * partitioning) and scores `-ln(u) / w`; the n SMALLEST scores win,
+    * which selects row i with probability proportional to weight i.
+    * Plans as one narrow map + `TakeOrderedAndProject` — per-partition
+    * heaps, no shuffle of the corpus. Rows with weight <= 0 or null
+    * never win (score +inf). ln() makes the scores engine-specific at
+    * the ulp level, so this is spec-verified rather than
+    * DuckDB-oracle-checked. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(!df.columns.contains("__graft_ws"),
+      "reserved column '__graft_ws' present — rename it")
+    // first 13 hex chars = 52 uniform bits → u in (0, 1]; flip to
+    // [0, 1) then clamp away 0 so ln is finite
+    val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")),
+      1, 13), 16, 10).cast("double") + 1.0) / math.pow(16.0, 13)
+    val w = col(weightCol).cast("double")
+    val score = when(w.isNull || w <= 0.0, lit(Double.PositiveInfinity))
+      .otherwise(-log(u) / w)
+    df.withColumn("__graft_ws", score)
+      .orderBy(col("__graft_ws").asc, col(idCol).asc)
+      .limit(n)
+      .drop("__graft_ws")
+  }
+
   /** Deterministic STRATIFIED sampling — the "rebalance the language /
     * domain mix" curation primitive: each stratum keeps ≈ its fraction
     * of rows via a per-key md5 threshold (16-bit granularity, so

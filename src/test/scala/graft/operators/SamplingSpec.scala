@@ -70,6 +70,42 @@ class SamplingSpec extends SparkSpec {
     assert(none.count() == 0L)
   }
 
+  test("weightedSample is deterministic, partitioning-independent, and " +
+      "favors heavy weights") {
+    import spark.implicits._
+    // 1000 light rows (w=1) + 50 heavy rows (w=1000)
+    val df = ((1 to 1000).map(i => (i.toLong, 1.0)) ++
+      (2001 to 2050).map(i => (i.toLong, 1000.0))).toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", n = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(df.repartition(13), "id", "w", n = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // same winners whatever the partitioning
+    // heavy rows are ~1000x more likely per slot: expect the heavy
+    // group to dominate the 50 winners
+    val heavy = a.count(_ >= 2001L)
+    assert(heavy >= 40, s"only $heavy/50 winners from the heavy group")
+  }
+
+  test("weightedSample: zero/null/negative weights never win when " +
+      "positive-weight rows remain") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5.0)), (2L, Some(0.0)), (3L, None),
+      (4L, Some(-2.0)), (5L, Some(1.0))).toDF("id", "w")
+    val winners = Sampling.weightedSample(df, "id", "w", n = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(winners == Set(1L, 5L))
+  }
+
+  test("weightedSample plans a TakeOrderedAndProject, no corpus shuffle") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, 1.0)).toDF("id", "w")
+    val plan = Sampling.weightedSample(df, "id", "w", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-n plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"corpus shuffles:\n$plan")
+  }
+
   test("stratifiedHashSample rejects out-of-range fractions") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
