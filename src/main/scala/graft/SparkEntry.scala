@@ -605,6 +605,15 @@ object SparkEntry {
           graft.operators.TextClean.normalizeUnicode(col("text"))
             .as("norm_text"))
         .orderBy("doc_id")),
+    // per-language packing: one concatenated stream per lang (keyed
+    // window — parallel across keys, no global sort)
+    "sequence_pack_by_lang" -> ((s, dir) =>
+      graft.operators.PrefixScan.packSequencesByKey(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        Seq("lang"), "n_chars", chunkSize = 8192,
+        orderCols = Seq("doc_id"))
+        .select("doc_id", "lang", "start_offset", "chunk_id")
+        .orderBy("doc_id")),
     // weighted sampling (Efraimidis-Spirakis with md5-derived uniforms)
     // — deterministic but ln() is libm-dependent at the ulp level, so
     // the winner set near the cut could flip across engines → rows-only
@@ -1119,6 +1128,15 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |    AS start_offset,
         |  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 8192 AS BIGINT)
+        |    AS chunk_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sequence_pack_by_lang" ->
+      """SELECT doc_id, lang,
+        |  CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_offset,
+        |  CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 8192 AS BIGINT)
         |    AS chunk_id
         |FROM documents ORDER BY doc_id""".stripMargin,

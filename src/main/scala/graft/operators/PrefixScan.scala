@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{DataFrame, Row}
@@ -56,6 +57,25 @@ object PrefixScan {
       }
       spark.createDataFrame(out, outSchema).drop("__v")
     } finally { rdd.unpersist(); () }
+  }
+
+  /** Per-key sequence packing: one concatenated stream PER KEY (e.g.
+    * one pretraining stream per language), each cut into `chunkSize`
+    * windows. Unlike the global form, a window partitioned by key is
+    * the right plan here — keys parallelize across the cluster and no
+    * task owns more than one key's stream (a pathologically hot key
+    * falls back to the global [[packSequences]] run on its slice). */
+  def packSequencesByKey(df: DataFrame, keyCols: Seq[String],
+      lenCol: String, chunkSize: Long, orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "key columns required")
+    require(chunkSize > 0, "chunkSize must be positive")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("start_offset", coalesce(
+        sum(coalesce(col(lenCol).cast(LongType), lit(0L))).over(w), lit(0L)))
+      .withColumn("chunk_id",
+        expr(s"start_offset div ${chunkSize}L").cast(LongType))
   }
 
   /** Sequence packing: lay the corpus out as one concatenated token

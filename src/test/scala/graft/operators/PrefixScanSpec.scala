@@ -55,6 +55,22 @@ class PrefixScanSpec extends SparkSpec {
       (4L, 12L, 1L), (5L, 18L, 2L)))
   }
 
+  test("packSequencesByKey packs each key's stream independently") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", 5L), (2L, "fr", 5L), (3L, "en", 5L), (4L, "fr", 6L),
+      (5L, "en", 2L)).toDF("doc_id", "lang", "len")
+    val out = PrefixScan.packSequencesByKey(df, Seq("lang"), "len",
+      chunkSize = 8, orderCols = Seq("doc_id"))
+      .orderBy("doc_id")
+      .select("doc_id", "start_offset", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // en stream: docs 1,3,5 at offsets 0,5,10; fr stream: 2,4 at 0,5
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L), (2L, 0L, 0L), (3L, 5L, 0L), (4L, 5L, 0L),
+      (5L, 10L, 1L)))
+  }
+
   test("output-column collision is rejected") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
