@@ -639,6 +639,14 @@ object SparkEntry {
       graft.operators.TextAnalysis.repetition(
         t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // char-bigram LM quality score (KenLM/CCNet perplexity-filter
+    // stand-in): corpus-fit MLE, per-doc mean log-prob via an ORDERED
+    // sequential fold so accumulation is engine-independent;
+    // decimal-rounded for ln ulp drift
+    "lm_score_docs" -> ((s, dir) =>
+      graft.operators.TextAnalysis.charBigramScore(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // bigram PMI collocations (ln drift across libms → decimal-rounded
     // on both sides, same convention as tfidf_sample)
     "bigram_pmi" -> ((s, dir) =>
@@ -1149,6 +1157,29 @@ object SparkEntry {
          |  CAST(MAX(c) AS BIGINT) AS top_bigram_n,
          |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_ratio
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // ordered list_sum twin of the Scala fold: list(lnp ORDER BY pos)
+    // fixes the accumulation order on both engines
+    "lm_score_docs" ->
+      """WITH ch AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents WHERE len(text) >= 2),
+        |bg AS (
+        |  SELECT doc_id, pos, substr(t, pos, 2) AS bigram FROM (
+        |    SELECT doc_id, t, unnest(range(1, len(t))) AS pos FROM ch)),
+        |pc AS (SELECT bigram, COUNT(*) AS cp FROM bg GROUP BY 1),
+        |fc AS (SELECT substr(bigram, 1, 1) AS c0, COUNT(*) AS cf
+        |       FROM bg GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, pos,
+        |    ln(CAST(cp AS DOUBLE) / CAST(cf AS DOUBLE)) AS lnp
+        |  FROM bg JOIN pc USING (bigram)
+        |  JOIN fc ON substr(bg.bigram, 1, 1) = fc.c0),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    list_sum(list(lnp ORDER BY pos)) AS s
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(CAST(CAST(s / n_bigrams AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS lm_score
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // identical division/multiplication shape to bigramPmi's one fixed
     // double expression; totals are exact BIGINTs cast to double
     "bigram_pmi" ->

@@ -41,6 +41,52 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), col("token")).limit(topN)
 
+  /** Character-bigram language-model score — the offline stand-in for
+    * the KenLM/CCNet perplexity quality filter: fit a character-bigram
+    * MLE model ON THE CORPUS ITSELF and score each document by its
+    * average log-probability `mean ln P(c_i | c_{i-1})`. Documents of
+    * gibberish, wrong-alphabet, or base64-ish content sit far below
+    * the corpus norm and get filtered; higher = more typical.
+    *
+    * Scale shape: one explode into (doc, pos, bigram) rows, two
+    * partial-aggregated count passes (pair and prefix counts), two
+    * equi-joins back (AQE decides strategy), then a per-document
+    * ORDERED fold: the ln terms are collected per doc sorted by
+    * position and summed sequentially, so the accumulation order — and
+    * therefore the floating-point result — is engine- and
+    * partitioning-independent (a groupBy sum would drift run to run).
+    * The per-doc array is document-sized state, not corpus-sized.
+    * Scores are decimal(18,6)-rounded: ln differs by ulps across
+    * libms. Documents shorter than 2 chars have no bigrams and drop
+    * out. Returns (idCol, n_bigrams, lm_score). */
+  def charBigramScore(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val bg = df
+      .select(col(idCol), lower(col(textCol)).as("__lc"))
+      .filter(length(col("__lc")) >= 2)
+      .select(col(idCol), posexplode(expr(
+        "transform(sequence(1, length(__lc) - 1), i -> substring(__lc, i, 2))")))
+      .select(col(idCol), (col("pos") + 1).as("pos"),
+        col("col").as("bigram"))
+    val pairC = bg.groupBy("bigram").agg(count(lit(1)).as("cp"))
+    val prefC = bg.select(substring(col("bigram"), 1, 1).as("c0"))
+      .groupBy("c0").agg(count(lit(1)).as("cf"))
+    val scored = bg
+      .join(pairC, Seq("bigram"))
+      .join(prefC, bg("bigram").substr(1, 1) === prefC("c0"))
+      .withColumn("lnp",
+        log(col("cp").cast("double") / col("cf").cast("double")))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("lnp"))))
+          .as("__arr"))
+      .withColumn("__s", aggregate(col("__arr"), lit(0.0),
+        (acc, x) => acc + x.getField("lnp")))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s") / col("n_bigrams").cast("double"))
+          .cast("decimal(18,6)").cast("double").as("lm_score"))
+  }
+
   /** Gopher-style repetition signal: per document, the share of
     * bigrams taken by the single most repeated bigram — boilerplate,
     * keyword-stuffed, and loop-generated pages score high and get

@@ -187,6 +187,9 @@ object DriveSmoke {
       .count())
     println("REPETITION_ROWS=" + TextAnalysis.repetition(
       docs, "doc_id", "text").count())
+    val lmScored = TextAnalysis.charBigramScore(docs, "doc_id", "text")
+    lmScored.explain("formatted")
+    println("LM_SCORE_ROWS=" + lmScored.count())
 
     // sequence packing via the two-phase distributed prefix scan
     val packed = graft.operators.PrefixScan.packSequences(

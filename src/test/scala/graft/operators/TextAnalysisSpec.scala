@@ -65,6 +65,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) == ((2L, 3L, 1L, 1.0 / 3.0)))
   }
 
+  test("charBigramScore: typical text scores above gibberish; short " +
+      "docs drop out; hand-check on a tiny corpus") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ababab"),       // in-distribution for this corpus
+      (2L, "ababab"),
+      (3L, "zq"),           // rare characters
+      (4L, "x")             // no bigrams → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charBigramScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == 5L) // 5 bigrams in "ababab"
+    // corpus counts: ab=6, ba=4, zq=1; prefix a=6, b=4, z=1
+    // doc1 = (3*ln(6/6) + 2*ln(4/4)) / 5 = 0
+    assert(byId(1L)._3 == 0.0)
+    assert(byId(1L)._3 == byId(2L)._3)
+    // "zq": ln(1/1) = 0 too in this tiny corpus — so instead assert
+    // ordering on a corpus where frequencies actually differ
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the rat ate the hat"),
+      (3L, "qqxzzj qzx jzzq")) // off-distribution
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.charBigramScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) > scores(3L) && scores(2L) > scores(3L))
+  }
+
   test("bigramPmi on an untokenizable corpus returns empty, not an error") {
     import spark.implicits._
     val docs = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
