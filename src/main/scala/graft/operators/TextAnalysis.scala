@@ -48,43 +48,53 @@ object TextAnalysis {
     * gibberish, wrong-alphabet, or base64-ish content sit far below
     * the corpus norm and get filtered; higher = more typical.
     *
-    * Scale shape: one explode into (doc, pos, bigram) rows, two
-    * partial-aggregated count passes (pair and prefix counts), two
-    * equi-joins back (AQE decides strategy), then a per-document
-    * ORDERED fold: the ln terms are collected per doc sorted by
-    * position and summed sequentially, so the accumulation order — and
-    * therefore the floating-point result — is engine- and
-    * partitioning-independent (a groupBy sum would drift run to run).
-    * The per-doc array is document-sized state, not corpus-sized.
+    * Scale shape — fit/score split, like the IVF index:
+    *   1. FIT: one explode → partial-aggregated bigram count. The
+    *      model is bounded by DISTINCT bigrams (≤ charset², ~2k for
+    *      latin text, ~10⁷ worst-case CJK), independent of corpus
+    *      size, so it is collected and broadcast; prefix counts are
+    *      derived driver-side (cf(c) = Σ cp(c·)) — no second pass,
+    *      no join. The collect makes the operator EAGER at call time.
+    *   2. SCORE: a pure per-row map — a JVM closure walks the
+    *      document's bigrams IN POSITION ORDER against the broadcast
+    *      hash map and folds the ln terms sequentially, so the
+    *      floating-point result is partitioning-independent. Zero
+    *      shuffles, zero joins; at 100 TB the scoring pass is
+    *      embarrassingly parallel and the only cluster traffic is the
+    *      one slim count aggregation plus one broadcast.
     * Scores are decimal(18,6)-rounded: ln differs by ulps across
     * libms. Documents shorter than 2 chars have no bigrams and drop
     * out. Returns (idCol, n_bigrams, lm_score). */
   def charBigramScore(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val bg = df
+    val lc = df
       .select(col(idCol), lower(col(textCol)).as("__lc"))
       .filter(length(col("__lc")) >= 2)
-      .select(col(idCol), posexplode(expr(
-        "transform(sequence(1, length(__lc) - 1), i -> substring(__lc, i, 2))")))
-      .select(col(idCol), (col("pos") + 1).as("pos"),
-        col("col").as("bigram"))
-    val pairC = bg.groupBy("bigram").agg(count(lit(1)).as("cp"))
-    val prefC = bg.select(substring(col("bigram"), 1, 1).as("c0"))
-      .groupBy("c0").agg(count(lit(1)).as("cf"))
-    val scored = bg
-      .join(pairC, Seq("bigram"))
-      .join(prefC, bg("bigram").substr(1, 1) === prefC("c0"))
-      .withColumn("lnp",
-        log(col("cp").cast("double") / col("cf").cast("double")))
-    scored.groupBy(idCol)
-      .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        sort_array(collect_list(struct(col("pos"), col("lnp"))))
-          .as("__arr"))
-      .withColumn("__s", aggregate(col("__arr"), lit(0.0),
-        (acc, x) => acc + x.getField("lnp")))
-      .select(col(idCol), col("n_bigrams"),
-        (col("__s") / col("n_bigrams").cast("double"))
-          .cast("decimal(18,6)").cast("double").as("lm_score"))
+    val pairCounts: Array[(String, Long)] = lc
+      .select(explode(expr(
+        "transform(sequence(1, length(__lc) - 1), i -> substring(__lc, i, 2))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cp"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val prefCounts = new java.util.HashMap[Character, Long]()
+    pairCounts.foreach { case (b, c) =>
+      prefCounts.merge(b.charAt(0), c, (x, y) => x + y)
+    }
+    val lnp = new java.util.HashMap[String, Double](pairCounts.length * 2)
+    pairCounts.foreach { case (b, c) =>
+      lnp.put(b, math.log(c.toDouble / prefCounts.get(b.charAt(0)).toDouble))
+    }
+    val bcModel = df.sparkSession.sparkContext.broadcast(lnp)
+    val score = udf { (t: String) =>
+      val m = bcModel.value
+      var i = 0; var s = 0.0
+      val n = t.length - 1
+      while (i < n) { s += m.get(t.substring(i, i + 2)); i += 1 }
+      (n.toLong, s / n.toDouble)
+    }
+    lc.withColumn("__sc", score(col("__lc")))
+      .select(col(idCol), col("__sc._1").as("n_bigrams"),
+        col("__sc._2").cast("decimal(18,6)").cast("double").as("lm_score"))
   }
 
   /** Gopher-style repetition signal: per document, the share of
