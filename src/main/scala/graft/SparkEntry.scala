@@ -647,6 +647,14 @@ object SparkEntry {
       graft.operators.TextAnalysis.charBigramScore(
         t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Lee-et-al ExactSubstr proxy: per-doc duplicated-k-gram span
+    // stats. Literal grams here (engine-portable oracle); the
+    // xxhash64 8-byte-token scale variant is unit-pinned equal
+    "dup_spans" -> ((s, dir) =>
+      graft.operators.Dedup.dupSpanStats(
+        t(s, dir, "documents"), "doc_id", "text", k = 20,
+        hashGrams = false)
+        .orderBy("doc_id")),
     // bigram PMI collocations (ln drift across libms → decimal-rounded
     // on both sides, same convention as tfidf_sample)
     "bigram_pmi" -> ((s, dir) =>
@@ -1180,6 +1188,42 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams,
         |  CAST(CAST(CAST(s / n_bigrams AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS lm_score
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // integer gaps-and-islands twin of the Spark window span merge;
+    // first dup position: pos - NULL > k is NULL → ELSE 0 (both
+    // engines), so island numbering starts at 0 on each side
+    "dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE len(text) >= 20),
+        |g AS (
+        |  SELECT doc_id, pos, substr(text, CAST(pos AS INT), 20) AS gram
+        |  FROM (SELECT doc_id, text,
+        |        unnest(range(1, len(text) - 18)) AS pos FROM d)),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
+        |lg AS (SELECT doc_id, pos,
+        |  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dp),
+        |isl AS (SELECT doc_id, pos,
+        |  CAST(SUM(CASE WHEN pos - prev > 20 THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM lg),
+        |sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 19 AS e,
+        |  COUNT(*) AS nd FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |  CAST(SUM(nd) AS BIGINT) AS n_dup,
+        |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+        |  CAST(MAX(e - s + 1) AS BIGINT) AS longest_span
+        |  FROM sp GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(len(d.text) - 19 AS BIGINT) AS n_pos,
+        |  COALESCE(n_dup, 0) AS n_dup,
+        |  COALESCE(n_spans, 0) AS n_spans,
+        |  COALESCE(dup_chars, 0) AS dup_chars,
+        |  COALESCE(longest_span, 0) AS longest_span,
+        |  CAST(COALESCE(n_dup, 0) AS DOUBLE) /
+        |    CAST(len(d.text) - 19 AS DOUBLE) AS dup_ratio
+        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // identical division/multiplication shape to bigramPmi's one fixed
     // double expression; totals are exact BIGINTs cast to double
     "bigram_pmi" ->

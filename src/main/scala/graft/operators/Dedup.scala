@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -360,6 +361,68 @@ object Dedup {
     p.join(c, Seq("__q", "__qv"))
       .filter(hamming64(col("sigP"), col("sigC")) <= maxHamming)
       .select(col("idP").as(idCol)).distinct()
+  }
+
+  /** Repeated-substring duplicate-span statistics — the distributed
+    * stand-in for Lee et al.'s ExactSubstr suffix-array dedup
+    * ("Deduplicating Training Data Makes Language Models Better"):
+    * every position's k-char gram is counted across the corpus;
+    * positions whose gram occurs ≥ `minCount` times ANYWHERE
+    * (including within the same document, so self-repetition counts)
+    * are duplicated; runs of duplicated positions whose windows touch
+    * (gap ≤ k) merge into maximal spans.
+    *
+    * Scale shape: a suffix array costs O(8 bytes/position); this is
+    * the same budget distributed. With `hashGrams=true` each position
+    * ships an 8-byte xxhash64 token instead of the k-char string, so
+    * the count pass shuffles positions × 8 B with map-side partial
+    * aggregation, and the join-back side is SLIM — only the
+    * duplicated gram hashes (post-HAVING), which AQE broadcasts when
+    * small. Span merge is a window partitioned by document: state is
+    * bounded by document length, never corpus-sized. xxhash64
+    * false-positive odds ≈ positions²/2⁶⁵; the literal-gram variant
+    * (`hashGrams=false`, k× byte cost) is the engine-portable oracle
+    * twin and the unit suite pins both variants equal on the corpus.
+    *
+    * Returns one row per document with ≥ 1 gram position:
+    * `(idCol, n_pos, n_dup, n_spans, dup_chars, longest_span,
+    * dup_ratio)` — exact integers plus one fixed double division
+    * (bit-stable across engines). */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minCount: Long = 2,
+      hashGrams: Boolean = true): DataFrame = {
+    require(k >= 2, "gram length k must be at least 2")
+    val base = df.select(col(idCol), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= k)
+    val gram = expr(
+      s"transform(sequence(1, length(__t) - ${k - 1}), i -> substring(__t, i, $k))")
+    val grams = base
+      .select(col(idCol), posexplode(gram).as(Seq("__p0", "__gram")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"),
+        (if (hashGrams) xxhash64(col("__gram")) else col("__gram")).as("__g"))
+    val dupGrams = grams.groupBy("__g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__g")
+    val dupPos = grams.join(dupGrams, Seq("__g")).select(col(idCol), col("pos"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val islands = dupPos
+      .withColumn("__new",
+        when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("__isl", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = islands.groupBy(col(idCol), col("__isl"))
+      .agg(min("pos").as("__s"), (max(col("pos")) + (k - 1)).as("__e"),
+        count(lit(1)).as("__nd"))
+    val perDoc = spans.groupBy(idCol)
+      .agg(sum("__nd").cast("long").as("n_dup"),
+        count(lit(1)).cast("long").as("n_spans"),
+        sum(col("__e") - col("__s") + 1).cast("long").as("dup_chars"),
+        max(col("__e") - col("__s") + 1).cast("long").as("longest_span"))
+    base.select(col(idCol),
+        (length(col("__t")) - (k - 1)).cast("long").as("n_pos"))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_dup", "n_spans", "dup_chars", "longest_span"))
+      .withColumn("dup_ratio",
+        col("n_dup").cast("double") / col("n_pos").cast("double"))
   }
 
   /** Embedding near-dup candidate pairs: random-hyperplane LSH with

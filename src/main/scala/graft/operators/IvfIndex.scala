@@ -112,6 +112,61 @@ final class IvfIndex(
     IvfIndex.assignCells(newRows, vecCol, centroids)
       .write.mode("append").partitionBy(IvfIndex.ClusterCol).parquet(path)
 
+  /** Per-cell health: row count plus quantization error (squared-L2 of
+    * each row's residual against its OWN centroid — for rows assigned
+    * by [[IvfIndex.assignCells]] this is also the nearest-centroid
+    * distance, so it grows exactly as appended data drifts from the
+    * trained centroids). One partial-aggregated `groupBy` job whose
+    * output is nClusters rows; cells currently empty are absent.
+    * Returns (cluster, n, mean_sq_err, max_sq_err). */
+  def cellStats: DataFrame = {
+    import graft.functions.VectorFunctions.{cell_residual, vec_dot}
+    assigned
+      .withColumn("__r",
+        cell_residual(col(IvfIndex.ClusterCol), col(vecCol), centroids))
+      .withColumn("__qe", vec_dot(col("__r"), col("__r")))
+      .groupBy(IvfIndex.ClusterCol)
+      .agg(count(lit(1)).as("n"), avg("__qe").as("mean_sq_err"),
+        max("__qe").as("max_sq_err"))
+  }
+
+  /** Driver-side roll-up of [[cellStats]] (nClusters rows — tiny). */
+  def health(): IvfIndex.Health = {
+    val rows = cellStats.collect()
+    val counts = rows.map(_.getLong(1))
+    val total = counts.sum
+    val meanErr =
+      if (total == 0) 0.0
+      else rows.map(r => r.getDouble(2) * r.getLong(1)).sum / total
+    IvfIndex.Health(
+      nCells = nClusters,
+      nonEmptyCells = rows.length,
+      total = total,
+      maxCell = if (counts.isEmpty) 0L else counts.max,
+      imbalance =
+        if (total == 0) 0.0 else counts.max.toDouble / (total.toDouble / nClusters),
+      meanQuantErr = meanErr,
+      maxQuantErr = if (rows.isEmpty) 0.0 else rows.map(_.getDouble(3)).max)
+  }
+
+  /** Published refresh policy — when does [[refreshCentroids]] pay for
+    * itself? (a) `imbalance` (hottest cell vs the uniform share)
+    * beyond `maxImbalance`: probes hitting the hot cell scan that many
+    * times the uniform cost, so query latency is skew-bound; (b) mean
+    * quantization error grown past `errGrowth` × the baseline captured
+    * at build/last-refresh time: appended data has drifted off the
+    * trained centroids and recall at fixed nprobe decays. A refresh is
+    * one Lloyd step, which never increases total quantization error
+    * (reassign-then-recenter each monotonically reduce SSE), so when
+    * this fires the refresh is guaranteed progress, not churn. */
+  def needsRefresh(baseline: IvfIndex.Health,
+      maxImbalance: Double = 4.0, errGrowth: Double = 1.5): Boolean = {
+    val h = health()
+    h.imbalance > maxImbalance ||
+      (baseline.meanQuantErr > 0 &&
+        h.meanQuantErr > errGrowth * baseline.meanQuantErr)
+  }
+
   /** One Lloyd's step over the CURRENT index: recompute each cell's
     * mean (one vec_sum job — nClusters × dim doubles cross the
     * shuffle) and reassign all rows to the refreshed centroids (one
@@ -136,6 +191,13 @@ final class IvfIndex(
 
 object IvfIndex {
   val ClusterCol = "cluster"
+
+  /** Index health summary (see [[IvfIndex.health]]): `imbalance` is
+    * the hottest cell's share relative to a perfectly uniform spread
+    * (1.0 = uniform; k = one cell holds k× its fair share). */
+  final case class Health(
+      nCells: Int, nonEmptyCells: Int, total: Long, maxCell: Long,
+      imbalance: Double, meanQuantErr: Double, maxQuantErr: Double)
 
   /** Fit centroids with a self-contained seeded Lloyd's loop, assign
     * every row its nearest centroid.

@@ -190,6 +190,10 @@ object DriveSmoke {
     val lmScored = TextAnalysis.charBigramScore(docs, "doc_id", "text")
     lmScored.explain("formatted")
     println("LM_SCORE_ROWS=" + lmScored.count())
+    val dupSpans = graft.operators.Dedup.dupSpanStats(
+      docs, "doc_id", "text", k = 20)
+    dupSpans.explain("formatted")
+    println("DUP_SPAN_ROWS=" + dupSpans.count())
 
     // sequence packing via the two-phase distributed prefix scan
     val packed = graft.operators.PrefixScan.packSequences(

@@ -218,4 +218,56 @@ class DedupSpec extends SparkSpec {
       s"found ${pairs intersect expected} of $expected")
     assert((pairs -- expected).isEmpty)
   }
+
+  test("dupSpanStats: cross-doc shared substring merges into one span, " +
+      "hand-checked; short docs drop out") {
+    import spark.implicits._
+    // shared run "abcde" (5 chars) at doc1[1..5] and doc2[3..7], k=4:
+    // dup grams abcd+bcde → doc1 positions {1,2}, doc2 positions {3,4}
+    val df = Seq(
+      (1L, "abcdefgh"),
+      (2L, "xxabcdexx"),
+      (3L, "zz") // shorter than k → dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(df, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(out.length == 2)
+    // doc1: 5 positions, dup {1,2} → span [1,5] = "abcde"
+    assert(out(0) == ((1L, 5L, 2L, 1L, 5L, 5L, 0.4)))
+    // doc2: 6 positions, dup {3,4} → span [3,7] = "abcde"
+    assert(out(1) == ((2L, 6L, 2L, 1L, 5L, 5L, 2.0 / 6.0)))
+  }
+
+  test("dupSpanStats: WITHIN-doc repetition counts (Lee et al. " +
+      "self-repetition) and distant repeats form separate spans") {
+    import spark.implicits._
+    // "abcabcabc": k=3 grams abc(1,4,7) bca(2,5) cab(3,6) — all dup
+    val rep = Seq((1L, "abcabcabc")).toDF("doc_id", "text")
+    val r = Dedup.dupSpanStats(rep, "doc_id", "text", k = 3).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((7L, 7L, 1L, 9L, 9L)))
+    // two distant copies of one gram, gap > k → two spans
+    val far = Seq((1L, "abcd0123456789abcd")).toDF("doc_id", "text")
+    val f = Dedup.dupSpanStats(far, "doc_id", "text", k = 4).head()
+    assert((f.getLong(2), f.getLong(3), f.getLong(4), f.getLong(5)) ==
+      ((2L, 2L, 8L, 4L)))
+  }
+
+  test("dupSpanStats: hashed-gram variant equals the literal-gram " +
+      "variant on a mixed corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 40).map { i =>
+      val body = Array.fill(60)(('a' + rnd.nextInt(6)).toChar).mkString
+      val boiler = if (i % 3 == 0) " subscribe to our newsletter today" else ""
+      i.toLong -> (body + boiler)
+    }.toDF("doc_id", "text")
+    val lit = Dedup.dupSpanStats(docs, "doc_id", "text", k = 8,
+      hashGrams = false).orderBy("doc_id").collect().map(_.toSeq)
+    val hsh = Dedup.dupSpanStats(docs, "doc_id", "text", k = 8,
+      hashGrams = true).orderBy("doc_id").collect().map(_.toSeq)
+    assert(lit.toSeq == hsh.toSeq)
+  }
 }

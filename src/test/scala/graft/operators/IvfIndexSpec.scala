@@ -152,4 +152,39 @@ class IvfIndexSpec extends SparkSpec {
         math.abs(a - b.toFloat) <= math.ulp(b.toFloat) })
     }
   }
+
+  test("cellStats/health: counts reconcile, quantization error is the " +
+      "nearest-centroid distance for freshly assigned rows") {
+    val stats = index.cellStats.collect()
+    assert(stats.map(_.getLong(1)).sum == 500L)
+    assert(stats.forall(r => r.getDouble(2) >= 0 &&
+      r.getDouble(3) >= r.getDouble(2)))
+    val h = index.health()
+    assert(h.total == 500L && h.nCells == 16 &&
+      h.nonEmptyCells == stats.length)
+    assert(h.imbalance >= 1.0 && h.maxCell == stats.map(_.getLong(1)).max)
+    assert(h.maxQuantErr >= h.meanQuantErr)
+  }
+
+  test("needsRefresh fires on drift after appends and a refresh " +
+      "reduces quantization error (Lloyd monotonicity)") {
+    import spark.implicits._
+    val baseline = index.health()
+    assert(!index.needsRefresh(baseline, maxImbalance = 1e9,
+      errGrowth = 1.0001),
+      "freshly built index must not demand a refresh on the error rule")
+    // drift: a far-away blob appended under the OLD centroids
+    val dim = index.centroids.head.length
+    val far = (0 until 200).map { i =>
+      (10000L + i) -> Array.tabulate(dim)(d =>
+        50f + (i % 7) * 0.1f + d * 0.01f)
+    }.toDF("vec_id", "embedding")
+    val grown = index.append(far)
+    val drifted = grown.health()
+    assert(drifted.meanQuantErr > baseline.meanQuantErr)
+    assert(grown.needsRefresh(baseline, maxImbalance = 1e9,
+      errGrowth = 1.5))
+    val refreshed = grown.refreshCentroids()
+    assert(refreshed.health().meanQuantErr <= drifted.meanQuantErr)
+  }
 }
