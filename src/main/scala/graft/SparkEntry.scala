@@ -282,6 +282,40 @@ object SparkEntry {
           col("q.stopword_ratio").as("stopword_ratio"),
           col("q.quality_score").as("quality_score"))
         .orderBy("doc_id")),
+    // the full Gopher rule set (word count / word length / symbol /
+    // bullet / ellipsis / alpha-word / stop-word rules) — exact
+    // integer metrics, one fixed division each, keep as INT
+    "gopher_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy("doc_id")),
+    // the modern filter stack composed end-to-end: Gopher rules +
+    // char-bigram LM score + Lee-et-al dup-span ratio joined per doc,
+    // one keep verdict. Absolute per-row thresholds (no global rank —
+    // a corpus-relative cut would need a single-partition window; at
+    // 100 TB the threshold comes from a sampled calibration job)
+    "curation_scored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = docs
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.alpha_word_ratio").as("alpha_word_ratio"))
+      val lm = graft.operators.TextAnalysis
+        .charBigramScore(docs, "doc_id", "text")
+        .select("doc_id", "lm_score")
+      val ds = graft.operators.Dedup
+        .dupSpanStats(docs, "doc_id", "text", k = 20, hashGrams = false)
+        .select("doc_id", "dup_ratio")
+      g.join(lm, Seq("doc_id")).join(ds, Seq("doc_id"))
+        .withColumn("keep",
+          (col("n_words") >= 30 && col("alpha_word_ratio") >= 0.8 &&
+            col("lm_score") >= -1.75 && col("dup_ratio") <= 0.25)
+            .cast("int"))
+        .orderBy("doc_id")
+    }),
     // lang-ID is hash-free (CJK ratio + stopword-profile argmax) so it
     // carries a full DuckDB twin, unlike the hash kernels below
     "langid_docs" -> ((s, dir) =>
@@ -755,6 +789,116 @@ object SparkEntry {
   private def shSql(toks: String): String =
     s"list_transform(range(1, len($toks)), j -> $toks[j] || ' ' || $toks[j + 1])"
 
+  // shared oracle twins, reused verbatim by curation_scored's
+  // composition (one definition → the composed query cannot drift)
+  private val lmScoreSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, lower(text) AS t FROM documents WHERE len(text) >= 2),
+      |bg AS (
+      |  SELECT doc_id, pos, substr(t, pos, 2) AS bigram FROM (
+      |    SELECT doc_id, t, unnest(range(1, len(t))) AS pos FROM ch)),
+      |pc AS (SELECT bigram, COUNT(*) AS cp FROM bg GROUP BY 1),
+      |fc AS (SELECT substr(bigram, 1, 1) AS c0, COUNT(*) AS cf
+      |       FROM bg GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, pos,
+      |    ln(CAST(cp AS DOUBLE) / CAST(cf AS DOUBLE)) AS lnp
+      |  FROM bg JOIN pc USING (bigram)
+      |  JOIN fc ON substr(bg.bigram, 1, 1) = fc.c0),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    list_sum(list(lnp ORDER BY pos)) AS s
+      |  FROM scored GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  CAST(CAST(CAST(s / n_bigrams AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS lm_score
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  private val dupSpansSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents WHERE len(text) >= 20),
+      |g AS (
+      |  SELECT doc_id, pos, substr(text, CAST(pos AS INT), 20) AS gram
+      |  FROM (SELECT doc_id, text,
+      |        unnest(range(1, len(text) - 18)) AS pos FROM d)),
+      |c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+      |dp AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
+      |lg AS (SELECT doc_id, pos,
+      |  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dp),
+      |isl AS (SELECT doc_id, pos,
+      |  CAST(SUM(CASE WHEN pos - prev > 20 THEN 1 ELSE 0 END) OVER (
+      |    PARTITION BY doc_id ORDER BY pos
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      |  FROM lg),
+      |sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 19 AS e,
+      |  COUNT(*) AS nd FROM isl GROUP BY 1, 2),
+      |agg AS (SELECT doc_id,
+      |  CAST(SUM(nd) AS BIGINT) AS n_dup,
+      |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+      |  CAST(MAX(e - s + 1) AS BIGINT) AS longest_span
+      |  FROM sp GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(len(d.text) - 19 AS BIGINT) AS n_pos,
+      |  COALESCE(n_dup, 0) AS n_dup,
+      |  COALESCE(n_spans, 0) AS n_spans,
+      |  COALESCE(dup_chars, 0) AS dup_chars,
+      |  COALESCE(longest_span, 0) AS longest_span,
+      |  CAST(COALESCE(n_dup, 0) AS DOUBLE) /
+      |    CAST(len(d.text) - 19 AS DOUBLE) AS dup_ratio
+      |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  private val gopherQualitySql: String =
+    s"""WITH w AS (
+         |  SELECT doc_id, text, $toksSql AS toks,
+         |    list_filter(string_split(text, chr(10)),
+         |      l -> len(trim(l)) > 0) AS lines
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE) END AS mean_word_len,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE CAST((len(text) - len(replace(text, '#', ''))) +
+         |        (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE) END AS symbol_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(toks,
+         |          x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE) END AS alpha_word_ratio,
+         |    CASE WHEN len(lines) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(lines, l ->
+         |          starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+         |          OR starts_with(ltrim(l), '•'))) AS DOUBLE)
+         |        / CAST(len(lines) AS DOUBLE) END AS bullet_line_ratio,
+         |    CASE WHEN len(lines) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(lines,
+         |          l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+         |        / CAST(len(lines) AS DOUBLE) END AS ellipsis_line_ratio,
+         |    CAST(CAST(list_contains(toks, 'the') AS INT) +
+         |      CAST(list_contains(toks, 'be') AS INT) +
+         |      CAST(list_contains(toks, 'to') AS INT) +
+         |      CAST(list_contains(toks, 'of') AS INT) +
+         |      CAST(list_contains(toks, 'and') AS INT) +
+         |      CAST(list_contains(toks, 'that') AS INT) +
+         |      CAST(list_contains(toks, 'have') AS INT) +
+         |      CAST(list_contains(toks, 'with') AS INT) AS BIGINT)
+         |      AS n_stop_distinct
+         |  FROM w)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+         |  alpha_word_ratio, bullet_line_ratio, ellipsis_line_ratio,
+         |  n_stop_distinct,
+         |  CAST(n_words BETWEEN 50 AND 100000
+         |    AND mean_word_len BETWEEN 3.0 AND 10.0
+         |    AND symbol_ratio <= 0.1
+         |    AND bullet_line_ratio < 0.9
+         |    AND ellipsis_line_ratio < 0.3
+         |    AND alpha_word_ratio >= 0.8
+         |    AND n_stop_distinct >= 2 AS INT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -970,6 +1114,21 @@ object SparkEntry {
          |  least(stopword_ratio * 5.0, 1.0) * 0.2 +
          |  (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1 AS quality_score
          |FROM f ORDER BY doc_id""".stripMargin,
+    // integer-derived metrics with one fixed division each; the
+    // rule thresholds compare identical doubles on both engines
+    "gopher_quality" -> gopherQualitySql,
+    // composed from the three shared twins verbatim — same thresholds,
+    // same decimal/round conventions as the standalone queries
+    "curation_scored" ->
+      s"""WITH gq AS (SELECT doc_id, n_words, alpha_word_ratio
+         |  FROM ($gopherQualitySql)),
+         |lmq AS (SELECT doc_id, lm_score FROM ($lmScoreSql)),
+         |dsq AS (SELECT doc_id, dup_ratio FROM ($dupSpansSql))
+         |SELECT gq.doc_id, n_words, alpha_word_ratio, lm_score, dup_ratio,
+         |  CAST(n_words >= 30 AND alpha_word_ratio >= 0.8
+         |    AND lm_score >= -1.75 AND dup_ratio <= 0.25 AS INT) AS keep
+         |FROM gq JOIN lmq USING (doc_id) JOIN dsq USING (doc_id)
+         |ORDER BY gq.doc_id""".stripMargin,
     "asof_join" ->
       """SELECT event_id, o_orderkey FROM (
         |  SELECT e.event_id, o.o_orderkey,
@@ -1167,63 +1326,11 @@ object SparkEntry {
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // ordered list_sum twin of the Scala fold: list(lnp ORDER BY pos)
     // fixes the accumulation order on both engines
-    "lm_score_docs" ->
-      """WITH ch AS (
-        |  SELECT doc_id, lower(text) AS t FROM documents WHERE len(text) >= 2),
-        |bg AS (
-        |  SELECT doc_id, pos, substr(t, pos, 2) AS bigram FROM (
-        |    SELECT doc_id, t, unnest(range(1, len(t))) AS pos FROM ch)),
-        |pc AS (SELECT bigram, COUNT(*) AS cp FROM bg GROUP BY 1),
-        |fc AS (SELECT substr(bigram, 1, 1) AS c0, COUNT(*) AS cf
-        |       FROM bg GROUP BY 1),
-        |scored AS (
-        |  SELECT doc_id, pos,
-        |    ln(CAST(cp AS DOUBLE) / CAST(cf AS DOUBLE)) AS lnp
-        |  FROM bg JOIN pc USING (bigram)
-        |  JOIN fc ON substr(bg.bigram, 1, 1) = fc.c0),
-        |agg AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |    list_sum(list(lnp ORDER BY pos)) AS s
-        |  FROM scored GROUP BY doc_id)
-        |SELECT doc_id, n_bigrams,
-        |  CAST(CAST(CAST(s / n_bigrams AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS lm_score
-        |FROM agg ORDER BY doc_id""".stripMargin,
+    "lm_score_docs" -> lmScoreSql,
     // integer gaps-and-islands twin of the Spark window span merge;
     // first dup position: pos - NULL > k is NULL → ELSE 0 (both
     // engines), so island numbering starts at 0 on each side
-    "dup_spans" ->
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents WHERE len(text) >= 20),
-        |g AS (
-        |  SELECT doc_id, pos, substr(text, CAST(pos AS INT), 20) AS gram
-        |  FROM (SELECT doc_id, text,
-        |        unnest(range(1, len(text) - 18)) AS pos FROM d)),
-        |c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
-        |dp AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
-        |lg AS (SELECT doc_id, pos,
-        |  LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dp),
-        |isl AS (SELECT doc_id, pos,
-        |  CAST(SUM(CASE WHEN pos - prev > 20 THEN 1 ELSE 0 END) OVER (
-        |    PARTITION BY doc_id ORDER BY pos
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
-        |  FROM lg),
-        |sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 19 AS e,
-        |  COUNT(*) AS nd FROM isl GROUP BY 1, 2),
-        |agg AS (SELECT doc_id,
-        |  CAST(SUM(nd) AS BIGINT) AS n_dup,
-        |  CAST(COUNT(*) AS BIGINT) AS n_spans,
-        |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
-        |  CAST(MAX(e - s + 1) AS BIGINT) AS longest_span
-        |  FROM sp GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(len(d.text) - 19 AS BIGINT) AS n_pos,
-        |  COALESCE(n_dup, 0) AS n_dup,
-        |  COALESCE(n_spans, 0) AS n_spans,
-        |  COALESCE(dup_chars, 0) AS dup_chars,
-        |  COALESCE(longest_span, 0) AS longest_span,
-        |  CAST(COALESCE(n_dup, 0) AS DOUBLE) /
-        |    CAST(len(d.text) - 19 AS DOUBLE) AS dup_ratio
-        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "dup_spans" -> dupSpansSql,
     // identical division/multiplication shape to bigramPmi's one fixed
     // double expression; totals are exact BIGINTs cast to double
     "bigram_pmi" ->

@@ -91,6 +91,70 @@ object TextFunctions {
       stopRatio.as("stopword_ratio"), score.as("quality_score"))
   }
 
+  /** Stop words whose distinct presence the Gopher rule set requires
+    * (Rae et al. 2021, appendix A1.1 — the canonical 8). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", appendix A1.1), per document:
+    *
+    *  1. 50 ≤ word count ≤ 100,000
+    *  2. 3 ≤ mean word length ≤ 10
+    *  3. symbol-to-word ratio ('#' or '...') ≤ 0.1
+    *  4. < 90% of lines start with a bullet ('-', '*', '•')
+    *  5. < 30% of lines end with an ellipsis ('...')
+    *  6. ≥ 80% of words contain at least one alphabetic character
+    *  7. ≥ 2 distinct required stop words present
+    *
+    * All built-in codegen'd expressions (no UDF) and every metric is
+    * exact-integer-derived with one fixed division — SQL-expressible
+    * for the oracle, bit-stable across engines. Returns a struct of
+    * the metrics plus `keep` (1 = passes every rule, as INT for
+    * comparator portability). */
+  def gopherRules(c: Column): Column = {
+    val words = tokens(c)
+    val n = size(words)
+    val nD = n.cast("double")
+    val meanLen = when(n === 0, 0.0).otherwise(
+      aggregate(words, lit(0), (a, t) => a + length(t)).cast("double") / nD)
+    val hashes = length(c) - length(regexp_replace(c, "#", ""))
+    val ellipses =
+      (length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = when(n === 0, 0.0)
+      .otherwise((hashes + ellipses).cast("double") / nD)
+    val lines = filter(split(c, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l =>
+      ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
+        ltrim(l).startsWith("•")))
+    val ellipsisLines = size(filter(lines, l => rtrim(l).endsWith("...")))
+    val bulletRatio = when(nLines === 0, 0.0)
+      .otherwise(bulletLines.cast("double") / nLines.cast("double"))
+    val ellipsisRatio = when(nLines === 0, 0.0)
+      .otherwise(ellipsisLines.cast("double") / nLines.cast("double"))
+    val alphaWords = size(filter(words, w => w.rlike("[a-z]")))
+    val alphaRatio = when(n === 0, 0.0)
+      .otherwise(alphaWords.cast("double") / nD)
+    val nStop = GopherStopWords
+      .map(s => array_contains(words, s).cast("int")).reduce(_ + _)
+    val keep =
+      (n >= 50 && n <= 100000) &&
+        (meanLen >= 3.0 && meanLen <= 10.0) &&
+        symbolRatio <= 0.1 &&
+        bulletRatio < 0.9 &&
+        ellipsisRatio < 0.3 &&
+        alphaRatio >= 0.8 &&
+        nStop >= 2
+    struct(
+      n.cast("long").as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), alphaRatio.as("alpha_word_ratio"),
+      bulletRatio.as("bullet_line_ratio"),
+      ellipsisRatio.as("ellipsis_line_ratio"),
+      nStop.cast("long").as("n_stop_distinct"),
+      keep.cast("int").as("keep"))
+  }
+
   /** Register kernel functions for `spark.sql(...)` use. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -220,6 +220,29 @@ object VectorOps {
     best
   }
 
+  /** Dense matrix × vector against an embedded row-major matrix
+    * (float32 out, double accumulation) — the OPQ-style rotation
+    * kernel. Rows need not be square (also a projection). */
+  def matVec(a: ArrayData, af: Boolean,
+      rows: Array[Array[Float]]): ArrayData = {
+    val n = a.numElements()
+    if (n != rows(0).length) {
+      throw new IllegalArgumentException(
+        s"vector length $n != matrix column count ${rows(0).length}")
+    }
+    val out = new Array[Float](rows.length)
+    var r = 0
+    while (r < rows.length) {
+      val row = rows(r)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += row(i).toDouble * get(a, i, af); i += 1 }
+      out(r) = acc.toFloat
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Residual against an indexed coarse centroid: `a - centroids(cell)`
     * (float32 out) — what IVF-PQ quantizes instead of the raw vector
     * (the residual distribution is tighter, so the same codebook budget
@@ -384,6 +407,25 @@ case class NearestCentroids(child: Expression,
       a => s"graft.functions.VectorOps.nearestCentroids($a, $childIsFloat, $ref, $nprobe)")
   }
   override def prettyName: String = "nearest_centroids"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** mat_vec(v): array<float> — dense matrix × vector against an
+  * embedded row-major matrix (OPQ-style rotations / projections).
+  * Same reference-object embedding as [[NearestCentroid]]: one
+  * expression at any dimension, the loop lives in the kernel. */
+case class MatVec(child: Expression, rows: Array[Array[Float]])
+    extends UnaryFloatVectorExpression {
+  require(rows.nonEmpty, "matrix must be non-empty")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.matVec(a.asInstanceOf[ArrayData], childIsFloat, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rows", rows, "float[][]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorOps.matVec($a, $childIsFloat, $ref)")
+  }
+  override def prettyName: String = "mat_vec"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

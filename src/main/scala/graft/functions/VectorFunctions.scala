@@ -44,6 +44,11 @@ object VectorFunctions {
       codebooks: Array[Array[Array[Float]]]): Column =
     column(NearestSubCentroid(expression(sub), expression(subvec), codebooks))
 
+  /** Dense matrix × vector (OPQ rotation / projection — see
+    * [[MatVec]]). */
+  def mat_vec(v: Column, rows: Array[Array[Float]]): Column =
+    column(MatVec(expression(v), rows))
+
   /** IVF-PQ residual against an indexed coarse centroid (see
     * [[CellResidual]]). */
   def cell_residual(cell: Column, v: Column,

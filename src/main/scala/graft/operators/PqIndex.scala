@@ -77,6 +77,33 @@ final class PqIndex(
     codes.write.mode("overwrite").parquet(path)
 }
 
+/** PQ over a rotated space (see [[PqIndex.trainRotated]]): the inner
+  * index holds rotated corpus + codes; queries rotate driver-side
+  * (dim² flops — microseconds) and delegate. Returned distances are in
+  * the rotated space, which equals the original squared-L2 up to
+  * float32 rounding (orthonormal invariance). */
+final class RotatedPqIndex(
+    val rotation: Array[Array[Float]],
+    val inner: PqIndex) extends Serializable {
+
+  /** Driver-side rotation of a query vector (double accumulation). */
+  def rotate(q: Array[Float]): Array[Float] = {
+    require(q.length == rotation(0).length,
+      s"query dim ${q.length} != rotation dim ${rotation(0).length}")
+    rotation.map { row =>
+      var acc = 0.0
+      var i = 0
+      while (i < row.length) { acc += row(i).toDouble * q(i); i += 1 }
+      acc.toFloat
+    }
+  }
+
+  def query(q: Array[Float], k: Int, refineFactor: Int = 4): DataFrame =
+    inner.query(rotate(q), k, refineFactor)
+
+  def writeCodes(path: String): Unit = inner.writeCodes(path)
+}
+
 object PqIndex {
   val CodeCol = "pq_code"
 
@@ -172,6 +199,53 @@ object PqIndex {
         df.select(col(idCol), pq_encode(col(vecCol), books).as(CodeCol)),
         vecCol, idCol)
     } finally exploded.unpersist()
+  }
+
+  /** Seeded random orthonormal rotation (the OPQ random-rotation
+    * baseline — Ge/He/Ke/Sun, "Optimized Product Quantization", CVPR
+    * 2013 §4; faiss `OPQMatrix`'s random init): Gram-Schmidt over a
+    * seeded Gaussian matrix, double precision driver-side. A rotation
+    * spreads correlated-dimension variance across PQ subspaces, which
+    * is where plain PQ loses precision when the energy concentrates in
+    * a few dims. */
+  def randomRotation(dim: Int, seed: Long = 7L): Array[Array[Float]] = {
+    require(dim >= 1, "dim must be positive")
+    val rnd = new scala.util.Random(seed)
+    val basis = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    while (basis.length < dim) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      for (b <- basis) {
+        var d = 0.0
+        var i = 0
+        while (i < dim) { d += v(i) * b(i); i += 1 }
+        i = 0
+        while (i < dim) { v(i) -= d * b(i); i += 1 }
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 1e-8) basis += v.map(_ / n) // ~never skips at double precision
+    }
+    basis.map(_.map(_.toFloat)).toArray
+  }
+
+  /** Train PQ on ROTATED vectors: corpus rows pass once through the
+    * codegen'd [[graft.functions.MatVec]] kernel (narrow map), queries
+    * rotate driver-side. Squared-L2 is rotation-invariant, so ranks and
+    * re-ranked distances match the unrotated space (up to float32
+    * rounding); what changes is how variance lands across subspaces —
+    * on anisotropic data the same m-byte budget quantizes finer. */
+  def trainRotated(df: DataFrame, vecCol: String, idCol: String,
+      m: Int = 8, codesPerBook: Int = 256, seed: Long = 42L,
+      sampleFraction: Double = 1.0, maxIter: Int = 8,
+      rotationSeed: Long = 7L): RotatedPqIndex = {
+    import graft.functions.VectorFunctions.mat_vec
+    val firstRows = df.select(col(vecCol)).limit(1).collect()
+    require(firstRows.nonEmpty, "cannot train PQ codebooks on an empty frame")
+    val dim = firstRows(0).getSeq[Float](0).length
+    val r = randomRotation(dim, rotationSeed)
+    val rotated = df.withColumn(vecCol, mat_vec(col(vecCol), r))
+    new RotatedPqIndex(r,
+      train(rotated, vecCol, idCol, m, codesPerBook, seed, sampleFraction,
+        maxIter))
   }
 
   /** Reload a codes table written by [[PqIndex.writeCodes]] against its

@@ -145,6 +145,11 @@ object DriveSmoke {
       .collect().map(_.getLong(0)).toSeq
     println(s"PQ_FULL_REFINE_MATCH=${pqTop == bruteTop}")
     pq.query(q.toArray, k = 5, refineFactor = 1).explain("formatted")
+    val rpq = PqIndex.trainRotated(emb.select($"vec_id", $"embedding"),
+      "embedding", "vec_id", m = 8, codesPerBook = 16)
+    val rpqTop = rpq.query(q.toArray, k = 5, refineFactor = 100)
+      .collect().map(_.getLong(0)).toSeq
+    println(s"ROTATED_PQ_FULL_REFINE_MATCH=${rpqTop == bruteTop}")
     val ivfpq = IvfPqIndex.build(emb.select($"vec_id", $"embedding"),
       "embedding", "vec_id", nClusters = 8, m = 8, codesPerBook = 16)
     println(s"IVFPQ_FULLPROBE_MATCH=${

@@ -96,6 +96,34 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(1).getDouble(3) > 0.5)
   }
 
+  test("gopherRules: each rule trips on its designed offender") {
+    import spark.implicits._
+    val stopPad = "the cat must be going to one of all and that they have " +
+      "fun with it "
+    val good = (stopPad * 5).trim // 60 words, normal lengths, stopwords
+    val short = "only four words here"                      // rule 1
+    val symbols = ("ok " * 60) + ("#" * 20)                 // rule 3
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n") // rules 1,4
+    val numeric = (1 to 60).map(_.toString).mkString(" ")   // rule 6
+    val noStops = ("red green blue " * 20).trim             // rule 7
+    val df = Seq((1L, good), (2L, short), (3L, symbols), (4L, bullets),
+      (5L, numeric), (6L, noStops)).toDF("id", "t")
+      .select(col("id"), gopherRules(col("t")).as("g"))
+      .select(col("id"), col("g.*")).orderBy("id").collect()
+    val byId = df.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Int]("keep") == 1)
+    assert(byId(1L).getAs[Long]("n_words") == 80L)
+    assert(byId(1L).getAs[Long]("n_stop_distinct") >= 6L)
+    assert(byId(2L).getAs[Int]("keep") == 0) // word count
+    assert(byId(3L).getAs[Int]("keep") == 0) // symbol ratio
+    assert(byId(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(byId(4L).getAs[Double]("bullet_line_ratio") == 1.0)
+    assert(byId(5L).getAs[Int]("keep") == 0) // alpha words
+    assert(byId(5L).getAs[Double]("alpha_word_ratio") == 0.0)
+    assert(byId(6L).getAs[Int]("keep") == 0) // stop words
+    assert(byId(6L).getAs[Long]("n_stop_distinct") == 0L)
+  }
+
   test("SQL registration with arity validation") {
     TextFunctions.registerAll(spark)
     assert(spark.sql("SELECT lang_id('the cat is on the mat')")

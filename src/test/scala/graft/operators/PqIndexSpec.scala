@@ -109,4 +109,73 @@ class PqIndexSpec extends SparkSpec {
       PqIndex.train(df, "vec", "vid", m = 3, codesPerBook = 300)
     }
   }
+
+  test("randomRotation is orthonormal and mat_vec preserves distances") {
+    val dim = 8
+    val r = PqIndex.randomRotation(dim, seed = 7L)
+    // R · Rᵀ ≈ I (float32 rows → 1e-5 tolerance)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val d = (0 until dim).map(k => r(i)(k).toDouble * r(j)(k)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-5, s"RRt($i,$j) = $d")
+    }
+    // the codegen'd kernel agrees with the driver-side rotate and
+    // rotation preserves pairwise squared-L2
+    val rows = clustered().take(10)
+    val df = rows.toDF("vid", "vec")
+    val rot = new RotatedPqIndex(r, null)
+    val kernel = df
+      .select(col("vid"), mat_vec(col("vec"), r).as("rv"))
+      .orderBy("vid")
+      .collect().map(_.getSeq[Float](1).toArray)
+    for (((_, v), idx) <- rows.zipWithIndex) {
+      val expect = rot.rotate(v)
+      assert(kernel(idx).zip(expect).forall { case (a, b) =>
+        math.abs(a - b) <= 2 * math.ulp(b) })
+    }
+    for (i <- rows.indices; j <- i + 1 until rows.length) {
+      val d0 = graft.functions.VectorOps.squaredL2Floats(
+        rows(i)._2, rows(j)._2)
+      val d1 = graft.functions.VectorOps.squaredL2Floats(
+        kernel(i), kernel(j))
+      assert(math.abs(d0 - d1) < 1e-3 * (1.0 + d0), s"dist $d0 vs $d1")
+    }
+  }
+
+  test("rotated PQ: refined query matches brute force in the ORIGINAL " +
+      "space; pure-ADC recall on anisotropic data improves on plain PQ") {
+    // energy concentrated in dims 0-1: plain PQ gives subspace 0 all
+    // the variance (2 bits for the whole signal); a rotation spreads
+    // it across all four subspaces
+    val rows = (0 until 96).map { i =>
+      val a = (i % 12).toFloat + noise(i, 0)
+      val b = (i / 12).toFloat + noise(i, 1)
+      (i.toLong, Array(a, b, noise(i, 2), noise(i, 3), noise(i, 4),
+        noise(i, 5), noise(i, 6), noise(i, 7)))
+    }
+    val df = rows.toDF("vid", "vec")
+    val plain = PqIndex.train(df, "vec", "vid", m = 4, codesPerBook = 4)
+    val rotated = PqIndex.trainRotated(df, "vec", "vid", m = 4,
+      codesPerBook = 4)
+    val queries = rows.grouped(10).map(_.head).toSeq
+    def recall(top: Seq[Long], exact: Seq[Long]): Double =
+      top.toSet.intersect(exact.toSet).size.toDouble / exact.size
+    var plainR = 0.0
+    var rotR = 0.0
+    for ((_, q) <- queries) {
+      val exact = Similarity.topK(df, "vec", "vid", q, 10)
+        .collect().map(_.getLong(0)).toSeq
+      // rotation-invariance: the refined rotated query must match the
+      // ORIGINAL-space brute force
+      val refined = rotated.query(q, 10, refineFactor = 10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(refined == exact, s"refined $refined vs exact $exact")
+      plainR += recall(plain.query(q, 10, refineFactor = 1)
+        .collect().map(_.getLong(0)).toSeq, exact)
+      rotR += recall(rotated.query(q, 10, refineFactor = 1)
+        .collect().map(_.getLong(0)).toSeq, exact)
+    }
+    assert(rotR >= plainR,
+      s"rotated ADC recall $rotR < plain $plainR over ${queries.size} queries")
+  }
 }
