@@ -291,6 +291,27 @@ object SparkEntry {
           graft.functions.TextFunctions.gopherRules(col("text")).as("g"))
         .select(col("doc_id"), col("g.*"))
         .orderBy("doc_id")),
+    // benchmark decontamination: per-doc fraction of 20-gram positions
+    // that appear in the held-out "benchmark" slice (doc_id % 20 == 0
+    // stands in for the eval set). Literal grams for the oracle; the
+    // xxhash64 variant is unit-pinned equal
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.benchmarkOverlap(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", k = 20, hashGrams = false)
+        .orderBy("doc_id")
+    }),
+    // PII audit: per-category match counts + scrubbed length (this
+    // corpus is PII-free, so counts are zero and clean_len == len —
+    // the redaction itself is unit-tested on planted PII)
+    "pii_scrub" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextClean.piiStats(col("text")).as("p"))
+        .select(col("doc_id"), col("p.*"))
+        .orderBy("doc_id")),
     // the modern filter stack composed end-to-end: Gopher rules +
     // char-bigram LM score + Lee-et-al dup-span ratio joined per doc,
     // one keep verdict. Absolute per-row thresholds (no global rank —
@@ -1117,6 +1138,48 @@ object SparkEntry {
     // integer-derived metrics with one fixed division each; the
     // rule thresholds compare identical doubles on both engines
     "gopher_quality" -> gopherQualitySql,
+    // gram semi-join twin; patterns interpolate from the operator's
+    // own vals so engine and oracle cannot drift
+    "decontaminate" ->
+      """WITH bench AS (
+        |  SELECT text FROM documents
+        |  WHERE doc_id % 20 = 0 AND len(text) >= 20),
+        |bg AS (SELECT DISTINCT substr(text, CAST(pos AS INT), 20) AS gram
+        |  FROM (SELECT text,
+        |        unnest(range(1, len(text) - 18)) AS pos FROM bench)),
+        |corp AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 20 != 0 AND len(text) >= 20),
+        |cg AS (SELECT doc_id, substr(text, CAST(pos AS INT), 20) AS gram
+        |  FROM (SELECT doc_id, text,
+        |        unnest(range(1, len(text) - 18)) AS pos FROM corp)),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM cg
+        |  WHERE gram IN (SELECT gram FROM bg) GROUP BY 1)
+        |SELECT corp.doc_id,
+        |  CAST(len(text) - 19 AS BIGINT) AS n_pos,
+        |  CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |  CAST(COALESCE(n_contaminated, 0) AS DOUBLE) /
+        |    CAST(len(text) - 19 AS DOUBLE) AS contamination_ratio
+        |FROM corp LEFT JOIN hits USING (doc_id)
+        |ORDER BY corp.doc_id""".stripMargin,
+    "pii_scrub" -> {
+      import graft.operators.TextClean._
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailPattern')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$UrlPattern')) AS BIGINT)
+         |    AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '$IpPattern')) AS BIGINT)
+         |    AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$PhonePattern')) AS BIGINT)
+         |    AS n_phones,
+         |  CAST(len(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
+         |    '$UrlPattern', '<URL>', 'g'),
+         |    '$IpPattern', '<IP>', 'g'),
+         |    '$PhonePattern', '<PHONE>', 'g')) AS BIGINT) AS clean_len
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // composed from the three shared twins verbatim — same thresholds,
     // same decimal/round conventions as the standalone queries
     "curation_scored" ->

@@ -425,6 +425,46 @@ object Dedup {
         col("n_dup").cast("double") / col("n_pos").cast("double"))
   }
 
+  /** Benchmark decontamination (the GPT-3 appendix-C / Dodge et al.
+    * C4 analysis contract: flag training documents sharing long
+    * n-grams with an evaluation set): for each corpus document, the
+    * fraction of its k-char-gram positions that occur ANYWHERE in
+    * `benchmark`'s text. Flag or drop above a threshold downstream.
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT grams —
+    * eval-set-sized, orders of magnitude smaller than the corpus — and
+    * is explicitly broadcast, so the corpus side is one narrow
+    * explode + broadcast-hash semi-probe + per-doc count: NO corpus
+    * shuffle at all beyond the per-doc aggregation of (id, hit)
+    * counts. `hashGrams` ships 8-byte xxhash64 tokens exactly as
+    * [[dupSpanStats]]. Returns (idCol, n_pos, n_contaminated,
+    * contamination_ratio) for every doc with ≥ 1 gram position. */
+  def benchmarkOverlap(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int = 20,
+      hashGrams: Boolean = true): DataFrame = {
+    require(k >= 2, "gram length k must be at least 2")
+    def grams(df: DataFrame, cols: Column*): DataFrame = df
+      .select(col(textCol).as("__t") +: cols: _*)
+      .filter(length(col("__t")) >= k)
+      .select(explode(expr(
+        s"transform(sequence(1, length(__t) - ${k - 1}), i -> substring(__t, i, $k))"))
+        .as("__gram") +: cols: _*)
+      .withColumn("__g",
+        if (hashGrams) xxhash64(col("__gram")) else col("__gram"))
+      .drop("__gram")
+    val benchGrams = grams(benchmark).select("__g").distinct()
+    val hits = grams(corpus, col(idCol))
+      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).cast("long").as("n_contaminated"))
+    corpus.select(col(idCol),
+        (length(col(textCol)) - (k - 1)).cast("long").as("n_pos"))
+      .filter(col("n_pos") >= 1)
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contamination_ratio",
+        col("n_contaminated").cast("double") / col("n_pos").cast("double"))
+  }
+
   /** Embedding near-dup candidate pairs: random-hyperplane LSH with
     * BAND AMPLIFICATION — `numTables` independent hash tables of
     * `planesPerTable` sign bits each; a pair is a candidate if it

@@ -21,14 +21,51 @@ object TextClean {
   def normalizeWhitespace(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
+  /** PII patterns, shared by the redactors, [[piiStats]] and the
+    * DuckDB oracle (RE2-safe: no lookarounds, ASCII `\b` only). The
+    * phone pattern is deliberately blunt (digit run with separators,
+    * ≥ 8 chars) — the C4/CCNet convention: over-redact rather than
+    * leak. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val IpPattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhonePattern = "\\+?[0-9][0-9()\\-. ]{6,}[0-9]"
+
   /** Redact email addresses (PII scrub for crawl corpora). */
   def redactEmails(c: Column, token: String = "<EMAIL>"): Column =
-    regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-      token)
+    regexp_replace(c, EmailPattern, token)
 
   /** Redact http(s) URLs. */
   def redactUrls(c: Column, token: String = "<URL>"): Column =
-    regexp_replace(c, "https?://[^\\s]+", token)
+    regexp_replace(c, UrlPattern, token)
+
+  /** Redact IPv4 addresses. */
+  def redactIps(c: Column, token: String = "<IP>"): Column =
+    regexp_replace(c, IpPattern, token)
+
+  /** Redact phone-like digit runs. */
+  def redactPhones(c: Column, token: String = "<PHONE>"): Column =
+    regexp_replace(c, PhonePattern, token)
+
+  /** Full PII scrub. Order matters: emails before phones (digit-heavy
+    * local parts), IPs before phones (a dotted quad also matches the
+    * blunt phone run). */
+  def scrubPii(c: Column): Column =
+    redactPhones(redactIps(redactUrls(redactEmails(c))))
+
+  /** PII survey: per-category match counts plus the scrubbed length —
+    * the audit side of [[scrubPii]] (run it BEFORE scrubbing to size
+    * the exposure). All codegen'd built-ins, one struct. */
+  def piiStats(c: Column): Column = struct(
+    size(regexp_extract_all(c, lit(EmailPattern), lit(0)))
+      .cast("long").as("n_emails"),
+    size(regexp_extract_all(c, lit(UrlPattern), lit(0)))
+      .cast("long").as("n_urls"),
+    size(regexp_extract_all(c, lit(IpPattern), lit(0)))
+      .cast("long").as("n_ips"),
+    size(regexp_extract_all(c, lit(PhonePattern), lit(0)))
+      .cast("long").as("n_phones"),
+    length(scrubPii(c)).cast("long").as("clean_len"))
 
   /** Drop ASCII control characters (keep \t\n via the prior whitespace
     * collapse — this runs on raw text, so strip everything below 0x20

@@ -199,6 +199,12 @@ object DriveSmoke {
       docs, "doc_id", "text", k = 20)
     dupSpans.explain("formatted")
     println("DUP_SPAN_ROWS=" + dupSpans.count())
+    println("DECONTAM_ROWS=" + graft.operators.Dedup.benchmarkOverlap(
+      docs.filter($"doc_id" % 20 =!= 0), docs.filter($"doc_id" % 20 === 0),
+      "doc_id", "text", k = 20).count())
+    println("PII_ROWS=" + docs.select(
+      graft.operators.TextClean.piiStats($"text").as("p"))
+      .select("p.*").count())
 
     // sequence packing via the two-phase distributed prefix scan
     val packed = graft.operators.PrefixScan.packSequences(

@@ -255,6 +255,27 @@ class DedupSpec extends SparkSpec {
       ((2L, 2L, 8L, 4L)))
   }
 
+  test("benchmarkOverlap: contaminated positions hand-checked; " +
+      "clean docs report zero; hashed equals literal") {
+    import spark.implicits._
+    val benchmark = Seq((100L, "abcdefghij")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "xxcdefghxx"), // grams cdef, defg, efgh hit the benchmark
+      (2L, "zzzzzzzzzz"), // no overlap
+      (3L, "ab")          // shorter than k → dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.benchmarkOverlap(corpus, benchmark, "doc_id", "text",
+      k = 4, hashGrams = false).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 7L, 3L, 3.0 / 7.0),
+      (2L, 7L, 0L, 0.0)))
+    val hashed = Dedup.benchmarkOverlap(corpus, benchmark, "doc_id",
+      "text", k = 4, hashGrams = true).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(hashed.toSeq == out.toSeq)
+  }
+
   test("dupSpanStats: hashed-gram variant equals the literal-gram " +
       "variant on a mixed corpus") {
     import spark.implicits._

@@ -50,6 +50,28 @@ class TextCleanSpec extends SparkSpec {
     assert(norm("x" + astralMark + "y") == "xy")
   }
 
+  test("scrubPii redacts emails, urls, IPs and phone runs; piiStats " +
+      "counts them") {
+    import spark.implicits._
+    val t = "mail bob.smith+x@example.co.uk or visit https://ex.com/a?b=1 " +
+      "from 192.168.0.1 or call +1 (415) 555-0132 now"
+    val clean = Seq(t).toDF("t")
+      .select(TextClean.scrubPii(col("t")).as("c")).head.getString(0)
+    assert(clean == "mail <EMAIL> or visit <URL> from <IP> or call " +
+      "<PHONE> now", clean)
+    val s = Seq(t).toDF("t")
+      .select(TextClean.piiStats(col("t")).as("s")).select("s.*").head
+    assert(s.getAs[Long]("n_emails") == 1L)
+    assert(s.getAs[Long]("n_urls") == 1L)
+    assert(s.getAs[Long]("n_ips") == 1L)
+    assert(s.getAs[Long]("n_phones") >= 1L)
+    assert(s.getAs[Long]("clean_len") == clean.length.toLong)
+    // clean text stays clean: scrub is idempotent
+    val again = Seq(clean).toDF("t")
+      .select(TextClean.scrubPii(col("t")).as("c")).head.getString(0)
+    assert(again == clean)
+  }
+
   test("null and empty pass through") {
     import spark.implicits._
     val out = Seq(Some(""), Option.empty[String]).toDF("t")
