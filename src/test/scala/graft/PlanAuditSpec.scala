@@ -154,4 +154,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"token_counts reads more than it projects:\n$plan")
   }
+
+  test("decontaminate semi-joins the benchmark grams via BROADCAST " +
+      "(the corpus side never shuffles for the probe)") {
+    val plan = planOf("decontaminate")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"decontaminate lost the broadcast semi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"decontaminate shuffles the corpus for the probe:\n$plan")
+  }
+
+  test("dup_spans gram count aggregates with map-side partial agg " +
+      "and the span window partitions by document") {
+    val plan = planOf("dup_spans")
+    assert(plan.contains("partial_count"),
+      s"dup_spans gram count lost its partial aggregation:\n$plan")
+    assert(plan.contains("Window"),
+      s"dup_spans lost the per-document span window:\n$plan")
+  }
+
+  test("PII audit is a single narrow projection over a pruned scan") {
+    val plan = planOf("pii_scrub")
+    assert(!plan.replaceFirst("Exchange rangepartitioning", "")
+      .contains("Exchange"),
+      s"pii_scrub shuffles beyond the output sort:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"pii_scrub reads more than it needs:\n$plan")
+  }
 }
