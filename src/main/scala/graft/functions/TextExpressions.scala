@@ -229,9 +229,53 @@ object TextOps {
     UTF8String.fromString(java.text.Normalizer.normalize(
       sb.toString, java.text.Normalizer.Form.NFC))
   }
+
+  /** Char-bigram LM scoring kernel (see [[CharBigramLmScore]]): walk
+    * the text's UTF-16 bigrams IN POSITION ORDER, summing ln-probs
+    * sequentially (order fixed → engine-reproducible double). BMP
+    * bound: UTF-16 units, like every `length`-based twin here. */
+  def charBigramLmScore(s: UTF8String,
+      model: java.util.HashMap[String, java.lang.Double])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val t = s.toString
+    val n = t.length - 1
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += model.get(t.substring(i, i + 2)).doubleValue()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, acc / n.toDouble))
+  }
 }
 
 /** simhash64(text): bigint — SimHash document signature. */
+/** char_bigram_lm(text): struct<n_bigrams, mean_lnp> — ordered
+  * sequential fold of per-bigram ln-probabilities against an embedded
+  * model map (reference object, like the centroid matrices): the
+  * accumulation order is the text's position order, so the double
+  * result is partitioning-independent. NPEs loudly if a bigram is
+  * missing from the model — the model is fit on the same corpus, so
+  * that means caller error. */
+case class CharBigramLmScore(child: Expression,
+    model: java.util.HashMap[String, java.lang.Double])
+    extends UnaryStringExpression {
+  require(!model.isEmpty, "bigram model must be non-empty")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("mean_lnp", DoubleType, nullable = false)))
+  override def nullSafeEval(s: Any): Any =
+    TextOps.charBigramLmScore(s.asInstanceOf[UTF8String], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("model", model, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.TextOps.charBigramLmScore($s, $ref)")
+  }
+  override def prettyName: String = "char_bigram_lm"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class SimHash64(child: Expression) extends UnaryStringExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(s: Any): Any =

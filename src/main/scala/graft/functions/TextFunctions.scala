@@ -46,6 +46,12 @@ object TextFunctions {
 
   def lang_id(c: Column): Column = column(LangId(expression(c)))
 
+  /** Ordered char-bigram LM fold against an embedded model (see
+    * [[CharBigramLmScore]]). */
+  def char_bigram_lm(c: Column,
+      model: java.util.HashMap[String, java.lang.Double]): Column =
+    column(CharBigramLmScore(expression(c), model))
+
   /** Canonical Unicode NFC normalization (see [[NfcNormalize]]). */
   def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
 

@@ -55,13 +55,15 @@ object TextAnalysis {
     *      size, so it is collected and broadcast; prefix counts are
     *      derived driver-side (cf(c) = Σ cp(c·)) — no second pass,
     *      no join. The collect makes the operator EAGER at call time.
-    *   2. SCORE: a pure per-row map — a JVM closure walks the
-    *      document's bigrams IN POSITION ORDER against the broadcast
-    *      hash map and folds the ln terms sequentially, so the
-    *      floating-point result is partitioning-independent. Zero
-    *      shuffles, zero joins; at 100 TB the scoring pass is
-    *      embarrassingly parallel and the only cluster traffic is the
-    *      one slim count aggregation plus one broadcast.
+    *   2. SCORE: a pure per-row map — the codegen'd
+    *      [[graft.functions.CharBigramLmScore]] kernel walks the
+    *      document's bigrams IN POSITION ORDER against the embedded
+    *      hash map (a reference object, like the centroid matrices)
+    *      and folds the ln terms sequentially, so the floating-point
+    *      result is partitioning-independent. Zero shuffles, zero
+    *      joins, no UDF; at 100 TB the scoring pass is embarrassingly
+    *      parallel and the only cluster traffic is the one slim count
+    *      aggregation plus the model riding the task binary.
     * Scores are decimal(18,6)-rounded: ln differs by ulps across
     * libms. Documents shorter than 2 chars have no bigrams and drop
     * out. Returns (idCol, n_bigrams, lm_score). */
@@ -80,21 +82,17 @@ object TextAnalysis {
     pairCounts.foreach { case (b, c) =>
       prefCounts.merge(b.charAt(0), c, (x, y) => x + y)
     }
-    val lnp = new java.util.HashMap[String, Double](pairCounts.length * 2)
+    val lnp =
+      new java.util.HashMap[String, java.lang.Double](pairCounts.length * 2)
     pairCounts.foreach { case (b, c) =>
-      lnp.put(b, math.log(c.toDouble / prefCounts.get(b.charAt(0)).toDouble))
+      lnp.put(b, java.lang.Double.valueOf(
+        math.log(c.toDouble / prefCounts.get(b.charAt(0)).toDouble)))
     }
-    val bcModel = df.sparkSession.sparkContext.broadcast(lnp)
-    val score = udf { (t: String) =>
-      val m = bcModel.value
-      var i = 0; var s = 0.0
-      val n = t.length - 1
-      while (i < n) { s += m.get(t.substring(i, i + 2)); i += 1 }
-      (n.toLong, s / n.toDouble)
-    }
-    lc.withColumn("__sc", score(col("__lc")))
-      .select(col(idCol), col("__sc._1").as("n_bigrams"),
-        col("__sc._2").cast("decimal(18,6)").cast("double").as("lm_score"))
+    lc.withColumn("__sc",
+        graft.functions.TextFunctions.char_bigram_lm(col("__lc"), lnp))
+      .select(col(idCol), col("__sc.n_bigrams").as("n_bigrams"),
+        col("__sc.mean_lnp")
+          .cast("decimal(18,6)").cast("double").as("lm_score"))
   }
 
   /** Gopher-style repetition signal: per document, the share of
