@@ -235,14 +235,15 @@ object TextOps {
     * sequentially (order fixed → engine-reproducible double). BMP
     * bound: UTF-16 units, like every `length`-based twin here. */
   def charBigramLmScore(s: UTF8String,
-      model: java.util.HashMap[String, java.lang.Double])
+      model: java.util.HashMap[String, java.lang.Double], unseenLnp: Double)
       : org.apache.spark.sql.catalyst.InternalRow = {
     val t = s.toString
     val n = t.length - 1
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += model.get(t.substring(i, i + 2)).doubleValue()
+      val p = model.get(t.substring(i, i + 2))
+      acc += (if (p == null) unseenLnp else p.doubleValue())
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -255,22 +256,22 @@ object TextOps {
   * sequential fold of per-bigram ln-probabilities against an embedded
   * model map (reference object, like the centroid matrices): the
   * accumulation order is the text's position order, so the double
-  * result is partitioning-independent. NPEs loudly if a bigram is
-  * missing from the model — the model is fit on the same corpus, so
-  * that means caller error. */
+  * result is partitioning-independent. Bigrams absent from the model
+  * contribute `unseenLnp` (streaming batches meet unseen bigrams; the
+  * batch fit-on-what-you-score path never does). */
 case class CharBigramLmScore(child: Expression,
-    model: java.util.HashMap[String, java.lang.Double])
+    model: java.util.HashMap[String, java.lang.Double], unseenLnp: Double)
     extends UnaryStringExpression {
   require(!model.isEmpty, "bigram model must be non-empty")
   override def dataType: DataType = StructType(Seq(
     StructField("n_bigrams", LongType, nullable = false),
     StructField("mean_lnp", DoubleType, nullable = false)))
   override def nullSafeEval(s: Any): Any =
-    TextOps.charBigramLmScore(s.asInstanceOf[UTF8String], model)
+    TextOps.charBigramLmScore(s.asInstanceOf[UTF8String], model, unseenLnp)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("model", model, "java.util.HashMap")
     defineCodeGen(ctx, ev,
-      s => s"graft.functions.TextOps.charBigramLmScore($s, $ref)")
+      s => s"graft.functions.TextOps.charBigramLmScore($s, $ref, $unseenLnp)")
   }
   override def prettyName: String = "char_bigram_lm"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

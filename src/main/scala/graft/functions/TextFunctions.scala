@@ -49,8 +49,9 @@ object TextFunctions {
   /** Ordered char-bigram LM fold against an embedded model (see
     * [[CharBigramLmScore]]). */
   def char_bigram_lm(c: Column,
-      model: java.util.HashMap[String, java.lang.Double]): Column =
-    column(CharBigramLmScore(expression(c), model))
+      model: java.util.HashMap[String, java.lang.Double],
+      unseenLnp: Double): Column =
+    column(CharBigramLmScore(expression(c), model, unseenLnp))
 
   /** Canonical Unicode NFC normalization (see [[NfcNormalize]]). */
   def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))

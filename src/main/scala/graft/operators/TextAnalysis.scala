@@ -69,10 +69,19 @@ object TextAnalysis {
     * out. Returns (idCol, n_bigrams, lm_score). */
   def charBigramScore(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val lc = df
-      .select(col(idCol), lower(col(textCol)).as("__lc"))
+    val model = charBigramModel(df, textCol)
+    scoreWithBigramModel(df, idCol, textCol, model)
+  }
+
+  /** FIT stage of [[charBigramScore]], exposed for streaming use: fit
+    * once on a bootstrap corpus, apply to each micro-batch with
+    * [[scoreWithBigramModel]] (a stream cannot re-fit per trigger —
+    * and a drifting model would make scores incomparable anyway). */
+  def charBigramModel(df: DataFrame,
+      textCol: String): java.util.HashMap[String, java.lang.Double] = {
+    val pairCounts: Array[(String, Long)] = df
+      .select(lower(col(textCol)).as("__lc"))
       .filter(length(col("__lc")) >= 2)
-    val pairCounts: Array[(String, Long)] = lc
       .select(explode(expr(
         "transform(sequence(1, length(__lc) - 1), i -> substring(__lc, i, 2))"))
         .as("bigram"))
@@ -88,11 +97,30 @@ object TextAnalysis {
       lnp.put(b, java.lang.Double.valueOf(
         math.log(c.toDouble / prefCounts.get(b.charAt(0)).toDouble)))
     }
-    lc.withColumn("__sc",
-        graft.functions.TextFunctions.char_bigram_lm(col("__lc"), lnp))
-      .select(col(idCol), col("__sc.n_bigrams").as("n_bigrams"),
-        col("__sc.mean_lnp")
-          .cast("decimal(18,6)").cast("double").as("lm_score"))
+    lnp
+  }
+
+  /** SCORE stage of [[charBigramScore]] against an already-fit model.
+    * Bigrams absent from the model score `ln(floorProb)` (unseen —
+    * streaming batches WILL contain bigrams the bootstrap corpus
+    * lacked; the batch path never hits this because it fits on the
+    * same corpus it scores). An empty model yields an empty result
+    * frame (schema preserved), not an error. */
+  def scoreWithBigramModel(df: DataFrame, idCol: String, textCol: String,
+      model: java.util.HashMap[String, java.lang.Double],
+      floorProb: Double = 1e-9): DataFrame = {
+    val lc = df
+      .select(col(idCol), lower(col(textCol)).as("__lc"))
+      .filter(length(col("__lc")) >= 2)
+    if (model.isEmpty)
+      lc.select(col(idCol), lit(0L).as("n_bigrams"),
+        lit(0.0).as("lm_score")).limit(0)
+    else
+      lc.withColumn("__sc", graft.functions.TextFunctions
+          .char_bigram_lm(col("__lc"), model, math.log(floorProb)))
+        .select(col(idCol), col("__sc.n_bigrams").as("n_bigrams"),
+          col("__sc.mean_lnp")
+            .cast("decimal(18,6)").cast("double").as("lm_score"))
   }
 
   /** Gopher-style repetition signal: per document, the share of

@@ -108,6 +108,37 @@ object StreamIngest {
     private[graft] def segments: Vector[DataFrame] = state()
   }
 
+  /** Stateless streaming curation: the per-row quality stack — Gopher
+    * rules, a PRE-FIT char-bigram LM threshold, PII scrub — as one
+    * streaming-safe projection+filter (no state, no watermark, valid
+    * in any output mode; chain [[nearDupIngest]] after it for the
+    * stateful dedup stage). Fit the LM on a bootstrap corpus with
+    * [[graft.operators.TextAnalysis.charBigramModel]] — a stream
+    * cannot re-fit per trigger, and a drifting model would make
+    * scores incomparable across batches; unseen bigrams score
+    * `ln(1e-9)`. Rows shorter than 2 chars fail the LM gate by
+    * definition (score −∞ < any threshold). Passing rows keep their
+    * columns with `textCol` scrubbed and gain `lm_score`. */
+  def curationFilter(stream: DataFrame, textCol: String,
+      lmModel: java.util.HashMap[String, java.lang.Double],
+      minLmScore: Double, scrub: Boolean = true): DataFrame = {
+    import graft.functions.TextFunctions.{char_bigram_lm, gopherRules}
+    import graft.operators.TextClean.scrubPii
+    require(!lmModel.isEmpty,
+      "empty LM model — fit charBigramModel on a non-empty bootstrap corpus")
+    val gated = stream
+      .withColumn("__g", gopherRules(col(textCol)))
+      .withColumn("lm_score",
+        when(length(col(textCol)) >= 2,
+          char_bigram_lm(lower(col(textCol)), lmModel, math.log(1e-9))
+            .getField("mean_lnp"))
+          .otherwise(lit(Double.NegativeInfinity)))
+      .filter(col("__g.keep") === 1 && col("lm_score") >= minLmScore)
+      .drop("__g")
+    if (scrub) gated.withColumn(textCol, scrubPii(col(textCol)))
+    else gated
+  }
+
   def nearDupIngest(stream: DataFrame, idCol: String, textCol: String,
       onSurvivors: DataFrame => Unit, maxHamming: Int = 3,
       bands: Int = 4, bootstrap: Option[DataFrame] = None,

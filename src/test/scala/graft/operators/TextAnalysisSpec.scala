@@ -96,6 +96,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores(1L) > scores(3L) && scores(2L) > scores(3L))
   }
 
+  test("charBigramScore on an empty/too-short corpus returns an empty " +
+      "frame with the right schema, not an error") {
+    import spark.implicits._
+    val out = TextAnalysis.charBigramScore(
+      Seq((1L, "x"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(out.columns.toSeq == Seq("doc_id", "n_bigrams", "lm_score"))
+    assert(out.count() == 0)
+  }
+
+  test("scoreWithBigramModel: pre-fit model applies to NEW docs, " +
+      "unseen bigrams take the floor") {
+    import spark.implicits._
+    val corpus = Seq((1L, "ababab"), (2L, "ababab")).toDF("doc_id", "text")
+    val model = TextAnalysis.charBigramModel(corpus, "text")
+    // in-model doc scores 0 (all P=1 in this corpus); a doc of unseen
+    // bigrams scores ln(floor)
+    val out = TextAnalysis.scoreWithBigramModel(
+      Seq((10L, "abab"), (11L, "zzzz")).toDF("doc_id", "text"),
+      "doc_id", "text", model, floorProb = 1e-9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) == 0.0)
+    assert(math.abs(out(11L) - math.log(1e-9)) < 1e-4)
+  }
+
   test("bigramPmi on an untokenizable corpus returns empty, not an error") {
     import spark.implicits._
     val docs = Seq((1L, ""), (2L, "   ")).toDF("id", "text")

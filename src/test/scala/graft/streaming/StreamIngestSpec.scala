@@ -201,6 +201,36 @@ class StreamIngestSpec extends SparkSpec {
     }
   }
 
+  test("curationFilter: Gopher + pre-fit LM gate + PII scrub run " +
+      "statelessly over micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stopPad = "the cat must be going to one of all and that they " +
+      "have fun with it "
+    val good = (stopPad * 5).trim + " mail me at bob@example.com"
+    val gibberish = ("qzx jzq xqz zqj " * 20).trim // wrong distribution
+    val bootstrap = Seq((0L, good)).toDF("id", "text")
+    val model = graft.operators.TextAnalysis.charBigramModel(
+      bootstrap, "text")
+    val source = MemoryStream[(Long, String)]
+    val filtered = StreamIngest.curationFilter(
+      source.toDF().toDF("id", "text"), "text", model,
+      minLmScore = -6.0)
+    val q = filtered.writeStream.format("memory")
+      .queryName("curation_out").outputMode("append").start()
+    try {
+      source.addData((1L, good), (2L, gibberish), (3L, "too short"))
+      q.processAllAvailable()
+      source.addData((4L, good)) // second batch: same stateless gate
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, text FROM curation_out ORDER BY id")
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(rows.map(_._1).toSeq == Seq(1L, 4L))
+      assert(rows.forall(_._2.contains("<EMAIL>")),
+        "PII must be scrubbed on the accepted stream")
+    } finally q.stop()
+  }
+
   test("intoIvfLayout: streaming cell assignment appends each batch " +
       "into the partitioned layout") {
     import spark.implicits._
