@@ -868,6 +868,17 @@ object SparkEntry {
       |    CAST(len(d.text) - 19 AS DOUBLE) AS dup_ratio
       |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // thresholds and stop words interpolate from TextFunctions' single
+  // definition — rule edits cannot desynchronize this twin
+  private val stopContainsSql: String =
+    graft.functions.TextFunctions.GopherStopWords
+      .map(w => s"CAST(list_contains(toks, '$w') AS INT)")
+      .mkString(" +\n         |      ").stripMargin
+  import graft.functions.TextFunctions.{GopherMinWords, GopherMaxWords,
+    GopherMinMeanWordLen, GopherMaxMeanWordLen, GopherMaxSymbolRatio,
+    GopherMaxBulletRatio, GopherMaxEllipsisRatio, GopherMinAlphaRatio,
+    GopherMinStopWords}
+
   private val gopherQualitySql: String =
     s"""WITH w AS (
          |  SELECT doc_id, text, $toksSql AS toks,
@@ -897,26 +908,20 @@ object SparkEntry {
          |      ELSE CAST(len(list_filter(lines,
          |          l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
          |        / CAST(len(lines) AS DOUBLE) END AS ellipsis_line_ratio,
-         |    CAST(CAST(list_contains(toks, 'the') AS INT) +
-         |      CAST(list_contains(toks, 'be') AS INT) +
-         |      CAST(list_contains(toks, 'to') AS INT) +
-         |      CAST(list_contains(toks, 'of') AS INT) +
-         |      CAST(list_contains(toks, 'and') AS INT) +
-         |      CAST(list_contains(toks, 'that') AS INT) +
-         |      CAST(list_contains(toks, 'have') AS INT) +
-         |      CAST(list_contains(toks, 'with') AS INT) AS BIGINT)
+         |    CAST($stopContainsSql AS BIGINT)
          |      AS n_stop_distinct
          |  FROM w)
          |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
          |  alpha_word_ratio, bullet_line_ratio, ellipsis_line_ratio,
          |  n_stop_distinct,
-         |  CAST(n_words BETWEEN 50 AND 100000
-         |    AND mean_word_len BETWEEN 3.0 AND 10.0
-         |    AND symbol_ratio <= 0.1
-         |    AND bullet_line_ratio < 0.9
-         |    AND ellipsis_line_ratio < 0.3
-         |    AND alpha_word_ratio >= 0.8
-         |    AND n_stop_distinct >= 2 AS INT) AS keep
+         |  CAST(n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+         |    AND mean_word_len
+         |      BETWEEN $GopherMinMeanWordLen AND $GopherMaxMeanWordLen
+         |    AND symbol_ratio <= $GopherMaxSymbolRatio
+         |    AND bullet_line_ratio < $GopherMaxBulletRatio
+         |    AND ellipsis_line_ratio < $GopherMaxEllipsisRatio
+         |    AND alpha_word_ratio >= $GopherMinAlphaRatio
+         |    AND n_stop_distinct >= $GopherMinStopWords AS INT) AS keep
          |FROM m ORDER BY doc_id""".stripMargin
 
 

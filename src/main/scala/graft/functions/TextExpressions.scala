@@ -231,23 +231,33 @@ object TextOps {
   }
 
   /** Char-bigram LM scoring kernel (see [[CharBigramLmScore]]): walk
-    * the text's UTF-16 bigrams IN POSITION ORDER, summing ln-probs
-    * sequentially (order fixed → engine-reproducible double). BMP
-    * bound: UTF-16 units, like every `length`-based twin here. */
+    * the text's CODEPOINT bigrams IN POSITION ORDER, summing ln-probs
+    * sequentially (order fixed → engine-reproducible double).
+    * Codepoints — not UTF-16 units — so the units agree with the
+    * Spark-side `substring` fit, and with DuckDB `substr`, on astral
+    * text too. Degenerate input (< 2 codepoints → no bigrams) returns
+    * `(0, unseenLnp)` — the worst score, which is what a quality
+    * filter should assign a sub-2-char document — never NaN or a
+    * negative count. */
   def charBigramLmScore(s: UTF8String,
       model: java.util.HashMap[String, java.lang.Double], unseenLnp: Double)
       : org.apache.spark.sql.catalyst.InternalRow = {
     val t = s.toString
-    val n = t.length - 1
     var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val p = model.get(t.substring(i, i + 2))
+    var n = 0L
+    var prev = 0 // UTF-16 index of the previous codepoint's start
+    var i = Character.charCount(if (t.isEmpty) 'x' else t.codePointAt(0))
+    while (i < t.length) {
+      val next = i + Character.charCount(t.codePointAt(i))
+      val p = model.get(t.substring(prev, next))
       acc += (if (p == null) unseenLnp else p.doubleValue())
-      i += 1
+      n += 1
+      prev = i
+      i = next
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](n.toLong, acc / n.toDouble))
+      if (n == 0L) Array[Any](0L, unseenLnp)
+      else Array[Any](n, acc / n.toDouble))
   }
 }
 
@@ -256,9 +266,11 @@ object TextOps {
   * sequential fold of per-bigram ln-probabilities against an embedded
   * model map (reference object, like the centroid matrices): the
   * accumulation order is the text's position order, so the double
-  * result is partitioning-independent. Bigrams absent from the model
-  * contribute `unseenLnp` (streaming batches meet unseen bigrams; the
-  * batch fit-on-what-you-score path never does). */
+  * result is partitioning-independent. Codepoint units (matches the
+  * Spark/DuckDB `substring` fit on astral text). Bigrams absent from
+  * the model contribute `unseenLnp` (streaming batches meet unseen
+  * bigrams; the batch fit-on-what-you-score path never does); texts
+  * with no bigrams score `(0, unseenLnp)`, never NaN. */
 case class CharBigramLmScore(child: Expression,
     model: java.util.HashMap[String, java.lang.Double], unseenLnp: Double)
     extends UnaryStringExpression {

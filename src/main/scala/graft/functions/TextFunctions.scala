@@ -103,6 +103,20 @@ object TextFunctions {
   val GopherStopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Gopher rule thresholds — single definition shared by
+    * [[gopherRules]] AND interpolated into the DuckDB oracle twin
+    * (`SparkEntry.oracleSql("gopher_quality")`), so editing a rule
+    * here cannot silently desynchronize the oracle. */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMaxBulletRatio = 0.9
+  val GopherMaxEllipsisRatio = 0.3
+  val GopherMinAlphaRatio = 0.8
+  val GopherMinStopWords = 2
+
   /** The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
     * Language Models: ... Gopher", appendix A1.1), per document:
     *
@@ -146,13 +160,14 @@ object TextFunctions {
     val nStop = GopherStopWords
       .map(s => array_contains(words, s).cast("int")).reduce(_ + _)
     val keep =
-      (n >= 50 && n <= 100000) &&
-        (meanLen >= 3.0 && meanLen <= 10.0) &&
-        symbolRatio <= 0.1 &&
-        bulletRatio < 0.9 &&
-        ellipsisRatio < 0.3 &&
-        alphaRatio >= 0.8 &&
-        nStop >= 2
+      (n >= GopherMinWords && n <= GopherMaxWords) &&
+        (meanLen >= GopherMinMeanWordLen &&
+          meanLen <= GopherMaxMeanWordLen) &&
+        symbolRatio <= GopherMaxSymbolRatio &&
+        bulletRatio < GopherMaxBulletRatio &&
+        ellipsisRatio < GopherMaxEllipsisRatio &&
+        alphaRatio >= GopherMinAlphaRatio &&
+        nStop >= GopherMinStopWords
     struct(
       n.cast("long").as("n_words"), meanLen.as("mean_word_len"),
       symbolRatio.as("symbol_ratio"), alphaRatio.as("alpha_word_ratio"),

@@ -378,7 +378,13 @@ object Dedup {
     * the count pass shuffles positions × 8 B with map-side partial
     * aggregation, and the join-back side is SLIM — only the
     * duplicated gram hashes (post-HAVING), which AQE broadcasts when
-    * small. Span merge is a window partitioned by document: state is
+    * small. The gram frame is consumed twice (count pass, then the
+    * join-back) and deliberately NOT persisted: re-deriving positions
+    * from the columnar scan is a cheap narrow map, while caching
+    * positions × 8 B at the target scale would spill to executor
+    * disks and serialize the second pass behind the first — callers
+    * that score the same frame repeatedly can persist the INPUT.
+    * Span merge is a window partitioned by document: state is
     * bounded by document length, never corpus-sized. xxhash64
     * false-positive odds ≈ positions²/2⁶⁵; the literal-gram variant
     * (`hashGrams=false`, k× byte cost) is the engine-portable oracle

@@ -101,6 +101,9 @@ final class RotatedPqIndex(
   def query(q: Array[Float], k: Int, refineFactor: Int = 4): DataFrame =
     inner.query(rotate(q), k, refineFactor)
 
+  /** Codes are in the ROTATED space — reload with
+    * [[PqIndex.loadRotated]] (same rotation + codebooks), never with
+    * plain [[PqIndex.load]]. */
   def writeCodes(path: String): Unit = inner.writeCodes(path)
 }
 
@@ -151,15 +154,25 @@ object PqIndex {
     * padded duplicates never win an argmin tie, so they are inert. */
   def train(df: DataFrame, vecCol: String, idCol: String, m: Int = 8,
       codesPerBook: Int = 256, seed: Long = 42L,
-      sampleFraction: Double = 1.0, maxIter: Int = 8): PqIndex = {
+      sampleFraction: Double = 1.0, maxIter: Int = 8): PqIndex =
+    trainWithDim(df, vecCol, idCol, m, codesPerBook, seed, sampleFraction,
+      maxIter, probeDim(df, vecCol))
+
+  /** One first-row job to learn the vector dimension. */
+  private def probeDim(df: DataFrame, vecCol: String): Int = {
+    val firstRows = df.select(col(vecCol)).limit(1).collect()
+    require(firstRows.nonEmpty, "cannot train PQ codebooks on an empty frame")
+    firstRows(0).getSeq[Float](0).length
+  }
+
+  private def trainWithDim(df: DataFrame, vecCol: String, idCol: String,
+      m: Int, codesPerBook: Int, seed: Long, sampleFraction: Double,
+      maxIter: Int, dim: Int): PqIndex = {
     require(m >= 1, "need at least 1 subspace")
     require(codesPerBook >= 2 && codesPerBook <= 256,
       "codesPerBook must be in [2, 256] (one byte per code)")
     require(!df.columns.contains(CodeCol),
       s"input frame must not contain a column named '$CodeCol'")
-    val firstRows = df.select(col(vecCol)).limit(1).collect()
-    require(firstRows.nonEmpty, "cannot train PQ codebooks on an empty frame")
-    val dim = firstRows(0).getSeq[Float](0).length
     require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
     val subDim = dim / m
     val sample =
@@ -238,14 +251,29 @@ object PqIndex {
       sampleFraction: Double = 1.0, maxIter: Int = 8,
       rotationSeed: Long = 7L): RotatedPqIndex = {
     import graft.functions.VectorFunctions.mat_vec
-    val firstRows = df.select(col(vecCol)).limit(1).collect()
-    require(firstRows.nonEmpty, "cannot train PQ codebooks on an empty frame")
-    val dim = firstRows(0).getSeq[Float](0).length
+    val dim = probeDim(df, vecCol) // rotation preserves dim: probe ONCE
     val r = randomRotation(dim, rotationSeed)
     val rotated = df.withColumn(vecCol, mat_vec(col(vecCol), r))
     new RotatedPqIndex(r,
-      train(rotated, vecCol, idCol, m, codesPerBook, seed, sampleFraction,
-        maxIter))
+      trainWithDim(rotated, vecCol, idCol, m, codesPerBook, seed,
+        sampleFraction, maxIter, dim))
+  }
+
+  /** Reload a rotated index from a codes table written by
+    * [[RotatedPqIndex.writeCodes]]: pass the ORIGINAL (unrotated)
+    * corpus plus the same rotation and codebooks you trained with —
+    * the corpus is re-rotated through the `mat_vec` kernel (narrow
+    * map, lazy) so the exact re-rank meets the codes in the same
+    * space. Loading rotated codes with plain [[PqIndex.load]] would
+    * silently mix spaces and return wrong neighbors. */
+  def loadRotated(spark: SparkSession, codesPath: String,
+      rotation: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], corpus: DataFrame,
+      vecCol: String, idCol: String): RotatedPqIndex = {
+    import graft.functions.VectorFunctions.mat_vec
+    val rotated = corpus.withColumn(vecCol, mat_vec(col(vecCol), rotation))
+    new RotatedPqIndex(rotation,
+      load(spark, codesPath, codebooks, rotated, vecCol, idCol))
   }
 
   /** Reload a codes table written by [[PqIndex.writeCodes]] against its

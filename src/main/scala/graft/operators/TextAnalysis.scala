@@ -87,15 +87,17 @@ object TextAnalysis {
         .as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cp"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val prefCounts = new java.util.HashMap[Character, Long]()
+    // prefix keyed by first CODEPOINT (not UTF-16 unit): two astral
+    // chars sharing a high surrogate must not pool their counts
+    val prefCounts = new java.util.HashMap[Integer, Long]()
     pairCounts.foreach { case (b, c) =>
-      prefCounts.merge(b.charAt(0), c, (x, y) => x + y)
+      prefCounts.merge(b.codePointAt(0), c, (x, y) => x + y)
     }
     val lnp =
       new java.util.HashMap[String, java.lang.Double](pairCounts.length * 2)
     pairCounts.foreach { case (b, c) =>
       lnp.put(b, java.lang.Double.valueOf(
-        math.log(c.toDouble / prefCounts.get(b.charAt(0)).toDouble)))
+        math.log(c.toDouble / prefCounts.get(b.codePointAt(0)).toDouble)))
     }
     lnp
   }

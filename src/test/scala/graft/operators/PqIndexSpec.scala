@@ -110,6 +110,25 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("rotated codes round-trip: loadRotated against the ORIGINAL " +
+      "corpus answers exactly like the live index") {
+    val df = clustered().toDF("vid", "vec")
+    val idx = PqIndex.trainRotated(df, "vec", "vid", m = 4,
+      codesPerBook = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rpq").toString
+    idx.writeCodes(s"$tmp/codes")
+    val loaded = PqIndex.loadRotated(spark, s"$tmp/codes", idx.rotation,
+      idx.inner.codebooks, df, "vec", "vid")
+    for (seedQ <- Seq(3, 41)) {
+      val q = Array.tabulate(8)(j => 3f + noise(seedQ, j))
+      val a = idx.query(q, 5, refineFactor = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = loaded.query(q, 5, refineFactor = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b, s"reloaded rotated index diverged: $a vs $b")
+    }
+  }
+
   test("randomRotation is orthonormal and mat_vec preserves distances") {
     val dim = 8
     val r = PqIndex.randomRotation(dim, seed = 7L)

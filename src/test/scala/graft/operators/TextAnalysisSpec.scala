@@ -120,6 +120,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out(11L) - math.log(1e-9)) < 1e-4)
   }
 
+  test("charBigramScore: astral (non-BMP) text uses codepoint bigrams " +
+      "in fit AND score — in-corpus docs never hit the unseen floor") {
+    import spark.implicits._
+    // codepoint bigrams of "a😀b😀a": a😀, 😀b, b😀, 😀a — each P=…
+    // derived from the corpus itself, so every score is finite and
+    // far above the ln(1e-9) floor a UTF-16 mismatch would produce
+    val corpus = Seq((1L, "a😀b😀a"), (2L, "😀😀😀")).toDF("doc_id", "text")
+    val out = TextAnalysis.charBigramScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L)._1 == 4L, "codepoint bigram count, not UTF-16 units")
+    assert(out(2L)._1 == 2L)
+    assert(out.values.forall(_._2 > math.log(1e-9) / 2),
+      s"astral fit/score mismatch floored a score: $out")
+  }
+
+  test("char_bigram_lm kernel is total: no-bigram inputs score " +
+      "(0, floor), never NaN or negative counts") {
+    import spark.implicits._
+    val model = new java.util.HashMap[String, java.lang.Double]()
+    model.put("ab", java.lang.Double.valueOf(0.0))
+    val floor = math.log(1e-9)
+    val rows = Seq("", "x", "😀", "ab").toDF("t")
+      .select(graft.functions.TextFunctions
+        .char_bigram_lm(org.apache.spark.sql.functions.col("t"), model,
+          floor).as("s"))
+      .select("s.n_bigrams", "s.mean_lnp").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows(0) == ((0L, floor)))
+    assert(rows(1) == ((0L, floor)))
+    assert(rows(2) == ((0L, floor))) // one astral codepoint: no bigram
+    assert(rows(3) == ((1L, 0.0)))
+  }
+
   test("bigramPmi on an untokenizable corpus returns empty, not an error") {
     import spark.implicits._
     val docs = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
