@@ -669,15 +669,15 @@ object SparkEntry {
         orderCols = Seq("doc_id"))
         .select("doc_id", "lang", "start_offset", "chunk_id")
         .orderBy("doc_id")),
-    // weighted sampling (Efraimidis-Spirakis with md5-derived uniforms)
-    // — deterministic but ln() is libm-dependent at the ulp level, so
-    // the winner set near the cut could flip across engines → rows-only
-    // (determinism and weight-bias are spec-asserted)
+    // weighted sampling (Efraimidis-Spirakis with md5-derived
+    // uniforms) in roundKeys mode: decimal(18,6) keys + id tiebreak
+    // make the winner set engine-reproducible → full oracle (raw-key
+    // mode's exact E-S ranking stays spec-asserted)
     "weighted_sample" -> ((s, dir) =>
       graft.operators.Sampling.weightedSample(
         t(s, dir, "documents")
           .select(col("doc_id"), col("n_chars").cast("double").as("w")),
-        "doc_id", "w", n = 100)
+        "doc_id", "w", n = 100, roundKeys = true)
         .select("doc_id").orderBy("doc_id")),
     // sequence packing: concatenate the corpus in doc order and cut
     // into fixed-size context windows — two-phase distributed prefix
@@ -1322,6 +1322,24 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE md5(CAST(doc_id AS VARCHAR)) < '28'
         |ORDER BY doc_id""".stripMargin,
+    // E-S twin: fold the 13-hex-char md5 prefix to the same 52-bit
+    // uniform, identical -ln(u)/w keys decimal(18,6)-rounded, id
+    // tiebreak — both engines rank identical decimals
+    "weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS hx
+        |  FROM documents WHERE n_chars > 0),
+        |u AS (
+        |  SELECT doc_id, w,
+        |    (list_reduce(list_transform(regexp_extract_all(hx, '.'),
+        |       c -> strpos('0123456789abcdef', c) - 1),
+        |       (a, b) -> a * 16 + b) + 1.0) / power(16.0, 13) AS uu
+        |  FROM h),
+        |s AS (
+        |  SELECT doc_id, CAST(-ln(uu) / w AS DECIMAL(18,6)) AS k
+        |  FROM u ORDER BY k, doc_id LIMIT 100)
+        |SELECT doc_id FROM s ORDER BY doc_id""".stripMargin,
     // composition of the already-green doc_quality, exact_dedup and
     // hash_sample twins, in pipeline order
     "curation_pipeline" ->

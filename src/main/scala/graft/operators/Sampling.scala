@@ -47,11 +47,18 @@ object Sampling {
     * which selects row i with probability proportional to weight i.
     * Plans as one narrow map + `TakeOrderedAndProject` — per-partition
     * heaps, no shuffle of the corpus. Rows with weight <= 0 or null
-    * never win (score +inf). ln() makes the scores engine-specific at
-    * the ulp level, so this is spec-verified rather than
-    * DuckDB-oracle-checked. */
+    * never win (score +inf).
+    *
+    * `roundKeys=false` (default) ranks raw doubles — exact E-S, but
+    * ln() is libm-dependent at the ulp level, so the winner set near
+    * the cut can flip across engines (spec-verified only).
+    * `roundKeys=true` is the ORACLE-COMPARABLE mode: drops
+    * non-positive weights, rounds keys to decimal(18,6) and breaks
+    * the (now possible) key ties by id — both engines rank identical
+    * decimals, so the sample is engine-reproducible; the perturbation
+    * of E-S probabilities is O(1e-6) on key comparisons. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
-      n: Int): DataFrame = {
+      n: Int, roundKeys: Boolean = false): DataFrame = {
     require(n > 0, "n must be positive")
     require(!df.columns.contains("__graft_ws"),
       "reserved column '__graft_ws' present — rename it")
@@ -60,12 +67,20 @@ object Sampling {
     val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")),
       1, 13), 16, 10).cast("double") + 1.0) / math.pow(16.0, 13)
     val w = col(weightCol).cast("double")
-    val score = when(w.isNull || w <= 0.0, lit(Double.PositiveInfinity))
-      .otherwise(-log(u) / w)
-    df.withColumn("__graft_ws", score)
-      .orderBy(col("__graft_ws").asc, col(idCol).asc)
-      .limit(n)
-      .drop("__graft_ws")
+    if (roundKeys)
+      df.filter(w.isNotNull && w > 0.0)
+        .withColumn("__graft_ws", (-log(u) / w).cast("decimal(18,6)"))
+        .orderBy(col("__graft_ws").asc, col(idCol).asc)
+        .limit(n)
+        .drop("__graft_ws")
+    else {
+      val score = when(w.isNull || w <= 0.0, lit(Double.PositiveInfinity))
+        .otherwise(-log(u) / w)
+      df.withColumn("__graft_ws", score)
+        .orderBy(col("__graft_ws").asc, col(idCol).asc)
+        .limit(n)
+        .drop("__graft_ws")
+    }
   }
 
   /** Deterministic STRATIFIED sampling — the "rebalance the language /

@@ -106,6 +106,26 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"corpus shuffles:\n$plan")
   }
 
+  test("weightedSample roundKeys mode: same winners as raw mode away " +
+      "from key collisions, nonpositive weights excluded") {
+    import spark.implicits._
+    val df = ((1 to 200).map(i => (i.toLong, (i % 7 + 1).toDouble)) ++
+      Seq((500L, 0.0), (501L, -1.0))).toDF("id", "w")
+    val raw = Sampling.weightedSample(df, "id", "w", n = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val rounded = Sampling.weightedSample(df, "id", "w", n = 50,
+      roundKeys = true)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // keys here are O(0.01..36) with 1e-6 rounding: collisions at the
+    // cut are possible but rare — demand near-total agreement
+    assert((raw intersect rounded).size >= 49, s"raw $raw vs $rounded")
+    assert(!rounded.contains(500L) && !rounded.contains(501L))
+    // still the same narrow top-n plan
+    val plan = Sampling.weightedSample(df, "id", "w", 5, roundKeys = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Exchange"))
+  }
+
   test("stratifiedHashSample rejects out-of-range fractions") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
