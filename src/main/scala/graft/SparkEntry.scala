@@ -799,6 +799,41 @@ object SparkEntry {
           // zcr ≈ 2f/rate separates the tones; rounded for stability
           round(col("audio_features.zero_cross_rate"), 3).as("zcr"))
         .orderBy("file")
+    }),
+    // video pipeline: deterministic motion-image containers synthesized
+    // on the fly → binaryFile source → header meta → frame sampling →
+    // REAL per-frame ImageIO decode (no backing table → rows-only;
+    // container parsing and decode are unit-tested)
+    "video_pipeline" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vid")
+      (1 to 3).foreach { v =>
+        val frames = (0 until 10).map { i =>
+          val img = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          try {
+            g.setColor(new java.awt.Color((v * 40 + i * 10) % 256,
+              (i * 25) % 256, (v * 80) % 256))
+            g.fillRect(0, 0, 16, 16)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        java.nio.file.Files.write(tmp.resolve(s"clip$v.gmj"),
+          graft.operators.VideoCodec.synthMotionImage(5, frames))
+      }
+      val src = graft.operators.Multimodal.readBinaryDir(
+        s, tmp.toString, "*.gmj")
+      val sampled = graft.operators.Multimodal.sampleVideoFrames(
+        graft.operators.Multimodal.withVideoMeta(src, "content"),
+        "content", everyNth = 4)
+      graft.operators.Multimodal.withImageMeta(sampled, "frame_bytes")
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          col("video_meta.n_frames"), col("video_meta.fps"),
+          col("frame_idx"), col("image_meta.width"),
+          col("image_meta.height"))
+        .orderBy("file", "frame_idx")
     })
   )
 

@@ -22,11 +22,15 @@ import javax.imageio.ImageIO
   * Image decode/resize are REAL (JDK `javax.imageio` — PNG/JPEG/GIF/
   * BMP, zero external deps, [[ImageCodec]]), and so is audio decode
   * (JDK `javax.sound.sampled` — WAV/AIFF/AU PCM, [[AudioCodec]]:
-  * metadata, signal features, energy-envelope embedding). Video
-  * frame-sampling remains a documented stub: the JDK has no video
-  * codec and none is installable offline, so
-  * [[Multimodal.sampleFrames]] keeps the real explode shape over
-  * fixed-size byte slices.
+  * metadata, signal features, energy-envelope embedding). Video: the
+  * JDK has no mp4/h264 codec and none is installable offline, so that
+  * DECODE gap stays documented — but the frame-pipeline is real over
+  * [[VideoCodec]]'s length-prefixed motion-image container (each
+  * frame a real PNG/JPEG): [[Multimodal.withVideoMeta]] parses
+  * headers, [[Multimodal.sampleVideoFrames]] explodes every n-th
+  * frame as decodable image bytes that feed the SAME image operators
+  * (decode/resize/embed). [[Multimodal.sampleFrames]] keeps the
+  * fixed-size byte-slice shape for unknown containers.
   */
 object Multimodal {
 
@@ -112,6 +116,63 @@ object Multimodal {
           val end = math.min(bytes.length, start + frameSize)
           Row.fromSeq(r.toSeq :+ f :+ bytes.slice(start, end))
         }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL frame sampling over [[VideoCodec]]'s container: parse the
+    * header, seek the length-prefixed frame table, emit one row per
+    * n-th frame with (idx, real image bytes) — downstream rows feed
+    * [[ImageCodec.decode]] / [[resizeImages]] / [[embedBinaryColumn]]
+    * unchanged. Narrow flatMap, no shuffle; per-row memory is one
+    * frame, not the whole video (the iterator slices lazily). Rows
+    * whose bytes are not a GMJ1 container emit nothing (use
+    * [[sampleFrames]] for opaque formats). */
+  def sampleVideoFrames(df: DataFrame, inCol: String, everyNth: Int = 10,
+      outPrefix: String = "frame"): DataFrame = {
+    require(everyNth >= 1, "everyNth must be positive")
+    val idxCol = s"${outPrefix}_idx"
+    val bytesCol = s"${outPrefix}_bytes"
+    val outSchema = df.schema
+      .add(idxCol, IntegerType)
+      .add(bytesCol, BinaryType)
+    val inIdx = df.schema.fieldIndex(inCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = Option(r.get(inIdx)).map(_.asInstanceOf[Array[Byte]])
+          .getOrElse(Array.emptyByteArray)
+        VideoCodec.frames(bytes)
+          .filter { case (idx, _) => idx % everyNth == 0 }
+          .map { case (idx, frame) => Row.fromSeq(r.toSeq :+ idx :+ frame) }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  val videoMetaType: StructType = StructType(Seq(
+    StructField("n_frames", IntegerType),
+    StructField("fps", IntegerType),
+    StructField("duration_s", DoubleType),
+    StructField("format", StringType)))
+
+  /** Attach container metadata for video columns (header parse only —
+    * O(1) per row, frames are not touched). Bytes that are not a GMJ1
+    * container yield a null-fielded struct carrying the sniffed
+    * format, mirroring [[withAudioMeta]]. */
+  def withVideoMeta(df: DataFrame, inCol: String,
+      outCol: String = "video_meta"): DataFrame = {
+    val outSchema = df.schema.add(outCol, videoMetaType)
+    val inIdx = df.schema.fieldIndex(inCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = Option(r.get(inIdx)).map(_.asInstanceOf[Array[Byte]])
+          .getOrElse(Array.emptyByteArray)
+        val fmt = VideoCodec.sniffFormat(bytes)
+        val meta = VideoCodec.decodeMeta(bytes) match {
+          case Some(m) => Row(m.nFrames, m.fps,
+            if (m.fps > 0) m.nFrames.toDouble / m.fps else 0.0, fmt)
+          case None => Row(null, null, null, fmt)
+        }
+        Row.fromSeq(r.toSeq :+ meta)
       }
     }(Encoders.row(outSchema))
   }
@@ -300,10 +361,85 @@ object ImageCodec {
   }
 }
 
+/** Motion-image video container ("GMJ1" — an MJPEG-style layout built
+  * from parts the JDK CAN decode): `magic "GMJ1" | nFrames:int32BE |
+  * fps:int32BE | nFrames × (len:int32BE | image bytes)`. Each frame is
+  * a complete PNG/JPEG, so frame DECODE is real ([[ImageCodec]]);
+  * what stays a documented gap is inter-frame-compressed formats
+  * (mp4/h264) — the JDK ships no such codec and none is installable
+  * offline. Corrupt/truncated containers parse to None/empty, never
+  * throw. */
+object VideoCodec {
+  private val Magic = Array[Byte]('G', 'M', 'J', '1')
+
+  final case class VideoMeta(nFrames: Int, fps: Int)
+
+  def sniffFormat(bytes: Array[Byte]): String =
+    if (bytes != null && bytes.length >= 4 &&
+      bytes(0) == 'G' && bytes(1) == 'M' && bytes(2) == 'J' &&
+      bytes(3) == '1') "gmj"
+    else "unknown"
+
+  private def readInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  def decodeMeta(bytes: Array[Byte]): Option[VideoMeta] =
+    if (sniffFormat(bytes) != "gmj" || bytes.length < 12) None
+    else {
+      val n = readInt(bytes, 4)
+      val fps = readInt(bytes, 8)
+      if (n < 0 || fps < 0) None else Some(VideoMeta(n, fps))
+    }
+
+  /** Lazy (frame_idx, frame bytes) iterator — one frame in memory at a
+    * time; stops cleanly at truncation. */
+  def frames(bytes: Array[Byte]): Iterator[(Int, Array[Byte])] =
+    decodeMeta(bytes) match {
+      case None => Iterator.empty
+      case Some(m) =>
+        new Iterator[(Int, Array[Byte])] {
+          private var idx = 0
+          private var off = 12
+          def hasNext: Boolean =
+            idx < m.nFrames && off + 4 <= bytes.length && {
+              val len = readInt(bytes, off)
+              len >= 0 && off + 4 + len <= bytes.length
+            }
+          def next(): (Int, Array[Byte]) = {
+            val len = readInt(bytes, off)
+            val f = java.util.Arrays.copyOfRange(bytes, off + 4,
+              off + 4 + len)
+            val out = (idx, f)
+            idx += 1
+            off += 4 + len
+            out
+          }
+        }
+    }
+
+  /** Build a container from encoded image frames (test/fixture path —
+    * a real pipeline would transcode upstream). */
+  def synthMotionImage(fps: Int, frameBytes: Seq[Array[Byte]]): Array[Byte] = {
+    require(fps >= 1, "fps must be positive")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic)
+    def writeInt(v: Int): Unit = {
+      out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
+      out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+    }
+    writeInt(frameBytes.length)
+    writeInt(fps)
+    frameBytes.foreach { f => writeInt(f.length); out.write(f) }
+    out.toByteArray
+  }
+}
+
 /** Real audio codec on JDK `javax.sound.sampled` — no external
   * dependencies, fully offline (WAV/AIFF/AU with PCM encodings; the
   * JDK ships no mp3/aac decoder, which stays a documented gap like
-  * video). Corrupt/unsupported bytes yield None everywhere. */
+  * video inter-frame compression). Corrupt/unsupported bytes yield
+  * None everywhere. */
 object AudioCodec {
 
   final case class AudioMeta(sampleRate: Int, channels: Int, bits: Int,

@@ -227,6 +227,24 @@ object DriveSmoke {
       .select($"audio_meta.sample_rate", $"audio_features.rms",
         $"audio_features.zero_cross_rate")
     audio.show(false)
+    // motion-image video: synthesize a container, sample + decode frames
+    val vidDir = java.nio.file.Files.createTempDirectory("drive-vid")
+    val pngFrames = (0 until 6).map { i =>
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(i * 40, 0, 0)); g.fillRect(0, 0, 8, 8) }
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    java.nio.file.Files.write(vidDir.resolve("clip.gmj"),
+      graft.operators.VideoCodec.synthMotionImage(5, pngFrames))
+    println("VIDEO_FRAME_ROWS=" + Multimodal.sampleVideoFrames(
+      Multimodal.readBinaryDir(spark, vidDir.toString, "*.gmj"),
+      "content", everyNth = 2).count())
+
     println("AUDIO_ROWS=" + audio.count())
     spark.stop()
   }

@@ -129,6 +129,57 @@ class MultimodalSpec extends SparkSpec {
     assert(df.filter(length(col("frame_bytes")) =!= 64).count() == 0)
   }
 
+  test("VideoCodec: container round-trips; meta, lazy frame iterator " +
+      "and truncation-safety") {
+    val frames = (1 to 6).map(i => encode(makeImage(24, 16, i), "png"))
+    val vid = VideoCodec.synthMotionImage(fps = 5, frames)
+    assert(VideoCodec.sniffFormat(vid) == "gmj")
+    assert(VideoCodec.decodeMeta(vid).contains(VideoCodec.VideoMeta(6, 5)))
+    val decoded = VideoCodec.frames(vid).toSeq
+    assert(decoded.map(_._1) == (0 until 6))
+    assert(decoded.forall { case (_, f) =>
+      ImageCodec.decode(f).exists(im => im.getWidth == 24 && im.getHeight == 16)
+    })
+    // truncated container: parses cleanly up to the cut, never throws
+    val cut = java.util.Arrays.copyOfRange(vid, 0, vid.length - 10)
+    assert(VideoCodec.frames(cut).length == 5)
+    assert(VideoCodec.frames(Array[Byte](1, 2, 3)).isEmpty)
+    assert(VideoCodec.decodeMeta("RIFFxxxx".getBytes).isEmpty)
+  }
+
+  test("video pipeline end-to-end: binaryFile source → meta → frame " +
+      "sampling → REAL image decode → embedding") {
+    val d = Files.createTempDirectory("graft-vid")
+    (1 to 2).foreach { v =>
+      val frames = (0 until 8).map(i =>
+        encode(makeImage(32, 32, v * 10 + i), "png"))
+      Files.write(Paths.get(d.toString, s"v$v.gmj"),
+        VideoCodec.synthMotionImage(fps = 4, frames))
+    }
+    val src = Multimodal.readBinaryDir(spark, d.toString, "*.gmj")
+    val meta = Multimodal.withVideoMeta(src, "content")
+      .select("video_meta.n_frames", "video_meta.fps",
+        "video_meta.duration_s").collect()
+    assert(meta.length == 2 && meta.forall(r =>
+      r.getInt(0) == 8 && r.getInt(1) == 4 && r.getDouble(2) == 2.0))
+    val sampled = Multimodal.sampleVideoFrames(src, "content",
+      everyNth = 3)
+    val idx = sampled.select("frame_idx").collect().map(_.getInt(0))
+    assert(idx.sorted.toSeq == Seq(0, 0, 3, 3, 6, 6))
+    // every sampled frame is a real decodable image at full dimensions
+    val dims = sampled.collect().map { r =>
+      val bytes = r.getAs[Array[Byte]]("frame_bytes")
+      ImageCodec.decode(bytes).map(im => (im.getWidth, im.getHeight))
+    }
+    assert(dims.forall(_.contains((32, 32))))
+    // and feeds the image embedder unchanged
+    val emb = Multimodal.embedBinaryColumn(sampled, "frame_bytes", "vec",
+      ImageGridEmbedder(dim = 16))
+    assert(emb.count() == 6)
+    assert(emb.select("vec").collect()
+      .forall(_.getSeq[Float](0).length == 16))
+  }
+
   test("mixed text+binary table embeds and k-NNs end-to-end") {
     import spark.implicits._
     val dim = 64
