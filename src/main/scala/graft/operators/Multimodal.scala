@@ -141,8 +141,8 @@ object Multimodal {
       it.flatMap { r =>
         val bytes = Option(r.get(inIdx)).map(_.asInstanceOf[Array[Byte]])
           .getOrElse(Array.emptyByteArray)
-        VideoCodec.frames(bytes)
-          .filter { case (idx, _) => idx % everyNth == 0 }
+        // step pushed into the iterator: skipped frames are never copied
+        VideoCodec.frames(bytes, step = everyNth)
           .map { case (idx, frame) => Row.fromSeq(r.toSeq :+ idx :+ frame) }
       }
     }(Encoders.row(outSchema))
@@ -168,8 +168,11 @@ object Multimodal {
           .getOrElse(Array.emptyByteArray)
         val fmt = VideoCodec.sniffFormat(bytes)
         val meta = VideoCodec.decodeMeta(bytes) match {
+          // fps=0 is a legal header (still-image set): duration is
+          // UNKNOWN, not zero — null it, like withAudioMeta does for
+          // unknown stream lengths
           case Some(m) => Row(m.nFrames, m.fps,
-            if (m.fps > 0) m.nFrames.toDouble / m.fps else 0.0, fmt)
+            if (m.fps > 0) m.nFrames.toDouble / m.fps else null, fmt)
           case None => Row(null, null, null, fmt)
         }
         Row.fromSeq(r.toSeq :+ meta)
@@ -375,9 +378,8 @@ object VideoCodec {
   final case class VideoMeta(nFrames: Int, fps: Int)
 
   def sniffFormat(bytes: Array[Byte]): String =
-    if (bytes != null && bytes.length >= 4 &&
-      bytes(0) == 'G' && bytes(1) == 'M' && bytes(2) == 'J' &&
-      bytes(3) == '1') "gmj"
+    if (bytes != null && bytes.length >= Magic.length &&
+      Magic.indices.forall(i => bytes(i) == Magic(i))) "gmj"
     else "unknown"
 
   private def readInt(b: Array[Byte], off: Int): Int =
@@ -393,30 +395,44 @@ object VideoCodec {
     }
 
   /** Lazy (frame_idx, frame bytes) iterator — one frame in memory at a
-    * time; stops cleanly at truncation. */
-  def frames(bytes: Array[Byte]): Iterator[(Int, Array[Byte])] =
+    * time; stops cleanly at truncation or a corrupt length (the bound
+    * check subtracts, so a huge crafted length cannot overflow into a
+    * passing comparison). `step > 1` SKIPS the in-between frames
+    * without copying their bytes — the sampling path advances offsets
+    * only. */
+  def frames(bytes: Array[Byte], step: Int = 1): Iterator[(Int, Array[Byte])] = {
+    require(step >= 1, "step must be positive")
     decodeMeta(bytes) match {
       case None => Iterator.empty
       case Some(m) =>
         new Iterator[(Int, Array[Byte])] {
           private var idx = 0
           private var off = 12
-          def hasNext: Boolean =
-            idx < m.nFrames && off + 4 <= bytes.length && {
-              val len = readInt(bytes, off)
-              len >= 0 && off + 4 + len <= bytes.length
-            }
-          def next(): (Int, Array[Byte]) = {
+          private def frameLen: Int = {
             val len = readInt(bytes, off)
-            val f = java.util.Arrays.copyOfRange(bytes, off + 4,
-              off + 4 + len)
-            val out = (idx, f)
+            if (len >= 0 && len <= bytes.length - off - 4) len else -1
+          }
+          def hasNext: Boolean =
+            idx < m.nFrames && off + 4 <= bytes.length && frameLen >= 0
+          def next(): (Int, Array[Byte]) = {
+            val len = frameLen
+            val out = (idx, java.util.Arrays.copyOfRange(bytes, off + 4,
+              off + 4 + len))
             idx += 1
             off += 4 + len
+            // skip (copy-free) to the next sampled frame
+            var toSkip = step - 1
+            while (toSkip > 0 && idx < m.nFrames &&
+              off + 4 <= bytes.length && frameLen >= 0) {
+              off += 4 + frameLen
+              idx += 1
+              toSkip -= 1
+            }
             out
           }
         }
     }
+  }
 
   /** Build a container from encoded image frames (test/fixture path —
     * a real pipeline would transcode upstream). */

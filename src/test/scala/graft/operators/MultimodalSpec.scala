@@ -145,6 +145,29 @@ class MultimodalSpec extends SparkSpec {
     assert(VideoCodec.frames(cut).length == 5)
     assert(VideoCodec.frames(Array[Byte](1, 2, 3)).isEmpty)
     assert(VideoCodec.decodeMeta("RIFFxxxx".getBytes).isEmpty)
+    // crafted huge frame length: the subtraction-form bound check
+    // rejects it instead of overflowing into a throwing copy
+    val evil = "GMJ1".getBytes ++
+      Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 0x7F, -1, -1, -1) ++
+      Array.fill[Byte](4)(0)
+    assert(VideoCodec.frames(evil).isEmpty)
+    // step skips without copying; indices are the sampled ones
+    assert(VideoCodec.frames(vid, step = 2).map(_._1).toSeq == Seq(0, 2, 4))
+    assert(VideoCodec.frames(vid, step = 4).map(_._1).toSeq == Seq(0, 4))
+  }
+
+  test("withVideoMeta: fps=0 header yields null duration (unknown), " +
+      "not a fabricated zero") {
+    import spark.implicits._
+    val still = VideoCodec.synthMotionImage(fps = 1,
+      Seq(encode(makeImage(8, 8, 1), "png")))
+    // hand-patch fps to 0 (offset 8..11 in the header)
+    still(8) = 0; still(9) = 0; still(10) = 0; still(11) = 0
+    val r = Multimodal.withVideoMeta(
+      Seq(Tuple1(still)).toDF("content"), "content")
+      .select("video_meta.n_frames", "video_meta.fps",
+        "video_meta.duration_s").head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 0 && r.isNullAt(2))
   }
 
   test("video pipeline end-to-end: binaryFile source → meta → frame " +
