@@ -932,7 +932,7 @@ object SparkEntry {
          |        / CAST(len(toks) AS DOUBLE) END AS symbol_ratio,
          |    CASE WHEN len(toks) = 0 THEN 0.0
          |      ELSE CAST(len(list_filter(toks,
-         |          x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |          x -> regexp_matches(x, '${graft.functions.TextFunctions.GopherAlphaPattern}'))) AS DOUBLE)
          |        / CAST(len(toks) AS DOUBLE) END AS alpha_word_ratio,
          |    CASE WHEN len(lines) = 0 THEN 0.0
          |      ELSE CAST(len(list_filter(lines, l ->

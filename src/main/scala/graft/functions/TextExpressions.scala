@@ -275,6 +275,11 @@ case class CharBigramLmScore(child: Expression,
     model: java.util.HashMap[String, java.lang.Double], unseenLnp: Double)
     extends UnaryStringExpression {
   require(!model.isEmpty, "bigram model must be non-empty")
+  // doGenCode interpolates unseenLnp as a Java literal; -Infinity/NaN
+  // would emit uncompilable source (silent interpreted fallback at
+  // best) — and a non-finite floor is a model-fit bug anyway
+  require(java.lang.Double.isFinite(unseenLnp),
+    s"unseenLnp must be finite, got $unseenLnp")
   override def dataType: DataType = StructType(Seq(
     StructField("n_bigrams", LongType, nullable = false),
     StructField("mean_lnp", DoubleType, nullable = false)))

@@ -103,6 +103,14 @@ object TextFunctions {
   val GopherStopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Alpha-word test pattern (rule 6) — a Unicode letter class, so
+    * accented / Cyrillic / CJK words count as alphabetic (Gopher's
+    * "contains at least one alphabetic character" is not
+    * English-only). `\p{L}` is the Unicode letter category in BOTH
+    * Java regex and RE2, and this val is interpolated into the DuckDB
+    * oracle twin so the two sides cannot drift. */
+  val GopherAlphaPattern: String = "\\p{L}"
+
   /** Gopher rule thresholds — single definition shared by
     * [[gopherRules]] AND interpolated into the DuckDB oracle twin
     * (`SparkEntry.oracleSql("gopher_quality")`), so editing a rule
@@ -154,7 +162,7 @@ object TextFunctions {
       .otherwise(bulletLines.cast("double") / nLines.cast("double"))
     val ellipsisRatio = when(nLines === 0, 0.0)
       .otherwise(ellipsisLines.cast("double") / nLines.cast("double"))
-    val alphaWords = size(filter(words, w => w.rlike("[a-z]")))
+    val alphaWords = size(filter(words, w => w.rlike(GopherAlphaPattern)))
     val alphaRatio = when(n === 0, 0.0)
       .otherwise(alphaWords.cast("double") / nD)
     val nStop = GopherStopWords

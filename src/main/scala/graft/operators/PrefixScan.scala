@@ -55,7 +55,13 @@ object PrefixScan {
           Row.fromSeq(r.toSeq :+ run)
         }
       }
-      spark.createDataFrame(out, outSchema).drop("__v")
+      // Materialize BEFORE releasing the cache: createDataFrame is
+      // lazy, and the cache is what guarantees pass-2 rows match the
+      // pass-1 partition totals when upstream lineage is
+      // nondeterministic (rand-derived columns, tie-arbitrary
+      // first-wins). localCheckpoint is eager and truncates lineage,
+      // so the caller never re-runs the sort with the cache gone.
+      spark.createDataFrame(out, outSchema).drop("__v").localCheckpoint()
     } finally { rdd.unpersist(); () }
   }
 

@@ -48,6 +48,11 @@ object Profile {
   /** Per-column (column, n_rows, n_nulls, n_distinct), one row per
     * profiled column, ordered by column name.
     *
+    * ==BEHAVIOR CHANGE (round 4)== `n_distinct` defaults to an
+    * ESTIMATE: earlier versions computed exact `countDistinct`;
+    * callers that relied on exact cardinalities must now pass
+    * `exact = true` explicitly.
+    *
     * Distinct counts are HyperLogLog estimates by default (~2% error,
     * one plain aggregation pass): exact multi-column `countDistinct`
     * makes Catalyst Expand the scan — every input row is replayed once

@@ -47,7 +47,8 @@ object Sampling {
     * which selects row i with probability proportional to weight i.
     * Plans as one narrow map + `TakeOrderedAndProject` — per-partition
     * heaps, no shuffle of the corpus. Rows with weight <= 0 or null
-    * never win (score +inf).
+    * are filtered out in BOTH modes — they never appear in the result
+    * even when n exceeds the number of eligible rows.
     *
     * `roundKeys=false` (default) ranks raw doubles — exact E-S, but
     * ln() is libm-dependent at the ulp level, so the winner set near
@@ -73,14 +74,16 @@ object Sampling {
         .orderBy(col("__graft_ws").asc, col(idCol).asc)
         .limit(n)
         .drop("__graft_ws")
-    else {
-      val score = when(w.isNull || w <= 0.0, lit(Double.PositiveInfinity))
-        .otherwise(-log(u) / w)
-      df.withColumn("__graft_ws", score)
+    else
+      // same eligibility as roundKeys mode: null/non-positive weights
+      // are excluded outright, so both modes agree on membership even
+      // when n exceeds the eligible-row count (a +inf sentinel would
+      // let them leak back in exactly then)
+      df.filter(w.isNotNull && w > 0.0)
+        .withColumn("__graft_ws", -log(u) / w)
         .orderBy(col("__graft_ws").asc, col(idCol).asc)
         .limit(n)
         .drop("__graft_ws")
-    }
   }
 
   /** Deterministic STRATIFIED sampling — the "rebalance the language /

@@ -124,6 +124,37 @@ class TextFunctionsSpec extends SparkSpec {
     assert(byId(6L).getAs[Long]("n_stop_distinct") == 0L)
   }
 
+  test("gopherRules alpha-word rule accepts non-ASCII letters") {
+    import spark.implicits._
+    val stops = "the be to of and that have with "
+    // 50+ words, all containing letters — but accented/Cyrillic, not
+    // just ASCII [a-z]; Gopher's rule is "contains an alphabetic
+    // character", not "contains an English letter"
+    val accented = (stops + "café naïve résumé über señor niño ") * 5
+    val cyrillic = (stops + "привет мир хорошо день свет слово ") * 5
+    val rows = Seq((1L, accented.trim), (2L, cyrillic.trim))
+      .toDF("id", "t")
+      .select(col("id"), gopherRules(col("t")).as("g"))
+      .select(col("id"), col("g.alpha_word_ratio"), col("g.keep"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) == 1.0,
+        s"id ${r.getLong(0)}: alpha ratio ${r.getDouble(1)}")
+      assert(r.getInt(2) == 1, s"id ${r.getLong(0)} rejected")
+    }
+  }
+
+  test("char_bigram_lm rejects a non-finite unseen floor at " +
+      "construction (codegen literal safety)") {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    m.put("ab", -1.0)
+    intercept[IllegalArgumentException] {
+      CharBigramLmScore(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abc")),
+        m, Double.NegativeInfinity)
+    }
+  }
+
   test("SQL registration with arity validation") {
     TextFunctions.registerAll(spark)
     assert(spark.sql("SELECT lang_id('the cat is on the mat')")

@@ -71,6 +71,29 @@ class PrefixScanSpec extends SparkSpec {
       (5L, 10L, 1L)))
   }
 
+  test("runningSum output is internally consistent on nondeterministic " +
+      "input (cache held until materialization)") {
+    import spark.implicits._
+    // unseeded rand(): every recomputation draws new values. If pass 2
+    // re-ran after the cache was dropped, partition offsets from pass 1
+    // would be added to DIFFERENT values and the running totals would
+    // not telescope. The eager localCheckpoint pins one materialization.
+    val df = spark.range(1, 2001).toDF("id")
+      .withColumn("len", floor(rand() * 10).cast("long"))
+      .repartition(8)
+    val out = PrefixScan.runningSum(df, Seq("id"), "len", "cum")
+      .orderBy("id").select("id", "len", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var run = 0L
+    out.foreach { case (id, len, cum) =>
+      run += len
+      assert(cum == run, s"row $id: cum $cum != running $run")
+    }
+    // and repeated actions on the SAME frame agree (lineage truncated)
+    val again = PrefixScan.runningSum(df, Seq("id"), "len", "cum")
+    assert(again.collect().toSeq == again.collect().toSeq)
+  }
+
   test("output-column collision is rejected") {
     import spark.implicits._
     intercept[IllegalArgumentException] {

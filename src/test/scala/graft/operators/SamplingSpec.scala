@@ -97,6 +97,19 @@ class SamplingSpec extends SparkSpec {
     assert(winners == Set(1L, 5L))
   }
 
+  test("weightedSample: both modes exclude ineligible rows even when n " +
+      "exceeds the eligible count") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5.0)), (2L, Some(0.0)), (3L, None),
+      (4L, Some(-2.0)), (5L, Some(1.0))).toDF("id", "w")
+    for (mode <- Seq(false, true)) {
+      val got = Sampling.weightedSample(df, "id", "w", n = 4,
+          roundKeys = mode)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 5L), s"roundKeys=$mode returned $got")
+    }
+  }
+
   test("weightedSample plans a TakeOrderedAndProject, no corpus shuffle") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, 1.0)).toDF("id", "w")
