@@ -702,6 +702,15 @@ object SparkEntry {
       graft.operators.TextAnalysis.charBigramScore(
         t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Okapi BM25 lexical top-k: postings fit + filtered-postings
+    // search; per-term contributions decimal(20,8)-rounded before the
+    // per-doc sum, so the score is order-independent despite ln idf
+    "bm25_topk" -> ((s, dir) => {
+      val idx = graft.operators.Bm25.fit(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.Bm25.search(idx,
+        Seq("spark", "hash", "window"), k = 20)
+    }),
     // Lee-et-al ExactSubstr proxy: per-doc duplicated-k-gram span
     // stats. Literal grams here (engine-portable oracle); the
     // xxhash64 8-byte-token scale variant is unit-pinned equal
@@ -1448,6 +1457,42 @@ object SparkEntry {
     // ordered list_sum twin of the Scala fold: list(lnp ORDER BY pos)
     // fixes the accumulation order on both engines
     "lm_score_docs" -> lmScoreSql,
+    // BM25 twin: same fit/score arithmetic in the same operation
+    // order; inexact literals (k1=1.2, k1+1=2.2) enter via string→
+    // double parse (correctly rounded on both engines), contributions
+    // are decimal(20,8) before SUM (exact, order-free), and the final
+    // score crosses the decimal→double bridge via VARCHAR
+    "bm25_topk" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+         |  GROUP BY doc_id, token),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         |stats AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM dl),
+         |post AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, dl.dl
+         |  FROM tf JOIN dl USING (doc_id)),
+         |idf AS (
+         |  SELECT token,
+         |    ln(1.0 + (CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5)
+         |      / (df + 0.5)) AS idf
+         |  FROM (SELECT token, COUNT(*) AS df FROM post GROUP BY token)
+         |  WHERE token IN ('spark', 'hash', 'window'))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+         |  CAST(CAST(SUM(CAST(
+         |    idf * (CAST(tf AS DOUBLE) * CAST('2.2' AS DOUBLE))
+         |      / (CAST(tf AS DOUBLE) + CAST('1.2' AS DOUBLE) *
+         |        (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         |          / (SELECT avgdl FROM stats)))
+         |    AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS score
+         |FROM post JOIN idf USING (token)
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // integer gaps-and-islands twin of the Spark window span merge;
     // first dup position: pos - NULL > k is NULL → ELSE 0 (both
     // engines), so island numbering starts at 0 on each side

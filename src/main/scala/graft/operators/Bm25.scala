@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 lexical retrieval (Robertson et al., TREC-3; the Lucene
+  * `k1`/`b` convention) — the keyword-search complement to the
+  * embedding k-NN operators: the reference's corpus search is purely
+  * vector-based (`/root/reference/vsu/base/VectorSearchBase.py:193-202`),
+  * and a training-data pipeline needs the lexical side too (benchmark
+  * sweeps, targeted corpus probes, hybrid retrieval).
+  *
+  * Scale shape — classic search-engine split:
+  *   - FIT (offline, once): explode → one partial-aggregated hash
+  *     aggregation by (doc, token) for tf; document length computed in
+  *     a NARROW second scan (`size(tokens(text))` — no shuffle) and
+  *     denormalized onto the postings by an AQE-planned equi-join, so
+  *     the search path never touches the corpus again. df per token is
+  *     one more partial aggregation of the (already slim) postings.
+  *   - SEARCH (per query): filter postings to the query's terms (an
+  *     `isin` that pushes into the postings scan), broadcast-join the
+  *     |query|-row idf frame, per-posting contribution, one slim hash
+  *     aggregation by doc over ONLY matching postings, top-k via
+  *     `TakeOrderedAndProject`. The corpus-sized frames are never
+  *     shuffled at search time.
+  *
+  * Determinism (oracle contract): idf uses `ln` (ulp-unstable across
+  * libms), so each per-term contribution is rounded to decimal(20,8)
+  * BEFORE the per-doc sum — decimal addition is exact and
+  * order-independent, which makes the score independent of partition
+  * layout and identical in the DuckDB twin. The final score surfaces
+  * via the VARCHAR bridge (decimal→double casts differ by 1 ulp
+  * between engines otherwise).
+  */
+object Bm25 {
+
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+
+  /** Postings + corpus statistics. `postings` = (id, token, tf, dl);
+    * `docFreq` = (token, df); `nDocs`/`avgdl` are the two driver-side
+    * scalars (exact long / one fixed division). */
+  final case class Bm25Index(postings: DataFrame, docFreq: DataFrame,
+      nDocs: Long, avgdl: Double)
+
+  /** Build the index frames. Nothing is cached or collected beyond the
+    * two scalars; persist `postings`/`docFreq` (ideally bucketed by
+    * token) for repeated querying at scale. */
+  def fit(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    require(docs.columns.contains(idCol) && docs.columns.contains(textCol),
+      s"need $idCol and $textCol")
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    val postings = tf.join(dl, Seq(idCol))
+    val docFreq = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)), sum("dl")).head
+    val n = stats.getLong(0)
+    val avgdl =
+      if (n == 0L) 0.0 else stats.getLong(1).toDouble / n.toDouble
+    Bm25Index(postings, docFreq, n, avgdl)
+  }
+
+  /** Top-k BM25 search. Returns (idCol, n_matched, score) ordered by
+    * (score desc, id) — `score` is the decimal-exact sum of per-term
+    * contributions surfaced as double, `n_matched` the number of
+    * distinct query terms present. Empty-corpus or no-term queries
+    * return an empty frame of the right schema. */
+  def search(index: Bm25Index, terms: Seq[String], k: Int,
+      idCol: String = "doc_id", k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qTerms = terms.map(_.toLowerCase).distinct
+    val empty = index.postings
+      .select(col(idCol), lit(0L).as("n_matched"),
+        lit(0.0).as("score")).limit(0)
+    if (qTerms.isEmpty || index.nDocs == 0L) return empty
+    // Lucene's non-negative BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5))
+    val idf = index.docFreq.filter(col("token").isin(qTerms: _*))
+      .withColumn("idf", log(lit(1.0) +
+        (lit(index.nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+    val normLen = lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast("double") / lit(index.avgdl))
+    val contrib = (col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + normLen)).cast("decimal(20,8)")
+    index.postings.filter(col("token").isin(qTerms: _*))
+      .join(broadcast(idf), Seq("token"))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_matched"),
+        sum(contrib).as("__s"))
+      .select(col(idCol), col("n_matched"),
+        col("__s").cast("string").cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark shuffle join spark spark"), // tf(spark)=3, short
+      (2L, "spark hash join and the table scan plan"), // tf(spark)=1
+      (3L, "rows and columns and the batch"), // no query terms
+      (4L, "spark spark"), // tf=2, very short doc
+      (5L, "quantum flux")) // rare terms only
+      .toDF("doc_id", "text")
+  }
+
+  test("bm25: higher tf wins at similar length, non-matching docs absent") {
+    val idx = Bm25.fit(corpus, "doc_id", "text")
+    val got = Bm25.search(idx, Seq("spark"), k = 10).collect()
+    val ids = got.map(_.getLong(0))
+    assert(!ids.contains(3L) && !ids.contains(5L))
+    // doc 4 (tf 2 over dl 2) outranks doc 2 (tf 1 over dl 8)
+    val score = got.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(score(1L) > score(2L))
+    assert(score(4L) > score(2L))
+  }
+
+  test("bm25: rare query term contributes more than a stopword-like one") {
+    val idx = Bm25.fit(corpus, "doc_id", "text")
+    // "quantum" appears in 1/5 docs, "and" in 2/5 — doc 5's single
+    // rare term must outscore doc 3's single common term
+    val got = Bm25.search(idx, Seq("quantum", "and"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(5L) > got(3L))
+  }
+
+  test("bm25 score is partitioning-independent (decimal contributions)") {
+    import spark.implicits._
+    val docs = (1 to 300).map { i =>
+      (i.toLong, ("w" + i % 17 + " ") * (i % 9 + 1) + "spark merge sort")
+    }.toDF("doc_id", "text")
+    val a = Bm25.search(Bm25.fit(docs, "doc_id", "text"),
+      Seq("spark", "w3", "w9"), k = 20).collect().toSeq
+    val b = Bm25.search(Bm25.fit(docs.repartition(13), "doc_id", "text"),
+      Seq("spark", "w3", "w9"), k = 20).collect().toSeq
+    assert(a == b)
+  }
+
+  test("bm25 search plans broadcast idf join + TakeOrderedAndProject") {
+    val idx = Bm25.fit(corpus, "doc_id", "text")
+    val plan = Bm25.search(idx, Seq("spark", "join"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), s"idf side not broadcast:\n$plan")
+  }
+
+  test("bm25 degenerate inputs: empty corpus, empty query") {
+    import spark.implicits._
+    val emptyIdx = Bm25.fit(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(Bm25.search(emptyIdx, Seq("x"), 5).count() == 0L)
+    val idx = Bm25.fit(corpus, "doc_id", "text")
+    assert(Bm25.search(idx, Seq.empty, 5).count() == 0L)
+    assert(Bm25.search(idx, Seq("zzz_absent"), 5).count() == 0L)
+  }
+}
