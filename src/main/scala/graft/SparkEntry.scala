@@ -282,6 +282,19 @@ object SparkEntry {
           col("q.stopword_ratio").as("stopword_ratio"),
           col("q.quality_score").as("quality_score"))
         .orderBy("doc_id")),
+    // token-budget selection: greedy best-quality-first fill of a
+    // fixed token budget via the two-phase prefix scan (no global
+    // window); running total is exact long addition in quality order
+    "budget_select" -> ((s, dir) => {
+      val q = t(s, dir, "documents")
+        .select(col("doc_id"), qualityFeatures(col("text")).as("q"))
+        .select(col("doc_id"),
+          col("q.n_tokens").cast("long").as("n_tokens"),
+          col("q.quality_score").as("quality_score"))
+      graft.operators.PrefixScan.takeByBudget(q, "n_tokens", budget = 8000L,
+        orderBy = Seq(col("quality_score").desc, col("doc_id").asc))
+        .orderBy("doc_id")
+    }),
     // the full Gopher rule set (word count / word length / symbol /
     // bullet / ellipsis / alpha-word / stop-word rules) — exact
     // integer metrics, one fixed division each, keep as INT
@@ -702,6 +715,12 @@ object SparkEntry {
       graft.operators.TextAnalysis.charBigramScore(
         t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // CCNet-style perplexity terciles: LM score (zero-shuffle kernel
+    // map) + exact tercile cut-points → head/middle/tail buckets
+    "ccnet_buckets" -> ((s, dir) =>
+      graft.operators.TextAnalysis.perplexityBuckets(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // Okapi BM25 lexical top-k: postings fit + filtered-postings
     // search; per-term contributions decimal(20,8)-rounded before the
     // per-doc sum, so the score is order-independent despite ln idf
@@ -922,6 +941,27 @@ object SparkEntry {
     GopherMinMeanWordLen, GopherMaxMeanWordLen, GopherMaxSymbolRatio,
     GopherMaxBulletRatio, GopherMaxEllipsisRatio, GopherMinAlphaRatio,
     GopherMinStopWords}
+
+  // DuckDB twin of TextFunctions.qualityFeatures, shared by
+  // doc_quality and budget_select (single definition, no drift)
+  private val docQualitySql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS avg_token_len,
+       |    CASE WHEN len(text) = 0 THEN 0.0
+       |      ELSE CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS alpha_ratio,
+       |    CASE WHEN len(text) = 0 THEN 0.0
+       |      ELSE CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS punct_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE CAST(len(list_distinct(list_intersect(toks, ['the','a','and','of','to','in','is','it','that','for']))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+       |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))
+       |SELECT doc_id, n_tokens, avg_token_len, alpha_ratio, punct_ratio, stopword_ratio,
+       |  least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4 + alpha_ratio * 0.3 +
+       |  least(stopword_ratio * 5.0, 1.0) * 0.2 +
+       |  (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1 AS quality_score
+       |FROM f ORDER BY doc_id""".stripMargin
 
   private val gopherQualitySql: String =
     s"""WITH w AS (
@@ -1166,24 +1206,19 @@ object SparkEntry {
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
         "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe " +
         "FROM documents ORDER BY doc_id"),
-    "doc_quality" ->
-      s"""WITH f AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_tokens,
-         |    CASE WHEN len(toks) = 0 THEN 0.0
-         |      ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS avg_token_len,
-         |    CASE WHEN len(text) = 0 THEN 0.0
-         |      ELSE CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS alpha_ratio,
-         |    CASE WHEN len(text) = 0 THEN 0.0
-         |      ELSE CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS punct_ratio,
-         |    CASE WHEN len(toks) = 0 THEN 0.0
-         |      ELSE CAST(len(list_distinct(list_intersect(toks, ['the','a','and','of','to','in','is','it','that','for']))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
-         |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))
-         |SELECT doc_id, n_tokens, avg_token_len, alpha_ratio, punct_ratio, stopword_ratio,
-         |  least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4 + alpha_ratio * 0.3 +
-         |  least(stopword_ratio * 5.0, 1.0) * 0.2 +
-         |  (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1 AS quality_score
-         |FROM f ORDER BY doc_id""".stripMargin,
+    "doc_quality" -> docQualitySql,
+    // greedy budget fill composed verbatim from the doc_quality twin;
+    // the running sum is exact BIGINT addition in an explicit-ROWS
+    // window ordered by the (engine-identical) quality score
+    "budget_select" ->
+      s"""SELECT doc_id, n_tokens, quality_score, budget_used FROM (
+         |  SELECT doc_id, n_tokens, quality_score,
+         |    CAST(SUM(n_tokens) OVER (
+         |      ORDER BY quality_score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS budget_used
+         |  FROM ($docQualitySql))
+         |WHERE budget_used <= 8000 ORDER BY doc_id""".stripMargin,
     // integer-derived metrics with one fixed division each; the
     // rule thresholds compare identical doubles on both engines
     "gopher_quality" -> gopherQualitySql,
@@ -1457,6 +1492,35 @@ object SparkEntry {
     // ordered list_sum twin of the Scala fold: list(lnp ORDER BY pos)
     // fixes the accumulation order on both engines
     "lm_score_docs" -> lmScoreSql,
+    // tercile twin composed from the shared LM twin + the exact
+    // type-7 quantile shape of value_quantiles; tercile probabilities
+    // are the same double division on both engines (CAST(1 AS
+    // DOUBLE)/3 ≡ Scala 1.0/3), and the interpolation is one fixed
+    // double expression over the decimal-rounded scores
+    "ccnet_buckets" ->
+      s"""WITH base AS ($lmScoreSql),
+         |ranked AS (
+         |  SELECT lm_score AS v,
+         |    row_number() OVER (ORDER BY lm_score) AS rn FROM base),
+         |counts AS (SELECT COUNT(*) AS n FROM base),
+         |bounds AS (
+         |  SELECT p,
+         |    CAST(floor(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) + 1 AS lo,
+         |    least(CAST(ceil(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) + 1, n) AS hi,
+         |    CAST(n - 1 AS DOUBLE) * p - floor(CAST(n - 1 AS DOUBLE) * p) AS g
+         |  FROM counts, (SELECT CAST(1 AS DOUBLE) / 3 AS p
+         |                UNION ALL SELECT CAST(2 AS DOUBLE) / 3) ps),
+         |q AS (
+         |  SELECT b.p, (1.0 - b.g) * l.v + b.g * h.v AS t
+         |  FROM bounds b
+         |  JOIN ranked l ON l.rn = b.lo
+         |  JOIN ranked h ON h.rn = b.hi),
+         |thr AS (SELECT min(t) AS tlo, max(t) AS thi FROM q)
+         |SELECT doc_id, n_bigrams, lm_score,
+         |  CASE WHEN lm_score >= (SELECT thi FROM thr) THEN 'head'
+         |       WHEN lm_score >= (SELECT tlo FROM thr) THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM base ORDER BY doc_id""".stripMargin,
     // BM25 twin: same fit/score arithmetic in the same operation
     // order; inexact literals (k1=1.2, k1+1=2.2) enter via string→
     // double parse (correctly rounded on both engines), contributions

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** Distributed prefix scan and the sequence-packing operator built on
   * it — the "concatenate the corpus and cut it into fixed-size context
@@ -26,12 +26,18 @@ object PrefixScan {
     * pass a unique tiebreaker for full determinism). `valueCol` must
     * be integral; nulls count as 0. */
   def runningSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      outCol: String = "running_total"): DataFrame =
+    runningSumBy(df, orderCols.map(col), valueCol, outCol)
+
+  /** [[runningSum]] with arbitrary order expressions (e.g. a `desc`
+    * priority with an id tiebreak). */
+  def runningSumBy(df: DataFrame, orderBy: Seq[Column], valueCol: String,
       outCol: String = "running_total"): DataFrame = {
-    require(orderCols.nonEmpty, "order columns required")
+    require(orderBy.nonEmpty, "order columns required")
     require(!df.columns.contains(outCol),
       s"output column '$outCol' collides — rename one")
     val spark = df.sparkSession
-    val sorted = df.orderBy(orderCols.map(col): _*)
+    val sorted = df.orderBy(orderBy: _*)
       .withColumn("__v", coalesce(col(valueCol).cast(LongType), lit(0L)))
     val vIdx = sorted.schema.fieldIndex("__v")
     val rdd = sorted.rdd
@@ -63,6 +69,20 @@ object PrefixScan {
       // so the caller never re-runs the sort with the cache gone.
       spark.createDataFrame(out, outSchema).drop("__v").localCheckpoint()
     } finally { rdd.unpersist(); () }
+  }
+
+  /** Token-budget selection — "fill an N-token training budget with
+    * the best documents first": rows are ranked by `orderBy` (pass a
+    * priority desc + unique id tiebreak for determinism) and kept
+    * greedily while the inclusive running sum of `valueCol` stays
+    * within `budget`. Returns the kept rows plus `outCol` (tokens used
+    * through this row). Same two-phase scan shape as [[runningSum]] —
+    * no global window, no driver-side data. */
+  def takeByBudget(df: DataFrame, valueCol: String, budget: Long,
+      orderBy: Seq[Column], outCol: String = "budget_used"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    runningSumBy(df, orderBy, valueCol, outCol)
+      .filter(col(outCol) <= budget)
   }
 
   /** Per-key sequence packing: one concatenated stream PER KEY (e.g.

@@ -125,6 +125,43 @@ object TextAnalysis {
             .cast("decimal(18,6)").cast("double").as("lm_score"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document with the char-bigram LM and split the corpus into
+    * `head` / `middle` / `tail` terciles by score — head (lowest
+    * perplexity = highest mean log-prob) is the "cleanest third" that
+    * CCNet feeds to training first. Returns (idCol, n_bigrams,
+    * lm_score, bucket); documents too short to score drop out (as in
+    * [[charBigramScore]]).
+    *
+    * Scale shape: the scoring pass is the zero-shuffle kernel map of
+    * [[charBigramScore]]; the tercile cut-points are two driver-side
+    * scalars. With `approx = false` they come from [[Quantiles.exact]]
+    * (rank window — EXACT and oracle-comparable, but the constant-key
+    * window sorts all scores in one task: fine to ~10⁸ rows, not at
+    * 100 TB). With `approx = true` they come from a t-digest
+    * `approx_percentile` — one partial-aggregated pass, the 100 TB
+    * default; bucket edges then carry sketch error, which CCNet
+    * itself tolerates (its buckets are heuristic thirds). */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      approx: Boolean = false): DataFrame = {
+    val scored = charBigramScore(df, idCol, textCol)
+    val ps = Seq(1.0 / 3, 2.0 / 3)
+    val thr: Seq[Double] =
+      if (approx) {
+        val r = scored.agg(percentile_approx(col("lm_score"),
+          array(ps.map(lit): _*), lit(10000))).head
+        r.getSeq[Double](0).toSeq
+      } else
+        Quantiles.exact(scored.withColumn("__k", lit(1)), Seq("__k"),
+          "lm_score", ps)
+          .orderBy("p").select("quantile").collect().map(_.getDouble(0)).toSeq
+    val (tLo, tHi) = (thr(0), thr(1))
+    scored.withColumn("bucket",
+      when(col("lm_score") >= tHi, lit("head"))
+        .when(col("lm_score") >= tLo, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   /** Gopher-style repetition signal: per document, the share of
     * bigrams taken by the single most repeated bigram — boilerplate,
     * keyword-stuffed, and loop-generated pages score high and get

@@ -94,6 +94,26 @@ class PrefixScanSpec extends SparkSpec {
     assert(again.collect().toSeq == again.collect().toSeq)
   }
 
+  test("takeByBudget fills the budget greedily in priority order") {
+    import spark.implicits._
+    // priorities 5,4,3,2,1 with costs 4,4,4,4,4 and budget 10:
+    // the two best fit (cum 4, 8); the third would overflow (12)
+    val df = Seq((1L, 9.0, 4L), (2L, 7.0, 4L), (3L, 5.0, 4L),
+      (4L, 3.0, 4L), (5L, 1.0, 4L)).toDF("id", "prio", "cost")
+    val got = PrefixScan.takeByBudget(df, "cost", budget = 10L,
+      orderBy = Seq(col("prio").desc, col("id").asc))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 4L), (2L, 8L)))
+    // a later cheap row does NOT leapfrog the overflowing one: greedy
+    // prefix semantics, not knapsack
+    val df2 = Seq((1L, 9.0, 4L), (2L, 7.0, 8L), (3L, 5.0, 1L))
+      .toDF("id", "prio", "cost")
+    val got2 = PrefixScan.takeByBudget(df2, "cost", budget = 5L,
+      orderBy = Seq(col("prio").desc, col("id").asc))
+      .select("id").collect().map(_.getLong(0))
+    assert(got2.toSeq == Seq(1L))
+  }
+
   test("output-column collision is rejected") {
     import spark.implicits._
     intercept[IllegalArgumentException] {

@@ -96,6 +96,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores(1L) > scores(3L) && scores(2L) > scores(3L))
   }
 
+  test("perplexityBuckets: thirds by LM score, head is the cleanest, " +
+      "approx mode agrees away from the cut") {
+    import spark.implicits._
+    // 30 docs: 10 clean english-ish, 10 mildly repetitive, 10 gibberish
+    val docs = ((1 to 10).map(i => (i.toLong, s"the cat sat on the mat $i")) ++
+      (11 to 20).map(i => (i.toLong, s"ab ab ab ba ab $i")) ++
+      (21 to 30).map(i => (i.toLong, s"qz xj zq jx wv $i"))).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    assert(out.length == 30)
+    val byBucket = out.groupBy(_._3)
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // every head score >= every middle score >= every tail score
+    assert(byBucket("head").map(_._2).min >=
+      byBucket("middle").map(_._2).max)
+    assert(byBucket("middle").map(_._2).min >=
+      byBucket("tail").map(_._2).max)
+    // buckets are ~thirds (interpolated edges may shift one doc)
+    assert(byBucket.values.forall(g => g.length >= 8 && g.length <= 12))
+    // approx mode: same ordering property (edges may differ slightly)
+    val approx = TextAnalysis.perplexityBuckets(docs, "doc_id", "text",
+      approx = true)
+      .collect().map(r => (r.getDouble(2), r.getString(3)))
+      .groupBy(_._2)
+    assert(approx("head").map(_._1).min >= approx("tail").map(_._1).max)
+  }
+
   test("charBigramScore on an empty/too-short corpus returns an empty " +
       "frame with the right schema, not an error") {
     import spark.implicits._
