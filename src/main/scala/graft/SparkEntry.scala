@@ -664,6 +664,15 @@ object SparkEntry {
         Map("en" -> 0.25, "de" -> 0.5, "fr" -> 1.0, "es" -> 0.125),
         defaultFraction = 0.5)
         .orderBy("doc_id")),
+    // target-mix rebalance: largest achievable downsample total T =
+    // min(n_k/p_k), per-key md5-threshold fractions f_k = p_k·T/n_k —
+    // one count pass + the narrow deterministic stratified filter
+    "domain_mix" -> ((s, dir) =>
+      graft.operators.Sampling.rebalanceToMix(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        Map("en" -> 0.3, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2,
+          "zh" -> 0.1))
+        .orderBy("doc_id")),
     // Unicode hygiene: NFC + accent strip (identity on this ASCII
     // corpus — the oracle checks the plumbing; real accent/combining
     // cases are unit-tested)
@@ -1456,6 +1465,31 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000'
         |            WHEN 'fr' THEN 'g' WHEN 'es' THEN '2000'
         |            ELSE '8000' END
+        |ORDER BY doc_id""".stripMargin,
+    // rebalance twin: identical fixed-order double arithmetic for
+    // T = min(n/p) and f = p*T/n, then the same round(f*65536)
+    // threshold (half-up ≡ half-away for positives) with the ≥65536 →
+    // 'g' keep-all sentinel, probed by the same md5-of-id filter
+    "domain_mix" ->
+      """WITH mix(k, p) AS (VALUES ('en', 0.3), ('de', 0.2), ('fr', 0.2),
+        |    ('es', 0.2), ('zh', 0.1)),
+        |cnt AS (
+        |  SELECT lang AS k, COUNT(*) AS n FROM documents
+        |  WHERE lang IN (SELECT k FROM mix) GROUP BY lang),
+        |tt AS (
+        |  SELECT min(CAST(n AS DOUBLE) / CAST(p AS DOUBLE)) AS t
+        |  FROM cnt JOIN mix USING (k)),
+        |thr AS (
+        |  SELECT k,
+        |    CASE WHEN CAST(round(
+        |        CAST(p AS DOUBLE) * (SELECT t FROM tt) / CAST(n AS DOUBLE)
+        |        * 65536) AS BIGINT) >= 65536 THEN 'g'
+        |      ELSE printf('%04x', CAST(round(
+        |        CAST(p AS DOUBLE) * (SELECT t FROM tt) / CAST(n AS DOUBLE)
+        |        * 65536) AS BIGINT)) END AS t
+        |  FROM cnt JOIN mix USING (k))
+        |SELECT doc_id, lang FROM documents JOIN thr ON lang = thr.k
+        |WHERE md5(CAST(doc_id AS VARCHAR)) < thr.t
         |ORDER BY doc_id""".stripMargin,
     "normalize_docs" ->
       """SELECT doc_id, strip_accents(nfc_normalize(text)) AS norm_text

@@ -86,6 +86,49 @@ object Sampling {
         .drop("__graft_ws")
   }
 
+  /** Rebalance the corpus toward a target key mix — "make the training
+    * set 30% en / 20% de / ..." — by DOWN-sampling only (no row is
+    * duplicated): find the largest total T whose mix is achievable,
+    * `T = min_k(n_k / p_k)`, derive per-key keep fractions
+    * `f_k = p_k · T / n_k`, and apply them via the deterministic
+    * md5-threshold sampler. The binding (most under-represented
+    * relative to its target) key keeps fraction 1; keys absent from
+    * `targetMix` are dropped.
+    *
+    * Determinism & scale: one partial-aggregated count pass with
+    * |targeted keys| rows to the driver; the selection itself is the
+    * narrow no-shuffle [[stratifiedHashSample]] filter, a pure
+    * function of the data (same sample on any engine / partitioning).
+    * Targeted keys with zero rows are unattainable and are ignored in
+    * the T computation (the achievable mix covers present keys only).
+    * Fractions honor targets to the sampler's ±1/65536 threshold
+    * granularity. */
+  def rebalanceToMix(df: DataFrame, idCol: String, keyCol: String,
+      targetMix: Map[String, Double]): DataFrame = {
+    require(targetMix.nonEmpty, "target mix must be non-empty")
+    require(targetMix.values.forall(p => p > 0.0 && p <= 1.0),
+      "target proportions must be in (0, 1]")
+    val keys = targetMix.keys.toSeq
+    val counts = df
+      .filter(col(keyCol).cast("string").isin(keys: _*))
+      .groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df.limit(0)
+    // largest achievable total, then per-key fractions — plain double
+    // arithmetic in a FIXED operation order ((p * T) / n), mirrored by
+    // the oracle twin so both engines derive identical thresholds
+    val t = counts.map { case (k, n) => n.toDouble / targetMix(k) }.min
+    // the binding key's fraction is 1 up to double rounding (p·(n/p)/n
+    // can land 1 ulp above 1.0); the cap changes nothing below 1 and
+    // the ≥65536 threshold collapses to 'g' on both engines anyway
+    val fractions = counts.map { case (k, n) =>
+      k -> math.min(1.0, targetMix(k) * t / n.toDouble)
+    }
+    stratifiedHashSample(df, idCol, keyCol, fractions,
+      defaultFraction = 0.0)
+  }
+
   /** Deterministic STRATIFIED sampling — the "rebalance the language /
     * domain mix" curation primitive: each stratum keeps ≈ its fraction
     * of rows via a per-key md5 threshold (16-bit granularity, so

@@ -139,6 +139,45 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Exchange"))
   }
 
+  test("rebalanceToMix approximates the target mix by downsampling, " +
+      "binding key kept whole, unlisted keys dropped") {
+    import spark.implicits._
+    // 1000 en, 200 de, 100 fr, 50 junk. Targets en .5 / de .3 / fr .2:
+    // T = min(1000/.5, 200/.3, 100/.2) = 500 (fr binding, kept whole);
+    // expected keeps: en 250, de 150, fr 100
+    val df = ((1 to 1000).map(i => (i.toLong, "en")) ++
+      (2001 to 2200).map(i => (i.toLong, "de")) ++
+      (3001 to 3100).map(i => (i.toLong, "fr")) ++
+      (4001 to 4050).map(i => (i.toLong, "junk"))).toDF("id", "lang")
+    val got = Sampling.rebalanceToMix(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("junk"))
+    assert(got("fr") == 100L, s"binding key downsampled: $got")
+    // md5 thresholds are statistical: allow ±20% per stratum
+    assert(math.abs(got("en") - 250L) <= 50, s"en off target: $got")
+    assert(math.abs(got("de") - 150L) <= 30, s"de off target: $got")
+    // deterministic: same inputs, same sample, any partitioning
+    val again = Sampling.rebalanceToMix(df.repartition(17), "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.rebalanceToMix(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(first == again)
+  }
+
+  test("rebalanceToMix: targeted key with zero rows is ignored, not a " +
+      "corpus-emptying T=0") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, "en")) ++
+      (201 to 300).map(i => (i.toLong, "de"))).toDF("id", "lang")
+    val got = Sampling.rebalanceToMix(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.5, "absent" -> 0.5))
+    assert(got.count() == 200L) // balanced already: everything kept
+  }
+
   test("stratifiedHashSample rejects out-of-range fractions") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
