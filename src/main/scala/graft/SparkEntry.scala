@@ -781,6 +781,16 @@ object SparkEntry {
         .withColumn("quantile",
           col("quantile").cast("decimal(18,9)").cast("double"))
         .orderBy("event_type", "p")),
+    // SemDeDup: k-means-partitioned semantic dedup over the embedding
+    // column — kmeans partitioning sensitivity → rows-only check like
+    // the IVF family; pair recall + representative choice unit-tested.
+    // Fixed-size slice so the quadratic-in-cell verification stays
+    // constant across sf (the operator itself is the scale path)
+    "semantic_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.semanticDedup(
+        t(s, dir, "embeddings").filter(col("vec_id") < 4000),
+        "vec_id", "embedding", nClusters = 32, threshold = 0.9)
+        .select("vec_id", "label").orderBy("vec_id")),
     // connected components over the verified near-dup graph (custom
     // hash family upstream → rows-only check; algorithm unit-tested)
     "neardup_components" -> ((s, dir) => {

@@ -504,4 +504,52 @@ object Dedup {
         cosine_sim(col("__vA"), col("__vB")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-partition the embedding space (reusing
+    * the IVF Lloyd's fit) and verify exact cosine similarity ONLY
+    * within each cluster — the quadratic pair cost is confined to
+    * cells (corpus/nClusters each, hot cells pruned), which is the
+    * paper's trick for running semantic dedup on web scale.
+    *
+    * Versus [[nearDupPairsCosine]] (hyperplane LSH): clustering gives
+    * better candidate quality on naturally-clustered embeddings but
+    * MISSES pairs the clustering splits across a cell boundary — the
+    * paper accepts exactly this recall trade. Identical and
+    * near-identical vectors co-locate by construction (nearest
+    * centroid is deterministic), so true duplicates always meet.
+    *
+    * Scale shape: Lloyd's fit is the IVF build (sampleable); cell
+    * assignment is one codegen'd kernel map; candidate generation
+    * shuffles only (id, cell); vectors re-join by id exactly twice;
+    * cosine runs once per distinct pair. Returns (idA, idB, cosine),
+    * idA < idB. */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double = 0.95, seed: Long = 42L,
+      sampleFraction: Double = 1.0, maxCellSize: Int = 10000): DataFrame = {
+    val assigned = IvfIndex.build(df.select(col(idCol), col(vecCol)),
+      vecCol, idCol, nClusters, seed = seed,
+      sampleFraction = sampleFraction).assigned
+    val base = df.select(col(idCol), col(vecCol).as("__v"))
+    val slim = assigned.select(col(idCol), col(IvfIndex.ClusterCol))
+    val pairs = candidatePairs(slim, idCol, Seq(IvfIndex.ClusterCol),
+      maxCellSize)
+    attachPayload(pairs, base, idCol, "__v")
+      .select(col("idA"), col("idB"),
+        cosine_sim(col("__vA"), col("__vB")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Drop semantic near-duplicates, keeping one representative per
+    * duplicate group under `policy` (the deterministic lowest-id
+    * representative — the paper keeps a centroid-distance-ranked one;
+    * which member survives is a policy choice, the dedup set is the
+    * same). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double = 0.95,
+      policy: NearDupPolicy = NearDupPolicy.IndependentSet,
+      seed: Long = 42L): DataFrame =
+    dedupByPairs(df, idCol,
+      semanticDedupPairs(df, idCol, vecCol, nClusters, threshold, seed),
+      policy)
 }

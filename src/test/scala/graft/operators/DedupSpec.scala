@@ -219,6 +219,54 @@ class DedupSpec extends SparkSpec {
     assert((pairs -- expected).isEmpty)
   }
 
+  test("semanticDedupPairs: true duplicates always meet (co-located " +
+      "cells), distinct vectors never pair") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val dim = 16
+    // 30 well-separated base vectors + near-identical twins of 8
+    val base = (0 until 30).map { i =>
+      i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val dups = base.take(8).map { case (id, v) =>
+      val w = v.clone(); w(0) = w(0) + 0.005f
+      (id + 100L) -> w
+    }
+    val df = (base ++ dups).toDF("id", "vec")
+    val pairs = Dedup.semanticDedupPairs(df, "id", "vec", nClusters = 4,
+      threshold = 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = dups.map { case (d, _) => (d - 100L, d) }.toSet
+    // identical-to-epsilon vectors share a nearest centroid by
+    // construction — recall on true twins is exact, not probabilistic
+    assert(expected.subsetOf(pairs),
+      s"missed ${expected -- pairs} of $expected")
+    assert((pairs -- expected).isEmpty, s"spurious ${pairs -- expected}")
+  }
+
+  test("semanticDedup keeps one representative per duplicate group") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    val dim = 12
+    val base = (0 until 20).map { i =>
+      i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    // ids 0 and 1 get two twins each → groups {0,100,200}, {1,101,201}
+    val dups = base.take(2).flatMap { case (id, v) =>
+      Seq(id + 100L, id + 200L).map { nid =>
+        val w = v.clone(); w(1) = w(1) + 0.003f * (nid % 7 + 1); nid -> w
+      }
+    }
+    val df = (base ++ dups).toDF("id", "vec")
+    val kept = Dedup.semanticDedup(df, "id", "vec", nClusters = 3,
+      threshold = 0.99).select("id").collect().map(_.getLong(0)).toSet
+    // lowest id of each group survives, twins drop, everyone else stays
+    assert(kept.contains(0L) && kept.contains(1L))
+    assert(Set(100L, 200L, 101L, 201L).forall(!kept.contains(_)),
+      s"twins survived: $kept")
+    assert((2 until 20).forall(i => kept.contains(i.toLong)))
+  }
+
   test("dupSpanStats: cross-doc shared substring merges into one span, " +
       "hand-checked; short docs drop out") {
     import spark.implicits._
