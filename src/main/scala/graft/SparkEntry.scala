@@ -496,6 +496,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy("hour_bucket", "event_type")),
+    // JSONL ingest round-trip: parquet → JSON-lines on disk →
+    // schema-declared read → typed projection. The oracle checks the
+    // whole write/read loop against the original table (strings with
+    // newlines survive via JSON escaping — unlike CSV)
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      val src = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+      graft.sources.JsonlSource.write(src.coalesce(4), tmp)
+      graft.sources.JsonlSource.read(s, tmp, Some(src.schema))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
     // CSV ingest round-trip (S1/S2): parquet → header CSV on disk →
     // CsvSource.read + renamed → typed projection. Driver-checks the
     // CSV path end-to-end against the original parquet table.
@@ -1325,6 +1339,11 @@ object SparkEntry {
     // nullif: CSV cannot represent empty-string vs NULL (Spark reads
     // empty fields back as null), so the documented round-trip contract
     // maps '' to NULL and the oracle does the same
+    // the round-trip must reproduce the source table exactly — JSONL
+    // has no empty-vs-null ambiguity, so no nullif is needed
+    "jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "csv_roundtrip" ->
       """SELECT doc_id, nullif(lang, '') AS language, n_chars,
         |  CASE WHEN doc_id % 2 = 0 THEN '/base/' || doc_id || '.txt'
