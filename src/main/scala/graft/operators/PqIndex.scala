@@ -178,6 +178,19 @@ object PqIndex {
     val sample =
       (if (sampleFraction >= 1.0) df else df.sample(sampleFraction, seed))
         .select(col(vecCol))
+    val books = fitBooks(sample, vecCol, m, codesPerBook, seed, maxIter,
+      subDim)
+    new PqIndex(books, df,
+      df.select(col(idCol), pq_encode(col(vecCol), books).as(CodeCol)),
+      vecCol, idCol)
+  }
+
+  /** The joint-subspace Lloyd's fit on an already-sampled vectors
+    * frame, returning only the codebooks (shared by [[train]] and the
+    * OPQ alternation, which refits books per rotation update). */
+  private def fitBooks(sample: DataFrame, vecCol: String, m: Int,
+      codesPerBook: Int, seed: Long, maxIter: Int,
+      subDim: Int): Array[Array[Array[Float]]] = {
     val subSlices = array((0 until m).map(s =>
       slice(col(vecCol), s * subDim + 1, subDim)): _*)
     val exploded = sample.select(posexplode(subSlices))
@@ -208,10 +221,8 @@ object PqIndex {
         converged = shift == 0.0
         it += 1
       }
-      new PqIndex(books, df,
-        df.select(col(idCol), pq_encode(col(vecCol), books).as(CodeCol)),
-        vecCol, idCol)
-    } finally exploded.unpersist()
+      books
+    } finally { exploded.unpersist(); () }
   }
 
   /** Seeded random orthonormal rotation (the OPQ random-rotation
@@ -257,6 +268,151 @@ object PqIndex {
     new RotatedPqIndex(r,
       trainWithDim(rotated, vecCol, idCol, m, codesPerBook, seed,
         sampleFraction, maxIter, dim))
+  }
+
+  /** OPQ proper — the NON-PARAMETRIC alternating optimization of
+    * Ge/He/Ke/Sun, "Optimized Product Quantization", CVPR 2013 §3.2
+    * (faiss `OPQMatrix`'s training loop), upgrading [[trainRotated]]'s
+    * fixed random rotation: alternate
+    *
+    *  1. fix R → refit codebooks on the rotated sample (the shared
+    *     joint-subspace Lloyd's pass), and
+    *  2. fix the quantization → solve the orthogonal Procrustes
+    *     problem `min_R Σᵢ ‖R xᵢ − ŷᵢ‖²` where ŷᵢ is the quantized
+    *     reconstruction: maximize `tr(R · Σᵢ xᵢ ŷᵢᵀ)`, whose optimum
+    *     is `R = V Uᵀ` from the SVD `Σᵢ xᵢ ŷᵢᵀ = U S Vᵀ`.
+    *
+    * Each alternation monotonically lowers quantization error (both
+    * half-steps are exact minimizations of the shared objective), so
+    * the ADC tables get strictly tighter than the random-rotation
+    * baseline on anisotropic data.
+    *
+    * Scale shape: step 1 is the sampled Lloyd's fit (slim stats
+    * shuffles only); step 2 is ONE mapPartitions pass over the cached
+    * sample accumulating the dim×dim cross matrix per partition
+    * (dim² doubles cross the network per partition, independent of
+    * row count — the genuine per-partition-imperative case), and the
+    * SVD runs driver-side on that dim×dim matrix via breeze (bundled
+    * with Spark). The full corpus is touched once at the end for lazy
+    * encoding. */
+  def trainOpq(df: DataFrame, vecCol: String, idCol: String, m: Int = 8,
+      codesPerBook: Int = 256, seed: Long = 42L,
+      sampleFraction: Double = 1.0, maxIter: Int = 8, opqIters: Int = 4,
+      rotationSeed: Long = 7L): RotatedPqIndex = {
+    import graft.functions.VectorFunctions.mat_vec
+    require(opqIters >= 1, "need at least one alternation")
+    val dim = probeDim(df, vecCol)
+    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val spark = df.sparkSession
+    val sample =
+      (if (sampleFraction >= 1.0) df else df.sample(sampleFraction, seed))
+        .select(col(vecCol)).cache()
+    try {
+      var r = randomRotation(dim, rotationSeed)
+      var books: Array[Array[Array[Float]]] = null
+      var it = 0
+      while (it < opqIters) {
+        // (1) refit codebooks for the current rotation — fewer Lloyd
+        // rounds per alternation; the outer loop provides the rest
+        books = fitBooks(sample.withColumn(vecCol, mat_vec(col(vecCol), r)),
+          vecCol, m, codesPerBook, seed, maxIter, subDim)
+        // (2) Procrustes update — skip after the last codebook fit so
+        // the returned books always match the returned rotation
+        if (it < opqIters - 1) {
+          val bcBooks = spark.sparkContext.broadcast(books)
+          val bcR = spark.sparkContext.broadcast(r)
+          val cross = sample.rdd.mapPartitions { rows =>
+            val bks = bcBooks.value
+            val rot = bcR.value
+            val acc = Array.ofDim[Double](dim, dim)
+            rows.foreach { row =>
+              val x = row.getSeq[Float](0).toArray
+              val y = quantizeFloats(bks, matVecFloats(rot, x))
+              var a = 0
+              while (a < dim) {
+                val xa = x(a).toDouble
+                var b = 0
+                while (b < dim) { acc(a)(b) += xa * y(b); b += 1 }
+                a += 1
+              }
+            }
+            Iterator(acc)
+          }.reduce { (p, q) =>
+            var a = 0
+            while (a < dim) {
+              var b = 0
+              while (b < dim) { p(a)(b) += q(a)(b); b += 1 }
+              a += 1
+            }
+            p
+          }
+          r = procrustesRotation(cross)
+        }
+        it += 1
+      }
+      val rotated = df.withColumn(vecCol, mat_vec(col(vecCol), r))
+      new RotatedPqIndex(r, new PqIndex(books, rotated,
+        rotated.select(col(idCol),
+          pq_encode(col(vecCol), books).as(CodeCol)), vecCol, idCol))
+    } finally { sample.unpersist(); () }
+  }
+
+  /** `R = V Uᵀ` for the cross matrix `M = Σ x ŷᵀ = U S Vᵀ` — the
+    * orthogonal Procrustes optimum of `max_R tr(R M)`. */
+  private def procrustesRotation(
+      cross: Array[Array[Double]]): Array[Array[Float]] = {
+    val dim = cross.length
+    val mat = breeze.linalg.DenseMatrix.tabulate(dim, dim) {
+      (i, j) => cross(i)(j)
+    }
+    val s = breeze.linalg.svd(mat)
+    val rot = s.Vt.t * s.U.t
+    Array.tabulate(dim, dim)((i, j) => rot(i, j).toFloat)
+  }
+
+  /** Driver/executor-side quantized reconstruction: each subvector is
+    * replaced by its nearest codebook centroid. */
+  private[operators] def quantizeFloats(books: Array[Array[Array[Float]]],
+      v: Array[Float]): Array[Float] = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    val out = new Array[Float](v.length)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < books(s).length) {
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val t = v(s * subDim + i) - books(s)(c)(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      System.arraycopy(books(s)(best), 0, out, s * subDim, subDim)
+      s += 1
+    }
+    out
+  }
+
+  private[operators] def matVecFloats(rows: Array[Array[Float]],
+      x: Array[Float]): Array[Float] = {
+    val out = new Array[Float](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      var s = 0.0
+      var j = 0
+      val row = rows(i)
+      while (j < x.length) { s += row(j).toDouble * x(j); j += 1 }
+      out(i) = s.toFloat
+      i += 1
+    }
+    out
   }
 
   /** Reload a rotated index from a codes table written by

@@ -197,4 +197,49 @@ class PqIndexSpec extends SparkSpec {
     assert(rotR >= plainR,
       s"rotated ADC recall $rotR < plain $plainR over ${queries.size} queries")
   }
+
+  test("OPQ alternation lowers quantization error vs the random " +
+      "rotation; refined queries stay exact in the original space") {
+    // same anisotropic shape: alternating Procrustes/Lloyd's should
+    // adapt the rotation to the data instead of hoping a random one
+    // spreads the energy well
+    val rows = (0 until 120).map { i =>
+      val a = (i % 12).toFloat * 2f + noise(i, 0)
+      val b = (i / 12).toFloat * 3f + noise(i, 1)
+      (i.toLong, Array(a, b, noise(i, 2), noise(i, 3), noise(i, 4),
+        noise(i, 5), noise(i, 6), noise(i, 7)))
+    }
+    val df = rows.toDF("vid", "vec")
+    val rand = PqIndex.trainRotated(df, "vec", "vid", m = 4,
+      codesPerBook = 4)
+    val opq = PqIndex.trainOpq(df, "vec", "vid", m = 4, codesPerBook = 4,
+      opqIters = 4)
+    def qErr(rot: Array[Array[Float]],
+        books: Array[Array[Array[Float]]]): Double =
+      rows.map { case (_, v) =>
+        val rx = PqIndex.matVecFloats(rot, v)
+        val y = PqIndex.quantizeFloats(books, rx)
+        graft.functions.VectorOps.squaredL2Floats(rx, y)
+      }.sum
+    val eRand = qErr(rand.rotation, rand.inner.codebooks)
+    val eOpq = qErr(opq.rotation, opq.inner.codebooks)
+    assert(eOpq <= eRand * 1.001,
+      s"OPQ error $eOpq worse than random-rotation $eRand")
+    // the rotation stays orthonormal through the SVD updates
+    val r = opq.rotation
+    val dim = r.length
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val d = (0 until dim).map(k => r(i)(k).toDouble * r(j)(k)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-4,
+        s"RRt($i,$j) = $d")
+    }
+    // rotation-invariance of the refined path, as with trainRotated
+    for ((_, q) <- rows.grouped(30).map(_.head).toSeq) {
+      val exact = Similarity.topK(df, "vec", "vid", q, 8)
+        .collect().map(_.getLong(0)).toSeq
+      val refined = opq.query(q, 8, refineFactor = 12)
+        .collect().map(_.getLong(0)).toSeq
+      assert(refined == exact, s"refined $refined vs exact $exact")
+    }
+  }
 }
