@@ -272,6 +272,21 @@ object SparkEntry {
         .select(col("doc_id"),
           token_count_bpe(col("text")).cast("long").as("n_bpe"))
         .orderBy("doc_id")),
+    // BPE tokenizer TRAINED on the corpus itself (Sennrich et al.):
+    // one word-count pass + driver-side merge loop on the weighted
+    // vocabulary, then the codegen'd segmenter kernel. Iterative
+    // merges are not SQL-expressible → rows-only; merge order and
+    // segmentation are unit-pinned on a hand-checked corpus
+    "bpe_trained_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ranks = graft.operators.TextAnalysis.bpeRanks(
+        graft.operators.TextAnalysis.trainBpeMerges(docs, "text",
+          numMerges = 60))
+      docs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.bpe_segment(col("text"), ranks))
+          .cast("long").as("n_subwords"))
+        .orderBy("doc_id")
+    }),
     "doc_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), qualityFeatures(col("text")).as("q"))
@@ -471,6 +486,18 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val idx = graft.operators.PqIndex.train(emb, "embedding", "vec_id",
         m = 8, codesPerBook = 16, sampleFraction = 0.25)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5, refineFactor = 8)
+    }),
+    // OPQ (alternating Procrustes/Lloyd's): data-adapted rotation +
+    // PQ codes; exact refined path (rows-only for the same kmeans
+    // reason; error-monotonicity and exactness unit-tested)
+    "opq_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val idx = graft.operators.PqIndex.trainOpq(emb, "embedding",
+        "vec_id", m = 8, codesPerBook = 16, sampleFraction = 0.25,
+        opqIters = 3)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head.getSeq[Float](0).toArray
       idx.query(q, k = 5, refineFactor = 8)

@@ -259,6 +259,60 @@ object TextOps {
       if (n == 0L) Array[Any](0L, unseenLnp)
       else Array[Any](n, acc / n.toDouble))
   }
+
+  /** Greedy lowest-rank-first BPE segmentation of one document against
+    * a trained merge-rank table (the GPT-2 `bpe()` application order):
+    * whitespace-tokenize (lowercased, like [[tokenize]]), split each
+    * word into CODEPOINT symbols, then repeatedly merge every
+    * occurrence of the lowest-ranked adjacent pair present — the same
+    * all-occurrences order the trainer used, so in-vocabulary words
+    * reproduce their training segmentation. `ranks` keys are
+    * space-joined pairs ("l o") → merge priority (0 = learned first). */
+  def bpeSegment(s: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): GenericArrayData = {
+    val words = tokenize(s.toString)
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var w = 0
+    while (w < words.length) {
+      var parts: Array[String] = {
+        val cps = words(w).codePoints().toArray
+        cps.map(cp => new String(Character.toChars(cp)))
+      }
+      var done = parts.length < 2
+      while (!done) {
+        var bestIdx = -1
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < parts.length - 1) {
+          val r = ranks.get(parts(i) + " " + parts(i + 1))
+          if (r != null && r.intValue() < bestRank) {
+            bestRank = r.intValue(); bestIdx = i
+          }
+          i += 1
+        }
+        if (bestIdx < 0) done = true
+        else {
+          val a = parts(bestIdx)
+          val b = parts(bestIdx + 1)
+          val merged = scala.collection.mutable.ArrayBuffer[String]()
+          var j = 0
+          while (j < parts.length) {
+            if (j < parts.length - 1 && parts(j) == a && parts(j + 1) == b) {
+              merged += a + b; j += 2
+            } else { merged += parts(j); j += 1 }
+          }
+          parts = merged.toArray
+          done = parts.length < 2
+        }
+      }
+      var p = 0
+      while (p < parts.length) {
+        out += UTF8String.fromString(parts(p)); p += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** simhash64(text): bigint — SimHash document signature. */
@@ -386,4 +440,26 @@ case class LangId(child: Expression) extends UnaryStringExpression {
     defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.langId($s)")
   override def prettyName: String = "lang_id"
   override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** bpe_segment(text): array<string> — subword segmentation against a
+  * TRAINED merge table (see
+  * [[graft.operators.TextAnalysis.trainBpeMerges]]); the rank table
+  * rides along as a reference object like the LM model and centroid
+  * matrices, so the per-row walk stays inside whole-stage codegen. */
+case class BpeSegment(child: Expression,
+    ranks: java.util.HashMap[String, Integer])
+    extends UnaryStringExpression {
+  require(!ranks.isEmpty, "merge-rank table must be non-empty")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    TextOps.bpeSegment(s.asInstanceOf[UTF8String], ranks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ranks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.TextOps.bpeSegment($s, $ref)")
+  }
+  override def prettyName: String = "bpe_segment"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

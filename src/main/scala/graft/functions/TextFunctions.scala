@@ -53,6 +53,13 @@ object TextFunctions {
       unseenLnp: Double): Column =
     column(CharBigramLmScore(expression(c), model, unseenLnp))
 
+  /** Subword segmentation with a TRAINED merge table (see
+    * [[graft.operators.TextAnalysis.trainBpeMerges]] /
+    * [[BpeSegment]]). */
+  def bpe_segment(c: Column,
+      ranks: java.util.HashMap[String, Integer]): Column =
+    column(BpeSegment(expression(c), ranks))
+
   /** Canonical Unicode NFC normalization (see [[NfcNormalize]]). */
   def nfc_normalize(c: Column): Column = column(NfcNormalize(expression(c)))
 

@@ -182,6 +182,80 @@ object TextAnalysis {
       .withColumn("top_bigram_ratio",
         col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
 
+  /** Train a byte-pair-encoding merge list on the corpus (Sennrich,
+    * Haddow, Birch, ACL 2016 — the subword-tokenizer trainer): start
+    * from codepoint symbols and repeatedly merge the most frequent
+    * adjacent pair, weighted by word frequency.
+    *
+    * Scale shape — the standard tokenizer-training factorization (what
+    * keeps BPE trainable on a 100 TB corpus): the corpus is touched by
+    * exactly ONE explode + partial-aggregated word-count pass; the
+    * iterative merge loop then runs driver-side on the |vocab|-sized
+    * WEIGHTED dictionary (capped at `maxVocabWords` by frequency —
+    * the tail it drops barely moves pair counts), never on rows.
+    * Deterministic: ties break by (count desc, pair lexicographic).
+    *
+    * Returns the ordered merge list; feed [[bpeRanks]] +
+    * [[graft.functions.BpeSegment]] to tokenize with it. */
+  def trainBpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocabWords: Int = 100000): Seq[(String, String)] = {
+    require(numMerges >= 1 && maxVocabWords >= 1,
+      "need positive numMerges and maxVocabWords")
+    var vocab: Array[(Array[String], Long)] = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w")).limit(maxVocabWords)
+      .collect().map { r =>
+        val cps = r.getString(0).codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
+        (cps, r.getLong(1))
+      }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = vocab.isEmpty
+    while (merges.length < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        vocab = vocab.map { case (syms, c) => (mergePair(syms, best), c) }
+      }
+    }
+    merges.toSeq
+  }
+
+  private def mergePair(syms: Array[String],
+      pair: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == pair._1 &&
+          syms(j + 1) == pair._2) {
+        out += pair._1 + pair._2; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Merge list → rank table for [[graft.functions.BpeSegment]]. */
+  def bpeRanks(
+      merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put(a + " " + b, Integer.valueOf(i))
+    }
+    m
+  }
+
   /** Bigram pointwise mutual information — collocation scoring
     * (`pmi = ln(p(w1 w2) / (p(w1)·p(w2)))`), the standard signal for
     * phrase mining / tokenizer-merge candidates over a crawl corpus.

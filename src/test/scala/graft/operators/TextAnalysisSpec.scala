@@ -96,6 +96,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores(1L) > scores(3L) && scores(2L) > scores(3L))
   }
 
+  test("trainBpeMerges: hand-checked merge order on the classic " +
+      "low/lower/lowest corpus; segmentation reproduces training") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.bpe_segment
+    // words: low×3, lower×1, lowest×1, newest×2
+    // pair counts: lo 5, ow 5 (tie → lex: "l o" first), then "lo w" 5,
+    // then es/st tie at 3 → "e s", then "es t" 3
+    val df = Seq((1L, "low low low lower"), (2L, "lowest newest newest"))
+      .toDF("id", "text")
+    val merges = TextAnalysis.trainBpeMerges(df, "text", numMerges = 4)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")),
+      s"got $merges")
+    // "lowest" segments to [low, est] under those 4 merges
+    val ranks = TextAnalysis.bpeRanks(merges)
+    val seg = Seq((1L, "lowest unseen")).toDF("id", "text")
+      .select(bpe_segment(col("text"), ranks).as("s"))
+      .head.getSeq[String](0).toSeq
+    assert(seg.take(2) == Seq("low", "est"), s"got $seg")
+    // out-of-vocab word decomposes with the same merges, no crash:
+    // u n s e e n → es merge applies → u n s een? no: e,e then e,n —
+    // only (e,s) and (es,t) trained, "ee" untouched
+    assert(seg.drop(2) == Seq("u", "n", "s", "e", "e", "n"), s"got $seg")
+  }
+
   test("perplexityBuckets: thirds by LM score, head is the cleanest, " +
       "approx mode agrees away from the cut") {
     import spark.implicits._
