@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-lake file maintenance. Streaming ingest, per-trigger
+  * appends, and fine-grained partitioning all accrete SMALL FILES, and
+  * at 100 TB the file count — not the byte count — becomes the
+  * scheduler/namenode bottleneck: a million 1 MB files cost a million
+  * task launches and a million metadata entries for one node's worth
+  * of data. These helpers measure the problem and rewrite a directory
+  * to target-sized files. (The bucketed [[graft.store.VectorStore]]
+  * has its own bucket-preserving variant, `compactBuckets` — this is
+  * the generic layout-free form.)
+  */
+object Lake {
+
+  /** One row per data file under `path`, recursively: (file, bytes).
+    * The LISTING is driver-side — file counts are driver-sized even
+    * when the data is not (it is the rows that scale, not the files;
+    * if the listing itself is too big, that IS the finding). Hidden
+    * and metadata files (`_SUCCESS`, checksums) are excluded. */
+  def fileStats(spark: SparkSession, path: String): DataFrame = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(path), true)
+    val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+        buf += ((f.getPath.toString, f.getLen))
+    }
+    import spark.implicits._
+    buf.toSeq.toDF("file", "bytes")
+  }
+
+  /** Small-file health summary of a directory:
+    * (n_files, total_bytes, avg_bytes, n_small) where `n_small` counts
+    * files under `smallBytes`. */
+  final case class LakeHealth(nFiles: Long, totalBytes: Long,
+      avgBytes: Double, nSmall: Long)
+
+  def health(spark: SparkSession, path: String,
+      smallBytes: Long = 32L << 20): LakeHealth = {
+    val rows = fileStats(spark, path).collect()
+    val total = rows.map(_.getLong(1)).sum
+    LakeHealth(rows.length, total,
+      if (rows.isEmpty) 0.0 else total.toDouble / rows.length,
+      rows.count(_.getLong(1) < smallBytes))
+  }
+
+  /** Rewrite the parquet directory at `src` into `dest` with
+    * ~`targetBytesPerFile` files (parquet→parquet, so on-disk sizes
+    * are comparable before/after; the split is by current compressed
+    * bytes, an estimate good to the compression-ratio drift between
+    * layouts). One job: a scan + round-robin repartition to
+    * ceil(total/target) + write — no shuffle keys, so AQE cannot
+    * collapse it back into few oversized tasks. `dest` must differ
+    * from `src`: the caller owns the atomic swap (rename/catalog
+    * pointer flip), because "overwrite the directory I am reading"
+    * is not crash-safe on any object store. */
+  def compactTo(spark: SparkSession, src: String, dest: String,
+      targetBytesPerFile: Long = 128L << 20): Long = {
+    require(targetBytesPerFile > 0, "target size must be positive")
+    require(new Path(src) != new Path(dest),
+      "compact to a NEW directory, then swap — in-place is not crash-safe")
+    val total = health(spark, src, smallBytes = 0L).totalBytes
+    val nFiles =
+      math.max(1L, (total + targetBytesPerFile - 1) / targetBytesPerFile)
+    require(nFiles <= Int.MaxValue, "file target overflows partitioning")
+    spark.read.parquet(src)
+      .repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(dest)
+    nFiles
+  }
+}
