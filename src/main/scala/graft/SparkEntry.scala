@@ -780,6 +780,26 @@ object SparkEntry {
       graft.operators.Bm25.search(idx,
         Seq("spark", "hash", "window"), k = 20)
     }),
+    // hybrid retrieval: BM25 top-20 ∪ vector top-20 fused by
+    // reciprocal-rank contributions (decimal-exact, order-free) —
+    // rank windows run over the two k-row lists, not the corpus
+    "hybrid_rrf" -> ((s, dir) => {
+      val idx = graft.operators.Bm25.fit(
+        t(s, dir, "documents"), "doc_id", "text")
+      val lex = graft.operators.Bm25.search(idx,
+          Seq("spark", "hash", "window"), k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val vec = Similarity.topK(emb, "embedding", "vec_id", q, k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("distance").asc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, vec), "doc_id", "rank", topN = 10)
+    }),
     // Lee-et-al ExactSubstr proxy: per-doc duplicated-k-gram span
     // stats. Literal grams here (engine-portable oracle); the
     // xxhash64 8-byte-token scale variant is unit-pinned equal
@@ -956,6 +976,44 @@ object SparkEntry {
       |SELECT doc_id, n_bigrams,
       |  CAST(CAST(CAST(s / n_bigrams AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS lm_score
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  // BM25 twin: same fit/score arithmetic as Bm25.fit/search in the
+  // same operation order; inexact literals (k1=1.2, k1+1=2.2) enter
+  // via string→double parse (correctly rounded on both engines),
+  // contributions are decimal(20,8) before SUM (exact, order-free),
+  // and the final score crosses the decimal→double VARCHAR bridge.
+  // Shared verbatim by bm25_topk and hybrid_rrf's lexical arm.
+  private val bm25Sql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+       |  GROUP BY doc_id, token),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+       |stats AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) /
+       |      CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM dl),
+       |post AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf, dl.dl
+       |  FROM tf JOIN dl USING (doc_id)),
+       |idf AS (
+       |  SELECT token,
+       |    ln(1.0 + (CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5)
+       |      / (df + 0.5)) AS idf
+       |  FROM (SELECT token, COUNT(*) AS df FROM post GROUP BY token)
+       |  WHERE token IN ('spark', 'hash', 'window'))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+       |  CAST(CAST(SUM(CAST(
+       |    idf * (CAST(tf AS DOUBLE) * CAST('2.2' AS DOUBLE))
+       |      / (CAST(tf AS DOUBLE) + CAST('1.2' AS DOUBLE) *
+       |        (0.25 + 0.75 * CAST(dl AS DOUBLE)
+       |          / (SELECT avgdl FROM stats)))
+       |    AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS score
+       |FROM post JOIN idf USING (token)
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   private val dupSpansSql: String =
     """WITH d AS (
@@ -1616,37 +1674,37 @@ object SparkEntry {
     // double parse (correctly rounded on both engines), contributions
     // are decimal(20,8) before SUM (exact, order-free), and the final
     // score crosses the decimal→double bridge via VARCHAR
-    "bm25_topk" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |tf AS (
-         |  SELECT doc_id, token, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
-         |  GROUP BY doc_id, token),
-         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
-         |stats AS (
-         |  SELECT COUNT(*) AS n,
-         |    CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) /
-         |      CAST(COUNT(*) AS DOUBLE) AS avgdl
-         |  FROM dl),
-         |post AS (
-         |  SELECT tf.doc_id, tf.token, tf.tf, dl.dl
-         |  FROM tf JOIN dl USING (doc_id)),
-         |idf AS (
-         |  SELECT token,
-         |    ln(1.0 + (CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5)
-         |      / (df + 0.5)) AS idf
-         |  FROM (SELECT token, COUNT(*) AS df FROM post GROUP BY token)
-         |  WHERE token IN ('spark', 'hash', 'window'))
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
-         |  CAST(CAST(SUM(CAST(
-         |    idf * (CAST(tf AS DOUBLE) * CAST('2.2' AS DOUBLE))
-         |      / (CAST(tf AS DOUBLE) + CAST('1.2' AS DOUBLE) *
-         |        (0.25 + 0.75 * CAST(dl AS DOUBLE)
-         |          / (SELECT avgdl FROM stats)))
-         |    AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS score
-         |FROM post JOIN idf USING (token)
-         |GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "bm25_topk" -> bm25Sql,
+    // hybrid lexical+vector fusion: both ranked lists come from the
+    // SHARED twins (bm25Sql + the squared-L2 top-k shape), fused by
+    // reciprocal-rank contributions — 1/(60+rank) can never round to
+    // an exact decimal half, so decimal(18,9) rounds identically on
+    // both engines and the sum is order-free
+    "hybrid_rrf" ->
+      s"""WITH lex AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM ($bm25Sql)),
+         |vec AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY dist, doc_id) AS rank
+         |  FROM (
+         |    SELECT e.vec_id AS doc_id, $sqDist AS dist
+         |    FROM embeddings e,
+         |      (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |    ORDER BY dist, e.vec_id LIMIT 20)),
+         |u AS (
+         |  SELECT doc_id, CAST(CAST(1 AS DOUBLE) /
+         |    (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE))
+         |    AS DECIMAL(18,9)) AS c FROM lex
+         |  UNION ALL
+         |  SELECT doc_id, CAST(CAST(1 AS DOUBLE) /
+         |    (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE))
+         |    AS DECIMAL(18,9)) AS c FROM vec)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+         |  CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE) AS rrf_score
+         |FROM u GROUP BY doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
     // integer gaps-and-islands twin of the Spark window span merge;
     // first dup position: pos - NULL > k is NULL → ELSE 0 (both
     // engines), so island numbering starts at 0 on each side

@@ -91,4 +91,35 @@ object Similarity {
       .filter(col(rn) <= k)
       .drop(rn, qvec)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) of
+    * ranked retrieval lists — the standard hybrid-search combiner for
+    * "BM25 top-k ∪ vector top-k" without score calibration: each list
+    * contributes `1/(kRrf + rank)` per document and the fused order is
+    * the contribution sum. Inputs are ALREADY top-k lists (driver-
+    * small by contract — this fuses results, it does not scan
+    * corpora), each carrying (idCol, rankCol) with rank 1 = best.
+    *
+    * Determinism: contributions are decimal(18,9)-rounded before the
+    * sum (exact, order-independent — `1/(k+r)` can never round to an
+    * exact decimal half, so both engines round identically) and the
+    * final score crosses the VARCHAR bridge. Returns (idCol, n_lists,
+    * rrf_score) for the fused top `topN`, best first. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      topN: Int, kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(topN > 0 && kRrf >= 0, "need topN > 0 and kRrf >= 0")
+    val contribs = lists.map(_.select(col(idCol),
+      (lit(1.0).cast("double") /
+        (lit(kRrf).cast("double") + col(rankCol).cast("double")))
+        .cast("decimal(18,9)").as("__c")))
+    contribs.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_lists"),
+        sum(col("__c")).as("__s"))
+      .select(col(idCol), col("n_lists"),
+        col("__s").cast("string").cast("double").as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(topN)
+  }
 }

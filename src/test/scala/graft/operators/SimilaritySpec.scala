@@ -85,4 +85,21 @@ class SimilaritySpec extends SparkSpec {
       Similarity.topK(corpus, "vec", "id", Array(0f, 0f), 0)
     }
   }
+
+  test("rrfFuse: docs on both lists outrank single-list docs; " +
+      "hand-checked contributions") {
+    import spark.implicits._
+    // list A ranks 1,2,3 → docs 10,20,30; list B ranks 1,2,3 → 20,40,10
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("id", "rank")
+    val fused = Similarity.rrfFuse(Seq(a, b), "id", "rank", topN = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 20: 1/62 + 1/61; doc 10: 1/61 + 1/63; doc 30: 1/63; 40: 1/62
+    def c(r: Int) = BigDecimal(1.0 / (60.0 + r))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fused.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
+    assert(fused(0)._2 == 2L && fused(2)._2 == 1L)
+    assert(math.abs(fused(0)._3 - (c(2) + c(1))) < 1e-12)
+    assert(math.abs(fused(3)._3 - c(3)) < 1e-12)
+  }
 }
