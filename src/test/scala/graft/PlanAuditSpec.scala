@@ -174,6 +174,28 @@ class PlanAuditSpec extends SparkSpec {
       s"dup_spans lost the per-document span window:\n$plan")
   }
 
+  test("BM25 search broadcasts the idf side and keeps the top-k plan") {
+    val plan = planOf("bm25_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25 lost the top-k plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bm25 idf side not broadcast:\n$plan")
+  }
+
+  test("domain-mix rebalance is a narrow filter — no shuffle beyond " +
+      "the output sort") {
+    val plan = planOf("domain_mix")
+    assert(!plan.replaceFirst("Exchange rangepartitioning", "")
+      .contains("Exchange"),
+      s"domain_mix shuffles beyond the output sort:\n$plan")
+  }
+
+  test("budget selection never regresses to a global window") {
+    val plan = planOf("budget_select")
+    assert(!plan.contains("Window"),
+      s"budget_select fell back to a single-partition window:\n$plan")
+  }
+
   test("PII audit is a single narrow projection over a pruned scan") {
     val plan = planOf("pii_scrub")
     assert(!plan.replaceFirst("Exchange rangepartitioning", "")
