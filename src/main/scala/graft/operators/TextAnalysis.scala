@@ -145,6 +145,10 @@ object TextAnalysis {
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
       approx: Boolean = false): DataFrame = {
     val scored = charBigramScore(df, idCol, textCol)
+    // nothing scorable (every doc under 2 chars): no terciles exist —
+    // empty frame with the right schema, not an index error
+    if (scored.isEmpty)
+      return scored.withColumn("bucket", lit("head")).limit(0)
     val ps = Seq(1.0 / 3, 2.0 / 3)
     val thr: Seq[Double] =
       if (approx) {

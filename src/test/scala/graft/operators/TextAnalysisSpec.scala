@@ -147,6 +147,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(approx("head").map(_._1).min >= approx("tail").map(_._1).max)
   }
 
+  test("perplexityBuckets on an unscorable corpus returns an empty " +
+      "frame with the bucket column, not an error") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(df, "doc_id", "text")
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_bigrams", "lm_score", "bucket"))
+    assert(out.count() == 0L)
+  }
+
   test("charBigramScore on an empty/too-short corpus returns an empty " +
       "frame with the right schema, not an error") {
     import spark.implicits._
