@@ -53,8 +53,12 @@ object Bm25 {
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    // null text → no tokens: dl 0, not null/-1 (size() of a null array
+    // is dialect-dependent), so avgdl stays a clean exact division
     val dl = docs.select(col(idCol),
-      size(tokens(col(textCol))).cast("long").as("dl"))
+      greatest(lit(0L),
+        coalesce(size(tokens(col(textCol))).cast("long"), lit(0L)))
+        .as("dl"))
     val postings = tf.join(dl, Seq(idCol))
     val docFreq = postings.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)), sum("dl")).head

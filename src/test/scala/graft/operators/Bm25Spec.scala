@@ -57,6 +57,19 @@ class Bm25Spec extends SparkSpec {
       plan.contains("BroadcastExchange"), s"idf side not broadcast:\n$plan")
   }
 
+  test("bm25: null-text docs contribute dl=0, never poison avgdl") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("spark join spark")), (2L, None),
+      (3L, Some("spark"))).toDF("doc_id", "text")
+    val idx = Bm25.fit(docs, "doc_id", "text")
+    assert(idx.nDocs == 3L)
+    // avgdl = (3 + 0 + 1) / 3 — the null doc counts as zero tokens
+    assert(math.abs(idx.avgdl - 4.0 / 3.0) < 1e-12, s"avgdl ${idx.avgdl}")
+    val got = Bm25.search(idx, Seq("spark"), k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
   test("bm25 degenerate inputs: empty corpus, empty query") {
     import spark.implicits._
     val emptyIdx = Bm25.fit(Seq.empty[(Long, String)].toDF("doc_id", "text"),
