@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Parquet-lake file maintenance. Streaming ingest, per-trigger
   * appends, and fine-grained partitioning all accrete SMALL FILES, and
@@ -60,6 +61,57 @@ object Lake {
     * from `src`: the caller owns the atomic swap (rename/catalog
     * pointer flip), because "overwrite the directory I am reading"
     * is not crash-safe on any object store. */
+  /** Z-order (Morton-curve) value over `cols` — the multi-column
+    * data-skipping layout (the technique behind Delta/Iceberg
+    * `OPTIMIZE ZORDER BY`): each column maps to a `bitsPerCol`-bit
+    * quantile bucket (boundaries from one sampled `approxQuantile`
+    * pass, so skewed columns still split evenly) and the buckets'
+    * bits interleave into one long. Files written in z order carry
+    * TIGHT min/max ranges on EVERY z column simultaneously, so
+    * parquet row-group / file skipping prunes filters on any of them
+    * — a plain sort gives that for the leading column only.
+    *
+    * The bucket lookup is a codegen'd array fold over the boundary
+    * literals; the interleave is static bit arithmetic — both narrow.
+    * Nulls bucket to 0 (they sort first, as with a plain sort). */
+  def zorderValue(df: DataFrame, cols: Seq[String], bitsPerCol: Int = 8,
+      relativeError: Double = 0.01): Column = {
+    require(cols.nonEmpty, "need at least one z-order column")
+    require(bitsPerCol >= 1 && bitsPerCol * cols.size <= 63,
+      s"bitsPerCol × columns must fit a long, got ${bitsPerCol}×${cols.size}")
+    val buckets = 1 << bitsPerCol
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(cols.toArray, probs, relativeError)
+    val bucketCols = cols.zip(bounds).map { case (c, bnds) =>
+      // bucket = #boundaries <= value (0 for null): an array fold over
+      // the boundary literals, evaluated inside codegen
+      aggregate(typedLit(bnds.toSeq), lit(0),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+    }
+    val n = cols.size
+    val terms = for {
+      i <- 0 until bitsPerCol
+      (b, c) <- bucketCols.zipWithIndex
+    } yield shiftleft(
+      shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), i * n + c)
+    terms.reduce(_ + _)
+  }
+
+  /** Rewrite `df` into `dest` as `nFiles` z-ordered parquet files:
+    * range-partition on the z value (equal-count file splits), sort
+    * within each file so row groups inherit the tight ranges too. */
+  def writeZordered(df: DataFrame, dest: String, cols: Seq[String],
+      nFiles: Int, bitsPerCol: Int = 8): Unit = {
+    require(nFiles >= 1, "need at least one output file")
+    require(!df.columns.contains("__graft_z"),
+      "reserved column '__graft_z' present — rename it")
+    df.withColumn("__graft_z", zorderValue(df, cols, bitsPerCol))
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(dest)
+  }
+
   def compactTo(spark: SparkSession, src: String, dest: String,
       targetBytesPerFile: Long = 128L << 20): Long = {
     require(targetBytesPerFile > 0, "target size must be positive")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, max, min}
 
 class LakeSpec extends SparkSpec {
 
@@ -27,6 +28,48 @@ class LakeSpec extends SparkSpec {
     val a = spark.read.parquet(src).orderBy("id").collect().toSeq
     val b = spark.read.parquet(dest).orderBy("id").collect().toSeq
     assert(a == b)
+  }
+
+  test("z-order layout keeps per-file ranges tight on BOTH columns; " +
+      "a lexicographic sort only on the leading one") {
+    import spark.implicits._
+    // two independent uniform columns — the case where a plain sort
+    // cannot help the second column at all
+    val rows = (0 until 4096).map { i =>
+      val a = (i * 2654435761L % 1000).toInt
+      val b = (i * 40503 % 1000).toInt
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString +
+      "/z"
+    val lexDir = java.nio.file.Files.createTempDirectory("graft-lex")
+      .toString + "/lex"
+    Lake.writeZordered(df, zDir, Seq("a", "b"), nFiles = 16)
+    df.repartitionByRange(16, col("a"), col("b"))
+      .sortWithinPartitions("a", "b")
+      .write.mode("overwrite").parquet(lexDir)
+    def spans(dir: String, c: String): Seq[Long] =
+      Lake.fileStats(spark, dir).collect().map(_.getString(0)).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f).agg(min(c), max(c)).head
+          r.getInt(1).toLong - r.getInt(0).toLong
+        }
+    // z-order: a 16-file split of an 8-bit × 8-bit z-space is ≈ a 4×4
+    // grid — both columns span ≈ 1/4 of their range per TYPICAL file
+    // (a file straddling a Morton discontinuity can span more, so the
+    // guarantee is about the mean, not the worst file)
+    def mean(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+    val zb = spans(zDir, "b")
+    val za = spans(zDir, "a")
+    assert(mean(za) < 600 && mean(zb) < 600,
+      s"z-order files not tight: a ${mean(za)}, b ${mean(zb)}")
+    // the lexicographic layout leaves column b unconstrained per file
+    val lexB = spans(lexDir, "b")
+    assert(mean(lexB) > 800, s"expected full-range b in lex layout: $lexB")
+    // and the data survives intact
+    assert(spark.read.parquet(zDir).orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
   }
 
   test("compactTo refuses in-place rewrites") {
