@@ -497,7 +497,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val idx = graft.operators.PqIndex.trainOpq(emb, "embedding",
         "vec_id", m = 8, codesPerBook = 16, sampleFraction = 0.25,
-        opqIters = 3)
+        opqIters = 2)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head.getSeq[Float](0).toArray
       idx.query(q, k = 5, refineFactor = 8)
