@@ -26,7 +26,9 @@ final class IvfPqIndex(
     val codebooks: Array[Array[Array[Float]]],
     val table: DataFrame,
     val corpus: DataFrame,
-    vecCol: String, idCol: String) extends Serializable {
+    vecCol: String, idCol: String,
+    val rotation: Option[Array[Array[Float]]] = None)
+    extends Serializable {
 
   def nCells: Int = cells.length
   def codesPerBook: Int = codebooks(0).length
@@ -47,7 +49,10 @@ final class IvfPqIndex(
     // per probed cell: its own residual ADC table over its own pruned
     // partition — nprobe parallel pruned scans, unioned
     val branches = probed.toSeq.map { cell =>
-      val residQ = q.indices.map(i => q(i) - cells(cell)(i)).toArray
+      val raw = q.indices.map(i => q(i) - cells(cell)(i)).toArray
+      // OPQ variant: codes live in the rotated residual space, so the
+      // query residual rotates driver-side before the ADC table
+      val residQ = rotation.fold(raw)(PqIndex.matVecFloats(_, raw))
       val t = PqIndex.adcTable(codebooks, residQ)
       table.filter(col(IvfIndex.ClusterCol) === cell)
         .withColumn("distance",
@@ -97,6 +102,33 @@ object IvfPqIndex {
     val table = resid.select(col(idCol), col(IvfIndex.ClusterCol),
       pq_encode(col("__resid"), pq.codebooks).as(PqIndex.CodeCol)).cache()
     new IvfPqIndex(ivf.centroids, pq.codebooks, table, df, vecCol, idCol)
+  }
+
+  /** IVF-OPQ: the faiss `OPQMatrix`-inside-IVF composition — residuals
+    * pass through the OPQ-trained rotation before PQ encoding, so the
+    * codebook budget adapts to the residual distribution's anisotropy
+    * (rotating RESIDUALS is what faiss does; rotating raw vectors
+    * would change cell geometry). Distances are rotation-invariant:
+    * the ADC estimates rank the same true neighbors, and the exact
+    * re-rank still runs in the ORIGINAL space against the corpus. */
+  def buildOpq(df: DataFrame, vecCol: String, idCol: String,
+      nClusters: Int = 16, m: Int = 8, codesPerBook: Int = 256,
+      seed: Long = 42L, sampleFraction: Double = 1.0, maxIter: Int = 8,
+      opqIters: Int = 3): IvfPqIndex = {
+    val ivf = IvfIndex.build(df, vecCol, idCol, nClusters, seed,
+      sampleFraction, maxIter)
+    val resid = ivf.assigned.withColumn("__resid",
+      cell_residual(col(IvfIndex.ClusterCol), col(vecCol), ivf.centroids))
+    val opq = PqIndex.trainOpq(resid.select(col(idCol), col("__resid")),
+      "__resid", idCol, m, codesPerBook, seed, sampleFraction, maxIter,
+      opqIters)
+    val table = resid
+      .withColumn("__rresid", mat_vec(col("__resid"), opq.rotation))
+      .select(col(idCol), col(IvfIndex.ClusterCol),
+        pq_encode(col("__rresid"), opq.inner.codebooks).as(PqIndex.CodeCol))
+      .cache()
+    new IvfPqIndex(ivf.centroids, opq.inner.codebooks, table, df, vecCol,
+      idCol, rotation = Some(opq.rotation))
   }
 
   /** Reload a partitioned codes table written by
