@@ -39,10 +39,14 @@ object Bm25 {
   val DefaultB = 0.75
 
   /** Postings + corpus statistics. `postings` = (id, token, tf, dl);
-    * `docFreq` = (token, df); `nDocs`/`avgdl` are the two driver-side
-    * scalars (exact long / one fixed division). */
+    * `docFreq` = (token, df); `nDocs`/`totalDl` are the two driver-side
+    * scalars — both exact longs, so [[append]]ing increments and
+    * refitting from scratch derive the SAME `avgdl` double. */
   final case class Bm25Index(postings: DataFrame, docFreq: DataFrame,
-      nDocs: Long, avgdl: Double)
+      nDocs: Long, totalDl: Long) {
+    def avgdl: Double =
+      if (nDocs == 0L) 0.0 else totalDl.toDouble / nDocs.toDouble
+  }
 
   /** Build the index frames. Nothing is cached or collected beyond the
     * two scalars; persist `postings`/`docFreq` (ideally bucketed by
@@ -63,9 +67,26 @@ object Bm25 {
     val docFreq = postings.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)), sum("dl")).head
     val n = stats.getLong(0)
-    val avgdl =
-      if (n == 0L) 0.0 else stats.getLong(1).toDouble / n.toDouble
-    Bm25Index(postings, docFreq, n, avgdl)
+    Bm25Index(postings, docFreq, n,
+      if (n == 0L) 0L else stats.getLong(1))
+  }
+
+  /** Incremental index maintenance — the append-only postings pattern
+    * (new crawl slices arrive; re-fitting 100 TB of postings per batch
+    * is not an option): the new docs pay one [[fit]] over THEMSELVES,
+    * postings union lazily (persist as delta files at scale, like the
+    * streaming near-dup segments), document frequencies merge by one
+    * slim aggregated-frame union+sum, and the scalar stats add
+    * exactly — so an appended index answers IDENTICALLY to a full
+    * refit over the concatenated corpus. Callers own id disjointness
+    * (duplicate doc ids would double-count their terms). */
+  def append(index: Bm25Index, newDocs: DataFrame, idCol: String,
+      textCol: String): Bm25Index = {
+    val incr = fit(newDocs, idCol, textCol)
+    val docFreq = index.docFreq.unionByName(incr.docFreq)
+      .groupBy("token").agg(sum("df").cast("long").as("df"))
+    Bm25Index(index.postings.unionByName(incr.postings), docFreq,
+      index.nDocs + incr.nDocs, index.totalDl + incr.totalDl)
   }
 
   /** Top-k BM25 search. Returns (idCol, n_matched, score) ordered by

@@ -70,6 +70,27 @@ class Bm25Spec extends SparkSpec {
     assert(got == Set(1L, 3L))
   }
 
+  test("bm25 append: incremental index answers identically to a full " +
+      "refit over the concatenated corpus") {
+    import spark.implicits._
+    val first = (1 to 150).map(i =>
+      (i.toLong, s"spark shard w${i % 11} merge " * (i % 4 + 1)))
+      .toDF("doc_id", "text")
+    val second = (151 to 260).map(i =>
+      (i.toLong, s"hash probe w${i % 7} spark " * (i % 3 + 1)))
+      .toDF("doc_id", "text")
+    val appended = Bm25.append(
+      Bm25.fit(first, "doc_id", "text"), second, "doc_id", "text")
+    val refit = Bm25.fit(first.unionByName(second), "doc_id", "text")
+    assert(appended.nDocs == refit.nDocs)
+    assert(appended.totalDl == refit.totalDl)
+    for (terms <- Seq(Seq("spark"), Seq("hash", "w3", "merge"))) {
+      val a = Bm25.search(appended, terms, k = 25).collect().toSeq
+      val b = Bm25.search(refit, terms, k = 25).collect().toSeq
+      assert(a == b, s"append diverged from refit for $terms")
+    }
+  }
+
   test("bm25 degenerate inputs: empty corpus, empty query") {
     import spark.implicits._
     val emptyIdx = Bm25.fit(Seq.empty[(Long, String)].toDF("doc_id", "text"),
