@@ -705,6 +705,14 @@ object SparkEntry {
         Map("en" -> 0.25, "de" -> 0.5, "fr" -> 1.0, "es" -> 0.125),
         defaultFraction = 0.5)
         .orderBy("doc_id")),
+    // deterministic train/valid/test assignment: cumulative md5
+    // buckets over doc_id — leakage-safe (group keys keep groups
+    // together), engine-portable, narrow map
+    "split_docs" -> ((s, dir) =>
+      graft.operators.Sampling.assignSplits(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")),
     // target-mix rebalance: largest achievable downsample total T =
     // min(n_k/p_k), per-key md5-threshold fractions f_k = p_k·T/n_k —
     // one count pass + the narrow deterministic stratified filter
@@ -1580,6 +1588,16 @@ object SparkEntry {
         |            WHEN 'fr' THEN 'g' WHEN 'es' THEN '2000'
         |            ELSE '8000' END
         |ORDER BY doc_id""".stripMargin,
+    // split twin: thresholds interpolate from the OPERATOR's own
+    // thresholdHex, so the cumulative cut-points cannot drift
+    "split_docs" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+         |      '${graft.operators.Sampling.thresholdHex(0.8)}' THEN 'train'
+         |    WHEN md5(CAST(doc_id AS VARCHAR)) <
+         |      '${graft.operators.Sampling.thresholdHex(0.9)}' THEN 'valid'
+         |    ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // rebalance twin: identical fixed-order double arithmetic for
     // T = min(n/p) and f = p*T/n, then the same round(f*65536)
     // threshold (half-up ≡ half-away for positives) with the ≥65536 →

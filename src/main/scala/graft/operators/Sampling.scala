@@ -86,6 +86,42 @@ object Sampling {
         .drop("__graft_ws")
   }
 
+  /** 16-bit md5-threshold hex for a cumulative fraction — shared by
+    * the stratified sampler, the mix rebalancer's oracle twin, and
+    * [[assignSplits]] (single definition; 1.0 → "g", lexicographically
+    * above every hex digest). */
+  def thresholdHex(f: Double): String = {
+    val t = math.round(f * 65536.0).toInt
+    if (t >= 65536) "g" else f"$t%04x"
+  }
+
+  /** Deterministic train/validation/test assignment — append `outCol`
+    * labeling each row by cumulative md5-threshold buckets over
+    * `keyCol`. Pure function of the data: the same row lands in the
+    * same split on any engine, partitioning, or cluster size, and —
+    * the leakage control — splitting on a GROUP key (user id, domain,
+    * near-dup component) keeps every row of a group in one split.
+    * Narrow map, no shuffle; fractions honored to ±1/65536. */
+  def assignSplits(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(splits.forall(_._2 > 0.0), "split fractions must be positive")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $total")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' collides — rename one")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val digest = md5(col(keyCol).cast("string").cast("binary"))
+    // last bucket catches the remainder (incl. the 'g' sentinel), so
+    // every row is assigned even at rounding edges
+    val assigned = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1)) { case (((name, _), c), acc) =>
+      when(digest < thresholdHex(c), lit(name)).otherwise(acc)
+    }
+    df.withColumn(outCol, assigned)
+  }
+
   /** Rebalance the corpus toward a target key mix — "make the training
     * set 30% en / 20% de / ..." — by DOWN-sampling only (no row is
     * duplicated): find the largest total T whose mix is achievable,
@@ -148,16 +184,11 @@ object Sampling {
     require(fractions.nonEmpty, "at least one stratum fraction")
     require((fractions.values ++ Seq(defaultFraction))
       .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0, 1]")
-    // 1.0 → "g": lexicographically above every hex digest, keeps all
-    def hex(f: Double): String = {
-      val t = math.round(f * 65536.0).toInt
-      if (t >= 65536) "g" else f"$t%04x"
-    }
     val thrMap = map(fractions.toSeq.sortBy(_._1).flatMap {
-      case (k, f) => Seq(lit(k), lit(hex(f)))
+      case (k, f) => Seq(lit(k), lit(thresholdHex(f)))
     }: _*)
     val thr = coalesce(element_at(thrMap, col(keyCol).cast("string")),
-      lit(hex(defaultFraction)))
+      lit(thresholdHex(defaultFraction)))
     df.filter(md5(col(idCol).cast("string").cast("binary")) < thr)
   }
 }

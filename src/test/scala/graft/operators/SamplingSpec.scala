@@ -178,6 +178,35 @@ class SamplingSpec extends SparkSpec {
     assert(got.count() == 200L) // balanced already: everything kept
   }
 
+  test("assignSplits: ~80/10/10 proportions, total coverage, and " +
+      "group-key leakage safety") {
+    import spark.implicits._
+    // 5 rows per group: splitting on the GROUP key must put all five
+    // in the same split
+    val df = (1 to 2000).map(i => (i.toLong, s"g${i / 5}"))
+      .toDF("id", "grp")
+    val out = Sampling.assignSplits(df, "grp",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L) // every row assigned
+    assert(math.abs(counts("train") - 1600L) <= 160, s"$counts")
+    assert(counts.keySet == Set("train", "valid", "test"))
+    // leakage: one split per group
+    val perGroup = out.groupBy("grp")
+      .agg(countDistinct("split").as("n")).agg(max("n")).head.getLong(0)
+    assert(perGroup == 1L, "a group straddles splits")
+    // deterministic across partitioning
+    val again = Sampling.assignSplits(df.repartition(7), "grp",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .orderBy("id").collect().toSeq
+    assert(again == out.orderBy("id").collect().toSeq)
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(df, "grp", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("stratifiedHashSample rejects out-of-range fractions") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
