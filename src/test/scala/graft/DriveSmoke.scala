@@ -246,6 +246,27 @@ object DriveSmoke {
       "content", everyNth = 2).count())
 
     println("AUDIO_ROWS=" + audio.count())
+
+    // round 6: lexical + hybrid retrieval, curation selection, splits
+    import graft.operators.{Bm25, Lake, Sampling, TextAnalysis}
+    val bmIdx = Bm25.fit(docs, "doc_id", "text")
+    val lex = Bm25.search(bmIdx, Seq("spark", "hash"), k = 10)
+    lex.explain("formatted")
+    println("BM25_ROWS=" + lex.count())
+    val buckets = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
+      .groupBy("bucket").count().orderBy("bucket")
+    buckets.show(false)
+    val mixed = Sampling.rebalanceToMix(docs.select("doc_id", "lang"),
+      "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.5))
+    println("MIXED_ROWS=" + mixed.count())
+    val splits = Sampling.assignSplits(docs.select("doc_id"), "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1))
+    println("SPLIT_COUNTS=" + splits.groupBy("split").count()
+      .orderBy("split").collect().mkString(","))
+    val zDir = java.nio.file.Files.createTempDirectory("drive-z").toString
+    Lake.writeZordered(docs.select("doc_id", "n_chars"), s"$zDir/z",
+      Seq("doc_id", "n_chars"), nFiles = 4)
+    println("ZORDER_HEALTH=" + Lake.health(spark, s"$zDir/z"))
     spark.stop()
   }
 }
