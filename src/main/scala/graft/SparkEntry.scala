@@ -860,6 +860,15 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 4000),
         "vec_id", "embedding", nClusters = 32, threshold = 0.9)
         .select("vec_id", "label").orderBy("vec_id")),
+    // contrastive triplet mining (FaceNet-style hard negatives) over
+    // the embedding column — kmeans partitioning sensitivity →
+    // rows-only; label/ordering semantics unit-tested. Fixed slice so
+    // the in-cell pair cost stays constant across sf
+    "triplet_mine" -> ((s, dir) =>
+      graft.operators.Triplets.mine(
+        t(s, dir, "embeddings").filter(col("vec_id") < 2000),
+        "vec_id", "embedding", "label", nClusters = 16)
+        .orderBy("vec_id")),
     // connected components over the verified near-dup graph (custom
     // hash family upstream → rows-only check; algorithm unit-tested)
     "neardup_components" -> ((s, dir) => {
