@@ -705,6 +705,14 @@ object SparkEntry {
         Map("en" -> 0.25, "de" -> 0.5, "fr" -> 1.0, "es" -> 0.125),
         defaultFraction = 0.5)
         .orderBy("doc_id")),
+    // sketch-guided EXACT heavy hitters: CMS candidate filter (never
+    // underestimates → no true hitter missed) + exact count verify —
+    // equals the plain HAVING answer without a full-distinct shuffle
+    "heavy_tokens" -> ((s, dir) =>
+      graft.operators.Profile.heavyHitters(
+        t(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("tok")),
+        "tok", minSupport = 0.005)),
     // deterministic train/valid/test assignment: cumulative md5
     // buckets over doc_id — leakage-safe (group keys keep groups
     // together), engine-portable, narrow map
@@ -1597,6 +1605,17 @@ object SparkEntry {
         |            WHEN 'fr' THEN 'g' WHEN 'es' THEN '2000'
         |            ELSE '8000' END
         |ORDER BY doc_id""".stripMargin,
+    // heavy-hitter twin: the sketch is an implementation detail — the
+    // CONTRACT is the exact HAVING answer at ceil(minSupport·N)
+    "heavy_tokens" ->
+      s"""WITH t AS (
+         |  SELECT unnest($toksSql) AS value FROM documents),
+         |n AS (SELECT COUNT(*) AS total FROM t)
+         |SELECT value, CAST(COUNT(*) AS BIGINT) AS count
+         |FROM t GROUP BY value
+         |HAVING COUNT(*) >=
+         |  CAST(ceil(0.005 * (SELECT total FROM n)) AS BIGINT)
+         |ORDER BY count DESC, value""".stripMargin,
     // split twin: thresholds interpolate from the OPERATOR's own
     // thresholdHex, so the cumulative cut-points cannot drift
     "split_docs" ->

@@ -45,6 +45,48 @@ object Profile {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** EXACT heavy hitters via a count-min-sketch candidate pass — the
+    * "frequent tokens/n-grams over a corpus whose DISTINCT set does
+    * not fit anywhere" shape: a plain `groupBy(col).count()` shuffles
+    * every distinct value; this instead
+    *
+    *  1. aggregates one driver-side CMS (one treeAggregate pass,
+    *     mergeable, `eps`·N max overestimation — NEVER underestimates,
+    *     so no true heavy hitter can be missed),
+    *  2. filters the raw stream to candidate values whose ESTIMATE
+    *     reaches `minSupport`·N (narrow map over the broadcast sketch;
+    *     survivors are rare by construction), and
+    *  3. exact-counts ONLY the survivors (a tiny hash aggregation) and
+    *     drops the false positives the overestimation let through.
+    *
+    * The result equals the exact `HAVING count >= ceil(minSupport·N)`
+    * answer. The sketch probe is a Scala predicate (a CMS lookup has
+    * no Catalyst builtin) — the documented exception to the no-UDF
+    * rule, confined to one short-circuit filter. Returns (value,
+    * count), count descending then value. */
+  def heavyHitters(df: DataFrame, valCol: String, minSupport: Double,
+      eps: Double = 1e-4, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(minSupport > 0.0 && minSupport <= 1.0,
+      "minSupport must be in (0, 1]")
+    // sketch and probe must hash the SAME representation — cast to
+    // string once, up front (a long and its string hash differently)
+    val strs = df.select(col(valCol).cast("string").as("value"))
+      .filter(col("value").isNotNull)
+    val cms = strs.stat.countMinSketch("value", eps, confidence, seed)
+    val total = cms.totalCount()
+    if (total == 0L)
+      return strs.select(col("value"), lit(0L).as("count")).limit(0)
+    val thr = math.ceil(minSupport * total).toLong
+    val bc = df.sparkSession.sparkContext.broadcast(cms)
+    val isCandidate = udf((v: String) => bc.value.estimateCount(v) >= thr)
+    strs.filter(isCandidate(col("value")))
+      .groupBy("value")
+      .agg(count(lit(1)).as("count"))
+      .filter(col("count") >= thr)
+      .orderBy(col("count").desc, col("value"))
+  }
+
   /** Per-column (column, n_rows, n_nulls, n_distinct), one row per
     * profiled column, ordered by column name.
     *

@@ -65,4 +65,30 @@ class ProfileSpec extends SparkSpec {
       Profile.summarize(df, Seq("nope"))
     }
   }
+
+  test("heavyHitters: sketch candidates + exact verify equals the " +
+      "exact HAVING answer, false positives dropped") {
+    import spark.implicits._
+    // zipf-ish: token t_k appears 2000/k times, plus a long tail of
+    // singletons the sketch must not promote past the exact filter
+    val rows = (1 to 20).flatMap(k =>
+      Seq.fill(2000 / k)(s"t$k")) ++ (1 to 5000).map(i => s"tail$i")
+    val df = rows.toDF("tok").repartition(16)
+    val minSupport = 0.02 // threshold ≈ ceil(0.02 * 21877)
+    val got = Profile.heavyHitters(df, "tok", minSupport, eps = 1e-3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.size
+    val thr = math.ceil(minSupport * n).toLong
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= thr).toSeq
+      .sortBy { case (v, c) => (-c, v) }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    assert(got.nonEmpty && got.forall(!_._1.startsWith("tail")))
+  }
+
+  test("heavyHitters on an empty frame returns empty, not an error") {
+    import spark.implicits._
+    val df = Seq.empty[String].toDF("tok")
+    assert(Profile.heavyHitters(df, "tok", 0.1).count() == 0L)
+  }
 }
