@@ -231,6 +231,46 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full streaming pipeline: curation gate → incremental near-dup " +
+      "→ store append, end to end") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val padA = "the cat must be going to one of all and that they " +
+      "have fun with it "
+    val padB = "with all of the big and small words that we have to " +
+      "be sure about them "
+    val goodA = (padA * 5).trim + " contact bob@example.com please"
+    val goodB = (padB * 5).trim
+    // the same page fetched again under a new id — the crawl-dup case
+    // (signature-identical; the dedicated near-dup specs cover the
+    // within-hamming perturbation behavior)
+    val dupA = goodA
+    val gibberish = ("qzx jzq xqz zqj " * 20).trim
+    val model = graft.operators.TextAnalysis.charBigramModel(
+      Seq((0L, goodA), (1L, goodB)).toDF("id", "text"), "text")
+    val store = new VectorStore(spark, HashEmbedder(dim = 8))
+    val source = MemoryStream[(Long, String)]
+    val gated = StreamIngest.curationFilter(
+      source.toDF().toDF("id", "text"), "text", model, minLmScore = -6.0)
+    val filter = StreamIngest.nearDupIngest(gated, "id", "text",
+      survivors => store.setData(
+        survivors.select(col("text").as("target"),
+          col("id").cast("string").as("option1")), append = true))
+    try {
+      source.addData((1L, goodA), (2L, gibberish), (3L, "too short"))
+      filter.query.processAllAvailable()
+      source.addData((4L, dupA), (5L, goodB))
+      filter.query.processAllAvailable()
+      val rows = store.data.select("option1", "target").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      // 2 and 3 fail the quality gates; 4 near-dups accepted 1
+      assert(rows.keySet == Set("1", "5"), s"stored ${rows.keySet}")
+      // PII scrubbed BEFORE dedup/storage
+      assert(rows("1").contains("<EMAIL>") &&
+        !rows("1").contains("bob@example.com"))
+    } finally filter.query.stop()
+  }
+
   test("intoIvfLayout: streaming cell assignment appends each batch " +
       "into the partitioned layout") {
     import spark.implicits._
