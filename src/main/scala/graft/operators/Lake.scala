@@ -61,6 +61,44 @@ object Lake {
     * from `src`: the caller owns the atomic swap (rename/catalog
     * pointer flip), because "overwrite the directory I am reading"
     * is not crash-safe on any object store. */
+  /** Write a `_graft_manifest.json` beside a parquet dataset — the
+    * handoff contract between pipeline stages (and the cheap
+    * did-anything-change probe for downstream consumers): exact row
+    * count, schema DDL, and the file inventory with sizes. One count
+    * job + the driver-side listing; rewriting is atomic per the
+    * filesystem's single-file rename semantics. Returns the manifest
+    * path. */
+  def writeManifest(spark: SparkSession, path: String): String = {
+    val files = fileStats(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val df = spark.read.parquet(path)
+    val nRows = df.count()
+    val json = new StringBuilder()
+    json ++= "{\n"
+    json ++= s"""  "n_rows": $nRows,\n"""
+    json ++= s"""  "n_files": ${files.length},\n"""
+    json ++= s"""  "total_bytes": ${files.map(_._2).sum},\n"""
+    json ++= s"""  "schema": ${ujsonEscape(df.schema.toDDL)},\n"""
+    json ++= "  \"files\": [\n"
+    json ++= files.map { case (f, b) =>
+      s"""    {"file": ${ujsonEscape(f)}, "bytes": $b}"""
+    }.mkString(",\n")
+    json ++= "\n  ]\n}\n"
+    val out = new Path(path, "_graft_manifest.json")
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(out, true)
+    try os.write(json.toString.getBytes("UTF-8")) finally os.close()
+    out.toString
+  }
+
+  private def ujsonEscape(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** Z-order (Morton-curve) value over `cols` — the multi-column
     * data-skipping layout (the technique behind Delta/Iceberg
     * `OPTIMIZE ZORDER BY`): each column maps to a `bitsPerCol`-bit

@@ -72,6 +72,33 @@ class LakeSpec extends SparkSpec {
       df.orderBy("id").collect().toSeq)
   }
 
+  test("writeManifest records exact rows, schema, and file inventory; " +
+      "manifest is excluded from its own stats") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-man")
+      .toString + "/d"
+    (1 to 123).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val p = Lake.writeManifest(spark, dir)
+    // underscore-prefixed: Spark's own readers skip it as metadata —
+    // read with plain IO
+    def slurp(path: String): String = new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(
+        new java.net.URI(path).getPath)), "UTF-8")
+    val m = slurp(p)
+    assert(m.contains("\"n_rows\": 123"))
+    assert(m.contains("id BIGINT"))
+    assert(m.contains("\"files\": ["))
+    // re-running counts data files only (underscore files ignored), so
+    // the manifest is stable under its own presence
+    val m2 = slurp(Lake.writeManifest(spark, dir))
+    def nFiles(s: String) =
+      "\"n_files\": (\\d+)".r.findFirstMatchIn(s).get.group(1)
+    assert(nFiles(m2) == nFiles(m))
+    // and the parquet read still works untouched
+    assert(spark.read.parquet(dir).count() == 123L)
+  }
+
   test("compactTo refuses in-place rewrites") {
     val p = java.nio.file.Files.createTempDirectory("graft-lake-ip")
       .toString
