@@ -576,6 +576,20 @@ object SparkEntry {
             .as("revenue"))
         .orderBy("c_nationkey")
     }),
+    // bloom-routed anti join: bloom-negative rows settle without a
+    // shuffle, candidates run the exact anti join — answer is exact
+    "bloom_anti_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val hot = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000).select("o_orderkey")
+      graft.operators.BloomJoin.prunedAntiJoin(li, hot,
+        "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     // salted skew join equals the plain join it accelerates
     "salted_join" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -1464,6 +1478,13 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "bloom_anti_join" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem ANTI JOIN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000) o
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "salted_join" ->
       """SELECT c_nationkey, COUNT(*) AS cnt,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue

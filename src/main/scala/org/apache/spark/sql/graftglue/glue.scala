@@ -61,6 +61,14 @@ abstract class UnaryBinaryInputExpression extends UnaryExpression with ExpectsIn
   override def nullIntolerant: Boolean = true
 }
 
+/** Unary expression over one join-key input (bigint or string) —
+  * sketch-membership kernels. `AbstractDataType` is private[sql]. */
+abstract class UnaryKeyExpression extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(LongType, StringType))
+  override def nullIntolerant: Boolean = true
+}
+
 /** Unary expression over one string input (text kernels).
   * `AbstractDataType` is private[sql], hence this lives in the glue. */
 abstract class UnaryStringExpression extends UnaryExpression with ExpectsInputTypes {

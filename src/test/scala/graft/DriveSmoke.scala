@@ -267,6 +267,15 @@ object DriveSmoke {
     Lake.writeZordered(docs.select("doc_id", "n_chars"), s"$zDir/z",
       Seq("doc_id", "n_chars"), nFiles = 4)
     println("ZORDER_HEALTH=" + Lake.health(spark, s"$zDir/z"))
+
+    // bloom-routed anti join over the real parquet tables
+    import graft.operators.BloomJoin
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val hot = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter($"o_totalprice" > 300000).select("o_orderkey")
+    val bloomed = BloomJoin.prunedAntiJoin(li, hot, "l_orderkey", "o_orderkey")
+    bloomed.explain("formatted")
+    println("BLOOM_ANTI_ROWS=" + bloomed.count())
     spark.stop()
   }
 }
