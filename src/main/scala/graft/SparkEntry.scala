@@ -479,6 +479,18 @@ object SparkEntry {
       idx.queryBatch(qdf, "query_id", "embedding", k = 3, nprobe = 4)
         .orderBy("query_id", "distance", "vec_id")
     }),
+    // scalar-quantization (SQ8) ANN: 4× compressed codes + fused
+    // reconstruct-and-distance scan + exact re-rank (float32
+    // quantization arithmetic is not reproducible in the double-only
+    // oracle → rows-only; exact-at-full-refine, clamp/degenerate-dim
+    // behavior, and recall are unit-tested)
+    "sq8_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val idx = graft.operators.SqIndex.fit(emb, "embedding", "vec_id")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5, refineFactor = 4)
+    }),
     // product-quantization ANN: 32× compressed codes + ADC scan +
     // exact re-rank (kmeans partitioning-sensitive → rows-only; ADC
     // exactness-on-centroids and refine-vs-brute-force are unit-tested)

@@ -316,6 +316,52 @@ object VectorOps {
     }
     new GenericArrayData(out)
   }
+
+  /** Scalar-quantize to one unsigned byte per dimension:
+    * `round((x - lo_d) / step_d)` clamped to [0, 255], stored as the
+    * signed-byte bit pattern (decode with `& 0xFF`). A degenerate
+    * dimension (step 0: constant across the corpus) encodes as 0.
+    * Out-of-range values (query-time drift beyond the fitted range)
+    * clamp rather than wrap — SQ distance saturates, never corrupts. */
+  def sqEncode(a: ArrayData, af: Boolean, lo: Array[Float],
+      step: Array[Float]): Array[Byte] = {
+    val n = a.numElements()
+    if (n != lo.length) {
+      throw new IllegalArgumentException(
+        s"vector length $n != fitted dim ${lo.length}")
+    }
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val s = step(i)
+      if (s > 0f) {
+        val q = Math.round((get(a, i, af) - lo(i)) / s).toInt
+        out(i) = (if (q < 0) 0 else if (q > 255) 255 else q).toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Asymmetric SQ distance: squared L2 between the float query and the
+    * byte-code's reconstruction `lo_d + code_d * step_d`. One fused
+    * pass, no reconstruction array. */
+  def sqAdc(code: Array[Byte], q: Array[Float], lo: Array[Float],
+      step: Array[Float]): Double = {
+    val n = code.length
+    if (n != q.length) {
+      throw new IllegalArgumentException(
+        s"code length $n != query dim ${q.length}")
+    }
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = q(i) - (lo(i) + (code(i) & 0xFF) * step(i))
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }
 
 abstract class BinaryVectorExpression extends BinaryFloatVectorExpression {
@@ -466,6 +512,46 @@ case class PqAdcDistance(child: Expression, table: Array[Double],
       a => s"graft.functions.VectorOps.pqAdc($a, $ref, $codesPerBook)")
   }
   override def prettyName: String = "pq_adc"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** sq_encode(vec): binary — one unsigned byte per dimension against the
+  * fitted per-dim (lo, step) range (see [[VectorOps.sqEncode]]). */
+case class SqEncode(child: Expression, lo: Array[Float], step: Array[Float])
+    extends org.apache.spark.sql.graftglue.UnaryFloatVectorExpression {
+  require(lo.length == step.length && lo.nonEmpty,
+    "lo/step must be non-empty and the same length")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.sqEncode(a.asInstanceOf[ArrayData], childIsFloat, lo, step)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("sqLo", lo, "float[]")
+    val stepRef = ctx.addReferenceObj("sqStep", step, "float[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorOps.sqEncode($a, $childIsFloat, $loRef, $stepRef)")
+  }
+  override def prettyName: String = "sq_encode"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** sq_adc(code): double — asymmetric squared-L2 between the embedded
+  * float query and a scalar-quantized code (see [[VectorOps.sqAdc]]). */
+case class SqAdcDistance(child: Expression, query: Array[Float],
+    lo: Array[Float], step: Array[Float])
+    extends org.apache.spark.sql.graftglue.UnaryBinaryInputExpression {
+  require(query.length == lo.length && lo.length == step.length,
+    "query/lo/step must be the same length")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.sqAdc(a.asInstanceOf[Array[Byte]], query, lo, step)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("sqQuery", query, "float[]")
+    val loRef = ctx.addReferenceObj("sqLo", lo, "float[]")
+    val stepRef = ctx.addReferenceObj("sqStep", step, "float[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorOps.sqAdc($a, $qRef, $loRef, $stepRef)")
+  }
+  override def prettyName: String = "sq_adc"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

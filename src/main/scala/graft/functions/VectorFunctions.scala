@@ -39,6 +39,15 @@ object VectorFunctions {
   def pq_adc(codes: Column, table: Array[Double], codesPerBook: Int): Column =
     column(PqAdcDistance(expression(codes), table, codesPerBook))
 
+  /** Scalar-quantization encode (see [[SqEncode]]). */
+  def sq_encode(a: Column, lo: Array[Float], step: Array[Float]): Column =
+    column(SqEncode(expression(a), lo, step))
+
+  /** Asymmetric distance over SQ codes (see [[SqAdcDistance]]). */
+  def sq_adc(codes: Column, query: Array[Float], lo: Array[Float],
+      step: Array[Float]): Column =
+    column(SqAdcDistance(expression(codes), query, lo, step))
+
   /** PQ training assignment (see [[NearestSubCentroid]]). */
   def nearest_sub_centroid(sub: Column, subvec: Column,
       codebooks: Array[Array[Array[Float]]]): Column =

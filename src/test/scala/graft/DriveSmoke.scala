@@ -268,6 +268,15 @@ object DriveSmoke {
       Seq("doc_id", "n_chars"), nFiles = 4)
     println("ZORDER_HEALTH=" + Lake.health(spark, s"$zDir/z"))
 
+    // SQ8: fit on the real embeddings, ADC scan + exact re-rank
+    val embSq = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sqIdx = graft.operators.SqIndex.fit(embSq, "embedding", "vec_id")
+    val sqHits = sqIdx.query(
+      embSq.filter($"vec_id" === 0).select("embedding")
+        .head.getSeq[Float](0).toArray, k = 5)
+    sqHits.explain("formatted")
+    println("SQ8_ROWS=" + sqHits.count())
+
     // bloom-routed anti join over the real parquet tables
     import graft.operators.BloomJoin
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
