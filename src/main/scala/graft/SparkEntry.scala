@@ -479,6 +479,19 @@ object SparkEntry {
       idx.queryBatch(qdf, "query_id", "embedding", k = 3, nprobe = 4)
         .orderBy("query_id", "distance", "vec_id")
     }),
+    // PCA reduction: one moment pass + driver eigSym, codegen'd
+    // center-and-project (eigendecomposition is not SQL-expressible →
+    // rows-only; orthonormality, variance ordering, distance
+    // preservation, and determinism are unit-tested)
+    "pca_embed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = graft.operators.PcaReduce.fit(emb, "embedding", k = 8)
+      graft.operators.PcaReduce.transform(emb, "embedding", m)
+        .select(col("vec_id"),
+          element_at(col("pca_vec"), 1).as("pc1"),
+          element_at(col("pca_vec"), 2).as("pc2"))
+        .orderBy("vec_id")
+    }),
     // scalar-quantization (SQ8) ANN: 4× compressed codes + fused
     // reconstruct-and-distance scan + exact re-rank (float32
     // quantization arithmetic is not reproducible in the double-only
@@ -587,6 +600,21 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("revenue"))
         .orderBy("c_nationkey")
+    }),
+    // edit-distance fuzzy join: q-gram + length-bucket banding, exact
+    // levenshtein verify once per distinct value pair (no cartesian);
+    // probes are part names with their 3rd char dropped
+    "fuzzy_join" -> ((s, dir) => {
+      val names = t(s, dir, "part").select("p_name").distinct()
+      val probes = names.select(concat(substring(col("p_name"), 1, 2),
+        substring(col("p_name"), 4, 10000)).as("probe")).distinct()
+      graft.operators.FuzzyJoin.editJoin(probes, names, "probe", "p_name",
+        maxDist = 1)
+        .groupBy(col("left_val").as("probe"))
+        .agg(count(lit(1)).as("n_matches"),
+          min("right_val").as("first_match"),
+          min("edit_dist").cast("long").as("min_dist"))
+        .orderBy("probe")
     }),
     // bloom-routed anti join: bloom-negative rows settle without a
     // shuffle, candidates run the exact anti join — answer is exact
@@ -1490,6 +1518,13 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "fuzzy_join" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |probes AS (SELECT DISTINCT substr(p_name,1,2) || substr(p_name,4) AS probe FROM names)
+        |SELECT probe, COUNT(*) AS n_matches, MIN(p_name) AS first_match,
+        |  CAST(MIN(levenshtein(probe, p_name)) AS BIGINT) AS min_dist
+        |FROM probes, names WHERE levenshtein(probe, p_name) <= 1
+        |GROUP BY probe ORDER BY probe""".stripMargin,
     "bloom_anti_join" ->
       """SELECT l_returnflag, COUNT(*) AS cnt,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.mat_vec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** PCA dimensionality reduction for embedding columns — the standard
+  * pre-step before indexing/clustering a high-dim corpus (and the
+  * "reduce then IVF/PQ" composition faiss ships as `PCAMatrix`):
+  * project 64-dim embeddings to the top-k variance directions with one
+  * distributed moment pass and a driver-side eigendecomposition of the
+  * dim×dim covariance (64×64 here — microscopic next to the data).
+  *
+  *  - '''fit''': one `mapPartitions` pass accumulates (n, Σx, Σxxᵀ) per
+  *    partition (dim + dim² doubles of state), reduced on the driver;
+  *    covariance = Σxxᵀ/n − μμᵀ; `breeze.linalg.eigSym` gives the
+  *    eigenbasis. No per-iteration jobs, no shuffle — the pass is a
+  *    pure map-side fold, so it scales linearly in rows and never
+  *    materializes anything row-proportional on the driver.
+  *  - '''transform''': center + project as one codegen'd projection
+  *    (`zip_with` subtraction into [[graft.functions.MatVec]]) — no
+  *    UDF, stays inside whole-stage codegen.
+  *
+  * Component sign is canonicalized (largest-|entry| coordinate made
+  * positive) so fits are bit-deterministic across runs and partition
+  * counts up to float addition order in the moment pass — the moment
+  * reduce accumulates in double and the testdata scales keep that exact;
+  * at extreme scale document the usual caveat that double summation
+  * order can wiggle the last ulp.
+  */
+object PcaReduce {
+
+  /** Fitted model: `mean` of the corpus, `components` as k rows of dim
+    * floats (descending eigenvalue order), and the per-component /
+    * total variance for explained-variance accounting. */
+  final case class PcaModel(mean: Array[Float],
+      components: Array[Array[Float]], eigenvalues: Array[Double],
+      totalVariance: Double) {
+    def k: Int = components.length
+    def dim: Int = mean.length
+    def explainedRatio: Double =
+      if (totalVariance <= 0) 0.0 else eigenvalues.sum / totalVariance
+  }
+
+  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    require(k >= 1, "k must be >= 1")
+    val vecs = df.select(col(vecCol)).where(col(vecCol).isNotNull)
+    val moments = vecs.rdd.mapPartitions { rows =>
+      var n = 0L
+      var sum: Array[Double] = null
+      var cross: Array[Array[Double]] = null
+      rows.foreach { row =>
+        val v = row.getSeq[Float](0)
+        if (sum == null) {
+          sum = new Array[Double](v.length)
+          cross = Array.ofDim[Double](v.length, v.length)
+        }
+        require(v.length == sum.length,
+          s"vector length ${v.length} != ${sum.length}")
+        var i = 0
+        while (i < sum.length) {
+          val xi = v(i).toDouble
+          sum(i) += xi
+          val ci = cross(i)
+          var j = 0
+          while (j < sum.length) { ci(j) += xi * v(j); j += 1 }
+          i += 1
+        }
+        n += 1L
+      }
+      if (n == 0) Iterator.empty else Iterator((n, sum, cross))
+    }.reduce { case ((an, as, ac), (bn, bs, bc)) =>
+      var i = 0
+      while (i < as.length) {
+        as(i) += bs(i)
+        val ai = ac(i); val bi = bc(i)
+        var j = 0
+        while (j < as.length) { ai(j) += bi(j); j += 1 }
+        i += 1
+      }
+      (an + bn, as, ac)
+    }
+    val (n, sum, cross) = moments
+    val dim = sum.length
+    require(k <= dim, s"k=$k exceeds vector dim $dim")
+    val mean = sum.map(_ / n)
+    val cov = breeze.linalg.DenseMatrix.tabulate(dim, dim) { (i, j) =>
+      cross(i)(j) / n - mean(i) * mean(j)
+    }
+    val es = breeze.linalg.eigSym(cov)
+    // eigSym returns ascending eigenvalues; take the top k, canonical
+    // sign: the coordinate with the largest magnitude is positive
+    val order = (0 until dim).sortBy(i => -es.eigenvalues(i)).take(k)
+    val comps = order.map { c =>
+      val v = Array.tabulate(dim)(i => es.eigenvectors(i, c))
+      val m = v.indices.maxBy(i => math.abs(v(i)))
+      val s = if (v(m) < 0) -1.0 else 1.0
+      v.map(x => (x * s).toFloat)
+    }.toArray
+    PcaModel(mean.map(_.toFloat), comps,
+      order.map(es.eigenvalues(_)).toArray,
+      breeze.linalg.trace(cov))
+  }
+
+  /** Center-and-project column: `components × (v - mean)` →
+    * `array<float>` of length k. Codegen'd end to end. */
+  def projection(vecCol: Column, model: PcaModel): Column =
+    mat_vec(zip_with(vecCol,
+      typedlit(model.mean.toSeq), (a, b) => a - b), model.components)
+
+  /** Project `vecCol` to the model's k dims as `outCol`. */
+  def transform(df: DataFrame, vecCol: String, model: PcaModel,
+      outCol: String = "pca_vec"): DataFrame =
+    df.withColumn(outCol, projection(col(vecCol), model))
+}

@@ -277,6 +277,22 @@ object DriveSmoke {
     sqHits.explain("formatted")
     println("SQ8_ROWS=" + sqHits.count())
 
+    // PCA: fit 64->8 on the real embeddings, project, check shape
+    val pcaM = graft.operators.PcaReduce.fit(embSq, "embedding", k = 8)
+    val pcaOut = graft.operators.PcaReduce.transform(embSq, "embedding", pcaM)
+    pcaOut.select("vec_id", "pca_vec").explain("formatted")
+    println("PCA_RATIO=" + pcaM.explainedRatio)
+
+    // fuzzy edit-distance join: corrupted part names back to their source
+    val pnames = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select("p_name").distinct()
+    val probes = pnames.select(concat(substring($"p_name", 1, 2),
+      substring($"p_name", 4, 10000)).as("probe")).distinct()
+    val fuzzy = graft.operators.FuzzyJoin.editJoin(probes, pnames,
+      "probe", "p_name", maxDist = 1)
+    fuzzy.explain("formatted")
+    println("FUZZY_PAIRS=" + fuzzy.count())
+
     // bloom-routed anti join over the real parquet tables
     import graft.operators.BloomJoin
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PcaReduceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def noise(i: Int, j: Int): Float = {
+    var h = i * 0x9E3779B9 + j * 0x85EBCA6B
+    h = (h ^ (h >>> 16)) * 0xC2B2AE35
+    ((h & 0xFFFF).toFloat / 0xFFFF.toFloat - 0.5f)
+  }
+
+  // variance concentrated on axes 0 (scale 10) and 1 (scale 3), the
+  // remaining 6 dims carry only ±0.5 jitter
+  private def anisotropic(): Seq[(Long, Array[Float])] =
+    (0 until 200).map { i =>
+      val v = Array.tabulate(8)(j => noise(i, j))
+      v(0) = (i % 21 - 10).toFloat
+      v(1) = ((i * 3) % 7 - 3).toFloat
+      (i.toLong, v)
+    }
+
+  test("components are orthonormal") {
+    val m = PcaReduce.fit(anisotropic().toDF("id", "vec"), "vec", k = 4)
+    for (a <- m.components.indices; b <- m.components.indices) {
+      val d = m.components(a).zip(m.components(b))
+        .map { case (x, y) => x.toDouble * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-5, s"<c$a, c$b> = $d")
+    }
+  }
+
+  test("first component aligns with the dominant variance axis") {
+    val m = PcaReduce.fit(anisotropic().toDF("id", "vec"), "vec", k = 2)
+    assert(math.abs(m.components(0)(0)) > 0.99,
+      s"c0 = ${m.components(0).toSeq}")
+    assert(math.abs(m.components(1)(1)) > 0.95,
+      s"c1 = ${m.components(1).toSeq}")
+    // eigenvalues descend
+    assert(m.eigenvalues(0) > m.eigenvalues(1))
+  }
+
+  test("k=dim projection preserves pairwise distances (rotation only)") {
+    val df = anisotropic().toDF("id", "vec")
+    val m = PcaReduce.fit(df, "vec", k = 8)
+    val proj = PcaReduce.transform(df, "vec", m)
+    import graft.functions.VectorFunctions._
+    val both = proj.select(col("id"), col("vec"), col("pca_vec"))
+      .limit(20).collect()
+    val q = both.head
+    val dOrig = both.map(r => graftDist(q.getSeq[Float](1), r.getSeq[Float](1)))
+    val dProj = both.map(r => graftDist(q.getSeq[Float](2), r.getSeq[Float](2)))
+    dOrig.zip(dProj).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-2, s"$a vs $b") }
+  }
+
+  private def graftDist(a: Seq[Float], b: Seq[Float]): Double =
+    a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+
+  test("explained ratio grows with k and hits ~1 at k=dim") {
+    val df = anisotropic().toDF("id", "vec")
+    val r2 = PcaReduce.fit(df, "vec", 2).explainedRatio
+    val r4 = PcaReduce.fit(df, "vec", 4).explainedRatio
+    val r8 = PcaReduce.fit(df, "vec", 8).explainedRatio
+    assert(r2 < r4 && r4 < r8 && r8 > 0.999, s"$r2 $r4 $r8")
+    assert(r2 > 0.9) // the two loud axes dominate
+  }
+
+  test("fit is deterministic across partition counts") {
+    val df2 = anisotropic().toDF("id", "vec").repartition(2)
+    val df7 = anisotropic().toDF("id", "vec").repartition(7)
+    val a = PcaReduce.fit(df2, "vec", 3)
+    val b = PcaReduce.fit(df7, "vec", 3)
+    a.components.zip(b.components).foreach { case (x, y) =>
+      x.zip(y).foreach { case (p, q) => assert(math.abs(p - q) < 1e-6) } }
+  }
+
+  test("transform is codegen'd (no UDF in the plan) and null-safe") {
+    val df = (anisotropic() :+
+      (999L, null.asInstanceOf[Array[Float]])).toDF("id", "vec")
+    val m = PcaReduce.fit(df.where(col("vec").isNotNull), "vec", 2)
+    val out = PcaReduce.transform(df, "vec", m)
+    assert(!out.queryExecution.executedPlan.toString.toLowerCase
+      .contains("scala_udf"))
+    val nulls = out.where(col("pca_vec").isNull).select("id")
+      .as[Long].collect().toSeq
+    assert(nulls == Seq(999L))
+    assert(out.where(col("pca_vec").isNotNull)
+      .select(size(col("pca_vec"))).distinct().as[Int].head() == 2)
+  }
+
+  test("real embeddings: 64->16 keeps most variance") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = PcaReduce.fit(emb, "embedding", k = 16)
+    assert(m.dim == 64 && m.k == 16)
+    assert(m.explainedRatio > 0.2 && m.explainedRatio <= 1.0 + 1e-9,
+      s"ratio ${m.explainedRatio}")
+  }
+}
