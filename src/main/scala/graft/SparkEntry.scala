@@ -912,6 +912,21 @@ object SparkEntry {
         .withColumn("quantile",
           col("quantile").cast("decimal(18,9)").cast("double"))
         .orderBy("event_type", "p")),
+    // winsorized outlier clamp at the exact per-type [p05, p95]
+    // cutpoints (broadcast cuts join + codegen'd clamp; the decimal
+    // rounding makes the winsorized sum order-free cross-engine)
+    "winsorized_values" -> ((s, dir) =>
+      graft.operators.Outliers.winsorize(t(s, dir, "events"),
+        Seq("event_type"), "value", pLo = 0.05, pHi = 0.95)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("winsorized") > col("value"), 1L).otherwise(0L))
+            .as("n_raised"),
+          sum(when(col("winsorized") < col("value"), 1L).otherwise(0L))
+            .as("n_lowered"),
+          sum(col("winsorized").cast("decimal(18,9)")).cast("double")
+            .as("sum_w"))
+        .orderBy("event_type")),
     // SemDeDup: k-means-partitioned semantic dedup over the embedding
     // column — kmeans partitioning sensitivity → rows-only check like
     // the IVF family; pair recall + representative choice unit-tested.
@@ -1899,6 +1914,38 @@ object SparkEntry {
         |JOIN ranked l ON b.event_type = l.event_type AND l.rn = b.lo
         |JOIN ranked h ON b.event_type = h.event_type AND h.rn = b.hi
         |ORDER BY b.event_type, b.p""".stripMargin,
+    "winsorized_values" ->
+      """WITH ranked AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE)) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |counts AS (SELECT event_type, COUNT(*) AS n FROM events
+        |           WHERE value IS NOT NULL GROUP BY event_type),
+        |bounds AS (
+        |  SELECT event_type, p,
+        |    CAST(floor(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) + 1 AS lo,
+        |    least(CAST(ceil(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) + 1, n) AS hi,
+        |    CAST(n - 1 AS DOUBLE) * p - floor(CAST(n - 1 AS DOUBLE) * p) AS g
+        |  FROM counts, (SELECT CAST(p AS DOUBLE) AS p
+        |                FROM (VALUES (0.05), (0.95)) t(p)) ps),
+        |quants AS (
+        |  SELECT b.event_type, b.p, (1.0 - b.g) * l.v + b.g * h.v AS q
+        |  FROM bounds b
+        |  JOIN ranked l ON b.event_type = l.event_type AND l.rn = b.lo
+        |  JOIN ranked h ON b.event_type = h.event_type AND h.rn = b.hi),
+        |cuts AS (SELECT event_type,
+        |    MIN(CASE WHEN p = 0.05 THEN q END) AS qlo,
+        |    MIN(CASE WHEN p = 0.95 THEN q END) AS qhi
+        |  FROM quants GROUP BY event_type),
+        |w AS (SELECT e.event_type, CAST(e.value AS DOUBLE) AS v,
+        |    CASE WHEN e.value IS NULL THEN NULL
+        |         ELSE greatest(least(CAST(e.value AS DOUBLE), c.qhi), c.qlo) END AS wv
+        |  FROM events e LEFT JOIN cuts c ON e.event_type = c.event_type)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN wv > v THEN 1 ELSE 0 END) AS BIGINT) AS n_raised,
+        |  CAST(SUM(CASE WHEN wv < v THEN 1 ELSE 0 END) AS BIGINT) AS n_lowered,
+        |  CAST(CAST(SUM(CAST(wv AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS sum_w
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sessionized_events" ->
       """SELECT event_id, session_idx,
         |  CAST(user_id AS VARCHAR) || '#' || CAST(session_idx AS VARCHAR) AS session_id
