@@ -548,6 +548,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy("hour_bucket", "event_type")),
+    // sliding 2h/1h event-time windows (batch twin of streaming hopping
+    // aggregation): map-side explode by the overlap factor, one
+    // partial-aggregated shuffle on (window, key)
+    "events_sliding" -> ((s, dir) =>
+      graft.operators.TimeWindows.slidingAgg(t(s, dir, "events"), "ts",
+        Seq("event_type"), Seq("value"),
+        lengthNs = 2L * 3600L * 1000000000L,
+        slideNs = 3600L * 1000000000L)
+        .orderBy("win_bucket", "event_type")),
     // JSONL ingest round-trip: parquet → JSON-lines on disk →
     // schema-declared read → typed projection. The oracle checks the
     // whole write/read loop against the original table (strings with
@@ -1515,6 +1524,14 @@ object SparkEntry {
         |  COUNT(*) AS cnt,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+    "events_sliding" ->
+      """SELECT win_bucket, event_type, COUNT(*) AS cnt,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM (SELECT e.event_type, e.value,
+        |        unnest(generate_series(epoch_ns(ts) // 3600000000000 - 1,
+        |                               epoch_ns(ts) // 3600000000000)) AS win_bucket
+        |      FROM events e WHERE ts IS NOT NULL)
+        |GROUP BY win_bucket, event_type ORDER BY win_bucket, event_type""".stripMargin,
     // nullif: CSV cannot represent empty-string vs NULL (Spark reads
     // empty fields back as null), so the documented round-trip contract
     // maps '' to NULL and the oracle does the same

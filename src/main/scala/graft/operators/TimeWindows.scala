@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sliding (hopping) event-time windows over integer-nanos timestamps —
+  * the batch twin of Structured Streaming's
+  * `window($"ts", "2 hours", "1 hour")`, for backfilling the same
+  * rolling aggregates a streaming job maintains (Spark's own
+  * `TimeWindowing` rule does exactly this expansion for the built-in
+  * `window()` on TimestampType; this operator is the nanos-long form
+  * the events table ships in).
+  *
+  * Each row is assigned to every window `[k·slide, k·slide + length)`
+  * covering its timestamp — an explode by the constant overlap factor
+  * `length / slide` (2 for the 2h/1h hop), NOT a range join: the
+  * expansion is map-side, the shuffle happens once on the (window, key)
+  * aggregate after partial aggregation, and window alignment is
+  * epoch-anchored so every engine computing `floor(ts / slide)` agrees
+  * on bucket identity.
+  */
+object TimeWindows {
+
+  /** Explode each row into its covering sliding windows.
+    * Adds `bucketCol` = k where the window is `[k·slide, k·slide+len)`
+    * (so `k = win_start / slideNs`; multiply back for the timestamp).
+    * Null timestamps are dropped — they belong to no window. */
+  def slidingWindows(df: DataFrame, tsCol: String, lengthNs: Long,
+      slideNs: Long, bucketCol: String = "win_bucket"): DataFrame = {
+    require(lengthNs > 0 && slideNs > 0, "length and slide must be positive")
+    require(lengthNs % slideNs == 0,
+      s"window length $lengthNs must be a multiple of slide $slideNs " +
+        "(epoch-aligned hop)")
+    require(df.columns.forall(_ != bucketCol),
+      s"column '$bucketCol' already exists")
+    require(df.columns.forall(_ != "__tw_ts"), "column '__tw_ts' is reserved")
+    // k ranges over (ts - length, ts] / slide: floor((ts-len)/slide)+1
+    // .. floor(ts/slide). Integer `div`, NOT `/`: epoch nanos exceed
+    // double's exact-integer range, and ts >= 0 keeps div == floor-div.
+    df.where(col(tsCol).isNotNull)
+      .withColumn("__tw_ts", col(tsCol).cast("long"))
+      .withColumn(bucketCol, explode(sequence(
+        expr(s"(__tw_ts - ${lengthNs}L) div ${slideNs}L + 1L"),
+        expr(s"__tw_ts div ${slideNs}L"))))
+      .drop("__tw_ts")
+  }
+
+  /** Rolling count/sum per (window, key): the common shape. Emits
+    * (`bucketCol`, keys..., cnt, plus one `sum_<c>` per aggregated
+    * column cast decimal(18,2)→double for cross-engine stability). */
+  def slidingAgg(df: DataFrame, tsCol: String, keyCols: Seq[String],
+      sumCols: Seq[String], lengthNs: Long, slideNs: Long,
+      bucketCol: String = "win_bucket"): DataFrame = {
+    val exploded = slidingWindows(df, tsCol, lengthNs, slideNs, bucketCol)
+    val aggs = count(lit(1)).as("cnt") +:
+      sumCols.map(c => sum(col(c).cast("decimal(18,2)")).cast("double")
+        .as(s"sum_$c"))
+    exploded.groupBy((bucketCol +: keyCols).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

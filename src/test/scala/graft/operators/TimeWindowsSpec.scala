@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // one hour in nanos
+
+  test("each row lands in exactly length/slide windows") {
+    val df = Seq((1L, 10 * H + 5L), (2L, 11 * H), (3L, 12 * H - 1L))
+      .toDF("id", "ts")
+    val out = TimeWindows.slidingWindows(df, "ts", 3 * H, H)
+    assert(out.groupBy("id").count().select("count")
+      .as[Long].collect().toSet == Set(3L))
+  }
+
+  test("window membership matches Spark's built-in window() on timestamps") {
+    // ground truth: functions.window over the same instants
+    val rows = (0 until 500).map(i =>
+      (i.toLong, (1700000000L * 1000000000L) + i * 137L * 1000000000L))
+    val df = rows.toDF("id", "ts")
+    val got = TimeWindows.slidingWindows(df, "ts", 2 * H, H)
+      .select(col("id"), (col("win_bucket") * H).as("ws"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = df
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      .select(col("id"), window(col("t"), "2 hours", "1 hour"))
+      .select(col("id"),
+        (unix_timestamp(col("window.start")) * 1000000000L).as("ws"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("boundary semantics: start inclusive, end exclusive") {
+    val df = Seq((1L, 5 * H)).toDF("id", "ts") // exactly on a boundary
+    val buckets = TimeWindows.slidingWindows(df, "ts", 2 * H, H)
+      .select("win_bucket").as[Long].collect().sorted.toSeq
+    // covered by [4H, 6H) and [5H, 7H); NOT [3H, 5H)
+    assert(buckets == Seq(4L, 5L))
+  }
+
+  test("null timestamps are dropped") {
+    val df = Seq((1L, Some(10 * H)), (2L, None)).toDF("id", "ts")
+    assert(TimeWindows.slidingWindows(df, "ts", 2 * H, H)
+      .select("id").distinct().as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("slidingAgg counts every event once per covering window") {
+    val df = Seq((1L, 10 * H, 2.0), (2L, 10 * H + 1, 3.0),
+      (3L, 11 * H, 5.0)).toDF("id", "ts", "value")
+    val out = TimeWindows.slidingAgg(df, "ts", Seq.empty, Seq("value"),
+      2 * H, H).orderBy("win_bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((9L, 2L, 5.0), (10L, 3L, 10.0), (11L, 1L, 5.0)))
+  }
+
+  test("non-multiple length rejected") {
+    val df = Seq((1L, 10 * H)).toDF("id", "ts")
+    intercept[IllegalArgumentException] {
+      TimeWindows.slidingWindows(df, "ts", 3 * H / 2, H)
+    }
+  }
+}
