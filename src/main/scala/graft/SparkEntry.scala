@@ -492,6 +492,18 @@ object SparkEntry {
           element_at(col("pca_vec"), 2).as("pc2"))
         .orderBy("vec_id")
     }),
+    // PCA→SQ8 composition: byte-coded candidates in the 16-dim reduced
+    // space (16× compression), exact original-space re-rank
+    // (eigendecomposition → rows-only; exactness-at-full-refine and
+    // recall unit-tested)
+    "pca_sq8_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val idx = graft.operators.PcaReduce.fitSq(emb, "embedding",
+        "vec_id", k = 16)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5, refineFactor = 8)
+    }),
     // scalar-quantization (SQ8) ANN: 4× compressed codes + fused
     // reconstruct-and-distance scan + exact re-rank (float32
     // quantization arithmetic is not reproducible in the double-only

@@ -40,6 +40,18 @@ object PcaReduce {
     def dim: Int = mean.length
     def explainedRatio: Double =
       if (totalVariance <= 0) 0.0 else eigenvalues.sum / totalVariance
+
+    /** Driver-side single-vector projection (query-time twin of
+      * [[PcaReduce.projection]]). */
+    def projectOne(v: Array[Float]): Array[Float] = {
+      require(v.length == dim, s"vector dim ${v.length} != $dim")
+      components.map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += c(i) * (v(i).toDouble - mean(i)); i += 1 }
+        acc.toFloat
+      }
+    }
   }
 
   def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
@@ -112,4 +124,39 @@ object PcaReduce {
   def transform(df: DataFrame, vecCol: String, model: PcaModel,
       outCol: String = "pca_vec"): DataFrame =
     df.withColumn(outCol, projection(col(vecCol), model))
+
+  /** PCA→SQ8 composition (faiss `PCAMatrix + SQ` index-factory shape):
+    * candidates come from a byte-coded scan in the reduced space
+    * (k bytes/row — 16× compression at 64→16), the final answer from an
+    * exact re-rank in the ORIGINAL space, so reduction error can only
+    * cost recall inside the candidate pool, never corrupt distances. */
+  def fitSq(df: DataFrame, vecCol: String, idCol: String,
+      k: Int): ReducedSqIndex = {
+    val model = fit(df, vecCol, k)
+    val reduced = transform(df, vecCol, model, "__pca_vec")
+      .select(col(idCol), col("__pca_vec"))
+    new ReducedSqIndex(model,
+      SqIndex.fit(reduced, "__pca_vec", idCol),
+      df.select(col(idCol), col(vecCol)), vecCol, idCol)
+  }
+}
+
+/** See [[PcaReduce.fitSq]]. */
+final class ReducedSqIndex(val model: PcaReduce.PcaModel,
+    val inner: SqIndex, corpus: DataFrame, vecCol: String,
+    idCol: String) extends Serializable {
+
+  /** Top-k: SQ-ADC candidates in the reduced space, exact squared-L2
+    * re-rank in the original space. */
+  def query(q: Array[Float], k: Int, refineFactor: Int = 8): DataFrame = {
+    require(refineFactor >= 1, "refineFactor must be >= 1")
+    import graft.functions.VectorFunctions.squared_l2
+    inner.query(model.projectOne(q), k * refineFactor, refineFactor = 1)
+      .drop("distance")
+      .join(corpus, Seq(idCol))
+      .withColumn("distance", squared_l2(col(vecCol), typedlit(q.toSeq)))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("distance"))
+  }
 }

@@ -91,6 +91,31 @@ class PcaReduceSpec extends SparkSpec {
       .select(size(col("pca_vec"))).distinct().as[Int].head() == 2)
   }
 
+  test("PCA->SQ8: full-corpus refine is exact in the original space") {
+    val df = anisotropic().toDF("id", "vec")
+    val idx = PcaReduce.fitSq(df, "vec", "id", k = 4)
+    val q = Array.tabulate(8)(j => 3f + noise(321, j))
+    val got = idx.query(q, k = 5, refineFactor = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Similarity.topK(df, "vec", "id", q, 5)
+      .select("id", "distance")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
+  test("PCA->SQ8: recall@5 on real embeddings at 64->16, refine 8") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = PcaReduce.fitSq(emb, "embedding", "vec_id", k = 16)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    val got = idx.query(q, k = 5, refineFactor = 8)
+      .collect().map(_.getLong(0)).toSet
+    val want = Similarity.topK(emb, "embedding", "vec_id", q, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.intersect(want).size >= 3, s"$got vs $want")
+  }
+
   test("real embeddings: 64->16 keeps most variance") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
