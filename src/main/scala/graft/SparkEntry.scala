@@ -135,6 +135,14 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
+    "q8_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
     "q5_events_json" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy("event_type")
@@ -621,6 +629,31 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("revenue"))
         .orderBy("c_nationkey")
+    }),
+    // retrieval evaluation (TREC shapes): exact top-10 per query as the
+    // system, same-label vectors as binary relevance; recall/MRR/AP/nDCG
+    // with decimal-rounded log gains (order-free cross-engine sums)
+    "retrieval_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"),
+          col("label").as("qlabel"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("distance").asc, col("vec_id").asc)
+      val sys = graft.operators.Similarity.topKJoin(
+        emb.select("vec_id", "embedding"),
+        queries.select("query_id", "embedding"), k = 10,
+        "vec_id", "embedding", "query_id", "embedding")
+        .withColumn("rank", row_number().over(w))
+        .select("query_id", "vec_id", "rank")
+      val truth = queries.select("query_id", "qlabel")
+        .join(emb.select(col("vec_id"), col("label")),
+          col("qlabel") === col("label"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id")
+      graft.operators.RetrievalEval.perQuery(sys, truth, "query_id",
+        "vec_id", "rank", k = 10)
+        .orderBy("query_id")
     }),
     // edit-distance fuzzy join: q-gram + length-bucket banding, exact
     // levenshtein verify once per distinct value pair (no cartesian);
@@ -1277,6 +1310,11 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q8_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q5_events_json" ->
       """SELECT event_type, COUNT(*) AS cnt,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value,
@@ -1562,6 +1600,43 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "retrieval_eval" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding, label AS qlabel
+         |           FROM embeddings WHERE vec_id < 20),
+         |sys AS (
+         |  SELECT query_id, vec_id, rank FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY $sqDist, e.vec_id) AS rank
+         |    FROM embeddings e, q)
+         |  WHERE rank <= 10),
+         |truth AS (SELECT DISTINCT q.query_id, e.vec_id FROM q
+         |          JOIN embeddings e ON e.label = q.qlabel
+         |          WHERE e.vec_id <> q.query_id),
+         |nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM truth GROUP BY query_id),
+         |g AS (SELECT r, CAST(round(1.0/(ln(r+1.0)/ln(2.0)), 9) AS DECIMAL(18,9)) AS gain
+         |      FROM generate_series(1, 10) t(r)),
+         |hits AS (
+         |  SELECT s.query_id, s.rank,
+         |    row_number() OVER (PARTITION BY s.query_id ORDER BY s.rank) AS hit_idx
+         |  FROM sys s JOIN truth t ON s.query_id = t.query_id AND s.vec_id = t.vec_id),
+         |hs AS (SELECT h.query_id, COUNT(*) AS hits, MIN(h.rank) AS minrank,
+         |    CAST(CAST(SUM(CAST(round(CAST(h.hit_idx AS DOUBLE)/h.rank, 9) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS sum_prec,
+         |    CAST(CAST(SUM(g.gain) AS VARCHAR) AS DOUBLE) AS dcg
+         |  FROM hits h JOIN g ON g.r = h.rank GROUP BY h.query_id),
+         |uq AS (SELECT DISTINCT query_id FROM sys)
+         |SELECT u.query_id, COALESCE(n.n_rel, 0) AS n_rel,
+         |  COALESCE(h.hits, 0) AS hits,
+         |  CASE WHEN COALESCE(n.n_rel, 0) = 0 THEN 0.0
+         |       ELSE CAST(COALESCE(h.hits, 0) AS DOUBLE) / n.n_rel END AS recall,
+         |  COALESCE(1.0 / h.minrank, 0.0) AS mrr,
+         |  CASE WHEN COALESCE(n.n_rel, 0) = 0 OR h.sum_prec IS NULL THEN 0.0
+         |       ELSE h.sum_prec / least(n.n_rel, 10) END AS ap,
+         |  CASE WHEN COALESCE(n.n_rel, 0) = 0 OR h.dcg IS NULL THEN 0.0
+         |       ELSE h.dcg / (SELECT CAST(CAST(SUM(gain) AS VARCHAR) AS DOUBLE)
+         |                     FROM g WHERE r <= least(n.n_rel, 10)) END AS ndcg
+         |FROM uq u LEFT JOIN nrel n ON u.query_id = n.query_id
+         |LEFT JOIN hs h ON u.query_id = h.query_id
+         |ORDER BY u.query_id""".stripMargin,
     "fuzzy_join" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part),
         |probes AS (SELECT DISTINCT substr(p_name,1,2) || substr(p_name,4) AS probe FROM names)
