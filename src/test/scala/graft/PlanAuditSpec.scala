@@ -11,8 +11,9 @@ class PlanAuditSpec extends SparkSpec {
   // topKJoin deliberately crossJoins a BROADCAST query side (bounded,
   // documented at Similarity.topKJoin); it plans as
   // BroadcastNestedLoopJoin, never a shuffled CartesianProduct.
-  // knn_classify rides the same operator.
-  private val broadcastNljAllowed = Set("knn_batch_join", "knn_classify")
+  // knn_classify and retrieval_eval ride the same operator.
+  private val broadcastNljAllowed =
+    Set("knn_batch_join", "knn_classify", "retrieval_eval")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
