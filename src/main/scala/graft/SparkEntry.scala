@@ -904,6 +904,19 @@ object SparkEntry {
       graft.operators.Bm25.search(idx,
         Seq("spark", "hash", "window"), k = 20)
     }),
+    // batch BM25: a query TABLE against the postings in one plan —
+    // broadcast (query, term, idf), one (query, doc) aggregation,
+    // per-query WindowGroupLimit top-k; scores identical to `search`
+    "bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val idx = graft.operators.Bm25.fit(
+        t(s, dir, "documents"), "doc_id", "text")
+      val queries = Seq(
+        ("q1", Seq("spark", "hash", "window")),
+        ("q2", Seq("data", "join", "fast"))).toDF("qid", "terms")
+      graft.operators.Bm25.searchBatch(idx, queries, "qid", "terms",
+        k = 10).orderBy("qid", "rank")
+    }),
     // hybrid retrieval: BM25 top-20 ∪ vector top-20 fused by
     // reciprocal-rank contributions (decimal-exact, order-free) —
     // rank windows run over the two k-row lists, not the corpus
@@ -1908,6 +1921,46 @@ object SparkEntry {
     // are decimal(20,8) before SUM (exact, order-free), and the final
     // score crosses the decimal→double bridge via VARCHAR
     "bm25_topk" -> bm25Sql,
+    "bm25_batch" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+         |  GROUP BY doc_id, token),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         |stats AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM dl),
+         |post AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, dl.dl
+         |  FROM tf JOIN dl USING (doc_id)),
+         |q AS (SELECT DISTINCT qid, lower(term) AS token FROM (
+         |    SELECT 'q1' AS qid, unnest(['spark','hash','window']) AS term
+         |    UNION ALL
+         |    SELECT 'q2' AS qid, unnest(['data','join','fast']) AS term)),
+         |dfreq AS (SELECT token, COUNT(*) AS df FROM post GROUP BY token),
+         |qidf AS (
+         |  SELECT q.qid, q.token,
+         |    ln(1.0 + (CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5)
+         |      / (df + 0.5)) AS idf
+         |  FROM q JOIN dfreq USING (token)),
+         |scored AS (
+         |  SELECT i.qid, p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+         |    CAST(CAST(SUM(CAST(
+         |      i.idf * (CAST(p.tf AS DOUBLE) * CAST('2.2' AS DOUBLE))
+         |        / (CAST(p.tf AS DOUBLE) + CAST('1.2' AS DOUBLE) *
+         |          (0.25 + 0.75 * CAST(p.dl AS DOUBLE)
+         |            / (SELECT avgdl FROM stats)))
+         |      AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS score
+         |  FROM post p JOIN qidf i USING (token)
+         |  GROUP BY i.qid, p.doc_id)
+         |SELECT qid, doc_id, n_matched, score, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // hybrid lexical+vector fusion: both ranked lists come from the
     // SHARED twins (bm25Sql + the squared-L2 top-k shape), fused by
     // reciprocal-rank contributions — 1/(60+rank) can never round to

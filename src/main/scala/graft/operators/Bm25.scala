@@ -121,4 +121,58 @@ object Bm25 {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Batch top-k search for a QUERY TABLE (queryIdCol, termsCol:
+    * array<string>) — the many-queries shape [[search]] cannot serve
+    * (per-query jobs would be a driver loop). One broadcast of the
+    * (query, term, idf) frame — |queries|×|terms| rows, small by
+    * assumption — against the term-filtered postings, one hash
+    * aggregation by (query, doc), per-query top-k via a rank window
+    * Spark plans as `WindowGroupLimit` (per-partition heaps, no global
+    * sort). Scores are bit-identical to [[search]] on the same terms
+    * (same decimal-rounded contributions). Terms are lowercased and
+    * deduped per query; a query with no indexed terms yields no rows.
+    * For a query table too big to broadcast, bucket postings and
+    * queries by token instead — same plan minus the broadcast.
+    * Output: (queryIdCol, idCol, n_matched, score, rank), rank 1-based
+    * by (score desc, id asc). */
+  def searchBatch(index: Bm25Index, queries: DataFrame,
+      queryIdCol: String, termsCol: String, k: Int,
+      idCol: String = "doc_id", k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val empty = queries.select(col(queryIdCol))
+      .withColumn(idCol,
+        lit(null).cast(index.postings.schema(idCol).dataType))
+      .withColumn("n_matched", lit(0L))
+      .withColumn("score", lit(0.0))
+      .withColumn("rank", lit(0L)).limit(0)
+    if (index.nDocs == 0L) return empty
+    val qterms = queries
+      .select(col(queryIdCol), explode(col(termsCol)).as("token"))
+      .withColumn("token", lower(col("token")))
+      .where(col("token").isNotNull)
+      .distinct()
+    val idf = index.docFreq
+      .join(qterms.select("token").distinct(), Seq("token"))
+      .withColumn("idf", log(lit(1.0) +
+        (lit(index.nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+    val qidf = qterms.join(idf, Seq("token"))
+    val normLen = lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast("double") / lit(index.avgdl))
+    val contrib = (col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + normLen)).cast("decimal(20,8)")
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("score").desc, col(idCol).asc)
+    index.postings
+      .join(broadcast(qidf), Seq("token"))
+      .groupBy(queryIdCol, idCol).agg(
+        count(lit(1)).as("n_matched"),
+        sum(contrib).as("__s"))
+      .select(col(queryIdCol), col(idCol), col("n_matched"),
+        col("__s").cast("string").cast("double").as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -100,4 +100,46 @@ class Bm25Spec extends SparkSpec {
     assert(Bm25.search(idx, Seq.empty, 5).count() == 0L)
     assert(Bm25.search(idx, Seq("zzz_absent"), 5).count() == 0L)
   }
+
+  test("searchBatch parity: each query's rows equal single-query search") {
+    import spark.implicits._
+    val idx = Bm25.fit(corpus, "doc_id", "text")
+    val queries = Seq(
+      ("q1", Seq("spark", "hash")),
+      ("q2", Seq("QUANTUM", "and", "and")), // case-folds, dedups
+      ("q3", Seq("nosuchterm"))).toDF("qid", "terms")
+    val batch = Bm25.searchBatch(idx, queries, "qid", "terms", k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+      .groupBy(_._1)
+    for ((qid, terms) <- Seq("q1" -> Seq("spark", "hash"),
+        "q2" -> Seq("quantum", "and"))) {
+      val single = Bm25.search(idx, terms, k = 3).collect().zipWithIndex
+        .map { case (r, i) =>
+          (qid, r.getLong(0), r.getLong(1), r.getDouble(2), i + 1L) }
+      assert(batch(qid).sortBy(_._5).toSeq == single.toSeq, qid)
+    }
+    // a query with no indexed terms yields no rows
+    assert(!batch.contains("q3"))
+  }
+
+  test("searchBatch ranks within each query and cuts at k") {
+    import spark.implicits._
+    val idx = Bm25.fit(corpus, "doc_id", "text")
+    val queries = Seq(("q", Seq("spark", "and", "the"))).toDF("qid", "terms")
+    val rows = Bm25.searchBatch(idx, queries, "qid", "terms", k = 2)
+      .collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(4)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("searchBatch plans WindowGroupLimit, no global sort of postings") {
+    import spark.implicits._
+    val idx = Bm25.fit(corpus, "doc_id", "text")
+    val queries = Seq(("q1", Seq("spark"))).toDF("qid", "terms")
+    val plan = Bm25.searchBatch(idx, queries, "qid", "terms", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
