@@ -76,6 +76,21 @@ object StreamIngest {
       .groupBy(window(col(tsCol), windowLength), col(keyCol))
       .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total"))
 
+  /** Watermarked SLIDING (hopping) window aggregation — the streaming
+    * twin of [[graft.operators.TimeWindows]]: each event counts into
+    * every `length`-long window at `slide` offsets covering it
+    * (epoch-aligned, same bucket identity as the batch operator), so a
+    * backfill with `TimeWindows.slidingAgg` and this query agree
+    * window-for-window. State per key is `length/slide` open windows,
+    * sealed and dropped as the watermark passes. */
+  def slidingAgg(stream: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowLength: String = "2 hours",
+      slide: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength, slide), col(keyCol))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total"))
+
   /** Incremental streaming near-duplicate filter — the crawl-dedup
     * contract over an unbounded stream: each micro-batch is
     * deduplicated WITHIN itself (SimHash pairs + independent-set drop)

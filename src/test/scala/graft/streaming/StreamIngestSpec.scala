@@ -497,4 +497,46 @@ class StreamIngestSpec extends SparkSpec {
         ("11:00", "click", 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("streaming sliding windows agree with the batch TimeWindows twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamIngest.slidingAgg(
+      source.toDF().toDF("ts", "etype", "value"),
+      "ts", "etype", "value", windowLength = "2 hours", slide = "1 hour")
+    val q = agg.writeStream.format("memory")
+      .queryName("slide_agg").outputMode("complete").start()
+    try {
+      val data = Seq(
+        (Timestamp.valueOf("2026-01-01 10:10:00"), "click", 1.0),
+        (Timestamp.valueOf("2026-01-01 10:50:00"), "click", 2.0),
+        (Timestamp.valueOf("2026-01-01 11:10:00"), "click", 4.0),
+        (Timestamp.valueOf("2026-01-01 10:20:00"), "view", 8.0))
+      source.addData(data: _*)
+      q.processAllAvailable()
+      val streamRows = spark.sql(
+        """SELECT unix_timestamp(window.start) * 1000000000 AS ws, etype,
+          |  cnt, total FROM slide_agg ORDER BY ws, etype""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      // batch twin over the same rows (ts as epoch nanos)
+      import spark.implicits._
+      val H = 3600L * 1000000000L
+      val batch = graft.operators.TimeWindows.slidingAgg(
+        data.map { case (t, e, v) => (t.getTime * 1000000L, e, v) }
+          .toDF("ts", "etype", "value"),
+        "ts", Seq("etype"), Seq("value"), lengthNs = 2 * H, slideNs = H)
+        .select((col("win_bucket") * H).as("ws"), col("etype"),
+          col("cnt"), col("sum_value"))
+        .orderBy("ws", "etype")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(streamRows == batch)
+      // every event in two windows: totals double-count consistently
+      assert(streamRows.map(_._3).sum == 2 * data.size)
+    } finally q.stop()
+  }
 }
