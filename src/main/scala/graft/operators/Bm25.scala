@@ -122,6 +122,27 @@ object Bm25 {
       .limit(k)
   }
 
+  /** Persist the index under one root (`<path>/postings`,
+    * `<path>/docfreq`, `<path>/stats`) — the fit-offline/search-online
+    * split: postings land as parquet (bucket by token at scale),
+    * reopening never rescans the corpus. */
+  def save(index: Bm25Index, path: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$path/postings")
+    index.docFreq.write.mode("overwrite").parquet(s"$path/docfreq")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    Seq((index.nDocs, index.totalDl)).toDF("n_docs", "total_dl")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Reopen a [[save]]d index. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): Bm25Index = {
+    val s = spark.read.parquet(s"$path/stats").head
+    Bm25Index(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/docfreq"), s.getLong(0), s.getLong(1))
+  }
+
   /** Batch top-k search for a QUERY TABLE (queryIdCol, termsCol:
     * array<string>) — the many-queries shape [[search]] cannot serve
     * (per-query jobs would be a driver loop). One broadcast of the

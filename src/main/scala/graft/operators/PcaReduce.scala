@@ -125,6 +125,31 @@ object PcaReduce {
       outCol: String = "pca_vec"): DataFrame =
     df.withColumn(outCol, projection(col(vecCol), model))
 
+  /** Persist a fitted model as parquet (one row per component, plus a
+    * dim-length mean row at component -1) — shared-filesystem friendly,
+    * no sidecar format. */
+  def save(model: PcaModel, spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    val rows = (-1, model.mean.toSeq, 0.0, model.totalVariance) +:
+      model.components.indices.map(i => (i, model.components(i).toSeq,
+        model.eigenvalues(i), model.totalVariance))
+    rows.toDF("component", "values", "eigenvalue", "total_variance")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reopen a [[save]]d model. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): PcaModel = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    require(rows.nonEmpty && rows.head._1 == -1,
+      s"no PCA model at $path (missing mean row)")
+    PcaModel(rows.head._2, rows.tail.map(_._2), rows.tail.map(_._3),
+      rows.head._4)
+  }
+
   /** PCA→SQ8 composition (faiss `PCAMatrix + SQ` index-factory shape):
     * candidates come from a byte-coded scan in the reduced space
     * (k bytes/row — 16× compression at 64→16), the final answer from an

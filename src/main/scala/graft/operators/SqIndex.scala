@@ -119,4 +119,25 @@ object SqIndex {
       idCol: String): SqIndex =
     new SqIndex(lo, step, corpus, spark.read.parquet(codesPath), vecCol,
       idCol)
+
+  /** Persist codes AND fitted params under one root (`<path>/codes`,
+    * `<path>/params`) — parquet, so it lands on whatever shared
+    * filesystem the cluster writes (fit offline, search online). */
+  def save(idx: SqIndex, path: String): Unit = {
+    idx.writeCodes(s"$path/codes")
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    Seq((idx.lo.toSeq, idx.step.toSeq)).toDF("lo", "step")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Reopen a [[save]]d index against its corpus. */
+  def loadSaved(spark: SparkSession, path: String, corpus: DataFrame,
+      vecCol: String, idCol: String): SqIndex = {
+    val p = spark.read.parquet(s"$path/params").head
+    load(spark, s"$path/codes",
+      p.getSeq[Float](p.fieldIndex("lo")).toArray,
+      p.getSeq[Float](p.fieldIndex("step")).toArray,
+      corpus, vecCol, idCol)
+  }
 }

@@ -142,4 +142,15 @@ class Bm25Spec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("save/load roundtrip: reopened index answers identically") {
+    val idx = Bm25.fit(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25-save").toString
+    Bm25.save(idx, s"$dir/idx")
+    val re = Bm25.load(spark, s"$dir/idx")
+    assert(re.nDocs == idx.nDocs && re.totalDl == idx.totalDl)
+    val terms = Seq("spark", "hash", "and")
+    assert(Bm25.search(re, terms, 10).collect().toSeq ==
+      Bm25.search(idx, terms, 10).collect().toSeq)
+  }
 }

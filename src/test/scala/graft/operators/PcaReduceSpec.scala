@@ -124,4 +124,16 @@ class PcaReduceSpec extends SparkSpec {
     assert(m.explainedRatio > 0.2 && m.explainedRatio <= 1.0 + 1e-9,
       s"ratio ${m.explainedRatio}")
   }
+
+  test("save/load roundtrip preserves the model exactly") {
+    val df = anisotropic().toDF("id", "vec")
+    val m = PcaReduce.fit(df, "vec", k = 3)
+    val dir = java.nio.file.Files.createTempDirectory("pca-save").toString
+    PcaReduce.save(m, spark, s"$dir/model")
+    val re = PcaReduce.load(spark, s"$dir/model")
+    assert(re.mean.toSeq == m.mean.toSeq)
+    assert(re.components.map(_.toSeq).toSeq == m.components.map(_.toSeq).toSeq)
+    assert(re.eigenvalues.toSeq == m.eigenvalues.toSeq)
+    assert(re.totalVariance == m.totalVariance)
+  }
 }

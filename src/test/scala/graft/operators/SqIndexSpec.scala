@@ -122,4 +122,15 @@ class SqIndexSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.toLowerCase.contains("join"), plan)
   }
+
+  test("save/loadSaved roundtrip: params and answers survive reopen") {
+    val df = clustered().toDF("vid", "vec")
+    val idx = SqIndex.fit(df, "vec", "vid")
+    val dir = java.nio.file.Files.createTempDirectory("sq-save").toString
+    SqIndex.save(idx, s"$dir/idx")
+    val re = SqIndex.loadSaved(spark, s"$dir/idx", df, "vec", "vid")
+    assert(re.lo.toSeq == idx.lo.toSeq && re.step.toSeq == idx.step.toSeq)
+    val q = Array.tabulate(8)(j => 3f + noise(11, j))
+    assert(re.query(q, 4).collect().toSeq == idx.query(q, 4).collect().toSeq)
+  }
 }
