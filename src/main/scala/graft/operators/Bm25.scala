@@ -153,14 +153,17 @@ object Bm25 {
     * sort). Scores are bit-identical to [[search]] on the same terms
     * (same decimal-rounded contributions). Terms are lowercased and
     * deduped per query; a query with no indexed terms yields no rows.
-    * For a query table too big to broadcast, bucket postings and
-    * queries by token instead — same plan minus the broadcast.
+    * For a query table too big to broadcast, pass
+    * `broadcastQueries = false`: the qidf join hash-partitions both
+    * sides by token (AQE may still choose broadcast if the frame turns
+    * out small; bucket postings AND queries by token to pre-pay that
+    * shuffle) — results are identical either way.
     * Output: (queryIdCol, idCol, n_matched, score, rank), rank 1-based
     * by (score desc, id asc). */
   def searchBatch(index: Bm25Index, queries: DataFrame,
       queryIdCol: String, termsCol: String, k: Int,
       idCol: String = "doc_id", k1: Double = DefaultK1,
-      b: Double = DefaultB): DataFrame = {
+      b: Double = DefaultB, broadcastQueries: Boolean = true): DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
     val empty = queries.select(col(queryIdCol))
@@ -186,8 +189,9 @@ object Bm25 {
       (col("tf").cast("double") + normLen)).cast("decimal(20,8)")
     val w = Window.partitionBy(queryIdCol)
       .orderBy(col("score").desc, col(idCol).asc)
+    val probe = if (broadcastQueries) broadcast(qidf) else qidf
     index.postings
-      .join(broadcast(qidf), Seq("token"))
+      .join(probe, Seq("token"))
       .groupBy(queryIdCol, idCol).agg(
         count(lit(1)).as("n_matched"),
         sum(contrib).as("__s"))

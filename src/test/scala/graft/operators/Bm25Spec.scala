@@ -153,4 +153,16 @@ class Bm25Spec extends SparkSpec {
     assert(Bm25.search(re, terms, 10).collect().toSeq ==
       Bm25.search(idx, terms, 10).collect().toSeq)
   }
+
+  test("searchBatch without broadcast answers identically (corpus-scale query path)") {
+    import spark.implicits._
+    val idx = Bm25.fit(corpus, "doc_id", "text")
+    val queries = Seq(("q1", Seq("spark", "hash")),
+      ("q2", Seq("quantum", "and"))).toDF("qid", "terms")
+    val bc = Bm25.searchBatch(idx, queries, "qid", "terms", k = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    val sh = Bm25.searchBatch(idx, queries, "qid", "terms", k = 5,
+      broadcastQueries = false).orderBy("qid", "rank").collect().toSeq
+    assert(bc == sh)
+  }
 }

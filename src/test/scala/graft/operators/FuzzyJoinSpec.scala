@@ -70,4 +70,35 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!plan.contains("cartesian"), plan)
     assert(!plan.contains("broadcastnestedloop"), plan)
   }
+
+  test("prefix filter preserves the exact result set (d=1 and d=2)") {
+    val ls = Seq("small ring", "red widget", "blue bolt", "hot gear",
+      "ax", "abcdefghijk")
+    val rs = Seq("small rings", "red wadget", "blue bolts", "cold gear",
+      "axe", "abcdefghixk", "unrelated string")
+    for (d <- Seq(1, 2)) {
+      val plain = FuzzyJoin.editJoin(ls.toDF("l"), rs.toDF("r"),
+        "l", "r", d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      val filtered = FuzzyJoin.editJoin(ls.toDF("l"), rs.toDF("r"),
+        "l", "r", d, prefixFilter = true).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(filtered == plain, s"d=$d")
+      assert(plain == bruteForce(ls, rs, d), s"d=$d vs brute force")
+    }
+  }
+
+  test("prefix filter caps per-value gram fan-out at d*q+1") {
+    // every left value shares the hot gram "aaa" with every right value;
+    // the filter must keep at most d*q+1 grams per left value
+    val ls = (0 until 20).map(i => s"aaaa${i}%02dzzz")
+    val rs = (0 until 20).map(i => s"aaaa${i}%02dyyy")
+    val d = 1; val q = 3
+    val plain = FuzzyJoin.editJoin(ls.toDF("l"), rs.toDF("r"), "l", "r",
+      d, q).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val filtered = FuzzyJoin.editJoin(ls.toDF("l"), rs.toDF("r"), "l",
+      "r", d, q, prefixFilter = true).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(filtered == plain)
+  }
 }
