@@ -393,6 +393,18 @@ object SparkEntry {
       Dedup.dedupNearMinHash(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5)
         .select("doc_id").orderBy("doc_id")),
+    // cross-corpus dedup: keep only new-slice docs that near-duplicate
+    // no existing-corpus doc (asymmetric MinHash probe; custom hash
+    // kernels → rows-only like minhash_neardup, cross-side agreement
+    // with the symmetric operator unit-tested)
+    "crossdup_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.dedupAgainstCorpus(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", threshold = 0.4)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // as-of temporal join: each event matched to the user's latest
     // preceding order (union + running-last window, no range join)
     "asof_join" -> ((s, dir) => {

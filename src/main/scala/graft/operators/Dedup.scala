@@ -122,6 +122,57 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric near-dup probe — "dedupe the new crawl slice against
+    * the existing training corpus" (the batch twin of the streaming
+    * `nearDupIngest` contract, at MinHash/Jaccard precision instead of
+    * SimHash): returns the distinct `probe` ids whose shingle-set
+    * Jaccard against ANY corpus document reaches `threshold`.
+    * Duplicates WITHIN the probe side are deliberately NOT flagged —
+    * run [[nearDupPairsMinHash]] on the slice for that half.
+    *
+    * Same shuffle budget as the symmetric operator: slim
+    * (id, band, bucket) rows band-join across the two sides only,
+    * shingle arrays cross exactly two payload re-joins, Jaccard runs
+    * once per distinct cross pair, hot buckets pruned on both sides. */
+  def nearDupProbeMinHash(probe: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleWidth: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    def prep(df: DataFrame, side: String): (DataFrame, DataFrame) = {
+      val sh = shingles(col(textCol), shingleWidth)
+      val base = df.select(col(idCol).as(s"id$side"), sh.as(s"__sh$side"))
+        .filter(size(col(s"__sh$side")) > 0)
+      val slim = base
+        .withColumn("__sig", minhashSignature(col(s"__sh$side"), numHashes))
+        .select(col(s"id$side"),
+          posexplode(minhashBands(col("__sig"), bands, rowsPerBand))
+            .as(Seq("__band", "__bh")))
+      (base, pruneHotBuckets(slim, Seq("__band", "__bh"), maxBucketSize))
+    }
+    val (pBase, pSlim) = prep(probe, "P")
+    val (cBase, cSlim) = prep(corpus, "C")
+    pSlim.join(cSlim, Seq("__band", "__bh"))
+      .select("idP", "idC").distinct()
+      .join(pBase, Seq("idP"))
+      .join(cBase, Seq("idC"))
+      .filter(jaccard(col("__shP"), col("__shC")) >= threshold)
+      .select(col("idP").as(idCol)).distinct()
+  }
+
+  /** The filtered slice: `newDocs` rows that do NOT near-duplicate any
+    * corpus document (anti-join on the [[nearDupProbeMinHash]] flags). */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleWidth: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val flagged = nearDupProbeMinHash(newDocs, corpus, idCol, textCol,
+      shingleWidth, numHashes, bands, threshold, maxBucketSize)
+    newDocs.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Prune buckets larger than `max` BEFORE a self-join, using a SLIM
     * count: bucket sizes come from a projection of the key columns
     * only (column pruning keeps heavy payload columns out of that

@@ -339,4 +339,44 @@ class DedupSpec extends SparkSpec {
       hashGrams = true).orderBy("doc_id").collect().map(_.toSeq)
     assert(lit.toSeq == hsh.toSeq)
   }
+
+  test("nearDupProbeMinHash flags cross-side near-dups only, asymmetrically") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different corpus content about spark plans"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy cat today"), // near dup of 1
+      (12L, "unrelated new document with fresh tokens entirely"),
+      (13L, "unrelated new document with fresh tokens entirely")) // dup WITHIN probe
+      .toDF("doc_id", "text")
+    val flagged = Dedup.nearDupProbeMinHash(probe, corpus,
+      "doc_id", "text", threshold = 0.5)
+      .as[Long].collect().sorted.toSeq
+    assert(flagged == Seq(10L, 11L))
+    val kept = Dedup.dedupAgainstCorpus(probe, corpus, "doc_id", "text",
+      threshold = 0.5).select("doc_id").as[Long].collect().sorted.toSeq
+    // within-probe duplicates survive: the probe is asymmetric by contract
+    assert(kept == Seq(12L, 13L))
+  }
+
+  test("nearDupProbeMinHash agrees with the symmetric operator's cross pairs") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 40)
+    val probe = docs.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+    val probeFlag = Dedup.nearDupProbeMinHash(probe, corpus,
+      "doc_id", "text", threshold = 0.4)
+      .as[Long].collect().toSet
+    val crossPairs = Dedup.nearDupPairsMinHash(docs.filter(col("doc_id") < 80),
+      "doc_id", "text", threshold = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a < 40) != (b < 40) }
+      .flatMap { case (a, b) => Seq(a, b) }.filter(_ >= 40).toSet
+    assert(probeFlag == crossPairs)
+  }
 }
