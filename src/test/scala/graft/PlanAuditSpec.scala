@@ -205,4 +205,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"pii_scrub reads more than it needs:\n$plan")
   }
+
+  test("bloom anti join: one exact join, bloom probe below it, settled branch join-free") {
+    val plan = planOf("bloom_anti_join")
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom_anti_join lost the membership probe:\n$plan")
+    val joins = "(?i)sortmergejoin|broadcasthashjoin|shuffledhashjoin".r
+      .findAllIn(plan.toLowerCase).length
+    assert(joins == 1, s"bloom_anti_join expected exactly 1 join, got $joins:\n$plan")
+  }
+
+  test("winsorize clamps via a broadcast cutpoints join, not a second data shuffle") {
+    val plan = planOf("winsorized_values")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"winsorized_values lost the broadcast cuts join:\n$plan")
+  }
+
+  test("batch BM25 keeps the per-query group limit at real-data scale") {
+    val plan = planOf("bm25_batch")
+    assert(plan.contains("WindowGroupLimit"),
+      s"bm25_batch lost the group-limit pushdown:\n$plan")
+  }
+
+  test("sliding windows aggregate with map-side partial aggregation") {
+    val plan = planOf("events_sliding")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"events_sliding lost partial aggregation:\n$plan")
+    assert(!plan.toLowerCase.contains("join"),
+      s"events_sliding grew a join:\n$plan")
+  }
 }
