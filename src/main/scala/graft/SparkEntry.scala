@@ -512,6 +512,18 @@ object SparkEntry {
           element_at(col("pca_vec"), 2).as("pc2"))
         .orderBy("vec_id")
     }),
+    // IVF-SQ composition: cell pruning × residual-fitted byte codes
+    // (kmeans partitioning sensitivity → rows-only like the IVF/PQ
+    // family; exactness-at-full-probe, residual-range tightness, and
+    // recall unit-tested)
+    "ivfsq_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val idx = graft.operators.IvfSqIndex.build(emb, "embedding",
+        "vec_id", nClusters = 16, sampleFraction = 0.25)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5, nprobe = 4, refineFactor = 8)
+    }),
     // PCA→SQ8 composition: byte-coded candidates in the 16-dim reduced
     // space (16× compression), exact original-space re-rank
     // (eigendecomposition → rows-only; exactness-at-full-refine and
