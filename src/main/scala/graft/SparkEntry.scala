@@ -1003,6 +1003,18 @@ object SparkEntry {
         .withColumn("quantile",
           col("quantile").cast("decimal(18,9)").cast("double"))
         .orderBy("event_type", "p")),
+    // robust MAD outliers (Iglewicz–Hoaglin modified z): exact type-7
+    // medians, z as one fixed double formula — oracle replicates both
+    // quantile passes verbatim; threshold 1.2 because the synthetic
+    // data is near-uniform (no 3.5-sigma tails to flag)
+    "mad_outliers" -> ((s, dir) =>
+      graft.operators.Outliers.madScore(t(s, dir, "documents"),
+        Seq("lang"), "n_chars")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("mad_z")) > 1.2, 1L).otherwise(0L))
+            .as("n_out"))
+        .orderBy("lang")),
     // winsorized outlier clamp at the exact per-type [p05, p95]
     // cutpoints (broadcast cuts join + codegen'd clamp; the decimal
     // rounding makes the winsorized sum order-free cross-engine)
@@ -2095,6 +2107,35 @@ object SparkEntry {
         |JOIN ranked l ON b.event_type = l.event_type AND l.rn = b.lo
         |JOIN ranked h ON b.event_type = h.event_type AND h.rn = b.hi
         |ORDER BY b.event_type, b.p""".stripMargin,
+    "mad_outliers" ->
+      """WITH ranked AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE)) AS rn
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |counts AS (SELECT lang, COUNT(*) AS n FROM documents
+        |           WHERE n_chars IS NOT NULL GROUP BY lang),
+        |mb AS (SELECT lang, n,
+        |    CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 AS lo,
+        |    least(CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1, n) AS hi,
+        |    CAST(n - 1 AS DOUBLE) * 0.5 - floor(CAST(n - 1 AS DOUBLE) * 0.5) AS g
+        |  FROM counts),
+        |med AS (SELECT mb.lang, (1.0 - mb.g) * l.v + mb.g * h.v AS med
+        |  FROM mb JOIN ranked l ON l.lang = mb.lang AND l.rn = mb.lo
+        |          JOIN ranked h ON h.lang = mb.lang AND h.rn = mb.hi),
+        |dev AS (SELECT d.lang, CAST(d.n_chars AS DOUBLE) AS v,
+        |    abs(CAST(d.n_chars AS DOUBLE) - m.med) AS ad, m.med
+        |  FROM documents d JOIN med m ON d.lang = m.lang
+        |  WHERE d.n_chars IS NOT NULL),
+        |ranked2 AS (SELECT lang, ad,
+        |    row_number() OVER (PARTITION BY lang ORDER BY ad) AS rn FROM dev),
+        |mad AS (SELECT mb.lang, (1.0 - mb.g) * l.ad + mb.g * h.ad AS mad
+        |  FROM mb JOIN ranked2 l ON l.lang = mb.lang AND l.rn = mb.lo
+        |          JOIN ranked2 h ON h.lang = mb.lang AND h.rn = mb.hi)
+        |SELECT d.lang, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN ma.mad <> 0
+        |    AND abs(0.6745 * (d.v - d.med) / ma.mad) > 1.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        |FROM dev d JOIN mad ma ON d.lang = ma.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "winsorized_values" ->
       """WITH ranked AS (
         |  SELECT event_type, CAST(value AS DOUBLE) AS v,

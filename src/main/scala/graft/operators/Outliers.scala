@@ -58,4 +58,45 @@ object Outliers {
       .where(col(valCol).cast("double").between(col("__qlo"), col("__qhi")))
       .drop("__qlo", "__qhi")
   }
+
+  /** Robust (MAD) modified z-score per key — Iglewicz–Hoaglin:
+    * `0.6745 · (v − median) / MAD` with both statistics EXACT type-7
+    * medians, so one extreme row cannot drag its own cutoff the way a
+    * mean/stddev z-score lets it. A degenerate key (MAD 0: over half
+    * the values identical) scores NULL rather than ±∞ — flag nothing,
+    * by convention. NULL values score NULL.
+    *
+    * Two quantile passes (median, then median of |v − median|) and two
+    * broadcast joins of |keys|-row frames; the scoring pass itself is
+    * one codegen'd projection. The z expression is one fixed double
+    * formula over exact inputs — bit-stable across engines, so the
+    * oracle replicates it verbatim. */
+  def madScore(df: DataFrame, keyCols: Seq[String], valCol: String,
+      scoreCol: String = "mad_z"): DataFrame = {
+    val med = Quantiles.exact(df, keyCols, valCol, Seq(0.5))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("quantile")).as("__med"))
+    val dev = df.join(broadcast(med), keyCols)
+      .withColumn("__absdev",
+        abs(col(valCol).cast("double") - col("__med")))
+    val mad = Quantiles.exact(dev, keyCols, "__absdev", Seq(0.5))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("quantile")).as("__mad"))
+    df.join(broadcast(med), keyCols, "left")
+      .join(broadcast(mad), keyCols, "left")
+      .withColumn(scoreCol,
+        when(col(valCol).isNull || col("__mad").isNull ||
+          col("__mad") === 0.0, lit(null).cast("double"))
+          .otherwise(lit(0.6745) *
+            (col(valCol).cast("double") - col("__med")) / col("__mad")))
+      .drop("__med", "__mad")
+  }
+
+  /** Rows whose robust z-score exceeds `threshold` in magnitude
+    * (3.5 is the Iglewicz–Hoaglin recommendation). Degenerate-MAD and
+    * NULL rows are never flagged. */
+  def madOutliers(df: DataFrame, keyCols: Seq[String], valCol: String,
+      threshold: Double = 3.5): DataFrame =
+    madScore(df, keyCols, valCol)
+      .where(abs(col("mad_z")) > threshold)
 }

@@ -62,4 +62,43 @@ class OutliersSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("madScore matches the hand formula on a planted-outlier set") {
+    import spark.implicits._
+    // key a: 1..9 plus a planted 100 — median 5.5, MAD of
+    // |v-5.5| = {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,94.5} -> 2.5
+    val df = ((1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 100.0))
+      .toDF("k", "v")
+    val scores = Outliers.madScore(df, Seq("k"), "v")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    def z(v: Double) = 0.6745 * (v - 5.5) / 2.5
+    for (v <- Seq(1.0, 5.0, 100.0))
+      assert(math.abs(scores(v) - z(v)) < 1e-12, s"$v -> ${scores(v)}")
+    val flagged = Outliers.madOutliers(df, Seq("k"), "v")
+      .select("v").as[Double].collect().toSeq
+    assert(flagged == Seq(100.0)) // z(100) = 25.5, z(9) = 0.94
+  }
+
+  test("degenerate MAD (over half identical) scores null and flags nothing") {
+    import spark.implicits._
+    val df = (Seq.fill(6)(("k", 5.0)) ++ Seq(("k", 1.0), ("k", 9.0)))
+      .toDF("k", "v")
+    val s = Outliers.madScore(df, Seq("k"), "v")
+    assert(s.where(col("mad_z").isNotNull).count() == 0)
+    assert(Outliers.madOutliers(df, Seq("k"), "v").count() == 0)
+  }
+
+  test("madScore keys are independent and nulls score null") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None), ("b", Some(1000.0)), ("b", Some(1001.0)),
+      ("b", Some(1002.0))).toDF("k", "v")
+    val s = Outliers.madScore(df, Seq("k"), "v").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+    assert(s.count { case (_, v, z) => v.isEmpty && z.isEmpty } == 1)
+    // both keys center at their own median: middle value scores 0
+    val mids = s.collect { case (k, Some(v), Some(z))
+      if v == 2.0 || v == 1001.0 => z.asInstanceOf[Double] }
+    assert(mids.forall(_ == 0.0))
+  }
 }
