@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver keeps only the LAST ~2000 chars of the run's output
+// and parses the final JSON summary line out of that window. Two sbt
+// defaults break that: the forked process's stdout is re-logged with an
+// `[info] ` prefix, and sbt appends a `[success] Total time…` epilogue
+// after the program exits. Pass forked output through raw and suppress
+// the epilogue so the summary stays the last raw line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

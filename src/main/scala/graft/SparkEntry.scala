@@ -314,8 +314,11 @@ object SparkEntry {
         .select(col("doc_id"),
           col("q.n_tokens").cast("long").as("n_tokens"),
           col("q.quality_score").as("quality_score"))
+      // materialize=false: parquet-backed deterministic lineage — no
+      // full-output localCheckpoint (the 100 TB posture)
       graft.operators.PrefixScan.takeByBudget(q, "n_tokens", budget = 8000L,
-        orderBy = Seq(col("quality_score").desc, col("doc_id").asc))
+        orderBy = Seq(col("quality_score").desc, col("doc_id").asc),
+        materialize = false)
         .orderBy("doc_id")
     }),
     // the full Gopher rule set (word count / word length / symbol /
@@ -894,9 +897,12 @@ object SparkEntry {
     // into fixed-size context windows — two-phase distributed prefix
     // scan, NOT a single-partition global window
     "sequence_pack" -> ((s, dir) =>
+      // materialize=false: deterministic parquet input, so the lazy
+      // path is exact and nothing is checkpointed (the 100 TB posture)
       graft.operators.PrefixScan.packSequences(
         t(s, dir, "documents").select("doc_id", "n_chars"),
-        "n_chars", chunkSize = 8192, orderCols = Seq("doc_id"))
+        "n_chars", chunkSize = 8192, orderCols = Seq("doc_id"),
+        materialize = false)
         .select("doc_id", "start_offset", "chunk_id")
         .orderBy("doc_id")),
     // Gopher-style repetition: share of bigrams taken by the most

@@ -85,9 +85,27 @@ object BloomJoin {
 
   private final case class Built(might: Column, rightKeys: DataFrame)
 
+  private def isIntegral(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | LongType => true
+    case _ => false
+  }
+
   private def build(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, fpp: Double, expectedItems: Option[Long]): Built = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    // The bloom probe casts the LEFT key to the RIGHT key's family, but
+    // the exact verify join compares under Spark's own coercion. With
+    // mixed families (long vs string) the two disagree — e.g. 123 vs
+    // '0123' match under numeric coercion but probe as '123', which was
+    // never inserted — so a real match would be settled join-free and
+    // silently dropped/kept wrongly. Integral widening is the one safe
+    // mix: both sides funnel through the same cast-to-Long.
+    val leftType = left.schema(leftKey).dataType
+    val rightType = right.schema(rightKey).dataType
+    require(leftType == rightType || (isIntegral(leftType) && isIntegral(rightType)),
+      s"bloom join keys must share a data type (or both be integral): " +
+        s"left $leftKey: $leftType vs right $rightKey: $rightType")
     val keyType = right.schema(rightKey).dataType
     val isString = keyType == StringType
     val keys = right.select(col(rightKey)).where(col(rightKey).isNotNull)

@@ -87,8 +87,12 @@ object IvfSqIndex {
     // cache: queries fan into nprobe filtered branches — without this
     // each branch would recompute assignment + residual + encode; the
     // cached form is dim bytes/row (see IvfPqIndex.build's rationale)
-    val table = resid.select(col(idCol), col(IvfIndex.ClusterCol),
-      sq_encode(col("__resid"), sq.lo, sq.step).as(SqIndex.CodeCol))
+    // null residuals (null input vectors) would encode to null codes
+    // and sort NULLS FIRST into the candidate slots — drop them here,
+    // matching SqIndex.fit's own null discipline
+    val table = resid.where(col("__resid").isNotNull)
+      .select(col(idCol), col(IvfIndex.ClusterCol),
+        sq_encode(col("__resid"), sq.lo, sq.step).as(SqIndex.CodeCol))
       .cache()
     new IvfSqIndex(ivf.centroids, sq.lo, sq.step, table, df, vecCol,
       idCol)

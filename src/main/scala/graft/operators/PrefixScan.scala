@@ -24,15 +24,28 @@ object PrefixScan {
   /** Append `outCol` = inclusive running sum of `valueCol` in
     * `orderCols` order (ties resolved by the order columns given —
     * pass a unique tiebreaker for full determinism). `valueCol` must
-    * be integral; nulls count as 0. */
+    * be integral; nulls count as 0.
+    *
+    * `materialize` (default true, the always-safe mode) eagerly
+    * `localCheckpoint`s the result so pass-2 rows are guaranteed to
+    * match the pass-1 partition totals even when the input lineage is
+    * NONDETERMINISTIC (rand-derived columns, tie-arbitrary
+    * first-wins). That guarantee costs a full materialization of the
+    * output — at corpus scale that is the whole corpus written to
+    * executor-local storage. Pass `materialize = false` when the input
+    * lineage is deterministic (reads storage, no rand/shuffle-order
+    * dependence): the result stays lazy and the sort may be recomputed
+    * per action, but nothing is ever materialized. */
   def runningSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
-      outCol: String = "running_total"): DataFrame =
-    runningSumBy(df, orderCols.map(col), valueCol, outCol)
+      outCol: String = "running_total",
+      materialize: Boolean = true): DataFrame =
+    runningSumBy(df, orderCols.map(col), valueCol, outCol, materialize)
 
   /** [[runningSum]] with arbitrary order expressions (e.g. a `desc`
     * priority with an id tiebreak). */
   def runningSumBy(df: DataFrame, orderBy: Seq[Column], valueCol: String,
-      outCol: String = "running_total"): DataFrame = {
+      outCol: String = "running_total",
+      materialize: Boolean = true): DataFrame = {
     require(orderBy.nonEmpty, "order columns required")
     require(!df.columns.contains(outCol),
       s"output column '$outCol' collides — rename one")
@@ -41,7 +54,12 @@ object PrefixScan {
       .withColumn("__v", coalesce(col(valueCol).cast(LongType), lit(0L)))
     val vIdx = sorted.schema.fieldIndex("__v")
     val rdd = sorted.rdd
-    rdd.cache()
+    // The cache only matters on the materializing path, where pass 2 is
+    // evaluated once (by the checkpoint) while pass 1's totals must see
+    // the SAME rows. On the lazy path the contract is deterministic
+    // lineage, so recomputation is exact and a corpus-sized cache would
+    // be pure memory pressure.
+    if (materialize) rdd.cache()
     try {
       // pass 1: one long per partition crosses to the driver
       val partTotals = rdd
@@ -61,14 +79,15 @@ object PrefixScan {
           Row.fromSeq(r.toSeq :+ run)
         }
       }
+      val result = spark.createDataFrame(out, outSchema).drop("__v")
       // Materialize BEFORE releasing the cache: createDataFrame is
       // lazy, and the cache is what guarantees pass-2 rows match the
       // pass-1 partition totals when upstream lineage is
-      // nondeterministic (rand-derived columns, tie-arbitrary
-      // first-wins). localCheckpoint is eager and truncates lineage,
-      // so the caller never re-runs the sort with the cache gone.
-      spark.createDataFrame(out, outSchema).drop("__v").localCheckpoint()
-    } finally { rdd.unpersist(); () }
+      // nondeterministic. localCheckpoint is eager and truncates
+      // lineage, so the caller never re-runs the sort with the cache
+      // gone.
+      if (materialize) result.localCheckpoint() else result
+    } finally { if (materialize) { rdd.unpersist(); () } }
   }
 
   /** Token-budget selection — "fill an N-token training budget with
@@ -79,9 +98,10 @@ object PrefixScan {
     * through this row). Same two-phase scan shape as [[runningSum]] —
     * no global window, no driver-side data. */
   def takeByBudget(df: DataFrame, valueCol: String, budget: Long,
-      orderBy: Seq[Column], outCol: String = "budget_used"): DataFrame = {
+      orderBy: Seq[Column], outCol: String = "budget_used",
+      materialize: Boolean = true): DataFrame = {
     require(budget > 0, "budget must be positive")
-    runningSumBy(df, orderBy, valueCol, outCol)
+    runningSumBy(df, orderBy, valueCol, outCol, materialize)
       .filter(col(outCol) <= budget)
   }
 
@@ -113,9 +133,9 @@ object PrefixScan {
     * input plus `start_offset` (0-based position of the doc's first
     * token in the stream) and `chunk_id`. */
   def packSequences(df: DataFrame, lenCol: String, chunkSize: Long,
-      orderCols: Seq[String]): DataFrame = {
+      orderCols: Seq[String], materialize: Boolean = true): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
-    runningSum(df, orderCols, lenCol, outCol = "__cum")
+    runningSum(df, orderCols, lenCol, outCol = "__cum", materialize)
       .withColumn("start_offset",
         col("__cum") - coalesce(col(lenCol).cast(LongType), lit(0L)))
       // integral division — a double floor() would lose exactness once

@@ -35,7 +35,7 @@ object RetrievalEval {
     require(k >= 1, "k must be >= 1")
     for (reserved <- Seq("n_rel", "hits", "recall", "mrr", "ap", "ndcg",
         "__rank", "__hit_idx", "__prec", "__gain", "__minrank"))
-      require(queryCol != reserved && docCol != reserved,
+      require(queryCol != reserved && docCol != reserved && rankCol != reserved,
         s"column name '$reserved' is reserved by RetrievalEval — alias it")
     val r = results
       .select(col(queryCol), col(docCol), col(rankCol).cast("long").as("__rank"))
@@ -62,7 +62,10 @@ object RetrievalEval {
       .agg(count(lit(1)).as("hits"),
         min(col("__rank")).as("__minrank"),
         sum(col("__prec")).as("__sum_prec"),
-        sum(col("__gain")).cast("double").as("__dcg"))
+        // decimal→double via the VARCHAR bridge: a direct cast differs
+        // from DuckDB's by 1 ulp on some sums (the repo-wide convention,
+        // see Bm25's scaladoc); the oracle twin casts through VARCHAR
+        sum(col("__gain")).cast("string").cast("double").as("__dcg"))
     results.select(col(queryCol)).distinct()
       .join(nrel, Seq(queryCol), "left")
       .join(hits, Seq(queryCol), "left")
@@ -75,7 +78,7 @@ object RetrievalEval {
         coalesce(lit(1.0) / col("__minrank"), lit(0.0)))
       .withColumn("ap",
         when(col("n_rel") === 0 || col("__sum_prec").isNull, lit(0.0))
-          .otherwise(col("__sum_prec").cast("double")
+          .otherwise(col("__sum_prec").cast("string").cast("double")
             / least(col("n_rel"), lit(k.toLong))))
       .withColumn("ndcg",
         when(col("n_rel") === 0 || col("__dcg").isNull, lit(0.0))

@@ -35,13 +35,22 @@ object TimeWindows {
       s"column '$bucketCol' already exists")
     require(df.columns.forall(_ != "__tw_ts"), "column '__tw_ts' is reserved")
     // k ranges over (ts - length, ts] / slide: floor((ts-len)/slide)+1
-    // .. floor(ts/slide). Integer `div`, NOT `/`: epoch nanos exceed
-    // double's exact-integer range, and ts >= 0 keeps div == floor-div.
+    // .. floor(ts/slide). Integer arithmetic, NOT `/`: epoch nanos
+    // exceed double's exact-integer range. `div` alone truncates toward
+    // zero, which diverges from floor exactly when the numerator is
+    // negative — true for the FIRST bound whenever 0 <= ts < length, so
+    // epoch-adjacent events would miss their negative-start covering
+    // windows (and Structured Streaming's window() twin uses floor).
+    // floorDiv(x, s) = (x - pmod(x, s)) div s: pmod lands in [0, s), the
+    // subtraction yields an exact multiple, and div of an exact multiple
+    // is exact for either sign.
+    def floorDiv(x: String): String =
+      s"((($x) - pmod($x, ${slideNs}L)) div ${slideNs}L)"
     df.where(col(tsCol).isNotNull)
       .withColumn("__tw_ts", col(tsCol).cast("long"))
       .withColumn(bucketCol, explode(sequence(
-        expr(s"(__tw_ts - ${lengthNs}L) div ${slideNs}L + 1L"),
-        expr(s"__tw_ts div ${slideNs}L"))))
+        expr(s"${floorDiv(s"__tw_ts - ${lengthNs}L")} + 1L"),
+        expr(floorDiv("__tw_ts")))))
       .drop("__tw_ts")
   }
 

@@ -75,6 +75,30 @@ class BloomJoinSpec extends SparkSpec {
     assert(got.length == 667 && got.forall(_ % 3 != 0))
   }
 
+  test("mixed-family keys are rejected (probe would diverge from join coercion)") {
+    import spark.implicits._
+    // 123 vs '0123' match under Spark's numeric coercion but the bloom
+    // probe would insert '0123' and test '123' — a silent wrong answer
+    // without the guard
+    val left = Seq(123L).toDF("k")
+    val right = Seq("0123").toDF("rk")
+    intercept[IllegalArgumentException] {
+      BloomJoin.prunedAntiJoin(left, right, "k", "rk")
+    }
+    intercept[IllegalArgumentException] {
+      BloomJoin.prunedSemiJoin(left, right, "k", "rk")
+    }
+  }
+
+  test("integral widening is allowed: int left vs long right keys") {
+    import spark.implicits._
+    val left = Seq(1, 2, 3).toDF("k") // IntegerType
+    val right = Seq(2L, 3L, 4L).toDF("rk") // LongType
+    val semi = BloomJoin.prunedSemiJoin(left, right, "k", "rk")
+      .collect().map(_.getInt(0)).sorted
+    assert(semi.toSeq == Seq(2, 3))
+  }
+
   test("plan: exact join input is bloom-filtered; settled branch is join-free") {
     // spark.range inputs: ConvertToLocalRelation folds filters over
     // local Seq-backed frames at plan time, hiding the predicate

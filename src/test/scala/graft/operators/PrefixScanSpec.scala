@@ -94,6 +94,27 @@ class PrefixScanSpec extends SparkSpec {
     assert(again.collect().toSeq == again.collect().toSeq)
   }
 
+  test("materialize=false (deterministic input) matches the " +
+      "materializing path and persists nothing") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (i.toLong, (i * 11 % 17).toLong))
+      .toDF("id", "len").repartition(8)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val lazyOut = PrefixScan.runningSum(df, Seq("id"), "len", "cum",
+      materialize = false)
+    // repeated actions recompute the scan; deterministic lineage makes
+    // every recomputation agree with itself and with the eager path
+    val first = lazyOut.orderBy("id").collect().toSeq
+    assert(lazyOut.orderBy("id").collect().toSeq == first)
+    // nothing cached or checkpointed: that materialization is exactly
+    // what the flag avoids at corpus scale (the eager path leaves its
+    // localCheckpoint persisted — by design)
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore,
+      "lazy path left a persisted RDD behind")
+    val eagerOut = PrefixScan.runningSum(df, Seq("id"), "len", "cum")
+    assert(eagerOut.orderBy("id").collect().toSeq == first)
+  }
+
   test("takeByBudget fills the budget greedily in priority order") {
     import spark.implicits._
     // priorities 5,4,3,2,1 with costs 4,4,4,4,4 and budget 10:

@@ -66,6 +66,16 @@ class RetrievalEvalSpec extends SparkSpec {
       m.getDouble(5) == 1.0 && math.abs(m.getDouble(6) - 1.0) < 1e-12)
   }
 
+  test("reserved column names are rejected for rankCol too") {
+    // a rankCol named 'hits' (etc.) would be silently shadowed after
+    // the __rank rename and later joins could bind the wrong column
+    val res = Seq(("q", "a", 1)).toDF("qid", "doc", "hits")
+    val tr = Seq(("q", "a")).toDF("qid", "doc")
+    intercept[IllegalArgumentException] {
+      RetrievalEval.perQuery(res, tr, "qid", "doc", "hits", 5)
+    }
+  }
+
   test("duplicate truth pairs do not inflate n_rel or hits") {
     val tr = truth.unionAll(truth)
     val m = RetrievalEval.perQuery(results, tr, "qid", "doc", "rank", 5)

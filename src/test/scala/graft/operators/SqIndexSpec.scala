@@ -104,14 +104,19 @@ class SqIndexSpec extends SparkSpec {
       idx.query(q, 4).collect().toSeq)
   }
 
-  test("null vectors are excluded from fit and encode as null codes") {
+  test("null vectors are excluded from fit AND from the codes table") {
     val df = (clustered().map { case (id, v) => (id, v) } :+
       (999L, null.asInstanceOf[Array[Float]])).toDF("vid", "vec")
     val idx = SqIndex.fit(df, "vec", "vid")
     assert(idx.dim == 8)
-    val nullCodes = idx.codes.where(col(SqIndex.CodeCol).isNull)
-      .select("vid").as[Long].collect().toSeq
-    assert(nullCodes == Seq(999L))
+    // a null vector must not appear in codes at all: a null code would
+    // yield a null ADC distance, and ascending sort is NULLS FIRST, so
+    // it would squat in the top-k candidate slots
+    assert(idx.codes.where(col("vid") === 999L).count() == 0)
+    assert(idx.codes.where(col(SqIndex.CodeCol).isNull).count() == 0)
+    val q = Array.fill(8)(0f)
+    val got = idx.query(q, 3).select("vid").as[Long].collect()
+    assert(!got.contains(999L))
   }
 
   test("plan: ADC scan is TakeOrderedAndProject over codes, no join") {

@@ -41,6 +41,23 @@ class TimeWindowsSpec extends SparkSpec {
     assert(buckets == Seq(4L, 5L))
   }
 
+  test("epoch-adjacent events cover their negative-start windows " +
+      "(true floor division, not truncation)") {
+    // ts = 3 with [len 10, slide 5): covering windows start at -5 and
+    // 0, i.e. buckets {-1, 0}. Truncating `div` would compute
+    // (3-10) div 5 + 1 = 0 and silently drop bucket -1.
+    val df = Seq((1L, 3L)).toDF("id", "ts")
+    val buckets = TimeWindows.slidingWindows(df, "ts", 10L, 5L)
+      .select("win_bucket").as[Long].collect().sorted.toSeq
+    assert(buckets == Seq(-1L, 0L))
+    // and a negative timestamp floors correctly on BOTH bounds
+    val dfn = Seq((1L, -3L)).toDF("id", "ts")
+    val bn = TimeWindows.slidingWindows(dfn, "ts", 10L, 5L)
+      .select("win_bucket").as[Long].collect().sorted.toSeq
+    // windows [k*5, k*5+10) containing -3: k in {-2, -1}
+    assert(bn == Seq(-2L, -1L))
+  }
+
   test("null timestamps are dropped") {
     val df = Seq((1L, Some(10 * H)), (2L, None)).toDF("id", "ts")
     assert(TimeWindows.slidingWindows(df, "ts", 2 * H, H)
