@@ -387,15 +387,94 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), simhash64(col("text")).as("sig"))
         .orderBy("doc_id")),
+    // FNV hash values aren't DuckDB-expressible (rows-only), but the
+    // winnow SELECTION algorithm is oracle-checked by
+    // fingerprint_winnow below over a shared md5 kernel
     "fingerprint_counts" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
           size(fingerprints(col("text"))).cast("long").as("n_fp"))
         .orderBy("doc_id")),
+    // oracle twin of the winnowing ALGORITHM: same k-gram / sliding
+    // window / rightmost-min / distinct selection as the codegen'd
+    // fingerprints kernel, but hashed with md5 — identical hex in both
+    // engines, and min over hex strings is the same total order. The
+    // explode-per-window shape exists only for oracle comparability;
+    // the one-pass FNV kernel is the 100 TB path.
+    "fingerprint_winnow" -> ((s, dir) => {
+      val k = 9; val w = 4
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("t"))
+      val sel = d.where(length(col("t")) >= k)
+        .select(col("doc_id"), col("t"),
+          (length(col("t")) - (k - 1)).as("n"))
+        .withColumn("win", least(lit(w), col("n")))
+        .withColumn("p", explode(sequence(lit(1), col("n"))))
+        .withColumn("h", md5(expr(s"substring(t, p, $k)")))
+        .withColumn("ws", explode(sequence(
+          greatest(lit(1), col("p") - col("win") + 1),
+          least(col("p"), col("n") - col("win") + 1))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id", "ws")
+            .orderBy(col("h").asc, col("p").desc)))
+        .where(col("rn") === 1)
+        .select("doc_id", "h").distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      d.join(sel, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(length(col("t")) < k, lit(1L))
+            .otherwise(coalesce(col("n_fp"), lit(0L))).as("n_fp"))
+        .orderBy("doc_id")
+    }),
     "minhash_neardup" -> ((s, dir) =>
       Dedup.dedupNearMinHash(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5)
         .select("doc_id").orderBy("doc_id")),
+    // oracle twin of the MinHash LSH near-dup ALGORITHM (shingle →
+    // signature → band → candidate self-join → exact-Jaccard verify),
+    // hashed with md5 instead of the codegen'd murmur/FNV kernels —
+    // identical hex in both engines, min over hex strings the same
+    // total order (the fingerprint_winnow trick). 8 hashes × 4 bands
+    // of 2 ⇒ the t≈0.5 LSH curve. The kernel operators remain the
+    // 100 TB path; this exists to pin the selection logic cross-engine.
+    "neardup_pairs_md5" -> ((s, dir) => {
+      val W = 3; val H = 8
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"),
+          x => length(x) > 0).as("ts"))
+      val sh = toks.where(size(col("ts")) >= W)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(ts) - ${W - 1}), " +
+            s"i -> concat_ws(' ', slice(ts, i, $W)))")).as("s"))
+        .distinct()
+      val sigs = sh
+        .withColumn("j", explode(sequence(lit(1), lit(H))))
+        .select(col("doc_id"), col("j"),
+          md5(concat(col("j").cast("string"), lit(":"), col("s"))).as("h"))
+        .groupBy("doc_id", "j").agg(min("h").as("mh"))
+      val bands = sigs
+        .withColumn("band", expr("CAST((j + 1) div 2 AS INT)"))
+        .groupBy("doc_id", "band")
+        .agg(concat_ws("|", min_by(col("mh"), col("j")),
+          max_by(col("mh"), col("j"))).as("bkey"))
+      val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+        .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("ninter"))
+      inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), (col("ninter").cast("double") /
+          (col("na") + col("nb") - col("ninter"))).as("jaccard"))
+        .where(col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    }),
     // cross-corpus dedup: keep only new-slice docs that near-duplicate
     // no existing-corpus doc (asymmetric MinHash probe; custom hash
     // kernels → rows-only like minhash_neardup, cross-side agreement
@@ -2037,6 +2116,64 @@ object SparkEntry {
     // first dup position: pos - NULL > k is NULL → ELSE 0 (both
     // engines), so island numbering starts at 0 on each side
     "dup_spans" -> dupSpansSql,
+    // MinHash LSH near-dup selection over the shared md5 kernel —
+    // shingle → 8 min-hashes → 4 bands of 2 → candidate self-join →
+    // exact-Jaccard verify (single division of exact ints, bit-stable)
+    "neardup_pairs_md5" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+        |       FROM sh0),
+        |hj AS (SELECT doc_id, s, unnest(range(1, 9)) AS j FROM sh),
+        |sigs AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+        |         FROM hj GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, CAST((j + 1) // 2 AS INT) AS band,
+        |            string_agg(mh, '|' ORDER BY j) AS bkey
+        |          FROM sigs GROUP BY doc_id, CAST((j + 1) // 2 AS INT)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ninter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.id_a
+        |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT i.id_a, i.id_b,
+        |  CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) AS jaccard
+        |FROM inter i
+        |JOIN sizes za ON za.doc_id = i.id_a
+        |JOIN sizes zb ON zb.doc_id = i.id_b
+        |WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5
+        |ORDER BY i.id_a, i.id_b""".stripMargin,
+    // winnowing selection over the shared md5 kernel: identical hex in
+    // both engines; min over hex strings is the same total order
+    "fingerprint_winnow" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |lng AS (SELECT doc_id, t, length(t) - 8 AS n FROM d WHERE length(t) >= 9),
+        |g0 AS (SELECT doc_id, t, n, LEAST(4, n) AS win,
+        |         unnest(range(1, n + 1)) AS p FROM lng),
+        |grams AS (SELECT doc_id, n, win, p,
+        |            md5(substr(t, CAST(p AS INT), 9)) AS h FROM g0),
+        |wins AS (SELECT doc_id, p, h,
+        |    unnest(range(GREATEST(1, p - win + 1), LEAST(p, n - win + 1) + 1)) AS ws
+        |  FROM grams),
+        |sel AS (SELECT doc_id, ws, h, p,
+        |    row_number() OVER (PARTITION BY doc_id, ws ORDER BY h ASC, p DESC) AS rn
+        |  FROM wins),
+        |fp AS (SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN length(d.t) < 9 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(COALESCE(c.n_fp, 0) AS BIGINT) END AS n_fp
+        |FROM d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // identical division/multiplication shape to bigramPmi's one fixed
     // double expression; totals are exact BIGINTs cast to double
     "bigram_pmi" ->

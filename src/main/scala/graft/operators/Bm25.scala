@@ -74,12 +74,18 @@ object Bm25 {
   /** Incremental index maintenance — the append-only postings pattern
     * (new crawl slices arrive; re-fitting 100 TB of postings per batch
     * is not an option): the new docs pay one [[fit]] over THEMSELVES,
-    * postings union lazily (persist as delta files at scale, like the
-    * streaming near-dup segments), document frequencies merge by one
-    * slim aggregated-frame union+sum, and the scalar stats add
-    * exactly — so an appended index answers IDENTICALLY to a full
-    * refit over the concatenated corpus. Callers own id disjointness
-    * (duplicate doc ids would double-count their terms). */
+    * postings union lazily, document frequencies merge by one slim
+    * aggregated-frame union+sum, and the scalar stats add exactly —
+    * so an appended index answers IDENTICALLY to a full refit over
+    * the concatenated corpus. Callers own id disjointness (duplicate
+    * doc ids would double-count their terms).
+    *
+    * This in-memory form stacks one union + one re-aggregation of
+    * lineage PER CALL — fine for a handful of batches, but after
+    * hundreds of appends the plan itself becomes the bottleneck. For
+    * a long-lived index use [[appendSaved]], which lands each delta
+    * as parquet segment files so the reopened plan depth is O(1)
+    * regardless of append count, and [[compact]] periodically. */
   def append(index: Bm25Index, newDocs: DataFrame, idCol: String,
       textCol: String): Bm25Index = {
     val incr = fit(newDocs, idCol, textCol)
@@ -135,12 +141,62 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** Reopen a [[save]]d index. */
+  /** Reopen a [[save]]d index. `docfreq` may hold per-segment delta
+    * files (one per [[appendSaved]]), so it is re-aggregated at reopen
+    * — one hash aggregation of an already token-slim frame, and the
+    * plan depth stays constant no matter how many appends produced the
+    * layout (a single parquet scan per frame, never a union chain). */
   def load(spark: org.apache.spark.sql.SparkSession,
       path: String): Bm25Index = {
     val s = spark.read.parquet(s"$path/stats").head
-    Bm25Index(spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/docfreq"), s.getLong(0), s.getLong(1))
+    val docFreq = spark.read.parquet(s"$path/docfreq")
+      .groupBy("token").agg(sum("df").cast("long").as("df"))
+    Bm25Index(spark.read.parquet(s"$path/postings"), docFreq,
+      s.getLong(0), s.getLong(1))
+  }
+
+  /** Append new docs to a [[save]]d index ON DISK — the delta-segment
+    * pattern (mirrors the streaming near-dup segment store): the new
+    * batch pays one [[fit]] over itself, its postings and docFreq
+    * deltas land as ADDITIONAL parquet files under the same layout
+    * (no read-modify-write of existing segments — appends never
+    * rewrite history), and the two exact-long scalars are re-written.
+    * Because [[load]] re-aggregates docFreq across segment files, an
+    * appended-then-reopened index answers IDENTICALLY to a refit over
+    * the concatenated corpus, with reopened plan depth independent of
+    * the number of appends. Callers own id disjointness, as in
+    * [[append]]. Run [[compact]] when the segment-file count (not the
+    * plan) becomes the nuisance. */
+  def appendSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+    val old = spark.read.parquet(s"$path/stats").head
+    val incr = fit(newDocs, idCol, textCol)
+    incr.postings.write.mode("append").parquet(s"$path/postings")
+    incr.docFreq.write.mode("append").parquet(s"$path/docfreq")
+    import spark.implicits._
+    Seq((old.getLong(0) + incr.nDocs, old.getLong(1) + incr.totalDl))
+      .toDF("n_docs", "total_dl")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Fold a segmented layout back into single compacted segments:
+    * docFreq deltas pre-aggregate into one file set (reopen then
+    * aggregates a no-op) and postings small files coalesce. Answers
+    * are unchanged. Writes to sibling temp dirs and swaps via rename —
+    * an in-place overwrite would read and clobber the same files. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val idx = load(spark, path)
+    idx.postings.write.mode("overwrite").parquet(s"$path/postings_tmp")
+    idx.docFreq.write.mode("overwrite").parquet(s"$path/docfreq_tmp")
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (name <- Seq("postings", "docfreq")) {
+      fs.delete(new Path(s"$path/$name"), true)
+      require(fs.rename(new Path(s"$path/${name}_tmp"),
+        new Path(s"$path/$name")), s"rename of $name failed")
+    }
   }
 
   /** Batch top-k search for a QUERY TABLE (queryIdCol, termsCol:

@@ -44,11 +44,19 @@ object Lake {
 
   def health(spark: SparkSession, path: String,
       smallBytes: Long = 32L << 20): LakeHealth = {
-    val rows = fileStats(spark, path).collect()
-    val total = rows.map(_.getLong(1)).sum
-    LakeHealth(rows.length, total,
-      if (rows.isEmpty) 0.0 else total.toDouble / rows.length,
-      rows.count(_.getLong(1) < smallBytes))
+    // aggregate on the stats frame, don't collect it: a 100 TB lake
+    // with millions of small files (the exact pathology health
+    // diagnoses) must not round-trip its whole inventory to compute
+    // three scalars
+    val agg = fileStats(spark, path).agg(
+      count(lit(1)).as("n"),
+      coalesce(sum("bytes"), lit(0L)).as("total"),
+      coalesce(sum(when(col("bytes") < smallBytes, 1L).otherwise(0L)),
+        lit(0L)).as("n_small")).head
+    val n = agg.getLong(0)
+    val total = agg.getLong(1)
+    LakeHealth(n, total, if (n == 0L) 0.0 else total.toDouble / n,
+      agg.getLong(2))
   }
 
   /** Rewrite the parquet directory at `src` into `dest` with
@@ -69,25 +77,36 @@ object Lake {
     * filesystem's single-file rename semantics. Returns the manifest
     * path. */
   def writeManifest(spark: SparkSession, path: String): String = {
-    val files = fileStats(spark, path).collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val stats = fileStats(spark, path)
+    // scalars via aggregation; the file list STREAMS through
+    // toLocalIterator (one partition in driver memory at a time) —
+    // the manifest keeps its full inventory without the driver ever
+    // holding it whole
+    val agg = stats.agg(count(lit(1)).as("n"),
+      coalesce(sum("bytes"), lit(0L)).as("total")).head
     val df = spark.read.parquet(path)
     val nRows = df.count()
-    val json = new StringBuilder()
-    json ++= "{\n"
-    json ++= s"""  "n_rows": $nRows,\n"""
-    json ++= s"""  "n_files": ${files.length},\n"""
-    json ++= s"""  "total_bytes": ${files.map(_._2).sum},\n"""
-    json ++= s"""  "schema": ${ujsonEscape(df.schema.toDDL)},\n"""
-    json ++= "  \"files\": [\n"
-    json ++= files.map { case (f, b) =>
-      s"""    {"file": ${ujsonEscape(f)}, "bytes": $b}"""
-    }.mkString(",\n")
-    json ++= "\n  ]\n}\n"
     val out = new Path(path, "_graft_manifest.json")
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(out, true)
-    try os.write(json.toString.getBytes("UTF-8")) finally os.close()
+    try {
+      def w(s: String): Unit = os.write(s.getBytes("UTF-8"))
+      w("{\n")
+      w(s"""  "n_rows": $nRows,\n""")
+      w(s"""  "n_files": ${agg.getLong(0)},\n""")
+      w(s"""  "total_bytes": ${agg.getLong(1)},\n""")
+      w(s"""  "schema": ${ujsonEscape(df.schema.toDDL)},\n""")
+      w("  \"files\": [\n")
+      val it = stats.orderBy("file").toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        val r = it.next()
+        if (!first) w(",\n")
+        first = false
+        w(s"""    {"file": ${ujsonEscape(r.getString(0))}, "bytes": ${r.getLong(1)}}""")
+      }
+      w("\n  ]\n}\n")
+    } finally os.close()
     out.toString
   }
 

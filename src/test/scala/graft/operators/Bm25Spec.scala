@@ -154,6 +154,58 @@ class Bm25Spec extends SparkSpec {
       Bm25.search(idx, terms, 10).collect().toSeq)
   }
 
+  test("appendSaved: segmented on-disk index answers identically to a " +
+      "refit and plan depth is independent of append count") {
+    import spark.implicits._
+    val batch1 = corpus.where(col("doc_id") <= 2)
+    val batch2 = corpus.where(col("doc_id") === 3 || col("doc_id") === 4)
+    val batch3 = corpus.where(col("doc_id") === 5)
+    val dir = java.nio.file.Files.createTempDirectory("bm25-seg").toString
+    Bm25.save(Bm25.fit(batch1, "doc_id", "text"), s"$dir/idx")
+    Bm25.appendSaved(spark, s"$dir/idx", batch2, "doc_id", "text")
+    Bm25.appendSaved(spark, s"$dir/idx", batch3, "doc_id", "text")
+    val re = Bm25.load(spark, s"$dir/idx")
+    val full = Bm25.fit(corpus, "doc_id", "text")
+    assert(re.nDocs == full.nDocs && re.totalDl == full.totalDl)
+    val terms = Seq("spark", "hash", "and", "quantum")
+    assert(Bm25.search(re, terms, 10).collect().toSeq ==
+      Bm25.search(full, terms, 10).collect().toSeq)
+    // plan depth O(1): the reopened frames are single parquet scans —
+    // no Union chain however many appends built the layout (the
+    // in-memory append's weakness this API exists to avoid)
+    for (frame <- Seq(re.postings, re.docFreq)) {
+      val plan = frame.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Union"), s"union chain leaked:\n$plan")
+    }
+    val aggs = "Aggregate".r
+      .findAllIn(re.docFreq.queryExecution.optimizedPlan.toString).length
+    assert(aggs == 1, "docFreq reopen must cost exactly one aggregation")
+  }
+
+  test("compact folds segments: answers unchanged, docfreq " +
+      "pre-aggregated into one segment") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25-cpt").toString
+    Bm25.save(Bm25.fit(corpus.where(col("doc_id") <= 3), "doc_id", "text"),
+      s"$dir/idx")
+    Bm25.appendSaved(spark, s"$dir/idx",
+      corpus.where(col("doc_id") > 3), "doc_id", "text")
+    val before = Bm25.search(Bm25.load(spark, s"$dir/idx"),
+      Seq("spark", "quantum"), 10).collect().toSeq
+    val segFiles = new java.io.File(s"$dir/idx/docfreq")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    Bm25.compact(spark, s"$dir/idx")
+    val after = Bm25.search(Bm25.load(spark, s"$dir/idx"),
+      Seq("spark", "quantum"), 10).collect().toSeq
+    assert(after == before)
+    val compFiles = new java.io.File(s"$dir/idx/docfreq")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(compFiles <= segFiles)
+    // compacted docfreq holds one row per token (deltas folded)
+    val df = spark.read.parquet(s"$dir/idx/docfreq")
+    assert(df.groupBy("token").count().where(col("count") > 1).count() == 0)
+  }
+
   test("searchBatch without broadcast answers identically (corpus-scale query path)") {
     import spark.implicits._
     val idx = Bm25.fit(corpus, "doc_id", "text")

@@ -30,6 +30,41 @@ class VectorStoreSpec extends SparkSpec {
     assert(rows.forall(r => (3 to 6).forall(r.isNullAt)))
   }
 
+  test("heavy-model dry run: a columnar model behind setData sees only " +
+      "full-width batches, never a per-row call") {
+    import spark.implicits._
+    // the real-weights drop-in point: if this probe model (standing in
+    // for an ONNX/torch session) receives packed batches through the
+    // whole store ingest path, then weight availability is the only
+    // thing between the engine and real E5/CLIP inference
+    graft.functions.EmbedderSpec.batchSizes.clear()
+    val model = graft.functions.ColumnarEmbedder.AsEmbedder(
+      graft.functions.EmbedderSpec.ProbeColumnar(8))
+    val store = new VectorStore(spark, model, batchSize = 64)
+    val docs = (1 to 150).map(i => (s"doc $i text", s"o$i"))
+      .toDF("target", "option1").repartition(1)
+    store.setData(docs)
+    assert(store.data.count() == 150)
+    val sizes = {
+      val it = graft.functions.EmbedderSpec.batchSizes.iterator()
+      val b = scala.collection.mutable.ArrayBuffer[Int]()
+      while (it.hasNext) b += it.next()
+      b.toSeq
+    }
+    assert(sizes.nonEmpty, "model was never called")
+    assert(!sizes.contains(1) || docs.count() % 64 == 1,
+      s"per-row inference leaked through the store path: $sizes")
+    // one partition of 150 rows at batchSize 64 → batches 64, 64, 22
+    // (setData may re-evaluate the embed plan for id assignment /
+    // write, so the multiset may repeat — the WIDTHS are the contract)
+    assert(sizes.toSet.subsetOf(Set(64, 22)),
+      s"unexpected batch widths: $sizes")
+    // embeddings are the model's, end-to-end (vector(0) = utf8 length)
+    val v = store.data.where(col("target") === "doc 7 text")
+      .select("vector").as[Seq[Float]].head()
+    assert(v(0) == "query: doc 7 text".getBytes("UTF-8").length.toFloat)
+  }
+
   test("append dedup is first-wins on target (main.py:39-51 overlap)") {
     val store = freshStore()
     store.setData(frame("a" -> "first", "b" -> "first", "c" -> "first"))
