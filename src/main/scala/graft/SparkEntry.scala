@@ -25,6 +25,63 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared md5-hashed MinHash LSH pair kernel for the oracle twins
+    * (`neardup_pairs_md5`, `neardup_components_md5`): word 3-shingles →
+    * 8 min-hashes over md5 (identical hex in both engines, min over hex
+    * strings the same total order) → 4 bands of 2 (the t≈0.5 LSH curve)
+    * → candidate self-join → exact-Jaccard verify (single division of
+    * exact ints, bit-stable). Returns (id_a, id_b, jaccard), unordered.
+    * The codegen'd murmur/FNV kernels remain the 100 TB path; this
+    * exists to pin the selection logic cross-engine. */
+  /** Distinct word 3-shingles per doc, built from Spark builtins only
+    * (split/transform/slice — mirrors DuckDB's list functions 1:1). */
+  private def md5Shingles(docs: DataFrame): DataFrame = {
+    val W = 3
+    docs.select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"),
+          x => length(x) > 0).as("ts"))
+      .where(size(col("ts")) >= W)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ts) - ${W - 1}), " +
+          s"i -> concat_ws(' ', slice(ts, i, $W)))")).as("s"))
+      .distinct()
+  }
+
+  /** (doc_id, band, bkey) LSH band keys from 8 md5 min-hashes in 4
+    * bands of 2 (the t≈0.5 collision curve). */
+  private def md5Bands(sh: DataFrame): DataFrame = {
+    val H = 8
+    sh.withColumn("j", explode(sequence(lit(1), lit(H))))
+      .select(col("doc_id"), col("j"),
+        md5(concat(col("j").cast("string"), lit(":"), col("s"))).as("h"))
+      .groupBy("doc_id", "j").agg(min("h").as("mh"))
+      .withColumn("band", expr("CAST((j + 1) div 2 AS INT)"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws("|", min_by(col("mh"), col("j")),
+        max_by(col("mh"), col("j"))).as("bkey"))
+  }
+
+  private def md5NearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = md5Shingles(t(s, dir, "documents"))
+    val bands = md5Bands(sh)
+    val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), (col("ninter").cast("double") /
+        (col("na") + col("nb") - col("ninter"))).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * SURVEY §7.2 minimum slice: documents ⋈ embeddings → VectorStore
     * ingest (pre-supplied vectors branch) → queryWithInfo top-5. */
@@ -437,44 +494,18 @@ object SparkEntry {
     // total order (the fingerprint_winnow trick). 8 hashes × 4 bands
     // of 2 ⇒ the t≈0.5 LSH curve. The kernel operators remain the
     // 100 TB path; this exists to pin the selection logic cross-engine.
-    "neardup_pairs_md5" -> ((s, dir) => {
-      val W = 3; val H = 8
-      val toks = t(s, dir, "documents").select(col("doc_id"),
-        filter(split(lower(col("text")), "\\s+"),
-          x => length(x) > 0).as("ts"))
-      val sh = toks.where(size(col("ts")) >= W)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(ts) - ${W - 1}), " +
-            s"i -> concat_ws(' ', slice(ts, i, $W)))")).as("s"))
-        .distinct()
-      val sigs = sh
-        .withColumn("j", explode(sequence(lit(1), lit(H))))
-        .select(col("doc_id"), col("j"),
-          md5(concat(col("j").cast("string"), lit(":"), col("s"))).as("h"))
-        .groupBy("doc_id", "j").agg(min("h").as("mh"))
-      val bands = sigs
-        .withColumn("band", expr("CAST((j + 1) div 2 AS INT)"))
-        .groupBy("doc_id", "band")
-        .agg(concat_ws("|", min_by(col("mh"), col("j")),
-          max_by(col("mh"), col("j"))).as("bkey"))
-      val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
-        .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bkey")),
-          Seq("band", "bkey"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("ninter"))
-      inter
-        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
-        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"), (col("ninter").cast("double") /
-          (col("na") + col("nb") - col("ninter"))).as("jaccard"))
-        .where(col("jaccard") >= 0.5)
-        .orderBy("id_a", "id_b")
-    }),
+    "neardup_pairs_md5" -> ((s, dir) =>
+      md5NearDupPairs(s, dir).orderBy("id_a", "id_b")),
+    // connected components (large-star/small-star operator) over the
+    // md5 pair graph — the DuckDB twin computes the same labels with a
+    // recursive-CTE transitive closure + min per node, so the CC
+    // algorithm itself is oracle-checked (the registered
+    // neardup_components stays on the murmur/FNV kernels, rows-only)
+    "neardup_components_md5" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        md5NearDupPairs(s, dir).select("id_a", "id_b"), "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")),
     // cross-corpus dedup: keep only new-slice docs that near-duplicate
     // no existing-corpus doc (asymmetric MinHash probe; custom hash
     // kernels → rows-only like minhash_neardup, cross-side agreement
@@ -485,6 +516,35 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", threshold = 0.4)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // md5 twin of the cross-corpus probe/filter: odd doc_ids are the
+    // "new crawl slice", even the corpus; kept = new docs with no
+    // verified cross near-dup (anti-join), candidates banded md5 LSH —
+    // same selection shape as dedupAgainstCorpus, oracle-checkable
+    "crossdup_md5" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newDocs = docs.filter(col("doc_id") % 2 === 1)
+      val newSh = md5Shingles(newDocs)
+      val corpSh = md5Shingles(docs.filter(col("doc_id") % 2 === 0))
+      val cand = md5Bands(newSh)
+        .select(col("doc_id").as("id_p"), col("band"), col("bkey"))
+        .join(md5Bands(corpSh)
+          .select(col("doc_id").as("id_c"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .select("id_p", "id_c").distinct()
+      val np = newSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val nc = corpSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val flagged = cand
+        .join(newSh.select(col("doc_id").as("id_p"), col("s")), Seq("id_p"))
+        .join(corpSh.select(col("doc_id").as("id_c"), col("s")), Seq("id_c", "s"))
+        .groupBy("id_p", "id_c").agg(count(lit(1)).as("ninter"))
+        .join(np.select(col("doc_id").as("id_p"), col("n").as("na")), Seq("id_p"))
+        .join(nc.select(col("doc_id").as("id_c"), col("n").as("nb")), Seq("id_c"))
+        .where(col("ninter").cast("double") /
+          (col("na") + col("nb") - col("ninter")) >= 0.4)
+        .select(col("id_p").as("doc_id")).distinct()
+      newDocs.join(flagged, Seq("doc_id"), "left_anti")
         .select("doc_id").orderBy("doc_id")
     }),
     // as-of temporal join: each event matched to the user's latest
@@ -2152,6 +2212,89 @@ object SparkEntry {
         |JOIN sizes zb ON zb.doc_id = i.id_b
         |WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5
         |ORDER BY i.id_a, i.id_b""".stripMargin,
+    // cross-corpus probe/filter over the md5 kernel: odd ids probe the
+    // even-id corpus; kept = probes with no verified cross near-dup
+    "crossdup_md5" ->
+      """WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |ptoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS ts FROM newd),
+        |ctoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS ts FROM corp),
+        |psh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |         FROM ptoks WHERE len(ts) >= 3),
+        |psh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s FROM psh0),
+        |csh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |         FROM ctoks WHERE len(ts) >= 3),
+        |csh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s FROM csh0),
+        |psig AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+        |         FROM (SELECT doc_id, s, unnest(range(1, 9)) AS j FROM psh)
+        |         GROUP BY doc_id, j),
+        |csig AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+        |         FROM (SELECT doc_id, s, unnest(range(1, 9)) AS j FROM csh)
+        |         GROUP BY doc_id, j),
+        |pband AS (SELECT doc_id, CAST((j + 1) // 2 AS INT) AS band,
+        |            string_agg(mh, '|' ORDER BY j) AS bkey
+        |          FROM psig GROUP BY doc_id, CAST((j + 1) // 2 AS INT)),
+        |cband AS (SELECT doc_id, CAST((j + 1) // 2 AS INT) AS band,
+        |            string_agg(mh, '|' ORDER BY j) AS bkey
+        |          FROM csig GROUP BY doc_id, CAST((j + 1) // 2 AS INT)),
+        |cand AS (SELECT DISTINCT p.doc_id AS id_p, c.doc_id AS id_c
+        |         FROM pband p JOIN cband c ON p.band = c.band AND p.bkey = c.bkey),
+        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM psh GROUP BY doc_id),
+        |nc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM csh GROUP BY doc_id),
+        |inter AS (SELECT c.id_p, c.id_c, CAST(COUNT(*) AS BIGINT) AS ninter
+        |  FROM cand c
+        |  JOIN psh pa ON pa.doc_id = c.id_p
+        |  JOIN csh cb ON cb.doc_id = c.id_c AND cb.s = pa.s
+        |  GROUP BY c.id_p, c.id_c),
+        |flagged AS (SELECT DISTINCT i.id_p AS doc_id
+        |  FROM inter i JOIN np ON np.doc_id = i.id_p JOIN nc ON nc.doc_id = i.id_c
+        |  WHERE CAST(i.ninter AS DOUBLE) / (np.n + nc.n - i.ninter) >= 0.4)
+        |SELECT n.doc_id FROM newd n ANTI JOIN flagged f ON n.doc_id = f.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    // connected-components labels over the md5 pair graph: recursive
+    // transitive closure + min-reachable per node ≡ the operator's
+    // min-id-in-component contract
+    "neardup_components_md5" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+        |       FROM sh0),
+        |hj AS (SELECT doc_id, s, unnest(range(1, 9)) AS j FROM sh),
+        |sigs AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+        |         FROM hj GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, CAST((j + 1) // 2 AS INT) AS band,
+        |            string_agg(mh, '|' ORDER BY j) AS bkey
+        |          FROM sigs GROUP BY doc_id, CAST((j + 1) // 2 AS INT)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ninter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.id_a
+        |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+        |  GROUP BY c.id_a, c.id_b),
+        |pairs AS (
+        |  SELECT i.id_a, i.id_b FROM inter i
+        |  JOIN sizes za ON za.doc_id = i.id_a
+        |  JOIN sizes zb ON zb.doc_id = i.id_b
+        |  WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS a, v AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
+        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     // winnowing selection over the shared md5 kernel: identical hex in
     // both engines; min over hex strings is the same total order
     "fingerprint_winnow" ->

@@ -99,7 +99,10 @@ class PrefixScanSpec extends SparkSpec {
     import spark.implicits._
     val df = (1 to 3000).map(i => (i.toLong, (i * 11 % 17).toLong))
       .toDF("id", "len").repartition(8)
-    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    // ids, not sizes: other suites' checkpoints in the shared session
+    // get cleaned ASYNCHRONOUSLY between the two samples — only NEW
+    // persisted ids can implicate this call
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val lazyOut = PrefixScan.runningSum(df, Seq("id"), "len", "cum",
       materialize = false)
     // repeated actions recompute the scan; deterministic lineage makes
@@ -109,8 +112,8 @@ class PrefixScanSpec extends SparkSpec {
     // nothing cached or checkpointed: that materialization is exactly
     // what the flag avoids at corpus scale (the eager path leaves its
     // localCheckpoint persisted — by design)
-    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore,
-      "lazy path left a persisted RDD behind")
+    val fresh = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(fresh.isEmpty, s"lazy path left persisted RDDs behind: $fresh")
     val eagerOut = PrefixScan.runningSum(df, Seq("id"), "len", "cum")
     assert(eagerOut.orderBy("id").collect().toSeq == first)
   }
