@@ -122,10 +122,15 @@ object SparkEntry {
   // DuckDB squared-L2 between e.embedding and q.embedding, matching
   // VectorOps.squaredL2: per-element float→double widening, sequential
   // double accumulation (list_sum), no FMA.
-  private val sqDist =
-    "list_sum(list_transform(range(1, len(e.embedding) + 1), i -> " +
-      "(CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) * " +
-      "(CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))))"
+  /** Exact squared-L2 between two float32 list columns in DuckDB SQL —
+    * double-widened elementwise, summed in index order, matching the
+    * Catalyst kernels bit-for-bit (proven by knn_top5 et al.). */
+  private def sqDistOf(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  private val sqDist = sqDistOf("e.embedding", "q.embedding")
 
   private val dotEq =
     "list_sum(list_transform(range(1, len(e.embedding) + 1), i -> " +
@@ -216,6 +221,36 @@ object SparkEntry {
         .head.getSeq[Float](0).toArray
       Similarity.topK(emb.select("vec_id", "embedding"), "embedding", "vec_id", q, k = 5)
         .select("vec_id", "distance")
+    }),
+    // IVF pruned search with FIXED centroids (the first 4 embeddings —
+    // no Lloyd's, so unlike ivf_knn the whole assign→probe→rank shape
+    // is float-deterministic and oracle-checkable; the argmin kernel,
+    // cell ranking, and probed top-k all run through the same code the
+    // trained index uses)
+    "ivf_fixed_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val idx = new graft.operators.IvfIndex(cents,
+        graft.operators.IvfIndex.assignCells(emb, "embedding", cents),
+        "embedding", "vec_id")
+      idx.query(q, k = 5, nprobe = 2).select("vec_id", "distance")
+    }),
+    // the BATCH ANN join path (multi-probe kernel → hash join by cell
+    // → WindowGroupLimit) through the same fixed-centroid index
+    "ivf_fixed_batch_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val idx = new graft.operators.IvfIndex(cents,
+        graft.operators.IvfIndex.assignCells(emb, "embedding", cents),
+        "embedding", "vec_id")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      idx.queryBatch(qs, "query_id", "embedding", k = 5, nprobe = 2)
+        .orderBy("query_id", "distance", "vec_id")
     }),
     "cosine_top5" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -452,6 +487,25 @@ object SparkEntry {
         .select(col("doc_id"),
           size(fingerprints(col("text"))).cast("long").as("n_fp"))
         .orderBy("doc_id")),
+    // md5 twin of the SimHash AGGREGATION (Charikar sign-sum): 16-bit
+    // signature from md5 nibbles — per token each bit contributes ±1,
+    // bit set when the per-doc sum is positive, all exact integers.
+    // The 64-bit FNV simhash64 kernel stays the rows-only scale path.
+    "simhash_md5" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"),
+          x => length(x) > 0)).as("tok"))
+      toks.withColumn("b", explode(sequence(lit(1), lit(16))))
+        .select(col("doc_id"), col("b"), (expr(
+          "shiftright(instr('0123456789abcdef', " +
+            "substring(md5(tok), CAST((b + 3) div 4 AS INT), 1)) - 1, " +
+            "(b - 1) % 4) % 2") * 2 - 1).as("c"))
+        .groupBy("doc_id", "b").agg(sum("c").as("sm"))
+        .groupBy("doc_id").agg(sum(when(col("sm") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b - 1 AS INT))"))
+          .otherwise(lit(0L))).cast("long").as("sig"))
+        .orderBy("doc_id")
+    }),
     // oracle twin of the winnowing ALGORITHM: same k-gram / sliding
     // window / rightmost-min / distinct selection as the codegen'd
     // fingerprints kernel, but hashed with md5 — identical hex in both
@@ -584,6 +638,32 @@ object SparkEntry {
         .withColumn("tfidf",
           col("tfidf").cast("decimal(18,9)").cast("double"))
         .orderBy("doc_id", "token")
+    }),
+    // md5 twin of the embed→k-NN PIPELINE: 16-dim integer embeddings
+    // derived from md5 nibbles per token (2·hexval−15, exact ints),
+    // exact integer squared-L2 to the min-doc_id query, top-5 — the
+    // whole embedding-retrieval shape machine-checked with no floats
+    // anywhere. The murmur HashEmbedder stays the rows-only perf path.
+    "embed_knn_md5" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"),
+          x => length(x) > 0)).as("tok"))
+      val vecs = toks
+        .withColumn("d", explode(sequence(lit(1), lit(16))))
+        .select(col("doc_id"), col("d"),
+          (expr("instr('0123456789abcdef', substring(md5(tok), d, 1))")
+            * 2 - 17).cast("long").as("c"))
+        .groupBy("doc_id", "d").agg(sum("c").cast("long").as("v"))
+      val qid = docs.agg(min("doc_id")).head.getLong(0)
+      val qv = vecs.where(col("doc_id") === qid)
+        .select(col("d"), col("v").as("qv"))
+      vecs.where(col("doc_id") =!= qid)
+        .join(broadcast(qv), Seq("d"))
+        .withColumn("sq", (col("v") - col("qv")) * (col("v") - col("qv")))
+        .groupBy("doc_id").agg(sum("sq").cast("long").as("distance"))
+        .orderBy(col("distance").asc, col("doc_id").asc)
+        .limit(5)
     }),
     // full text pipeline at bench scale: embed every document with the
     // offline hash embedder (mapPartitions batched inference), then
@@ -1518,6 +1598,61 @@ object SparkEntry {
       s"""SELECT e.vec_id, $sqDist AS distance
          |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin,
+    // fixed-centroid IVF: nearest-cell assignment (ties → lowest cell,
+    // matching the kernel's strict-< argmin), 2 probed cells, exact
+    // top-5 inside the probed slice
+    "ivf_fixed_knn" ->
+      s"""WITH cells AS (SELECT vec_id AS cell, embedding AS cemb
+         |               FROM embeddings WHERE vec_id < 4),
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDistOf("e.embedding", "c.cemb")}, c.cell) AS rn
+         |    FROM embeddings e, cells c)
+         |  WHERE rn = 1),
+         |probed AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell, row_number() OVER (
+         |        ORDER BY ${sqDistOf("c.cemb", "q.embedding")}, c.cell) AS rn
+         |    FROM cells c, q)
+         |  WHERE rn <= 2)
+         |SELECT e.vec_id, $sqDist AS distance
+         |FROM embeddings e
+         |JOIN asg a ON a.vec_id = e.vec_id
+         |JOIN probed p ON a.cell = p.cell, q
+         |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin,
+    // batch variant: per-query probed cells, top-5 inside the union of
+    // probed slices, ranked (distance, id) exactly as the window
+    "ivf_fixed_batch_knn" ->
+      s"""WITH cells AS (SELECT vec_id AS cell, embedding AS cemb
+         |               FROM embeddings WHERE vec_id < 4),
+         |qs AS (SELECT vec_id AS query_id, embedding AS qemb
+         |       FROM embeddings WHERE vec_id < 3),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDistOf("e.embedding", "c.cemb")}, c.cell) AS rn
+         |    FROM embeddings e, cells c)
+         |  WHERE rn = 1),
+         |probed AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT s.query_id, c.cell,
+         |      row_number() OVER (PARTITION BY s.query_id
+         |        ORDER BY ${sqDistOf("c.cemb", "s.qemb")}, c.cell) AS rn
+         |    FROM qs s, cells c)
+         |  WHERE rn <= 2)
+         |SELECT query_id, vec_id, distance FROM (
+         |  SELECT s.query_id, e.vec_id,
+         |    ${sqDistOf("e.embedding", "s.qemb")} AS distance,
+         |    row_number() OVER (PARTITION BY s.query_id
+         |      ORDER BY ${sqDistOf("e.embedding", "s.qemb")}, e.vec_id) AS rn
+         |  FROM qs s JOIN probed p ON p.query_id = s.query_id
+         |  JOIN asg a ON a.cell = p.cell
+         |  JOIN embeddings e ON e.vec_id = a.vec_id)
+         |WHERE rn <= 5 ORDER BY query_id, distance, vec_id""".stripMargin,
     "cosine_top5" ->
       s"""SELECT e.vec_id, $cosineEq AS sim
          |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
@@ -2212,6 +2347,38 @@ object SparkEntry {
         |JOIN sizes zb ON zb.doc_id = i.id_b
         |WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5
         |ORDER BY i.id_a, i.id_b""".stripMargin,
+    // SimHash sign-sum over md5 nibbles — exact integers end to end
+    "simhash_md5" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0)) AS tok FROM documents),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    2 * (((strpos('0123456789abcdef', substr(md5(tok), CAST((b + 3) // 4 AS INT), 1)) - 1)
+        |      >> ((b - 1) % 4)) & 1) - 1 AS c
+        |  FROM (SELECT doc_id, tok, unnest(range(1, 17)) AS b FROM toks)),
+        |s AS (SELECT doc_id, b, SUM(c) AS sm FROM bits GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN sm > 0 THEN (CAST(1 AS BIGINT) << CAST(b - 1 AS INT)) ELSE 0 END) AS BIGINT) AS sig
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // embed→k-NN over md5-nibble integer embeddings: everything is
+    // exact BIGINT arithmetic, no floats anywhere
+    "embed_knn_md5" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0)) AS tok FROM documents),
+        |dims AS (
+        |  SELECT doc_id, d,
+        |    CAST(2 * strpos('0123456789abcdef', substr(md5(tok), CAST(d AS INT), 1)) - 17 AS BIGINT) AS c
+        |  FROM (SELECT doc_id, tok, unnest(range(1, 17)) AS d FROM toks)),
+        |vecs AS (SELECT doc_id, d, CAST(SUM(c) AS BIGINT) AS v FROM dims GROUP BY doc_id, d),
+        |q AS (SELECT d, v AS qv FROM vecs WHERE doc_id = (SELECT MIN(doc_id) FROM documents)),
+        |dist AS (
+        |  SELECT a.doc_id, CAST(SUM((a.v - q.qv) * (a.v - q.qv)) AS BIGINT) AS distance
+        |  FROM vecs a JOIN q ON a.d = q.d
+        |  WHERE a.doc_id <> (SELECT MIN(doc_id) FROM documents)
+        |  GROUP BY a.doc_id)
+        |SELECT doc_id, distance FROM dist ORDER BY distance, doc_id LIMIT 5""".stripMargin,
     // cross-corpus probe/filter over the md5 kernel: odd ids probe the
     // even-id corpus; kept = probes with no verified cross near-dup
     "crossdup_md5" ->
