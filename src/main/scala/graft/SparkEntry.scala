@@ -495,10 +495,11 @@ object SparkEntry {
       val toks = t(s, dir, "documents").select(col("doc_id"),
         explode(filter(split(lower(col("text")), "\\s+"),
           x => length(x) > 0)).as("tok"))
-      toks.withColumn("b", explode(sequence(lit(1), lit(16))))
+      toks.withColumn("hx", md5(col("tok")))
+        .withColumn("b", explode(sequence(lit(1), lit(16))))
         .select(col("doc_id"), col("b"), (expr(
           "shiftright(instr('0123456789abcdef', " +
-            "substring(md5(tok), CAST((b + 3) div 4 AS INT), 1)) - 1, " +
+            "substring(hx, CAST((b + 3) div 4 AS INT), 1)) - 1, " +
             "(b - 1) % 4) % 2") * 2 - 1).as("c"))
         .groupBy("doc_id", "b").agg(sum("c").as("sm"))
         .groupBy("doc_id").agg(sum(when(col("sm") > 0,
@@ -650,9 +651,11 @@ object SparkEntry {
         explode(filter(split(lower(col("text")), "\\s+"),
           x => length(x) > 0)).as("tok"))
       val vecs = toks
+        // hash once per token, THEN explode dims — md5 is the hot op
+        .withColumn("hx", md5(col("tok")))
         .withColumn("d", explode(sequence(lit(1), lit(16))))
         .select(col("doc_id"), col("d"),
-          (expr("instr('0123456789abcdef', substring(md5(tok), d, 1))")
+          (expr("instr('0123456789abcdef', substring(hx, d, 1))")
             * 2 - 17).cast("long").as("c"))
         .groupBy("doc_id", "d").agg(sum("c").cast("long").as("v"))
       val qid = docs.agg(min("doc_id")).head.getLong(0)
@@ -2352,11 +2355,12 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> length(x) > 0)) AS tok FROM documents),
+        |hx AS (SELECT doc_id, md5(tok) AS hx FROM toks),
         |bits AS (
         |  SELECT doc_id, b,
-        |    2 * (((strpos('0123456789abcdef', substr(md5(tok), CAST((b + 3) // 4 AS INT), 1)) - 1)
+        |    2 * (((strpos('0123456789abcdef', substr(hx, CAST((b + 3) // 4 AS INT), 1)) - 1)
         |      >> ((b - 1) % 4)) & 1) - 1 AS c
-        |  FROM (SELECT doc_id, tok, unnest(range(1, 17)) AS b FROM toks)),
+        |  FROM (SELECT doc_id, hx, unnest(range(1, 17)) AS b FROM hx)),
         |s AS (SELECT doc_id, b, SUM(c) AS sm FROM bits GROUP BY doc_id, b)
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN sm > 0 THEN (CAST(1 AS BIGINT) << CAST(b - 1 AS INT)) ELSE 0 END) AS BIGINT) AS sig
@@ -2367,10 +2371,11 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> length(x) > 0)) AS tok FROM documents),
+        |hx AS (SELECT doc_id, md5(tok) AS hx FROM toks),
         |dims AS (
         |  SELECT doc_id, d,
-        |    CAST(2 * strpos('0123456789abcdef', substr(md5(tok), CAST(d AS INT), 1)) - 17 AS BIGINT) AS c
-        |  FROM (SELECT doc_id, tok, unnest(range(1, 17)) AS d FROM toks)),
+        |    CAST(2 * strpos('0123456789abcdef', substr(hx, CAST(d AS INT), 1)) - 17 AS BIGINT) AS c
+        |  FROM (SELECT doc_id, hx, unnest(range(1, 17)) AS d FROM hx)),
         |vecs AS (SELECT doc_id, d, CAST(SUM(c) AS BIGINT) AS v FROM dims GROUP BY doc_id, d),
         |q AS (SELECT d, v AS qv FROM vecs WHERE doc_id = (SELECT MIN(doc_id) FROM documents)),
         |dist AS (
