@@ -20,6 +20,9 @@ run / fork := true
 outputStrategy := Some(OutputStrategy.StdoutOutput)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not by a task — exclude
+// it from the unused-key lint (it verifiably suppresses the epilogue)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1268,6 +1268,22 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 4000),
         "vec_id", "embedding", nClusters = 32, threshold = 0.9)
         .select("vec_id", "label").orderBy("vec_id")),
+    // SemDeDup SELECTION with fixed centroids (first 8 embeddings) —
+    // no Lloyd's, so cell assignment + in-cell exact-cosine pairing is
+    // float-deterministic and oracle-checked end to end (the trained
+    // semantic_dedup stays rows-only for the kmeans fit alone); the
+    // synthetic embeddings carry no true near-dups, so the threshold
+    // sits at the top of the actual cosine distribution
+    "semantic_dedup_fixed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      graft.operators.Dedup.semanticDedupPairsWithCentroids(
+        emb, "vec_id", "embedding", cents, threshold = 0.35)
+        .select(col("idA").as("id_a"), col("idB").as("id_b"),
+          col("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
     // contrastive triplet mining (FaceNet-style hard negatives) over
     // the embedding column — kmeans partitioning sensitivity →
     // rows-only; label/ordering semantics unit-tested. Fixed slice so
@@ -1626,6 +1642,31 @@ object SparkEntry {
          |JOIN asg a ON a.vec_id = e.vec_id
          |JOIN probed p ON a.cell = p.cell, q
          |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin,
+    // SemDeDup selection with fixed centroids: nearest-cell assignment
+    // (ties → lowest cell), in-cell pairs only, exact cosine with the
+    // zero-norm guard, threshold filter
+    "semantic_dedup_fixed" -> {
+      val cosAB =
+        s"""(CASE WHEN ${normOf("ea.embedding")} = 0 OR ${normOf("eb.embedding")} = 0 THEN 0.0
+           | ELSE list_sum(list_transform(range(1, len(ea.embedding) + 1), i ->
+           |   CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+           |   / (${normOf("ea.embedding")} * ${normOf("eb.embedding")}) END)""".stripMargin
+      s"""WITH cells AS (SELECT vec_id AS cell, embedding AS cemb
+         |               FROM embeddings WHERE vec_id < 8),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDistOf("e.embedding", "c.cemb")}, c.cell) AS rn
+         |    FROM embeddings e, cells c)
+         |  WHERE rn = 1)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosAB AS cosine
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+         |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin
+    },
     // batch variant: per-query probed cells, top-5 inside the union of
     // probed slices, ranked (distance, id) exactly as the window
     "ivf_fixed_batch_knn" ->

@@ -581,6 +581,27 @@ object Dedup {
     val assigned = IvfIndex.build(df.select(col(idCol), col(vecCol)),
       vecCol, idCol, nClusters, seed = seed,
       sampleFraction = sampleFraction).assigned
+    inCellCosinePairs(df, assigned, idCol, vecCol, threshold, maxCellSize)
+  }
+
+  /** [[semanticDedupPairs]] with a caller-provided centroid matrix —
+    * the offline-fit / online-dedup split that is the actual shape at
+    * corpus scale: Lloyd's runs ONCE on a sample (or an existing IVF
+    * index's centroids are reused), and each incoming slice pays only
+    * the narrow assignment kernel + in-cell verification. Also makes
+    * the whole selection float-deterministic (no training), so it is
+    * oracle-checkable end to end. */
+  def semanticDedupPairsWithCentroids(df: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Float]],
+      threshold: Double = 0.95, maxCellSize: Int = 10000): DataFrame = {
+    val assigned = IvfIndex.assignCells(
+      df.select(col(idCol), col(vecCol)), vecCol, centroids)
+    inCellCosinePairs(df, assigned, idCol, vecCol, threshold, maxCellSize)
+  }
+
+  private def inCellCosinePairs(df: DataFrame, assigned: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      maxCellSize: Int): DataFrame = {
     val base = df.select(col(idCol), col(vecCol).as("__v"))
     val slim = assigned.select(col(idCol), col(IvfIndex.ClusterCol))
     val pairs = candidatePairs(slim, idCol, Seq(IvfIndex.ClusterCol),

@@ -301,6 +301,38 @@ object DriveSmoke {
     val bloomed = BloomJoin.prunedAntiJoin(li, hot, "l_orderkey", "o_orderkey")
     bloomed.explain("formatted")
     println("BLOOM_ANTI_ROWS=" + bloomed.count())
+
+    // BM25 on-disk delta segments: save → append twice → reopen must
+    // equal a refit over the concatenation; compact must not change it
+    val bmDir = java.nio.file.Files.createTempDirectory("drive-bm25").toString
+    val half1 = docs.filter($"doc_id" % 2 === 0)
+    val half2 = docs.filter($"doc_id" % 2 === 1)
+    graft.operators.Bm25.save(
+      graft.operators.Bm25.fit(half1, "doc_id", "text"), s"$bmDir/idx")
+    graft.operators.Bm25.appendSaved(spark, s"$bmDir/idx", half2, "doc_id", "text")
+    graft.operators.Bm25.compact(spark, s"$bmDir/idx")
+    val bmHits = graft.operators.Bm25.search(
+      graft.operators.Bm25.load(spark, s"$bmDir/idx"), Seq("the", "data"), 5)
+    bmHits.explain("formatted")
+    println("BM25_SEGMENT_ROWS=" + bmHits.count())
+
+    // lazy prefix scan (materialize=false): the corpus-scale packing
+    // path — no localCheckpoint in the plan, repeated actions agree
+    val packedLazy = graft.operators.PrefixScan.packSequences(
+      docs.select("doc_id", "n_chars"), "n_chars", chunkSize = 4096,
+      orderCols = Seq("doc_id"), materialize = false)
+    packedLazy.explain("formatted")
+    println("LAZY_PACK_CHUNKS=" +
+      packedLazy.select("chunk_id").distinct().count())
+
+    // SemDeDup with caller-provided centroids (offline-fit shape)
+    val cents8 = embSq.filter($"vec_id" < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val sdPairs = graft.operators.Dedup.semanticDedupPairsWithCentroids(
+      embSq.select("vec_id", "embedding"), "vec_id", "embedding",
+      cents8, threshold = 0.35)
+    sdPairs.explain("formatted")
+    println("SEMDEDUP_FIXED_PAIRS=" + sdPairs.count())
     spark.stop()
   }
 }

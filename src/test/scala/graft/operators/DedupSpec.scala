@@ -244,6 +244,32 @@ class DedupSpec extends SparkSpec {
     assert((pairs -- expected).isEmpty, s"spurious ${pairs -- expected}")
   }
 
+  test("semanticDedupPairsWithCentroids: caller centroids reproduce the " +
+      "in-cell selection; twins still always meet") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val dim = 16
+    val base = (0 until 24).map { i =>
+      i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val dups = base.take(6).map { case (id, v) =>
+      val w = v.clone(); w(0) = w(0) + 0.004f
+      (id + 100L) -> w
+    }
+    val df = (base ++ dups).toDF("id", "vec")
+    // bring-your-own centroids: 4 of the base vectors — the offline-
+    // fit/online-dedup split; twins co-locate under ANY centroid set
+    // because nearest-centroid is deterministic in the vector
+    val cents = base.take(4).map(_._2).toArray
+    val pairs = Dedup.semanticDedupPairsWithCentroids(df, "id", "vec",
+      cents, threshold = 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = dups.map { case (d, _) => (d - 100L, d) }.toSet
+    assert(expected.subsetOf(pairs),
+      s"missed ${expected -- pairs} of $expected")
+    assert((pairs -- expected).isEmpty, s"spurious ${pairs -- expected}")
+  }
+
   test("semanticDedup keeps one representative per duplicate group") {
     import spark.implicits._
     val rnd = new Random(13)
