@@ -1293,6 +1293,19 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 2000),
         "vec_id", "embedding", "label", nClusters = 16)
         .orderBy("vec_id")),
+    // triplet mining with fixed centroids — the hard-negative
+    // SELECTION (in-cell scoring, per-anchor argmax positive/negative
+    // with (cosine desc, id asc) ties) machine-checked; only Lloyd's
+    // keeps the trained variant rows-only
+    "triplet_mine_fixed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+      val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      graft.operators.Triplets.mineWithCentroids(
+        emb, "vec_id", "embedding", "label", cents)
+        .orderBy("vec_id")
+    }),
     // connected components over the verified near-dup graph (custom
     // hash family upstream → rows-only check; algorithm unit-tested)
     "neardup_components" -> ((s, dir) => {
@@ -1666,6 +1679,49 @@ object SparkEntry {
          |  JOIN embeddings ea ON ea.vec_id = a.vec_id
          |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
          |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin
+    },
+    // triplet mining selection with fixed centroids: in-cell pairs in
+    // both directions, per-anchor argmax positive (same label) and
+    // hard negative (different label), ties (cosine DESC, cand ASC)
+    "triplet_mine_fixed" -> {
+      val cosAB =
+        s"""(CASE WHEN ${normOf("ea.embedding")} = 0 OR ${normOf("eb.embedding")} = 0 THEN 0.0
+           | ELSE list_sum(list_transform(range(1, len(ea.embedding) + 1), i ->
+           |   CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+           |   / (${normOf("ea.embedding")} * ${normOf("eb.embedding")}) END)""".stripMargin
+      s"""WITH cells AS (SELECT vec_id AS cell, embedding AS cemb
+         |               FROM embeddings WHERE vec_id < 8),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDistOf("e.embedding", "c.cemb")}, c.cell) AS rn
+         |    FROM embeddings e, cells c)
+         |  WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb, $cosAB AS cosine
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |directed AS (SELECT ida AS anchor, idb AS cand, cosine FROM pairs
+         |             UNION ALL SELECT idb, ida, cosine FROM pairs),
+         |wl AS (SELECT d.anchor, d.cand, d.cosine,
+         |         la.label AS la, lc.label AS lc
+         |       FROM directed d
+         |       JOIN embeddings la ON la.vec_id = d.anchor
+         |       JOIN embeddings lc ON lc.vec_id = d.cand),
+         |pos AS (SELECT anchor, cand AS positive_id, cosine AS pos_cosine FROM (
+         |  SELECT anchor, cand, cosine,
+         |    row_number() OVER (PARTITION BY anchor ORDER BY cosine DESC, cand ASC) AS rn
+         |  FROM wl WHERE la = lc) WHERE rn = 1),
+         |neg AS (SELECT anchor, cand AS negative_id, cosine AS neg_cosine FROM (
+         |  SELECT anchor, cand, cosine,
+         |    row_number() OVER (PARTITION BY anchor ORDER BY cosine DESC, cand ASC) AS rn
+         |  FROM wl WHERE la <> lc) WHERE rn = 1)
+         |SELECT p.anchor AS vec_id, positive_id, pos_cosine,
+         |       negative_id, neg_cosine
+         |FROM pos p JOIN neg n ON p.anchor = n.anchor
+         |ORDER BY vec_id""".stripMargin
     },
     // batch variant: per-query probed cells, top-5 inside the union of
     // probed slices, ranked (distance, id) exactly as the window

@@ -36,6 +36,23 @@ object Triplets {
     val scored = Dedup.semanticDedupPairs(df, idCol, vecCol, nClusters,
       threshold = -1.0, seed = seed, sampleFraction = sampleFraction,
       maxCellSize = maxCellSize)
+    fromScoredPairs(scored, df, idCol, labelCol)
+  }
+
+  /** [[mine]] with a caller-provided centroid matrix (see
+    * [[Dedup.semanticDedupPairsWithCentroids]]) — reuse an existing
+    * IVF fit or an offline sample fit; also float-deterministic, so
+    * the mining selection itself is oracle-checkable. */
+  def mineWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, centroids: Array[Array[Float]],
+      maxCellSize: Int = 10000): DataFrame = {
+    val scored = Dedup.semanticDedupPairsWithCentroids(df, idCol,
+      vecCol, centroids, threshold = -1.0, maxCellSize = maxCellSize)
+    fromScoredPairs(scored, df, idCol, labelCol)
+  }
+
+  private def fromScoredPairs(scored: DataFrame, df: DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
     // both directions: every pair member is an anchor for the other
     val directed = scored.select(col("idA").as("__anchor"),
         col("idB").as("__cand"), col("cosine"))

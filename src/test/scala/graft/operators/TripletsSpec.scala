@@ -43,6 +43,36 @@ class TripletsSpec extends SparkSpec {
     assert(out(50L)._1 == 0L, s"anchor 50 positive ${out(50L)}")
   }
 
+  test("mineWithCentroids: caller centroids, same selection contract " +
+      "(planted twin wins, labels respected)") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val dim = 12
+    def around(center: Float, n: Int, base: Long) =
+      (0 until n).map { i =>
+        (base + i, Array.fill(dim)(center + rnd.nextGaussian().toFloat * 0.3f),
+          (i % 2))
+      }
+    val a = around(3f, 10, 0L)
+    val b = around(-3f, 10, 100L)
+    val twin = {
+      val v = a.head._2.clone(); v(0) += 0.001f
+      Seq((50L, v, 0))
+    }
+    val df = (a ++ b ++ twin).toDF("id", "vec", "label")
+    // offline-fit shape: one centroid from each spatial cluster
+    val cents = Array(a.head._2, b.head._2)
+    val out = Triplets.mineWithCentroids(df, "id", "vec", "label", cents)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val labels = (a ++ b ++ twin).map(t => t._1 -> t._3).toMap
+    out.foreach { case (anchor, (pos, neg)) =>
+      assert(labels(pos) == labels(anchor))
+      assert(labels(neg) != labels(anchor))
+    }
+    assert(out(0L)._1 == 50L && out(50L)._1 == 0L)
+  }
+
   test("mine is deterministic across partitioning") {
     import spark.implicits._
     val rnd = new Random(23)
