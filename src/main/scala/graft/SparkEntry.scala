@@ -238,6 +238,89 @@ object SparkEntry {
         "embedding", "vec_id")
       idx.query(q, k = 5, nprobe = 2).select("vec_id", "distance")
     }),
+    // PQ compression path with FIXED codebooks (subvectors of the
+    // first 4 embeddings): the real PqIndex encode (per-subspace
+    // argmin), ADC table, byte-code scan, and exact re-rank — all
+    // float-deterministic without Lloyd's, so the compression/search
+    // machinery is oracle-checked end to end
+    "pq_fixed_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val m = 4
+      val subDim = cents(0).length / m
+      val books = Array.tabulate(m)(sub =>
+        cents.map(v => v.slice(sub * subDim, (sub + 1) * subDim)))
+      val codes = emb.select(col("vec_id"),
+        pq_encode(col("embedding"), books).as(graft.operators.PqIndex.CodeCol))
+      val idx = new graft.operators.PqIndex(books, emb, codes,
+        "embedding", "vec_id")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5).select("vec_id", "distance")
+    }),
+    // OPQ path with a FIXED permutation rotation (dimension reversal):
+    // a permutation matrix is orthonormal AND float-exact (each rotated
+    // coordinate is a single 1.0f·x product), so the rotate→encode→
+    // ADC→re-rank machinery of RotatedPqIndex — the mat_vec corpus
+    // kernel, the driver-side query rotate, and the rotated-space
+    // exact re-rank — is oracle-checkable without the trained
+    // rotation. Only the eigendecomposition-trained rotation itself
+    // stays unoracled (same family as Lloyd's).
+    "opq_fixed_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val dim = emb.select("embedding").head.getSeq[Float](0).length
+      val rot = Array.tabulate(dim, dim)((i, j) =>
+        if (j == dim - 1 - i) 1.0f else 0.0f)
+      val rotated = emb.select(col("vec_id"),
+        mat_vec(col("embedding"), rot).as("embedding"))
+      val cents = rotated.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val m = 4
+      val subDim = dim / m
+      val books = Array.tabulate(m)(sub =>
+        cents.map(v => v.slice(sub * subDim, (sub + 1) * subDim)))
+      val codes = rotated.select(col("vec_id"),
+        pq_encode(col("embedding"), books).as(graft.operators.PqIndex.CodeCol))
+      val idx = new graft.operators.RotatedPqIndex(rot,
+        new graft.operators.PqIndex(books, rotated, codes,
+          "embedding", "vec_id"))
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5).select("vec_id", "distance")
+    }),
+    // IVF-PQ composition with FIXED cells AND codebooks: the residual
+    // kernel (cell_residual: double-subtract→float32, which equals a
+    // direct float32 subtract — double's 53 bits ≥ 2·24+2 rules out
+    // double rounding), residual-space encode, per-probed-cell ADC
+    // branches, union top-k·refine, and original-space re-rank — the
+    // whole faiss-IndexIVFPQ query shape, oracle-checked. Cells are
+    // embeddings 0..3; codebooks come from the RESIDUALS of 4..7
+    // (0..3's own residuals are identically zero).
+    "ivfpq_fixed_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val clusterCol = graft.operators.IvfIndex.ClusterCol
+      val resid = graft.operators.IvfIndex
+        .assignCells(emb, "embedding", cents)
+        .withColumn("__resid",
+          cell_residual(col(clusterCol), col("embedding"), cents))
+      val bookRows = resid
+        .filter(col("vec_id") >= 4 && col("vec_id") < 8).orderBy("vec_id")
+        .select("__resid").collect().map(_.getSeq[Float](0).toArray)
+      val m = 4
+      val subDim = bookRows(0).length / m
+      val books = Array.tabulate(m)(sub =>
+        bookRows.map(v => v.slice(sub * subDim, (sub + 1) * subDim)))
+      val table = resid.select(col("vec_id"), col(clusterCol),
+        pq_encode(col("__resid"), books).as(graft.operators.PqIndex.CodeCol))
+      val idx = new graft.operators.IvfPqIndex(cents, books, table, emb,
+        "embedding", "vec_id")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5, nprobe = 2).select("vec_id", "distance")
+    }),
     // the BATCH ANN join path (multi-probe kernel → hash join by cell
     // → WindowGroupLimit) through the same fixed-centroid index
     "ivf_fixed_batch_knn" -> ((s, dir) => {
@@ -1722,6 +1805,139 @@ object SparkEntry {
          |       negative_id, neg_cosine
          |FROM pos p JOIN neg n ON p.anchor = n.anchor
          |ORDER BY vec_id""".stripMargin
+    },
+    // fixed-codebook PQ: per-subspace argmin encode (ties → lowest
+    // code), ADC = the kernel's left-to-right 4-term sum (pivoted CASE
+    // columns, explicit association), top-20 ADC candidates, exact
+    // re-rank to top-5
+    "pq_fixed_knn" -> {
+      val subsq = "list_sum(list_transform(range(1, 17), i -> " +
+        "(CAST(e.embedding[w.s*16 + i] AS DOUBLE) - CAST(w.cvec[i] AS DOUBLE)) * " +
+        "(CAST(e.embedding[w.s*16 + i] AS DOUBLE) - CAST(w.cvec[i] AS DOUBLE))))"
+      val qsub = "list_sum(list_transform(range(1, 17), i -> " +
+        "(CAST(q.embedding[w.s*16 + i] AS DOUBLE) - CAST(w.cvec[i] AS DOUBLE)) * " +
+        "(CAST(q.embedding[w.s*16 + i] AS DOUBLE) - CAST(w.cvec[i] AS DOUBLE))))"
+      s"""WITH cw AS (
+         |  SELECT s.s, c.vec_id AS c, c.embedding[s.s*16 + 1 : s.s*16 + 16] AS cvec
+         |  FROM (SELECT unnest(range(0, 4)) AS s) s, embeddings c WHERE c.vec_id < 4),
+         |enc AS (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT e.vec_id, w.s, w.c,
+         |      row_number() OVER (PARTITION BY e.vec_id, w.s
+         |        ORDER BY $subsq, w.c) AS rn
+         |    FROM embeddings e, cw w)
+         |  WHERE rn = 1),
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |qtab AS (SELECT w.s, w.c, $qsub AS t FROM cw w, q),
+         |adc AS (
+         |  SELECT vec_id,
+         |    ((MAX(CASE WHEN s = 0 THEN t END) + MAX(CASE WHEN s = 1 THEN t END))
+         |      + MAX(CASE WHEN s = 2 THEN t END)) + MAX(CASE WHEN s = 3 THEN t END) AS adist
+         |  FROM (SELECT en.vec_id, en.s, qt.t
+         |        FROM enc en JOIN qtab qt ON qt.s = en.s AND qt.c = en.c)
+         |  GROUP BY vec_id),
+         |cand AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 20)
+         |SELECT e.vec_id, $sqDist AS distance
+         |FROM embeddings e JOIN cand ca ON ca.vec_id = e.vec_id, q
+         |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin
+    },
+    // fixed-rotation OPQ: identical PQ twin over the REVERSED lists
+    // (list_reverse ≡ the permutation mat_vec — float-exact), so the
+    // re-rank's accumulation order matches the rotated-space kernel
+    "opq_fixed_knn" -> {
+      val subsq = "list_sum(list_transform(range(1, 17), i -> " +
+        "(CAST(e.embedding[w.s*16 + i] AS DOUBLE) - CAST(w.cvec[i] AS DOUBLE)) * " +
+        "(CAST(e.embedding[w.s*16 + i] AS DOUBLE) - CAST(w.cvec[i] AS DOUBLE))))"
+      val qsub = "list_sum(list_transform(range(1, 17), i -> " +
+        "(CAST(q.embedding[w.s*16 + i] AS DOUBLE) - CAST(w.cvec[i] AS DOUBLE)) * " +
+        "(CAST(q.embedding[w.s*16 + i] AS DOUBLE) - CAST(w.cvec[i] AS DOUBLE))))"
+      s"""WITH emb AS (
+         |  SELECT vec_id, list_reverse(embedding) AS embedding FROM embeddings),
+         |cw AS (
+         |  SELECT s.s, c.vec_id AS c, c.embedding[s.s*16 + 1 : s.s*16 + 16] AS cvec
+         |  FROM (SELECT unnest(range(0, 4)) AS s) s, emb c WHERE c.vec_id < 4),
+         |enc AS (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT e.vec_id, w.s, w.c,
+         |      row_number() OVER (PARTITION BY e.vec_id, w.s
+         |        ORDER BY $subsq, w.c) AS rn
+         |    FROM emb e, cw w)
+         |  WHERE rn = 1),
+         |q AS (SELECT embedding FROM emb WHERE vec_id = 0),
+         |qtab AS (SELECT w.s, w.c, $qsub AS t FROM cw w, q),
+         |adc AS (
+         |  SELECT vec_id,
+         |    ((MAX(CASE WHEN s = 0 THEN t END) + MAX(CASE WHEN s = 1 THEN t END))
+         |      + MAX(CASE WHEN s = 2 THEN t END)) + MAX(CASE WHEN s = 3 THEN t END) AS adist
+         |  FROM (SELECT en.vec_id, en.s, qt.t
+         |        FROM enc en JOIN qtab qt ON qt.s = en.s AND qt.c = en.c)
+         |  GROUP BY vec_id),
+         |cand AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 20)
+         |SELECT e.vec_id, $sqDist AS distance
+         |FROM emb e JOIN cand ca ON ca.vec_id = e.vec_id, q
+         |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin
+    },
+    // fixed IVF-PQ: argmin cell assign, float32 residuals (DuckDB
+    // FLOAT − FLOAT is the same single correctly-rounded float32 op as
+    // the kernel's double-subtract→float32 narrow), residual-space
+    // encode over codebooks from residuals 4..7, ADC joined through
+    // the probed cells only, exact original-space re-rank
+    "ivfpq_fixed_knn" -> {
+      def subsqOf(v: String): String =
+        "list_sum(list_transform(range(1, 17), i -> " +
+          s"(CAST($v[w.s*16 + i] AS DOUBLE) - CAST(w.cvec[i] AS DOUBLE)) * " +
+          s"(CAST($v[w.s*16 + i] AS DOUBLE) - CAST(w.cvec[i] AS DOUBLE))))"
+      s"""WITH cells AS (
+         |  SELECT vec_id AS cell, embedding AS cemb FROM embeddings WHERE vec_id < 4),
+         |asg AS (
+         |  SELECT vec_id, cell, embedding FROM (
+         |    SELECT e.vec_id, c.cell, e.embedding,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDistOf("e.embedding", "c.cemb")}, c.cell) AS rn
+         |    FROM embeddings e, cells c)
+         |  WHERE rn = 1),
+         |res AS (
+         |  SELECT a.vec_id, a.cell,
+         |    list_transform(range(1, len(a.embedding) + 1),
+         |      i -> a.embedding[i] - c.cemb[i]) AS resid
+         |  FROM asg a JOIN cells c ON c.cell = a.cell),
+         |cw AS (
+         |  SELECT s.s, r.vec_id - 4 AS b, r.resid[s.s*16 + 1 : s.s*16 + 16] AS cvec
+         |  FROM (SELECT unnest(range(0, 4)) AS s) s, res r
+         |  WHERE r.vec_id >= 4 AND r.vec_id < 8),
+         |enc AS (
+         |  SELECT vec_id, cell, s, b FROM (
+         |    SELECT r.vec_id, r.cell, w.s, w.b,
+         |      row_number() OVER (PARTITION BY r.vec_id, w.s
+         |        ORDER BY ${subsqOf("r.resid")}, w.b) AS rn
+         |    FROM res r, cw w)
+         |  WHERE rn = 1),
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT cell, cemb FROM (
+         |    SELECT c.cell, c.cemb,
+         |      row_number() OVER (
+         |        ORDER BY ${sqDistOf("q.embedding", "c.cemb")}, c.cell) AS rn
+         |    FROM cells c, q)
+         |  WHERE rn <= 2),
+         |qres AS (
+         |  SELECT p.cell, list_transform(range(1, len(q.embedding) + 1),
+         |    i -> q.embedding[i] - p.cemb[i]) AS qr
+         |  FROM probe p, q),
+         |qtab AS (
+         |  SELECT r.cell, w.s, w.b, ${subsqOf("r.qr")} AS t FROM qres r, cw w),
+         |adc AS (
+         |  SELECT vec_id,
+         |    ((MAX(CASE WHEN s = 0 THEN t END) + MAX(CASE WHEN s = 1 THEN t END))
+         |      + MAX(CASE WHEN s = 2 THEN t END)) + MAX(CASE WHEN s = 3 THEN t END) AS adist
+         |  FROM (SELECT en.vec_id, en.s, qt.t
+         |        FROM enc en JOIN qtab qt
+         |          ON qt.cell = en.cell AND qt.s = en.s AND qt.b = en.b)
+         |  GROUP BY vec_id),
+         |cand AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 20)
+         |SELECT e.vec_id, $sqDist AS distance
+         |FROM embeddings e JOIN cand ca ON ca.vec_id = e.vec_id, q
+         |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin
     },
     // batch variant: per-query probed cells, top-5 inside the union of
     // probed slices, ranked (distance, id) exactly as the window

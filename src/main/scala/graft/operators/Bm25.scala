@@ -183,7 +183,11 @@ object Bm25 {
     * docFreq deltas pre-aggregate into one file set (reopen then
     * aggregates a no-op) and postings small files coalesce. Answers
     * are unchanged. Writes to sibling temp dirs and swaps via rename —
-    * an in-place overwrite would read and clobber the same files. */
+    * an in-place overwrite would read and clobber the same files.
+    * Swap order is crash-safe: the live dir is renamed ASIDE (not
+    * deleted) before the compacted dir takes its name, so at every
+    * instant one complete copy exists on disk — a crash mid-swap
+    * leaves either the live layout or a recoverable `_old`. */
   def compact(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -193,9 +197,13 @@ object Bm25 {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (name <- Seq("postings", "docfreq")) {
-      fs.delete(new Path(s"$path/$name"), true)
-      require(fs.rename(new Path(s"$path/${name}_tmp"),
-        new Path(s"$path/$name")), s"rename of $name failed")
+      val live = new Path(s"$path/$name")
+      val old = new Path(s"$path/${name}_old")
+      fs.delete(old, true)
+      require(fs.rename(live, old), s"rename of $name aside failed")
+      require(fs.rename(new Path(s"$path/${name}_tmp"), live),
+        s"rename of $name failed")
+      fs.delete(old, true)
     }
   }
 
