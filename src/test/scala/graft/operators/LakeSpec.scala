@@ -70,6 +70,18 @@ class LakeSpec extends SparkSpec {
     // and the data survives intact
     assert(spark.read.parquet(zDir).orderBy("id").collect().toSeq ==
       df.orderBy("id").collect().toSeq)
+    // the point of the layout is SKIPPING: a selective range filter on
+    // either z column must reach the parquet reader as a pushed filter
+    // (row-group min/max pruning keys off exactly these), and a narrow
+    // projection must shrink ReadSchema — a scan that reads every
+    // column for a 2-column projection is wrong
+    val scan = spark.read.parquet(zDir)
+      .filter(col("b") >= 900).select("id", "b")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(b), GreaterThanOrEqual(b,900)]"),
+      s"range filter not pushed to the z-ordered scan:\n$scan")
+    assert(scan.contains("ReadSchema") && !scan.contains("a:int"),
+      s"projection not pruned to (id, b):\n$scan")
   }
 
   test("writeManifest records exact rows, schema, and file inventory; " +
