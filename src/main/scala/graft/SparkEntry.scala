@@ -634,6 +634,15 @@ object SparkEntry {
     // 100 TB path; this exists to pin the selection logic cross-engine.
     "neardup_pairs_md5" -> ((s, dir) =>
       md5NearDupPairs(s, dir).orderBy("id_a", "id_b")),
+    // EXACT Jaccard self-join (recall 1.0, no LSH) via prefix
+    // filtering — the oracle twin is the NAIVE shared-token all-pairs
+    // join, so the gate machine-checks the prefix-filter completeness
+    // theorem itself: any qualifying pair the prefix join missed would
+    // hash-mismatch here
+    "jaccard_pairs_exact" -> ((s, dir) =>
+      Dedup.jaccardPairsExact(t(s, dir, "documents"), "doc_id", "text",
+        shingleWidth = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
     // connected components (large-star/small-star operator) over the
     // md5 pair graph — the DuckDB twin computes the same labels with a
     // recursive-CTE transitive closure + min per node, so the CC
@@ -2663,6 +2672,32 @@ object SparkEntry {
         |JOIN sizes zb ON zb.doc_id = i.id_b
         |WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5
         |ORDER BY i.id_a, i.id_b""".stripMargin,
+    // naive all-pairs twin of the prefix-filtered exact Jaccard join:
+    // same shingles, same exact-int intersection count, same single
+    // double division — but candidates come from ANY shared token, so
+    // a completeness failure of the prefix filter cannot hide
+    "jaccard_pairs_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+        |       FROM sh0),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS ninter
+        |  FROM sh sa JOIN sh sb ON sb.s = sa.s AND sa.doc_id < sb.doc_id
+        |  GROUP BY sa.doc_id, sb.doc_id)
+        |SELECT i.id_a, i.id_b,
+        |  CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) AS jaccard
+        |FROM inter i
+        |JOIN sizes za ON za.doc_id = i.id_a
+        |JOIN sizes zb ON zb.doc_id = i.id_b
+        |WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     // SimHash sign-sum over md5 nibbles — exact integers end to end
     "simhash_md5" ->
       """WITH toks AS (

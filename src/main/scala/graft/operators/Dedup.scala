@@ -122,6 +122,93 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT shingle-set Jaccard self-join — EVERY pair with
+    * J(A,B) >= threshold, recall 1.0, no LSH approximation — via
+    * prefix filtering (the SSJoin/PPJoin principle: Chaudhuri et al.
+    * ICDE'06, Xiao et al. WWW'08). Under one global token order
+    * (corpus document-frequency ascending — rarest first), J >= t
+    * forces |A∩B| >= t·|A|; if A's (|A| − ⌈t·|A|⌉ + 1)-prefix missed
+    * every common token, all of them would sit in A's ⌈t·|A|⌉ − 1
+    * remaining positions — a contradiction — so the smallest-ranked
+    * common token lies in BOTH prefixes and the candidate join needs
+    * PREFIX tokens only. Because prefixes carry each document's
+    * globally RAREST tokens, hot-token fan-out is structurally capped
+    * (the inverse of an LSH hot bucket). This is the exact complement
+    * of [[nearDupPairsMinHash]] for when recall must be 1.0 —
+    * decontamination audits, license-violation sweeps.
+    *
+    * The prefix cut and the length filter use floor(t·n) where the
+    * theory says ⌈t·n⌉: under fp rounding ceil(t·n) can overestimate
+    * by one for non-dyadic t (e.g. 0.3·10 → 3.0000000000000004), and
+    * an overestimated cut SHORTENS the prefix — an incompleteness
+    * bug. floor is always ≤ the true ceiling, so the filters stay
+    * conservative (≤ 1 extra prefix token, a few extra candidates,
+    * zero missed pairs); the exact verification settles the rest.
+    *
+    * Scale shape: only (id, token)-slim frames ever shuffle (the
+    * frequency join, the per-doc rank window, the prefix self-join);
+    * candidates prune on the J-implied length bound before any
+    * verification; exact intersection counting runs once per DISTINCT
+    * pair. Returns (id_a, id_b, jaccard) with id_a < id_b; jaccard is
+    * one double division of exact longs (cross-engine bit-stable). */
+  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, threshold: Double = 0.5): DataFrame =
+    jaccardPairsExactFromTokens(
+      df.select(col(idCol),
+        explode(shingles(col(textCol), shingleWidth)).as("__s"))
+        .distinct(),
+      idCol, "__s", threshold)
+
+  /** [[jaccardPairsExact]] over a PRE-TOKENIZED distinct (id, token)
+    * frame — the corpus-scale form. The token frame is this operator's
+    * inverted index: it feeds the size agg, the frequency agg, the
+    * rank window, and both verification joins, so the inline form
+    * re-scans and re-shingles the corpus for each consumer (10 text
+    * scans in the physical plan — ReuseExchange cannot fire across
+    * differently keyed consumers; an in-memory .cache() measured
+    * SLOWER here, trading codegen'd rebuilds for a serialization
+    * stall). At 100 TB, tokenize ONCE into parquet (the fit-offline /
+    * search-online split of Bm25.save / SqIndex.save) and pass the
+    * stored frame: every consumer then reads token-slim columnar data
+    * and the text column is never scanned at all. */
+  def jaccardPairsExactFromTokens(tokens: DataFrame, idCol: String,
+      tokenCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    val sh = tokens.select(col(idCol), col(tokenCol).as("__s"))
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n"))
+    val freq = sh.groupBy("__s").agg(count(lit(1)).as("__df"))
+    val ranked = sh.join(freq, "__s")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__df"), col("__s"))))
+      .join(sizes, Seq(idCol))
+      .filter(col("__rn") <=
+        col("__n") - floor(lit(threshold) * col("__n")) + 1)
+      .select(col(idCol), col("__s"), col("__n"))
+    val cand = ranked
+      .select(col(idCol).as("id_a"), col("__s"), col("__n").as("__na"))
+      .join(ranked
+        .select(col(idCol).as("id_b"), col("__s"), col("__n").as("__nb")),
+        Seq("__s"))
+      .where(col("id_a") < col("id_b") &&
+        col("__nb") >= floor(lit(threshold) * col("__na")) &&
+        col("__na") >= floor(lit(threshold) * col("__nb")))
+      .select("id_a", "id_b").distinct()
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("__s")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__s")), Seq("id_b", "__s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__ninter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("__ninter").cast("double") /
+          (col("__na") + col("__nb") - col("__ninter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Asymmetric near-dup probe — "dedupe the new crawl slice against
     * the existing training corpus" (the batch twin of the streaming
     * `nearDupIngest` contract, at MinHash/Jaccard precision instead of

@@ -333,6 +333,12 @@ object DriveSmoke {
       cents8, threshold = 0.35)
     sdPairs.explain("formatted")
     println("SEMDEDUP_FIXED_PAIRS=" + sdPairs.count())
+
+    // exact prefix-filtered Jaccard self-join (recall 1.0, X79)
+    val jp = graft.operators.Dedup.jaccardPairsExact(
+      docs, "doc_id", "text", shingleWidth = 3, threshold = 0.5)
+    jp.explain("formatted")
+    println("JACCARD_EXACT_PAIRS=" + jp.count())
     spark.stop()
   }
 }

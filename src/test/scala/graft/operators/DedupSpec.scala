@@ -68,6 +68,36 @@ class DedupSpec extends SparkSpec {
     assert((pairs -- expected).isEmpty, s"false positives: ${pairs -- expected}")
   }
 
+  test("jaccardPairsExact equals brute force at a non-dyadic threshold " +
+      "(prefix-filter completeness + floor-robust cuts)") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val (docs, _) = plantedCorpus
+    val df = docs.toDF("id", "text")
+    // 0.3: t·n is inexact in doubles (the ceil-overestimate trap), and
+    // low enough that random 20-word-vocab docs create incidental
+    // qualifying pairs beyond the planted ones
+    val got = Dedup.jaccardPairsExact(df, "id", "text",
+      shingleWidth = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // brute force: every pair, exact set jaccard over the same shingles
+    val sh = df.select(col("id"),
+      array_distinct(shingles(col("text"), 3)).as("sh"))
+    val brute = sh.select(col("id").as("id_a"), col("sh").as("sha"))
+      .crossJoin(sh.select(col("id").as("id_b"), col("sh").as("shb")))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("j"))
+      .where(col("j") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(brute.nonEmpty, "test corpus produced no qualifying pairs")
+    assert(got == brute,
+      s"missed: ${brute -- got}\nextra: ${got -- brute}")
+  }
+
   test("dedupNearMinHash drops the higher id of each pair") {
     import spark.implicits._
     val (docs, expected) = plantedCorpus
