@@ -643,6 +643,17 @@ object SparkEntry {
       Dedup.jaccardPairsExact(t(s, dir, "documents"), "doc_id", "text",
         shingleWidth = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // asymmetric recall-1.0 probe (odd ids = new slice, even = frozen
+    // corpus — the crossdup_filter split) at a NON-DYADIC threshold, so
+    // the gate also exercises the floor-robust prefix/length cuts
+    // against the naive cross-pairs twin
+    "jaccard_probe_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardProbeExact(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        shingleWidth = 3, threshold = 0.4)
+        .orderBy("doc_id")
+    }),
     // connected components (large-star/small-star operator) over the
     // md5 pair graph — the DuckDB twin computes the same labels with a
     // recursive-CTE transitive closure + min per node, so the CC
@@ -2698,6 +2709,31 @@ object SparkEntry {
         |JOIN sizes zb ON zb.doc_id = i.id_b
         |WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // naive cross-pairs twin of the asymmetric exact probe: every
+    // odd/even pair sharing any token, exact-int intersection, single
+    // double division, distinct flagged probe ids
+    "jaccard_probe_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+        |       FROM sh0),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT p.doc_id AS idp, c.doc_id AS idc,
+        |    CAST(COUNT(*) AS BIGINT) AS ninter
+        |  FROM sh p JOIN sh c ON c.s = p.s
+        |    AND p.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        |  GROUP BY p.doc_id, c.doc_id)
+        |SELECT DISTINCT i.idp AS doc_id
+        |FROM inter i
+        |JOIN sizes zp ON zp.doc_id = i.idp
+        |JOIN sizes zc ON zc.doc_id = i.idc
+        |WHERE CAST(i.ninter AS DOUBLE) / (zp.n + zc.n - i.ninter) >= 0.4
+        |ORDER BY doc_id""".stripMargin,
     // SimHash sign-sum over md5 nibbles — exact integers end to end
     "simhash_md5" ->
       """WITH toks AS (

@@ -209,6 +209,67 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric EXACT Jaccard probe — the recall-1.0 twin of
+    * [[nearDupProbeMinHash]]: returns the DISTINCT probe ids whose
+    * shingle-set Jaccard against ANY corpus document reaches
+    * `threshold` (same output contract — anti-join the flags for the
+    * clean slice). Same prefix-filter completeness argument and
+    * floor-robust cuts as [[jaccardPairsExact]]; the global token
+    * order is document frequency over the UNION of both sides — the
+    * order must be a total order defined on every token either side
+    * carries, which a one-sided frequency is not. Use when the
+    * cross-corpus decision must be auditable with zero missed
+    * duplicates (contamination sweeps of a frozen eval corpus). */
+  def jaccardProbeExact(probe: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleWidth: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(idCol),
+      explode(shingles(col(textCol), shingleWidth)).as("__s")).distinct()
+    jaccardProbeExactFromTokens(toks(probe), toks(corpus), idCol, "__s",
+      threshold)
+  }
+
+  /** [[jaccardProbeExact]] over PRE-TOKENIZED distinct (id, token)
+    * frames (see [[jaccardPairsExactFromTokens]] for why the stored
+    * token frame is the corpus-scale form). */
+  def jaccardProbeExactFromTokens(probeToks: DataFrame,
+      corpusToks: DataFrame, idCol: String, tokenCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    val pa = probeToks.select(col(idCol).as("__idp"),
+      col(tokenCol).as("__s"))
+    val ca = corpusToks.select(col(idCol).as("__idc"),
+      col(tokenCol).as("__s"))
+    val freq = pa.select("__s").unionByName(ca.select("__s"))
+      .groupBy("__s").agg(count(lit(1)).as("__df"))
+    def prefixed(sh: DataFrame, id: String, n: String): DataFrame = {
+      val sizes = sh.groupBy(id).agg(count(lit(1)).as(n))
+      sh.join(freq, "__s")
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col(id)).orderBy(col("__df"), col("__s"))))
+        .join(sizes, Seq(id))
+        .filter(col("__rn") <=
+          col(n) - floor(lit(threshold) * col(n)) + 1)
+        .select(col(id), col("__s"), col(n))
+    }
+    val cand = prefixed(pa, "__idp", "__np")
+      .join(prefixed(ca, "__idc", "__nc"), Seq("__s"))
+      .where(col("__nc") >= floor(lit(threshold) * col("__np")) &&
+        col("__np") >= floor(lit(threshold) * col("__nc")))
+      .select("__idp", "__idc").distinct()
+    val inter = cand
+      .join(pa, Seq("__idp"))
+      .join(ca, Seq("__idc", "__s"))
+      .groupBy("__idp", "__idc").agg(count(lit(1)).as("__ninter"))
+    inter
+      .join(pa.groupBy("__idp").agg(count(lit(1)).as("__np")), Seq("__idp"))
+      .join(ca.groupBy("__idc").agg(count(lit(1)).as("__nc")), Seq("__idc"))
+      .where(col("__ninter").cast("double") /
+        (col("__np") + col("__nc") - col("__ninter")) >= threshold)
+      .select(col("__idp").as(idCol)).distinct()
+  }
+
   /** Asymmetric near-dup probe — "dedupe the new crawl slice against
     * the existing training corpus" (the batch twin of the streaming
     * `nearDupIngest` contract, at MinHash/Jaccard precision instead of

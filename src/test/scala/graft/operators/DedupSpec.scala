@@ -98,6 +98,31 @@ class DedupSpec extends SparkSpec {
       s"missed: ${brute -- got}\nextra: ${got -- brute}")
   }
 
+  test("jaccardProbeExact flags exactly the brute-force cross matches") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val (docs, _) = plantedCorpus
+    val df = docs.toDF("id", "text")
+    val got = Dedup.jaccardProbeExact(
+      df.filter(col("id") >= 100), df.filter(col("id") < 100),
+      "id", "text", shingleWidth = 3, threshold = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val sh = df.select(col("id"),
+      array_distinct(shingles(col("text"), 3)).as("sh"))
+    val brute = sh.filter(col("id") >= 100)
+      .select(col("id").as("idp"), col("sh").as("shp"))
+      .crossJoin(sh.filter(col("id") < 100)
+        .select(col("sh").as("shc")))
+      .select(col("idp"),
+        (size(array_intersect(col("shp"), col("shc"))).cast("double") /
+          size(array_union(col("shp"), col("shc")))).as("j"))
+      .where(col("j") >= 0.3)
+      .select("idp").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(brute.nonEmpty, "no planted cross matches")
+    assert(got == brute, s"missed: ${brute -- got}, extra: ${got -- brute}")
+  }
+
   test("dedupNearMinHash drops the higher id of each pair") {
     import spark.implicits._
     val (docs, expected) = plantedCorpus
