@@ -270,6 +270,19 @@ object Dedup {
       .select(col("__idp").as(idCol)).distinct()
   }
 
+  /** The filtered slice with recall-1.0 GUARANTEE: `newDocs` rows
+    * whose exact Jaccard stays below `threshold` against EVERY corpus
+    * document (anti-join on the [[jaccardProbeExact]] flags) — the
+    * exact counterpart of [[dedupAgainstCorpus]]. What survives is
+    * PROVABLY clean; the LSH form can only say "probably". */
+  def dedupAgainstCorpusExact(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleWidth: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    newDocs.join(
+      jaccardProbeExact(newDocs, corpus, idCol, textCol, shingleWidth,
+        threshold),
+      Seq(idCol), "left_anti")
+
   /** Asymmetric near-dup probe — "dedupe the new crawl slice against
     * the existing training corpus" (the batch twin of the streaming
     * `nearDupIngest` contract, at MinHash/Jaccard precision instead of

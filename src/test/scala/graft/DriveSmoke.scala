@@ -339,6 +339,16 @@ object DriveSmoke {
       docs, "doc_id", "text", shingleWidth = 3, threshold = 0.5)
     jp.explain("formatted")
     println("JACCARD_EXACT_PAIRS=" + jp.count())
+
+    // exact clean-slice wrapper: new crawl minus provably-dup docs
+    val newCrawl = docs.filter($"doc_id" % 2 === 1)
+    val corpus0 = docs.filter($"doc_id" % 2 === 0)
+    val cleanSlice = graft.operators.Dedup.dedupAgainstCorpusExact(
+      newCrawl, corpus0, "doc_id", "text", shingleWidth = 3,
+      threshold = 0.4)
+    cleanSlice.explain("formatted")
+    println("EXACT_CLEAN_ROWS=" + cleanSlice.count() +
+      "/" + newCrawl.count())
     spark.stop()
   }
 }

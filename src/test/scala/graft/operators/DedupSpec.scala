@@ -121,6 +121,13 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(brute.nonEmpty, "no planted cross matches")
     assert(got == brute, s"missed: ${brute -- got}, extra: ${got -- brute}")
+    // the clean slice is exactly the complement of the flags
+    val clean = Dedup.dedupAgainstCorpusExact(
+      df.filter(col("id") >= 100), df.filter(col("id") < 100),
+      "id", "text", shingleWidth = 3, threshold = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val probeIds = docs.collect { case (id, _) if id >= 100 => id }.toSet
+    assert(clean == probeIds -- got)
   }
 
   test("dedupNearMinHash drops the higher id of each pair") {
