@@ -64,11 +64,12 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     System.out.println(s"""[bench-full] {"metric":"total","value":${f2(total)},"unit":"sec","queries":$allQs,"errors":$errs,"sf":"$sfDir"}""")
     val bySlow = ok.sortBy(-_._2)
-    val budget = 1400 // chars for the per-query map body
+    val budget = 1250 // chars for the per-query map body
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
     bySlow.foreach { case (k, v) =>
-      val w = k.length + 3 + f2(v).length + 1
+      // "k":v, -> 2 quotes + colon + trailing comma = len(k)+len(v)+4
+      val w = k.length + 4 + f2(v).length
       if (used + w <= budget) { kept += (k -> v); used += w }
     }
     val fast = ok.filterNot(e => kept.exists(_._1 == e._1))

@@ -238,6 +238,18 @@ object SparkEntry {
         "embedding", "vec_id")
       idx.query(q, k = 5, nprobe = 2).select("vec_id", "distance")
     }),
+    // One full Lloyd's ITERATION with fixed input centroids (the first
+    // 4 embeddings): the codegen'd argmin assignment kernel + the
+    // vec_sum recenter, means rounded to decimal(18,9) for sum-order
+    // independence (label_centroids convention). Machine-checks the
+    // k-means training step itself — after this only the convergence
+    // loop remains unoracled.
+    "ivf_lloyd_step" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      graft.operators.IvfIndex.lloydStepMeans(emb, "embedding", cents)
+    }),
     // PQ compression path with FIXED codebooks (subvectors of the
     // first 4 embeddings): the real PqIndex encode (per-subspace
     // argmin), ADC table, byte-code scan, and exact re-rank — all
@@ -1292,6 +1304,26 @@ object SparkEntry {
         .select(col("vec_id").as("doc_id"), col("rank"))
       Similarity.rrfFuse(Seq(lex, vec), "doc_id", "rank", topN = 10)
     }),
+    // C4/CCNet corpus-frequency line dedup. The synthetic docs are
+    // single-line, so the query first derives deterministic
+    // pseudo-lines (8-word chunks joined by \n) — exact-dup doc
+    // families then share every chunk, so the rule fires — and drops
+    // chunks appearing in >= 2 distinct docs, reassembling survivors
+    // in order.
+    "line_dedup" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val chunked = t(s, dir, "documents").select(col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0L),
+              floor((size(words) + lit(7)) / lit(8)).cast("long") - lit(1L)),
+            i => array_join(slice(words, (i * 8 + 1).cast("int"), lit(8)),
+              " ")),
+          "\n").as("text"))
+      graft.operators.Dedup.removeRepeatedLines(
+        chunked, "doc_id", "text", delimiter = "\n", minDocFreq = 2)
+        .orderBy("doc_id")
+    }),
     // Lee-et-al ExactSubstr proxy: per-doc duplicated-k-gram span
     // stats. Literal grams here (engine-portable oracle); the
     // xxhash64 8-byte-token scale variant is unit-pinned equal
@@ -1758,6 +1790,28 @@ object SparkEntry {
          |JOIN asg a ON a.vec_id = e.vec_id
          |JOIN probed p ON a.cell = p.cell, q
          |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin,
+    // one Lloyd's iteration over fixed cells: the ivf_fixed_knn assign
+    // CTE + the label_centroids decimal-mean shape, grouped by cell
+    "ivf_lloyd_step" ->
+      s"""WITH cells AS (SELECT vec_id AS cell, embedding AS cemb
+         |               FROM embeddings WHERE vec_id < 4),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDistOf("e.embedding", "c.cemb")}, c.cell) AS rn
+         |    FROM embeddings e, cells c)
+         |  WHERE rn = 1)
+         |SELECT cell AS cluster, CAST(i - 1 AS BIGINT) AS i,
+         |  CAST(CAST(CAST(s / n AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS value,
+         |  n
+         |FROM (SELECT cell, i, SUM(CAST(embedding[i] AS DOUBLE)) AS s,
+         |        COUNT(*) AS n
+         |      FROM (SELECT a.cell, e.embedding,
+         |              unnest(range(1, len(e.embedding) + 1)) AS i
+         |            FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id)
+         |      GROUP BY cell, i)
+         |ORDER BY cluster, i""".stripMargin,
     // SemDeDup selection with fixed centroids: nearest-cell assignment
     // (ties → lowest cell), in-cell pairs only, exact cosine with the
     // zero-norm guard, threshold filter
@@ -2643,6 +2697,35 @@ object SparkEntry {
          |  CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE) AS rrf_score
          |FROM u GROUP BY doc_id
          |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+    // C4/CCNet line dedup: same 8-word pseudo-line construction, doc
+    // frequency over distinct (line, doc), drop lines in >= 2 docs,
+    // ordered string_agg reassembly (string_agg skips the CASE NULLs;
+    // COALESCE covers the all-boilerplate doc -> '' like array_join)
+    "line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |        list_transform(
+        |          range(0, CAST(floor((len(words) + 7) / 8.0) AS BIGINT)),
+        |          i -> array_to_string(list_slice(words, i*8+1, i*8+8), ' '))
+        |          AS lines
+        |      FROM w),
+        |l AS (SELECT doc_id, i AS pos, lines[i] AS line
+        |      FROM (SELECT doc_id, lines,
+        |              unnest(range(1, len(lines) + 1)) AS i
+        |            FROM c)),
+        |boiler AS (
+        |  SELECT line FROM (
+        |    SELECT line, COUNT(DISTINCT doc_id) AS dfreq FROM l GROUP BY line)
+        |  WHERE dfreq >= 2)
+        |SELECT l.doc_id,
+        |  COALESCE(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+        |    chr(10) ORDER BY l.pos), '') AS text,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(COUNT(CASE WHEN b.line IS NULL THEN 1 END) AS BIGINT) AS n_kept
+        |FROM l LEFT JOIN boiler b ON l.line = b.line
+        |GROUP BY l.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
     // integer gaps-and-islands twin of the Spark window span merge;
     // first dup position: pos - NULL > k is NULL → ELSE 0 (both
     // engines), so island numbering starts at 0 on each side

@@ -45,6 +45,52 @@ object Dedup {
       .select(col("__graft_row.*"))
   }
 
+  /** Corpus-frequency line dedup — the C4 / CCNet boilerplate rule
+    * (Raffel et al. 2020 remove repeated lines; Wenzek et al. 2020
+    * dedup at paragraph granularity): drop every line whose normalized
+    * form appears in at least `minDocFreq` DISTINCT documents, then
+    * reassemble each document from its surviving lines in original
+    * order. Output: `(idCol, textCol, n_lines, n_kept)`; a document
+    * whose every line is boilerplate survives with empty text (row
+    * retention is the caller's quality gate, not this operator's).
+    *
+    * Scale shape: one explode pass; the doc-frequency count is two
+    * slim shuffles of `(line, id)` pairs (distinct, then a partial-agg
+    * count per line); the resulting boilerplate set is by construction
+    * the small head of the line-frequency distribution, so the flag
+    * join broadcasts under AQE. Reassembly is one shuffle on `idCol`
+    * with order restored by `array_sort` over `(pos, line)` structs —
+    * no window, no per-doc sort spill beyond the doc itself. */
+  def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+      delimiter: String = "\n", minDocFreq: Int = 3,
+      trimKeys: Boolean = true): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq < 2 would drop every line")
+    val reserved = Seq("__pos", "__line", "__key", "__bkey")
+    require(!reserved.contains(idCol) && !reserved.contains(textCol),
+      s"column names $reserved are reserved")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delimiter)))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__key",
+        if (trimKeys) trim(col("__line")) else col("__line"))
+    val boiler = lines.select(col("__key"), col(idCol)).distinct()
+      .groupBy("__key").agg(count(lit(1)).as("__dfreq"))
+      .filter(col("__dfreq") >= minDocFreq)
+      .select(col("__key").as("__bkey"))
+    lines.join(boiler, col("__key") === col("__bkey"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__bkey").isNull,
+              struct(col("__pos"), col("__line"))))),
+            x => x.getField("__line")),
+          delimiter).as(textCol),
+        count(lit(1)).as("n_lines"),
+        count(when(col("__bkey").isNull, 1)).as("n_kept"))
+  }
+
   /** MinHash signature: `numHashes` independent min-hashes over a
     * string-array column. One-pass native expression (murmur base hash
     * per shingle + affine family) — stays in codegen, no UDF. Empty

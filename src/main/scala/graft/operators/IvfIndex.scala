@@ -291,6 +291,31 @@ object IvfIndex {
       idCol: String): IvfIndex =
     new IvfIndex(centroids, spark.read.parquet(path), vecCol, idCol)
 
+  /** One Lloyd's recenter step as a cross-engine-auditable frame —
+    * the oracle twin of the iteration body shared by [[IvfIndex.build]]
+    * and [[refreshCentroids]]. Runs the REAL code path (the codegen'd
+    * [[graft.functions.NearestCentroid]] argmin assignment, then the
+    * `vec_sum` partial-aggregate recenter), but emits scalar rows
+    * `(cluster, i, value, n)` with each mean rounded to decimal(18,9)
+    * so the result is sum-order independent and hash-comparable against
+    * a SQL engine (the `label_centroids` convention). With this, the
+    * previously unoracled "Lloyd's training" exemption shrinks to just
+    * the convergence LOOP — the assignment kernel and the recenter
+    * arithmetic of a full iteration are machine-checked. */
+  def lloydStepMeans(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    import graft.functions.VectorFunctions.vec_sum
+    assignCells(df, vecCol, centroids)
+      .groupBy(col(ClusterCol))
+      .agg(vec_sum(col(vecCol)).as("s"), count(lit(1)).as("n"))
+      .select(col(ClusterCol).cast("long").as("cluster"), col("n"),
+        posexplode(col("s")).as(Seq("i", "s")))
+      .select(col("cluster"), col("i").cast("long").as("i"),
+        (col("s") / col("n").cast("double"))
+          .cast("decimal(18,9)").cast("double").as("value"), col("n"))
+      .orderBy("cluster", "i")
+  }
+
   /** Nearest-centroid assignment as one codegen'd kernel expression —
     * the centroid matrix rides along as a reference object, so the
     * projection stays a single expression at any cluster count (an

@@ -349,6 +349,30 @@ object DriveSmoke {
     cleanSlice.explain("formatted")
     println("EXACT_CLEAN_ROWS=" + cleanSlice.count() +
       "/" + newCrawl.count())
+
+    // one Lloyd's iteration as an auditable frame (fixed centroids)
+    val cents4 = embSq.filter($"vec_id" < 4).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val step = graft.operators.IvfIndex.lloydStepMeans(
+      embSq.select("vec_id", "embedding"), "embedding", cents4)
+    step.explain("formatted")
+    println("LLOYD_STEP_ROWS=" + step.count())
+
+    // C4/CCNet corpus-frequency line dedup over 8-word pseudo-lines
+    val words = split($"text", " ")
+    val chunked = docs.select($"doc_id",
+      array_join(
+        transform(
+          sequence(lit(0L),
+            floor((size(words) + lit(7)) / lit(8)).cast("long") - lit(1L)),
+          i => array_join(slice(words, (i * 8 + 1).cast("int"), lit(8)),
+            " ")),
+        "\n").as("text"))
+    val lineDedup = graft.operators.Dedup.removeRepeatedLines(
+      chunked, "doc_id", "text", delimiter = "\n", minDocFreq = 2)
+    lineDedup.explain("formatted")
+    val hit = lineDedup.filter($"n_kept" < $"n_lines").count()
+    println("LINE_DEDUP_DOCS_HIT=" + hit + "/" + lineDedup.count())
     spark.stop()
   }
 }

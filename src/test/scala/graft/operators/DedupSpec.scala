@@ -34,6 +34,27 @@ class DedupSpec extends SparkSpec {
     assert(ok.length == 8)
   }
 
+  test("removeRepeatedLines drops corpus-frequent lines (trimmed key, " +
+      "distinct-doc frequency), keeps order, empties all-boilerplate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "keep me one\nSUBSCRIBE NOW\nunique tail one"),
+      // trailing space: the trimmed key still matches the boilerplate
+      (2L, "different body\nSUBSCRIBE NOW \nanother line"),
+      (3L, "SUBSCRIBE NOW"),
+      // within-doc repetition is ONE distinct doc -> never dropped
+      (4L, "self repeat\nself repeat\nclosing")
+    ).toDF("id", "text")
+    val out = Dedup.removeRepeatedLines(docs, "id", "text",
+      delimiter = "\n", minDocFreq = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("keep me one\nunique tail one", 3L, 2L)))
+    assert(out(2L) == (("different body\nanother line", 3L, 2L)))
+    assert(out(3L) == (("", 1L, 0L)))
+    assert(out(4L) == (("self repeat\nself repeat\nclosing", 3L, 3L)))
+  }
+
   // Deterministic corpus: 30 base docs of 40 words; every third doc
   // gets a planted near-duplicate with 2 words substituted.
   private def plantedCorpus: (Seq[(Long, String)], Set[(Long, Long)]) = {

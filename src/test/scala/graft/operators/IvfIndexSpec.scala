@@ -153,6 +153,28 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("lloydStepMeans emits one Lloyd's recenter, hand-checked: " +
+      "argmin assignment then exact per-cell per-dim means") {
+    val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val got = IvfIndex.lloydStepMeans(emb, "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cellOf(v: Array[Float]): Int =
+      cents.zipWithIndex.minBy { case (c, i) =>
+        (graft.functions.VectorOps.squaredL2Floats(v, c), i) }._2
+    val byCell = rows.groupBy { case (_, v) => cellOf(v) }
+    assert(got.keySet.map(_._1) == byCell.keySet.map(_.toLong))
+    for ((cell, members) <- byCell; d <- cents(0).indices) {
+      val mean = members.map(_._2(d).toDouble).sum / members.size
+      val (v, n) = got((cell.toLong, d.toLong))
+      assert(n == members.size)
+      assert(math.abs(v - mean) <= 1e-6, s"cell $cell dim $d: $v vs $mean")
+    }
+  }
+
   test("cellStats/health: counts reconcile, quantization error is the " +
       "nearest-centroid distance for freshly assigned rows") {
     val stats = index.cellStats.collect()
