@@ -1324,6 +1324,13 @@ object SparkEntry {
         chunked, "doc_id", "text", delimiter = "\n", minDocFreq = 2)
         .orderBy("doc_id")
     }),
+    // Sliding-window chunking for embedding/RAG: 8-token windows every
+    // 4 tokens (50% overlap); last chunks shorter, order preserved.
+    "chunk_docs" -> ((s, dir) =>
+      graft.operators.TextAnalysis.chunkDocs(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", windowTokens = 8, strideTokens = 4)
+        .orderBy("doc_id", "chunk_id")),
     // Lee-et-al ExactSubstr proxy: per-doc duplicated-k-gram span
     // stats. Literal grams here (engine-portable oracle); the
     // xxhash64 8-byte-token scale variant is unit-pinned equal
@@ -2726,6 +2733,21 @@ object SparkEntry {
         |FROM l LEFT JOIN boiler b ON l.line = b.line
         |GROUP BY l.doc_id
         |ORDER BY l.doc_id""".stripMargin,
+    // sliding-window chunking twin: starts 0,4,8,… while inside the
+    // doc ((n-1)//4 + 1 starts), 8-token slices, shorter tails kept
+    "chunk_docs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |        unnest(range(0, (len(toks) - 1) // 4 + 1)) AS cid
+        |      FROM w)
+        |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+        |  array_to_string(list_slice(toks, cid*4 + 1, cid*4 + 8), ' ')
+        |    AS text,
+        |  CAST(len(list_slice(toks, cid*4 + 1, cid*4 + 8)) AS BIGINT)
+        |    AS n_tokens
+        |FROM s
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     // integer gaps-and-islands twin of the Spark window span merge;
     // first dup position: pos - NULL > k is NULL → ELSE 0 (both
     // engines), so island numbering starts at 0 on each side

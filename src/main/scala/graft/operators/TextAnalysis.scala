@@ -33,6 +33,44 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Sliding-window document chunking — the pre-embedding / RAG
+    * windowing step: split each document into token windows of
+    * `windowTokens`, starting every `strideTokens` (overlap =
+    * window − stride). Chunk starts are `0, s, 2s, …` while the start
+    * is inside the document, so every token is covered (stride ≤
+    * window is required for that guarantee) and the final chunks may
+    * be shorter. Output: `(idCol, chunk_id, textCol, n_tokens)` with
+    * `chunk_id` 0-based in document order; a document always yields at
+    * least one chunk (possibly just itself, shorter than the window).
+    *
+    * Scale shape: a single narrow projection + generate — tokenize
+    * once, compute the start list per row, explode, slice. No shuffle,
+    * no window function, no join; stays inside whole-stage codegen and
+    * scales embarrassingly at any corpus size. Token = whitespace word
+    * here; callers with a real tokenizer chunk over its output ids the
+    * same way. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    require(strideTokens >= 1 && strideTokens <= windowTokens,
+      "strideTokens must be in [1, windowTokens] (a stride past the " +
+        "window would silently skip tokens)")
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0L),
+              floor((size(col("__toks")) - lit(1)) /
+                lit(strideTokens.toDouble)).cast("long")),
+            i => slice(col("__toks"),
+              (i * strideTokens + 1).cast("int"), lit(windowTokens))))
+          .as(Seq("__cid", "__chunk")))
+      .select(col(idCol), col("__cid").cast("long").as("chunk_id"),
+        array_join(col("__chunk"), " ").as(textCol),
+        size(col("__chunk")).cast("long").as("n_tokens"))
+  }
+
   /** Corpus vocabulary with document frequencies, most common first. */
   def vocabulary(df: DataFrame, idCol: String, textCol: String,
       topN: Int = 1000): DataFrame =

@@ -373,6 +373,14 @@ object DriveSmoke {
     lineDedup.explain("formatted")
     val hit = lineDedup.filter($"n_kept" < $"n_lines").count()
     println("LINE_DEDUP_DOCS_HIT=" + hit + "/" + lineDedup.count())
+
+    // sliding-window chunking (8-token windows, stride 4)
+    val chunks = graft.operators.TextAnalysis.chunkDocs(
+      docs.select("doc_id", "text"), "doc_id", "text",
+      windowTokens = 8, strideTokens = 4)
+    chunks.explain("formatted")
+    println("CHUNK_ROWS=" + chunks.count() +
+      " docs=" + chunks.select("doc_id").distinct().count())
     spark.stop()
   }
 }

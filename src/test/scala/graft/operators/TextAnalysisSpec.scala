@@ -23,6 +23,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res((2L, "fish"))._3 > res((2L, "dog"))._3)
   }
 
+  test("chunkDocs: hand-checked windows with overlap, short docs, " +
+      "exact-multiple tails, and the stride guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), // 10 tokens
+      (2L, "solo"),                           // 1 token
+      (3L, "a0 a1 a2 a3 a4 a5 a6 a7")         // 8 = exact window
+    ).toDF("id", "text")
+    val got = TextAnalysis.chunkDocs(docs, "id", "text",
+        windowTokens = 8, strideTokens = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    // starts 0,4,8 while < 10: sizes 8,6,2; every token covered
+    assert(got((1L, 0L)) == (("w0 w1 w2 w3 w4 w5 w6 w7", 8L)))
+    assert(got((1L, 1L)) == (("w4 w5 w6 w7 w8 w9", 6L)))
+    assert(got((1L, 2L)) == (("w8 w9", 2L)))
+    assert(got((2L, 0L)) == (("solo", 1L)))
+    // n == window still emits the stride-4 tail (starts 0 and 4)
+    assert(got((3L, 0L)) == (("a0 a1 a2 a3 a4 a5 a6 a7", 8L)))
+    assert(got((3L, 1L)) == (("a4 a5 a6 a7", 4L)))
+    assert(got.size == 6)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocs(docs, "id", "text",
+        windowTokens = 4, strideTokens = 5)
+    }
+  }
+
   test("vocabulary: document frequencies, ties by token") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b")).toDF("id", "text")
