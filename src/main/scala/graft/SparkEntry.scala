@@ -852,6 +852,13 @@ object SparkEntry {
           element_at(col("pca_vec"), 2).as("pc2"))
         .orderBy("vec_id")
     }),
+    // PCA's distributed moment pass in exact quantized-BIGINT
+    // arithmetic: upper-triangle second moments, linear sums, count —
+    // machine-checks everything fit folds; only the driver-side
+    // dim×dim eigendecomposition stays unoracled.
+    "pca_moments" -> ((s, dir) =>
+      graft.operators.PcaReduce.momentSumsQuantized(
+        t(s, dir, "embeddings").select("embedding"), "embedding")),
     // IVF-SQ composition: cell pruning × residual-fitted byte codes
     // (kmeans partitioning sensitivity → rows-only like the IVF/PQ
     // family; exactness-at-full-probe, residual-range tightness, and
@@ -1819,6 +1826,28 @@ object SparkEntry {
          |            FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id)
          |      GROUP BY cell, i)
          |ORDER BY cluster, i""".stripMargin,
+    // PCA moment pass in quantized-BIGINT arithmetic: round(x·10^6)
+    // is exact in double (24 + 20 < 53 bits), every sum is integer —
+    // order-free and engine-portable by construction
+    "pca_moments" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |e AS (SELECT xq, unnest(range(1, len(xq) + 1)) AS i FROM q),
+        |p AS (SELECT xq, i, unnest(range(i, len(xq) + 1)) AS j FROM e)
+        |SELECT i, j, value FROM (
+        |  SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+        |    CAST(SUM(xq[i] * xq[j]) AS BIGINT) AS value
+        |  FROM p GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT CAST(i - 1 AS BIGINT), CAST(-1 AS BIGINT),
+        |    CAST(SUM(xq[i]) AS BIGINT)
+        |  FROM e GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT)
+        |  FROM q)
+        |ORDER BY i, j""".stripMargin,
     // SemDeDup selection with fixed centroids: nearest-cell assignment
     // (ties → lowest cell), in-cell pairs only, exact cosine with the
     // zero-norm guard, threshold filter

@@ -114,6 +114,48 @@ object PcaReduce {
       breeze.linalg.trace(cov))
   }
 
+  /** The [[fit]] moment pass as a cross-engine-auditable frame — the
+    * oracle twin of PCA training's only distributed step (eigSym runs
+    * on the driver over a dim×dim matrix and is not scale-relevant).
+    * Inputs are quantized to integers (`round(x · scale)`, exact in
+    * double for float inputs since 24 + log2(scale) < 53 bits), so
+    * every downstream sum is BIGINT — order-free and bit-identical in
+    * any SQL engine (the embed_knn_md5 convention; a corpus-sized SUM
+    * of raw doubles would be partition-order-dependent). Emits the
+    * upper triangle of the second-moment matrix as `(i, j, value)`
+    * rows, the linear sums as `(i, -1, value)`, and the row count as
+    * `(-1, -1, n)` — everything `fit` folds, in exact arithmetic.
+    *
+    * Scale shape: one narrow generate per row (dim + dim(dim+1)/2
+    * terms), then a partial-aggregated groupBy onto dim(dim+1)/2 + dim
+    * keys — no join, no window; the shuffle carries only the fixed
+    * key space regardless of corpus size. Overflow contract:
+    * `n · (maxAbs · scale)² < 2^63` — 10^10 rows of unit-ish values at
+    * the default scale. */
+  def momentSumsQuantized(df: DataFrame, vecCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, "scale must be >= 1")
+    val vecs = df.select(col(vecCol).as("__v")).where(col("__v").isNotNull)
+    val q = vecs.select(org.apache.spark.sql.functions.transform(col("__v"),
+      x => round(x.cast("double") * scale).cast("long")).as("__q"))
+    val base = q.select(col("__q"),
+      posexplode(col("__q")).as(Seq("__i", "__xi")))
+    val prods = base
+      .select(col("__i"), col("__xi"), col("__q"),
+        explode(sequence(col("__i"), size(col("__q")) - 1)).as("__j"))
+      .select(col("__i"), col("__j"),
+        (col("__xi") * element_at(col("__q"), col("__j") + 1)).as("__c"))
+      .groupBy("__i", "__j").agg(sum("__c").as("value"))
+      .select(col("__i").cast("long").as("i"),
+        col("__j").cast("long").as("j"), col("value"))
+    val lin = base.groupBy("__i").agg(sum("__xi").as("value"))
+      .select(col("__i").cast("long").as("i"), lit(-1L).as("j"),
+        col("value"))
+    val cnt = q.agg(count(lit(1)).cast("long").as("value"))
+      .select(lit(-1L).as("i"), lit(-1L).as("j"), col("value"))
+    prods.unionByName(lin).unionByName(cnt).orderBy("i", "j")
+  }
+
   /** Center-and-project column: `components × (v - mean)` →
     * `array<float>` of length k. Codegen'd end to end. */
   def projection(vecCol: Column, model: PcaModel): Column =

@@ -42,6 +42,35 @@ class PcaReduceSpec extends SparkSpec {
     assert(m.eigenvalues(0) > m.eigenvalues(1))
   }
 
+  test("momentSumsQuantized reproduces fit's moments: covariance " +
+      "derived from the quantized frame matches eigSym's input") {
+    val data = anisotropic()
+    val df = data.toDF("id", "vec")
+    val got = PcaReduce.momentSumsQuantized(df, "vec").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val n = got((-1L, -1L))
+    assert(n == data.size)
+    val s = 1e6
+    // hand-fold the same moments in exact arithmetic
+    val qs = data.map(_._2.map(x => math.round(x.toDouble * s)))
+    for (i <- 0 until 8) {
+      assert(got((i.toLong, -1L)) == qs.map(_(i)).sum)
+      for (j <- i until 8)
+        assert(got((i.toLong, j.toLong)) == qs.map(q => q(i) * q(j)).sum)
+    }
+    // covariance from the quantized frame ≈ what fit hands eigSym:
+    // trace matches the model's totalVariance within quantization slack
+    val mean = Array.tabulate(8)(i => got((i.toLong, -1L)).toDouble / s / n)
+    val trace = (0 until 8).map { i =>
+      got((i.toLong, i.toLong)).toDouble / s / s / n - mean(i) * mean(i)
+    }.sum
+    val m = PcaReduce.fit(df, "vec", k = 8)
+    assert(math.abs(trace - m.totalVariance) < 1e-4,
+      s"trace $trace vs ${m.totalVariance}")
+    // upper triangle + linear + count rows, nothing else
+    assert(got.size == 8 * 9 / 2 + 8 + 1)
+  }
+
   test("k=dim projection preserves pairwise distances (rotation only)") {
     val df = anisotropic().toDF("id", "vec")
     val m = PcaReduce.fit(df, "vec", k = 8)
