@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // explicit, not inherited from build.sbt javaOptions: bench and
+      // verify must agree on timestamp semantics whatever the harness
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -54,6 +57,12 @@ object Bench {
     val errs = failed.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // engine vs oracle-twin split: `total` stays the all-queries sum
+    // (driver contract), but the subtotals let round-over-round
+    // comparisons separate engine operators from md5/fixed gate twins
+    val twinsSec = ok.collect {
+      case (n, s) if SparkEntry.gateTwins(n) => s }.sum
+    val engineSec = total - twinsSec
     // The harness keeps only the LAST ~2000 chars of combined output and
     // parses the JSON line out of that window. With 80+ queries a
     // full-precision map overflows it and the whole line is lost, so the
@@ -62,7 +71,7 @@ object Bench {
     // per-query map is printed earlier (it may scroll out of the window).
     val allQs = ok.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
-    System.out.println(s"""[bench-full] {"metric":"total","value":${f2(total)},"unit":"sec","queries":$allQs,"errors":$errs,"sf":"$sfDir"}""")
+    System.out.println(s"""[bench-full] {"metric":"total","value":${f2(total)},"unit":"sec","engine_sec":${f2(engineSec)},"twins_sec":${f2(twinsSec)},"queries":$allQs,"errors":$errs,"sf":"$sfDir"}""")
     val bySlow = ok.sortBy(-_._2)
     val budget = 1250 // chars for the per-query map body
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -80,7 +89,7 @@ object Bench {
     // shutdown-hook loggers that would otherwise fire after main returns.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"fast_n":${fast.size},"fast_sec":${f2(fast.map(_._2).sum)},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","engine_sec":${f2(engineSec)},"twins_sec":${f2(twinsSec)},"queries":$qs,"fast_n":${fast.size},"fast_sec":${f2(fast.map(_._2).sum)},"errors":$errs,"sf":"$sfDir"}""")
     System.out.flush()
     if (failed.nonEmpty) sys.exit(1)
   }

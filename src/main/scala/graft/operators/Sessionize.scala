@@ -21,7 +21,8 @@ object Sessionize {
     * `session_id` (key values + idx rendered as one string).
     *
     * @param tsCol  numeric event-time column (epoch nanos/millis —
-    *               cast timestamps to long first)
+    *               normalize timestamp columns with
+    *               `graft.functions.TimeFunctions.epochNanos` first)
     * @param maxGap same unit as `tsCol`; gaps STRICTLY greater start a
     *               new session
     *

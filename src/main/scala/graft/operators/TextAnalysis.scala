@@ -304,37 +304,40 @@ object TextAnalysis {
     * Returns (w1, w2, pair_count, pmi) for bigrams seen ≥ `minCount`
     * times.
     *
-    * Scale shape: two explode + hash-aggregate passes (unigrams,
-    * bigrams — both partial-aggregated), then two equi-joins of the
-    * bigram table against the unigram counts (no forced broadcast —
-    * AQE decides). The only driver-side values are the two corpus
-    * totals. */
+    * Scale shape: ONE lazy plan — two explode + hash-aggregate passes
+    * (unigrams, bigrams — both partial-aggregated, their exchanges
+    * reused for the totals), then two equi-joins of the bigram table
+    * against the unigram counts (no forced broadcast there — AQE
+    * decides) and a broadcast cross-join of the 1-row corpus totals.
+    * Nothing runs at construction time and no `.head` sits in the hot
+    * path: the totals that were previously two eager driver jobs (and
+    * forced the explodes to run twice more in the final join) now ride
+    * the same job. */
   def bigramPmi(df: DataFrame, textCol: String,
       minCount: Long = 2L): DataFrame = {
     val uni = df.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    // ONE pass builds the unfiltered bigram counts; the pre-filter
-    // total falls out of the same aggregate instead of a second
-    // corpus-wide explode
     val biAll = df.select(explode(shingles(col(textCol), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("pair_count"))
-    val totals = biAll.agg(sum("pair_count")).head
-    val nBi = if (totals.isNullAt(0)) 0.0 else totals.getLong(0).toDouble
-    val uniTotal = uni.agg(sum("c")).head
-    val nUni = if (uniTotal.isNullAt(0)) 0.0 else uniTotal.getLong(0).toDouble
-    val bi = biAll.filter(col("pair_count") >= minCount)
-    // empty / untokenizable corpus: no bigrams, not a division by zero
-    if (nBi == 0.0 || nUni == 0.0)
-      return bi.select(lit("").as("w1"), lit("").as("w2"),
-        col("pair_count"), lit(0.0).as("pmi")).limit(0)
-    bi
+    // corpus totals via ONE extra no-explode pass: the exploded-row
+    // totals equal the sums of the per-row array sizes (sum skips
+    // null arrays exactly as explode drops them), so a single narrow
+    // aggregate replaces re-running both explode+aggregate subtrees.
+    // Broadcast-crossJoined into every surviving bigram row; an
+    // empty/untokenizable corpus yields zero bigram rows, so the null
+    // totals never reach the division.
+    val totals = broadcast(df.agg(
+      sum(size(shingles(col(textCol), 2))).cast("double").as("__nbi"),
+      sum(size(tokens(col(textCol)))).cast("double").as("__nuni")))
+    biAll.filter(col("pair_count") >= minCount)
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
       .join(uni.select(col("tok").as("w1"), col("c").as("__c1")), Seq("w1"))
       .join(uni.select(col("tok").as("w2"), col("c").as("__c2")), Seq("w2"))
+      .crossJoin(totals)
       .select(col("w1"), col("w2"), col("pair_count"),
-        log((col("pair_count").cast("double") / lit(nBi)) /
-          ((col("__c1").cast("double") / lit(nUni)) *
-            (col("__c2").cast("double") / lit(nUni)))).as("pmi"))
+        log((col("pair_count").cast("double") / col("__nbi")) /
+          ((col("__c1").cast("double") / col("__nuni")) *
+            (col("__c2").cast("double") / col("__nuni")))).as("pmi"))
   }
 }

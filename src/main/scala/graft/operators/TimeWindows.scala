@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * `window($"ts", "2 hours", "1 hour")`, for backfilling the same
   * rolling aggregates a streaming job maintains (Spark's own
   * `TimeWindowing` rule does exactly this expansion for the built-in
-  * `window()` on TimestampType; this operator is the nanos-long form
-  * the events table ships in).
+  * `window()` on TimestampType; this operator is the nanos-long form —
+  * normalize timestamp columns with
+  * `graft.functions.TimeFunctions.epochNanos` at load).
   *
   * Each row is assigned to every window `[k·slide, k·slide + length)`
   * covering its timestamp — an explode by the constant overlap factor

@@ -117,7 +117,8 @@ object DriveSmoke {
       .select(TextClean.clean($"text").as("c"))
       .filter(length($"c") > 0).count())
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val events = graft.functions.TimeFunctions.epochNanos(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
       .select("event_id", "user_id", "ts")
     val sess = Sessionize.sessionStats(events, Seq("user_id"), "ts",
       maxGap = 3600L * 1000000000L)

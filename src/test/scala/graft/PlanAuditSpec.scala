@@ -12,8 +12,10 @@ class PlanAuditSpec extends SparkSpec {
   // documented at Similarity.topKJoin); it plans as
   // BroadcastNestedLoopJoin, never a shuffled CartesianProduct.
   // knn_classify and retrieval_eval ride the same operator.
+  // bigram_pmi crossJoins its BROADCAST 1-row corpus-totals aggregate
+  // (TextAnalysis.bigramPmi) — bounded by construction.
   private val broadcastNljAllowed =
-    Set("knn_batch_join", "knn_classify", "retrieval_eval")
+    Set("knn_batch_join", "knn_classify", "retrieval_eval", "bigram_pmi")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
