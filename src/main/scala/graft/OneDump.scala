@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dev tool: re-dump a comma-separated subset of SparkEntry.queries
+  * into an existing verify dir (plus a refreshed oracle_sql.json) so
+  * `tools/oracle_check.py` can iterate on single queries without a
+  * full Verify pass. Usage: runMain graft.OneDump <sfDir> <outDir> q1,q2 */
 object OneDump {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, names) = args
@@ -14,6 +20,18 @@ object OneDump {
         .write.mode("overwrite").parquet(s"$outDir/$n")
       println(s"dumped $n")
     }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

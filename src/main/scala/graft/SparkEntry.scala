@@ -1268,6 +1268,35 @@ object SparkEntry {
           .select(col("doc_id"), col("n_chars").cast("double").as("w")),
         "doc_id", "w", n = 100, roundKeys = true)
         .select("doc_id").orderBy("doc_id")),
+    // DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169):
+    // bucketed-ngram LM ratio of a target slice (src1/src2) vs the
+    // full corpus, add-1 smoothing over 4096 buckets; md5-portable
+    // bucketing + decimal(18,9)-rounded llr make the per-doc sum
+    // order-free → the whole fit→score pipeline is oracle-checked
+    // (xxhash64 bucketing is the codegen'd default for the scale path)
+    "dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tgt = docs.filter(col("source").isin("src1", "src2"))
+      val llr = graft.operators.Dsir.logRatioTable(tgt, docs, "text",
+        buckets = 4096, portableHash = true, oracleRounding = true)
+      graft.operators.Dsir.importanceWeights(docs, "doc_id", "text", llr,
+        buckets = 4096, portableHash = true)
+        .withColumn("logw", col("logw").cast("decimal(18,9)").cast("double"))
+        .orderBy("doc_id")
+    }),
+    // DSIR Gumbel top-k resampling (without replacement ∝ exp(logw)):
+    // md5-derived uniforms, decimal(18,6) keys + id tiebreak (the
+    // weighted_sample determinism contract) → the selection itself is
+    // oracle-checked end-to-end
+    "dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tgt = docs.filter(col("source").isin("src1", "src2"))
+      graft.operators.Dsir.selectTopK(docs, tgt, "doc_id", "text",
+        k = 100, buckets = 4096, portableHash = true,
+        oracleRounding = true)
+        .withColumn("logw", col("logw").cast("decimal(18,9)").cast("double"))
+        .orderBy("doc_id")
+    }),
     // sequence packing: concatenate the corpus in doc order and cut
     // into fixed-size context windows — two-phase distributed prefix
     // scan, NOT a single-partition global window
@@ -1586,6 +1615,46 @@ object SparkEntry {
 
   private def shSql(toks: String): String =
     s"list_transform(range(1, len($toks)), j -> $toks[j] || ' ' || $toks[j + 1])"
+
+  // DSIR twin plumbing: 12-bit bucket from the first 3 md5 hex chars
+  // (identical hex both engines; mirrors Dsir.bucketOf portable mode)
+  private val dsirBucketSql: String =
+    "(strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 256 + " +
+      "(strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 16 + " +
+      "(strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1)"
+
+  // fit→score CTE shared by dsir_weights and dsir_select (single
+  // definition → the selection twin cannot drift from the weights
+  // twin). Mirrors Dsir.logRatioTable + importanceWeights with
+  // buckets=4096, target = src1/src2, raw = whole corpus.
+  private val dsirWeightsCte: String =
+    s"""WITH tg AS (SELECT $toksSql AS toks FROM documents
+       |            WHERE source IN ('src1', 'src2')),
+       |rw AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tgg AS (SELECT unnest(list_concat(toks, ${shSql("toks")})) AS g FROM tg),
+       |rwg AS (SELECT doc_id, unnest(list_concat(toks, ${shSql("toks")})) AS g
+       |        FROM rw),
+       |tb AS (SELECT $dsirBucketSql AS bucket FROM tgg),
+       |rb AS (SELECT doc_id, $dsirBucketSql AS bucket FROM rwg),
+       |tc AS (SELECT bucket, COUNT(*) AS ct FROM tb GROUP BY bucket),
+       |rc AS (SELECT bucket, COUNT(*) AS cr FROM rb GROUP BY bucket),
+       |tot AS (SELECT (SELECT COUNT(*) FROM tb) AS nt,
+       |               (SELECT COUNT(*) FROM rb) AS nr),
+       |llr AS (SELECT b.bucket,
+       |    CAST(ln(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) /
+       |            CAST(tot.nt + 4096 AS DOUBLE))
+       |       - ln(CAST(COALESCE(rc.cr, 0) + 1 AS DOUBLE) /
+       |            CAST(tot.nr + 4096 AS DOUBLE)) AS DECIMAL(18,9)) AS llr
+       |  FROM (SELECT unnest(range(0, 4096)) AS bucket) b
+       |  LEFT JOIN tc ON tc.bucket = b.bucket
+       |  LEFT JOIN rc ON rc.bucket = b.bucket, tot),
+       |w AS (SELECT d.doc_id, COALESCE(
+       |    CAST(CAST(CAST(s.sw AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE),
+       |    CAST(0 AS DOUBLE)) AS logw
+       |  FROM documents d LEFT JOIN (
+       |    SELECT rb.doc_id, SUM(llr.llr) AS sw FROM rb
+       |    JOIN llr ON llr.bucket = rb.bucket GROUP BY rb.doc_id) s
+       |  ON s.doc_id = d.doc_id)""".stripMargin
 
   // shared oracle twins, reused verbatim by curation_scored's
   // composition (one definition → the composed query cannot drift)
@@ -2540,6 +2609,24 @@ object SparkEntry {
         |  SELECT doc_id, CAST(-ln(uu) / w AS DECIMAL(18,6)) AS k
         |  FROM u ORDER BY k, doc_id LIMIT 100)
         |SELECT doc_id FROM s ORDER BY doc_id""".stripMargin,
+    // DSIR twins: md5 3-hex bucket (identical hex both engines), add-1
+    // smoothed llr decimal(18,9)-rounded before the order-free per-doc
+    // decimal SUM, totals as plain COUNT(*) of the exploded gram sets
+    "dsir_weights" ->
+      s"""$dsirWeightsCte
+         |SELECT doc_id, logw FROM w ORDER BY doc_id""".stripMargin,
+    "dsir_select" ->
+      s"""$dsirWeightsCte,
+         |u AS (SELECT doc_id, logw,
+         |    (list_reduce(list_transform(regexp_extract_all(
+         |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), '.'),
+         |       c -> strpos('0123456789abcdef', c) - 1),
+         |       (a, b) -> a * 16 + b) + 0.5) / power(16.0, 13) AS uu
+         |  FROM w),
+         |sel AS (SELECT doc_id, logw,
+         |    CAST(logw - ln(-ln(uu)) AS DECIMAL(18,6)) AS k
+         |  FROM u ORDER BY k DESC, doc_id LIMIT 100)
+         |SELECT doc_id, logw FROM sel ORDER BY doc_id""".stripMargin,
     // composition of the already-green doc_quality, exact_dedup and
     // hash_sample twins, in pipeline order
     "curation_pipeline" ->

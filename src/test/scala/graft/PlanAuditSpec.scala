@@ -13,9 +13,12 @@ class PlanAuditSpec extends SparkSpec {
   // BroadcastNestedLoopJoin, never a shuffled CartesianProduct.
   // knn_classify and retrieval_eval ride the same operator.
   // bigram_pmi crossJoins its BROADCAST 1-row corpus-totals aggregate
-  // (TextAnalysis.bigramPmi) — bounded by construction.
+  // (TextAnalysis.bigramPmi) — bounded by construction. The DSIR
+  // queries do the same for the 1-row gram totals
+  // (Dsir.logRatioTable).
   private val broadcastNljAllowed =
-    Set("knn_batch_join", "knn_classify", "retrieval_eval", "bigram_pmi")
+    Set("knn_batch_join", "knn_classify", "retrieval_eval", "bigram_pmi",
+      "dsir_weights", "dsir_select")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -227,6 +230,19 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf("bm25_batch")
     assert(plan.contains("WindowGroupLimit"),
       s"bm25_batch lost the group-limit pushdown:\n$plan")
+  }
+
+  test("DSIR scoring joins the llr table BROADCAST — the corpus never " +
+      "shuffles to meet the model") {
+    val plan = planOf("dsir_weights")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dsir_weights lost the broadcast llr join:\n$plan")
+    // the corpus-sized doc-completion left join may legitimately
+    // sort-merge (both sides are corpus-sized); the per-GRAM bucket
+    // join must not — that would shuffle every gram occurrence
+    assert(!plan.split("\n").exists(l =>
+        l.contains("SortMergeJoin") && l.contains("[bucket")),
+      s"dsir_weights sort-merges the gram/llr join:\n$plan")
   }
 
   test("sliding windows aggregate with map-side partial aggregation") {
