@@ -1240,6 +1240,15 @@ object SparkEntry {
         Map("en" -> 0.3, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2,
           "zh" -> 0.1))
         .orderBy("doc_id")),
+    // temperature-scaled mixture sampling (mT5/XLM-R family): target
+    // mix DERIVED from the data — keep fraction (n_min/n_k)^(1-α) per
+    // language, α=0.5 — then the same deterministic md5-threshold
+    // stratified filter as domain_mix
+    "temperature_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        alpha = 0.5)
+        .orderBy("doc_id")),
     // Unicode hygiene: NFC + accent strip (identity on this ASCII
     // corpus — the oracle checks the plumbing; real accent/combining
     // cases are unit-tested)
@@ -2708,6 +2717,25 @@ object SparkEntry {
         |        CAST(p AS DOUBLE) * (SELECT t FROM tt) / CAST(n AS DOUBLE)
         |        * 65536) AS BIGINT)) END AS t
         |  FROM cnt JOIN mix USING (k))
+        |SELECT doc_id, lang FROM documents JOIN thr ON lang = thr.k
+        |WHERE md5(CAST(doc_id AS VARCHAR)) < thr.t
+        |ORDER BY doc_id""".stripMargin,
+    // same threshold arithmetic as domain_mix, with the mix derived
+    // in-query: f_k = power(nmin/n, 1-α), fixed operation order
+    "temperature_mix" ->
+      """WITH cnt AS (
+        |  SELECT lang AS k, COUNT(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
+        |nm AS (SELECT MIN(n) AS nmin FROM cnt),
+        |thr AS (
+        |  SELECT k,
+        |    CASE WHEN CAST(round(power(
+        |        CAST((SELECT nmin FROM nm) AS DOUBLE) / CAST(n AS DOUBLE),
+        |        0.5) * 65536) AS BIGINT) >= 65536 THEN 'g'
+        |      ELSE printf('%04x', CAST(round(power(
+        |        CAST((SELECT nmin FROM nm) AS DOUBLE) / CAST(n AS DOUBLE),
+        |        0.5) * 65536) AS BIGINT)) END AS t
+        |  FROM cnt)
         |SELECT doc_id, lang FROM documents JOIN thr ON lang = thr.k
         |WHERE md5(CAST(doc_id AS VARCHAR)) < thr.t
         |ORDER BY doc_id""".stripMargin,

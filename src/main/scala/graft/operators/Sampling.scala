@@ -165,6 +165,41 @@ object Sampling {
       defaultFraction = 0.0)
   }
 
+  /** Temperature-scaled mixture sampling (the mT5 / XLM-R / UniMax
+    * family): derive the target mix FROM the data — sampling
+    * probabilities ∝ n_k^α with α ∈ (0, 1] flattening the size
+    * head — then downsample to the largest achievable total. Because
+    * achievable fractions are invariant under scaling of the target
+    * weights, the whole recipe collapses to the closed form
+    * `f_k = (n_min / n_k)^(1−α)`: the smallest key binds at fraction
+    * 1, larger keys shed mass toward it. α = 1 keeps everything
+    * (identity mix); α → 0 approaches uniform counts per key.
+    * Down-sampling only — no row is ever duplicated; null keys drop.
+    *
+    * Scale shape: one partial-aggregated count pass with |keys| rows
+    * to the driver (keyCol must be LOW-cardinality — languages,
+    * domains, sources; same contract as [[rebalanceToMix]]), then the
+    * narrow no-shuffle md5-threshold filter of
+    * [[stratifiedHashSample]] — a pure function of the data, so the
+    * same sample falls out on any engine or partitioning. */
+  def temperatureMix(df: DataFrame, idCol: String, keyCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df.limit(0)
+    val nMin = counts.values.min
+    // FIXED operation order ((nmin / n) pow (1 − α)), mirrored by the
+    // oracle twin so both engines derive identical thresholds
+    val fractions = counts.map { case (k, n) =>
+      k -> math.pow(nMin.toDouble / n.toDouble, 1.0 - alpha)
+    }
+    stratifiedHashSample(df, idCol, keyCol, fractions,
+      defaultFraction = 0.0)
+  }
+
   /** Deterministic STRATIFIED sampling — the "rebalance the language /
     * domain mix" curation primitive: each stratum keeps ≈ its fraction
     * of rows via a per-key md5 threshold (16-bit granularity, so

@@ -168,6 +168,34 @@ class SamplingSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("temperatureMix: alpha=1 is identity, alpha<1 flattens toward " +
+      "the smallest key, null keys drop, deterministic") {
+    import spark.implicits._
+    // 1600 en, 400 de, 100 fr, 3 null
+    val df = ((1 to 1600).map(i => (i.toLong, "en")) ++
+      (2001 to 2400).map(i => (i.toLong, "de")) ++
+      (3001 to 3100).map(i => (i.toLong, "fr")) ++
+      Seq((9001L, null), (9002L, null), (9003L, null))
+        .map { case (i, v) => (i, v.asInstanceOf[String]) })
+      .toDF("id", "lang")
+    val ident = Sampling.temperatureMix(df, "id", "lang", alpha = 1.0)
+    assert(ident.count() === 2100L, "alpha=1 keeps every non-null-key row")
+    // alpha = 0.5: f_k = (100/n_k)^0.5 -> en 1/4, de 1/2, fr 1
+    val got = Sampling.temperatureMix(df, "id", "lang", alpha = 0.5)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("fr") === 100L, s"smallest key binds at fraction 1: $got")
+    assert(math.abs(got("en") - 400L) <= 80, s"en ~1600/4: $got")
+    assert(math.abs(got("de") - 200L) <= 40, s"de ~400/2: $got")
+    assert(!got.contains(null), s"null keys dropped: $got")
+    // pure function of the data: partitioning cannot move the sample
+    val a = Sampling.temperatureMix(df.repartition(13), "id", "lang", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMix(df, "id", "lang", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("rebalanceToMix: targeted key with zero rows is ignored, not a " +
       "corpus-emptying T=0") {
     import spark.implicits._
