@@ -393,6 +393,27 @@ object SparkEntry {
         .select("query_id", "vec_id", "distance")
         .orderBy("query_id", "distance", "vec_id")
     }),
+    // binary-quantization ANN (sign bits → Hamming candidates → exact
+    // re-rank): training-free, all-integer candidate metric, so unlike
+    // PQ/IVF the FULL pipeline is oracle-checked with no fixed twin
+    "binary_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val idx = graft.operators.BinaryQuant.build(emb, "embedding", "vec_id")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5, refineFactor = 8)
+    }),
+    // batch form: broadcast query codes, WindowGroupLimit Hamming
+    // candidates, per-query exact re-rank
+    "binary_batch_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val idx = graft.operators.BinaryQuant.build(emb, "embedding", "vec_id")
+      val queries = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      idx.queryBatch(queries, "query_id", "embedding", k = 3,
+        refineFactor = 8)
+        .orderBy("query_id", "vec_id")
+    }),
     // scalar-shaped output (vec_id, i, value): the driver's pandas
     // comparator can't sort array columns, so the unit vector is
     // posexploded to one row per element
@@ -2201,6 +2222,36 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $sqDist, e.vec_id) AS rn
          |  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q)
          |WHERE rn <= 3 ORDER BY query_id, distance, vec_id""".stripMargin,
+    // binary-quant twins: Hamming = count of sign-mismatched dims
+    // (identical to the packed XOR+popcount kernel), candidate cut at
+    // (hd, vec_id), exact re-rank via the proven sqDist form
+    "binary_knn" ->
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id FROM embeddings e, q
+         |  ORDER BY len(list_filter(range(1, len(e.embedding) + 1),
+         |    i -> (e.embedding[i] > 0) != (q.embedding[i] > 0))), e.vec_id
+         |  LIMIT 40)
+         |SELECT e.vec_id, $sqDist AS distance
+         |FROM embeddings e JOIN cand USING (vec_id), q
+         |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin,
+    "binary_batch_knn" ->
+      s"""WITH qs AS (SELECT vec_id AS query_id, embedding AS qemb
+         |            FROM embeddings WHERE vec_id < 4),
+         |cand AS (SELECT query_id, vec_id, qemb FROM (
+         |  SELECT qs.query_id, e.vec_id, qs.qemb,
+         |    row_number() OVER (PARTITION BY qs.query_id ORDER BY
+         |      len(list_filter(range(1, len(e.embedding) + 1),
+         |        i -> (e.embedding[i] > 0) != (qs.qemb[i] > 0))), e.vec_id)
+         |      AS rn
+         |  FROM embeddings e, qs) WHERE rn <= 24)
+         |SELECT query_id, vec_id, distance FROM (
+         |  SELECT c.query_id, e.vec_id,
+         |    ${sqDistOf("e.embedding", "c.qemb")} AS distance,
+         |    row_number() OVER (PARTITION BY c.query_id ORDER BY
+         |      ${sqDistOf("e.embedding", "c.qemb")}, e.vec_id) AS rn2
+         |  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id)
+         |WHERE rn2 <= 3 ORDER BY query_id, vec_id""".stripMargin,
     // float-faithful normalize: widen to double, multiply by 1/norm
     // (matching the kernel's multiply-by-reciprocal), truncate to float;
     // unnested to (vec_id, i, value) scalars for the comparator

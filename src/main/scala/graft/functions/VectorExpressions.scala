@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.graftglue.{BinaryFloatVectorExpression, UnaryFloatVectorExpression}
+import org.apache.spark.sql.graftglue.{BinaryFloatVectorExpression, BinaryLongArrayExpression, UnaryFloatVectorExpression}
 import org.apache.spark.sql.types._
 
 /** Tight-loop kernels shared by interpreted eval and generated code.
@@ -362,6 +362,39 @@ object VectorOps {
     }
     acc
   }
+
+  /** Binary quantization encode: pack each dimension's sign (v > 0 —
+    * the faiss IndexBinaryFlat convention via `binarize`) into 64-bit
+    * words, LSB-first: word j bit i covers dimension 64j + i. 32×
+    * smaller than float32; distance becomes XOR+popcount. */
+  def signBits(a: ArrayData, af: Boolean): ArrayData = {
+    val n = a.numElements()
+    val words = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      if (get(a, i, af) > 0.0) words(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  /** Hamming distance between two packed sign-bit codes: Σ
+    * popcount(a_j xor b_j). Exact integer — engine-portable with no
+    * rounding discipline needed. */
+  def hamming(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"code length $n != ${b.numElements()}")
+    }
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
 }
 
 abstract class BinaryVectorExpression extends BinaryFloatVectorExpression {
@@ -411,6 +444,33 @@ case class VectorNorm(child: Expression) extends UnaryFloatVectorExpression {
     defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.norm($a, $childIsFloat)")
   override def prettyName: String = "vec_norm"
   override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** sign_bits(v): array<bigint> — binary-quantization encode (packed
+  * sign bits, see VectorOps.signBits). */
+case class SignBits(child: Expression) extends UnaryFloatVectorExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.signBits(a.asInstanceOf[ArrayData], childIsFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorOps.signBits($a, $childIsFloat)")
+  override def prettyName: String = "sign_bits"
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** hamming_dist(a, b): bigint — XOR+popcount over packed sign-bit
+  * codes (binary-quantized ANN candidate metric). */
+case class HammingDist(left: Expression, right: Expression)
+    extends BinaryLongArrayExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.hamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorOps.hamming($a, $b)")
+  override def prettyName: String = "hamming_dist"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
 /** nearest_centroid(v): int — argmin squared-L2 over an embedded

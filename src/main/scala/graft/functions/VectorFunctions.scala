@@ -20,6 +20,14 @@ object VectorFunctions {
 
   def l2_normalize(a: Column): Column = column(L2Normalize(expression(a)))
 
+  /** Binary-quantization encode: packed sign bits (see [[SignBits]]). */
+  def sign_bits(a: Column): Column = column(SignBits(expression(a)))
+
+  /** Hamming distance over packed sign-bit codes (see
+    * [[HammingDist]]). */
+  def hamming_dist(a: Column, b: Column): Column =
+    column(HammingDist(expression(a), expression(b)))
+
   /** IVF cell assignment: argmin squared-L2 over an embedded centroid
     * matrix (see [[NearestCentroid]]). */
   def nearest_centroid(a: Column, centroids: Array[Array[Float]]): Column =

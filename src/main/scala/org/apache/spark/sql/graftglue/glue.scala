@@ -82,6 +82,14 @@ abstract class UnaryStringArrayExpression extends UnaryExpression with ExpectsIn
   override def nullIntolerant: Boolean = true
 }
 
+/** Binary expression over two array<bigint> inputs (packed-bit
+  * binary-quantization codes). */
+abstract class BinaryLongArrayExpression extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def nullIntolerant: Boolean = true
+}
+
 /** Typed imperative aggregate over one numeric-array input (vector
   * aggregation kernels; buffer type is the implementor's). */
 abstract class FloatVectorAggregate[B]

@@ -111,6 +111,15 @@ object DriveSmoke {
     println("IVF_BATCH_ROWS=" + ivf.queryBatch(qdf, "query_id", "embedding",
       k = 3, nprobe = 8).count())
 
+    // binary-quantization ANN: 32x-compressed sign codes, full-refine
+    // parity with brute force
+    val bq = graft.operators.BinaryQuant.build(
+      emb.select($"vec_id", $"embedding"), "embedding", "vec_id")
+    val bqTop = bq.query(q.toArray, k = 5,
+      refineFactor = emb.count().toInt)
+      .collect().map(_.getLong(0)).toSeq
+    println(s"BQ_EXACT_MATCH=${bqTop == bruteTop}")
+
     // text cleaning + sessionization over real tables
     import graft.operators.{Sessionize, TextClean}
     println("CLEANED_NONEMPTY=" + docs

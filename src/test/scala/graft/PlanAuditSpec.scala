@@ -16,9 +16,11 @@ class PlanAuditSpec extends SparkSpec {
   // (TextAnalysis.bigramPmi) — bounded by construction. The DSIR
   // queries do the same for the 1-row gram totals
   // (Dsir.logRatioTable).
+  // binary_batch_knn broadcasts its query codes the same way
+  // (BinaryQuantIndex.queryBatch).
   private val broadcastNljAllowed =
     Set("knn_batch_join", "knn_classify", "retrieval_eval", "bigram_pmi",
-      "dsir_weights", "dsir_select")
+      "dsir_weights", "dsir_select", "binary_batch_knn")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -230,6 +232,16 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf("bm25_batch")
     assert(plan.contains("WindowGroupLimit"),
       s"bm25_batch lost the group-limit pushdown:\n$plan")
+  }
+
+  test("binary-quant single query scans CODES only into a top-k heap; " +
+      "batch keeps the per-query group limit") {
+    val single = planOf("binary_knn")
+    assert(single.contains("TakeOrderedAndProject"),
+      s"binary_knn lost the candidate top-k plan:\n$single")
+    val batch = planOf("binary_batch_knn")
+    assert(batch.contains("WindowGroupLimit"),
+      s"binary_batch_knn lost the group-limit pushdown:\n$batch")
   }
 
   test("DSIR scoring joins the llr table BROADCAST — the corpus never " +
