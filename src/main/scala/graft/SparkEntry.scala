@@ -142,6 +142,25 @@ object SparkEntry {
 
   private val sqDist = sqDistOf("e.embedding", "q.embedding")
 
+  /** CMS twin bucket: 12-bit md5 bucket of "seed:token" mod 1024
+    * (mirrors CountMin.bucketOf portable mode, depth 4 / width 1024). */
+  private def cmsBucketSql(seed: String, tok: String): String = {
+    val h = s"md5(CAST($seed AS VARCHAR) || ':' || $tok)"
+    s"(((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 256 + " +
+      s"(strpos('0123456789abcdef', substr($h, 2, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr($h, 3, 1)) - 1)) % 1024)"
+  }
+
+  /** MRL unit-prefix in DuckDB: leading `d` dims renormalized with the
+    * kernel's float discipline (double-widened norm, multiply by
+    * reciprocal, truncate to float; zero-norm prefixes pass through) —
+    * the l2_normalize_vecs form over a slice. */
+  private def mrlUnitSql(e: String, d: Int): String = {
+    val sl = s"list_slice($e, 1, $d)"
+    s"(CASE WHEN ${normOf(sl)} = 0 THEN $sl ELSE list_transform($sl, " +
+      s"x -> CAST(CAST(x AS DOUBLE) * (1.0 / ${normOf(sl)}) AS FLOAT)) END)"
+  }
+
   private val dotEq =
     "list_sum(list_transform(range(1, len(e.embedding) + 1), i -> " +
       "CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
@@ -392,6 +411,17 @@ object SparkEntry {
         queryIdCol = "query_id", queryVecCol = "embedding")
         .select("query_id", "vec_id", "distance")
         .orderBy("query_id", "distance", "vec_id")
+    }),
+    // Matryoshka two-stage search (MRL): candidates over the
+    // 16-of-64-dim renormalized prefix (the proven float normalize +
+    // L2 kernels), exact full-dim re-rank — training-free, fully
+    // oracle-checked
+    "mrl_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      graft.operators.Matryoshka.topK(emb, "embedding", "vec_id", q,
+        dims = 16, k = 5, refineFactor = 8)
     }),
     // binary-quantization ANN (sign bits → Hamming candidates → exact
     // re-rank): training-free, all-integer candidate metric, so unlike
@@ -1178,6 +1208,26 @@ object SparkEntry {
     "vocab_top" -> ((s, dir) =>
       graft.operators.TextAnalysis.vocabulary(
         t(s, dir, "documents"), "doc_id", "text", topN = 200)),
+    // count-min sketch heavy hitters: depth 4 × width 1024 sketch over
+    // all token occurrences (shuffle bounded d·w rows whatever the
+    // corpus — the sketch path vocab_top's exact groupBy cannot take
+    // at 100 TB), point estimates (min over rows) for the exact
+    // top-20; md5-portable bucketing → sketch AND estimates
+    // oracle-exact, upper-bound property machine-checked per token
+    "cms_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("c_exact"))
+        .orderBy(col("c_exact").desc, col("tok").asc).limit(20)
+      val sk = graft.operators.CountMin.sketch(toks, "tok",
+        depth = 4, width = 1024, portableHash = true)
+      graft.operators.CountMin.estimate(sk, top.select("tok"), "tok",
+        depth = 4, width = 1024, portableHash = true)
+        .join(top, Seq("tok"))
+        .select("tok", "c_exact", "est")
+        .orderBy("tok")
+    }),
     // text-cleaning pipeline (strip tags / redact PII+URLs / normalize
     // whitespace); a noisy suffix is appended so every stage fires on
     // every row
@@ -2222,6 +2272,19 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $sqDist, e.vec_id) AS rn
          |  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q)
          |WHERE rn <= 3 ORDER BY query_id, distance, vec_id""".stripMargin,
+    // MRL twin: unit-prefix via the proven float-faithful normalize
+    // form (l2_normalize_vecs), truncated-space candidate cut at
+    // (distance, vec_id), full-dim exact re-rank
+    "mrl_knn" ->
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id FROM embeddings e, q
+         |  ORDER BY ${sqDistOf(mrlUnitSql("e.embedding", 16),
+                mrlUnitSql("q.embedding", 16))}, e.vec_id
+         |  LIMIT 40)
+         |SELECT e.vec_id, $sqDist AS distance
+         |FROM embeddings e JOIN cand USING (vec_id), q
+         |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin,
     // binary-quant twins: Hamming = count of sign-mismatched dims
     // (identical to the packed XOR+popcount kernel), candidate cut at
     // (hd, vec_id), exact re-rank via the proven sqDist form
@@ -2617,6 +2680,23 @@ object SparkEntry {
          |d AS (SELECT DISTINCT doc_id, token FROM toks)
          |SELECT token, COUNT(*) AS df FROM d
          |GROUP BY token ORDER BY df DESC, token LIMIT 200""".stripMargin,
+    // CMS twin: same md5 3-hex bucket per (seed, token), same min-over-
+    // rows estimate — all exact integers
+    "cms_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |top AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_exact FROM tk
+         |        GROUP BY tok ORDER BY c_exact DESC, tok LIMIT 20),
+         |skp AS (SELECT seed, ${cmsBucketSql("seed", "tok")} AS bucket FROM (
+         |  SELECT tok, unnest(range(0, 4)) AS seed FROM tk)),
+         |sk AS (SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM skp GROUP BY seed, bucket),
+         |est AS (SELECT t.tok, MIN(COALESCE(sk.c, 0)) AS est FROM (
+         |    SELECT tok, unnest(range(0, 4)) AS seed FROM top) t
+         |  LEFT JOIN sk ON sk.seed = t.seed
+         |    AND sk.bucket = ${cmsBucketSql("t.seed", "t.tok")}
+         |  GROUP BY t.tok)
+         |SELECT top.tok, top.c_exact, est.est
+         |FROM top JOIN est USING (tok) ORDER BY tok""".stripMargin,
     // same regex pipeline, same RE2 patterns, 'g' = replace-all
     "clean_docs" ->
       """SELECT doc_id, trim(regexp_replace(
