@@ -184,7 +184,8 @@ object SparkEntry {
     "neardup_pairs_md5", "simhash_md5", "fingerprint_winnow",
     "ivf_fixed_knn", "ivf_fixed_batch_knn", "ivfpq_fixed_knn",
     "opq_fixed_knn", "pq_fixed_knn", "semantic_dedup_fixed",
-    "triplet_mine_fixed", "ivf_lloyd_step", "pca_moments")
+    "triplet_mine_fixed", "ivf_lloyd_step", "pca_moments",
+    "ivfbq_fixed_knn")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- builtin relational surface (harness TPC-H-ish coverage) ----
@@ -411,6 +412,20 @@ object SparkEntry {
         queryIdCol = "query_id", queryVecCol = "embedding")
         .select("query_id", "vec_id", "distance")
         .orderBy("query_id", "distance", "vec_id")
+    }),
+    // IVF × binary quantization (faiss IndexBinaryIVF composition)
+    // over FIXED centroids (the first 4 embeddings): cell-pruned
+    // Hamming candidates + exact re-rank — binary has no training, so
+    // with fixed cells the ENTIRE composed index is oracle-checked
+    "ivfbq_fixed_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val idx = graft.operators.IvfBinary.buildWithCentroids(emb,
+        "embedding", "vec_id", cents)
+      idx.query(q, k = 5, nprobe = 2, refineFactor = 8)
     }),
     // Matryoshka two-stage search (MRL): candidates over the
     // 16-of-64-dim renormalized prefix (the proven float normalize +
@@ -1208,6 +1223,17 @@ object SparkEntry {
     "vocab_top" -> ((s, dir) =>
       graft.operators.TextAnalysis.vocabulary(
         t(s, dir, "documents"), "doc_id", "text", topN = 200)),
+    // within-doc repeated-line removal (C4-style in-place paragraph
+    // hygiene): first occurrence wins, pure narrow projection. The
+    // corpus docs are single-line, so the fixture doubles each text
+    // and appends a tail — the rule fires on every row
+    "line_dedup_in_doc" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Dedup.dropRepeatedLinesInDoc(
+            concat_ws("\n", col("text"), col("text"), lit("x-tail")))
+            .as("cleaned"))
+        .orderBy("doc_id")),
     // count-min sketch heavy hitters: depth 4 × width 1024 sketch over
     // all token occurrences (shuffle bounded d·w rows whatever the
     // corpus — the sketch path vocab_top's exact groupBy cannot take
@@ -2272,6 +2298,36 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $sqDist, e.vec_id) AS rn
          |  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q)
          |WHERE rn <= 3 ORDER BY query_id, distance, vec_id""".stripMargin,
+    // IVF-BQ twin: the ivf_fixed_knn assign/probe CTEs + the binary
+    // sign-mismatch Hamming candidate cut inside probed cells + the
+    // proven exact re-rank
+    "ivfbq_fixed_knn" ->
+      s"""WITH cells AS (SELECT vec_id AS cell, embedding AS cemb
+         |               FROM embeddings WHERE vec_id < 4),
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDistOf("e.embedding", "c.cemb")}, c.cell) AS rn
+         |    FROM embeddings e, cells c)
+         |  WHERE rn = 1),
+         |probed AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell, row_number() OVER (
+         |        ORDER BY ${sqDistOf("c.cemb", "q.embedding")}, c.cell) AS rn
+         |    FROM cells c, q)
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT e.vec_id FROM embeddings e
+         |  JOIN asg a ON a.vec_id = e.vec_id
+         |  JOIN probed p ON a.cell = p.cell, q
+         |  ORDER BY len(list_filter(range(1, len(e.embedding) + 1),
+         |    i -> (e.embedding[i] > 0) != (q.embedding[i] > 0))), e.vec_id
+         |  LIMIT 40)
+         |SELECT e.vec_id, $sqDist AS distance
+         |FROM embeddings e JOIN cand USING (vec_id), q
+         |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin,
     // MRL twin: unit-prefix via the proven float-faithful normalize
     // form (l2_normalize_vecs), truncated-space candidate cut at
     // (distance, vec_id), full-dim exact re-rank
@@ -2680,6 +2736,17 @@ object SparkEntry {
          |d AS (SELECT DISTINCT doc_id, token FROM toks)
          |SELECT token, COUNT(*) AS df FROM d
          |GROUP BY token ORDER BY df DESC, token LIMIT 200""".stripMargin,
+    // first-occurrence line filter: 1-based DuckDB lambda index vs
+    // Spark's 0-based (i+1) — same selection
+    "line_dedup_in_doc" ->
+      """SELECT doc_id, array_to_string(
+        |    list_filter(lines, (x, i) -> list_position(lines, x) = i),
+        |    chr(10)) AS cleaned
+        |FROM (SELECT doc_id,
+        |        string_split(text || chr(10) || text || chr(10) || 'x-tail',
+        |          chr(10)) AS lines
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // CMS twin: same md5 3-hex bucket per (seed, token), same min-over-
     // rows estimate — all exact integers
     "cms_heavy_hitters" ->

@@ -61,6 +61,24 @@ object Dedup {
     * join broadcasts under AQE. Reassembly is one shuffle on `idCol`
     * with order restored by `array_sort` over `(pos, line)` structs —
     * no window, no per-doc sort spill beyond the doc itself. */
+  /** WITHIN-document repeated-line removal — the in-doc complement of
+    * [[removeRepeatedLines]] (which drops corpus-frequent boilerplate):
+    * keep only the FIRST occurrence of each line inside a document,
+    * the C4-style "dedupe repeated paragraphs in place" hygiene rule
+    * for scraped pages that tile the same block.
+    *
+    * Pure NARROW projection — a higher-order filter keeping position i
+    * iff `array_position(lines, line) == i + 1` (array_position finds
+    * the first match) — zero shuffle, embarrassingly parallel,
+    * codegen'd. Per-doc cost is O(lines²) string compares, fine for
+    * documents (thousands of lines), not for gigabyte single rows. */
+  def dropRepeatedLinesInDoc(text: Column,
+      delimiter: String = "\n"): Column = {
+    val lines = split(text, java.util.regex.Pattern.quote(delimiter))
+    concat_ws(delimiter,
+      filter(lines, (x, i) => array_position(lines, x) === i + 1))
+  }
+
   def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,
       delimiter: String = "\n", minDocFreq: Int = 3,
       trimKeys: Boolean = true): DataFrame = {

@@ -7,6 +7,27 @@ import scala.util.Random
 class DedupSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
 
+  test("dropRepeatedLinesInDoc keeps first occurrences in order, " +
+      "later duplicates drop, distinct lines untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a\nb\na\nc\nb\nd"),
+      (2L, "x\nx\nx"),
+      (3L, "only")
+    ).toDF("id", "t")
+    val got = df.select($"id",
+      Dedup.dropRepeatedLinesInDoc($"t").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "a\nb\nc\nd")
+    assert(got(2L) === "x")
+    assert(got(3L) === "only")
+    // narrow plan: no shuffle, no join
+    val plan = df.select(Dedup.dropRepeatedLinesInDoc($"t"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("join"),
+      plan)
+  }
+
   test("exactFirstWins keeps lowest-order row per key") {
     import spark.implicits._
     val df = Seq((1L, "k1", "a"), (2L, "k1", "b"), (3L, "k2", "c"),
