@@ -1337,6 +1337,23 @@ object SparkEntry {
         Map("en" -> 0.3, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2,
           "zh" -> 0.1))
         .orderBy("doc_id")),
+    // deterministic epoch-shuffle order: md5-keyed global permutation
+    // via the two-phase PrefixScan (no single-task window); parquet
+    // input → deterministic lineage → materialize=false
+    "shuffle_order" -> ((s, dir) =>
+      graft.operators.Sampling.shuffleOrder(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        materialize = false)
+        .orderBy("doc_id")),
+    // UniMax budget allocation (no-repetition water-filling): 300-doc
+    // budget split uniformly across languages up to availability —
+    // integer full-take test + fixed-order τ/n fractions, then the
+    // deterministic md5-threshold stratified filter
+    "unimax_mix" -> ((s, dir) =>
+      graft.operators.Sampling.unimaxMix(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        budget = 300L)
+        .orderBy("doc_id")),
     // temperature-scaled mixture sampling (mT5/XLM-R family): target
     // mix DERIVED from the data — keep fraction (n_min/n_k)^(1-α) per
     // language, α=0.5 — then the same deterministic md5-threshold
@@ -2915,6 +2932,48 @@ object SparkEntry {
         |        CAST(p AS DOUBLE) * (SELECT t FROM tt) / CAST(n AS DOUBLE)
         |        * 65536) AS BIGINT)) END AS t
         |  FROM cnt JOIN mix USING (k))
+        |SELECT doc_id, lang FROM documents JOIN thr ON lang = thr.k
+        |WHERE md5(CAST(doc_id AS VARCHAR)) < thr.t
+        |ORDER BY doc_id""".stripMargin,
+    // same md5 key, same (key, id) total order
+    "shuffle_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS BIGINT) AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // UniMax twin: water level via integer prefix sums over (n, k)
+    // order — full take iff n·(remaining keys) ≤ remaining budget —
+    // then τ/n fractions in the same fixed double order and the
+    // domain_mix threshold arithmetic
+    "unimax_mix" ->
+      """WITH cnt AS (
+        |  SELECT lang AS k, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
+        |ord AS (
+        |  SELECT k, n, row_number() OVER (ORDER BY n, k) AS j,
+        |    CAST(COALESCE(SUM(n) OVER (ORDER BY n, k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pre,
+        |    COUNT(*) OVER () AS m
+        |  FROM cnt),
+        |flg AS (SELECT *, (n * (m - j + 1) <= 300 - pre) AS takefull
+        |        FROM ord),
+        |cut AS (SELECT MIN(j) AS jc FROM flg WHERE NOT takefull),
+        |tau AS (
+        |  SELECT CAST(300 - f.pre AS DOUBLE) / (f.m - f.j + 1) AS tau
+        |  FROM flg f WHERE f.j = (SELECT jc FROM cut)),
+        |fr AS (
+        |  SELECT k, n, CASE
+        |      WHEN (SELECT jc FROM cut) IS NULL
+        |        OR j < (SELECT jc FROM cut) THEN CAST(1.0 AS DOUBLE)
+        |      ELSE (SELECT tau FROM tau) / CAST(n AS DOUBLE) END AS f
+        |  FROM flg),
+        |thr AS (
+        |  SELECT k,
+        |    CASE WHEN CAST(round(f * 65536) AS BIGINT) >= 65536 THEN 'g'
+        |      ELSE printf('%04x', CAST(round(f * 65536) AS BIGINT)) END AS t
+        |  FROM fr)
         |SELECT doc_id, lang FROM documents JOIN thr ON lang = thr.k
         |WHERE md5(CAST(doc_id AS VARCHAR)) < thr.t
         |ORDER BY doc_id""".stripMargin,

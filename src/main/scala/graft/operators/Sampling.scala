@@ -165,6 +165,41 @@ object Sampling {
       defaultFraction = 0.0)
   }
 
+  /** Deterministic global training-order shuffle: every epoch of
+    * pretraining reads the corpus in a fixed pseudorandom order, and
+    * that order must be REPRODUCIBLE (resume from a checkpoint,
+    * re-shard to a different worker count, re-run an ablation — same
+    * order every time). Sort key = md5 of "salt:id" — a pure function
+    * of the data, so the order survives any partitioning, engine, or
+    * cluster size; a different `salt` gives an independent epoch
+    * permutation. Appends `outCol` = 0-based position.
+    *
+    * Scale shape: positions come from [[PrefixScan.runningSumBy]] over
+    * the md5 order — a range-partitioned sort plus the two-phase
+    * distributed scan, NOT a global `row_number()` window (which would
+    * put the whole corpus in one task). This is the one operator whose
+    * JOB is a full-corpus sort; at 100 TB it is exactly the
+    * dataset-shuffling pass a training pipeline schedules once per
+    * epoch build. `materialize=false` is safe for deterministic
+    * (storage-backed) inputs — see the PrefixScan contract. */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: String = "0",
+      outCol: String = "shuffle_pos",
+      materialize: Boolean = true): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' collides — rename one")
+    val reserved = Seq("__graft_shuf", "__graft_one")
+    require(reserved.forall(r => !df.columns.contains(r)),
+      s"reserved columns $reserved present — rename them")
+    val key = md5(concat(lit(salt), lit(":"),
+      col(idCol).cast("string")).cast("binary"))
+    PrefixScan.runningSumBy(
+      df.withColumn("__graft_shuf", key).withColumn("__graft_one", lit(1L)),
+      Seq(col("__graft_shuf"), col(idCol)), "__graft_one", outCol,
+      materialize)
+      .withColumn(outCol, col(outCol) - 1)
+      .drop("__graft_shuf", "__graft_one")
+  }
+
   /** Temperature-scaled mixture sampling (the mT5 / XLM-R / UniMax
     * family): derive the target mix FROM the data — sampling
     * probabilities ∝ n_k^α with α ∈ (0, 1] flattening the size
@@ -197,6 +232,51 @@ object Sampling {
       k -> math.pow(nMin.toDouble / n.toDouble, 1.0 - alpha)
     }
     stratifiedHashSample(df, idCol, keyCol, fractions,
+      defaultFraction = 0.0)
+  }
+
+  /** UniMax-style budget allocation (Chung et al. 2023,
+    * arXiv:2304.09151, the epoch-capped uniform multilingual sampler,
+    * here in its no-repetition form): distribute a total row `budget`
+    * UNIFORMLY across keys, capped by each key's availability — the
+    * classic water-filling: every key gets `min(n_k, τ)` rows where
+    * the water level τ satisfies `Σ min(n_k, τ) = budget`. Small keys
+    * are taken whole; the budget left over is split evenly among the
+    * rest. (Repetition above 1 epoch is a trainer-side concern — this
+    * operator selects distinct rows only.)
+    *
+    * Deterministic: τ falls out of integer prefix sums over keys
+    * sorted by (n, key) — the driver computes it from the |keys|-row
+    * count frame with the integer full-take test
+    * `n_j·(m−j+1) ≤ budget − prefix_{j−1}` (no division), and the
+    * fractional keys get `τ / n_k` in a FIXED double operation order
+    * mirrored by the oracle twin. Selection is the narrow no-shuffle
+    * md5-threshold filter. Same low-cardinality keyCol contract as
+    * [[rebalanceToMix]]; null keys drop. If `budget ≥ Σ n_k`
+    * everything is kept. */
+  def unimaxMix(df: DataFrame, idCol: String, keyCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    if (counts.isEmpty) return df.limit(0)
+    val sorted = counts.sortBy { case (k, n) => (n, k) }
+    var remaining = budget
+    var tau = -1.0
+    val fractions = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (((k, n), idx) <- sorted.zipWithIndex) {
+      val m = sorted.size - idx // keys not yet allocated, incl. this one
+      if (tau < 0 && n * m <= remaining) {
+        fractions(k) = 1.0
+        remaining -= n
+      } else {
+        if (tau < 0) tau = remaining.toDouble / m
+        fractions(k) = tau / n.toDouble
+      }
+    }
+    stratifiedHashSample(df, idCol, keyCol, fractions.toMap,
       defaultFraction = 0.0)
   }
 

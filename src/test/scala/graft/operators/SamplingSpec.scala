@@ -196,6 +196,51 @@ class SamplingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("shuffleOrder: a dense deterministic permutation, salt-varied, " +
+      "partitioning-invariant") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    val a = Sampling.shuffleOrder(df, "id", materialize = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.values.toSeq.sorted === (0L until 500L), "dense 0..n-1")
+    assert(a.keySet === (1L to 500L).toSet)
+    // not the identity order (md5 actually permutes)
+    assert((1L to 500L).count(i => a(i) == i - 1) < 50)
+    val b = Sampling.shuffleOrder(df.repartition(7), "id",
+      materialize = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "same permutation on any partitioning")
+    val other = Sampling.shuffleOrder(df, "id", salt = "epoch2",
+      materialize = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other !== a, "a different salt is a different epoch order")
+  }
+
+  test("unimaxMix water-fills: small keys whole, the rest split " +
+      "evenly, full budget keeps everything") {
+    import spark.implicits._
+    // 1000 en, 300 de, 50 fr; budget 550:
+    // fr (50) full-takes (50*3=150 <= 550); remaining 500 over 2 keys
+    // -> tau=250: de ~250 of 300, en ~250 of 1000
+    val df = ((1 to 1000).map(i => (i.toLong, "en")) ++
+      (2001 to 2300).map(i => (i.toLong, "de")) ++
+      (3001 to 3050).map(i => (i.toLong, "fr"))).toDF("id", "lang")
+    val got = Sampling.unimaxMix(df, "id", "lang", budget = 550L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("fr") === 50L, s"smallest key taken whole: $got")
+    assert(math.abs(got("de") - 250L) <= 50, s"de ~250: $got")
+    assert(math.abs(got("en") - 250L) <= 50, s"en ~250: $got")
+    // budget >= corpus: identity
+    assert(Sampling.unimaxMix(df, "id", "lang", 5000L).count() === 1350L)
+    // determinism across partitioning
+    val a = Sampling.unimaxMix(df.repartition(11), "id", "lang", 550L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.unimaxMix(df, "id", "lang", 550L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("rebalanceToMix: targeted key with zero rows is ignored, not a " +
       "corpus-emptying T=0") {
     import spark.implicits._
