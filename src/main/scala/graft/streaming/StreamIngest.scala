@@ -154,6 +154,28 @@ object StreamIngest {
     else gated
   }
 
+  /** DSIR online filter — score each incoming document against a
+    * PRE-FIT hashed-ngram log-likelihood-ratio model (fit offline with
+    * [[graft.operators.Dsir.logRatioTable]] on a bootstrap
+    * target/raw split — a stream cannot re-fit, and a drifting model
+    * would make weights incomparable across batches) and keep rows
+    * whose log importance weight clears `minLogWeight`. The model
+    * rides the tasks as one embedded map (≤ buckets entries) inside a
+    * narrow higher-order fold ([[graft.operators.Dsir.weightCol]]):
+    * no explode, no join, no state — safe in append mode at any
+    * trigger rate. Appends `dsir_logw` for downstream calibration. */
+  def dsirFilter(stream: DataFrame, textCol: String,
+      llr: Map[Int, Double], buckets: Int, minLogWeight: Double,
+      portableHash: Boolean = false): DataFrame = {
+    require(llr.nonEmpty,
+      "empty llr model — fit Dsir.logRatioTable on a bootstrap corpus")
+    stream
+      .withColumn("dsir_logw",
+        graft.operators.Dsir.weightCol(col(textCol), llr, buckets,
+          portableHash))
+      .filter(col("dsir_logw") >= minLogWeight)
+  }
+
   def nearDupIngest(stream: DataFrame, idCol: String, textCol: String,
       onSurvivors: DataFrame => Unit, maxHamming: Int = 3,
       bands: Int = 4, bootstrap: Option[DataFrame] = None,

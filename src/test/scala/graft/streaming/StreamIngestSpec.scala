@@ -51,6 +51,47 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirFilter: streaming weights match the batch operator and " +
+      "gate per micro-batch, statelessly") {
+    import spark.implicits._
+    import graft.operators.Dsir
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val target = Seq(
+      (100L, "the party of the first part agrees to the terms"),
+      (101L, "terms and conditions apply to the first party")
+    ).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the party of the first part agrees to the terms today"),
+      (2L, "lol random chatter about cats and memes"),
+      (3L, "buy cheap pills now click here")
+    ).toDF("doc_id", "text")
+    val llrTable = Dsir.logRatioTable(target, raw, "text", buckets = 512)
+    val llr = Dsir.llrMap(llrTable)
+    // batch weights as ground truth for the streaming fold
+    val batch = Dsir.importanceWeights(raw, "doc_id", "text", llrTable, 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val source = MemoryStream[(Long, String)]
+    val filtered = StreamIngest.dsirFilter(
+      source.toDF().toDF("doc_id", "text"), "text", llr, buckets = 512,
+      minLogWeight = 0.0)
+    val q = filtered.writeStream.format("memory")
+      .queryName("dsir_out").outputMode("append").start()
+    try {
+      source.addData((1L, "the party of the first part agrees to the terms today"),
+        (2L, "lol random chatter about cats and memes"))
+      q.processAllAvailable()
+      source.addData((3L, "buy cheap pills now click here"))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, dsir_logw FROM dsir_out")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // only the target-like doc clears 0
+      assert(out.keySet === Set(1L), s"kept: $out")
+      assert(math.abs(out(1L) - batch(1L)) < 1e-9,
+        s"streaming fold ${out(1L)} != batch ${batch(1L)}")
+      assert(batch(2L) < 0.0 && batch(3L) < 0.0)
+    } finally q.stop()
+  }
+
   test("nearDupIngest filters near-dups within and across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
