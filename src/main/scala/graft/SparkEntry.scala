@@ -142,6 +142,44 @@ object SparkEntry {
 
   private val sqDist = sqDistOf("e.embedding", "q.embedding")
 
+  /** Kernel-faithful cosine between two arbitrary float-list exprs
+    * (the cosineEq shape, parametrized). */
+  private def cosOf(a: String, b: String): String = {
+    val dot = s"list_sum(list_transform(range(1, len($a) + 1), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"(CASE WHEN ${normOf(a)} = 0 OR ${normOf(b)} = 0 THEN 0.0 " +
+      s"ELSE $dot / (${normOf(a)} * ${normOf(b)}) END)"
+  }
+
+  /** Unrolled MMR greedy steps (k picks, λ = 0.5) over a CTE `cand`
+    * with (vec_id, embedding, rel): sᵗ = argmax over the unselected of
+    * 0.5·rel − 0.5·max over selected of cos — score DESC, id ASC ties,
+    * exactly [[graft.operators.Mmr.select]]'s loop. */
+  private def mmrStepsSql(k: Int): String = {
+    (1 to k).map { t =>
+      val prev = (1 until t).map(j => s"s$j")
+      val from =
+        if (prev.isEmpty) "cand c"
+        else "cand c, " + prev.map(p =>
+          s"(SELECT embedding AS e FROM $p) ${p}x").mkString(", ")
+      val where =
+        if (prev.isEmpty) ""
+        else "\n  WHERE c.vec_id NOT IN (" +
+          prev.map(p => s"SELECT vec_id FROM $p").mkString(" UNION ALL ") +
+          ")"
+      val sim =
+        if (prev.isEmpty) "0.0"
+        else if (prev.size == 1) cosOf("c.embedding", "s1x.e")
+        else "GREATEST(" + prev.map(p =>
+          cosOf("c.embedding", s"${p}x.e")).mkString(", ") + ")"
+      s"""s$t AS (SELECT vec_id, embedding FROM (
+         |  SELECT c.vec_id, c.embedding,
+         |    0.5 * c.rel - 0.5 * $sim AS sc
+         |  FROM $from$where
+         |  ORDER BY sc DESC, c.vec_id LIMIT 1))""".stripMargin
+    }.mkString(",\n")
+  }
+
   /** CMS twin bucket: 12-bit md5 bucket of "seed:token" mod 1024
     * (mirrors CountMin.bucketOf portable mode, depth 4 / width 1024). */
   private def cmsBucketSql(seed: String, tok: String): String = {
@@ -426,6 +464,22 @@ object SparkEntry {
       val idx = graft.operators.IvfBinary.buildWithCentroids(emb,
         "embedding", "vec_id", cents)
       idx.query(q, k = 5, nprobe = 2, refineFactor = 8)
+    }),
+    // MMR diversity re-rank over a top-20 cosine candidate list
+    // (driver-small by contract): greedy λ·rel − (1−λ)·max-sim
+    // selection in the kernels' exact double arithmetic, ties by id —
+    // the SQL twin replays all 5 greedy steps unrolled
+    "mmr_select" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val cands = emb
+        .withColumn("rel", cosine_sim(col("embedding"), typedLit(q)))
+        .orderBy(col("rel").desc, col("vec_id").asc)
+        .limit(20)
+      graft.operators.Mmr.select(cands, "vec_id", "embedding", "rel",
+        k = 5, lambda = 0.5)
+        .orderBy("vec_id")
     }),
     // Matryoshka two-stage search (MRL): candidates over the
     // 16-of-64-dim renormalized prefix (the proven float normalize +
@@ -2315,6 +2369,22 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $sqDist, e.vec_id) AS rn
          |  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q)
          |WHERE rn <= 3 ORDER BY query_id, distance, vec_id""".stripMargin,
+    // MMR twin: proven cosine candidates, then the 5 greedy steps
+    // unrolled — each sᵗ is one argmax CTE over the unselected
+    "mmr_select" ->
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id, e.embedding, $cosineEq AS rel
+         |  FROM embeddings e, q
+         |  ORDER BY rel DESC, e.vec_id LIMIT 20),
+         |${mmrStepsSql(5)}
+         |SELECT vec_id, mmr_rank FROM (
+         |  SELECT vec_id, CAST(0 AS BIGINT) AS mmr_rank FROM s1
+         |  UNION ALL SELECT vec_id, 1 FROM s2
+         |  UNION ALL SELECT vec_id, 2 FROM s3
+         |  UNION ALL SELECT vec_id, 3 FROM s4
+         |  UNION ALL SELECT vec_id, 4 FROM s5)
+         |ORDER BY vec_id""".stripMargin,
     // IVF-BQ twin: the ivf_fixed_knn assign/probe CTEs + the binary
     // sign-mismatch Hamming candidate cut inside probed cells + the
     // proven exact re-rank
