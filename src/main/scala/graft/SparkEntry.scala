@@ -465,6 +465,29 @@ object SparkEntry {
         "embedding", "vec_id", cents)
       idx.query(q, k = 5, nprobe = 2, refineFactor = 8)
     }),
+    // global percentile-rank calibration of a quality signal (exact
+    // (rank-1)/(n-1) integer ratio over the (value, id) total order,
+    // two-phase scan — no single-task window)
+    "pct_rank_scores" -> ((s, dir) =>
+      graft.operators.Profile.percentileRank(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", materialize = false)
+        .orderBy("doc_id")),
+    // metadata-filtered vector search (the vector-DB "where" clause):
+    // the predicate joins docs metadata BEFORE the top-k heap, so the
+    // scan prunes and the heap only sees eligible rows — no
+    // post-filtering of a larger k
+    "filtered_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val meta = t(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"), col("source"))
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      Similarity.topK(
+        emb.join(meta, Seq("vec_id")).filter(col("lang") === "en"),
+        "embedding", "vec_id", q, k = 5)
+        .select("vec_id", "source", "distance")
+    }),
     // MMR diversity re-rank over a top-20 cosine candidate list
     // (driver-small by contract): greedy λ·rel − (1−λ)·max-sim
     // selection in the kernels' exact double arithmetic, ties by id —
@@ -2369,6 +2392,19 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $sqDist, e.vec_id) AS rn
          |  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q)
          |WHERE rn <= 3 ORDER BY query_id, distance, vec_id""".stripMargin,
+    // percent_rank is exactly (rank-1)/(n-1) on the same total order
+    "pct_rank_scores" ->
+      """SELECT doc_id, n_chars,
+        |  percent_rank() OVER (ORDER BY n_chars, doc_id) AS pct_rank
+        |FROM documents WHERE n_chars IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    // filtered search twin: predicate-join then the proven L2 top-k
+    "filtered_knn" ->
+      s"""SELECT e.vec_id, d.source, $sqDist AS distance
+         |FROM embeddings e
+         |JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en',
+         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin,
     // MMR twin: proven cosine candidates, then the 5 greedy steps
     // unrolled — each sᵗ is one argmax CTE over the unselected
     "mmr_select" ->

@@ -101,6 +101,40 @@ object Profile {
     * per profiled column, which at 100 TB turns a hygiene check into
     * the most expensive query of the day. Pass `exact = true` when the
     * precise cardinality is the point (small frames, oracle checks). */
+  /** Global percentile rank of `valCol` (0 = lowest, 1 = highest):
+    * `(rank − 1) / (n − 1)` over the TOTAL order (valCol, idCol) —
+    * the calibration step that puts heterogeneous quality signals
+    * (LM score, length, dup ratio) on one comparable [0, 1] scale
+    * before mixing them. Exact integer ratio → engine-reproducible.
+    *
+    * Scale shape: positions come from [[PrefixScan.runningSumBy]]
+    * (range-partitioned sort + two-phase scan, never a single-task
+    * `percent_rank()` window); n rides a broadcast 1-row aggregate of
+    * the INPUT (no recompute of the sorted pass). Rows with a null
+    * `valCol` are dropped — null order diverges across engines and a
+    * rank over nulls is meaningless. Single row → 0.0. */
+  def percentileRank(df: DataFrame, idCol: String, valCol: String,
+      outCol: String = "pct_rank",
+      materialize: Boolean = true): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' collides — rename one")
+    val reserved = Seq("__graft_one", "__graft_pos", "__graft_n")
+    require(reserved.forall(r => !df.columns.contains(r)),
+      s"reserved columns $reserved present — rename them")
+    val in = df.where(col(valCol).isNotNull)
+    val counted = PrefixScan.runningSumBy(
+      in.withColumn("__graft_one", lit(1L)),
+      Seq(col(valCol), col(idCol)), "__graft_one", "__graft_pos",
+      materialize).drop("__graft_one")
+    val n = in.agg(count(lit(1)).as("__graft_n"))
+    counted.crossJoin(org.apache.spark.sql.functions.broadcast(n))
+      .withColumn(outCol,
+        when(col("__graft_n") === 1L, lit(0.0))
+          .otherwise((col("__graft_pos") - 1L).cast("double") /
+            (col("__graft_n") - 1L).cast("double")))
+      .drop("__graft_pos", "__graft_n")
+  }
+
   def summarize(df: DataFrame, cols: Seq[String],
       exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")

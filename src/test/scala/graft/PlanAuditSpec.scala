@@ -18,9 +18,11 @@ class PlanAuditSpec extends SparkSpec {
   // (Dsir.logRatioTable).
   // binary_batch_knn broadcasts its query codes the same way
   // (BinaryQuantIndex.queryBatch).
+  // pct_rank_scores crossJoins its broadcast 1-row count the same way.
   private val broadcastNljAllowed =
     Set("knn_batch_join", "knn_classify", "retrieval_eval", "bigram_pmi",
-      "dsir_weights", "dsir_select", "binary_batch_knn")
+      "dsir_weights", "dsir_select", "binary_batch_knn",
+      "pct_rank_scores")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -5,6 +5,25 @@ import org.apache.spark.sql.functions._
 
 class ProfileSpec extends SparkSpec {
 
+  test("percentileRank: exact (rank-1)/(n-1), null drop, single-row 0") {
+    import spark.implicits._
+    val df = Seq((1L, Some(30L)), (2L, Some(10L)), (3L, Some(20L)),
+      (4L, None)).toDF("id", "v")
+      .select($"id", $"v".cast("long").as("v"))
+    val got = Profile.percentileRank(df, "id", "v", materialize = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === Map(2L -> 0.0, 3L -> 0.5, 1L -> 1.0), s"$got")
+    val one = Profile.percentileRank(Seq((7L, 5L)).toDF("id", "v"),
+      "id", "v", materialize = false)
+      .collect().map(r => r.getDouble(2)).toSeq
+    assert(one === Seq(0.0))
+    // partitioning-invariant
+    val a = Profile.percentileRank(df.repartition(5), "id", "v",
+      materialize = false).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a === got)
+  }
+
   test("counts rows, nulls and exact distincts per column") {
     import spark.implicits._
     val df = Seq(
