@@ -246,6 +246,15 @@ class PlanAuditSpec extends SparkSpec {
       s"binary_batch_knn lost the group-limit pushdown:\n$batch")
   }
 
+  test("filtered kNN pushes the metadata predicate into the parquet " +
+      "scan — eligibility is decided at the source") {
+    val plan = planOf("filtered_knn")
+    assert(plan.contains("EqualTo(lang,en)"),
+      s"filtered_knn lost the lang pushdown:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"filtered_knn lost the top-k plan:\n$plan")
+  }
+
   test("DSIR scoring joins the llr table BROADCAST — the corpus never " +
       "shuffles to meet the model") {
     val plan = planOf("dsir_weights")
