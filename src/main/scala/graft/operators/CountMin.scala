@@ -50,6 +50,19 @@ object CountMin {
       .groupBy("seed", "bucket").agg(count(lit(1)).as("c"))
   }
 
+  /** Merge sketches built with the SAME (depth, width, hash) — the
+    * count-min monoid: bucket-wise sum. This is what makes the sketch
+    * shard-friendly at 100 TB: fit per partition/day/crawl-slice,
+    * merge the tiny (≤ d·w row) frames, and
+    * `merge(sketch(A), sketch(B)) == sketch(A ∪ B)` EXACTLY (counts
+    * are plain sums — spec-asserted). */
+  def merge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("seed", "bucket")
+      .agg(sum("c").cast("long").as("c"))
+  }
+
   /** Point estimates for `tokens` (one row per distinct token):
     * (tokenCol, est). Never underestimates; tokens hashing only to
     * empty buckets estimate 0. The sketch side joins BROADCAST —
