@@ -25,7 +25,13 @@ object Bench {
     // per-query codegen + parquet-footer first-touch costs that at toy
     // scale dominate the actual operator time and made round-over-round
     // numbers swing ~2x.
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset filter (SPARK_GRAFT_ONLY=q1,q2): iterate on a
+    // few queries without a full pass. Driver leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val runs = picked.map { case (name, fn) =>
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
@@ -35,16 +41,16 @@ object Bench {
             Left(e.getClass.getSimpleName)
         }
       }
-      // two independent runs; any success counts (a transient failure
-      // on one run must neither discard the other run's valid timing
-      // nor skip the retry). Sub-second queries get a third run: at
-      // their scale a single GC pause or thread-pool contention blip is
-      // a >2x swing, and min-of-3 makes round-over-round regressions
+      // three independent runs, min reported, for EVERY query; any
+      // success counts (a transient failure on one run must neither
+      // discard another run's valid timing nor skip the retry).
+      // Round 8 showed multi-second queries swing 2-3x on this
+      // contended host just like sub-second ones (budget_select
+      // 1.72->3.71, embed_knn_md5 1.29->6.15 with no code change), so
+      // the round-7 "third run only under 1s" carve-out is gone:
+      // min-of-3 across the board makes round-over-round regressions
       // signal instead of noise.
-      val first = Seq(once(), once())
-      val firstOk = first.collect { case Right(t) => t }
-      val results =
-        if (firstOk.nonEmpty && firstOk.min < 1.0) first :+ once() else first
+      val results = Seq(once(), once(), once())
       val successes = results.collect { case Right(t) => t }
       val best: Either[String, Double] =
         if (successes.nonEmpty) Right(successes.min)

@@ -63,6 +63,43 @@ object CountMin {
       .agg(sum("c").cast("long").as("c"))
   }
 
+  /** Collect a [[sketch]] frame into the dense depth×width count
+    * table [[estimateCol]] embeds. Bounded by construction: the
+    * sketch frame has at most depth·width rows whatever the corpus
+    * size, so this collect is sketch-sized, never data-sized. */
+  def collectTable(sk: DataFrame, depth: Int, width: Int): Array[Array[Long]] = {
+    require(depth > 0 && width > 0, "depth/width must be positive")
+    val t = Array.fill(depth)(Array.fill(width)(0L))
+    sk.select(col("seed").cast("int"), col("bucket").cast("int"),
+        col("c").cast("long"))
+      .collect()
+      .foreach(r => t(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    t
+  }
+
+  /** Per-row point-estimate COLUMN against a driver-collected count
+    * table — the probe side of [[sketch]] with no UDF: each hash
+    * row's width-long bucket array is embedded as ONE array literal
+    * and the estimate is `least` over depth of
+    * `element_at(row_i, bucket_i(tok) + 1)` — plain codegen'd
+    * Catalyst (xxhash64/md5 + array index), no serialized closure on
+    * the per-row hot path. `table` must come from a sketch built with
+    * the SAME (depth = table.length, width = table(0).length, hash) —
+    * [[collectTable]] produces exactly that. */
+  def estimateCol(table: Array[Array[Long]], tok: Column,
+      portableHash: Boolean = false): Column = {
+    require(table.nonEmpty, "empty sketch table")
+    val width = table(0).length
+    require(table.forall(_.length == width), "ragged sketch table")
+    table.toIndexedSeq.zipWithIndex.map { case (row, i) =>
+      // lit(i) is IntegerType, matching sketch()'s sequence()-derived
+      // seed — xxhash64 output depends on the input TYPE, so the
+      // probe must hash (int, string) exactly as the build did
+      element_at(typedLit(row.toIndexedSeq),
+        bucketOf(lit(i), tok, width, portableHash) + 1)
+    }.reduce(least(_, _))
+  }
+
   /** Point estimates for `tokens` (one row per distinct token):
     * (tokenCol, est). Never underestimates; tokens hashing only to
     * empty buckets estimate 0. The sketch side joins BROADCAST —

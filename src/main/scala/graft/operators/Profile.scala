@@ -60,27 +60,36 @@ object Profile {
     *     drops the false positives the overestimation let through.
     *
     * The result equals the exact `HAVING count >= ceil(minSupport·N)`
-    * answer. The sketch probe is a Scala predicate (a CMS lookup has
-    * no Catalyst builtin) — the documented exception to the no-UDF
-    * rule, confined to one short-circuit filter. Returns (value,
-    * count), count descending then value. */
+    * answer. The sketch probe is [[CountMin.estimateCol]] — the d×w
+    * count table embedded as array literals, `least` over depth of
+    * codegen'd xxhash64 bucket lookups — so the per-row candidate
+    * filter stays inside whole-stage codegen with no serialized
+    * closure (this was the last `udf(...)` in the engine). Returns
+    * (value, count), count descending then value. */
   def heavyHitters(df: DataFrame, valCol: String, minSupport: Double,
-      eps: Double = 1e-4, confidence: Double = 0.99,
-      seed: Int = 42): DataFrame = {
+      eps: Double = 1e-4, confidence: Double = 0.99): DataFrame = {
     require(minSupport > 0.0 && minSupport <= 1.0,
       "minSupport must be in (0, 1]")
+    require(eps > 0.0 && confidence > 0.0 && confidence < 1.0,
+      "need eps > 0 and confidence in (0, 1)")
     // sketch and probe must hash the SAME representation — cast to
     // string once, up front (a long and its string hash differently)
     val strs = df.select(col(valCol).cast("string").as("value"))
       .filter(col("value").isNotNull)
-    val cms = strs.stat.countMinSketch("value", eps, confidence, seed)
-    val total = cms.totalCount()
+    // standard CMS sizing: width = ceil(e/eps) bounds overestimation
+    // by eps·N with probability 1 − exp(−depth)  (depth = ln(1/δ))
+    val depth = math.max(1,
+      math.ceil(math.log(1.0 / (1.0 - confidence))).toInt)
+    val width = math.max(1, math.ceil(math.E / eps).toInt)
+    val table = CountMin.collectTable(
+      CountMin.sketch(strs, "value", depth, width), depth, width)
+    // every non-null row lands in exactly one seed-0 bucket, so the
+    // seed-0 row sums to the stream length — no separate count() job
+    val total = table(0).sum
     if (total == 0L)
       return strs.select(col("value"), lit(0L).as("count")).limit(0)
     val thr = math.ceil(minSupport * total).toLong
-    val bc = df.sparkSession.sparkContext.broadcast(cms)
-    val isCandidate = udf((v: String) => bc.value.estimateCount(v) >= thr)
-    strs.filter(isCandidate(col("value")))
+    strs.filter(CountMin.estimateCol(table, col("value")) >= thr)
       .groupBy("value")
       .agg(count(lit(1)).as("count"))
       .filter(col("count") >= thr)
