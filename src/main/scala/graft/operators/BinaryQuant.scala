@@ -63,9 +63,14 @@ final class BinaryQuantIndex(
       queryVecCol: String, k: Int, refineFactor: Int = 8): DataFrame = {
     require(k > 0, "k must be positive")
     require(refineFactor >= 1, "refineFactor must be >= 1")
-    val q = queries.select(col(queryIdCol),
-      sign_bits(col(queryVecCol)).as("__qbits"),
-      col(queryVecCol).as("__qvec"))
+    // mirror build()'s null-code discipline on the query side: a null
+    // query vector would yield null __qbits/__hd, and the ascending
+    // Hamming sort puts NULLS FIRST — that query would get k arbitrary
+    // candidates with null distances instead of being excluded
+    val q = queries.where(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol),
+        sign_bits(col(queryVecCol)).as("__qbits"),
+        col(queryVecCol).as("__qvec"))
     val wHam = Window.partitionBy(queryIdCol)
       .orderBy(col("__hd").asc, col(idCol).asc)
     val cand = codes.crossJoin(broadcast(q))

@@ -28,8 +28,13 @@ object CountMin {
   private def bucketOf(seed: Column, tok: Column, width: Int,
       portableHash: Boolean): Column =
     if (portableHash) {
-      require(width <= 4096,
-        "portable hashing draws 12 bits (3 md5 hex chars): width <= 4096")
+      // pmod over a non-divisor of 4096 would bias low buckets and
+      // quietly weaken the width=⌈e/ε⌉ error bound (the upper-bound
+      // property itself would survive); requiring a divisor keeps the
+      // 12 drawn bits exactly uniform over the buckets
+      require(width <= 4096 && 4096 % width == 0,
+        "portable hashing draws 12 bits (3 md5 hex chars): width must " +
+          s"divide 4096 for an unbiased bucket map, got $width")
       pmod(conv(substring(
         md5(concat(seed.cast("string"), lit(":"), tok)), 1, 3), 16, 10)
         .cast("int"), lit(width))

@@ -75,8 +75,12 @@ object Dedup {
   def dropRepeatedLinesInDoc(text: Column,
       delimiter: String = "\n"): Column = {
     val lines = split(text, java.util.regex.Pattern.quote(delimiter))
-    concat_ws(delimiter,
-      filter(lines, (x, i) => array_position(lines, x) === i + 1))
+    // null-in/null-out like the other text kernels: split/filter
+    // propagate null but concat_ws DROPS null args, which would turn a
+    // null document into "" without the explicit guard
+    when(text.isNull, lit(null).cast("string")).otherwise(
+      concat_ws(delimiter,
+        filter(lines, (x, i) => array_position(lines, x) === i + 1)))
   }
 
   def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,

@@ -49,8 +49,12 @@ object Dsir {
   private def bucketOf(gram: Column, buckets: Int,
       portableHash: Boolean): Column =
     if (portableHash) {
-      require(buckets <= 4096,
-        "portable hashing draws 12 bits (3 md5 hex chars): buckets <= 4096")
+      // divisor-of-4096 keeps the 12 drawn bits exactly uniform over
+      // the buckets (pmod over a non-divisor biases low buckets) —
+      // same policy as [[CountMin]]
+      require(buckets <= 4096 && 4096 % buckets == 0,
+        "portable hashing draws 12 bits (3 md5 hex chars): buckets must " +
+          s"divide 4096 for an unbiased bucket map, got $buckets")
       pmod(conv(substring(md5(gram), 1, 3), 16, 10).cast("int"), lit(buckets))
     } else pmod(xxhash64(gram), lit(buckets.toLong)).cast("int")
 
