@@ -55,6 +55,9 @@ object SparkEntry {
         s"transform(sequence(1, size(ts) - ${W - 1}), " +
           s"i -> concat_ws(' ', slice(ts, i, $W)))")).as("s"))
       .distinct()
+      // no checkpoint: ReuseExchange already dedupes the repeated
+      // reads of this frame inside each twin (measured r9: an eager
+      // localCheckpoint made the three md5 twins 30% SLOWER)
   }
 
   /** (doc_id, band, bkey) LSH band keys from 8 md5 min-hashes in 4
