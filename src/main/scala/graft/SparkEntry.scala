@@ -1724,6 +1724,22 @@ object SparkEntry {
           col("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    // embedding-cosine near-dup via random-hyperplane LSH (SRP,
+    // band-amplified): 2 tables × 8 sign bits route candidates into
+    // buckets, hot buckets pruned, exact cosine ≥ τ verified once per
+    // distinct pair. The seeded planes are PUBLIC (Dedup.srpPlanes),
+    // so the oracle replays the exact bucketing with the plane values
+    // inlined as literals — the FULL pipeline (sign codes, banding,
+    // hot-bucket prune, verify) is oracle-checked, no fixed twin
+    // needed (the binary_knn trick applied to LSH dedup).
+    "srp_neardup" -> ((s, dir) =>
+      graft.operators.Dedup.nearDupPairsCosine(
+        t(s, dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 64, threshold = 0.3,
+        numTables = 2, planesPerTable = 8, seed = 42L)
+        .select(col("idA").as("id_a"), col("idB").as("id_b"),
+          col("cosine"))
+        .orderBy("id_a", "id_b")),
     // contrastive triplet mining (FaceNet-style hard negatives) over
     // the embedding column — kmeans partitioning sensitivity →
     // rows-only; label/ordering semantics unit-tested. Fixed slice so
@@ -2203,6 +2219,46 @@ object SparkEntry {
          |  JOIN embeddings ea ON ea.vec_id = a.vec_id
          |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
          |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin
+    },
+    // SRP LSH near-dup: the seeded hyperplanes are inlined as DOUBLE
+    // literals (Double.toString round-trips exactly), sign codes and
+    // banding replayed in SQL, hot-bucket prune mirrored, exact
+    // kernel-faithful cosine at the end
+    "srp_neardup" -> {
+      val planes = graft.operators.Dedup.srpPlanes(
+        dim = 64, numTables = 2, planesPerTable = 8, seed = 42L)
+      def dotP(p: Array[Float]): String = {
+        val lst = p.map(f => java.lang.Double.toString(f.toDouble))
+          .mkString("[", ", ", "]")
+        s"list_sum(list_transform(range(1, 65), i -> " +
+          s"CAST(embedding[i] AS DOUBLE) * ($lst)[i]))"
+      }
+      def bucket(t: Int): String =
+        (0 until 8).map(i =>
+          s"(CASE WHEN ${dotP(planes(t)(i))} > 0 THEN ${1 << i} ELSE 0 END)")
+          .mkString(" + ")
+      val cosAB =
+        s"""(CASE WHEN ${normOf("ea.embedding")} = 0 OR ${normOf("eb.embedding")} = 0 THEN 0.0
+           | ELSE list_sum(list_transform(range(1, len(ea.embedding) + 1), i ->
+           |   CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+           |   / (${normOf("ea.embedding")} * ${normOf("eb.embedding")}) END)""".stripMargin
+      s"""WITH codes AS (
+         |  SELECT vec_id, 0 AS tbl, ${bucket(0)} AS bucket FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS tbl, ${bucket(1)} AS bucket FROM embeddings),
+         |ok AS (SELECT tbl, bucket FROM codes GROUP BY tbl, bucket
+         |       HAVING COUNT(*) <= 1000),
+         |pc AS (SELECT c.vec_id, c.tbl, c.bucket
+         |       FROM codes c JOIN ok USING (tbl, bucket)),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM pc a JOIN pc b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT cand.id_a, cand.id_b, $cosAB AS cosine
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = cand.id_a
+         |  JOIN embeddings eb ON eb.vec_id = cand.id_b)
+         |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
     },
     // triplet mining selection with fixed centroids: in-cell pairs in
     // both directions, per-anchor argmax positive (same label) and

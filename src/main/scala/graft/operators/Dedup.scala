@@ -759,18 +759,30 @@ object Dedup {
     * payload re-joins, not ×tables). One 12-bit code alone keeps only
     * ~(1-θ/π)^12 ≈ 28% of threshold-0.95 pairs; 4×8-bit tables keep
     * ≈ 89%. Deterministic planes from `seed`. */
+  /** The deterministic hyperplane set [[nearDupPairsCosine]] hashes
+    * with: numTables × planesPerTable × dim Gaussian floats drawn from
+    * ONE java.util.Random(seed) stream (table-major, then plane-major,
+    * then dim) — public so oracle twins can embed the exact plane
+    * values as literals and replay the bucketing cross-engine. */
+  def srpPlanes(dim: Int, numTables: Int, planesPerTable: Int,
+      seed: Long): Array[Array[Array[Float]]] = {
+    require(dim >= 1 && numTables >= 1 && planesPerTable >= 1,
+      "need dim, tables, planes >= 1")
+    val rnd = new Random(seed)
+    Array.fill(numTables)(Array.fill(planesPerTable)(
+      Array.fill(dim)(rnd.nextGaussian().toFloat)))
+  }
+
   def nearDupPairsCosine(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, numTables: Int = 4,
       planesPerTable: Int = 8, seed: Long = 42L,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numTables >= 1 && planesPerTable >= 1 && planesPerTable <= 30,
       "need 1..30 planes per table and >= 1 table")
-    val rnd = new Random(seed)
-    val codes = (0 until numTables).map { _ =>
-      val planes = Array.fill(planesPerTable)(
-        Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val codes = srpPlanes(dim, numTables, planesPerTable, seed).toSeq
+      .map { planes =>
       planes.zipWithIndex.map { case (p, i) =>
-        when(vec_dot(col(vecCol), typedLit(p)) > 0, lit(1 << i))
+        when(vec_dot(col(vecCol), typedLit(p.toSeq)) > 0, lit(1 << i))
           .otherwise(lit(0))
       }.reduce(_ + _)
     }
