@@ -255,6 +255,23 @@ class PlanAuditSpec extends SparkSpec {
       s"filtered_knn lost the top-k plan:\n$plan")
   }
 
+  test("SRP near-dup candidates shuffle ids only — embeddings join " +
+      "back by id exactly twice, never through the band join") {
+    val plan = planOf("srp_neardup")
+    // the band candidate self-join must see (vec_id, __table, __bucket)
+    // and nothing vector-shaped; the embedding column re-enters later
+    // via the two payload joins
+    val bandJoins = plan.split("\n").filter(l =>
+      l.contains("Join") && l.contains("__bucket"))
+    assert(bandJoins.nonEmpty, s"band join disappeared:\n$plan")
+    assert(!bandJoins.exists(_.contains("embedding")),
+      s"embeddings cross the band shuffle:\n${bandJoins.mkString("\n")}")
+    // exact-cosine verification happens once per distinct pair, after
+    // a distinct — not inside the bucket join
+    assert(plan.contains("HashAggregate"),
+      s"candidate distinct disappeared:\n$plan")
+  }
+
   test("DSIR scoring joins the llr table BROADCAST — the corpus never " +
       "shuffles to meet the model") {
     val plan = planOf("dsir_weights")
