@@ -1167,6 +1167,23 @@ object SparkEntry {
           col("lang"), col("source"))
         .orderBy("doc_id")
     }),
+    // ORC round-trip (the Hive-side columnar lake format): parquet →
+    // partitioned ORC on disk (lang=... layout) → schema-pinned read →
+    // typed projection. Partition values come back from directory
+    // names, so types and nulls crossing the hive-layout boundary are
+    // what the oracle checks.
+    "orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      val src = t(s, dir, "documents")
+        .select("doc_id", "text", "n_chars", "lang")
+      graft.sources.OrcSource.writePartitioned(src.coalesce(4), tmp,
+        Seq("lang"))
+      graft.sources.OrcSource.read(s, tmp)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("lang").cast("string").as("lang"))
+        .orderBy("doc_id")
+    }),
     // CSV ingest round-trip (S1/S2): parquet → header CSV on disk →
     // CsvSource.read + renamed → typed projection. Driver-checks the
     // CSV path end-to-end against the original parquet table.
@@ -2833,6 +2850,9 @@ object SparkEntry {
     // has no empty-vs-null ambiguity, so no nullif is needed
     "jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "orc_roundtrip" ->
+      """SELECT doc_id, text, n_chars, lang FROM documents
         |ORDER BY doc_id""".stripMargin,
     "csv_roundtrip" ->
       """SELECT doc_id, nullif(lang, '') AS language, n_chars,
