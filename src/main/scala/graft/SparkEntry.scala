@@ -1184,6 +1184,21 @@ object SparkEntry {
           col("lang").cast("string").as("lang"))
         .orderBy("doc_id")
     }),
+    // z-order lake layout: Morton-interleaved quantized keys (8 bits
+    // per dim over l_partkey × l_suppkey) + range repartition + sorted
+    // partitions — every output file gets a tight bounding box in BOTH
+    // columns so parquet min/max stats skip files for predicates on
+    // either. Exact long shift/and/or arithmetic, replayed by the
+    // oracle bit for bit.
+    "zorder_keys" -> ((s, dir) =>
+      graft.operators.Lake.zorderLayout(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_partkey", "l_suppkey"),
+        Seq("l_partkey", "l_suppkey"), bits = 8, numFiles = 8)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("__z").as("z"))
+        .orderBy("l_orderkey", "l_linenumber")),
     // CSV ingest round-trip (S1/S2): parquet → header CSV on disk →
     // CsvSource.read + renamed → typed projection. Driver-checks the
     // CSV path end-to-end against the original parquet table.
@@ -2854,6 +2869,22 @@ object SparkEntry {
     "orc_roundtrip" ->
       """SELECT doc_id, text, n_chars, lang FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "zorder_keys" -> {
+      // bit i of qa -> position 2i, of qb -> 2i+1 (Lake.zorderKey with
+      // cols = (qa, qb), bits = 8)
+      val interleave = (0 until 8).flatMap(i => Seq(
+        s"(((qa >> $i) & 1) << ${2 * i})",
+        s"(((qb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH b AS (SELECT MIN(l_partkey) pmn, MAX(l_partkey) pmx,
+         |            MIN(l_suppkey) smn, MAX(l_suppkey) smx FROM lineitem),
+         |q AS (SELECT l_orderkey, l_linenumber,
+         |  ((l_partkey - pmn) * 255) // GREATEST(1, pmx - pmn) AS qa,
+         |  ((l_suppkey - smn) * 255) // GREATEST(1, smx - smn) AS qb
+         |  FROM lineitem, b)
+         |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  CAST($interleave AS BIGINT) AS z
+         |FROM q ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "csv_roundtrip" ->
       """SELECT doc_id, nullif(lang, '') AS language, n_chars,
         |  CASE WHEN doc_id % 2 = 0 THEN '/base/' || doc_id || '.txt'

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Parquet-lake file maintenance. Streaming ingest, per-trigger
@@ -108,6 +109,69 @@ object Lake {
       w("\n  ]\n}\n")
     } finally os.close()
     out.toString
+  }
+
+  /** Morton (z-order) interleave of `bits`-wide non-negative integer
+    * columns: bit i of column c lands at position `i·|cols| + c`. The
+    * classic multi-dimensional locality key — rows close in EVERY
+    * dimension get close keys, so a range-partitioned, sorted layout
+    * gives every file a tight bounding box in all z-ordered columns at
+    * once and parquet min/max stats can skip files for predicates on
+    * ANY of them (a single-column sort only skips on that column).
+    * Plain shift/and/or integer arithmetic — codegen'd, and exactly
+    * reproducible in any engine. */
+  def zorderKey(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, "z-order needs >= 2 columns")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"${cols.size} cols x $bits bits must fit a long")
+    val n = cols.size
+    val terms = for {
+      (c, ci) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(
+      shiftright(c.cast(LongType), i).bitwiseAND(lit(1L)), i * n + ci)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Quantize a numeric column to `[0, 2^bits)` given its inclusive
+    * data bounds — exact long arithmetic (floor division), no float
+    * rounding anywhere, so the bucket of a value is engine-portable.
+    * CONTRACT: values must lie within `[minV, maxV]` (as
+    * [[zorderLayout]]'s own min/max bounds guarantee) — out-of-range
+    * values produce out-of-range buckets, they are not clamped.
+    * Degenerate bounds (min == max) quantize everything to 0. */
+  def quantize(colName: String, minV: Long, maxV: Long,
+      bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits in [1, 31]")
+    require(maxV >= minV, s"bad bounds [$minV, $maxV]")
+    val levels = (1L << bits) - 1L
+    expr(s"((cast(`$colName` as bigint) - ${minV}L) * ${levels}L) div " +
+      s"greatest(1L, ${maxV - minV}L)")
+  }
+
+  /** Rewrite a frame into a z-ordered layout: quantized Morton key →
+    * range repartition into `numFiles` → sort within partitions. One
+    * range exchange (sampled bounds, no global single-task sort); each
+    * output file covers a contiguous z interval, which is a tight
+    * multi-dimensional bounding box. Bounds per column come from one
+    * driver-tiny min/max aggregate. Writes nothing itself — compose
+    * with a writer so the caller owns layout and atomicity. */
+  def zorderLayout(df: DataFrame, zCols: Seq[String], bits: Int,
+      numFiles: Int): DataFrame = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    require(zCols.nonEmpty, "z-order columns required")
+    require(!df.columns.contains("__z"), "column '__z' collides")
+    val bounds = df.agg(
+      zCols.flatMap(c => Seq(min(col(c)).cast(LongType),
+        max(col(c)).cast(LongType))).head,
+      zCols.flatMap(c => Seq(min(col(c)).cast(LongType),
+        max(col(c)).cast(LongType))).tail: _*).head()
+    val qs = zCols.zipWithIndex.map { case (c, i) =>
+      quantize(c, bounds.getLong(2 * i), bounds.getLong(2 * i + 1), bits)
+    }
+    df.withColumn("__z", zorderKey(qs, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
   }
 
   private def ujsonEscape(s: String): String =
