@@ -192,6 +192,61 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr($h, 3, 1)) - 1)) % 1024)"
   }
 
+  /** HLL twin fields (mirrors Hll.portableFields): register = 12-bit
+    * md5 prefix % m; rho = leading-zero-bit rank over hex chars 4..15
+    * by exact string ops. Emits two SQL expressions over `h` (an md5
+    * hex column). */
+  private def hexDigitSql(e: String): String =
+    s"(strpos('0123456789abcdef', $e) - 1)"
+  private def hllRegSql(h: String, m: Int): String =
+    s"((${hexDigitSql(s"substr($h, 1, 1)")} * 256 + " +
+      s"${hexDigitSql(s"substr($h, 2, 1)")} * 16 + " +
+      s"${hexDigitSql(s"substr($h, 3, 1)")}) % $m)"
+  private def hllRhoSql(sig: String): String = {
+    val fv = hexDigitSql(s"substr($sig, 1, 1)")
+    s"(CASE WHEN len($sig) = 0 THEN 49 ELSE (12 - len($sig)) * 4 + " +
+      s"(CASE WHEN $fv >= 8 THEN 0 WHEN $fv >= 4 THEN 1 " +
+      s"WHEN $fv >= 2 THEN 2 ELSE 3 END) + 1 END)"
+  }
+
+  /** Margin-mining twin (mirrors BitextMine): forward/backward top-4
+    * cosine neighborhoods with decimal(18,9)-rounded cosines, ratio
+    * margin as the same fixed two-division double expression. `e`/`q`
+    * aliases line up with [[cosineEq]]'s fixed references. */
+  private def marginMineSql(mined: Boolean): String = {
+    val base =
+      s"""WITH a AS (SELECT vec_id AS qid, embedding FROM embeddings
+         |           WHERE vec_id < 30),
+         |b AS (SELECT vec_id AS cid, embedding FROM embeddings
+         |      WHERE vec_id >= 30),
+         |fc AS (SELECT q.qid, e.cid, CAST($cosineEq AS DECIMAL(18,9)) AS c9,
+         |        row_number() OVER (PARTITION BY q.qid
+         |          ORDER BY $cosineEq DESC, e.cid) AS rn
+         |       FROM b e, a q),
+         |fwd AS (SELECT qid, cid, c9 FROM fc WHERE rn <= 4),
+         |sf AS (SELECT qid, SUM(c9) AS sumf FROM fwd GROUP BY qid),
+         |bc AS (SELECT q.cid, CAST($cosineEq AS DECIMAL(18,9)) AS c9,
+         |        row_number() OVER (PARTITION BY q.cid
+         |          ORDER BY $cosineEq DESC, e.qid) AS rn
+         |       FROM a e, b q),
+         |sb AS (SELECT cid, SUM(c9) AS sumb FROM bc WHERE rn <= 4
+         |       GROUP BY cid),
+         |m AS (SELECT f.qid, f.cid,
+         |  CAST(CAST(f.c9 AS VARCHAR) AS DOUBLE) AS cos,
+         |  CAST(CAST(f.c9 AS VARCHAR) AS DOUBLE) /
+         |    (CAST(CAST(sf.sumf + sb.sumb AS VARCHAR) AS DOUBLE) / 8.0)
+         |    AS margin
+         | FROM fwd f JOIN sf USING (qid) JOIN sb USING (cid))""".stripMargin
+    if (mined)
+      base +
+        """
+          |SELECT qid, cid, cos, margin FROM (
+          |  SELECT m.*, row_number() OVER (PARTITION BY qid
+          |    ORDER BY margin DESC, cid) AS rn FROM m)
+          |WHERE rn = 1 AND margin > 1.0 ORDER BY qid, cid""".stripMargin
+    else base + "\nSELECT qid, cid, cos, margin FROM m ORDER BY qid, cid"
+  }
+
   /** MRL unit-prefix in DuckDB: leading `d` dims renormalized with the
     * kernel's float discipline (double-widened norm, multiply by
     * reciprocal, truncate to float; zero-norm prefixes pass through) —
@@ -1199,6 +1254,61 @@ object SparkEntry {
           col("l_linenumber").cast("long").as("l_linenumber"),
           col("__z").as("z"))
         .orderBy("l_orderkey", "l_linenumber")),
+    // snapshot diff (CDC): documents vs a simulated next version
+    // (drop %97 keys, bump n_chars on %31, re-key %113 as inserts) —
+    // one full-outer key join emitting only the change set
+    "snapshot_diff" -> ((s, dir) => {
+      val before = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val kept = before.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("n_chars", when(col("doc_id") % 31 === 0,
+          col("n_chars") + 1000).otherwise(col("n_chars")))
+      val inserted = before.filter(col("doc_id") % 113 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("n_chars"))
+      graft.operators.Lake.snapshotDiff(before, kept.unionByName(inserted),
+        Seq("doc_id"), Seq("lang", "n_chars"))
+        .select(col("doc_id"), col("lang_before"), col("lang_after"),
+          col("n_chars_before"), col("n_chars_after"), col("op"))
+        .orderBy("doc_id")
+    }),
+    // compaction planner: a per-(lang, doc_id%50) "file" inventory
+    // bin-packed to 10 kB targets by running size in file order — the
+    // two-phase PrefixScan, never a single-task window
+    "compaction_plan" -> ((s, dir) => {
+      val files = t(s, dir, "documents")
+        .groupBy(col("lang"), pmod(col("doc_id"), lit(50)).as("part"))
+        .agg(sum("n_chars").cast("long").as("bytes"))
+        .select(concat(col("lang"), lit("/"), col("part")).as("file"),
+          col("bytes"))
+      graft.operators.Lake.compactionPlan(files, "bytes",
+        targetBytes = 10000L, orderBy = Seq(col("file")),
+        materialize = false)
+        .select(col("file"), col("bytes"), col("running_bytes"), col("bin"))
+        .orderBy("file")
+    }),
+    // margin-based bitext mining (Artetxe & Schwenk ratio margin):
+    // all forward candidate pairs with their margins...
+    "margin_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.BitextMine.marginPairs(
+        emb.filter(col("vec_id") < 30)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        emb.filter(col("vec_id") >= 30)
+          .select(col("vec_id").as("cid"), col("embedding")),
+        "qid", "embedding", "cid", "embedding", k = 4)
+        .orderBy("qid", "cid")
+    }),
+    // ...and the mined output: each x's best-margin y above 1.0
+    "margin_mine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.BitextMine.mine(
+        emb.filter(col("vec_id") < 30)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        emb.filter(col("vec_id") >= 30)
+          .select(col("vec_id").as("cid"), col("embedding")),
+        "qid", "embedding", "cid", "embedding", k = 4, threshold = 1.0)
+        .orderBy("qid", "cid")
+    }),
     // CSV ingest round-trip (S1/S2): parquet → header CSV on disk →
     // CsvSource.read + renamed → typed projection. Driver-checks the
     // CSV path end-to-end against the original parquet table.
@@ -1394,6 +1504,52 @@ object SparkEntry {
         .select("tok", "c_exact", "est")
         .orderBy("tok")
     }),
+    // HyperLogLog registers over the corpus vocabulary (portable md5
+    // mode, m=256): the bounded-shuffle alternative to COUNT DISTINCT
+    // over billions of n-grams — the oracle replays register index and
+    // leading-zero rank bit for bit from the same md5 hex
+    "hll_registers" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("tok"))
+      graft.operators.Hll.sketch(toks, "tok", m = 256, portableHash = true)
+        .select(col("reg").cast("long").as("reg"),
+          col("rho").cast("long").as("rho"))
+        .orderBy("reg")
+    }),
+    // per-language distinct-token estimates from ONE grouped HLL pass
+    // (m=64) next to the exact answer; z_scaled is the exact-integer
+    // harmonic denominator so the only floating op is one division of
+    // engine-exact inputs
+    "hll_distinct" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("tok"))
+      val sk = graft.operators.Hll.sketchByKey(toks, Seq("lang"), "tok",
+        m = 64, portableHash = true)
+      val est = graft.operators.Hll.rawEstimateByKey(sk, Seq("lang"), m = 64)
+      val exact = toks.groupBy("lang")
+        .agg(countDistinct("tok").as("n_exact"))
+      est.join(exact, Seq("lang"))
+        .select(col("lang"), col("n_exact"), col("zeros"), col("z_scaled"),
+          col("raw_est"))
+        .orderBy("lang")
+    }),
+    // corpus-drift monitor: per-source unigram KL from the corpus
+    // distribution (add-one smoothed group side, ln terms
+    // decimal-rounded before the order-free sum)
+    "domain_kl" -> ((s, dir) =>
+      graft.operators.Drift.unigramKl(
+        t(s, dir, "documents").select("source", "text"), "source", "text")
+        .orderBy("source")),
+    // key-skew diagnostic: log2 histogram of per-user event counts —
+    // the pre-join "will this key explode my shuffle" check, exact
+    // bit-length buckets (no float log2)
+    "skew_histogram" -> ((s, dir) =>
+      graft.operators.Profile.skewHistogram(
+        events(s, dir).select("user_id"), Seq("user_id"))
+        .orderBy("bucket")),
     // text-cleaning pipeline (strip tags / redact PII+URLs / normalize
     // whitespace); a noisy suffix is appended so every stage fires on
     // every row
@@ -2885,6 +3041,41 @@ object SparkEntry {
          |  CAST($interleave AS BIGINT) AS z
          |FROM q ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    "snapshot_diff" ->
+      """WITH before_t AS (SELECT doc_id, lang, n_chars FROM documents),
+        |kept AS (SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 31 = 0 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM before_t WHERE doc_id % 97 <> 0),
+        |ins AS (SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+        |        FROM before_t WHERE doc_id % 113 = 0),
+        |after_t AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+        |j AS (SELECT b.doc_id AS bid, a.doc_id AS aid, b.lang AS lb,
+        |        a.lang AS la, b.n_chars AS nb, a.n_chars AS na
+        |      FROM before_t b FULL OUTER JOIN after_t a
+        |        ON b.doc_id = a.doc_id)
+        |SELECT COALESCE(bid, aid) AS doc_id, lb AS lang_before,
+        |  la AS lang_after, nb AS n_chars_before, na AS n_chars_after,
+        |  CASE WHEN bid IS NULL THEN 'insert'
+        |       WHEN aid IS NULL THEN 'delete' ELSE 'update' END AS op
+        |FROM j
+        |WHERE bid IS NULL OR aid IS NULL
+        |   OR (lb IS DISTINCT FROM la) OR (nb IS DISTINCT FROM na)
+        |ORDER BY doc_id""".stripMargin,
+    "compaction_plan" ->
+      """WITH f AS (SELECT lang || '/' || CAST(doc_id % 50 AS VARCHAR) AS file,
+        |    CAST(SUM(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT file, bytes,
+        |    CAST(SUM(bytes) OVER (ORDER BY file
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS running_bytes
+        |  FROM f)
+        |SELECT file, bytes, running_bytes,
+        |  CAST((running_bytes - bytes) // 10000 AS BIGINT) AS bin
+        |FROM r ORDER BY file""".stripMargin,
+    "margin_pairs" -> marginMineSql(mined = false),
+    "margin_mine" -> marginMineSql(mined = true),
     "csv_roundtrip" ->
       """SELECT doc_id, nullif(lang, '') AS language, n_chars,
         |  CASE WHEN doc_id % 2 = 0 THEN '/base/' || doc_id || '.txt'
@@ -3025,6 +3216,67 @@ object SparkEntry {
          |  GROUP BY t.tok)
          |SELECT top.tok, top.c_exact, est.est
          |FROM top JOIN est USING (tok) ORDER BY tok""".stripMargin,
+    "hll_registers" ->
+      s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |hh AS (SELECT md5(tok) AS h FROM tk),
+         |f AS (SELECT ${hllRegSql("h", 256)} AS reg,
+         |  regexp_replace(substr(h, 4, 12), '^0+', '') AS sig FROM hh)
+         |SELECT CAST(reg AS BIGINT) AS reg,
+         |  CAST(MAX(${hllRhoSql("sig")}) AS BIGINT) AS rho
+         |FROM f GROUP BY reg ORDER BY reg""".stripMargin,
+    "hll_distinct" -> {
+      val num = (graft.operators.Hll.alphaM2(64) *
+        math.pow(2.0, graft.operators.Hll.PortableRhoMax)).toString
+      val zs = s"(zused + (64 - used) * (CAST(1 AS BIGINT) << 49))"
+      s"""WITH tk AS (SELECT lang, unnest($toksSql) AS tok FROM documents),
+         |hh AS (SELECT lang, tok, md5(tok) AS h FROM tk),
+         |f AS (SELECT lang, ${hllRegSql("h", 64)} AS reg,
+         |  regexp_replace(substr(h, 4, 12), '^0+', '') AS sig FROM hh),
+         |sk AS (SELECT lang, reg, MAX(${hllRhoSql("sig")}) AS rho
+         |       FROM f GROUP BY lang, reg),
+         |agg AS (SELECT lang, COUNT(*) AS used,
+         |  CAST(SUM(CAST(1 AS BIGINT) << (49 - rho)) AS BIGINT) AS zused
+         |  FROM sk GROUP BY lang),
+         |ex AS (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact
+         |       FROM tk GROUP BY lang)
+         |SELECT a.lang, ex.n_exact, CAST(64 - used AS BIGINT) AS zeros,
+         |  CAST($zs AS BIGINT) AS z_scaled,
+         |  CAST('$num' AS DOUBLE) / CAST($zs AS DOUBLE) AS raw_est
+         |FROM agg a JOIN ex USING (lang) ORDER BY lang""".stripMargin
+    },
+    "domain_kl" -> {
+      val p = "(CAST(c + 1 AS DOUBLE) / CAST(nk + v AS DOUBLE))"
+      val q = "(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))"
+      s"""WITH tk AS (SELECT source AS k, unnest($toksSql) AS t
+         |            FROM documents),
+         |cnt AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM tk GROUP BY k, t),
+         |corpus AS (SELECT t, CAST(SUM(c) AS BIGINT) AS ct
+         |           FROM cnt GROUP BY t),
+         |kt AS (SELECT k, CAST(SUM(c) AS BIGINT) AS nk,
+         |         CAST(COUNT(*) AS BIGINT) AS vk FROM cnt GROUP BY k),
+         |sc AS (SELECT CAST(SUM(ct) AS BIGINT) AS n,
+         |         CAST(COUNT(*) AS BIGINT) AS v FROM corpus),
+         |grid AS (SELECT kt.k, kt.nk, kt.vk, corpus.ct, sc.n, sc.v,
+         |           COALESCE(cnt.c, 0) AS c
+         |         FROM corpus CROSS JOIN kt CROSS JOIN sc
+         |         LEFT JOIN cnt ON cnt.k = kt.k AND cnt.t = corpus.t),
+         |terms AS (SELECT k, nk, vk,
+         |  CAST(round($p * ln($p / $q), 9) AS DECIMAL(18,9)) AS term
+         |  FROM grid)
+         |SELECT k AS source, MIN(nk) AS n_tokens, MIN(vk) AS vocab_used,
+         |  CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) AS kl
+         |FROM terms GROUP BY k ORDER BY source""".stripMargin
+    },
+    "skew_histogram" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM events GROUP BY user_id),
+        |b AS (SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS bucket, c
+        |      FROM c)
+        |SELECT bucket, CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS lo,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // same regex pipeline, same RE2 patterns, 'g' = replace-all
     "clean_docs" ->
       """SELECT doc_id, trim(regexp_replace(

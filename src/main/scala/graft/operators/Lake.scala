@@ -233,6 +233,73 @@ object Lake {
       .write.mode("overwrite").parquet(dest)
   }
 
+  /** Snapshot diff (CDC between two table versions): one full-outer
+    * join on `keyCols`, emitting only rows that CHANGED —
+    * `op` ∈ insert (key only in `after`), delete (only in `before`),
+    * update (both sides, any `compareCols` differs under null-safe
+    * equality). Unchanged rows are dropped — the output is the change
+    * set a downstream incremental consumer replays, not a copy of the
+    * table. Each compared column comes back as `<c>_before` /
+    * `<c>_after`.
+    *
+    * Scale shape: ONE key-hash shuffle of each side (the join), a
+    * codegen'd null-safe comparison, and a filter — no window, no
+    * collect. AQE's skew-join split handles hot keys. At 100 TB the
+    * change set is usually ≪ the table, so everything downstream of
+    * the filter is small. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "key columns required")
+    // physical renames, not plan aliases: before/after are routinely
+    // two versions OF THE SAME source and aliased self-joins resolve
+    // ambiguously there
+    val b = before.select(
+      keyCols.map(c => col(c).as(s"__bk_$c")) ++
+        compareCols.map(c => col(c).as(s"__bv_$c")) :+ lit(1).as("__b"): _*)
+    val a = after.select(
+      keyCols.map(c => col(c).as(s"__ak_$c")) ++
+        compareCols.map(c => col(c).as(s"__av_$c")) :+ lit(1).as("__a"): _*)
+    val joined = b.join(a,
+      keyCols.map(k => col(s"__bk_$k") <=> col(s"__ak_$k")).reduce(_ && _),
+      "full_outer")
+    val changed = compareCols
+      .map(c => !(col(s"__bv_$c") <=> col(s"__av_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val op = when(col("__b").isNull, "insert")
+      .when(col("__a").isNull, "delete")
+      .when(changed, "update")
+    val keys =
+      keyCols.map(k => coalesce(col(s"__bk_$k"), col(s"__ak_$k")).as(k))
+    val vals = compareCols.flatMap(c => Seq(
+      col(s"__bv_$c").as(s"${c}_before"), col(s"__av_$c").as(s"${c}_after")))
+    joined.withColumn("op", op)
+      .where(col("op").isNotNull)
+      .select(keys ++ vals :+ col("op"): _*)
+  }
+
+  /** Compaction planner — assign every file (or any sized work item)
+    * to a target-sized output bin by cumulative size in `orderBy`
+    * order: bin = exclusive-running-sum div `targetBytes`, the
+    * standard sorted bin-packing OPTIMIZE planners use (each bin
+    * reaches the target and may overshoot by at most one file).
+    * Ordering by the layout key keeps each output file's key range
+    * contiguous, so a compaction of a sorted/z-ordered lake preserves
+    * its clustering.
+    *
+    * The running sum is the two-phase [[PrefixScan]] — range
+    * partitions + per-partition totals — never a single-task global
+    * window, so the plan holds when the inventory is a billion files.
+    * Returns the input plus `running_bytes` (inclusive) and `bin`. */
+  def compactionPlan(files: DataFrame, sizeCol: String, targetBytes: Long,
+      orderBy: Seq[Column], materialize: Boolean = true): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    PrefixScan.runningSumBy(files, orderBy, sizeCol,
+        outCol = "running_bytes", materialize = materialize)
+      .withColumn("bin",
+        expr(s"(running_bytes - coalesce(cast(`$sizeCol` as bigint), 0L)) " +
+          s"div ${targetBytes}L"))
+  }
+
   def compactTo(spark: SparkSession, src: String, dest: String,
       targetBytesPerFile: Long = 128L << 20): Long = {
     require(targetBytesPerFile > 0, "target size must be positive")

@@ -144,6 +144,32 @@ object Profile {
       .drop("__graft_pos", "__graft_n")
   }
 
+  /** Key-skew histogram — the "will this key explode my shuffle"
+    * diagnostic run BEFORE a big join/groupBy: group sizes bucketed by
+    * log2 (bucket b holds keys with 2^b ≤ count < 2^(b+1)), one row
+    * per occupied bucket: (bucket, lo, n_keys, n_rows). A healthy key
+    * column tails off smoothly; a skew pathology shows as occupied
+    * high buckets (one key holding millions of rows) — exactly the
+    * keys to salt ([[SkewJoin]]) or AQE-split.
+    *
+    * Exact arithmetic: the bucket is the group count's bit length − 1
+    * (`length(bin(c)) - 1` — no floating log2, engine-portable).
+    * Scale: ONE count shuffle on the key (the partial-agg-bounded
+    * shape every groupBy has), then a bucket re-agg of one row per
+    * key. Null keys count as a group. */
+  def skewHistogram(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "key columns required")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__c"))
+    counts
+      .withColumn("bucket", (length(bin(col("__c"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_keys"),
+        sum("__c").cast("long").as("n_rows"))
+      .withColumn("lo", expr("shiftleft(cast(1 as bigint), cast(bucket as int))"))
+      .select("bucket", "lo", "n_keys", "n_rows")
+  }
+
   def summarize(df: DataFrame, cols: Seq[String],
       exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")

@@ -65,6 +65,22 @@ object StreamIngest {
     deduped.toDF()
   }
 
+  /** Bounded-state streaming dedup: first-wins per key WITHIN the
+    * watermark horizon, via `dropDuplicatesWithinWatermark` — the
+    * production complement to [[streamingFirstWins]] whose "whole
+    * stream" state grows with distinct keys forever. Here a key's
+    * dedup state is evicted once the event-time watermark passes its
+    * last occurrence + `horizon`, so state is bounded by (keys seen
+    * per horizon), the right contract for "dedup this crawl's
+    * re-fetches" at 100 TB/day: duplicates in real feeds cluster in
+    * time, and a key recurring after the horizon is re-admitted (an
+    * exact-dedup batch pass downstream catches true long-range dups).
+    * `tsCol` must be a timestamp column. */
+  def dedupWithinHorizon(stream: DataFrame, keyCol: String, tsCol: String,
+      horizon: String): DataFrame =
+    stream.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * counts + sum per (window, key). Late rows beyond the watermark
     * are dropped; state is bounded by watermark horizon. */

@@ -391,6 +391,48 @@ object DriveSmoke {
     chunks.explain("formatted")
     println("CHUNK_ROWS=" + chunks.count() +
       " docs=" + chunks.select("doc_id").distinct().count())
+
+    // HLL distinct-token estimate vs exact, both hash modes
+    val tokRows = docs.select(
+      explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+    val exactDistinct = tokRows.select("tok").distinct().count()
+    for (portable <- Seq(false, true)) {
+      val est = graft.operators.Hll.estimateDistinct(
+        tokRows, "tok", m = 1024, portableHash = portable)
+      println(f"HLL_EST portable=$portable est=$est%.1f exact=$exactDistinct")
+    }
+    graft.operators.Hll.sketch(tokRows, "tok", m = 1024)
+      .explain("formatted")
+
+    // snapshot diff: simulated next version of documents
+    val beforeSnap = docs.select("doc_id", "lang", "n_chars")
+    val afterSnap = beforeSnap.filter($"doc_id" % 53 =!= 0)
+      .withColumn("n_chars", when($"doc_id" % 11 === 0,
+        $"n_chars" + 5).otherwise($"n_chars"))
+    val diff = graft.operators.Lake.snapshotDiff(beforeSnap, afterSnap,
+      Seq("doc_id"), Seq("lang", "n_chars"))
+    diff.explain("formatted")
+    println("SNAPSHOT_DIFF_OPS=" + diff.groupBy("op").count()
+      .collect().map(r => r.getString(0) + ":" + r.getLong(1))
+      .sorted.mkString(","))
+
+    // compaction plan over a derived file inventory
+    val inv = docs.groupBy($"lang", pmod($"doc_id", lit(20)).as("part"))
+      .agg(sum("n_chars").cast("long").as("bytes"))
+      .select(concat($"lang", lit("/"), $"part").as("file"), $"bytes")
+    val cplan = graft.operators.Lake.compactionPlan(inv, "bytes",
+      targetBytes = 50000L, orderBy = Seq($"file"), materialize = false)
+    println("COMPACTION_BINS=" +
+      cplan.select(max("bin")).head().getLong(0))
+
+    // margin mining between two embedding slices
+    val mined = graft.operators.BitextMine.mine(
+      embSq.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"embedding"),
+      embSq.filter($"vec_id" >= 20 && $"vec_id" < 2000)
+        .select($"vec_id".as("cid"), $"embedding"),
+      "qid", "embedding", "cid", "embedding", k = 4, threshold = 1.0)
+    mined.explain("formatted")
+    println("MARGIN_MINED=" + mined.count())
     spark.stop()
   }
 }

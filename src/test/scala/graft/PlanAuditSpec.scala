@@ -19,10 +19,14 @@ class PlanAuditSpec extends SparkSpec {
   // binary_batch_knn broadcasts its query codes the same way
   // (BinaryQuantIndex.queryBatch).
   // pct_rank_scores crossJoins its broadcast 1-row count the same way.
+  // margin_pairs/margin_mine ride topKJoin's broadcast query cross in
+  // both directions (BitextMine). domain_kl crossJoins its broadcast
+  // few-keys totals and 1-row corpus scalars (Drift.unigramKl) —
+  // both bounded by construction.
   private val broadcastNljAllowed =
     Set("knn_batch_join", "knn_classify", "retrieval_eval", "bigram_pmi",
       "dsir_weights", "dsir_select", "binary_batch_knn",
-      "pct_rank_scores")
+      "pct_rank_scores", "margin_pairs", "margin_mine", "domain_kl")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -291,5 +295,41 @@ class PlanAuditSpec extends SparkSpec {
       s"events_sliding lost partial aggregation:\n$plan")
     assert(!plan.toLowerCase.contains("join"),
       s"events_sliding grew a join:\n$plan")
+  }
+
+  test("HLL sketch shuffles registers, not values: partial aggregation " +
+      "below the exchange bounds every map task at m rows") {
+    val plan = planOf("hll_registers")
+    val exch = plan.indexOf("Exchange hashpartitioning")
+    val partial = plan.lastIndexOf("HashAggregate")
+    assert(exch >= 0 && partial > exch,
+      s"hll_registers lost the partial-agg-before-exchange shape:\n$plan")
+    assert(!plan.contains("Window"), s"hll_registers grew a window:\n$plan")
+  }
+
+  test("margin mining keeps the per-query group limit on both " +
+      "neighborhood ranks") {
+    val plan = planOf("margin_pairs")
+    assert(plan.contains("WindowGroupLimit"),
+      s"margin_pairs lost the group-limit pushdown:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"margin_pairs lost the broadcast sum joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"margin_pairs shuffles a neighborhood-sum join:\n$plan")
+  }
+
+  test("compaction planner and snapshot diff never plan a global " +
+      "window; the diff joins by key hash") {
+    val cp = planOf("compaction_plan")
+    assert(!cp.contains("Window"),
+      s"compaction_plan regressed to a window:\n$cp")
+    val sd = planOf("snapshot_diff")
+    assert(sd.contains("FullOuter") || sd.contains("full_outer") ||
+      sd.contains("SortMergeJoin") || sd.contains("ShuffledHashJoin"),
+      s"snapshot_diff lost its key join:\n$sd")
+    assert(!sd.contains("CartesianProduct") &&
+      !sd.contains("BroadcastNestedLoopJoin"),
+      s"snapshot_diff must join by key equality:\n$sd")
   }
 }

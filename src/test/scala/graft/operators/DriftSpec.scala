@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KL matches the hand formula on a tiny instance") {
+    val df = Seq(
+      ("a", "x x y"), ("b", "y z z z")).toDF("src", "text")
+    val got = Drift.unigramKl(df, "src", "text")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab_used"),
+          r.getAs[Double]("kl"))).toMap
+    // corpus: x:2 y:2 z:3, N=7, V=3
+    def r9(v: Double): BigDecimal =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def kl(counts: Map[String, Long]): Double = {
+      val nk = counts.values.sum
+      val qs = Map("x" -> 2L, "y" -> 2L, "z" -> 3L)
+      qs.keys.toSeq.sorted.map { t =>
+        val p = (counts.getOrElse(t, 0L) + 1).toDouble / (nk + 3).toDouble
+        val q = qs(t).toDouble / 7.0
+        r9(p * math.log(p / q))
+      }.sum.toDouble
+    }
+    assert(got("a")._1 === 3L && got("a")._2 === 2L)
+    assert(math.abs(got("a")._3 - kl(Map("x" -> 2L, "y" -> 1L))) < 1e-12)
+    assert(got("b")._1 === 4L && got("b")._2 === 2L)
+    assert(math.abs(got("b")._3 - kl(Map("y" -> 1L, "z" -> 3L))) < 1e-12)
+  }
+
+  test("a representative slice scores lower KL than a skewed one") {
+    // corpus dominated by two balanced sources + one SMALL degenerate
+    // source (a slice that is half the corpus would legitimately look
+    // representative)
+    val balanced1 = (0 until 100).map(i => ("bal1", s"t${i % 10} common"))
+    val balanced2 = (0 until 100).map(i => ("bal2", s"t${(i + 3) % 10} common"))
+    val skewed = (0 until 10).map(_ => ("skew", "zzz zzz zzz"))
+    val df = (balanced1 ++ balanced2 ++ skewed).toDF("src", "text")
+    val kls = Drift.unigramKl(df, "src", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("kl")).toMap
+    assert(kls("skew") > kls("bal1") * 2,
+      s"skewed slice must stand out: $kls")
+    assert(kls("bal1") >= 0.0 && kls("skew") >= 0.0,
+      "KL is non-negative")
+  }
+
+  test("null text rows contribute nothing; a null key forms a group") {
+    val df = Seq(
+      ("a", "x y"), ("a", null.asInstanceOf[String]),
+      (null.asInstanceOf[String], "x z")).toDF("src", "text")
+    val rows = Drift.unigramKl(df, "src", "text").collect()
+    val byKey = rows.map(r => Option(r.getString(0)) ->
+      r.getAs[Long]("n_tokens")).toMap
+    assert(byKey(Some("a")) === 2L)
+    assert(byKey(None) === 2L)
+  }
+
+  test("plan: corpus-side tables join broadcast, no cartesian of " +
+      "data-sized frames") {
+    val df = (0 until 200).map(i => (s"s${i % 3}", s"w${i % 17} w${i % 5}"))
+      .toDF("src", "text")
+    val plan = Drift.unigramKl(df, "src", "text")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+}

@@ -51,6 +51,42 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinHorizon: duplicates inside the horizon drop; a key " +
+      "recurring after the watermark passes is re-admitted") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(String, Timestamp, String)]
+    val deduped = StreamIngest.dedupWithinHorizon(
+      source.toDF().toDF("key", "ts", "payload"), "key", "ts",
+      horizon = "10 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("horizon_dedup_out").outputMode("append").start()
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      // batch 1: a twice within the horizon -> one a survives
+      source.addData(("a", ts(0), "b1"), ("a", ts(1), "b1-dup"),
+        ("b", ts(2), "b1"))
+      q.processAllAvailable()
+      // batch 2: another a, still within horizon -> dropped; watermark
+      // advances to 50-10=40min, evicting a's and b's state
+      source.addData(("a", ts(3), "b2-dup"), ("x", ts(50), "b2"))
+      q.processAllAvailable()
+      // batch 3: a recurs AFTER the horizon -> re-admitted
+      source.addData(("a", ts(45), "b3"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT key, payload FROM horizon_dedup_out ORDER BY key, payload")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+      val (aRows, rest) = rows.partition(_._1 == "a")
+      // one "a" from batch 1 (either same-batch dup may win the
+      // first-wins race) + the re-admitted "b3"
+      assert(aRows.size === 2, s"got $rows")
+      assert(aRows.map(_._2).contains("b3"))
+      assert(aRows.map(_._2).exists(Set("b1", "b1-dup")))
+      assert(rest === Seq("b" -> "b1", "x" -> "b2"))
+    } finally q.stop()
+  }
+
   test("dsirFilter: streaming weights match the batch operator and " +
       "gate per micro-batch, statelessly") {
     import spark.implicits._
