@@ -1572,6 +1572,15 @@ object SparkEntry {
       graft.operators.Profile.histogram(events(s, dir), "value",
         minVal = 0.0, maxVal = 100.0, buckets = 10)
         .orderBy("bucket")),
+    // mergeable fixed-grid quantile sketch: B-bounded histogram +
+    // exact-integer rank lookup + in-bucket interpolation — the
+    // shard-friendly telemetry quantile (merge = bucket-wise sum)
+    "sketch_quantiles" -> ((s, dir) => {
+      val sk = graft.operators.HistSketch.sketch(events(s, dir), "value",
+        minVal = 0.0, maxVal = 100.0, buckets = 50)
+      graft.operators.HistSketch.quantiles(sk, Seq(0.1, 0.5, 0.9, 0.99))
+        .orderBy("p")
+    }),
     // curation cap: at most 50 docs per language, lowest doc_id first
     "cap_per_lang" -> ((s, dir) =>
       graft.operators.Sampling.capPerKey(
@@ -1980,6 +1989,38 @@ object SparkEntry {
           col("image_meta.width"), col("image_meta.height"),
           col("image_meta.channels"), col("image_meta.format"))
         .orderBy("file")
+    }),
+    // perceptual image near-dup: one gradient scene saved at three
+    // scales/brightness offsets (the thumbnail-resave pathology) +
+    // two distinct scenes → REAL-pixel dHash → banded Hamming pairs.
+    // No backing table → rows-only; invariance and recall-1.0 banding
+    // are spec-asserted.
+    "image_neardup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-imgnd")
+      def write(name: String, wpx: Int, hpx: Int)(f: (Int, Int) => Int): Unit = {
+        val img = new java.awt.image.BufferedImage(wpx, hpx,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until hpx; x <- 0 until wpx) img.setRGB(x, y, f(x, y))
+        javax.imageio.ImageIO.write(img, "png",
+          new java.io.File(tmp.toFile, name))
+      }
+      for ((scale, d) <- Seq((4, 0), (8, 6), (16, 12)))
+        write(f"grad$scale%02d.png", 16 * scale, 8 * scale) { (x, _) =>
+          val v = math.min(255, x * 255 / (16 * scale) + d)
+          (v << 16) | (v << 8) | v
+        }
+      write("stripes.png", 64, 64) { (x, _) =>
+        if ((x / 8) % 2 == 0) 0xFFFFFF else 0 }
+      write("checker.png", 64, 64) { (x, y) =>
+        if ((x / 8 + y / 8) % 2 == 0) 0xFFFFFF else 0 }
+      val hashed = graft.operators.Multimodal.dHashImages(
+        graft.operators.Multimodal.readBinaryDir(s, tmp.toString, "*.png"),
+        "content")
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          col("dhash"))
+      graft.operators.Multimodal.nearDupImagePairs(hashed, "file", "dhash",
+        maxHamming = 3)
+        .orderBy("id_a", "id_b")
     }),
     // audio pipeline: deterministic WAVs synthesized on the fly →
     // binaryFile source → REAL javax.sound decode of meta + signal
@@ -3290,6 +3331,33 @@ object SparkEntry {
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '\s+', ' ', 'g')) AS cleaned
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sketch_quantiles" ->
+      """WITH c AS (SELECT least(greatest(
+        |        CAST(floor((CAST(value AS DOUBLE) - 0.0) / 2.0) AS BIGINT),
+        |        0), 49) AS bucket, COUNT(*) AS n
+        |      FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |b AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(50)),
+        |h AS (SELECT b.bucket,
+        |        0.0 + CAST(b.bucket AS DOUBLE) * 2.0 AS lo,
+        |        0.0 + CAST(b.bucket + 1 AS DOUBLE) * 2.0 AS hi,
+        |        CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |      FROM b LEFT JOIN c USING (bucket)),
+        |cu AS (SELECT bucket, lo, hi, n,
+        |        CAST(SUM(n) OVER (ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |       FROM h),
+        |cu2 AS (SELECT *, cum - n AS cum_prev FROM cu),
+        |t AS (SELECT MAX(cum) AS N FROM cu),
+        |p AS (SELECT unnest([CAST('0.1' AS DOUBLE), CAST('0.5' AS DOUBLE),
+        |        CAST('0.9' AS DOUBLE), CAST('0.99' AS DOUBLE)]) AS p),
+        |r AS (SELECT p.p, GREATEST(CAST(ceil(p.p * t.N) AS BIGINT), 1)
+        |        AS rank FROM p, t WHERE t.N > 0)
+        |SELECT r.p, r.rank, cu2.lo + (cu2.hi - cu2.lo) *
+        |  (CAST(r.rank - cu2.cum_prev AS DOUBLE) / CAST(cu2.n AS DOUBLE))
+        |  AS est
+        |FROM r JOIN cu2 ON cu2.cum >= r.rank AND cu2.cum_prev < r.rank
+        |ORDER BY p""".stripMargin,
     "value_histogram" ->
       """WITH b AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(10)),
         |c AS (SELECT least(greatest(

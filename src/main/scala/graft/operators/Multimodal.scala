@@ -92,6 +92,84 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** 64-bit difference hash (dHash) over REAL pixels — the standard
+    * perceptual image fingerprint: one bilinear resample to a 9×8
+    * luminance grid, bit i set iff cell (y, x) is brighter than its
+    * right neighbor. Robust to re-encoding, resizing, and mild
+    * color/brightness shifts (gradients survive what absolute values
+    * do not), which is exactly what crawl-scale image dedup needs —
+    * byte-exact dedup misses every thumbnail re-save. Corrupt payloads
+    * hash to null (data, not errors). Narrow per-partition batches, no
+    * shuffle. */
+  def dHashImages(df: DataFrame, inCol: String, outCol: String = "dhash",
+      batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val outSchema = df.schema.add(outCol, LongType)
+    val inIdx = df.schema.fieldIndex(inCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        rows.map { r =>
+          val bytes = Option(r.get(inIdx)).map(_.asInstanceOf[Array[Byte]])
+            .getOrElse(Array.emptyByteArray)
+          val h = ImageCodec.decode(bytes).map { img =>
+            val g = ImageCodec.luminanceGrid(img, 9, 8)
+            var acc = 0L
+            var bit = 0
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (g(y * 9 + x) > g(y * 9 + x + 1)) acc |= (1L << bit)
+                bit += 1
+                x += 1
+              }
+              y += 1
+            }
+            java.lang.Long.valueOf(acc)
+          }.orNull
+          Row.fromSeq(r.toSeq :+ h)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Near-duplicate image pairs by dHash Hamming distance ≤
+    * `maxHamming`, with RECALL 1.0 via pigeonhole banding: the 64 bits
+    * split into `maxHamming + 1` bands — any pair within the threshold
+    * has at least one band bit-identical, so candidates meet ONLY
+    * inside (band, band_value) buckets (id + two 8-byte hashes cross
+    * the shuffle, never pixels), then the exact `bit_count(xor)`
+    * verifies. The SimHash/[[BinaryQuant]] shape applied to perceptual
+    * image dedup. Returns (id_a, id_b, hamming), id_a < id_b.
+    * `maxHamming + 1` must divide 64. */
+  def nearDupImagePairs(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(maxHamming >= 0 && 64 % bands == 0,
+      s"maxHamming + 1 must divide 64, got $maxHamming")
+    val w = 64 / bands
+    val reserved = Seq("__band", "__bv", "id_a", "id_b", "__ha", "__hb")
+    require(reserved.forall(c => c != idCol && c != hashCol),
+      s"reserved column names $reserved collide — rename inputs")
+    val mask = if (w == 64) -1L else (1L << w) - 1L
+    val banded = df.where(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol),
+        explode(sequence(lit(0), lit(bands - 1))).as("__band"))
+      .withColumn("__bv",
+        expr(s"shiftrightunsigned(`$hashCol`, __band * $w) & ${mask}L"))
+    val a = banded.select(col(idCol).as("id_a"), col(hashCol).as("__ha"),
+      col("__band"), col("__bv"))
+    val b = banded.select(col(idCol).as("id_b"), col(hashCol).as("__hb"),
+      col("__band"), col("__bv"))
+    a.join(b, Seq("__band", "__bv"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__ha", "__hb").distinct()
+      .withColumn("hamming",
+        expr("bit_count(__ha ^ __hb)").cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .drop("__ha", "__hb")
+  }
+
   /** Frame-sampling plumbing for video columns (STUB decode — the JDK
     * ships no video codec and the container is offline): emits one row
     * per sampled frame with (frame_idx, frame bytes). The "frames" are
