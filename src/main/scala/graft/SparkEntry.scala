@@ -1567,6 +1567,17 @@ object SparkEntry {
         Seq("user_id"), "ts", maxGap = 3600L * 1000000000L)
         .select("event_id", "session_idx", "session_id")
         .orderBy("event_id")),
+    // per-user rolling z-score anomaly detection over a trailing 72h
+    // event-time RANGE window — decimal-quantized sums, one fixed
+    // double expression for mean/variance/z
+    "rolling_zscore" -> ((s, dir) =>
+      graft.operators.Anomaly.rollingZScore(
+        events(s, dir).select("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), "ts", "value",
+        windowNanos = 72L * 3600 * 1000000000L, minCount = 5,
+        threshold = 2.0)
+        .select("event_id", "n_window", "z", "is_anomaly")
+        .orderBy("event_id")),
     // fixed-width histogram of event values (profiling complement)
     "value_histogram" -> ((s, dir) =>
       graft.operators.Profile.histogram(events(s, dir), "value",
@@ -3331,6 +3342,30 @@ object SparkEntry {
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '\s+', ' ', 'g')) AS cleaned
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "rolling_zscore" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn,
+        |    CAST(value AS DECIMAL(18,6)) AS v6
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT event_id, v6,
+        |    CAST(COUNT(*) OVER win AS BIGINT) AS n,
+        |    SUM(v6) OVER win AS s,
+        |    SUM(CAST(v6 * v6 AS DECIMAL(30,12))) OVER win AS q
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tsn
+        |    RANGE BETWEEN 259200000000000 PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT event_id, n,
+        |    CAST(CAST(v6 AS VARCHAR) AS DOUBLE) AS vd,
+        |    CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sd,
+        |    CAST(CAST(q AS VARCHAR) AS DOUBLE) AS qd
+        |  FROM w),
+        |z AS (SELECT event_id, n AS n_window,
+        |    CASE WHEN n >= 5
+        |           AND (qd / n - (sd / n) * (sd / n)) > 0.0
+        |         THEN (vd - sd / n) / sqrt(qd / n - (sd / n) * (sd / n))
+        |         END AS z
+        |  FROM c)
+        |SELECT event_id, n_window, z,
+        |  (z IS NOT NULL AND abs(z) > 2.0) AS is_anomaly
+        |FROM z ORDER BY event_id""".stripMargin,
     "sketch_quantiles" ->
       """WITH c AS (SELECT least(greatest(
         |        CAST(floor((CAST(value AS DOUBLE) - 0.0) / 2.0) AS BIGINT),
