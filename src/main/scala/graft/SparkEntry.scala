@@ -1536,6 +1536,22 @@ object SparkEntry {
           col("raw_est"))
         .orderBy("lang")
     }),
+    // sketch-over-window composition: distinct users per hour by the
+    // grouped HLL (one m-bounded pass for EVERY hour at once) next to
+    // the exact answer
+    "hll_hourly" -> ((s, dir) => {
+      val ev = events(s, dir).selectExpr(
+        "cast(ts div 3600000000000 as bigint) as hour",
+        "cast(user_id as string) as uid")
+      val sk = graft.operators.Hll.sketchByKey(ev, Seq("hour"), "uid",
+        m = 64, portableHash = true)
+      val est = graft.operators.Hll.rawEstimateByKey(sk, Seq("hour"), m = 64)
+      val exact = ev.groupBy("hour").agg(countDistinct("uid").as("n_exact"))
+      est.join(exact, Seq("hour"))
+        .select(col("hour"), col("n_exact"), col("zeros"), col("z_scaled"),
+          col("raw_est"))
+        .orderBy("hour")
+    }),
     // corpus-drift monitor: per-source unigram KL from the corpus
     // distribution (add-one smoothed group side, ln terms
     // decimal-rounded before the order-free sum)
@@ -3295,6 +3311,28 @@ object SparkEntry {
          |  CAST($zs AS BIGINT) AS z_scaled,
          |  CAST('$num' AS DOUBLE) / CAST($zs AS DOUBLE) AS raw_est
          |FROM agg a JOIN ex USING (lang) ORDER BY lang""".stripMargin
+    },
+    "hll_hourly" -> {
+      val num = (graft.operators.Hll.alphaM2(64) *
+        math.pow(2.0, graft.operators.Hll.PortableRhoMax)).toString
+      val zs = s"(zused + (64 - used) * (CAST(1 AS BIGINT) << 49))"
+      s"""WITH e AS (SELECT epoch_ns(ts) // 3600000000000 AS hour,
+         |        CAST(user_id AS VARCHAR) AS uid FROM events),
+         |hh AS (SELECT hour, uid, md5(uid) AS h FROM e),
+         |f AS (SELECT hour, ${hllRegSql("h", 64)} AS reg,
+         |  regexp_replace(substr(h, 4, 12), '^0+', '') AS sig FROM hh),
+         |sk AS (SELECT hour, reg, MAX(${hllRhoSql("sig")}) AS rho
+         |       FROM f GROUP BY hour, reg),
+         |agg AS (SELECT hour, COUNT(*) AS used,
+         |  CAST(SUM(CAST(1 AS BIGINT) << (49 - rho)) AS BIGINT) AS zused
+         |  FROM sk GROUP BY hour),
+         |ex AS (SELECT hour, CAST(COUNT(DISTINCT uid) AS BIGINT) AS n_exact
+         |       FROM e GROUP BY hour)
+         |SELECT CAST(a.hour AS BIGINT) AS hour, ex.n_exact,
+         |  CAST(64 - used AS BIGINT) AS zeros,
+         |  CAST($zs AS BIGINT) AS z_scaled,
+         |  CAST('$num' AS DOUBLE) / CAST($zs AS DOUBLE) AS raw_est
+         |FROM agg a JOIN ex USING (hour) ORDER BY hour""".stripMargin
     },
     "domain_kl" -> {
       val p = "(CAST(c + 1 AS DOUBLE) / CAST(nk + v AS DOUBLE))"

@@ -49,10 +49,17 @@ object Drift {
     val scalars = corpus.agg(sum("__ct").cast("long").as("__n"),
       count(lit(1)).cast("long").as("__v"))
     // grid = vocab × keys (keys are few by contract) with the
-    // corpus-wide scalars riding along
+    // corpus-wide scalars riding along. The counts join must be
+    // NULL-SAFE on the key: a null key is a legitimate group
+    // (groupBy made it one) and an equi-join would silently zero its
+    // observed counts.
+    val cnts = counts.select(col("__k").as("__ck"), col("__t").as("__ct2"),
+      col("__c"))
     val grid = corpus.crossJoin(broadcast(keyTotals))
       .crossJoin(broadcast(scalars))
-      .join(counts, Seq("__k", "__t"), "left")
+      .join(cnts,
+        col("__k") <=> col("__ck") && col("__t") === col("__ct2"), "left")
+      .drop("__ck", "__ct2")
       .na.fill(0L, Seq("__c"))
     val p = (col("__c") + lit(1L)).cast("double") /
       (col("__nk") + col("__v")).cast("double")

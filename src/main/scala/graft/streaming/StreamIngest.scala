@@ -139,6 +139,54 @@ object StreamIngest {
     private[graft] def segments: Vector[DataFrame] = state()
   }
 
+  /** Handle for [[sketchStream]]: `registers` is the merged
+    * HyperLogLog register table over everything streamed so far (None
+    * before the first non-empty batch). */
+  final class HllStream private[streaming] (
+      val query: StreamingQuery, state: () => Option[DataFrame]) {
+    def registers: Option[DataFrame] = state()
+    /** Corrected distinct estimate from the current registers (≤ m-row
+      * collect). */
+    def estimate(m: Int, portableHash: Boolean): Option[Double] =
+      state().map { regs =>
+        val rhos = regs.select(col("rho").cast("int")).collect()
+          .map(_.getInt(0))
+        val zeros = m - rhos.length
+        val z = rhos.map(r => math.pow(2.0, -r)).sum + zeros.toDouble
+        graft.operators.Hll.correct(
+          graft.operators.Hll.alphaM2(m) / z, zeros.toLong, m)
+      }
+  }
+
+  /** Continuously maintain a HyperLogLog distinct-count sketch over a
+    * stream — "how many distinct users/URLs/tokens so far" with O(m)
+    * state however long the stream runs: each micro-batch sketches
+    * O(batch) rows into ≤ m registers and merges down into ONE
+    * checkpointed ≤ m-row frame (the register MAX monoid makes the
+    * streamed result EXACTLY equal the batch sketch of the same rows —
+    * spec-asserted). The streaming face of [[graft.operators.Hll]];
+    * build with the same (m, portableHash) you will estimate with. */
+  def sketchStream(stream: DataFrame, valueCol: String, m: Int,
+      portableHash: Boolean = false,
+      queryName: String = "graft-hll-stream"): HllStream = {
+    var merged: Option[DataFrame] = None
+    val q = stream.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sk = graft.operators.Hll.sketch(batch, valueCol, m,
+            portableHash)
+          val next = merged match {
+            case Some(prev) => graft.operators.Hll.merge(Seq(prev, sk))
+            case None => sk
+          }
+          // localCheckpoint: the state must not re-read prior batches'
+          // (gone) micro-batch sources, and keeps lineage O(1) deep
+          merged = Some(next.localCheckpoint())
+        }
+      }.start()
+    new HllStream(q, () => merged)
+  }
+
   /** Stateless streaming curation: the per-row quality stack — Gopher
     * rules, a PRE-FIT char-bigram LM threshold, PII scrub — as one
     * streaming-safe projection+filter (no state, no watermark, valid

@@ -49,15 +49,24 @@ class DriftSpec extends SparkSpec {
       "KL is non-negative")
   }
 
-  test("null text rows contribute nothing; a null key forms a group") {
+  test("null text rows contribute nothing; a null key forms a group " +
+      "whose KL equals the same group under a real name") {
     val df = Seq(
       ("a", "x y"), ("a", null.asInstanceOf[String]),
       (null.asInstanceOf[String], "x z")).toDF("src", "text")
     val rows = Drift.unigramKl(df, "src", "text").collect()
     val byKey = rows.map(r => Option(r.getString(0)) ->
-      r.getAs[Long]("n_tokens")).toMap
-    assert(byKey(Some("a")) === 2L)
-    assert(byKey(None) === 2L)
+      (r.getAs[Long]("n_tokens"), r.getAs[Double]("kl"))).toMap
+    assert(byKey(Some("a"))._1 === 2L)
+    assert(byKey(None)._1 === 2L)
+    // the null group's counts must actually reach its KL: renaming
+    // null to a real key changes nothing else, so KL must be equal
+    val renamed = Drift.unigramKl(
+      df.withColumn("src", coalesce($"src", lit("was_null"))),
+      "src", "text").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("kl")).toMap
+    assert(byKey(None)._2 === renamed("was_null"))
+    assert(byKey(Some("a"))._2 === renamed("a"))
   }
 
   test("plan: corpus-side tables join broadcast, no cartesian of " +

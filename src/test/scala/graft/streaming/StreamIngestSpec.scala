@@ -87,6 +87,34 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sketchStream: streamed HLL registers equal the batch sketch " +
+      "exactly, whatever the batch boundaries") {
+    import spark.implicits._
+    import graft.operators.Hll
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[String]
+    val handle = StreamIngest.sketchStream(
+      source.toDF().toDF("v"), "v", m = 128, portableHash = true)
+    try {
+      assert(handle.registers.isEmpty, "no state before data")
+      source.addData((0 until 300).map(i => s"u$i"): _*)
+      handle.query.processAllAvailable()
+      source.addData((200 until 500).map(i => s"u$i"): _*) // overlap
+      handle.query.processAllAvailable()
+      source.addData((450 until 600).map(i => s"u$i"): _*)
+      handle.query.processAllAvailable()
+      val streamed = handle.registers.get.collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val whole = Hll.sketch((0 until 600).map(i => s"u$i").toDF("v"),
+        "v", 128, portableHash = true).collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(streamed === whole,
+        "monoid merge must make stream == batch, register for register")
+      val est = handle.estimate(128, portableHash = true).get
+      assert(math.abs(est - 600) / 600 < 0.3, s"estimate $est vs 600")
+    } finally handle.query.stop()
+  }
+
   test("dsirFilter: streaming weights match the batch operator and " +
       "gate per micro-batch, statelessly") {
     import spark.implicits._
