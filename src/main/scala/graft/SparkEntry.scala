@@ -1271,6 +1271,27 @@ object SparkEntry {
           col("n_chars_before"), col("n_chars_after"), col("op"))
         .orderBy("doc_id")
     }),
+    // incremental materialized-view maintenance: refresh a per-lang
+    // (count, sum) rollup from the CDC change set alone — deletes
+    // retract, group-moving updates retract+contribute; the ORACLE is
+    // the full recompute of the after table, so the gate checks
+    // incremental == full
+    "incr_rollup" -> ((s, dir) => {
+      val before = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val kept = before.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("n_chars", when(col("doc_id") % 31 === 0,
+          col("n_chars") + 1000).otherwise(col("n_chars")))
+        .withColumn("lang", when(col("doc_id") % 41 === 0, lit("xx"))
+          .otherwise(col("lang")))
+      val inserted = before.filter(col("doc_id") % 113 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("n_chars"))
+      val base = graft.operators.Lake.groupRollup(before, "lang", "n_chars")
+      val changes = graft.operators.Lake.snapshotDiff(before,
+        kept.unionByName(inserted), Seq("doc_id"), Seq("lang", "n_chars"))
+      graft.operators.Lake.maintainRollup(base, changes, "lang", "n_chars")
+        .orderBy("lang")
+    }),
     // compaction planner: a per-(lang, doc_id%50) "file" inventory
     // bin-packed to 10 kB targets by running size in file order — the
     // two-phase PrefixScan, never a single-task window
@@ -3130,6 +3151,22 @@ object SparkEntry {
         |WHERE bid IS NULL OR aid IS NULL
         |   OR (lb IS DISTINCT FROM la) OR (nb IS DISTINCT FROM na)
         |ORDER BY doc_id""".stripMargin,
+    // the oracle is the FULL recompute of the after table — an
+    // independent check that the incremental delta path reaches the
+    // same rollup
+    "incr_rollup" ->
+      """WITH before_t AS (SELECT doc_id, lang, n_chars FROM documents),
+        |kept AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 41 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 31 = 0 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM before_t WHERE doc_id % 97 <> 0),
+        |ins AS (SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+        |        FROM before_t WHERE doc_id % 113 = 0),
+        |after_t AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM after_t GROUP BY lang ORDER BY lang""".stripMargin,
     "compaction_plan" ->
       """WITH f AS (SELECT lang || '/' || CAST(doc_id % 50 AS VARCHAR) AS file,
         |    CAST(SUM(n_chars) AS BIGINT) AS bytes

@@ -277,6 +277,53 @@ object Lake {
       .select(keys ++ vals :+ col("op"): _*)
   }
 
+  /** Incremental aggregate maintenance (materialized-view delta
+    * update): refresh a (count, sum) rollup from a [[snapshotDiff]]
+    * change set WITHOUT rescanning the base table — the O(changes)
+    * refresh that keeps a 100 TB table's rollup current when the
+    * daily delta is a few GB. Count and sum are abelian-group
+    * aggregates, so deletes retract (−1, −v) and inserts contribute
+    * (+1, +v); an update whose row moved groups retracts from the old
+    * group and contributes to the new. Groups whose count reaches 0
+    * disappear (exactly as a full recompute would drop them). Min/max
+    * are NOT maintainable this way (a delete can expose an unknown
+    * runner-up) — recompute those.
+    *
+    * `agg` must be the (keyCol, cnt, sum_<valueCol>) frame a previous
+    * [[groupRollup]] produced; `changes` a [[snapshotDiff]] output
+    * whose compareCols included `keyCol` and `valueCol`. Null values
+    * aggregate as 0 in sums and count normally — matching
+    * [[groupRollup]].
+    *
+    * INVARIANT (spec- and oracle-asserted):
+    * `maintainRollup(groupRollup(before), snapshotDiff(before, after))
+    *  == groupRollup(after)`. */
+  def maintainRollup(agg: DataFrame, changes: DataFrame,
+      keyCol: String, valueCol: String): DataFrame = {
+    val vB = coalesce(col(s"${valueCol}_before").cast(LongType), lit(0L))
+    val vA = coalesce(col(s"${valueCol}_after").cast(LongType), lit(0L))
+    val retract = changes.where(col("op").isin("delete", "update"))
+      .select(col(s"${keyCol}_before").as(keyCol),
+        lit(-1L).as("cnt"), (-vB).as(s"sum_$valueCol"))
+    val add = changes.where(col("op").isin("insert", "update"))
+      .select(col(s"${keyCol}_after").as(keyCol),
+        lit(1L).as("cnt"), vA.as(s"sum_$valueCol"))
+    agg.unionByName(retract).unionByName(add)
+      .groupBy(keyCol)
+      .agg(sum("cnt").cast(LongType).as("cnt"),
+        sum(s"sum_$valueCol").cast(LongType).as(s"sum_$valueCol"))
+      .where(col("cnt") > 0L)
+  }
+
+  /** The (count, sum) rollup [[maintainRollup]] maintains: one
+    * partial-aggregated shuffle on the key. */
+  def groupRollup(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy(keyCol)
+      .agg(count(lit(1)).cast(LongType).as("cnt"),
+        sum(coalesce(col(valueCol).cast(LongType), lit(0L)))
+          .cast(LongType).as(s"sum_$valueCol"))
+
   /** Compaction planner — assign every file (or any sized work item)
     * to a target-sized output bin by cumulative size in `orderBy`
     * order: bin = exclusive-running-sum div `targetBytes`, the
