@@ -23,10 +23,14 @@ class PlanAuditSpec extends SparkSpec {
   // both directions (BitextMine). domain_kl crossJoins its broadcast
   // few-keys totals and 1-row corpus scalars (Drift.unigramKl) —
   // both bounded by construction.
+  // sketch_quantiles joins 4 probe rows against the ≤ B-row sketch on
+  // a rank-range inequality (HistSketch.quantiles) — both sides
+  // bounded by construction.
   private val broadcastNljAllowed =
     Set("knn_batch_join", "knn_classify", "retrieval_eval", "bigram_pmi",
       "dsir_weights", "dsir_select", "binary_batch_knn",
-      "pct_rank_scores", "margin_pairs", "margin_mine", "domain_kl")
+      "pct_rank_scores", "margin_pairs", "margin_mine", "domain_kl",
+      "sketch_quantiles")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
