@@ -146,9 +146,6 @@ object Hll {
   def estimateDistinct(df: DataFrame, valueCol: String, m: Int,
       portableHash: Boolean = false): Double = {
     val sk = sketch(df, valueCol, m, portableHash)
-    val rhoMax =
-      if (portableHash) PortableRhoMax
-      else 64 - java.lang.Integer.numberOfTrailingZeros(m) + 1
     val rows = sk.select(col("rho").cast("int")).collect().map(_.getInt(0))
     val zeros = m - rows.length
     // double-sum of exact powers of two; estimate-path only (the

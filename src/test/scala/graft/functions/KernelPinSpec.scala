@@ -35,6 +35,23 @@ class KernelPinSpec extends SparkSpec {
     assert(got === want, s"native kernel drift: $got")
   }
 
+  test("HLL xxhash64 register layout is frozen on real data (the " +
+      "portable md5 mode is oracle-pinned; this freezes the scale " +
+      "path's native hash)") {
+    import graft.operators.Hll
+    val toks = docs.select(
+      org.apache.spark.sql.functions.explode(
+        TextFunctions.tokens(col("text"))).as("tok"))
+    val got = Hll.sketch(toks, "tok", m = 64, portableHash = false)
+      .orderBy("reg").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val want = Seq((1, 1), (5, 1), (8, 2), (12, 1), (13, 2), (16, 4),
+      (17, 7), (18, 1), (21, 2), (23, 2), (26, 1), (38, 4), (40, 3),
+      (44, 5), (47, 2), (49, 1), (50, 2), (51, 3), (53, 1), (54, 1),
+      (57, 1), (62, 2))
+    assert(got === want, s"xxhash HLL drift: $got")
+  }
+
   test("simhash64 of near-identical real docs stays within a small " +
       "Hamming distance of itself under a one-token edit") {
     val base = docs.orderBy("doc_id").limit(3)
