@@ -1271,6 +1271,27 @@ object SparkEntry {
           col("n_chars_before"), col("n_chars_after"), col("op"))
         .orderBy("doc_id")
     }),
+    // schema-evolution read: v1 files (doc_id, lang), v2 files added
+    // n_chars AS INT — one evolved read casts to the target schema
+    // (int→long widening; v1 rows get null n_chars)
+    "schema_evolution" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-evo").toString
+      base.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .coalesce(2).write.mode("overwrite").parquet(s"$tmp/v1")
+      base.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("int"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$tmp/v2")
+      graft.operators.Lake.readEvolved(s, Seq(s"$tmp/v1", s"$tmp/v2"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType))))
+        .orderBy("doc_id")
+    }),
     // incremental materialized-view maintenance: refresh a per-lang
     // (count, sum) rollup from the CDC change set alone — deletes
     // retract, group-moving updates retract+contribute; the ORACLE is
@@ -3150,6 +3171,12 @@ object SparkEntry {
         |FROM j
         |WHERE bid IS NULL OR aid IS NULL
         |   OR (lb IS DISTINCT FROM la) OR (nb IS DISTINCT FROM na)
+        |ORDER BY doc_id""".stripMargin,
+    "schema_evolution" ->
+      """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 <> 0
         |ORDER BY doc_id""".stripMargin,
     // the oracle is the FULL recompute of the after table — an
     // independent check that the incremental delta path reaches the

@@ -277,6 +277,32 @@ object Lake {
       .select(keys ++ vals :+ col("op"): _*)
   }
 
+  /** Schema-evolution read: one frame over parquet directories
+    * spanning SCHEMA VERSIONS — the normal state of a long-lived
+    * lake, where ingest v1 wrote (id, text), v2 added a column, v3
+    * widened a type. Each path (one ingest generation — version
+    * boundaries are path boundaries, the standard layout) is scanned
+    * with ITS OWN schema and projected to `target` by name: present →
+    * cast (widening int→long, float→double — exactly the conflicts
+    * that make a naive `mergeSchema` footer union FAIL outright),
+    * absent in older generations → null (parquet's missing-column
+    * semantics). Columns `target` does not name are dropped — the
+    * contract is "give me THIS schema over everything ever written".
+    * The result is a union of per-generation scans, so filter
+    * pushdown and partition pruning apply per scan (plan-asserted). */
+  def readEvolved(spark: SparkSession, paths: Seq[String],
+      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(paths.nonEmpty, "at least one path")
+    paths.map { p =>
+      val df = spark.read.parquet(p)
+      val present = df.columns.toSet
+      df.select(target.fields.toIndexedSeq.map { f =>
+        if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Incremental aggregate maintenance (materialized-view delta
     * update): refresh a (count, sum) rollup from a [[snapshotDiff]]
     * change set WITHOUT rescanning the base table — the O(changes)
