@@ -1271,6 +1271,26 @@ object SparkEntry {
           col("n_chars_before"), col("n_chars_after"), col("op"))
         .orderBy("doc_id")
     }),
+    // data-contract gate: three rules over a feed with deterministic
+    // injected corruption; violations ride as a comma-joined reason
+    // string (null = clean), one codegen'd projection
+    "data_contract" -> ((s, dir) => {
+      val feed = t(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars", "text")
+        .withColumn("lang", when(col("doc_id") % 37 === 0, lit("zz"))
+          .otherwise(col("lang")))
+        .withColumn("n_chars", when(col("doc_id") % 53 === 0, lit(-5L))
+          .otherwise(col("n_chars")))
+        .withColumn("text", when(col("doc_id") % 71 === 0,
+          lit(null).cast("string")).otherwise(col("text")))
+      graft.operators.Lake.validate(feed, Seq(
+        "lang_known" -> col("lang").isin("en", "de", "fr", "es"),
+        "n_chars_pos" -> (col("n_chars") > 0),
+        "text_present" -> (col("text").isNotNull &&
+          length(col("text")) > 0)))
+        .select("doc_id", "violations")
+        .orderBy("doc_id")
+    }),
     // schema-evolution read: v1 files (doc_id, lang), v2 files added
     // n_chars AS INT — one evolved read casts to the target schema
     // (int→long widening; v1 rows get null n_chars)
@@ -3172,6 +3192,25 @@ object SparkEntry {
         |WHERE bid IS NULL OR aid IS NULL
         |   OR (lb IS DISTINCT FROM la) OR (nb IS DISTINCT FROM na)
         |ORDER BY doc_id""".stripMargin,
+    "data_contract" ->
+      """WITH feed AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 37 = 0 THEN 'zz' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 53 = 0 THEN -5 ELSE n_chars END AS n_chars,
+        |    CASE WHEN doc_id % 71 = 0 THEN NULL ELSE text END AS text
+        |  FROM documents),
+        |v AS (SELECT doc_id, concat_ws(',',
+        |    CASE WHEN NOT COALESCE(lang IN ('en','de','fr','es'), FALSE)
+        |         THEN 'lang_known' END,
+        |    CASE WHEN NOT COALESCE(n_chars > 0, FALSE)
+        |         THEN 'n_chars_pos' END,
+        |    CASE WHEN NOT COALESCE(text IS NOT NULL AND length(text) > 0,
+        |                           FALSE)
+        |         THEN 'text_present' END) AS violations
+        |  FROM feed)
+        |SELECT doc_id,
+        |  CASE WHEN violations = '' THEN NULL ELSE violations END
+        |    AS violations
+        |FROM v ORDER BY doc_id""".stripMargin,
     "schema_evolution" ->
       """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id % 2 = 0

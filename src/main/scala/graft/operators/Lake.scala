@@ -350,6 +350,33 @@ object Lake {
         sum(coalesce(col(valueCol).cast(LongType), lit(0L)))
           .cast(LongType).as(s"sum_$valueCol"))
 
+  /** Data-contract validation — the ingest gate that splits a feed
+    * into clean rows and a quarantine WITH REASONS: each rule is a
+    * (name, predicate) pair that must AFFIRMATIVELY pass (a null
+    * predicate — e.g. `col > 0` over a null — is a violation, not a
+    * pass: unknown is not clean). Appends `outCol` = comma-joined
+    * names of the failed rules, null when every rule passes, so
+    * `where(outCol.isNull)` is the clean feed and the rest goes to
+    * the dead-letter path with its diagnosis attached.
+    *
+    * One narrow codegen'd projection (when/concat_ws over the rule
+    * predicates) — no shuffle, no UDF; at 100 TB this is a free rider
+    * on the ingest scan. */
+  def validate(df: DataFrame, rules: Seq[(String, Column)],
+      outCol: String = "violations"): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' collides — rename one")
+    val flags = rules.map { case (name, pred) =>
+      when(!coalesce(pred, lit(false)), lit(name))
+    }
+    df.withColumn(outCol, concat_ws(",", flags: _*))
+      .withColumn(outCol,
+        when(col(outCol) === "", lit(null)).otherwise(col(outCol)))
+  }
+
   /** Compaction planner — assign every file (or any sized work item)
     * to a target-sized output bin by cumulative size in `orderBy`
     * order: bin = exclusive-running-sum div `targetBytes`, the
