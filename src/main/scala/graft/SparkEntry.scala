@@ -1656,6 +1656,22 @@ object SparkEntry {
         threshold = 2.0)
         .select("event_id", "n_window", "z", "is_anomaly")
         .orderBy("event_id")),
+    // ordered conversion funnel (view → click → purchase within 7
+    // days of first view): per-step keyed min-aggregates, tiny output
+    "funnel_steps" -> ((s, dir) =>
+      graft.operators.Funnel.funnel(
+        events(s, dir).select("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"),
+        horizonNanos = 7L * 86400 * 1000000000L)
+        .orderBy("step")),
+    // cohort retention matrix over event days: distinct (user, day) →
+    // first-day cohort → (cohort, offset) cells with exact rates
+    "retention_cohorts" -> ((s, dir) =>
+      graft.operators.Funnel.retention(
+        events(s, dir).select("user_id", "ts"),
+        "user_id", "ts", periodNanos = 86400L * 1000000000L)
+        .orderBy("cohort", "offset")),
     // fixed-width histogram of event values (profiling complement)
     "value_histogram" -> ((s, dir) =>
       graft.operators.Profile.histogram(events(s, dir), "value",
@@ -1868,6 +1884,14 @@ object SparkEntry {
       graft.operators.Bm25.searchBatch(idx, queries, "qid", "terms",
         k = 10).orderBy("qid", "rank")
     }),
+    // boolean inverted-index retrieval (AND + NOT): terms filtered
+    // before the shuffle, anti-join for the exclusion — the unranked
+    // complement to bm25_topk
+    "bool_query" -> ((s, dir) =>
+      graft.operators.Bm25.booleanQuery(
+        t(s, dir, "documents"), "doc_id", "text",
+        allOf = Seq("batch", "join", "window"), noneOf = Seq("slow"))
+        .orderBy("doc_id")),
     // hybrid retrieval: BM25 top-20 ∪ vector top-20 fused by
     // reciprocal-rank contributions (decimal-exact, order-free) —
     // rank windows run over the two k-row lists, not the corpus
@@ -1930,6 +1954,20 @@ object SparkEntry {
         t(s, dir, "documents"), "text", minCount = 5)
         .withColumn("pmi", col("pmi").cast("decimal(18,9)").cast("double"))
         .orderBy("w1", "w2")),
+    // document-level co-occurrence association rules over the top-40
+    // vocabulary (bounded-V pair join; lift in mirrored IEEE ops)
+    "cooc_lift" -> ((s, dir) =>
+      graft.operators.TextAnalysis.coocLift(
+        t(s, dir, "documents"), "doc_id", "text",
+        topV = 40, minSupport = 10L)
+        .orderBy("tok_a", "tok_b")),
+    // lang × source crosstab with an explicit pivot domain (no
+    // driver-side distinct-collect) — empty cells exact 0
+    "crosstab_langs" -> ((s, dir) =>
+      graft.operators.Profile.crosstab(
+        t(s, dir, "documents"), "lang", "source",
+        values = (0 until 20).map(i => s"src$i"))
+        .orderBy("lang")),
     // model-free k-NN majority-vote classification of the embeddings
     // table against its own label column
     "knn_classify" -> ((s, dir) => {
@@ -3483,6 +3521,53 @@ object SparkEntry {
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '\s+', ' ', 'g')) AS cleaned
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // funnel twin: same strictly-after + 7d-from-step-1 semantics; the
+    // per-step CTE chain mirrors Funnel.funnel's scanLeft exactly
+    "funnel_steps" ->
+      """WITH b AS (SELECT user_id AS u, event_type AS et, epoch_ns(ts) AS tn
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |s1 AS (SELECT u, MIN(tn) AS t1, MIN(tn) AS tk FROM b
+        |       WHERE et = 'view' GROUP BY u),
+        |s2 AS (SELECT b.u, MIN(s1.t1) AS t1, MIN(b.tn) AS tk
+        |       FROM b JOIN s1 ON b.u = s1.u
+        |       WHERE b.et = 'click' AND b.tn > s1.tk
+        |         AND b.tn <= s1.t1 + 604800000000000
+        |       GROUP BY b.u),
+        |s3 AS (SELECT b.u, MIN(s2.t1) AS t1, MIN(b.tn) AS tk
+        |       FROM b JOIN s2 ON b.u = s2.u
+        |       WHERE b.et = 'purchase' AND b.tn > s2.tk
+        |         AND b.tn <= s2.t1 + 604800000000000
+        |       GROUP BY b.u),
+        |n AS (
+        |  SELECT 1 AS step, 'view' AS event_type,
+        |    (SELECT COUNT(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+        |SELECT CAST(step AS INT) AS step, event_type,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_users AS DOUBLE) / (SELECT COUNT(*) FROM s1) AS conv_pct
+        |FROM n ORDER BY step""".stripMargin,
+    // retention twin: distinct (user, day) -> first-day cohort ->
+    // (cohort, offset) cells; rates are single exact-long divisions
+    "retention_cohorts" ->
+      """WITH dup AS (SELECT DISTINCT user_id AS u,
+        |    epoch_ns(ts) // 86400000000000 AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT u, MIN(p) AS cohort FROM dup GROUP BY u),
+        |cells AS (SELECT f.cohort, dup.p - f.cohort AS "offset",
+        |    COUNT(*) AS n_users
+        |  FROM dup JOIN f ON dup.u = f.u GROUP BY 1, 2),
+        |s0 AS (SELECT cohort, n_users AS n_cohort FROM cells
+        |       WHERE "offset" = 0)
+        |SELECT CAST(cells.cohort AS BIGINT) AS cohort,
+        |  CAST(cells."offset" AS BIGINT) AS "offset",
+        |  CAST(cells.n_users AS BIGINT) AS n_users,
+        |  CAST(s0.n_cohort AS BIGINT) AS n_cohort,
+        |  CAST(cells.n_users AS DOUBLE) / s0.n_cohort AS retention_pct
+        |FROM cells JOIN s0 USING (cohort)
+        |ORDER BY cohort, "offset"""".stripMargin,
     "rolling_zscore" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn,
         |    CAST(value AS DECIMAL(18,6)) AS v6
@@ -3806,6 +3891,43 @@ object SparkEntry {
     // are decimal(20,8) before SUM (exact, order-free), and the final
     // score crosses the decimal→double bridge via VARCHAR
     "bm25_topk" -> bm25Sql,
+    // boolean AND/NOT twin over the same distinct-token postings
+    "bool_query" ->
+      s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+         |  FROM documents),
+         |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+         |  FROM dt WHERE tok IN ('batch', 'join', 'window')
+         |  GROUP BY doc_id HAVING COUNT(*) = 3)
+         |SELECT doc_id, n_matched FROM hits
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dt WHERE tok = 'slow')
+         |ORDER BY doc_id""".stripMargin,
+    // co-occurrence lift twin: same top-V cut (df DESC, tok ASC), same
+    // pair join, lift in the SAME parenthesized IEEE double ops
+    "cooc_lift" ->
+      s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+         |  FROM documents),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
+         |top AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt
+         |  GROUP BY tok ORDER BY df DESC, tok ASC LIMIT 40),
+         |dtop AS (SELECT dt.doc_id, dt.tok, top.df FROM dt
+         |  JOIN top ON dt.tok = top.tok),
+         |pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_ab,
+         |    MIN(a.df) AS df_a, MIN(b.df) AS df_b
+         |  FROM dtop a JOIN dtop b ON a.doc_id = b.doc_id
+         |    AND a.tok < b.tok
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+         |SELECT tok_a, tok_b, n_ab, df_a, df_b,
+         |  (CAST(n_ab AS DOUBLE) * CAST((SELECT n FROM n) AS DOUBLE)) /
+         |    (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)) AS lift
+         |FROM pairs ORDER BY tok_a, tok_b""".stripMargin,
+    // crosstab twin: explicit CASE-sum per pivot value, 0 for empties
+    "crosstab_langs" ->
+      ("SELECT lang, " + (0 until 20).map(i =>
+        s"CAST(COALESCE(SUM(CASE WHEN source = 'src$i' THEN 1 END), 0) " +
+          s"AS BIGINT) AS src$i").mkString(", ") +
+        " FROM documents WHERE lang IS NOT NULL GROUP BY lang" +
+        " ORDER BY lang"),
     "bm25_batch" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |tf AS (

@@ -264,4 +264,37 @@ object Bm25 {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Boolean retrieval over the same postings model BM25 scores:
+    * documents containing ALL of `allOf` and NONE of `noneOf` (the
+    * AND/NOT inverted-index query — the unranked complement to
+    * [[search]]). Set semantics via the distinct token set per doc.
+    *
+    * Shape: the token explode is filtered to the query terms BEFORE
+    * any shuffle (a few-literals `isin` the optimizer keeps next to
+    * the scan), so the only grouped data is (doc, matched-term) rows
+    * for the handful of query terms — corpus-sized input, query-sized
+    * shuffle. AND = having count(distinct matched) == |allOf|; NOT =
+    * left-anti join on the exclusion postings. Returns (id, n_matched)
+    * with n_matched == |allOf|.
+    */
+  def booleanQuery(docs: DataFrame, idCol: String, textCol: String,
+      allOf: Seq[String], noneOf: Seq[String] = Nil): DataFrame = {
+    require(allOf.nonEmpty, "at least one required term")
+    require(allOf.distinct.size == allOf.size, s"duplicate term in $allOf")
+    require(noneOf.intersect(allOf).isEmpty,
+      s"terms both required and excluded: ${noneOf.intersect(allOf)}")
+    val toks = docs
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol))))
+        .as("token"))
+    val hits = toks.where(col("token").isin(allOf: _*))
+      .groupBy(idCol).agg(count(lit(1)).as("n_matched"))
+      .where(col("n_matched") === allOf.size)
+    if (noneOf.isEmpty) hits
+    else {
+      val excl = toks.where(col("token").isin(noneOf: _*))
+        .select(col(idCol)).distinct()
+      hits.join(excl, Seq(idCol), "left_anti")
+    }
+  }
 }

@@ -170,6 +170,29 @@ object Profile {
       .select("bucket", "lo", "n_keys", "n_rows")
   }
 
+  /** Crosstab / pivot report: row-key × EXPLICIT column domain →
+    * counts, empty cells as 0. The column domain is a required
+    * argument on purpose: Spark's values-less `pivot` first runs a
+    * driver-side distinct-collect over the pivot column — an extra
+    * full pass and an unbounded-width risk at corpus scale. With the
+    * domain supplied, this is ONE map-side-combined aggregate over
+    * (row, col) and a driver-free plan; values outside the domain are
+    * dropped (documented contract). Null row keys are excluded (a
+    * null row label is a diagnosis, not a report row). */
+  def crosstab(df: DataFrame, rowCol: String, colCol: String,
+      values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "explicit pivot column domain required")
+    require(values.distinct.size == values.size,
+      s"duplicate pivot value in $values")
+    val wide = df.where(col(rowCol).isNotNull)
+      .groupBy(col(rowCol))
+      .pivot(colCol, values)
+      .agg(count(lit(1)))
+    // pivot leaves empty cells null; a count report wants 0
+    wide.select(col(rowCol) +: values.map(v =>
+      coalesce(col(s"`$v`"), lit(0L)).as(v)): _*)
+  }
+
   def summarize(df: DataFrame, cols: Seq[String],
       exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")

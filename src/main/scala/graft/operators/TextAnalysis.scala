@@ -340,4 +340,54 @@ object TextAnalysis {
           ((col("__c1").cast("double") / col("__nuni")) *
             (col("__c2").cast("double") / col("__nuni")))).as("pmi"))
   }
+
+  /** Document-level co-occurrence association rules over a BOUNDED
+    * vocabulary: for the `topV` tokens by document frequency
+    * (ties by token, so the cut is deterministic), every unordered
+    * pair co-occurring in at least `minSupport` documents, with
+    * lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (df_a·df_b).
+    *
+    * Market-basket analysis done the distributed way: the vocabulary
+    * cap is what makes it scale — the per-doc self-join runs AFTER a
+    * broadcast semi-filter to the top-V tokens, so a doc contributes
+    * at most V·(V−1)/2 pair rows no matter how long it is, and the
+    * pair-count shuffle key space is ≤ V². (bigramPmi is the ADJACENT
+    * pair statistic; this is the anywhere-in-doc one.)
+    *
+    * Lift is `(n_ab·N)/(df_a·df_b)` computed as two double products
+    * and one division — three IEEE-754 ops on exact-long inputs,
+    * bit-identical in any engine that mirrors the parenthesization
+    * (long·long would overflow once N passes ~3·10⁹ docs; doubles
+    * never do). N (docs with ≥1 token) and the top-V table both
+    * re-enter via broadcast.
+    */
+  def coocLift(df: DataFrame, idCol: String, textCol: String,
+      topV: Int, minSupport: Long = 2L): DataFrame = {
+    require(topV >= 2, "need at least two vocabulary tokens")
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val dt = df.select(col(idCol).as("__id"),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val nDocs = broadcast(
+      dt.select(col("__id")).distinct().agg(count(lit(1)).as("__n")))
+    val top = broadcast(
+      dt.groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok").asc)
+        .limit(topV))
+    val dtop = dt.join(top, Seq("tok"))
+    val pairs = dtop.select(col("__id"), col("tok").as("tok_a"),
+        col("df").as("__dfa"))
+      .join(dtop.select(col("__id"), col("tok").as("tok_b"),
+        col("df").as("__dfb")), Seq("__id"))
+      .where(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n_ab"),
+        min("__dfa").as("df_a"), min("__dfb").as("df_b"))
+      .where(col("n_ab") >= minSupport)
+    pairs.crossJoin(nDocs)
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        col("df_a"), col("df_b"),
+        ((col("n_ab").cast("double") * col("__n").cast("double")) /
+          (col("df_a").cast("double") * col("df_b").cast("double")))
+          .as("lift"))
+  }
 }

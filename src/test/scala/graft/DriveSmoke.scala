@@ -433,6 +433,32 @@ object DriveSmoke {
       "qid", "embedding", "cid", "embedding", k = 4, threshold = 1.0)
     mined.explain("formatted")
     println("MARGIN_MINED=" + mined.count())
+
+    // conversion funnel + retention cohorts over real events
+    val evReal = graft.functions.TimeFunctions.epochNanos(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
+    val fun = graft.operators.Funnel.funnel(
+      evReal.select("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), 7L * 86400 * 1000000000L)
+    fun.explain("formatted")
+    fun.orderBy("step").show(false)
+    val ret = graft.operators.Funnel.retention(
+      evReal.select("user_id", "ts"), "user_id", "ts",
+      86400L * 1000000000L)
+    println("RETENTION_CELLS=" + ret.count())
+
+    // crosstab with an explicit domain; boolean retrieval; cooc lift
+    graft.operators.Profile.crosstab(docs, "lang", "source",
+      (0 until 20).map(i => s"src$i")).orderBy("lang").show(false)
+    val boolHits = graft.operators.Bm25.booleanQuery(docs, "doc_id",
+      "text", Seq("batch", "join", "window"), Seq("slow"))
+    boolHits.explain("formatted")
+    println("BOOL_HITS=" + boolHits.count())
+    val cl = graft.operators.TextAnalysis.coocLift(docs, "doc_id",
+      "text", topV = 40, minSupport = 10L)
+    cl.explain("formatted")
+    println("COOC_PAIRS=" + cl.count())
     spark.stop()
   }
 }

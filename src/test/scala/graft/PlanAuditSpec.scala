@@ -30,7 +30,11 @@ class PlanAuditSpec extends SparkSpec {
     Set("knn_batch_join", "knn_classify", "retrieval_eval", "bigram_pmi",
       "dsir_weights", "dsir_select", "binary_batch_knn",
       "pct_rank_scores", "margin_pairs", "margin_mine", "domain_kl",
-      "sketch_quantiles")
+      "sketch_quantiles",
+      // funnel_steps crossJoins its broadcast 1-row step-1 count
+      // (Funnel.funnel); cooc_lift its broadcast 1-row corpus doc
+      // count (TextAnalysis.coocLift) — both bounded by construction
+      "funnel_steps", "cooc_lift")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
