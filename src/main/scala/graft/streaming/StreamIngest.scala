@@ -81,6 +81,67 @@ object StreamIngest {
     stream.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Gap-based streaming sessionization via the BUILT-IN
+    * `session_window` aggregation — the Spark-native complement to
+    * [[streamingSessions]]' custom state path: the engine owns
+    * merge/seal/eviction, state is one open session per key, sessions
+    * emit once the watermark seals them (append mode).
+    *
+    * Session identity matches the batch [[graft.operators.Sessionize]]
+    * gap rule: events ≤ gap apart share a session. The one contract
+    * difference (documented, spec-pinned): `session_end` here is
+    * last-event + gap (the built-in's half-open window end), where the
+    * batch operator reports the last event time itself. */
+  def sessionWindowAgg(stream: DataFrame, keyCol: String, tsCol: String,
+      gap: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Watermarked stream-stream event-time interval join: each left
+    * row pairs with right rows of the same key whose event time lands
+    * in `[left.ts + lowerMs, left.ts + upperMs]` (the click-after-view
+    * attribution shape). The interval condition on BOTH event-time
+    * columns is what lets the engine compute per-side state-eviction
+    * watermarks — without it a stream-stream inner join would buffer
+    * both streams forever; with it state is bounded by
+    * watermark + interval width per side.
+    *
+    * Column names must be disjoint apart from the key (physically
+    * renamed here so the caller's frames may share names). Inner join
+    * only: outer stream-stream joins emit nulls on watermark close,
+    * which this engine reserves for the batch as-of operator. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKeyCol: String, rightKeyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      lowerMs: Long, upperMs: Long,
+      leftWatermark: String = "10 minutes",
+      rightWatermark: String = "10 minutes"): DataFrame = {
+    require(lowerMs <= upperMs, "lowerMs must be <= upperMs")
+    // watermark is applied AFTER packing the payload struct: only the
+    // top-level join column may carry event-time metadata (a second
+    // watermarked copy inside the struct is rejected by the engine)
+    val l = left
+      .select(col(leftKeyCol).as("__lk"), col(leftTsCol).as("__lts"),
+        struct(left.columns.map(col): _*).as("left"))
+      .withWatermark("__lts", leftWatermark)
+    val r = right
+      .select(col(rightKeyCol).as("__rk"), col(rightTsCol).as("__rts"),
+        struct(right.columns.map(col): _*).as("right"))
+      .withWatermark("__rts", rightWatermark)
+    l.join(r,
+      col("__lk") === col("__rk") &&
+        col("__rts") >= col("__lts") +
+          expr(s"INTERVAL $lowerMs MILLISECONDS") &&
+        col("__rts") <= col("__lts") +
+          expr(s"INTERVAL $upperMs MILLISECONDS"))
+      .select(col("__lk").as(leftKeyCol), col("left"), col("right"))
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * counts + sum per (window, key). Late rows beyond the watermark
     * are dropped; state is bounded by watermark horizon. */

@@ -644,4 +644,79 @@ class StreamIngestSpec extends SparkSpec {
       assert(streamRows.map(_._3).sum == 2 * data.size)
     } finally q.stop()
   }
+
+  test("sessionWindowAgg: built-in session windows split on the gap and " +
+      "seal on watermark; end = last event + gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(String, Timestamp)]
+    val out = StreamIngest.sessionWindowAgg(
+      source.toDF().toDF("user", "ts"), "user", "ts",
+      gap = "5 minutes", watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess_win_out")
+      .outputMode("append").start()
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      // u1: events at 0,3,4 (one session) then 20 (a second); u2: 1
+      source.addData(("u1", ts(0)), ("u1", ts(3)), ("u1", ts(4)),
+        ("u2", ts(1)), ("u1", ts(20)))
+      q.processAllAvailable()
+      // push the watermark far past every session close
+      source.addData(("wm", ts(90)))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user, session_start, session_end, n_events
+          |FROM sess_win_out WHERE user != 'wm'
+          |ORDER BY user, session_start""".stripMargin)
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSeq
+      assert(rows === Seq(
+        ("u1", ts(0), ts(9), 3L), // end = last event 10:04 + 5min gap
+        ("u1", ts(20), ts(25), 1L),
+        ("u2", ts(1), ts(6), 1L)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin: clicks attribute to same-key views within the " +
+      "interval; outside-window rows never pair") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val views = MemoryStream[(String, Timestamp, String)]
+    val clicks = MemoryStream[(String, Timestamp, String)]
+    val joined = StreamIngest.intervalJoin(
+      views.toDF().toDF("user", "ts", "page"),
+      clicks.toDF().toDF("user", "ts", "target"),
+      "user", "user", "ts", "ts",
+      lowerMs = 0L, upperMs = 10L * 60000L,
+      leftWatermark = "1 minute", rightWatermark = "1 minute")
+      .select(col("user"), col("left.page"), col("right.target"),
+        col("left.ts").as("vts"), col("right.ts").as("cts"))
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      views.addData(("u1", ts(0), "home"), ("u1", ts(20), "docs"),
+        ("u2", ts(0), "home"))
+      // c1 in u1/home's window; c2 15min after home (outside) and
+      // 5min BEFORE docs (negative lag — excluded by lower bound 0);
+      // c3 in u1/docs' window; u3 has no view at all
+      clicks.addData(("u1", ts(5), "c1"), ("u1", ts(15), "c2"),
+        ("u1", ts(25), "c3"), ("u3", ts(5), "cx"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user, page, target FROM ij_out ORDER BY user, page, target")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      assert(rows === Seq(
+        ("u1", "docs", "c3"), ("u1", "home", "c1")))
+      // guard: inverted interval rejected
+      intercept[IllegalArgumentException] {
+        StreamIngest.intervalJoin(
+          views.toDF().toDF("user", "ts", "page"),
+          clicks.toDF().toDF("user", "ts", "target"),
+          "user", "user", "ts", "ts", 10L, 0L)
+      }
+    } finally q.stop()
+  }
 }
