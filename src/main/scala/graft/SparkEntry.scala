@@ -1961,6 +1961,36 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         topV = 40, minSupport = 10L)
         .orderBy("tok_a", "tok_b")),
+    // TextRank: 3 fixed PageRank iterations over the same top-40
+    // co-occurrence edges (keyword centrality; iterative join-agg
+    // rounds, decimal-quantized contributions)
+    "token_pagerank" -> ((s, dir) => {
+      val pairs = graft.operators.TextAnalysis.coocLift(
+        t(s, dir, "documents"), "doc_id", "text",
+        topV = 40, minSupport = 10L)
+        .select("tok_a", "tok_b")
+      graft.operators.Graph.pageRank(pairs, "tok_a", "tok_b", iters = 3)
+        .orderBy("node")
+    }),
+    // MERGE INTO: one full-outer key join applying update + insert +
+    // conditional delete against a simulated source batch
+    "merge_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val updates = base.where(col("doc_id") % 7 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val inserts = base.where(col("doc_id") % 97 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      graft.operators.Lake.merge(base, updates.unionByName(inserts),
+        Seq("doc_id"), deleteWhen = Some(col("lang") === "zh"))
+        .orderBy("doc_id")
+    }),
+    // time-series densification: hourly per-type event counts with
+    // gaps zero-filled across the observed span
+    "dense_hourly" -> ((s, dir) =>
+      graft.operators.TimeWindows.densify(
+        events(s, dir).select("event_type", "ts"),
+        "ts", Seq("event_type"), bucketNs = 3600L * 1000000000L)
+        .orderBy("bucket", "event_type")),
     // lang × source crosstab with an explicit pivot domain (no
     // driver-side distinct-collect) — empty cells exact 0
     "crosstab_langs" -> ((s, dir) =>
@@ -2218,6 +2248,25 @@ object SparkEntry {
 
   private def shSql(toks: String): String =
     s"list_transform(range(1, len($toks)), j -> $toks[j] || ' ' || $toks[j + 1])"
+
+  // shared doc-level co-occurrence pair CTE (cooc_lift + the TextRank
+  // edge list): top-40 tokens by document frequency, pairs with
+  // support >= 10 — one definition so the graph twin cannot drift
+  // from the lift twin
+  private val coocPairsCte: String =
+    s"""dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+       |  FROM documents),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
+       |top AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt
+       |  GROUP BY tok ORDER BY df DESC, tok ASC LIMIT 40),
+       |dtop AS (SELECT dt.doc_id, dt.tok, top.df FROM dt
+       |  JOIN top ON dt.tok = top.tok),
+       |pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_ab,
+       |    MIN(a.df) AS df_a, MIN(b.df) AS df_b
+       |  FROM dtop a JOIN dtop b ON a.doc_id = b.doc_id
+       |    AND a.tok < b.tok
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 10)""".stripMargin
 
   // DSIR twin plumbing: 12-bit bucket from the first 3 md5 hex chars
   // (identical hex both engines; mirrors Dsir.bucketOf portable mode)
@@ -3904,23 +3953,81 @@ object SparkEntry {
     // co-occurrence lift twin: same top-V cut (df DESC, tok ASC), same
     // pair join, lift in the SAME parenthesized IEEE double ops
     "cooc_lift" ->
-      s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
-         |  FROM documents),
-         |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
-         |top AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt
-         |  GROUP BY tok ORDER BY df DESC, tok ASC LIMIT 40),
-         |dtop AS (SELECT dt.doc_id, dt.tok, top.df FROM dt
-         |  JOIN top ON dt.tok = top.tok),
-         |pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
-         |    CAST(COUNT(*) AS BIGINT) AS n_ab,
-         |    MIN(a.df) AS df_a, MIN(b.df) AS df_b
-         |  FROM dtop a JOIN dtop b ON a.doc_id = b.doc_id
-         |    AND a.tok < b.tok
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+      s"""WITH $coocPairsCte
          |SELECT tok_a, tok_b, n_ab, df_a, df_b,
          |  (CAST(n_ab AS DOUBLE) * CAST((SELECT n FROM n) AS DOUBLE)) /
          |    (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)) AS lift
          |FROM pairs ORDER BY tok_a, tok_b""".stripMargin,
+    // TextRank twin: same co-occurrence edges, 3 PageRank iterations
+    // unrolled — contributions double-divided then decimal(18,12),
+    // exact sums, rank update in the same parenthesized double ops
+    // ((1.0 - 0.85) is COMPUTED in both engines, never the 0.15
+    // literal — the IEEE subtraction result is not the nearest double
+    // to 0.15)
+    "token_pagerank" -> {
+      def iter(prev: String, out: String): String =
+        s"""c$out AS (SELECT s.v AS u,
+           |    CAST(p.pr / CAST(d.deg AS DOUBLE) AS DECIMAL(18,12)) AS c
+           |  FROM sym s JOIN $prev p ON s.u = p.u
+           |  JOIN deg d ON s.u = d.u),
+           |$out AS (SELECT u,
+           |    (1.0::DOUBLE - 0.85::DOUBLE) /
+           |      CAST((SELECT n FROM nn) AS DOUBLE) +
+           |      0.85::DOUBLE * CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE)
+           |      AS pr
+           |  FROM c$out GROUP BY u)""".stripMargin
+      s"""WITH $coocPairsCte,
+         |sym AS (SELECT tok_a AS u, tok_b AS v FROM pairs
+         |        UNION SELECT tok_b, tok_a FROM pairs),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym
+         |        GROUP BY u),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |pr0 AS (SELECT u,
+         |    1.0::DOUBLE / CAST((SELECT n FROM nn) AS DOUBLE) AS pr
+         |  FROM deg),
+         |${iter("pr0", "pr1")},
+         |${iter("pr1", "pr2")},
+         |${iter("pr2", "pr3")}
+         |SELECT u AS node, pr AS rank FROM pr3 ORDER BY node""".stripMargin
+    },
+    // MERGE twin: kept targets ∪ surviving updates ∪ inserts — the
+    // delete condition applies to MATCHED source rows only (unmatched
+    // source rows insert regardless, Delta's clause separation)
+    "merge_upsert" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars FROM documents),
+        |s AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM t
+        |      WHERE doc_id % 7 = 0
+        |      UNION ALL
+        |      SELECT doc_id + 10000000, lang, n_chars FROM t
+        |      WHERE doc_id % 97 = 0),
+        |kept AS (SELECT t.* FROM t
+        |         WHERE t.doc_id NOT IN (SELECT doc_id FROM s)),
+        |upd AS (SELECT s.* FROM s
+        |        WHERE s.doc_id IN (SELECT doc_id FROM t)
+        |          AND NOT COALESCE(s.lang = 'zh', FALSE)),
+        |ins AS (SELECT s.* FROM s
+        |        WHERE s.doc_id NOT IN (SELECT doc_id FROM t))
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM (
+        |  SELECT * FROM kept UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |ORDER BY doc_id""".stripMargin,
+    // densify twin: observed counts left-joined onto the
+    // keys × generate_series spine, 0-filled
+    "dense_hourly" ->
+      """WITH b AS (SELECT epoch_ns(ts) // 3600000000000 AS bucket,
+        |    event_type
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (SELECT bucket, event_type, COUNT(*) AS cnt FROM b
+        |      GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
+        |spine AS (SELECT k.event_type,
+        |    unnest(generate_series((SELECT lo FROM bounds),
+        |      (SELECT hi FROM bounds))) AS bucket
+        |  FROM (SELECT DISTINCT event_type FROM b) k)
+        |SELECT spine.bucket, spine.event_type,
+        |  CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM spine LEFT JOIN c USING (bucket, event_type)
+        |ORDER BY bucket, event_type""".stripMargin,
     // crosstab twin: explicit CASE-sum per pivot value, 0 for empties
     "crosstab_langs" ->
       ("SELECT lang, " + (0 until 20).map(i =>

@@ -277,6 +277,56 @@ object Lake {
       .select(keys ++ vals :+ col("op"): _*)
   }
 
+  /** MERGE INTO (Delta/Iceberg upsert semantics) as one full-outer
+    * key join: source rows update matched targets and insert
+    * unmatched ones; matched source rows satisfying `deleteWhen`
+    * (evaluated over the SOURCE row) delete the target row;
+    * target-only rows always survive. `updateMatched = false` keeps
+    * the target version of matched rows (insert-only merge);
+    * `insertUnmatched = false` drops source-only rows (update-only
+    * merge). Deletes still apply in both.
+    *
+    * Schema contract: source and target share the same columns
+    * (align first with [[readEvolved]] if generations differ).
+    * Duplicate-key source rows are a caller error exactly as in Delta
+    * MERGE (which rows win would be nondeterministic); dedupe with
+    * [[graft.operators.Dedup.exactFirstWins]] upstream.
+    *
+    * Shape: ONE hash-partitioned full-outer join on the key — no
+    * window, no collect; AQE broadcasts a small source side on its
+    * own. The CASE selection is a narrow codegen'd projection over
+    * the joined row. */
+  def merge(target: DataFrame, source: DataFrame, keyCols: Seq[String],
+      deleteWhen: Option[Column] = None,
+      updateMatched: Boolean = true,
+      insertUnmatched: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "key columns required")
+    require(target.columns.sameElements(source.columns),
+      s"schema mismatch: target ${target.columns.toSeq} vs source " +
+        s"${source.columns.toSeq} — align schemas before merging")
+    val cols = target.columns.toSeq
+    // physical renames (same reasoning as snapshotDiff: target and
+    // source are routinely two versions of one table)
+    val t = target.select(
+      keyCols.map(c => col(c).as(s"__tk_$c")) :+
+        struct(cols.map(col): _*).as("__t"): _*)
+    val del = deleteWhen.getOrElse(lit(false))
+    val s = source.select(
+      keyCols.map(c => col(c).as(s"__sk_$c")) ++
+        Seq(struct(cols.map(col): _*).as("__s"),
+          coalesce(del, lit(false)).as("__del")): _*)
+    val joined = t.join(s,
+      keyCols.map(k => col(s"__tk_$k") <=> col(s"__sk_$k")).reduce(_ && _),
+      "full_outer")
+    val keep = when(col("__t").isNull,
+        if (insertUnmatched) col("__s") else lit(null))
+      .when(col("__s").isNull, col("__t"))
+      .when(col("__del"), lit(null))
+      .otherwise(if (updateMatched) col("__s") else col("__t"))
+    joined.select(keep.as("__r")).where(col("__r").isNotNull)
+      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
   /** Schema-evolution read: one frame over parquet directories
     * spanning SCHEMA VERSIONS — the normal state of a long-lived
     * lake, where ingest v1 wrote (id, text), v2 added a column, v3

@@ -68,4 +68,41 @@ object TimeWindows {
     exploded.groupBy((bucketCol +: keyCols).map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Time-series densification: tumbling-bucket counts per key with
+    * the GAPS ZERO-FILLED — the dashboard/monitoring contract where a
+    * missing hour must read 0, not vanish (aggregation alone emits
+    * only observed buckets). Spine = the full
+    * [min bucket, max bucket] range observed in the data (one
+    * broadcast 1-row bounds aggregate → `sequence` explode) crossed
+    * with the distinct key set, left-joined to the observed counts.
+    *
+    * Scale note: the output is |keys| × |buckets| rows BY DEFINITION
+    * of densification — that product is the caller's contract, not a
+    * join explosion (the spine cross is an explode over a broadcast
+    * range, never a shuffled cartesian). Timestamps must be
+    * non-negative epoch nanos (truncating `div` == floor there, both
+    * engines). */
+  def densify(df: DataFrame, tsCol: String, keyCols: Seq[String],
+      bucketNs: Long, bucketCol: String = "bucket"): DataFrame = {
+    require(bucketNs > 0, "bucketNs must be positive")
+    require(keyCols.nonEmpty, "key columns required")
+    require(!keyCols.contains(bucketCol), s"'$bucketCol' clashes with keys")
+    val bucketed = df
+      .where(col(tsCol).isNotNull &&
+        keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(expr(s"cast(`$tsCol` div ${bucketNs}L as bigint)")
+        .as(bucketCol) +: keyCols.map(col): _*)
+    val counts = bucketed.groupBy((bucketCol +: keyCols).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = broadcast(bucketed.agg(
+      min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi")))
+    val keys = bucketed.select(keyCols.map(col): _*).distinct()
+    val spine = keys.crossJoin(bounds)
+      .select(keyCols.map(col) :+
+        explode(sequence(col("__lo"), col("__hi"))).as(bucketCol): _*)
+    spine.join(counts, bucketCol +: keyCols, "left")
+      .select((bucketCol +: keyCols).map(col) :+
+        coalesce(col("cnt"), lit(0L)).as("cnt"): _*)
+  }
 }

@@ -33,8 +33,11 @@ class PlanAuditSpec extends SparkSpec {
       "sketch_quantiles",
       // funnel_steps crossJoins its broadcast 1-row step-1 count
       // (Funnel.funnel); cooc_lift its broadcast 1-row corpus doc
-      // count (TextAnalysis.coocLift) — both bounded by construction
-      "funnel_steps", "cooc_lift")
+      // count (TextAnalysis.coocLift); token_pagerank rides the same
+      // cooc pairs plus Graph.pageRank's broadcast 1-row N;
+      // dense_hourly crossJoins its broadcast 1-row bucket bounds
+      // (TimeWindows.densify) — all bounded by construction
+      "funnel_steps", "cooc_lift", "token_pagerank", "dense_hourly")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

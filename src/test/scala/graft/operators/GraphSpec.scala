@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("degrees symmetrizes, drops self-loops, collapses parallels") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))
+      .toDF("src", "dst")
+    val out = Graph.degrees(e, "src", "dst").orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+  }
+
+  test("pageRank on a symmetric pair splits mass evenly") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graph.pageRank(e, "src", "dst", iters = 5)
+      .orderBy("node").collect().map(_.getDouble(1))
+    // two symmetric nodes: rank stays uniform 0.5 (up to the decimal
+    // quantization of contributions)
+    assert(out.forall(r => math.abs(r - 0.5) < 1e-9))
+  }
+
+  test("pageRank ranks the hub of a star above its leaves, mass ~1") {
+    // star: 0 -- {1,2,3,4}
+    val e = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
+    val out = Graph.pageRank(e, "src", "dst", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(0L) > out(1L) * 2)
+    assert((1L to 4L).map(out).distinct.size === 1) // leaves identical
+    assert(math.abs(out.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pageRank matches a hand-computed iteration on a path graph") {
+    // path 1-2-3, degrees 1,2,1. After one iteration with d=0.85:
+    // pr(1) = 0.15/3 + 0.85*(pr2/2); pr(2) = 0.15/3 + 0.85*(pr1+pr3);
+    // pr(3) symmetric to 1. Initial pr = 1/3.
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.pageRank(e, "src", "dst", iters = 1)
+      .orderBy("node").collect().map(_.getDouble(1))
+    val third = 1.0 / 3.0
+    val exp1 = (1.0 - 0.85) / 3.0 + 0.85 * (third / 2.0)
+    val exp2 = (1.0 - 0.85) / 3.0 + 0.85 * (third + third)
+    assert(math.abs(out(0) - exp1) < 1e-9)
+    assert(math.abs(out(1) - exp2) < 1e-9)
+    assert(math.abs(out(2) - exp1) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e, "src", "dst", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e, "src", "dst", iters = 1, damping = 1.0)
+    }
+  }
+}
