@@ -1665,6 +1665,50 @@ object SparkEntry {
         Seq("view", "click", "purchase"),
         horizonNanos = 7L * 86400 * 1000000000L)
         .orderBy("step")),
+    // time-to-convert per funnel step (avg lag from step 1, decimal
+    // sums — horizon·users overflows a long at corpus scale)
+    "funnel_lag" -> ((s, dir) =>
+      graft.operators.Funnel.conversionLag(
+        events(s, dir).select("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"),
+        horizonNanos = 7L * 86400 * 1000000000L)
+        .orderBy("step")),
+    // semi-structured props: real JSON parsing (from_json) → typed
+    // aggregation per event type
+    "props_parse" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"), sum(col("k")).cast("long").as("sum_k"))
+        .withColumn("avg_k", col("sum_k").cast("double") / col("n"))
+        .orderBy("event_type")),
+    // HLL set algebra: en-token vs de-token sketches, union by
+    // register MAX, intersection by inclusion–exclusion — plus the
+    // exact counts for context
+    "hll_setops" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def toks(lang: String) = docs.where(col("lang") === lang)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("tok"))
+      val est = graft.operators.Hll.setOpEstimates(
+        toks("en"), toks("de"), "tok", m = 64, portableHash = true)
+      val exact = broadcast(
+        toks("en").select(col("tok"), lit(1).as("__a"))
+          .distinct()
+          .join(toks("de").select(col("tok"), lit(1).as("__b")).distinct(),
+            Seq("tok"), "full_outer")
+          .agg(count(col("__a")).as("ex_a"), count(col("__b")).as("ex_b"),
+            count(lit(1)).as("ex_union"),
+            count(when(col("__a").isNotNull && col("__b").isNotNull, 1))
+              .as("ex_inter")))
+      est.crossJoin(exact)
+    }),
     // cohort retention matrix over event days: distinct (user, day) →
     // first-day cohort → (cohort, offset) cells with exact rates
     "retention_cohorts" -> ((s, dir) =>
@@ -2248,6 +2292,27 @@ object SparkEntry {
 
   private def shSql(toks: String): String =
     s"list_transform(range(1, len($toks)), j -> $toks[j] || ' ' || $toks[j + 1])"
+
+  // shared funnel step-reach CTE chain (funnel_steps + funnel_lag):
+  // mirrors Funnel.stepReachFrames — s_k = first step-k event strictly
+  // after s_{k-1} within 7d of step 1
+  private val funnelStepsCte: String =
+    """b AS (SELECT user_id AS u, event_type AS et, epoch_ns(ts) AS tn
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |    AND ts IS NOT NULL),
+      |s1 AS (SELECT u, MIN(tn) AS t1, MIN(tn) AS tk FROM b
+      |       WHERE et = 'view' GROUP BY u),
+      |s2 AS (SELECT b.u, MIN(s1.t1) AS t1, MIN(b.tn) AS tk
+      |       FROM b JOIN s1 ON b.u = s1.u
+      |       WHERE b.et = 'click' AND b.tn > s1.tk
+      |         AND b.tn <= s1.t1 + 604800000000000
+      |       GROUP BY b.u),
+      |s3 AS (SELECT b.u, MIN(s2.t1) AS t1, MIN(b.tn) AS tk
+      |       FROM b JOIN s2 ON b.u = s2.u
+      |       WHERE b.et = 'purchase' AND b.tn > s2.tk
+      |         AND b.tn <= s2.t1 + 604800000000000
+      |       GROUP BY b.u)""".stripMargin
 
   // shared doc-level co-occurrence pair CTE (cooc_lift + the TextRank
   // edge list): top-40 tokens by document frequency, pairs with
@@ -3573,22 +3638,7 @@ object SparkEntry {
     // funnel twin: same strictly-after + 7d-from-step-1 semantics; the
     // per-step CTE chain mirrors Funnel.funnel's scanLeft exactly
     "funnel_steps" ->
-      """WITH b AS (SELECT user_id AS u, event_type AS et, epoch_ns(ts) AS tn
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-        |    AND ts IS NOT NULL),
-        |s1 AS (SELECT u, MIN(tn) AS t1, MIN(tn) AS tk FROM b
-        |       WHERE et = 'view' GROUP BY u),
-        |s2 AS (SELECT b.u, MIN(s1.t1) AS t1, MIN(b.tn) AS tk
-        |       FROM b JOIN s1 ON b.u = s1.u
-        |       WHERE b.et = 'click' AND b.tn > s1.tk
-        |         AND b.tn <= s1.t1 + 604800000000000
-        |       GROUP BY b.u),
-        |s3 AS (SELECT b.u, MIN(s2.t1) AS t1, MIN(b.tn) AS tk
-        |       FROM b JOIN s2 ON b.u = s2.u
-        |       WHERE b.et = 'purchase' AND b.tn > s2.tk
-        |         AND b.tn <= s2.t1 + 604800000000000
-        |       GROUP BY b.u),
+      s"""WITH $funnelStepsCte,
         |n AS (
         |  SELECT 1 AS step, 'view' AS event_type,
         |    (SELECT COUNT(*) FROM s1) AS n_users
@@ -3598,6 +3648,77 @@ object SparkEntry {
         |  CAST(n_users AS BIGINT) AS n_users,
         |  CAST(n_users AS DOUBLE) / (SELECT COUNT(*) FROM s1) AS conv_pct
         |FROM n ORDER BY step""".stripMargin,
+    // funnel-lag twin: same step CTEs; lag sums as DECIMAL(28,0),
+    // avg via the VARCHAR bridge then one double division
+    "funnel_lag" -> {
+      def lag(s: String) =
+        s"""(SELECT CAST(CAST(SUM(CAST(tk - t1 AS DECIMAL(28,0)))
+           |  AS VARCHAR) AS DOUBLE) FROM $s)""".stripMargin
+           .replace("\n", " ")
+      s"""WITH $funnelStepsCte,
+         |n AS (
+         |  SELECT 1 AS step, 'view' AS event_type,
+         |    (SELECT COUNT(*) FROM s1) AS n_users, ${lag("s1")} AS s
+         |  UNION ALL SELECT 2, 'click',
+         |    (SELECT COUNT(*) FROM s2), ${lag("s2")}
+         |  UNION ALL SELECT 3, 'purchase',
+         |    (SELECT COUNT(*) FROM s3), ${lag("s3")})
+         |SELECT CAST(step AS INT) AS step, event_type,
+         |  CAST(n_users AS BIGINT) AS n_users, s / n_users AS avg_lag_ns
+         |FROM n ORDER BY step""".stripMargin
+    },
+    // JSON-props twin: json_extract_string → typed agg (Spark side
+    // parses with from_json — real JSON semantics both engines)
+    "props_parse" ->
+      """SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) / COUNT(k) AS avg_k
+        |FROM (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // HLL set-algebra twin: per-set register replay from the same md5
+    // hex, union = register MAX over the two sketches, estimates via
+    // the same single exact-int division; exacts replayed set-wise
+    "hll_setops" -> {
+      val num = (graft.operators.Hll.alphaM2(64) *
+        math.pow(2.0, graft.operators.Hll.PortableRhoMax)).toString
+      def src(lang: String) =
+        s"(SELECT unnest($toksSql) AS tok FROM documents " +
+          s"WHERE lang = '$lang')"
+      def skCte(name: String, from: String) =
+        s"""f_$name AS (SELECT ${hllRegSql("h", 64)} AS reg,
+           |    regexp_replace(substr(h, 4, 12), '^0+', '') AS sig
+           |  FROM (SELECT md5(tok) AS h FROM $from)),
+           |sk_$name AS (SELECT reg, MAX(${hllRhoSql("sig")}) AS rho
+           |  FROM f_$name GROUP BY reg)""".stripMargin
+      def estCte(name: String, sk: String) =
+        s"""e_$name AS (SELECT CAST('$num' AS DOUBLE) /
+           |  CAST(SUM(CAST(1 AS BIGINT) << (49 - rho)) +
+           |    (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 49) AS DOUBLE)
+           |  AS est FROM $sk)""".stripMargin
+      s"""WITH ${skCte("a", src("en"))},
+         |${skCte("b", src("de"))},
+         |sk_u AS (SELECT reg, MAX(rho) AS rho FROM
+         |  (SELECT * FROM sk_a UNION ALL SELECT * FROM sk_b)
+         |  GROUP BY reg),
+         |${estCte("a", "sk_a")},
+         |${estCte("b", "sk_b")},
+         |${estCte("u", "sk_u")},
+         |da AS (SELECT DISTINCT tok FROM ${src("en")} s),
+         |db AS (SELECT DISTINCT tok FROM ${src("de")} s)
+         |SELECT e_a.est AS est_a, e_b.est AS est_b, e_u.est AS est_union,
+         |  (e_a.est + e_b.est - e_u.est) AS est_inter,
+         |  ((e_a.est + e_b.est - e_u.est) / e_u.est) AS jaccard_est,
+         |  CAST((SELECT COUNT(*) FROM da) AS BIGINT) AS ex_a,
+         |  CAST((SELECT COUNT(*) FROM db) AS BIGINT) AS ex_b,
+         |  CAST((SELECT COUNT(*) FROM
+         |    (SELECT tok FROM da UNION SELECT tok FROM db)) AS BIGINT)
+         |    AS ex_union,
+         |  CAST((SELECT COUNT(*) FROM da
+         |    WHERE tok IN (SELECT tok FROM db)) AS BIGINT) AS ex_inter
+         |FROM e_a, e_b, e_u""".stripMargin
+    },
     // retention twin: distinct (user, day) -> first-day cohort ->
     // (cohort, offset) cells; rates are single exact-long divisions
     "retention_cohorts" ->

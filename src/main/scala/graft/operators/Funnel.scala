@@ -35,32 +35,8 @@ object Funnel {
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String], horizonNanos: Long): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    require(steps.distinct.size == steps.size, s"duplicate step in $steps")
-    require(horizonNanos > 0 && horizonNanos <= Long.MaxValue / 2,
-      "horizonNanos must be positive (and small enough that t1 + horizon " +
-        "cannot overflow a long)")
-    val base = events
-      .select(col(userCol).as("u"), col(typeCol).as("et"),
-        col(tsCol).cast("long").as("tn"))
-      .where(col("u").isNotNull && col("et").isNotNull &&
-        col("tn").isNotNull)
-
-    // stepFrames(k): (u, t1, tk) — users who reached step k+1, with
-    // their step-1 time and step-(k+1) time.
-    val first = base.where(col("et") === steps.head)
-      .groupBy("u").agg(min("tn").as("t1"))
-      .withColumn("tk", col("t1"))
-    val stepFrames = steps.drop(1).scanLeft(first) { (prev, stepType) =>
-      base.where(col("et") === stepType)
-        .join(prev.select(col("u"), col("t1"), col("tk").as("tp")),
-          Seq("u"))
-        .where(col("tn") > col("tp") &&
-          col("tn") <= col("t1") + lit(horizonNanos))
-        .groupBy("u")
-        .agg(min("t1").as("t1"), min("tn").as("tk"))
-    }
-
+    val stepFrames =
+      stepReachFrames(events, userCol, typeCol, tsCol, steps, horizonNanos)
     val perStep = stepFrames.zipWithIndex.map { case (f, i) =>
       f.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).cast("int").as("step"),
@@ -71,6 +47,55 @@ object Funnel {
       .withColumn("conv_pct",
         col("n_users").cast("double") / col("n_first"))
       .drop("n_first")
+  }
+
+  /** Time-to-convert per funnel step: users reached + the average lag
+    * from their step-1 event, in nanos (step 1 is 0 by definition).
+    * The lag sum accumulates as exact decimal — horizon·users can
+    * pass 2^63 nanos long before the corpus is "big" — and the
+    * average is one double division via the VARCHAR bridge. */
+  def conversionLag(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], horizonNanos: Long): DataFrame = {
+    val stepFrames =
+      stepReachFrames(events, userCol, typeCol, tsCol, steps, horizonNanos)
+    stepFrames.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("n_users"),
+          sum((col("tk") - col("t1")).cast("decimal(28,0)")).as("__s"))
+        .select(lit(i + 1).cast("int").as("step"),
+          lit(steps(i)).as("event_type"), col("n_users"),
+          (col("__s").cast("string").cast("double") / col("n_users"))
+            .as("avg_lag_ns"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** stepFrames(k): (u, t1, tk) — users who reached step k+1, with
+    * their step-1 time and step-(k+1) time. Shared by [[funnel]] and
+    * [[conversionLag]]. */
+  private def stepReachFrames(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String],
+      horizonNanos: Long): Seq[DataFrame] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate step in $steps")
+    require(horizonNanos > 0 && horizonNanos <= Long.MaxValue / 2,
+      "horizonNanos must be positive (and small enough that t1 + horizon " +
+        "cannot overflow a long)")
+    val base = events
+      .select(col(userCol).as("u"), col(typeCol).as("et"),
+        col(tsCol).cast("long").as("tn"))
+      .where(col("u").isNotNull && col("et").isNotNull &&
+        col("tn").isNotNull)
+    val first = base.where(col("et") === steps.head)
+      .groupBy("u").agg(min("tn").as("t1"))
+      .withColumn("tk", col("t1"))
+    steps.drop(1).scanLeft(first) { (prev, stepType) =>
+      base.where(col("et") === stepType)
+        .join(prev.select(col("u"), col("t1"), col("tk").as("tp")),
+          Seq("u"))
+        .where(col("tn") > col("tp") &&
+          col("tn") <= col("t1") + lit(horizonNanos))
+        .groupBy("u")
+        .agg(min("t1").as("t1"), min("tn").as("tk"))
+    }
   }
 
   /** Cohort retention matrix: cohort = the period (e.g. day) of a

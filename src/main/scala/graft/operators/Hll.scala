@@ -140,6 +140,34 @@ object Hll {
     if (rawEst <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
     else rawEst
 
+  /** Sketch set algebra: distinct-count estimates for two value sets,
+    * their union (register-wise MAX — the HLL union is EXACT over
+    * sketches), the inclusion–exclusion intersection estimate
+    * est_a + est_b − est_union, and the derived Jaccard estimate —
+    * one row. The sketch-union trick is the point: |A∪B| needs no
+    * re-scan of either input once sketches exist, so cross-corpus
+    * overlap questions ("how much vocabulary do these two crawls
+    * share?") run over ≤ 3m register rows. Raw (uncorrected)
+    * estimates, so every emitted double is a fixed chain of
+    * engine-exact divisions/adds (the ln-based correction is
+    * [[correct]], driver-side). Intersection via inclusion–exclusion
+    * can go negative for near-disjoint sets — that is the estimator,
+    * not a bug (documented). */
+  def setOpEstimates(a: DataFrame, b: DataFrame, valueCol: String,
+      m: Int, portableHash: Boolean = false): DataFrame = {
+    val ska = sketch(a, valueCol, m, portableHash)
+    val skb = sketch(b, valueCol, m, portableHash)
+    val sku = merge(Seq(ska, skb))
+    def est(sk: DataFrame, name: String) =
+      broadcast(rawEstimateByKey(sk, Nil, m)
+        .select(col("raw_est").as(name)))
+    est(ska, "est_a").crossJoin(est(skb, "est_b"))
+      .crossJoin(est(sku, "est_union"))
+      .withColumn("est_inter",
+        col("est_a") + col("est_b") - col("est_union"))
+      .withColumn("jaccard_est", col("est_inter") / col("est_union"))
+  }
+
   /** Convenience: corrected distinct-count estimate of one column,
     * computed from a portable or xxhash sketch. The collect is
     * m-bounded. */

@@ -37,7 +37,10 @@ class PlanAuditSpec extends SparkSpec {
       // cooc pairs plus Graph.pageRank's broadcast 1-row N;
       // dense_hourly crossJoins its broadcast 1-row bucket bounds
       // (TimeWindows.densify) — all bounded by construction
-      "funnel_steps", "cooc_lift", "token_pagerank", "dense_hourly")
+      // funnel_lag and hll_setops cross only broadcast 1-row
+      // aggregates (per-step lag scalars / sketch estimates + exacts)
+      "funnel_steps", "cooc_lift", "token_pagerank", "dense_hourly",
+      "funnel_lag", "hll_setops")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -102,6 +102,26 @@ class FunnelSpec extends SparkSpec {
       (1L, 0L, 1L, 1L, 1.0)))
   }
 
+  test("conversionLag averages time-from-step-1 per reached step") {
+    val e = ev(
+      (1L, "view", 0L), (1L, "click", 100L),
+      (2L, "view", 0L), (2L, "click", 300L),
+      (3L, "view", 0L)) // never clicks
+    val out = Funnel.conversionLag(e, "user_id", "event_type", "ts",
+      Seq("view", "click"), H * 1000)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1, 3L, 0.0), (2, 2L, 200.0)))
+  }
+
+  test("conversionLag on an unreached step yields null avg, 0 users") {
+    val e = ev((1L, "view", 0L))
+    val out = Funnel.conversionLag(e, "user_id", "event_type", "ts",
+      Seq("view", "click"), H).orderBy("step").collect()
+    assert(out(1).getLong(2) === 0L)
+    assert(out(1).isNullAt(3))
+  }
+
   test("retention counts a user once per period") {
     val e = ev((1L, "x", 1L), (1L, "x", 2L), (1L, "x", 3L))
     val out = Funnel.retention(e, "user_id", "ts", 10L).collect()

@@ -127,4 +127,23 @@ class HllSpec extends SparkSpec {
     assert(firstExchange >= 0 && partialAgg > firstExchange,
       s"expected partial aggregation under the exchange:\n$plan")
   }
+
+  test("setOpEstimates: identical sets give est_inter == est, jaccard 1; " +
+      "disjoint union dominates either side") {
+    import spark.implicits._
+    val a = (1 to 500).map(i => s"tok_a_$i").toDF("v")
+    val r1 = Hll.setOpEstimates(a, a, "v", m = 256).head
+    assert(r1.getAs[Double]("est_a") === r1.getAs[Double]("est_union"))
+    assert(math.abs(r1.getAs[Double]("jaccard_est") - 1.0) < 1e-12)
+    assert(r1.getAs[Double]("est_inter") === r1.getAs[Double]("est_a"))
+    val b = (1 to 500).map(i => s"tok_b_$i").toDF("v")
+    val r2 = Hll.setOpEstimates(a, b, "v", m = 256).head
+    assert(r2.getAs[Double]("est_union") > r2.getAs[Double]("est_a"))
+    assert(r2.getAs[Double]("est_union") > r2.getAs[Double]("est_b"))
+    // half-overlap: intersection estimate lands within HLL error of 250
+    val c = (251 to 750).map(i => s"tok_a_$i").toDF("v")
+    val r3 = Hll.setOpEstimates(a, c, "v", m = 256).head
+    val inter = r3.getAs[Double]("est_inter")
+    assert(inter > 100 && inter < 400, s"inter=$inter")
+  }
 }
