@@ -2035,6 +2035,36 @@ object SparkEntry {
         events(s, dir).select("event_type", "ts"),
         "ts", Seq("event_type"), bucketNs = 3600L * 1000000000L)
         .orderBy("bucket", "event_type")),
+    // period-over-period dashboard report: hourly deltas + pct change
+    // over the zero-filled spine (null at the first bucket / prev 0)
+    "period_over_period" -> ((s, dir) =>
+      graft.operators.Funnel.periodOverPeriod(
+        graft.operators.TimeWindows.densify(
+          events(s, dir).select("event_type", "ts"),
+          "ts", Seq("event_type"), bucketNs = 3600L * 1000000000L),
+        "bucket", Seq("event_type"), "cnt")
+        .orderBy("bucket", "event_type")),
+    // next-event Markov transition matrix (event-time order, id
+    // tiebreaks) with exact conditional probabilities
+    "event_transitions" -> ((s, dir) =>
+      graft.operators.Funnel.transitions(
+        events(s, dir).select("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type")),
+    // two-proportion A/B z-test: odd/even user split, conversion =
+    // at least 14 purchase events (every synthetic user purchases, so
+    // the any-purchase predicate would be degenerate — pool = 1);
+    // fixed IEEE chain incl. correctly-rounded sqrt
+    "ab_test" -> ((s, dir) => {
+      val users = events(s, dir)
+        .where(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("n_purch"))
+        .select(pmod(col("user_id"), lit(2)).as("variant"),
+          (col("n_purch") >= 14).as("converted"))
+      graft.operators.Funnel.abTest(users, "variant", "converted")
+    }),
     // lang × source crosstab with an explicit pivot domain (no
     // driver-side distinct-collect) — empty cells exact 0
     "crosstab_langs" -> ((s, dir) =>
@@ -2292,6 +2322,23 @@ object SparkEntry {
 
   private def shSql(toks: String): String =
     s"list_transform(range(1, len($toks)), j -> $toks[j] || ' ' || $toks[j + 1])"
+
+  // shared hourly densification CTE (dense_hourly + period_over_period):
+  // mirrors TimeWindows.densify over events × event_type
+  private val denseHourlyCte: String =
+    """b AS (SELECT epoch_ns(ts) // 3600000000000 AS bucket,
+      |    event_type
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+      |c AS (SELECT bucket, event_type, COUNT(*) AS cnt FROM b
+      |      GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
+      |spine AS (SELECT k.event_type,
+      |    unnest(generate_series((SELECT lo FROM bounds),
+      |      (SELECT hi FROM bounds))) AS bucket
+      |  FROM (SELECT DISTINCT event_type FROM b) k),
+      |dense AS (SELECT spine.bucket, spine.event_type,
+      |    CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      |  FROM spine LEFT JOIN c USING (bucket, event_type))""".stripMargin
 
   // shared funnel step-reach CTE chain (funnel_steps + funnel_lag):
   // mirrors Funnel.stepReachFrames — s_k = first step-k event strictly
@@ -3719,6 +3766,57 @@ object SparkEntry {
          |    WHERE tok IN (SELECT tok FROM db)) AS BIGINT) AS ex_inter
          |FROM e_a, e_b, e_u""".stripMargin
     },
+    // transition-matrix twin: LEAD over (user, ts, id), exact p
+    "event_transitions" ->
+      """WITH b AS (SELECT user_id AS u, event_type AS et,
+        |    epoch_ns(ts) AS tn, event_id AS id
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND ts IS NOT NULL),
+        |nx AS (SELECT et, LEAD(et, 1) OVER
+        |    (PARTITION BY u ORDER BY tn, id) AS to_type FROM b),
+        |pairs AS (SELECT et AS from_type, to_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |        FROM pairs GROUP BY from_type)
+        |SELECT p.from_type, p.to_type, p.n, t.n_from,
+        |  CAST(p.n AS DOUBLE) / t.n_from AS p
+        |FROM pairs p JOIN tot t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    // A/B twin: same conditional split, same IEEE chain (sqrt is
+    // correctly rounded on both engines)
+    "ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |v AS (SELECT user_id % 2 AS variant, conv FROM u),
+        |a AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(conv) AS BIGINT) AS c
+        |  FROM v GROUP BY variant),
+        |vs AS (SELECT MIN(variant) AS va, MAX(variant) AS vb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_variants FROM a),
+        |w AS (SELECT
+        |    (SELECT va FROM vs) AS variant_a,
+        |    (SELECT vb FROM vs) AS variant_b,
+        |    (SELECT n_variants FROM vs) AS n_variants,
+        |    (SELECT n FROM a WHERE variant = (SELECT va FROM vs)) AS n_a,
+        |    (SELECT c FROM a WHERE variant = (SELECT va FROM vs)) AS c_a,
+        |    (SELECT n FROM a WHERE variant = (SELECT vb FROM vs)) AS n_b,
+        |    (SELECT c FROM a WHERE variant = (SELECT vb FROM vs)) AS c_b)
+        |SELECT variant_a, variant_b, n_variants, n_a, c_a,
+        |  CAST(c_a AS DOUBLE) / n_a AS p_a, n_b, c_b,
+        |  CAST(c_b AS DOUBLE) / n_b AS p_b,
+        |  CASE WHEN sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+        |      (1.0::DOUBLE - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+        |      (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b)) > 0.0::DOUBLE
+        |  THEN
+        |    (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
+        |    sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+        |      (1.0::DOUBLE - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+        |      (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b))
+        |  END AS z
+        |FROM w""".stripMargin,
     // retention twin: distinct (user, day) -> first-day cohort ->
     // (cohort, offset) cells; rates are single exact-long divisions
     "retention_cohorts" ->
@@ -4135,20 +4233,21 @@ object SparkEntry {
     // densify twin: observed counts left-joined onto the
     // keys × generate_series spine, 0-filled
     "dense_hourly" ->
-      """WITH b AS (SELECT epoch_ns(ts) // 3600000000000 AS bucket,
-        |    event_type
-        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
-        |c AS (SELECT bucket, event_type, COUNT(*) AS cnt FROM b
-        |      GROUP BY 1, 2),
-        |bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
-        |spine AS (SELECT k.event_type,
-        |    unnest(generate_series((SELECT lo FROM bounds),
-        |      (SELECT hi FROM bounds))) AS bucket
-        |  FROM (SELECT DISTINCT event_type FROM b) k)
-        |SELECT spine.bucket, spine.event_type,
-        |  CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
-        |FROM spine LEFT JOIN c USING (bucket, event_type)
+      s"""WITH $denseHourlyCte
+        |SELECT bucket, event_type, cnt FROM dense
         |ORDER BY bucket, event_type""".stripMargin,
+    // period-over-period twin: LAG over the shared dense spine
+    "period_over_period" ->
+      s"""WITH $denseHourlyCte,
+        |l AS (SELECT bucket, event_type, cnt,
+        |    LAG(cnt, 1) OVER (PARTITION BY event_type ORDER BY bucket)
+        |      AS prev
+        |  FROM dense)
+        |SELECT bucket, event_type, cnt, CAST(prev AS BIGINT) AS prev,
+        |  CAST(cnt - prev AS BIGINT) AS delta,
+        |  CASE WHEN prev > 0
+        |    THEN CAST(cnt - prev AS DOUBLE) / prev END AS pct_change
+        |FROM l ORDER BY bucket, event_type""".stripMargin,
     // crosstab twin: explicit CASE-sum per pivot value, 0 for empties
     "crosstab_langs" ->
       ("SELECT lang, " + (0 until 20).map(i =>

@@ -68,6 +68,99 @@ object Funnel {
     }.reduce(_ unionByName _)
   }
 
+  /** Next-event Markov transition matrix: for consecutive events of
+    * each user (event-time order, id tiebreak — total order, so the
+    * matrix is deterministic under duplicate timestamps), the count
+    * and conditional probability of each (from → to) event-type pair.
+    * One key-partitioned window (lead over user), one small
+    * (from, to) aggregate, from-type totals re-entering via broadcast
+    * re-aggregation — no second data shuffle. p is one exact-long
+    * division. */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events
+      .select(col(userCol).as("u"), col(typeCol).as("et"),
+        col(tsCol).cast("long").as("tn"), col(idCol).as("id"))
+      .where(col("u").isNotNull && col("et").isNotNull &&
+        col("tn").isNotNull)
+    val w = Window.partitionBy("u").orderBy(col("tn"), col("id"))
+    val pairs = base
+      .withColumn("to_type", lead(col("et"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("et").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type")
+      .agg(sum("n").cast("long").as("n_from"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .withColumn("p", col("n").cast("double") / col("n_from"))
+  }
+
+  /** Period-over-period change report over a (bucket, keys..., cnt)
+    * frame (the [[graft.operators.TimeWindows.densify]] output —
+    * zero-filled input means `prev` is well-defined at every bucket
+    * after the first): previous-bucket count, absolute delta, and
+    * percent change (null at the first bucket and when prev == 0 —
+    * a ratio against zero is a diagnosis, not a number). One
+    * key-partitioned window. */
+  def periodOverPeriod(counts: DataFrame, bucketCol: String,
+      keyCols: Seq[String], cntCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty,
+      "key columns required (a keyless report is one global window)")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(bucketCol))
+    counts
+      .withColumn("prev", lag(col(cntCol), 1).over(w))
+      .withColumn("delta", col(cntCol) - col("prev"))
+      .withColumn("pct_change",
+        when(col("prev") > 0,
+          col("delta").cast("double") / col("prev")))
+  }
+
+  /** Two-proportion z-test over per-user conversion flags — the A/B
+    * readout: per-variant exposure and conversion counts, rates, and
+    * the pooled z statistic, one row. Exactly two variants are the
+    * contract; `n_variants` rides along so a bad split surfaces in
+    * the output instead of silently dropping rows (rows outside the
+    * min/max variant are ignored). Every double is a fixed chain of
+    * IEEE ops on exact longs (sqrt included — correctly rounded per
+    * IEEE 754, so engines agree bit-for-bit). */
+  def abTest(users: DataFrame, variantCol: String,
+      convertedCol: String): DataFrame = {
+    val agg = users
+      .where(col(variantCol).isNotNull)
+      .groupBy(col(variantCol).as("__v"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(convertedCol).cast("int")).cast("long").as("__c"))
+    val vs = broadcast(agg.agg(
+      min("__v").as("__va"), max("__v").as("__vb"),
+      count(lit(1)).as("n_variants")))
+    val wide = agg.crossJoin(vs).agg(
+      min("__va").as("variant_a"), min("__vb").as("variant_b"),
+      min("n_variants").as("n_variants"),
+      sum(when(col("__v") === col("__va"), col("__n"))).cast("long")
+        .as("n_a"),
+      sum(when(col("__v") === col("__va"), col("__c"))).cast("long")
+        .as("c_a"),
+      sum(when(col("__v") === col("__vb"), col("__n"))).cast("long")
+        .as("n_b"),
+      sum(when(col("__v") === col("__vb"), col("__c"))).cast("long")
+        .as("c_b"))
+    val pa = col("c_a").cast("double") / col("n_a")
+    val pb = col("c_b").cast("double") / col("n_b")
+    val pool = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    wide.select(col("variant_a"), col("variant_b"), col("n_variants"),
+      col("n_a"), col("c_a"), pa.as("p_a"),
+      col("n_b"), col("c_b"), pb.as("p_b"),
+      // degenerate pools (0% or 100% conversion overall) have se = 0:
+      // z is undefined there — null, not an ANSI divide-by-zero crash
+      when(se > lit(0.0), (pa - pb) / se).as("z"))
+  }
+
   /** stepFrames(k): (u, t1, tk) — users who reached step k+1, with
     * their step-1 time and step-(k+1) time. Shared by [[funnel]] and
     * [[conversionLag]]. */

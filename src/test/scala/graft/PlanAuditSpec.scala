@@ -39,8 +39,10 @@ class PlanAuditSpec extends SparkSpec {
       // (TimeWindows.densify) — all bounded by construction
       // funnel_lag and hll_setops cross only broadcast 1-row
       // aggregates (per-step lag scalars / sketch estimates + exacts)
+      // period_over_period rides densify's broadcast bounds;
+      // ab_test crosses its broadcast 1-row variant min/max
       "funnel_steps", "cooc_lift", "token_pagerank", "dense_hourly",
-      "funnel_lag", "hll_setops")
+      "funnel_lag", "hll_setops", "period_over_period", "ab_test")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -128,4 +128,58 @@ class FunnelSpec extends SparkSpec {
     assert(out.length === 1)
     assert(out.head.getAs[Long]("n_users") === 1L)
   }
+
+  test("transitions counts consecutive pairs per user with exact p") {
+    // u1: a->b->a ; u2: a->b. Transitions: a->b x2, b->a x1.
+    val e = Seq(
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "a", 30L, 3L),
+      (2L, "a", 10L, 4L), (2L, "b", 20L, 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = Funnel.transitions(e, "user_id", "event_type", "ts",
+      "event_id").orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      ("a", "b", 2L, 2L, 1.0), ("b", "a", 1L, 1L, 1.0)))
+  }
+
+  test("transitions breaks timestamp ties by id (deterministic order)") {
+    val e = Seq((1L, "x", 10L, 2L), (1L, "y", 10L, 1L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = Funnel.transitions(e, "user_id", "event_type", "ts",
+      "event_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out === Seq(("y", "x"))) // id 1 first
+  }
+
+  test("periodOverPeriod emits prev/delta/pct with nulls at edges") {
+    val counts = Seq(
+      ("k", 0L, 10L), ("k", 1L, 15L), ("k", 2L, 0L), ("k", 3L, 7L))
+      .toDF("key", "bucket", "cnt")
+    val out = Funnel.periodOverPeriod(counts, "bucket", Seq("key"), "cnt")
+      .orderBy("bucket").collect()
+    assert(out(0).isNullAt(3) && out(0).isNullAt(5)) // first bucket
+    assert(out(1).getLong(3) === 10L &&
+      out(1).getLong(4) === 5L && out(1).getDouble(5) === 0.5)
+    assert(out(2).getDouble(5) === -1.0)
+    assert(out(3).isNullAt(5)) // prev == 0 -> null, not infinity
+    intercept[IllegalArgumentException] {
+      Funnel.periodOverPeriod(counts, "bucket", Seq(), "cnt")
+    }
+  }
+
+  test("abTest computes the hand-checked two-proportion z") {
+    val users = Seq(
+      (0L, true), (0L, true), (0L, false), (0L, false), // p_a = 0.5
+      (1L, true), (1L, false), (1L, false), (1L, false)) // p_b = 0.25
+      .toDF("variant", "converted")
+    val r = Funnel.abTest(users, "variant", "converted").head
+    assert(r.getAs[Long]("n_variants") === 2L)
+    assert(r.getAs[Long]("n_a") === 4L && r.getAs[Long]("c_a") === 2L)
+    assert(r.getAs[Double]("p_a") === 0.5 &&
+      r.getAs[Double]("p_b") === 0.25)
+    val pool = 3.0 / 8.0
+    val se = math.sqrt(pool * (1.0 - pool) * (1.0 / 4 + 1.0 / 4))
+    assert(math.abs(r.getAs[Double]("z") - (0.5 - 0.25) / se) < 1e-15)
+  }
 }
