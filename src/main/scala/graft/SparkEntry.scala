@@ -2044,6 +2044,18 @@ object SparkEntry {
           "ts", Seq("event_type"), bucketNs = 3600L * 1000000000L),
         "bucket", Seq("event_type"), "cnt")
         .orderBy("bucket", "event_type")),
+    // per-session rollup KPIs over gap sessionization (1h gap)
+    "session_stats" -> ((s, dir) =>
+      graft.operators.Sessionize.sessionStats(
+        events(s, dir).select("user_id", "ts"),
+        Seq("user_id"), "ts", maxGap = 3600L * 1000000000L)
+        .orderBy("user_id", "session_idx")),
+    // top-20 three-step user journeys (path mining over the per-user
+    // event-time total order)
+    "event_journeys" -> ((s, dir) =>
+      graft.operators.Funnel.journeys(
+        events(s, dir).select("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id", n = 3, topK = 20)),
     // next-event Markov transition matrix (event-time order, id
     // tiebreaks) with exact conditional probabilities
     "event_transitions" -> ((s, dir) =>
@@ -3766,6 +3778,41 @@ object SparkEntry {
          |    WHERE tok IN (SELECT tok FROM db)) AS BIGINT) AS ex_inter
          |FROM e_a, e_b, e_u""".stripMargin
     },
+    // session-stats twin: the sessionized_events boundary CTE +
+    // per-session rollup
+    "session_stats" ->
+      """WITH s AS (
+        |  SELECT user_id, tsn,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR tsn - prev <= 3600000000000
+        |                  THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY tsn
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM (SELECT user_id, epoch_ns(ts) AS tsn,
+        |          lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |            ORDER BY epoch_ns(ts)) AS prev
+        |        FROM events))
+        |SELECT user_id, session_idx,
+        |  CAST(MIN(tsn) AS BIGINT) AS session_start,
+        |  CAST(MAX(tsn) AS BIGINT) AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    // journey twin: two LEADs over the same total order, top-20 by
+    // (cnt DESC, path ASC) — a deterministic cut
+    "event_journeys" ->
+      """WITH b AS (SELECT user_id AS u, event_type AS et,
+        |    epoch_ns(ts) AS tn, event_id AS id
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND ts IS NOT NULL),
+        |st AS (SELECT et AS s0,
+        |    LEAD(et, 1) OVER (PARTITION BY u ORDER BY tn, id) AS s1,
+        |    LEAD(et, 2) OVER (PARTITION BY u ORDER BY tn, id) AS s2
+        |  FROM b)
+        |SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM st WHERE s0 IS NOT NULL AND s1 IS NOT NULL
+        |  AND s2 IS NOT NULL
+        |GROUP BY 1 ORDER BY cnt DESC, path ASC LIMIT 20""".stripMargin,
     // transition-matrix twin: LEAD over (user, ts, id), exact p
     "event_transitions" ->
       """WITH b AS (SELECT user_id AS u, event_type AS et,

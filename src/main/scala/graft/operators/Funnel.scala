@@ -118,6 +118,40 @@ object Funnel {
           col("delta").cast("double") / col("prev")))
   }
 
+  /** Top-k user journeys: the most common length-`n` event-type
+    * sequences over each user's (event-time, id) total order —
+    * "view > click > purchase"-style path mining. One key-partitioned
+    * window pass (n−1 chained LEADs), a path-count aggregate, and a
+    * TakeOrdered top-k (count desc, path asc — total order, stable).
+    * Paths spanning a session boundary count too; pre-filter with
+    * [[graft.operators.Sessionize]] and group per session for
+    * session-scoped journeys. */
+  def journeys(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, n: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, "a journey needs at least two steps")
+    require(topK >= 1, "topK must be positive")
+    val base = events
+      .select(col(userCol).as("u"), col(typeCol).as("et"),
+        col(tsCol).cast("long").as("tn"), col(idCol).as("id"))
+      .where(col("u").isNotNull && col("et").isNotNull &&
+        col("tn").isNotNull)
+    val w = Window.partitionBy("u").orderBy(col("tn"), col("id"))
+    // window expressions are projected FIRST (a window function in a
+    // WHERE clause is illegal), then the trailing partial windows
+    // (null leads) are filtered on the materialized columns
+    val stepped = base.select(
+      col("et").as("__s0") +:
+        (1 until n).map(i => lead(col("et"), i).over(w).as(s"__s$i")): _*)
+    val stepCols = (0 until n).map(i => col(s"__s$i"))
+    stepped
+      .where(stepCols.map(_.isNotNull).reduce(_ && _))
+      .select(concat_ws(" > ", stepCols: _*).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path").asc)
+      .limit(topK)
+  }
+
   /** Two-proportion z-test over per-user conversion flags — the A/B
     * readout: per-variant exposure and conversion counts, rates, and
     * the pooled z statistic, one row. Exactly two variants are the

@@ -168,6 +168,22 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("journeys mines ordered n-step paths with a deterministic top-k") {
+    val e = Seq(
+      (1L, "a", 1L, 1L), (1L, "b", 2L, 2L), (1L, "c", 3L, 3L),
+      (1L, "a", 4L, 4L),
+      (2L, "a", 1L, 5L), (2L, "b", 2L, 6L), (2L, "c", 3L, 7L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = Funnel.journeys(e, "user_id", "event_type", "ts",
+      "event_id", n = 3, topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // a>b>c twice; b>c>a once -> top-2 = [a>b>c, b>c>a]
+    assert(out.toSeq === Seq(("a > b > c", 2L), ("b > c > a", 1L)))
+    intercept[IllegalArgumentException] {
+      Funnel.journeys(e, "user_id", "event_type", "ts", "event_id", 1, 5)
+    }
+  }
+
   test("abTest computes the hand-checked two-proportion z") {
     val users = Seq(
       (0L, true), (0L, true), (0L, false), (0L, false), // p_a = 0.5
