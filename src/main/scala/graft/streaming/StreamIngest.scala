@@ -383,6 +383,79 @@ object StreamIngest {
     writer.start()
   }
 
+  /** Funnel progress state: step-1 time, last-step time (epoch ms),
+    * steps completed so far. */
+  private[streaming] final case class FunnelProg(
+      t1: Long, tPrev: Long, step: Int)
+
+  /** Streaming conversion funnel — the online twin of
+    * [[graft.operators.Funnel.funnel]]: per user, advance through the
+    * ordered `steps` (strictly-after ordering, `horizonMs` from step
+    * 1) and EMIT one row the moment the final step completes. State
+    * is one tiny FunnelProg per in-progress user, and it is evicted
+    * the moment it can no longer convert: on conversion, and by
+    * event-time timeout once the watermark passes t1 + horizon — so
+    * state is bounded by users-inside-their-horizon, not users-ever.
+    *
+    * Streaming approximations, documented: (1) events are processed
+    * in event-time order WITHIN a trigger (type tiebreak), but an
+    * event arriving in a later trigger that predates already-consumed
+    * progress cannot retroactively rewrite it (the batch operator,
+    * with the full corpus, can); in-order delivery ⇒ exact batch
+    * parity (spec'd). (2) This emits conversion EVENTS — a user whose
+    * state was evicted on conversion may start a new funnel cycle and
+    * emit again; the batch operator reports unique users (keeping a
+    * converted-forever sentinel would make state unbounded, the
+    * opposite of the contract). */
+  def streamingFunnel(stream: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], horizonMs: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, s"duplicate step in $steps")
+    require(horizonMs > 0, "horizonMs must be positive")
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val inEnc: Encoder[(String, String, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.TIMESTAMP)
+    implicit val stEnc: Encoder[FunnelProg] = Encoders.product[FunnelProg]
+    implicit val outEnc: Encoder[(String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    val prepared = stream
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("string"), col(typeCol), col(tsCol))
+      .as[(String, String, java.sql.Timestamp)]
+    val converted = prepared.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProg, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[(String, String, java.sql.Timestamp)],
+            state: GroupState[FunnelProg]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val evs = rows.map(r => (r._3.getTime, r._2)).toArray.sorted
+            var st = state.getOption.getOrElse(FunnelProg(-1L, -1L, 0))
+            var convertedAt = -1L
+            for ((t, et) <- evs if convertedAt < 0) {
+              if (st.step == 0) {
+                if (et == steps.head) st = FunnelProg(t, t, 1)
+              } else if (et == steps(st.step) && t > st.tPrev &&
+                  t <= st.t1 + horizonMs) {
+                st = st.copy(tPrev = t, step = st.step + 1)
+                if (st.step == steps.size) convertedAt = t
+              }
+            }
+            if (convertedAt >= 0 || st.step == 0) {
+              state.remove()
+            } else {
+              state.update(st)
+              // dead once no admissible event can extend it
+              state.setTimeoutTimestamp(st.t1 + horizonMs)
+            }
+            if (convertedAt >= 0) Iterator((key, convertedAt))
+            else Iterator.empty
+          }
+      }
+    converted.toDF(userCol, "converted_at_ms")
+  }
+
   /** Multi-span sessionization state: the key's not-yet-sealed
     * sub-spans as (start, end, n_events) epoch millis. */
   private[streaming] final case class SessionSpans(

@@ -348,4 +348,21 @@ class PlanAuditSpec extends SparkSpec {
       !sd.contains("BroadcastNestedLoopJoin"),
       s"snapshot_diff must join by key equality:\n$sd")
   }
+
+  test("event-analytics windows are key-partitioned — never a " +
+      "move-everything-to-one-task global window") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    for (q <- Seq("session_stats", "event_transitions", "event_journeys",
+        "period_over_period", "rolling_zscore")) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val plan = SparkEntry.queries(q)(spark, sf())
+        .queryExecution.executedPlan
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q plans an unpartitioned window:\n${plan.toString}")
+    }
+  }
 }

@@ -678,6 +678,45 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingFunnel: in-order stream matches the batch funnel; " +
+      "out-of-window and wrong-order users never emit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(String, String, Timestamp)]
+    val out = StreamIngest.streamingFunnel(
+      source.toDF().toDF("user", "etype", "ts"), "user", "etype", "ts",
+      Seq("view", "click", "purchase"), horizonMs = 10L * 60000L,
+      watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sfunnel_out")
+      .outputMode("append").start()
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      // u1 converts across two triggers; u2 clicks before viewing
+      // (wrong order); u3 purchases outside the 10-minute horizon
+      source.addData(("u1", "view", ts(0)), ("u1", "click", ts(2)),
+        ("u2", "click", ts(0)), ("u2", "view", ts(1)),
+        ("u2", "purchase", ts(2)),
+        ("u3", "view", ts(0)), ("u3", "click", ts(1)))
+      q.processAllAvailable()
+      source.addData(("u1", "purchase", ts(5)),
+        ("u3", "purchase", ts(15))) // 15 > 0 + 10min horizon
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user, converted_at_ms FROM sfunnel_out ORDER BY user")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows === Seq(("u1", ts(5).getTime)))
+      // batch twin agrees on who converted (nanos domain)
+      val batchReach = graft.operators.Funnel.funnel(
+        Seq(("u1", "view", 0L), ("u1", "click", 2L), ("u1", "purchase", 5L),
+          ("u2", "click", 0L), ("u2", "view", 1L), ("u2", "purchase", 2L),
+          ("u3", "view", 0L), ("u3", "click", 1L), ("u3", "purchase", 15L))
+          .toDF("user", "etype", "ts"),
+        "user", "etype", "ts", Seq("view", "click", "purchase"), 10L)
+        .orderBy("step").collect().map(_.getLong(2)).toSeq
+      assert(batchReach === Seq(3L, 2L, 1L)) // final step: just u1
+    } finally q.stop()
+  }
+
   test("intervalJoin: clicks attribute to same-key views within the " +
       "interval; outside-window rows never pair") {
     import spark.implicits._
