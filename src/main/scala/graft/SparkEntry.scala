@@ -2044,6 +2044,29 @@ object SparkEntry {
           "ts", Seq("event_type"), bucketNs = 3600L * 1000000000L),
         "bucket", Seq("event_type"), "cnt")
         .orderBy("bucket", "event_type")),
+    // per-group closed-form linear regression: value ~ hour-of-day
+    // per event type, from exact decimal moments in ONE aggregate
+    "linreg_value_hour" -> ((s, dir) =>
+      graft.operators.Profile.linearFit(
+        events(s, dir).select(col("event_type"),
+          expr("cast((ts div 3600000000000) % 24 as int)").as("hod"),
+          col("value")),
+        Seq("event_type"), "hod", "value")
+        .orderBy("event_type")),
+    // debounce: collapse bursts of the same (user, type) within a
+    // 10-minute chain to their FIRST event — gap sessionization is
+    // the chain closure (lag alone gets chains wrong), min_by picks
+    // the representative
+    "debounced_events" -> ((s, dir) =>
+      graft.operators.Sessionize.sessionize(
+        events(s, dir).select("event_id", "user_id", "event_type", "ts"),
+        Seq("user_id", "event_type"), "ts", maxGap = 600L * 1000000000L)
+        .groupBy("user_id", "event_type", "session_idx")
+        .agg(min_by(col("event_id"), struct(col("ts"), col("event_id")))
+          .as("kept_event_id"),
+          count(lit(1)).as("n_collapsed"))
+        .select("kept_event_id", "user_id", "event_type", "n_collapsed")
+        .orderBy("kept_event_id")),
     // per-session rollup KPIs over gap sessionization (1h gap)
     "session_stats" -> ((s, dir) =>
       graft.operators.Sessionize.sessionStats(
@@ -3778,6 +3801,57 @@ object SparkEntry {
          |    WHERE tok IN (SELECT tok FROM db)) AS BIGINT) AS ex_inter
          |FROM e_a, e_b, e_u""".stripMargin
     },
+    // linear-fit twin: same decimal moments, same double chain; the
+    // cov/varx/vary subexpressions are spelled identically everywhere
+    // they appear so both engines run the same op sequence
+    "linreg_value_hour" -> {
+      def d(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      val nd = "CAST(n AS DOUBLE)"
+      val cov = s"($nd * ${d("sxy")} - ${d("sx")} * ${d("sy")})"
+      val varx = s"($nd * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+      val vary = s"($nd * ${d("syy")} - ${d("sy")} * ${d("sy")})"
+      s"""WITH e AS (SELECT event_type,
+         |    CAST((epoch_ns(ts) // 3600000000000) % 24
+         |      AS DECIMAL(18,6)) AS x,
+         |    CAST(value AS DECIMAL(18,6)) AS y
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(CAST(x * x AS DECIMAL(30,12))) AS sxx,
+         |    SUM(CAST(x * y AS DECIMAL(30,12))) AS sxy,
+         |    SUM(CAST(y * y AS DECIMAL(30,12))) AS syy
+         |  FROM e GROUP BY event_type)
+         |SELECT event_type, n,
+         |  CASE WHEN $varx > 0.0 THEN $cov / $varx END AS slope,
+         |  CASE WHEN $varx > 0.0 THEN
+         |    (${d("sy")} - ($cov / $varx) * ${d("sx")}) / $nd
+         |  END AS intercept,
+         |  CASE WHEN $varx > 0.0 AND $vary > 0.0 THEN
+         |    ($cov * $cov) / ($varx * $vary) END AS r2
+         |FROM a ORDER BY event_type""".stripMargin
+    },
+    // debounce twin: the same boundary-sum chain over (user, type),
+    // representative = row_number 1 under (tsn, event_id)
+    "debounced_events" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, event_type, tsn,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR tsn - prev <= 600000000000
+        |                  THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY user_id, event_type ORDER BY tsn
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn,
+        |          lag(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type
+        |            ORDER BY epoch_ns(ts)) AS prev
+        |        FROM events)),
+        |r AS (SELECT event_id, user_id, event_type, session_idx,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type, session_idx
+        |      ORDER BY tsn, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id, event_type, session_idx)
+        |      AS n_collapsed
+        |  FROM s)
+        |SELECT event_id AS kept_event_id, user_id, event_type,
+        |  CAST(n_collapsed AS BIGINT) AS n_collapsed
+        |FROM r WHERE rn = 1 ORDER BY kept_event_id""".stripMargin,
     // session-stats twin: the sessionized_events boundary CTE +
     // per-session rollup
     "session_stats" ->

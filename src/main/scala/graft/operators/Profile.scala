@@ -193,6 +193,42 @@ object Profile {
       coalesce(col(s"`$v`"), lit(0L)).as(v)): _*)
   }
 
+  /** Per-group simple linear regression (closed form): slope,
+    * intercept, r² of y on x from the five sufficient moments —
+    * ONE map-side-combined aggregate per group, no second pass, no
+    * driver solve. Inputs quantize to decimal(18,6) and the moment
+    * sums accumulate as exact decimals (order-free — partial
+    * aggregation order differs across engines), then slope/intercept/
+    * r² are a fixed chain of IEEE double ops via the VARCHAR bridge.
+    * Degenerate groups (zero x-variance / zero y-variance) emit null
+    * slope/r² instead of an ANSI divide error. */
+  def linearFit(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "key columns required")
+    val q = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(keyCols.map(col) :+
+        col(xCol).cast("decimal(18,6)").as("__x") :+
+        col(yCol).cast("decimal(18,6)").as("__y"): _*)
+    val agg = q.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum((col("__x") * col("__x")).cast("decimal(30,12)")).as("__sxx"),
+        sum((col("__x") * col("__y")).cast("decimal(30,12)")).as("__sxy"),
+        sum((col("__y") * col("__y")).cast("decimal(30,12)")).as("__syy"))
+    def d(c: String) = col(c).cast("string").cast("double")
+    val nd = col("n").cast("double")
+    val cov = nd * d("__sxy") - d("__sx") * d("__sy")
+    val varx = nd * d("__sxx") - d("__sx") * d("__sx")
+    val vary = nd * d("__syy") - d("__sy") * d("__sy")
+    agg.select(keyCols.map(col) :+ col("n") :+
+      when(varx > 0.0, cov / varx).as("slope") :+
+      when(varx > 0.0,
+        (d("__sy") - (cov / varx) * d("__sx")) / nd).as("intercept") :+
+      when(varx > 0.0 && vary > 0.0,
+        (cov * cov) / (varx * vary)).as("r2"): _*)
+  }
+
   def summarize(df: DataFrame, cols: Seq[String],
       exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")

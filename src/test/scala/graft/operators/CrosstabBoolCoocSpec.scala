@@ -69,6 +69,27 @@ class CrosstabBoolCoocSpec extends SparkSpec {
       ("y", "z", 1L, 2L, 2L, (1.0 * 4.0) / (2.0 * 2.0))))
   }
 
+  test("linearFit recovers a perfect line and guards degenerate groups") {
+    val df = Seq(
+      ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0), // y = 2x + 1
+      ("b", 4.0, 9.0), ("b", 4.0, 1.0),                  // zero x-variance
+      ("c", 1.0, 5.0), ("c", 2.0, 5.0))                  // zero y-variance
+      .toDF("k", "x", "y")
+    val out = Profile.linearFit(df, Seq("k"), "x", "y")
+      .orderBy("k").collect()
+    val a = out(0)
+    assert(math.abs(a.getDouble(2) - 2.0) < 1e-12)
+    assert(math.abs(a.getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(a.getDouble(4) - 1.0) < 1e-12)
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3) && out(1).isNullAt(4))
+    val c = out(2)
+    assert(c.getDouble(2) === 0.0 && c.getDouble(3) === 5.0)
+    assert(c.isNullAt(4)) // r2 undefined at zero y-variance
+    intercept[IllegalArgumentException] {
+      Profile.linearFit(df, Seq(), "x", "y")
+    }
+  }
+
   test("coocLift minSupport prunes and a doc never pairs a token with itself") {
     val docs = Seq((1L, "x x y"), (2L, "x y"), (3L, "y z"))
       .toDF("doc_id", "text")
