@@ -3749,14 +3749,19 @@ object SparkEntry {
          |  CAST(n_users AS BIGINT) AS n_users, s / n_users AS avg_lag_ns
          |FROM n ORDER BY step""".stripMargin
     },
-    // JSON-props twin: json_extract_string → typed agg (Spark side
-    // parses with from_json — real JSON semantics both engines)
+    // JSON-props twin. Spark's from_json(struct<k:int>) nulls a k
+    // that is not an integer LITERAL ({"k":"3"} and {"k":3.5} both →
+    // null), while CAST(json_extract_string(...)) would coerce '3'
+    // and CRASH on '3.5' — so the twin extracts only bare integer
+    // literals (regexp anchored to the value position, RE2-safe) and
+    // TRY_CASTs (review finding)
     "props_parse" ->
       """SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n,
         |  CAST(SUM(k) AS BIGINT) AS sum_k,
         |  CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) / COUNT(k) AS avg_k
         |FROM (SELECT event_type,
-        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |    TRY_CAST(regexp_extract(props,
+        |      '"k":\s*(-?\d+)\s*[,}]', 1) AS INTEGER) AS k
         |  FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // HLL set-algebra twin: per-set register replay from the same md5
@@ -3817,9 +3822,9 @@ object SparkEntry {
          |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
          |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
          |    SUM(x) AS sx, SUM(y) AS sy,
-         |    SUM(CAST(x * x AS DECIMAL(30,12))) AS sxx,
-         |    SUM(CAST(x * y AS DECIMAL(30,12))) AS sxy,
-         |    SUM(CAST(y * y AS DECIMAL(30,12))) AS syy
+         |    SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+         |    SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+         |    SUM(CAST(y * y AS DECIMAL(38,12))) AS syy
          |  FROM e GROUP BY event_type)
          |SELECT event_type, n,
          |  CASE WHEN $varx > 0.0 THEN $cov / $varx END AS slope,

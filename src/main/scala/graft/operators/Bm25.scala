@@ -280,19 +280,24 @@ object Bm25 {
     */
   def booleanQuery(docs: DataFrame, idCol: String, textCol: String,
       allOf: Seq[String], noneOf: Seq[String] = Nil): DataFrame = {
-    require(allOf.nonEmpty, "at least one required term")
-    require(allOf.distinct.size == allOf.size, s"duplicate term in $allOf")
-    require(noneOf.intersect(allOf).isEmpty,
-      s"terms both required and excluded: ${noneOf.intersect(allOf)}")
+    // postings tokens are lowercased (TextFunctions.tokens), so query
+    // terms normalize the same way [[search]]'s do — a capitalized
+    // NOT term must still exclude
+    val all = allOf.map(_.toLowerCase)
+    val none = noneOf.map(_.toLowerCase)
+    require(all.nonEmpty, "at least one required term")
+    require(all.distinct.size == all.size, s"duplicate term in $all")
+    require(none.intersect(all).isEmpty,
+      s"terms both required and excluded: ${none.intersect(all)}")
     val toks = docs
       .select(col(idCol), explode(array_distinct(tokens(col(textCol))))
         .as("token"))
-    val hits = toks.where(col("token").isin(allOf: _*))
+    val hits = toks.where(col("token").isin(all: _*))
       .groupBy(idCol).agg(count(lit(1)).as("n_matched"))
-      .where(col("n_matched") === allOf.size)
-    if (noneOf.isEmpty) hits
+      .where(col("n_matched") === all.size)
+    if (none.isEmpty) hits
     else {
-      val excl = toks.where(col("token").isin(noneOf: _*))
+      val excl = toks.where(col("token").isin(none: _*))
         .select(col(idCol)).distinct()
       hits.join(excl, Seq(idCol), "left_anti")
     }

@@ -116,10 +116,16 @@ object Hll {
   def rawEstimateByKey(registers: DataFrame, keyCols: Seq[String],
       m: Int): DataFrame = {
     require(m <= 1024, s"exact-integer Z needs m <= 1024, got $m")
+    // xxhash-mode ranks can exceed the portable max (up to 64−b+1);
+    // an unclamped 49 − rho would go negative and Java's masked shift
+    // would turn a ~2^-8 weight into ~2^56. Clamp at the portable max:
+    // the bias is one register seeing ≥ 49 leading zero bits —
+    // probability 2^-49 per value, irrelevant next to HLL's 1.04/√m
     val grouped = registers
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("__used"),
-        sum(expr(s"shiftleft(cast(1 as bigint), $PortableRhoMax - rho)"))
+        sum(expr(s"shiftleft(cast(1 as bigint), " +
+          s"$PortableRhoMax - least(rho, $PortableRhoMax))"))
           .cast("long").as("__zused"))
     grouped
       .withColumn("zeros", lit(m.toLong) - col("__used"))
@@ -152,7 +158,9 @@ object Hll {
     * engine-exact divisions/adds (the ln-based correction is
     * [[correct]], driver-side). Intersection via inclusion–exclusion
     * can go negative for near-disjoint sets — that is the estimator,
-    * not a bug (documented). */
+    * not a bug (documented). m ≤ 1024 (the exact-integer Z
+    * constraint of [[rawEstimateByKey]], both hash modes — xx-mode
+    * ranks above the portable max are clamped there). */
   def setOpEstimates(a: DataFrame, b: DataFrame, valueCol: String,
       m: Int, portableHash: Boolean = false): DataFrame = {
     val ska = sketch(a, valueCol, m, portableHash)

@@ -205,17 +205,24 @@ object Profile {
   def linearFit(df: DataFrame, keyCols: Seq[String], xCol: String,
       yCol: String): DataFrame = {
     require(keyCols.nonEmpty, "key columns required")
+    // null filter runs AFTER the decimal cast: a value overflowing
+    // decimal(18,6) (|v| >= 1e12) casts to null in non-ANSI mode, and
+    // counting a row whose moments were null-skipped would silently
+    // corrupt slope/intercept — the whole row drops instead.
+    // Products go to decimal(38,12): (18,6)×(18,6) needs 36 integer
+    // digits in the worst case, so (30,12) could overflow mid-range
+    // inputs while (38,12) cannot for any in-range pair.
     val q = df
-      .where(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(keyCols.map(col) :+
         col(xCol).cast("decimal(18,6)").as("__x") :+
         col(yCol).cast("decimal(18,6)").as("__y"): _*)
+      .where(col("__x").isNotNull && col("__y").isNotNull)
     val agg = q.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum("__x").as("__sx"), sum("__y").as("__sy"),
-        sum((col("__x") * col("__x")).cast("decimal(30,12)")).as("__sxx"),
-        sum((col("__x") * col("__y")).cast("decimal(30,12)")).as("__sxy"),
-        sum((col("__y") * col("__y")).cast("decimal(30,12)")).as("__syy"))
+        sum((col("__x") * col("__x")).cast("decimal(38,12)")).as("__sxx"),
+        sum((col("__x") * col("__y")).cast("decimal(38,12)")).as("__sxy"),
+        sum((col("__y") * col("__y")).cast("decimal(38,12)")).as("__syy"))
     def d(c: String) = col(c).cast("string").cast("double")
     val nd = col("n").cast("double")
     val cov = nd * d("__sxy") - d("__sx") * d("__sy")

@@ -432,25 +432,44 @@ object StreamIngest {
           else {
             val evs = rows.map(r => (r._3.getTime, r._2)).toArray.sorted
             var st = state.getOption.getOrElse(FunnelProg(-1L, -1L, 0))
-            var convertedAt = -1L
-            for ((t, et) <- evs if convertedAt < 0) {
+            val wm0 = state.getCurrentWatermarkMs()
+            // progress whose horizon is already behind the watermark is
+            // dead (no admissible event can extend it) — reset BEFORE
+            // processing so a fresh step-1 event in this trigger starts
+            // a new cycle instead of feeding a corpse
+            if (st.step > 0 && st.t1 + horizonMs <= wm0)
+              st = FunnelProg(-1L, -1L, 0)
+            val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+            // every event is consumed: a conversion resets the machine
+            // so a user cycling twice INSIDE one trigger emits twice —
+            // output must not depend on micro-batch boundaries
+            for ((t, et) <- evs) {
               if (st.step == 0) {
                 if (et == steps.head) st = FunnelProg(t, t, 1)
               } else if (et == steps(st.step) && t > st.tPrev &&
                   t <= st.t1 + horizonMs) {
                 st = st.copy(tPrev = t, step = st.step + 1)
-                if (st.step == steps.size) convertedAt = t
+                if (st.step == steps.size) {
+                  out += ((key, t))
+                  st = FunnelProg(-1L, -1L, 0)
+                }
               }
             }
-            if (convertedAt >= 0 || st.step == 0) {
+            val wm = state.getCurrentWatermarkMs()
+            if (st.step == 0) {
+              state.remove()
+            } else if (st.t1 + horizonMs <= wm) {
+              // horizon already behind the watermark: every admissible
+              // future event has t > wm >= t1 + horizon, so this user
+              // can never convert — and a timeout at t1 + horizon
+              // would be BELOW the watermark, which Spark rejects
               state.remove()
             } else {
               state.update(st)
               // dead once no admissible event can extend it
               state.setTimeoutTimestamp(st.t1 + horizonMs)
             }
-            if (convertedAt >= 0) Iterator((key, convertedAt))
-            else Iterator.empty
+            out.iterator
           }
       }
     converted.toDF(userCol, "converted_at_ms")

@@ -717,6 +717,45 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingFunnel: two cycles in ONE trigger emit twice, and a " +
+      "key with data after its horizon passed the watermark does not " +
+      "crash the query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(String, String, Timestamp)]
+    val out = StreamIngest.streamingFunnel(
+      source.toDF().toDF("user", "etype", "ts"), "user", "etype", "ts",
+      Seq("view", "purchase"), horizonMs = 10L * 60000L,
+      watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sfunnel2_out")
+      .outputMode("append").start()
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    try {
+      // u1 converts twice inside one trigger — batch boundaries must
+      // not decide how many conversions exist
+      source.addData(("u1", "view", ts(0)), ("u1", "purchase", ts(1)),
+        ("u1", "view", ts(2)), ("u1", "purchase", ts(3)),
+        // u2 starts a funnel; the wm-advancer pushes the watermark
+        // far past u2's horizon
+        ("u2", "view", ts(0)), ("wm", "view", ts(120)))
+      q.processAllAvailable()
+      // u2 sends data again with its stored horizon (10 min from
+      // ts(0)) far below the current watermark (~ts(119)) — before
+      // the fix this threw 'timeout timestamp cannot be earlier than
+      // watermark' and killed the query; now the dead progress resets
+      // and this fresh view starts a new cycle that converts
+      source.addData(("u2", "view", ts(121)), ("u2", "purchase", ts(122)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val rows = spark.sql(
+        "SELECT user, converted_at_ms FROM sfunnel2_out ORDER BY user, converted_at_ms")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows === Seq(
+        ("u1", ts(1).getTime), ("u1", ts(3).getTime),
+        ("u2", ts(122).getTime)))
+    } finally q.stop()
+  }
+
   test("intervalJoin: clicks attribute to same-key views within the " +
       "interval; outside-window rows never pair") {
     import spark.implicits._
