@@ -310,6 +310,34 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_revenue"))
         .orderBy("n_name")
     }),
+    // TPC-H Q17 shape: correlated scalar subqueries (per-part count
+    // and quantity sum) that Catalyst decorrelates into aggregated
+    // joins; the 0.2·avg threshold is the division-free exact form
+    // qty·5·n < Σqty so both engines compare exact decimals
+    "q17_correlated" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("g_li_q17")
+      s.sql(
+        """SELECT
+          |  CAST(CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2)))
+          |    AS STRING) AS DOUBLE) / 7.0 AS avg_yearly,
+          |  CAST(COUNT(*) AS BIGINT) AS n_rows
+          |FROM g_li_q17 l1
+          |WHERE l1.l_partkey % 10 = 0
+          |  AND CAST(l1.l_quantity AS DECIMAL(18,2)) * 5 *
+          |    (SELECT COUNT(*) FROM g_li_q17 l2
+          |     WHERE l2.l_partkey = l1.l_partkey)
+          |  < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+          |     FROM g_li_q17 l3 WHERE l3.l_partkey = l1.l_partkey)"""
+          .stripMargin)
+    }),
+    // ROLLUP report: (lang, source) → lang subtotals → grand total in
+    // one pass, grouping_id disambiguating rolled-up nulls
+    "rollup_report" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy("gid", "lang", "source")),
     "q3_topk" -> ((s, dir) =>
       t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -2630,6 +2658,26 @@ object SparkEntry {
 
 
   def oracleSql: Map[String, String] = Map(
+    // Q17 twin: same division-free correlated-subquery text
+    "q17_correlated" ->
+      """SELECT
+        |  CAST(CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2)))
+        |    AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem l1
+        |WHERE l1.l_partkey % 10 = 0
+        |  AND CAST(l1.l_quantity AS DECIMAL(18,2)) * 5 *
+        |    (SELECT COUNT(*) FROM lineitem l2
+        |     WHERE l2.l_partkey = l1.l_partkey)
+        |  < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+        |     FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)"""
+        .stripMargin,
+    // rollup twin: GROUPING bitmask disambiguates rolled-up nulls
+    "rollup_report" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY gid, lang, source""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
