@@ -459,6 +459,46 @@ object DriveSmoke {
       "text", topV = 40, minSupport = 10L)
     cl.explain("formatted")
     println("COOC_PAIRS=" + cl.count())
+
+    // TextRank over the co-occurrence edges
+    val pr = graft.operators.Graph.pageRank(
+      cl.select("tok_a", "tok_b"), "tok_a", "tok_b", iters = 3)
+    pr.explain("formatted")
+    pr.orderBy(desc("rank")).limit(5).show(false)
+
+    // MERGE INTO against a simulated source batch
+    val mBase = docs.select("doc_id", "lang", "n_chars")
+    val merged = graft.operators.Lake.merge(mBase,
+      mBase.filter($"doc_id" % 7 === 0)
+        .withColumn("n_chars", $"n_chars" + 1000L),
+      Seq("doc_id"), deleteWhen = Some($"lang" === "zh"))
+    println("MERGE_ROWS=" + merged.count() + "/" + mBase.count())
+
+    // densify + period-over-period over real events
+    val dense = graft.operators.TimeWindows.densify(
+      evReal.select("event_type", "ts"), "ts", Seq("event_type"),
+      bucketNs = 3600L * 1000000000L)
+    val pop = graft.operators.Funnel.periodOverPeriod(
+      dense, "bucket", Seq("event_type"), "cnt")
+    pop.explain("formatted")
+    println("POP_ROWS=" + pop.count())
+
+    // transitions + journeys + session stats + A/B + linreg
+    println("TRANSITIONS=" + graft.operators.Funnel.transitions(
+      evReal.select("user_id", "event_type", "ts", "event_id"),
+      "user_id", "event_type", "ts", "event_id").count())
+    graft.operators.Funnel.journeys(
+      evReal.select("user_id", "event_type", "ts", "event_id"),
+      "user_id", "event_type", "ts", "event_id", n = 3, topK = 5)
+      .show(false)
+    println("SESSIONS=" + graft.operators.Sessionize.sessionStats(
+      evReal.select("user_id", "ts"), Seq("user_id"), "ts",
+      maxGap = 3600L * 1000000000L).count())
+    graft.operators.Profile.linearFit(
+      evReal.select($"event_type",
+        expr("cast((ts div 3600000000000) % 24 as int)").as("hod"),
+        $"value"),
+      Seq("event_type"), "hod", "value").show(false)
     spark.stop()
   }
 }
