@@ -3776,7 +3776,9 @@ object SparkEntry {
         |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
         |SELECT CAST(step AS INT) AS step, event_type,
         |  CAST(n_users AS BIGINT) AS n_users,
-        |  CAST(n_users AS DOUBLE) / (SELECT COUNT(*) FROM s1) AS conv_pct
+        |  CASE WHEN (SELECT COUNT(*) FROM s1) > 0 THEN
+        |    CAST(n_users AS DOUBLE) / (SELECT COUNT(*) FROM s1)
+        |  END AS conv_pct
         |FROM n ORDER BY step""".stripMargin,
     // funnel-lag twin: same step CTEs; lag sums as DECIMAL(28,0),
     // avg via the VARCHAR bridge then one double division

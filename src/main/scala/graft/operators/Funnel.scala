@@ -44,8 +44,11 @@ object Funnel {
     }.reduce(_ unionByName _)
     val nFirst = stepFrames.head.agg(count(lit(1)).as("n_first"))
     perStep.crossJoin(broadcast(nFirst))
+      // an empty step-1 cohort makes conversion undefined (0/0 is an
+      // ANSI divide error, not a rate) — null, rows still emitted
       .withColumn("conv_pct",
-        col("n_users").cast("double") / col("n_first"))
+        when(col("n_first") > 0,
+          col("n_users").cast("double") / col("n_first")))
       .drop("n_first")
   }
 

@@ -102,6 +102,15 @@ class FunnelSpec extends SparkSpec {
       (1L, 0L, 1L, 1L, 1.0)))
   }
 
+  test("funnel with an empty step-1 cohort emits 0-rows with null " +
+      "conv_pct instead of an ANSI 0/0 crash") {
+    val e = ev((1L, "click", 10L), (2L, "purchase", 20L))
+    val out = Funnel.funnel(e, "user_id", "event_type", "ts",
+      Seq("view", "click"), H).orderBy("step").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(0L, 0L))
+    assert(out.forall(_.isNullAt(3)))
+  }
+
   test("conversionLag averages time-from-step-1 per reached step") {
     val e = ev(
       (1L, "view", 0L), (1L, "click", 100L),
