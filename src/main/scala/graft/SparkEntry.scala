@@ -3803,15 +3803,18 @@ object SparkEntry {
     // that is not an integer LITERAL ({"k":"3"} and {"k":3.5} both →
     // null), while CAST(json_extract_string(...)) would coerce '3'
     // and CRASH on '3.5' — so the twin extracts only bare integer
-    // literals (regexp anchored to the value position, RE2-safe) and
-    // TRY_CASTs (review finding)
+    // literals, TRY_CAST'd, with the regexp ANCHORED to a leading
+    // top-level "k" (whitespace-tolerant; a nested object's "k" must
+    // not match). Contract: the twin covers flat {"k": N} payloads —
+    // the testdata's shape — not arbitrary key orders (review
+    // finding; Spark's real JSON parser needs no such contract)
     "props_parse" ->
       """SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n,
         |  CAST(SUM(k) AS BIGINT) AS sum_k,
         |  CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) / COUNT(k) AS avg_k
         |FROM (SELECT event_type,
         |    TRY_CAST(regexp_extract(props,
-        |      '"k":\s*(-?\d+)\s*[,}]', 1) AS INTEGER) AS k
+        |      '^\{\s*"k"\s*:\s*(-?\d+)\s*[,}]', 1) AS INTEGER) AS k
         |  FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // HLL set-algebra twin: per-set register replay from the same md5

@@ -37,12 +37,15 @@ object Funnel {
       tsCol: String, steps: Seq[String], horizonNanos: Long): DataFrame = {
     val stepFrames =
       stepReachFrames(events, userCol, typeCol, tsCol, steps, horizonNanos)
-    val perStep = stepFrames.zipWithIndex.map { case (f, i) =>
+    val counts = stepFrames.zipWithIndex.map { case (f, i) =>
       f.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).cast("int").as("step"),
           lit(steps(i)).as("event_type"), col("n_users"))
-    }.reduce(_ unionByName _)
-    val nFirst = stepFrames.head.agg(count(lit(1)).as("n_first"))
+    }
+    val perStep = counts.reduce(_ unionByName _)
+    // n_first reuses the step-1 count subplan (identical Exchange →
+    // ReuseExchange computes the step-1 scan+shuffle once)
+    val nFirst = counts.head.select(col("n_users").as("n_first"))
     perStep.crossJoin(broadcast(nFirst))
       // an empty step-1 cohort makes conversion undefined (0/0 is an
       // ANSI divide error, not a rate) — null, rows still emitted

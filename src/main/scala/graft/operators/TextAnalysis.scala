@@ -368,14 +368,14 @@ object TextAnalysis {
     val dt = df.where(col(idCol).isNotNull)
       .select(col(idCol).as("__id"),
         explode(array_distinct(tokens(col(textCol)))).as("tok"))
-    // N = docs with >= 1 token — counted via a NARROW no-explode scan
-    // (size > 0), not a distinct over the exploded frame: one corpus
-    // pass cheaper, same number (review finding: dt was rebuilt four
-    // times; this removes one of the rebuilds, the self-join's two
-    // narrow rebuilds are the measured-cheaper option at this scale)
+    // N = DISTINCT docs with >= 1 token — distinct over the slim id
+    // projection (never the exploded token frame, which was the
+    // original 4x-rebuild finding): duplicate doc ids (e.g. appended
+    // ingest batches not yet deduped) must not inflate every lift
     val nDocs = broadcast(
       df.where(col(idCol).isNotNull &&
           size(tokens(col(textCol))) > 0)
+        .select(col(idCol)).distinct()
         .agg(count(lit(1)).as("__n")))
     val top = broadcast(
       dt.groupBy("tok").agg(count(lit(1)).as("df"))

@@ -421,6 +421,11 @@ object StreamIngest {
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
     val prepared = stream
       .withWatermark(tsCol, watermark)
+      // null user/type/ts rows are malformed input, not state fuel: an
+      // unfiltered null ts NPEs inside the state function and kills
+      // the QUERY (the batch twin just never matches such rows)
+      .where(col(userCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull)
       .select(col(userCol).cast("string"), col(typeCol), col(tsCol))
       .as[(String, String, java.sql.Timestamp)]
     val converted = prepared.groupByKey(_._1)
@@ -444,10 +449,16 @@ object StreamIngest {
             // so a user cycling twice INSIDE one trigger emits twice —
             // output must not depend on micro-batch boundaries
             for ((t, et) <- evs) {
+              // events are sorted: once t passes the horizon the
+              // in-flight progress is PROVEN dead — reset here, not
+              // only at trigger start, so whether the proving event
+              // shares a trigger with the stale progress cannot
+              // change the output (trigger-packing independence)
+              if (st.step > 0 && t > st.t1 + horizonMs)
+                st = FunnelProg(-1L, -1L, 0)
               if (st.step == 0) {
                 if (et == steps.head) st = FunnelProg(t, t, 1)
-              } else if (et == steps(st.step) && t > st.tPrev &&
-                  t <= st.t1 + horizonMs) {
+              } else if (et == steps(st.step) && t > st.tPrev) {
                 st = st.copy(tPrev = t, step = st.step + 1)
                 if (st.step == steps.size) {
                   out += ((key, t))

@@ -756,6 +756,34 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingFunnel: an expired funnel resets IN-TRIGGER when a " +
+      "later event proves it dead — trigger packing cannot change output") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(String, String, Timestamp)]
+    val out = StreamIngest.streamingFunnel(
+      source.toDF().toDF("user", "etype", "ts"), "user", "etype", "ts",
+      Seq("view", "purchase"), horizonMs = 10L * 60000L,
+      watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sfunnel3_out")
+      .outputMode("append").start()
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    try {
+      // all in ONE trigger: view@0 (goes stale), view@20 (past the
+      // 10-min horizon of view@0 — proves it dead, starts a new
+      // cycle), purchase@25 (within view@20's horizon) -> converts.
+      // Null-ts / null-type rows must be dropped, not NPE the query.
+      source.addData(("u1", "view", ts(0)), ("u1", "view", ts(20)),
+        ("u1", "purchase", ts(25)), ("u1", null, ts(26)),
+        ("u1", "view", null.asInstanceOf[Timestamp]))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val rows = spark.sql("SELECT user, converted_at_ms FROM sfunnel3_out")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows === Seq(("u1", ts(25).getTime)))
+    } finally q.stop()
+  }
+
   test("intervalJoin: clicks attribute to same-key views within the " +
       "interval; outside-window rows never pair") {
     import spark.implicits._
