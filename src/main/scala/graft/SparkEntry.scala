@@ -2044,6 +2044,17 @@ object SparkEntry {
       graft.operators.Graph.pageRank(pairs, "tok_a", "tok_b", iters = 3)
         .orderBy("node")
     }),
+    // deterministic label propagation (2 rounds) over the same
+    // co-occurrence token graph — community labels, ties to the
+    // smallest label
+    "label_prop" -> ((s, dir) => {
+      val pairs = graft.operators.TextAnalysis.coocLift(
+        t(s, dir, "documents"), "doc_id", "text",
+        topV = 40, minSupport = 10L)
+        .select("tok_a", "tok_b")
+      graft.operators.Graph.labelPropagation(pairs, "tok_a", "tok_b",
+        iters = 2).orderBy("node")
+    }),
     // MERGE INTO: one full-outer key join applying update + insert +
     // conditional delete against a simulated source batch
     "merge_upsert" -> ((s, dir) => {
@@ -4387,6 +4398,24 @@ object SparkEntry {
          |${iter("pr1", "pr2")},
          |${iter("pr2", "pr3")}
          |SELECT u AS node, pr AS rank FROM pr3 ORDER BY node""".stripMargin
+    },
+    // LPA twin: same edges, 2 unrolled rounds, argmax by
+    // ROW_NUMBER over (cnt DESC, lbl ASC) — the min_by tie rule
+    "label_prop" -> {
+      def round(prev: String, out: String): String =
+        s"""c$out AS (SELECT s.v, p.lbl, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM sym s JOIN $prev p ON s.u = p.u GROUP BY s.v, p.lbl),
+           |$out AS (SELECT v AS u, lbl FROM (
+           |  SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v
+           |    ORDER BY c DESC, lbl ASC) AS rn FROM c$out)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH $coocPairsCte,
+         |sym AS (SELECT tok_a AS u, tok_b AS v FROM pairs
+         |        UNION SELECT tok_b, tok_a FROM pairs),
+         |l0 AS (SELECT DISTINCT u, u AS lbl FROM sym),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")}
+         |SELECT u AS node, lbl AS label FROM l2 ORDER BY node""".stripMargin
     },
     // MERGE twin: kept targets ∪ surviving updates ∪ inserts — the
     // delete condition applies to MATCHED source rows only (unmatched

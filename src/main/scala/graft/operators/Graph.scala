@@ -79,6 +79,39 @@ object Graph {
     pr.select(col("__u").as("node"), col("__pr").as("rank"))
   }
 
+  /** Fixed-iteration synchronous label propagation (community
+    * detection, Raghavan et al. 2007) made DETERMINISTIC: every node
+    * starts labeled with itself; each round it adopts the most
+    * frequent label among its neighbors, ties to the SMALLEST label
+    * (the argmax is a `min_by` over (−count, label) — no window, no
+    * random tie order, so results replay exactly). One join + one
+    * grouped aggregate per round, same Pregel-as-join-agg shape as
+    * [[pageRank]]; labels are whatever ordered type the node ids are.
+    *
+    * Fixed `iters` for the same reason as pageRank (convergence
+    * checks are driver round-trips); LPA on real graphs plateaus in
+    * ~5 rounds. Oscillation on bipartite structures is inherent to
+    * synchronous LPA — run an odd/even iters pair if it matters. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, materializeEdges: Boolean = true): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val sym0 = symmetrize(edges, srcCol, dstCol)
+    val sym = if (materializeEdges) sym0.localCheckpoint() else sym0
+    var labels = sym.select(col("__u")).distinct()
+      .select(col("__u"), col("__u").as("__lbl"))
+    for (_ <- 1 to iters) {
+      labels = sym
+        .join(labels, Seq("__u"))
+        .groupBy(col("__v"), col("__lbl"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("__v").as("__u"))
+        .agg(min_by(col("__lbl"),
+          struct((lit(0L) - col("__c")).as("nc"), col("__lbl")))
+          .as("__lbl"))
+    }
+    labels.select(col("__u").as("node"), col("__lbl").as("label"))
+  }
+
   /** Both directions of each edge, self-loops dropped, null endpoints
     * dropped, parallel edges collapsed. */
   private def symmetrize(edges: DataFrame, srcCol: String,

@@ -32,6 +32,36 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(out.values.sum - 1.0) < 1e-6)
   }
 
+  test("labelPropagation converges two triangles to their min labels " +
+      "and breaks ties deterministically") {
+    // two triangles joined by one bridge edge
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(e, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle {1,2,3} pulls to label 1; {10,11,12} reaches label 1
+    // only through the bridge — its internal majority keeps it low
+    assert(Set(1L, 2L, 3L).map(out).size === 1)
+    assert(out(1L) === 1L)
+    // every label is one of the node ids (labels propagate, never
+    // invent)
+    assert(out.values.toSet.subsetOf(out.keySet))
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(e, "src", "dst", iters = 0)
+    }
+  }
+
+  test("labelPropagation single round: a node adopts its neighbors' " +
+      "majority label, ties to the smallest") {
+    // star center 5 with leaves 1,2,3 -> center adopts min leaf 1;
+    // leaves adopt 5 (their only neighbor)
+    val e = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(e, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(5L) === 1L)
+    assert(Seq(1L, 2L, 3L).forall(out(_) === 5L))
+  }
+
   test("pageRank matches a hand-computed iteration on a path graph") {
     // path 1-2-3, degrees 1,2,1. After one iteration with d=0.85:
     // pr(1) = 0.15/3 + 0.85*(pr2/2); pr(2) = 0.15/3 + 0.85*(pr1+pr3);
