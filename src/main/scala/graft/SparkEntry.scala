@@ -1737,6 +1737,38 @@ object SparkEntry {
               .as("ex_inter")))
       est.crossJoin(exact)
     }),
+    // weekly-cohort funnel: reach + conversion per (cohort, step),
+    // cohort = the week of the user's step-1 event
+    "funnel_cohorts" -> ((s, dir) =>
+      graft.operators.Funnel.funnelByCohort(
+        events(s, dir).select("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"),
+        horizonNanos = 7L * 86400 * 1000000000L,
+        cohortPeriodNanos = 7L * 86400 * 1000000000L)
+        .orderBy("cohort", "step")),
+    // last-touch attribution: each purchase attributed to the user's
+    // latest preceding non-purchase event within 1h (as-of join
+    // composition; no touch in the window → 'none')
+    "attribution_last_touch" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select("event_id", "user_id", "event_type", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val touches = ev.where(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts").as("tts"),
+          col("event_type").as("touch_type"),
+          col("ts").as("touch_ts"), col("event_id").as("tid"))
+      graft.operators.AsOfJoin.asOf(purchases, touches,
+        Seq("user_id"), "ts", "tts", Seq("touch_type", "touch_ts"), "tid")
+        .select(col("event_id"),
+          when(col("touch_ts").isNotNull &&
+            col("ts") - col("touch_ts") <= 3600L * 1000000000L,
+            col("touch_type")).as("touch"))
+        .groupBy(coalesce(col("touch"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("touch_type")
+    }),
     // cohort retention matrix over event days: distinct (user, day) →
     // first-day cohort → (cohort, offset) cells with exact rates
     "retention_cohorts" -> ((s, dir) =>
@@ -3791,6 +3823,48 @@ object SparkEntry {
         |    CAST(n_users AS DOUBLE) / (SELECT COUNT(*) FROM s1)
         |  END AS conv_pct
         |FROM n ORDER BY step""".stripMargin,
+    // cohort-funnel twin: the shared step CTEs grouped by the week of
+    // t1; per-cohort conversion joins the step-1 slice
+    "funnel_cohorts" -> {
+      def cte(s: String, out: String) =
+        s"""$out AS (SELECT t1 // 604800000000000 AS cohort,
+           |  CAST(COUNT(*) AS BIGINT) AS n FROM $s GROUP BY 1)"""
+          .stripMargin
+      s"""WITH $funnelStepsCte,
+         |${cte("s1", "c1")}, ${cte("s2", "c2")}, ${cte("s3", "c3")},
+         |u AS (SELECT cohort, 1 AS step, 'view' AS event_type, n FROM c1
+         |  UNION ALL SELECT cohort, 2, 'click', n FROM c2
+         |  UNION ALL SELECT cohort, 3, 'purchase', n FROM c3)
+         |SELECT u.cohort, CAST(u.step AS INT) AS step, u.event_type,
+         |  u.n AS n_users,
+         |  CASE WHEN c1.n > 0 THEN CAST(u.n AS DOUBLE) / c1.n END
+         |    AS conv_pct
+         |FROM u JOIN c1 ON u.cohort = c1.cohort
+         |ORDER BY u.cohort, u.step""".stripMargin
+    },
+    // attribution twin: latest preceding non-purchase touch per
+    // purchase (ts DESC, id DESC — the asOf tie rule), 1h window,
+    // unmatched → 'none'
+    "attribution_last_touch" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS tn
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |t AS (SELECT user_id, epoch_ns(ts) AS tts,
+        |    event_type AS touch_type, event_id AS tid
+        |  FROM events WHERE event_type <> 'purchase'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT p.event_id, p.tn, t.touch_type, t.tts,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY t.tts DESC, t.tid DESC) AS rn
+        |  FROM p LEFT JOIN t
+        |    ON p.user_id = t.user_id AND t.tts <= p.tn),
+        |a AS (SELECT event_id,
+        |    CASE WHEN tts IS NOT NULL AND tn - tts <= 3600000000000
+        |      THEN touch_type END AS touch
+        |  FROM m WHERE rn = 1)
+        |SELECT COALESCE(touch, 'none') AS touch_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     // funnel-lag twin: same step CTEs; lag sums as DECIMAL(28,0),
     // avg via the VARCHAR bridge then one double division
     "funnel_lag" -> {

@@ -55,6 +55,37 @@ object Funnel {
       .drop("n_first")
   }
 
+  /** Funnel over time: reach and conversion per (cohort, step), where
+    * a user's cohort is the period of their STEP-1 time — "did last
+    * week's signups convert worse than this week's". Same step-reach
+    * frames as [[funnel]], grouped by `t1 div cohortPeriodNanos`
+    * instead of globally; per-cohort conversion re-enters via a
+    * broadcast of the step-1 slice (one row per cohort, always
+    * small). Every cohort present at step k exists at step 1 (cohort
+    * derives from t1), so the join is lossless. */
+  def funnelByCohort(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], horizonNanos: Long,
+      cohortPeriodNanos: Long): DataFrame = {
+    require(cohortPeriodNanos > 0, "cohortPeriodNanos must be positive")
+    val stepFrames =
+      stepReachFrames(events, userCol, typeCol, tsCol, steps, horizonNanos)
+    val counts = stepFrames.zipWithIndex.map { case (f, i) =>
+      f.groupBy(expr(s"t1 div ${cohortPeriodNanos}L").cast("long")
+          .as("cohort"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort"), lit(i + 1).cast("int").as("step"),
+          lit(steps(i)).as("event_type"), col("n_users"))
+    }
+    val all = counts.reduce(_ unionByName _)
+    val first = counts.head.select(col("cohort"),
+      col("n_users").as("__n_first"))
+    all.join(broadcast(first), Seq("cohort"))
+      .withColumn("conv_pct",
+        when(col("__n_first") > 0,
+          col("n_users").cast("double") / col("__n_first")))
+      .drop("__n_first")
+  }
+
   /** Time-to-convert per funnel step: users reached + the average lag
     * from their step-1 event, in nanos (step 1 is 0 by definition).
     * The lag sum accumulates as exact decimal — horizon·users can

@@ -138,6 +138,27 @@ class FunnelSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_users") === 1L)
   }
 
+  test("funnelByCohort splits reach by the step-1 period") {
+    // period 100: u1,u2 start in cohort 0; u3 starts in cohort 1.
+    // u1 converts, u2 stalls at view, u3 converts.
+    val e = ev(
+      (1L, "view", 10L), (1L, "click", 20L),
+      (2L, "view", 50L),
+      (3L, "view", 110L), (3L, "click", 120L))
+    val out = Funnel.funnelByCohort(e, "user_id", "event_type", "ts",
+      Seq("view", "click"), horizonNanos = 1000L,
+      cohortPeriodNanos = 100L)
+      .orderBy("cohort", "step").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (0L, 1, 2L, 1.0), (0L, 2, 1L, 0.5),
+      (1L, 1, 1L, 1.0), (1L, 2, 1L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Funnel.funnelByCohort(e, "user_id", "event_type", "ts",
+        Seq("view"), 1000L, 0L)
+    }
+  }
+
   test("transitions counts consecutive pairs per user with exact p") {
     // u1: a->b->a ; u2: a->b. Transitions: a->b x2, b->a x1.
     val e = Seq(
