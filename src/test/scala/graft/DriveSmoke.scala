@@ -499,6 +499,16 @@ object DriveSmoke {
         expr("cast((ts div 3600000000000) % 24 as int)").as("hod"),
         $"value"),
       Seq("event_type"), "hod", "value").show(false)
+
+    // label propagation communities + cohort funnel + attribution
+    println("LPA_COMMUNITIES=" + graft.operators.Graph.labelPropagation(
+      cl.select("tok_a", "tok_b"), "tok_a", "tok_b", iters = 2)
+      .select("label").distinct().count())
+    graft.operators.Funnel.funnelByCohort(
+      evReal.select("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+      7L * 86400 * 1000000000L, 7L * 86400 * 1000000000L)
+      .orderBy("cohort", "step").show(false)
     spark.stop()
   }
 }
