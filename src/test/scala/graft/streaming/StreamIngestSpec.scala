@@ -784,6 +784,80 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart: stateful dedup and funnel state survive a " +
+      "query stop + restart from the same checkpoint dir") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // memory sinks cannot recover from a checkpoint — restart tests
+    // must go through a fault-tolerant sink (foreachBatch), exactly
+    // as production would
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_").toString
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String)]())
+    // --- stateful first-wins dedup across a restart ---
+    val source = MemoryStream[(String, String)]
+    def startQuery() = StreamIngest.streamingFirstWins(
+        source.toDF().toDF("key", "payload"), "key")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r =>
+          got.add((r.getString(0), r.getString(1))))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = startQuery()
+    try {
+      source.addData(("a", "b1"), ("b", "b1"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the SAME checkpoint: key state must persist, so a
+    // recurring "a" stays dropped while a fresh "c" passes
+    val q2 = startQuery()
+    try {
+      source.addData(("a", "b2-dup"), ("c", "b2"))
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty, s"restart died: ${q2.exception}")
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSeq.sorted ===
+        Seq(("a", "b1"), ("b", "b1"), ("c", "b2")))
+    } finally q2.stop()
+
+    // --- in-progress funnel state across a restart ---
+    val ckpt2 = java.nio.file.Files
+      .createTempDirectory("graft_ckpt2_").toString
+    val conv = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, Long)]())
+    val fsrc = MemoryStream[(String, String, Timestamp)]
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    def startFunnel() = StreamIngest.streamingFunnel(
+        fsrc.toDF().toDF("user", "etype", "ts"), "user", "etype", "ts",
+        Seq("view", "purchase"), horizonMs = 60L * 60000L,
+        watermark = "1 minute")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.collect().foreach(r =>
+          conv.add((r.getString(0), r.getLong(1))))
+      }
+      .option("checkpointLocation", ckpt2)
+      .outputMode("append").start()
+    val f1 = startFunnel()
+    try {
+      fsrc.addData(("u1", "view", ts(0)))
+      f1.processAllAvailable()
+    } finally f1.stop()
+    val f2 = startFunnel()
+    try {
+      // the step-1 progress recorded before the stop must still be
+      // live: this purchase completes the funnel after the restart
+      fsrc.addData(("u1", "purchase", ts(5)))
+      f2.processAllAvailable()
+      assert(f2.exception.isEmpty, s"restart died: ${f2.exception}")
+      import scala.jdk.CollectionConverters._
+      assert(conv.asScala.toSeq === Seq(("u1", ts(5).getTime)))
+    } finally f2.stop()
+  }
+
   test("intervalJoin: clicks attribute to same-key views within the " +
       "interval; outside-window rows never pair") {
     import spark.implicits._
