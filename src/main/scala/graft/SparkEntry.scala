@@ -1751,8 +1751,12 @@ object SparkEntry {
     // latest preceding non-purchase event within 1h (as-of join
     // composition; no touch in the window → 'none')
     "attribution_last_touch" -> ((s, dir) => {
+      // null user_id must drop on BOTH sides: asOf's window would
+      // pool all null keys into one anonymous partition and
+      // cross-attribute them (twin filters user_id IS NOT NULL)
       val ev = events(s, dir)
         .select("event_id", "user_id", "event_type", "ts")
+        .where(col("user_id").isNotNull)
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val touches = ev.where(col("event_type") =!= "purchase")

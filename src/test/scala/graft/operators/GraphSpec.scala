@@ -39,10 +39,13 @@ class GraphSpec extends SparkSpec {
       (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L)).toDF("src", "dst")
     val out = Graph.labelPropagation(e, "src", "dst", iters = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // triangle {1,2,3} pulls to label 1; {10,11,12} reaches label 1
-    // only through the bridge — its internal majority keeps it low
+    // triangle {1,2,3} pulls to label 1; {10,11,12} keeps its own
+    // min label — the bridge must NOT flood one label everywhere
     assert(Set(1L, 2L, 3L).map(out).size === 1)
     assert(out(1L) === 1L)
+    assert(Set(10L, 11L, 12L).map(out).size === 1)
+    assert(out(10L) === 3L || out(10L) === 10L, s"got $out")
+    assert(out(1L) !== out(11L), "bridge flooded one community label")
     // every label is one of the node ids (labels propagate, never
     // invent)
     assert(out.values.toSet.subsetOf(out.keySet))
