@@ -121,11 +121,16 @@ object Hll {
     // would turn a ~2^-8 weight into ~2^56. Clamp at the portable max:
     // the bias is one register seeing ≥ 49 leading zero bits —
     // probability 2^-49 per value, irrelevant next to HLL's 1.04/√m
+    // coalesce: a sketch of an EMPTY frame has zero register rows, so
+    // the keyless global aggregate yields count=0 / sum=NULL — __zused
+    // must be 0 there (zeros then covers all m registers and raw_est
+    // is the standard alpha·m empty-sketch estimate, not NULL). Keyed
+    // groups always have ≥1 row, so the coalesce is a no-op for them.
     val grouped = registers
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("__used"),
-        sum(expr(s"shiftleft(cast(1 as bigint), " +
-          s"$PortableRhoMax - least(rho, $PortableRhoMax))"))
+        coalesce(sum(expr(s"shiftleft(cast(1 as bigint), " +
+          s"$PortableRhoMax - least(rho, $PortableRhoMax))")), lit(0L))
           .cast("long").as("__zused"))
     grouped
       .withColumn("zeros", lit(m.toLong) - col("__used"))

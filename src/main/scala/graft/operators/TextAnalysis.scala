@@ -365,9 +365,16 @@ object TextAnalysis {
       topV: Int, minSupport: Long = 2L): DataFrame = {
     require(topV >= 2, "need at least two vocabulary tokens")
     require(minSupport >= 1, "minSupport must be >= 1")
+    // distinct (__id, tok): array_distinct only dedupes WITHIN a row,
+    // so duplicate doc ids (appended ingest batches not yet deduped)
+    // would inflate df linearly and n_ab quadratically (the __id
+    // self-join cross-multiplies copies) while N below stays deduped —
+    // skewing lifts inconsistently. One slim two-column exchange makes
+    // every count agree with N's distinct-id convention.
     val dt = df.where(col(idCol).isNotNull)
       .select(col(idCol).as("__id"),
         explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .distinct()
     // N = DISTINCT docs with >= 1 token — distinct over the slim id
     // projection (never the exploded token frame, which was the
     // original 4x-rebuild finding): duplicate doc ids (e.g. appended

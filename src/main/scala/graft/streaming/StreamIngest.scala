@@ -45,6 +45,22 @@ object StreamIngest {
     * same-key rows in one batch is arbitrary, matching the batch
     * ingest's tie semantics. */
   def streamingFirstWins(stream: DataFrame, keyCol: String): DataFrame = {
+    // the group key is the value's toString — value-based for atomic
+    // types, but IDENTITY-based for BinaryType (Array[Byte]), which
+    // would silently turn dedup into a no-op (every row unique);
+    // array/struct/map renderings are similarly unreliable. Fail loudly.
+    import org.apache.spark.sql.types._
+    val keyType = stream.schema(keyCol).dataType
+    val valueBased = keyType match {
+      case StringType | BooleanType | ByteType | ShortType | IntegerType |
+           LongType | FloatType | DoubleType | DateType | TimestampType |
+           TimestampNTZType | _: DecimalType => true
+      case _ => false
+    }
+    require(valueBased,
+      s"streamingFirstWins key '$keyCol' must be an atomic non-binary " +
+        s"type (got $keyType): binary/array/struct/map keys have no " +
+        "value-based string form, so dedup would silently not deduplicate")
     val enc: Encoder[Row] = Encoders.row(stream.schema)
     implicit val rowEnc: Encoder[Row] = enc
     implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
@@ -230,22 +246,27 @@ object StreamIngest {
   def sketchStream(stream: DataFrame, valueCol: String, m: Int,
       portableHash: Boolean = false,
       queryName: String = "graft-hll-stream"): HllStream = {
-    var merged: Option[DataFrame] = None
+    // AtomicReference, not a captured var: the register frame is
+    // written on the micro-batch thread and read from the caller's
+    // thread via HllStream — closure capture is not a safe publication
+    // (same hazard nearDupIngest documents)
+    val merged = new java.util.concurrent.atomic.AtomicReference[
+      Option[DataFrame]](None)
     val q = stream.writeStream.queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val sk = graft.operators.Hll.sketch(batch, valueCol, m,
             portableHash)
-          val next = merged match {
+          val next = merged.get() match {
             case Some(prev) => graft.operators.Hll.merge(Seq(prev, sk))
             case None => sk
           }
           // localCheckpoint: the state must not re-read prior batches'
           // (gone) micro-batch sources, and keeps lineage O(1) deep
-          merged = Some(next.localCheckpoint())
+          merged.set(Some(next.localCheckpoint()))
         }
       }.start()
-    new HllStream(q, () => merged)
+    new HllStream(q, () => merged.get())
   }
 
   /** Stateless streaming curation: the per-row quality stack — Gopher

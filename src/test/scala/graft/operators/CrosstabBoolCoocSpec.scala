@@ -98,4 +98,21 @@ class CrosstabBoolCoocSpec extends SparkSpec {
     assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .toSeq === Seq(("x", "y", 2L)))
   }
+
+  test("coocLift: duplicate doc ids inflate neither df nor n_ab — " +
+      "every count matches N's distinct-id convention") {
+    val docs = Seq(
+      (1L, "x y"),
+      (2L, "x y z"),
+      (3L, "x z w"),
+      (4L, "q")).toDF("doc_id", "text")
+    // the same corpus with doc 2 ingested three times and doc 3 twice
+    val dup = docs.union(Seq((2L, "x y z"), (2L, "x y z"), (3L, "x z w"))
+      .toDF("doc_id", "text"))
+    val clean = TextAnalysis.coocLift(docs, "doc_id", "text",
+      topV = 3, minSupport = 1L).orderBy("tok_a", "tok_b").collect()
+    val dirty = TextAnalysis.coocLift(dup, "doc_id", "text",
+      topV = 3, minSupport = 1L).orderBy("tok_a", "tok_b").collect()
+    assert(dirty.toSeq === clean.toSeq)
+  }
 }

@@ -146,4 +146,24 @@ class HllSpec extends SparkSpec {
     val inter = r3.getAs[Double]("est_inter")
     assert(inter > 100 && inter < 400, s"inter=$inter")
   }
+
+  test("setOpEstimates: an EMPTY side yields numeric estimates (the " +
+      "alpha·m empty-sketch raw estimate), never nulls") {
+    import spark.implicits._
+    val a = (1 to 300).map(i => s"tok_$i").toDF("v")
+    val empty = a.limit(0)
+    for ((x, y) <- Seq((a, empty), (empty, a), (empty, empty))) {
+      val r = Hll.setOpEstimates(x, y, "v", m = 256).head
+      for (c <- Seq("est_a", "est_b", "est_union", "est_inter",
+          "jaccard_est"))
+        assert(!r.isNullAt(r.fieldIndex(c)), s"$c null on empty side")
+    }
+    // empty ∪ A estimates like A alone: union register MAX with an
+    // all-zero sketch is identity
+    val r = Hll.setOpEstimates(empty, a, "v", m = 256).head
+    assert(r.getAs[Double]("est_union") === r.getAs[Double]("est_b"))
+    // empty side's raw estimate is alpha·m (all m registers empty)
+    assert(math.abs(r.getAs[Double]("est_a") -
+      Hll.alphaM2(256) / 256.0) < 1e-9)
+  }
 }

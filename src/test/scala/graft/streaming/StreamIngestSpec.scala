@@ -51,6 +51,24 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingFirstWins: a binary key fails loudly (identity-based " +
+      "toString would silently never deduplicate)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Array[Byte], String)]
+    val err = intercept[IllegalArgumentException] {
+      StreamIngest.streamingFirstWins(
+        source.toDF().toDF("key", "payload"), "key")
+    }
+    assert(err.getMessage.contains("atomic non-binary"))
+    // array keys are equally identity-unreliable as group strings
+    val arrSource = MemoryStream[(Seq[Int], String)]
+    intercept[IllegalArgumentException] {
+      StreamIngest.streamingFirstWins(
+        arrSource.toDF().toDF("key", "payload"), "key")
+    }
+  }
+
   test("dedupWithinHorizon: duplicates inside the horizon drop; a key " +
       "recurring after the watermark passes is re-admitted") {
     import spark.implicits._
