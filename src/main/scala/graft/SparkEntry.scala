@@ -808,8 +808,9 @@ object SparkEntry {
           graft.functions.TextFunctions.gopherRules(col("text")).as("g"))
         .select(col("doc_id"), col("g.n_words").as("n_words"),
           col("g.alpha_word_ratio").as("alpha_word_ratio"))
-      val lm = graft.operators.TextAnalysis
-        .charBigramScore(docs, "doc_id", "text")
+      // LM score from the process-shared scored-docs artifact — the
+      // fit+score pass runs once, not once per LM-threshold consumer
+      val lm = SharedFrames.lmScoredDocs(s, dir)
         .select("doc_id", "lm_score")
       val ds = graft.operators.Dedup
         .dupSpanStats(docs, "doc_id", "text", k = 20, hashGrams = false)
@@ -905,20 +906,27 @@ object SparkEntry {
     // filtering — the oracle twin is the NAIVE shared-token all-pairs
     // join, so the gate machine-checks the prefix-filter completeness
     // theorem itself: any qualifying pair the prefix join missed would
-    // hash-mismatch here
+    // hash-mismatch here. Registered in its corpus-scale form: the
+    // distinct (doc, shingle) token frame is the process-shared stored
+    // artifact (SharedFrames.docShingles — tokenize ONCE, every
+    // consumer reads the slim columnar index; the inline re-shingling
+    // form stays as `Dedup.jaccardPairsExact`, spec-pinned equal)
     "jaccard_pairs_exact" -> ((s, dir) =>
-      Dedup.jaccardPairsExact(t(s, dir, "documents"), "doc_id", "text",
-        shingleWidth = 3, threshold = 0.5)
+      Dedup.jaccardPairsExactFromTokens(
+        SharedFrames.docShingles(s, dir, width = 3),
+        "doc_id", "tok", threshold = 0.5)
         .orderBy("id_a", "id_b")),
     // asymmetric recall-1.0 probe (odd ids = new slice, even = frozen
     // corpus — the crossdup_filter split) at a NON-DYADIC threshold, so
     // the gate also exercises the floor-robust prefix/length cuts
-    // against the naive cross-pairs twin
+    // against the naive cross-pairs twin. Same stored token artifact,
+    // sliced by parity (identical sets to per-side re-tokenization).
     "jaccard_probe_exact" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.jaccardProbeExact(docs.filter(col("doc_id") % 2 === 1),
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-        shingleWidth = 3, threshold = 0.4)
+      val toks = SharedFrames.docShingles(s, dir, width = 3)
+      Dedup.jaccardProbeExactFromTokens(
+        toks.filter(col("doc_id") % 2 === 1),
+        toks.filter(col("doc_id") % 2 === 0),
+        "doc_id", "tok", threshold = 0.4)
         .orderBy("doc_id")
     }),
     // connected components (large-star/small-star operator) over the
@@ -1959,16 +1967,17 @@ object SparkEntry {
     // char-bigram LM quality score (KenLM/CCNet perplexity-filter
     // stand-in): corpus-fit MLE, per-doc mean log-prob via an ORDERED
     // sequential fold so accumulation is engine-independent;
-    // decimal-rounded for ln ulp drift
+    // decimal-rounded for ln ulp drift. The fit+score pass is the
+    // process-shared scored-docs artifact (SharedFrames) — one corpus
+    // scan serves this, ccnet_buckets, and curation_scored, the same
+    // stored-table shape a 100 TB pipeline uses.
     "lm_score_docs" -> ((s, dir) =>
-      graft.operators.TextAnalysis.charBigramScore(
-        t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
-    // CCNet-style perplexity terciles: LM score (zero-shuffle kernel
-    // map) + exact tercile cut-points → head/middle/tail buckets
+      SharedFrames.lmScoredDocs(s, dir).orderBy("doc_id")),
+    // CCNet-style perplexity terciles: shared scored frame + exact
+    // tercile cut-points → head/middle/tail buckets
     "ccnet_buckets" -> ((s, dir) =>
-      graft.operators.TextAnalysis.perplexityBuckets(
-        t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.TextAnalysis.perplexityBucketsFromScored(
+        SharedFrames.lmScoredDocs(s, dir))
         .orderBy("doc_id")),
     // Okapi BM25 lexical top-k: postings fit + filtered-postings
     // search; per-term contributions decimal(20,8)-rounded before the

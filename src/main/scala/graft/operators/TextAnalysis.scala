@@ -181,8 +181,17 @@ object TextAnalysis {
     * default; bucket edges then carry sketch error, which CCNet
     * itself tolerates (its buckets are heuristic thirds). */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      approx: Boolean = false): DataFrame =
+    perplexityBucketsFromScored(charBigramScore(df, idCol, textCol),
+      approx)
+
+  /** [[perplexityBuckets]] over an ALREADY-SCORED frame (any frame
+    * with an `lm_score` column — typically a stored scored-docs table,
+    * [[graft.SharedFrames.lmScoredDocs]]): fit + score once per
+    * corpus, derive buckets and every other LM-threshold consumer from
+    * the slim artifact. */
+  def perplexityBucketsFromScored(scored: DataFrame,
       approx: Boolean = false): DataFrame = {
-    val scored = charBigramScore(df, idCol, textCol)
     // nothing scorable (every doc under 2 chars): no terciles exist —
     // empty frame with the right schema, not an index error
     if (scored.isEmpty)

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
+
+/** The process-shared materialized artifacts must be indistinguishable
+  * from a direct recompute — they back registered oracle queries. */
+class SharedFramesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fixtureDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sfspec-").toAbsolutePath.toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over a sleeping cat"),
+      (3L, "completely different text with no overlap at all"),
+      (4L, "zz"),
+      (5L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("lmScoredDocs equals a direct charBigramScore run, and repeated " +
+      "calls serve the same materialized artifact") {
+    val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
+    val direct = TextAnalysis.charBigramScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val shared = SharedFrames.lmScoredDocs(spark, fixtureDir)
+      .orderBy("doc_id").collect()
+    assert(shared.toSeq === direct.toSeq)
+    // memoized: the second call reads the same files (same input paths)
+    val first = SharedFrames.lmScoredDocs(spark, fixtureDir)
+      .inputFiles.toSet
+    val second = SharedFrames.lmScoredDocs(spark, fixtureDir)
+      .inputFiles.toSet
+    assert(first === second && first.nonEmpty)
+    assert(!first.exists(_.contains(fixtureDir)),
+      "artifact must be a materialized copy, not the raw corpus")
+  }
+
+  test("docShingles equals the inline distinct (doc, shingle) frame — " +
+      "the stored index feeds the exact-Jaccard oracle queries") {
+    val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
+    val direct = docs.select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("tok"))
+      .distinct().orderBy("doc_id", "tok").collect()
+    val shared = SharedFrames.docShingles(spark, fixtureDir, width = 3)
+      .orderBy("doc_id", "tok").collect()
+    assert(shared.toSeq === direct.toSeq)
+  }
+
+  test("FromTokens over the stored shingle frame equals the inline " +
+      "re-shingling form for both the self-join and the probe") {
+    val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
+    val toks = SharedFrames.docShingles(spark, fixtureDir, width = 3)
+    val inlinePairs = operators.Dedup.jaccardPairsExact(
+      docs, "doc_id", "text", shingleWidth = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+    val storedPairs = operators.Dedup.jaccardPairsExactFromTokens(
+      toks, "doc_id", "tok", threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+    assert(storedPairs.toSeq === inlinePairs.toSeq)
+    assert(storedPairs.nonEmpty, "fixture must produce qualifying pairs")
+    val inlineProbe = operators.Dedup.jaccardProbeExact(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", shingleWidth = 3, threshold = 0.4)
+      .orderBy("doc_id").collect()
+    val storedProbe = operators.Dedup.jaccardProbeExactFromTokens(
+      toks.filter(col("doc_id") % 2 === 1),
+      toks.filter(col("doc_id") % 2 === 0),
+      "doc_id", "tok", threshold = 0.4)
+      .orderBy("doc_id").collect()
+    assert(storedProbe.toSeq === inlineProbe.toSeq)
+  }
+
+  test("perplexityBucketsFromScored over the shared frame equals " +
+      "perplexityBuckets run end-to-end") {
+    val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
+    val direct = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val shared = TextAnalysis.perplexityBucketsFromScored(
+      SharedFrames.lmScoredDocs(spark, fixtureDir))
+      .orderBy("doc_id").collect()
+    assert(shared.toSeq === direct.toSeq)
+  }
+}
