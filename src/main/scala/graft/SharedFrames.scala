@@ -76,4 +76,18 @@ object SharedFrames {
             .shingles(col("text"), width)).as("tok"))
         .distinct()
     }
+
+  /** Co-occurrence association table for `dir` (topV=40, minSupport=10
+    * — the registry's fixed graph parameters): (tok_a, tok_b, n_ab,
+    * df_a, df_b, lift) from [[operators.TextAnalysis.coocLift]]. One
+    * corpus explode+join serves the lift report AND every graph query
+    * built on the cooc edges (PageRank ×3, label propagation,
+    * triangles, BFS) — the stored edge-list shape of a graph
+    * pipeline. */
+  def coocPairs(s: SparkSession, dir: String): DataFrame =
+    materialized(s, s"$dir#cooc40x10") {
+      operators.TextAnalysis.coocLift(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        topV = 40, minSupport = 10L)
+    }
 }

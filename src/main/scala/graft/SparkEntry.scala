@@ -828,6 +828,14 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), lang_id(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
+    // Flesch readability profile: exact word/sentence/vowel-group
+    // counts + two fixed IEEE score chains, zero-shuffle row map
+    "readability_docs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.readability(col("text")).as("r"))
+        .select(col("doc_id"), col("r.*"))
+        .orderBy("doc_id")),
     // The native FNV/murmur hash kernels (simhash64, fingerprints)
     // carried standalone rows-only registrations (`simhash_sigs`,
     // `fingerprint_counts`) through r8. Retired in r9 (the r8 verdict's
@@ -1781,6 +1789,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"))
         .orderBy("touch_type")
     }),
+    // multi-touch attribution, linear model: every touch in the 24h
+    // window before a purchase shares its one unit of credit equally
+    // (1/k each, decimal-rounded); untouched purchases report as
+    // 'none' so total credit equals the conversion count
+    "attribution_linear" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select("event_id", "user_id", "event_type", "ts")
+        .where(col("user_id").isNotNull)
+      graft.operators.Attribution.report(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") =!= "purchase")
+          .withColumnRenamed("event_type", "touch_type"),
+        Seq("user_id"), "event_id", "ts", "ts", "touch_type",
+        windowNanos = 24L * 3600L * 1000000000L,
+        model = graft.operators.Attribution.Linear)
+        .orderBy("touch_type")
+    }),
+    // time-decay attribution: a touch's weight halves per WHOLE hour
+    // of lag (discrete half-life — integer powers of two keep every
+    // weight, sum, and normalization engine-exact), normalized per
+    // conversion
+    "attribution_time_decay" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select("event_id", "user_id", "event_type", "ts")
+        .where(col("user_id").isNotNull)
+      graft.operators.Attribution.report(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") =!= "purchase")
+          .withColumnRenamed("event_type", "touch_type"),
+        Seq("user_id"), "event_id", "ts", "ts", "touch_type",
+        windowNanos = 24L * 3600L * 1000000000L,
+        model = graft.operators.Attribution.TimeDecay,
+        halfLifeNanos = 3600L * 1000000000L)
+        .orderBy("touch_type")
+    }),
     // cohort retention matrix over event days: distinct (user, day) →
     // first-day cohort → (cohort, offset) cells with exact rates
     "retention_cohorts" -> ((s, dir) =>
@@ -2009,6 +2052,14 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         allOf = Seq("batch", "join", "window"), noneOf = Seq("slow"))
         .orderBy("doc_id")),
+    // exact consecutive-phrase retrieval over positional postings
+    // (posexplode → term-filtered before any shuffle → chained
+    // (id, pos − i) equi-joins); occurrence counts per doc
+    "phrase_query" -> ((s, dir) =>
+      graft.operators.Bm25.phraseQuery(
+        t(s, dir, "documents"), "doc_id", "text",
+        phrase = Seq("slow", "hash", "batch"))
+        .orderBy("doc_id")),
     // hybrid retrieval: BM25 top-20 ∪ vector top-20 fused by
     // reciprocal-rank contributions (decimal-exact, order-free) —
     // rank windows run over the two k-row lists, not the corpus
@@ -2074,28 +2125,64 @@ object SparkEntry {
     // document-level co-occurrence association rules over the top-40
     // vocabulary (bounded-V pair join; lift in mirrored IEEE ops)
     "cooc_lift" -> ((s, dir) =>
-      graft.operators.TextAnalysis.coocLift(
-        t(s, dir, "documents"), "doc_id", "text",
-        topV = 40, minSupport = 10L)
+      // the process-shared cooc artifact (SharedFrames) — one corpus
+      // explode+join serves this report and all six graph queries
+      SharedFrames.coocPairs(s, dir)
         .orderBy("tok_a", "tok_b")),
     // TextRank: 3 fixed PageRank iterations over the same top-40
     // co-occurrence edges (keyword centrality; iterative join-agg
     // rounds, decimal-quantized contributions)
     "token_pagerank" -> ((s, dir) => {
-      val pairs = graft.operators.TextAnalysis.coocLift(
-        t(s, dir, "documents"), "doc_id", "text",
-        topV = 40, minSupport = 10L)
+      val pairs = SharedFrames.coocPairs(s, dir)
         .select("tok_a", "tok_b")
       graft.operators.Graph.pageRank(pairs, "tok_a", "tok_b", iters = 3)
+        .orderBy("node")
+    }),
+    // TRUE TextRank (Mihalcea & Tarau rank a WEIGHTED co-occurrence
+    // graph): same 3 PageRank rounds over the same edges, per-edge
+    // contribution pr·w/Σw_out with w = the exact co-occurrence count
+    // n_ab — integer weights keep the decimal chain engine-exact
+    "token_pagerank_weighted" -> ((s, dir) => {
+      val pairs = SharedFrames.coocPairs(s, dir)
+        .select("tok_a", "tok_b", "n_ab")
+      graft.operators.Graph.pageRank(pairs, "tok_a", "tok_b", iters = 3,
+        weightCol = Some("n_ab"))
+        .orderBy("node")
+    }),
+    // DIRECTED PageRank with dangling-mass redistribution over the
+    // cooc DAG (tok_a → tok_b, lexicographic): the max token never
+    // appears as a source, so real sink nodes exercise the dangling
+    // term — one broadcast exact-decimal scalar per round
+    "pagerank_directed" -> ((s, dir) => {
+      val pairs = SharedFrames.coocPairs(s, dir)
+        .select("tok_a", "tok_b")
+      graft.operators.Graph.pageRankDirected(pairs, "tok_a", "tok_b",
+        iters = 3)
+        .orderBy("node")
+    }),
+    // per-node triangle counts (degree-ordered orientation — each
+    // triangle enumerated exactly once from its rank-min vertex, hot
+    // nodes capped at O(√E) wedge fan-out) over the cooc graph
+    "token_triangles" -> ((s, dir) => {
+      val pairs = SharedFrames.coocPairs(s, dir)
+        .select("tok_a", "tok_b")
+      graft.operators.Graph.triangleCounts(pairs, "tok_a", "tok_b")
+        .orderBy("node")
+    }),
+    // multi-source BFS hop distances (4 rounds of join + min-agg)
+    // from the lexicographically smallest token — exact integers
+    "token_bfs" -> ((s, dir) => {
+      val pairs = SharedFrames.coocPairs(s, dir)
+        .select("tok_a", "tok_b")
+      graft.operators.Graph.bfsHops(pairs, "tok_a", "tok_b",
+        pairs.agg(min(col("tok_a")).as("seed")), "seed", maxHops = 4)
         .orderBy("node")
     }),
     // deterministic label propagation (2 rounds) over the same
     // co-occurrence token graph — community labels, ties to the
     // smallest label
     "label_prop" -> ((s, dir) => {
-      val pairs = graft.operators.TextAnalysis.coocLift(
-        t(s, dir, "documents"), "doc_id", "text",
-        topV = 40, minSupport = 10L)
+      val pairs = SharedFrames.coocPairs(s, dir)
         .select("tok_a", "tok_b")
       graft.operators.Graph.labelPropagation(pairs, "tok_a", "tok_b",
         iters = 2).orderBy("node")
@@ -2163,6 +2250,19 @@ object SparkEntry {
       graft.operators.Funnel.journeys(
         events(s, dir).select("user_id", "event_type", "ts", "event_id"),
         "user_id", "event_type", "ts", "event_id", n = 3, topK = 20)),
+    // session-scoped journeys: the same top-20 path mining, but paths
+    // may not cross a 30-minute inactivity gap — Sessionize composed
+    // with journeys keyed by session_id (the composition the journeys
+    // doc told users to write; now gate-checked)
+    "session_journeys" -> ((s, dir) =>
+      graft.operators.Funnel.journeys(
+        graft.operators.Sessionize.sessionize(
+          events(s, dir)
+            .select("user_id", "event_type", "ts", "event_id")
+            .where(col("user_id").isNotNull &&
+              col("event_type").isNotNull && col("ts").isNotNull),
+          Seq("user_id"), "ts", maxGap = 1800L * 1000000000L),
+        "session_id", "event_type", "ts", "event_id", n = 3, topK = 20)),
     // next-event Markov transition matrix (event-time order, id
     // tiebreaks) with exact conditional probabilities
     "event_transitions" -> ((s, dir) =>
@@ -3878,6 +3978,66 @@ object SparkEntry {
         |SELECT COALESCE(touch, 'none') AS touch_type,
         |  CAST(COUNT(*) AS BIGINT) AS n_purchases
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+    // linear multi-touch twin: per-conversion 1/k credits (one double
+    // division, decimal-rounded), 'none' carries full credit, channel
+    // totals re-enter double via the VARCHAR bridge
+    "attribution_linear" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS tn
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |t AS (SELECT user_id, epoch_ns(ts) AS tts,
+        |    event_type AS touch_type
+        |  FROM events WHERE event_type <> 'purchase'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |m AS (SELECT p.event_id, p.tn, t.tts, t.touch_type
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.tts <= p.tn AND p.tn - t.tts <= 86400000000000),
+        |k AS (SELECT event_id, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM m GROUP BY event_id),
+        |cred AS (SELECT m.event_id, m.touch_type,
+        |    CAST(1.0::DOUBLE / CAST(k.k AS DOUBLE)
+        |      AS DECIMAL(18,12)) AS credit
+        |  FROM m JOIN k ON m.event_id = k.event_id),
+        |non AS (SELECT event_id, 'none' AS touch_type,
+        |    CAST(1 AS DECIMAL(18,12)) AS credit
+        |  FROM p WHERE event_id NOT IN (SELECT event_id FROM m)),
+        |u AS (SELECT * FROM cred UNION ALL SELECT * FROM non)
+        |SELECT touch_type,
+        |  CAST(CAST(SUM(credit) AS VARCHAR) AS DOUBLE) AS credit,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_conversions
+        |FROM u GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+    // time-decay twin: weights 0.5^floor(lag/1h) — integer powers of
+    // two, so weights, per-conversion sums, and normalization are all
+    // exact doubles both engines
+    "attribution_time_decay" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS tn
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |t AS (SELECT user_id, epoch_ns(ts) AS tts,
+        |    event_type AS touch_type
+        |  FROM events WHERE event_type <> 'purchase'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |m AS (SELECT p.event_id, p.tn, t.tts, t.touch_type
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.tts <= p.tn AND p.tn - t.tts <= 86400000000000),
+        |w AS (SELECT event_id, touch_type,
+        |    POWER(0.5::DOUBLE, FLOOR(CAST(tn - tts AS DOUBLE) /
+        |      3600000000000.0::DOUBLE)) AS w
+        |  FROM m),
+        |z AS (SELECT event_id, SUM(w) AS z FROM w GROUP BY event_id),
+        |cred AS (SELECT w.event_id, w.touch_type,
+        |    CAST(w.w / z.z AS DECIMAL(18,12)) AS credit
+        |  FROM w JOIN z ON w.event_id = z.event_id),
+        |non AS (SELECT event_id, 'none' AS touch_type,
+        |    CAST(1 AS DECIMAL(18,12)) AS credit
+        |  FROM p WHERE event_id NOT IN (SELECT event_id FROM m)),
+        |u AS (SELECT * FROM cred UNION ALL SELECT * FROM non)
+        |SELECT touch_type,
+        |  CAST(CAST(SUM(credit) AS VARCHAR) AS DOUBLE) AS credit,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_conversions
+        |FROM u GROUP BY touch_type ORDER BY touch_type""".stripMargin,
     // funnel-lag twin: same step CTEs; lag sums as DECIMAL(28,0),
     // avg via the VARCHAR bridge then one double division
     "funnel_lag" -> {
@@ -4038,6 +4198,30 @@ object SparkEntry {
         |    LEAD(et, 1) OVER (PARTITION BY u ORDER BY tn, id) AS s1,
         |    LEAD(et, 2) OVER (PARTITION BY u ORDER BY tn, id) AS s2
         |  FROM b)
+        |SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM st WHERE s0 IS NOT NULL AND s1 IS NOT NULL
+        |  AND s2 IS NOT NULL
+        |GROUP BY 1 ORDER BY cnt DESC, path ASC LIMIT 20""".stripMargin,
+    // session-journeys twin: the proven session-boundary CTE (30-min
+    // gap) with the journey LEADs partitioned by (user, session)
+    "session_journeys" ->
+      """WITH b AS (SELECT user_id AS u, event_type AS et,
+        |    epoch_ns(ts) AS tn, event_id AS id
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND ts IS NOT NULL),
+        |s AS (SELECT u, et, tn, id,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR tn - prev <= 1800000000000
+        |                  THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY u ORDER BY tn
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sidx
+        |  FROM (SELECT u, et, tn, id,
+        |          lag(tn) OVER (PARTITION BY u ORDER BY tn) AS prev
+        |        FROM b)),
+        |st AS (SELECT et AS s0,
+        |    LEAD(et, 1) OVER (PARTITION BY u, sidx ORDER BY tn, id) AS s1,
+        |    LEAD(et, 2) OVER (PARTITION BY u, sidx ORDER BY tn, id) AS s2
+        |  FROM s)
         |SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM st WHERE s0 IS NOT NULL AND s1 IS NOT NULL
@@ -4446,6 +4630,46 @@ object SparkEntry {
          |SELECT doc_id, n_matched FROM hits
          |WHERE doc_id NOT IN (SELECT doc_id FROM dt WHERE tok = 'slow')
          |ORDER BY doc_id""".stripMargin,
+    // phrase twin: zipped unnest gives 0-based positional postings;
+    // term i must sit exactly i after the start position
+    "phrase_query" ->
+      s"""WITH tp AS (SELECT doc_id, unnest($toksSql) AS tok,
+         |    unnest(range(len($toksSql))) AS pos
+         |  FROM documents),
+         |m AS (SELECT p0.doc_id, p0.pos
+         |  FROM tp p0
+         |  JOIN tp p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+         |    AND p1.tok = 'hash'
+         |  JOIN tp p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+         |    AND p2.tok = 'batch'
+         |  WHERE p0.tok = 'slow')
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // readability twin: the same three exact counts (whitespace words,
+    // [.!?]+ runs min 1, [aeiouy]+ vowel groups) and the same
+    // left-associated IEEE chains, decimal-rounded
+    "readability_docs" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_words,
+         |  CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+         |    AS BIGINT) AS n_sentences,
+         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |    AS BIGINT) AS n_syllables,
+         |  CASE WHEN len($toksSql) > 0 THEN
+         |    CAST(CAST(206.835::DOUBLE
+         |      - 1.015::DOUBLE * (CAST(len($toksSql) AS DOUBLE) /
+         |          CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS DOUBLE))
+         |      - 84.6::DOUBLE * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) /
+         |          CAST(len($toksSql) AS DOUBLE))
+         |      AS DECIMAL(18,6)) AS DOUBLE) END AS flesch_ease,
+         |  CASE WHEN len($toksSql) > 0 THEN
+         |    CAST(CAST(0.39::DOUBLE * (CAST(len($toksSql) AS DOUBLE) /
+         |          CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS DOUBLE))
+         |      + 11.8::DOUBLE * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) /
+         |          CAST(len($toksSql) AS DOUBLE))
+         |      - 15.59::DOUBLE
+         |      AS DECIMAL(18,6)) AS DOUBLE) END AS fk_grade
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // co-occurrence lift twin: same top-V cut (df DESC, tok ASC), same
     // pair join, lift in the SAME parenthesized IEEE double ops
     "cooc_lift" ->
@@ -4485,6 +4709,117 @@ object SparkEntry {
          |${iter("pr1", "pr2")},
          |${iter("pr2", "pr3")}
          |SELECT u AS node, pr AS rank FROM pr3 ORDER BY node""".stripMargin
+    },
+    // weighted-TextRank twin: contributions pr·w/W(u), both w and the
+    // out-weight sum W re-entering double math through the
+    // decimal→VARCHAR→double bridge (weights are exact integer counts)
+    "token_pagerank_weighted" -> {
+      def iter(prev: String, out: String): String =
+        s"""c$out AS (SELECT s.v AS u,
+           |    CAST((p.pr * CAST(CAST(s.w AS VARCHAR) AS DOUBLE)) /
+           |      CAST(CAST(d.wout AS VARCHAR) AS DOUBLE)
+           |      AS DECIMAL(18,12)) AS c
+           |  FROM sym s JOIN $prev p ON s.u = p.u
+           |  JOIN wdeg d ON s.u = d.u),
+           |$out AS (SELECT u,
+           |    (1.0::DOUBLE - 0.85::DOUBLE) /
+           |      CAST((SELECT n FROM nn) AS DOUBLE) +
+           |      0.85::DOUBLE * CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE)
+           |      AS pr
+           |  FROM c$out GROUP BY u)""".stripMargin
+      s"""WITH $coocPairsCte,
+         |syme AS (SELECT tok_a AS u, tok_b AS v,
+         |      CAST(n_ab AS DECIMAL(27,12)) AS w FROM pairs
+         |    UNION ALL SELECT tok_b, tok_a,
+         |      CAST(n_ab AS DECIMAL(27,12)) FROM pairs),
+         |sym AS (SELECT u, v, SUM(w) AS w FROM syme GROUP BY u, v),
+         |wdeg AS (SELECT u, SUM(w) AS wout FROM sym GROUP BY u),
+         |nn AS (SELECT COUNT(*) AS n FROM wdeg),
+         |pr0 AS (SELECT u,
+         |    1.0::DOUBLE / CAST((SELECT n FROM nn) AS DOUBLE) AS pr
+         |  FROM wdeg),
+         |${iter("pr0", "pr1")},
+         |${iter("pr1", "pr2")},
+         |${iter("pr2", "pr3")}
+         |SELECT u AS node, pr AS rank FROM pr3 ORDER BY node""".stripMargin
+    },
+    // directed twin: rank state spans ALL endpoints; each round adds
+    // ONE dangling-mass scalar (exact-decimal sum of sink ranks) that
+    // every node receives as d·D/N — mass conservation is the spec's
+    // half of the check, this twin pins the values
+    "pagerank_directed" -> {
+      def iter(prev: String, out: String): String =
+        s"""c$out AS (SELECT e.v AS u,
+           |    CAST(p.pr / CAST(d.deg AS DOUBLE) AS DECIMAL(18,12)) AS c
+           |  FROM e JOIN $prev p ON e.u = p.u
+           |  JOIN outdeg d ON e.u = d.u),
+           |s$out AS (SELECT u, SUM(c) AS s FROM c$out GROUP BY u),
+           |d$out AS (SELECT COALESCE(SUM(CAST(p.pr AS DECIMAL(18,12))),
+           |    CAST(0 AS DECIMAL(18,12))) AS dmass
+           |  FROM $prev p WHERE p.u NOT IN (SELECT u FROM outdeg)),
+           |$out AS (SELECT vv.u,
+           |    (1.0::DOUBLE - 0.85::DOUBLE) /
+           |      CAST((SELECT n FROM nn) AS DOUBLE) +
+           |      0.85::DOUBLE *
+           |        (CAST(CAST(COALESCE(s.s, CAST(0 AS DECIMAL(18,12)))
+           |           AS VARCHAR) AS DOUBLE) +
+           |         CAST(CAST((SELECT dmass FROM d$out) AS VARCHAR)
+           |           AS DOUBLE) /
+           |           CAST((SELECT n FROM nn) AS DOUBLE)) AS pr
+           |  FROM verts vv LEFT JOIN s$out s ON vv.u = s.u)""".stripMargin
+      s"""WITH $coocPairsCte,
+         |e AS (SELECT DISTINCT tok_a AS u, tok_b AS v FROM pairs),
+         |verts AS (SELECT u FROM e UNION SELECT v FROM e),
+         |outdeg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e
+         |  GROUP BY u),
+         |nn AS (SELECT COUNT(*) AS n FROM verts),
+         |pr0 AS (SELECT u,
+         |    1.0::DOUBLE / CAST((SELECT n FROM nn) AS DOUBLE) AS pr
+         |  FROM verts),
+         |${iter("pr0", "pr1")},
+         |${iter("pr1", "pr2")},
+         |${iter("pr2", "pr3")}
+         |SELECT u AS node, pr AS rank FROM pr3 ORDER BY node""".stripMargin
+    },
+    // triangle twin: plain canonical a<b<c enumeration — the oriented
+    // wedge algorithm must find exactly the same triangle set
+    "token_triangles" ->
+      s"""WITH $coocPairsCte,
+         |ed AS (SELECT DISTINCT tok_a AS u, tok_b AS v FROM pairs),
+         |sym AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM ed e1 JOIN ed e2 ON e2.u = e1.v
+         |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+         |  FROM (SELECT a AS node FROM tri
+         |        UNION ALL SELECT b FROM tri
+         |        UNION ALL SELECT c FROM tri)
+         |  GROUP BY node)
+         |SELECT d.u AS node,
+         |  COALESCE(p.triangles, CAST(0 AS BIGINT)) AS triangles
+         |FROM (SELECT DISTINCT u FROM sym) d
+         |LEFT JOIN pern p ON d.u = p.node
+         |ORDER BY node""".stripMargin,
+    // BFS twin: 4 unrolled rounds of frontier join + MIN re-aggregate
+    // over the full distance table — mirrors the engine rounds exactly
+    "token_bfs" -> {
+      def round(prev: String, out: String): String =
+        s"""$out AS (SELECT u, MIN(d) AS d FROM (
+           |  SELECT u, d FROM $prev
+           |  UNION ALL
+           |  SELECT s.v AS u, p.d + 1 AS d
+           |  FROM sym s JOIN $prev p ON s.u = p.u) GROUP BY u)""".stripMargin
+      s"""WITH $coocPairsCte,
+         |ed AS (SELECT DISTINCT tok_a AS u, tok_b AS v FROM pairs),
+         |sym AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+         |d0 AS (SELECT MIN(tok_a) AS u, CAST(0 AS BIGINT) AS d
+         |  FROM pairs),
+         |${round("d0", "d1")},
+         |${round("d1", "d2")},
+         |${round("d2", "d3")},
+         |${round("d3", "d4")}
+         |SELECT u AS node, CAST(d AS BIGINT) AS hops FROM d4
+         |ORDER BY node""".stripMargin
     },
     // LPA twin: same edges, 2 unrolled rounds, argmax by
     // ROW_NUMBER over (cnt DESC, lbl ASC) — the min_by tie rule

@@ -302,4 +302,37 @@ object Bm25 {
       hits.join(excl, Seq(idCol), "left_anti")
     }
   }
+
+  /** Exact consecutive-phrase retrieval over POSITIONAL postings — the
+    * `"big data"`-as-one-unit query [[booleanQuery]]'s bag-of-tokens
+    * postings cannot answer. Returns (idCol, n_occurrences) for every
+    * document containing the phrase's tokens consecutively, with the
+    * number of distinct start positions (overlapping matches count —
+    * "ha ha ha" contains "ha ha" twice).
+    *
+    * Scale shape: one posexplode projecting (id, pos, token), filtered
+    * to the phrase's terms BEFORE any shuffle (the phrase acts as its
+    * own postings filter — at 100 TB only the matching terms' postings
+    * move), then m−1 equi-joins keyed (id, pos − i): term i must sit
+    * exactly i after the start. All ints, no windows, no arrays of
+    * positions; a stored positional postings table (tokenize-once)
+    * slots in by replacing the explode. Terms normalize like
+    * [[search]]'s (lowercase). */
+  def phraseQuery(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    val terms = phrase.map(_.toLowerCase)
+    require(terms.nonEmpty, "phrase must have at least one term")
+    val pos = docs
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .where(col("token").isin(terms.distinct: _*))
+    var m = pos.where(col("token") === terms.head)
+      .select(col(idCol), col("pos"))
+    for (i <- 1 until terms.length)
+      m = m.join(
+        pos.where(col("token") === terms(i))
+          .select(col(idCol), (col("pos") - i).as("pos")),
+        Seq(idCol, "pos"))
+    m.groupBy(idCol).agg(count(lit(1)).as("n_occurrences"))
+  }
 }

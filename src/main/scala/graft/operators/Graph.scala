@@ -44,7 +44,8 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85,
-      materializeEdges: Boolean = true): DataFrame = {
+      materializeEdges: Boolean = true,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, "at least one iteration")
     require(damping > 0.0 && damping < 1.0, "damping in (0,1)")
     // the symmetrized edge frame is scanned 1 + iters times (degree
@@ -53,9 +54,25 @@ object Graph {
     // Pass false when edges are already a parquet scan — there the
     // rebuild is cheaper than the serialized cache (the measured
     // PrefixScan/md5Shingles tradeoff).
-    val sym0 = symmetrize(edges, srcCol, dstCol)
+    //
+    // weightCol (the TRUE TextRank form — Mihalcea & Tarau rank a
+    // WEIGHTED co-occurrence graph): contrib(u→v) = pr(u)·w(u,v)/W(u)
+    // with W(u) the exact-decimal out-weight sum; weights must be
+    // positive (null/≤0 edges drop) and enter as decimal(27,12) —
+    // exact for integer weights (co-occurrence counts), the documented
+    // cross-engine determinism guarantee; per-edge w and per-node W
+    // re-enter double arithmetic through the decimal→VARCHAR→double
+    // bridge so both engines divide identical values. With uniform
+    // weights the ranks equal the unweighted form bit-for-bit
+    // (w/W = 1/deg on the same doubles — spec-pinned).
+    val sym0 = weightCol match {
+      case Some(w) => symmetrizeWeighted(edges, srcCol, dstCol, w)
+      case None => symmetrize(edges, srcCol, dstCol)
+        .withColumn("__w", lit(1L).cast("decimal(27,12)"))
+    }
     val sym = if (materializeEdges) sym0.localCheckpoint() else sym0
-    val deg = sym.groupBy("__u").agg(count(lit(1)).as("__deg"))
+    val deg = sym.groupBy("__u").agg(count(lit(1)).as("__deg"),
+      sum("__w").as("__wout"))
     // N enters every row via a broadcast 1-row aggregate (never a
     // driver-side collect of the vertex set)
     val n = broadcast(deg.agg(count(lit(1)).as("__n")))
@@ -63,18 +80,129 @@ object Graph {
       .select(col("__u"), col("__n"),
         (lit(1.0) / col("__n").cast("double")).as("__pr"))
     for (_ <- 1 to iters) {
+      val contribPerEdge = weightCol match {
+        case Some(_) =>
+          ((col("__pr") * col("__w").cast("string").cast("double")) /
+            col("__wout").cast("string").cast("double"))
+            .cast("decimal(18,12)")
+        case None =>
+          (col("__pr") / col("__deg").cast("double"))
+            .cast("decimal(18,12)")
+      }
       val contrib = sym
         .join(pr.join(deg, Seq("__u"))
-          .select(col("__u"), col("__n"),
-            (col("__pr") / col("__deg").cast("double"))
-              .cast("decimal(18,12)").as("__c")),
+          .select(col("__u"), col("__n"), col("__deg"), col("__wout"),
+            col("__pr")),
           Seq("__u"))
+        .select(col("__v"), col("__n"), contribPerEdge.as("__c"))
         .groupBy(col("__v").as("__u"))
         .agg(sum(col("__c")).as("__s"), min(col("__n")).as("__n"))
       pr = contrib.select(col("__u"), col("__n"),
         (lit(1.0 - damping) / col("__n").cast("double") +
           lit(damping) *
             col("__s").cast("string").cast("double")).as("__pr"))
+    }
+    pr.select(col("__u").as("node"), col("__pr").as("rank"))
+  }
+
+  /** Fixed-iteration PageRank over a DIRECTED edge list with
+    * dangling-mass redistribution — the citation/link-graph form the
+    * symmetrize-only [[pageRank]] cannot express: a node with inbound
+    * but no outbound edges (a sink) must donate its rank uniformly to
+    * every node, or mass leaks and ranks drift toward zero.
+    *
+    * pr'(v) = (1−d)/N + d·(Σ_{u→v} pr(u)·w(u,v)/W(u) + D/N), where D
+    * is the total rank held by dangling nodes this round — ONE extra
+    * broadcast scalar per iteration (a 1-row exact-decimal aggregate
+    * over the anti-join of ranks vs out-edge sources; never a driver
+    * collect). Rank state spans ALL of V = src ∪ dst (isolated
+    * receivers keep collecting the teleport + dangling terms), so mass
+    * is conserved: Σ pr = 1 every round up to decimal(18,12) rounding
+    * (spec-asserted).
+    *
+    * Same determinism chain as [[pageRank]]: per-edge contributions
+    * decimal(18,12), exact decimal sums, doubles re-entered through
+    * the VARCHAR bridge; `weightCol` semantics (positive, exact for
+    * integer weights) match the undirected form. Self-loops drop
+    * (standard PageRank convention — a self-loop would let a node
+    * keep its own mass); parallel edges collapse (weight-sum when
+    * weighted, distinct when not).
+    *
+    * Scale shape per iteration: one hash-join edges⋈ranks + one
+    * hash-aggregate by dst + one broadcast 1-row dangling aggregate —
+    * the plan a 1000-executor cluster runs well with edges
+    * hash-partitioned by src. For many rounds, checkpoint the rank
+    * frame every few iterations (connectedComponents guidance). */
+  def pageRankDirected(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85,
+      materializeEdges: Boolean = true,
+      weightCol: Option[String] = None): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    require(damping > 0.0 && damping < 1.0, "damping in (0,1)")
+    val e0 = weightCol match {
+      case Some(w) =>
+        val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"),
+            col(w).cast("decimal(27,12)").as("__w"))
+          .where(col("__u").isNotNull && col("__v").isNotNull &&
+            col("__u") =!= col("__v") && col("__w").isNotNull &&
+            col("__w") > 0)
+        e.groupBy("__u", "__v").agg(sum("__w").as("__w"))
+      case None =>
+        edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+          .where(col("__u").isNotNull && col("__v").isNotNull &&
+            col("__u") =!= col("__v"))
+          .distinct()
+          .withColumn("__w", lit(1L).cast("decimal(27,12)"))
+    }
+    val e = if (materializeEdges) e0.localCheckpoint() else e0
+    // vertex universe: every endpoint, sources and sinks alike
+    val verts0 = e.select(col("__u")).unionByName(
+      e.select(col("__v").as("__u"))).distinct()
+    val verts = if (materializeEdges) verts0.localCheckpoint() else verts0
+    val outw = e.groupBy("__u").agg(count(lit(1)).as("__deg"),
+      sum("__w").as("__wout"))
+    val n = broadcast(verts.agg(count(lit(1)).as("__n")))
+    var pr = verts.crossJoin(n)
+      .select(col("__u"), col("__n"),
+        (lit(1.0) / col("__n").cast("double")).as("__pr"))
+    for (_ <- 1 to iters) {
+      val contribPerEdge = weightCol match {
+        case Some(_) =>
+          ((col("__pr") * col("__w").cast("string").cast("double")) /
+            col("__wout").cast("string").cast("double"))
+            .cast("decimal(18,12)")
+        case None =>
+          (col("__pr") / col("__deg").cast("double"))
+            .cast("decimal(18,12)")
+      }
+      val inbound = e
+        .join(pr.select(col("__u"), col("__pr")).join(outw, Seq("__u")),
+          Seq("__u"))
+        .select(col("__v"), contribPerEdge.as("__c"))
+        .groupBy(col("__v").as("__u"))
+        .agg(sum(col("__c")).as("__s"))
+      // dangling mass: exact-decimal sum of ranks whose node has no
+      // out-edge; 1-row broadcast (coalesce for the no-danglers case)
+      val dang = broadcast(
+        pr.join(outw.select("__u"), Seq("__u"), "left_anti")
+          .agg(coalesce(sum(col("__pr").cast("decimal(18,12)")),
+            lit(0L).cast("decimal(18,12)")).as("__d")))
+      pr = pr.select(col("__u"), col("__n"))
+        .join(inbound, Seq("__u"), "left")
+        .crossJoin(dang)
+        .select(col("__u"), col("__n"),
+          (lit(1.0 - damping) / col("__n").cast("double") +
+            lit(damping) *
+              (coalesce(col("__s"), lit(0L).cast("decimal(18,12)"))
+                .cast("string").cast("double") +
+                col("__d").cast("string").cast("double") /
+                  col("__n").cast("double"))).as("__pr"))
+      // each round reads the PREVIOUS rank frame three times (base
+      // vertex set, contribution join, dangling aggregate): without a
+      // per-round materialization the lazy plan re-derives it 3^iters
+      // times. The rank frame is |V| rows — checkpointing it each
+      // round is the standard Pregel shape, not an optimization hack.
+      if (materializeEdges) pr = pr.localCheckpoint()
     }
     pr.select(col("__u").as("node"), col("__pr").as("rank"))
   }
@@ -110,6 +238,115 @@ object Graph {
           .as("__lbl"))
     }
     labels.select(col("__u").as("node"), col("__lbl").as("label"))
+  }
+
+  /** Per-node triangle counts over an UNDIRECTED edge list — the
+    * clustering/cohesion primitive (community density, spam-farm
+    * detection, graph feature engineering). Returns (node, triangles)
+    * for every node with degree ≥ 1 (0 for triangle-free nodes).
+    *
+    * Algorithm: degree-ordered orientation (Cohen 2009 / Suri &
+    * Vassilvitskii WWW'11 "MR node iterator++"): orient each
+    * undirected edge from its (degree, id)-smaller endpoint to the
+    * larger, enumerate wedges by self-joining oriented edges on their
+    * source, and close each wedge against the oriented edge table —
+    * every triangle is found EXACTLY once, and the per-source wedge
+    * fan-out is bounded by the oriented out-degree, which the
+    * orientation caps at O(√|E|) for any graph (a hot celebrity node
+    * generates no giant wedge set because its edges all point INTO
+    * it). Two hash-joins + one aggregate; ids shuffle, never
+    * payloads. Exact integers end-to-end — oracle-replayable by plain
+    * canonical a<b<c enumeration. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val sym = symmetrize(edges, srcCol, dstCol)
+    val deg = sym.groupBy("__u").agg(count(lit(1)).as("__deg"))
+    // canonical undirected edges (one row per unordered pair)
+    val canon = sym.where(col("__u") < col("__v"))
+    // orientation rank: (degree, id) — a total order on nodes
+    val ranked = canon
+      .join(deg.select(col("__u"), col("__deg").as("__du")), Seq("__u"))
+      .join(deg.select(col("__u").as("__v"), col("__deg").as("__dv")),
+        Seq("__v"))
+    val oriented = ranked.select(
+      when(col("__du") < col("__dv") ||
+          (col("__du") === col("__dv") && col("__u") < col("__v")),
+        struct(col("__u").as("s"), col("__v").as("t")))
+        .otherwise(struct(col("__v").as("s"), col("__u").as("t")))
+        .as("__e"))
+      .select(col("__e.s").as("__s"), col("__e.t").as("__t"))
+    // wedges from a common source, ordered to count each pair once
+    val wedges = oriented.select(col("__s"), col("__t").as("__b"))
+      .join(oriented.select(col("__s"), col("__t").as("__c")), Seq("__s"))
+      .where(col("__b") < col("__c"))
+    // close the wedge against the id-canonical edge table (wedge pairs
+    // are id-ordered, so the lookup key is exactly canon's (u, v))
+    val closed = wedges.join(
+      canon.select(col("__u").as("__b"), col("__v").as("__c")),
+      Seq("__b", "__c"))
+    val perNode = closed
+      .select(explode(array(col("__s"), col("__b"), col("__c")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.select(col("__u").as("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Multi-source BFS hop distances over an UNDIRECTED edge list:
+    * for every node reachable from `seeds` within `maxHops`, the
+    * minimum hop count (seeds are 0). The "how far is everything from
+    * this set" primitive — influence radius, contamination spread,
+    * crawl frontier depth. Unreachable nodes are ABSENT (a null/∞
+    * row would force every consumer to filter).
+    *
+    * One join + one min-aggregate per hop round (frontier expansion
+    * re-derived from the full distance frame — simple and exactly
+    * replayable; a delta-frontier variant saves work at high hop
+    * counts but complicates determinism for no gate benefit). Exact
+    * integers; `seeds` is one column of node ids and joins the vertex
+    * set (never collected). */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int,
+      materializeEdges: Boolean = true): DataFrame = {
+    require(maxHops >= 1, "at least one hop")
+    val sym0 = symmetrize(edges, srcCol, dstCol)
+    val sym = if (materializeEdges) sym0.localCheckpoint() else sym0
+    // seeds restricted to nodes that exist in the graph (an isolated
+    // seed has no edges to walk; it still reports distance 0)
+    var dist = seeds.select(col(seedCol).as("__u")).where(
+      col("__u").isNotNull).distinct()
+      .withColumn("__d", lit(0L))
+    for (_ <- 1 to maxHops) {
+      val next = sym.join(dist, Seq("__u"))
+        .select(col("__v").as("__u"), (col("__d") + 1L).as("__d"))
+      dist = dist.unionByName(next)
+        .groupBy("__u").agg(min("__d").as("__d"))
+      // the round reads the previous distance frame twice (carry-over
+      // union + frontier join): checkpoint per round or the lazy plan
+      // re-derives it 2^maxHops times (the pageRankDirected shape)
+      if (materializeEdges) dist = dist.localCheckpoint()
+    }
+    dist.select(col("__u").as("node"), col("__d").as("hops"))
+  }
+
+  /** Weighted [[symmetrize]]: both directions carry the edge's weight;
+    * parallel edges collapse by exact-decimal weight SUM (a multigraph
+    * pools its parallel weights); null/non-positive weights drop with
+    * the edge (a zero-weight edge contributes nothing and a negative
+    * one has no PageRank meaning). */
+  private def symmetrizeWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).as("__u"), col(dstCol).as("__v"),
+        col(wCol).cast("decimal(27,12)").as("__w"))
+      .where(col("__u").isNotNull && col("__v").isNotNull &&
+        col("__u") =!= col("__v") && col("__w").isNotNull &&
+        col("__w") > 0)
+    e.unionByName(e.select(col("__v").as("__u"), col("__u").as("__v"),
+        col("__w")))
+      .groupBy("__u", "__v").agg(sum("__w").as("__w"))
   }
 
   /** Both directions of each edge, self-loops dropped, null endpoints

@@ -509,6 +509,59 @@ object DriveSmoke {
       "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
       7L * 86400 * 1000000000L, 7L * 86400 * 1000000000L)
       .orderBy("cohort", "step").show(false)
+
+    // r10: weighted + directed PageRank over the real cooc graph
+    val wpr = graft.operators.Graph.pageRank(
+      cl.select("tok_a", "tok_b", "n_ab"), "tok_a", "tok_b",
+      iters = 3, weightCol = Some("n_ab"))
+    wpr.explain("formatted")
+    println("WPR_TOP=" + wpr.orderBy(org.apache.spark.sql.functions
+      .desc("rank")).limit(3).collect().map(_.getString(0)).mkString(","))
+    val dpr = graft.operators.Graph.pageRankDirected(
+      cl.select("tok_a", "tok_b"), "tok_a", "tok_b", iters = 3)
+    println("DPR_MASS=" + dpr.agg(org.apache.spark.sql.functions
+      .sum("rank")).head.getDouble(0))
+
+    // r10: multi-touch attribution over real events (both models)
+    val evA = evReal.select("event_id", "user_id", "event_type", "ts")
+      .where($"user_id".isNotNull)
+    for (m <- Seq(graft.operators.Attribution.Linear,
+        graft.operators.Attribution.TimeDecay)) {
+      val rep = graft.operators.Attribution.report(
+        evA.where($"event_type" === "purchase"),
+        evA.where($"event_type" =!= "purchase")
+          .withColumnRenamed("event_type", "touch_type"),
+        Seq("user_id"), "event_id", "ts", "ts", "touch_type",
+        windowNanos = 24L * 3600L * 1000000000L, model = m)
+      println(s"ATTRIB_$m=" + rep.orderBy("touch_type").collect()
+        .map(r => r.getString(0) + ":" + r.getDouble(1)).mkString(" "))
+    }
+
+    // r10: triangles + BFS over the cooc graph; phrase + readability
+    println("TRIANGLES_MAX=" + graft.operators.Graph.triangleCounts(
+      cl.select("tok_a", "tok_b"), "tok_a", "tok_b")
+      .agg(org.apache.spark.sql.functions.max("triangles")).head.getLong(0))
+    println("BFS_NODES=" + graft.operators.Graph.bfsHops(
+      cl.select("tok_a", "tok_b"), "tok_a", "tok_b",
+      cl.agg(org.apache.spark.sql.functions.min($"tok_a").as("seed")),
+      "seed", maxHops = 4).count())
+    val phq = graft.operators.Bm25.phraseQuery(
+      docs, "doc_id", "text", Seq("slow", "hash", "batch"))
+    phq.explain("formatted")
+    println("PHRASE_DOCS=" + phq.count())
+    println("READABILITY_ROWS=" + docs.select($"doc_id",
+      graft.functions.TextFunctions.readability($"text").as("r"))
+      .where($"r.fk_grade".isNotNull).count())
+
+    // r10: session-scoped journeys (30-min gap boundary)
+    graft.operators.Funnel.journeys(
+      graft.operators.Sessionize.sessionize(
+        evReal.select("user_id", "event_type", "ts", "event_id")
+          .where($"user_id".isNotNull && $"event_type".isNotNull &&
+            $"ts".isNotNull),
+        Seq("user_id"), "ts", maxGap = 1800L * 1000000000L),
+      "session_id", "event_type", "ts", "event_id", n = 3, topK = 5)
+      .show(false)
     spark.stop()
   }
 }

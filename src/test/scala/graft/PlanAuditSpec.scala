@@ -42,7 +42,13 @@ class PlanAuditSpec extends SparkSpec {
       // period_over_period rides densify's broadcast bounds;
       // ab_test crosses its broadcast 1-row variant min/max
       "funnel_steps", "cooc_lift", "token_pagerank", "dense_hourly",
-      "funnel_lag", "hll_setops", "period_over_period", "ab_test")
+      "funnel_lag", "hll_setops", "period_over_period", "ab_test",
+      // the weighted/directed PageRank and the graph queries ride the
+      // same cooc pairs (broadcast 1-row N); pagerank_directed also
+      // crosses its broadcast 1-row per-round dangling-mass scalar —
+      // bounded by construction
+      "token_pagerank_weighted", "pagerank_directed",
+      "token_triangles", "token_bfs")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

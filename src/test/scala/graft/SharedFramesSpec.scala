@@ -78,6 +78,16 @@ class SharedFramesSpec extends SparkSpec {
     assert(storedProbe.toSeq === inlineProbe.toSeq)
   }
 
+  test("coocPairs equals a direct coocLift run at the registry's " +
+      "fixed parameters") {
+    val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
+    val direct = TextAnalysis.coocLift(docs, "doc_id", "text",
+      topV = 40, minSupport = 10L).orderBy("tok_a", "tok_b").collect()
+    val shared = SharedFrames.coocPairs(spark, fixtureDir)
+      .orderBy("tok_a", "tok_b").collect()
+    assert(shared.toSeq === direct.toSeq)
+  }
+
   test("perplexityBucketsFromScored over the shared frame equals " +
       "perplexityBuckets run end-to-end") {
     val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")

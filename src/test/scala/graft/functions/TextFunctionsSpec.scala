@@ -155,6 +155,34 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("readability: exact counts and hand-computed Flesch scores; " +
+      "wordless text yields null scores; no terminal punctuation " +
+      "reads as one sentence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "headline without punctuation"),
+      (3L, "")).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextFunctions.readability(col("text")).as("r"))
+      .select(col("id"), col("r.*")).orderBy("id").collect()
+    val r1 = out(0)
+    // 6 words, 2 sentences; syllables: the(1) cat(1) sat(1) the(1)
+    // dog(1) ran(1) = 6 vowel groups
+    assert(r1.getLong(1) === 6L && r1.getLong(2) === 2L &&
+      r1.getLong(3) === 6L)
+    val wps = 6.0 / 2.0; val spw = 6.0 / 6.0
+    assert(math.abs(r1.getDouble(4) -
+      (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-6)
+    assert(math.abs(r1.getDouble(5) -
+      (0.39 * wps + 11.8 * spw - 15.59)) < 1e-6)
+    val r2 = out(1)
+    assert(r2.getLong(2) === 1L, "no [.!?] → one sentence")
+    val r3 = out(2)
+    assert(r3.getLong(1) === 0L && r3.isNullAt(4) && r3.isNullAt(5))
+  }
+
   test("SQL registration with arity validation") {
     TextFunctions.registerAll(spark)
     assert(spark.sql("SELECT lang_id('the cat is on the mat')")

@@ -217,4 +217,31 @@ class Bm25Spec extends SparkSpec {
       broadcastQueries = false).orderBy("qid", "rank").collect().toSeq
     assert(bc == sh)
   }
+
+  test("phraseQuery finds only consecutive in-order matches, counts " +
+      "overlapping occurrences, and normalizes case") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big data is big data"),        // 2 occurrences
+      (2L, "data big"),                    // reversed: no match
+      (3L, "big red data"),                // gap: no match
+      (4L, "Big Data rocks"),              // case-insensitive: 1
+      (5L, "ha ha ha"),                    // overlap fixture
+      (6L, "nothing here")).toDF("doc_id", "text")
+    val out = Bm25.phraseQuery(docs, "doc_id", "text",
+      Seq("big", "data")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 4L -> 1L))
+    // overlapping matches each count ("ha ha" twice inside "ha ha ha")
+    val ov = Bm25.phraseQuery(docs, "doc_id", "text", Seq("ha", "ha"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ov === Map(5L -> 2L))
+    // single-term phrase counts term occurrences
+    val single = Bm25.phraseQuery(docs, "doc_id", "text", Seq("big"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    intercept[IllegalArgumentException] {
+      Bm25.phraseQuery(docs, "doc_id", "text", Nil)
+    }
+  }
 }

@@ -85,4 +85,164 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(e, "src", "dst", iters = 1, damping = 1.0)
     }
   }
+
+  test("weighted pageRank with uniform weights equals the unweighted " +
+      "form bit-for-bit") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val unw = Graph.pageRank(e, "src", "dst", iters = 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val w = Graph.pageRank(e.withColumn("w", org.apache.spark.sql
+        .functions.lit(1L)), "src", "dst", iters = 4,
+      weightCol = Some("w"))
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(w.toSeq === unw.toSeq)
+  }
+
+  test("weighted pageRank pulls rank toward the heavy edge; " +
+      "non-positive and null weights drop") {
+    // triangle with one heavy edge 1-2 (w=10) vs light 1-3, 2-3 (w=1):
+    // nodes 1 and 2 outrank 3
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val out = Graph.pageRank(e, "src", "dst", iters = 8,
+      weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(3L) && out(2L) > out(3L))
+    assert(math.abs(out.values.sum - 1.0) < 1e-6)
+    // a zero/negative/null-weight edge is no edge: node 4 vanishes
+    val e2 = Seq((1L, 2L, java.lang.Long.valueOf(10L)),
+      (1L, 4L, java.lang.Long.valueOf(0L)),
+      (2L, 4L, java.lang.Long.valueOf(-3L)),
+      (3L, 4L, null.asInstanceOf[java.lang.Long]))
+      .toDF("src", "dst", "w")
+    val nodes = Graph.pageRank(e2, "src", "dst", iters = 2,
+      weightCol = Some("w")).collect().map(_.getLong(0)).toSet
+    assert(nodes === Set(1L, 2L))
+    // parallel weighted edges pool their weight (multigraph collapse):
+    // 1-2 twice at w=5 ranks like 1-2 once at w=10
+    val ePar = Seq((1L, 2L, 5L), (1L, 2L, 5L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val eSum = Seq((1L, 2L, 10L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val a = Graph.pageRank(ePar, "src", "dst", iters = 3,
+      weightCol = Some("w")).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val b = Graph.pageRank(eSum, "src", "dst", iters = 3,
+      weightCol = Some("w")).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("pageRankDirected conserves mass on a graph WITH a sink and " +
+      "matches a hand-computed iteration") {
+    // 1 → 2 → 3, 1 → 3; node 3 is a sink (inbound only)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    // one iteration by hand, d = 0.85, N = 3, pr0 = 1/3 each:
+    //   contribs: 1→2: (1/3)/2, 1→3: (1/3)/2, 2→3: 1/3
+    //   dangling D = pr(3) = 1/3 → every node gains d·D/3
+    val third = 1.0 / 3.0
+    val dang = 0.85 * (third / 3.0)
+    val exp1 = 0.15 / 3.0 + 0.85 * 0.0 + dang
+    val exp2 = 0.15 / 3.0 + 0.85 * (third / 2.0) + dang
+    val exp3 = 0.15 / 3.0 + 0.85 * (third / 2.0 + third) + dang
+    val out = Graph.pageRankDirected(e, "src", "dst", iters = 1)
+      .orderBy("node").collect().map(_.getDouble(1))
+    assert(math.abs(out(0) - exp1) < 1e-9, s"node1 ${out(0)} vs $exp1")
+    assert(math.abs(out(1) - exp2) < 1e-9, s"node2 ${out(1)} vs $exp2")
+    assert(math.abs(out(2) - exp3) < 1e-9, s"node3 ${out(2)} vs $exp3")
+    // mass conservation across several rounds, sink included
+    for (k <- Seq(2, 5)) {
+      val sum = Graph.pageRankDirected(e, "src", "dst", iters = k)
+        .collect().map(_.getDouble(1)).sum
+      assert(math.abs(sum - 1.0) < 1e-8, s"iters=$k mass $sum")
+    }
+    // without redistribution the sink would hoard and total mass
+    // would drop below 1; with it, the sink still ranks highest here
+    val ranks = Graph.pageRankDirected(e, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(3L) > ranks(2L) && ranks(2L) > ranks(1L))
+  }
+
+  test("triangleCounts: K4 gives every node 3, a star gives 0, a " +
+      "pendant node gets 0 while its triangle neighbors get 1") {
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("src", "dst")
+    val outK4 = Graph.triangleCounts(k4, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(outK4 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val star = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
+    val outStar = Graph.triangleCounts(star, "src", "dst")
+      .collect().map(_.getLong(1))
+    assert(outStar.forall(_ === 0L) && outStar.length === 5)
+    // triangle 1-2-3 with pendant 4 on node 1; duplicate + reversed
+    // + self-loop edges must not change counts
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L),
+      (2L, 1L), (1L, 2L), (3L, 3L)).toDF("src", "dst")
+    val out = Graph.triangleCounts(e, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("triangleCounts matches brute-force enumeration on a random " +
+      "graph (orientation completeness)") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val df = edges.toDF("src", "dst")
+    val got = Graph.triangleCounts(df, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force over canonical undirected adjacency
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val nodes = und.map(_._1)
+    val canon = und.filter { case (a, b) => a < b }.toSeq.sorted
+    val triangles = for {
+      (a, b) <- canon
+      c <- nodes if b < c && und(a -> c) && und(b -> c)
+    } yield (a, b, c)
+    val brute = nodes.map(n => n ->
+      triangles.count(t => t._1 == n || t._2 == n || t._3 == n).toLong)
+      .toMap
+    assert(got === brute)
+  }
+
+  test("bfsHops: path-graph distances, multi-seed min, maxHops " +
+      "truncation, unreachable nodes absent") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    val seeds1 = Seq(1L).toDF("seed")
+    val out = Graph.bfsHops(path, "src", "dst", seeds1, "seed",
+      maxHops = 4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    val out2 = Graph.bfsHops(path, "src", "dst", seeds1, "seed",
+      maxHops = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // two seeds: every node takes the nearer one; the 8-9 component
+    // stays unreachable from seed 1 but is covered by seed 9
+    val seeds2 = Seq(1L, 9L).toDF("seed")
+    val out3 = Graph.bfsHops(path, "src", "dst", seeds2, "seed",
+      maxHops = 4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out3(9L) === 0L && out3(8L) === 1L && out3(5L) === 4L)
+    // a seed absent from the graph still reports itself at distance 0
+    val out4 = Graph.bfsHops(path, "src", "dst", Seq(77L).toDF("seed"),
+      "seed", maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out4 === Map(77L -> 0L))
+  }
+
+  test("pageRankDirected: a dangling-free cycle stays uniform; " +
+      "weighted directed edges route mass by weight") {
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRankDirected(cyc, "src", "dst", iters = 6)
+      .collect().map(_.getDouble(1))
+    assert(out.forall(r => math.abs(r - 1.0 / 3.0) < 1e-9))
+    // 1 →(9) 2, 1 →(1) 3: node 2 receives 9× node 3's share from 1
+    val w = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.pageRankDirected(w, "src", "dst", iters = 4,
+      weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r(2L) > r(3L) * 2, s"$r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-8)
+  }
 }
