@@ -277,6 +277,7 @@ object SparkEntry {
     * comparisons aren't judged on oracle plumbing. */
   val gateTwins: Set[String] = Set(
     "crossdup_md5", "embed_knn_md5", "neardup_components_md5",
+    "neardup_keep_best_md5",
     "neardup_pairs_md5", "simhash_md5", "fingerprint_winnow",
     "ivf_fixed_knn", "ivf_fixed_batch_knn", "ivfpq_fixed_knn",
     "opq_fixed_knn", "pq_fixed_knn", "semantic_dedup_fixed",
@@ -947,6 +948,19 @@ object SparkEntry {
         md5NearDupPairs(s, dir).select("id_a", "id_b"), "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")),
+    // quality-aware near-dup canonicalization: per duplicate cluster
+    // keep the member the LM scores best (ties → smallest id), pass
+    // untouched docs through — the curation refinement of id-based
+    // dedup, composed from the md5 pair kernel + the shared
+    // scored-docs artifact; twin replays closure + score + rank
+    "neardup_keep_best_md5" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+        .join(SharedFrames.lmScoredDocs(s, dir)
+          .select("doc_id", "lm_score"), Seq("doc_id"), "left")
+      Dedup.keepBestByComponent(docs, "doc_id", "lm_score",
+        md5NearDupPairs(s, dir).select("id_a", "id_b"), "id_a", "id_b")
+        .orderBy("doc_id")
+    }),
     // cross-corpus dedup: keep only new-slice docs that near-duplicate
     // no existing-corpus doc (asymmetric MinHash probe; custom hash
     // kernels → rows-only like minhash_neardup, cross-side agreement
@@ -2584,6 +2598,50 @@ object SparkEntry {
   // edge list): top-40 tokens by document frequency, pairs with
   // support >= 10 — one definition so the graph twin cannot drift
   // from the lift twin
+  // md5 MinHash pair kernel -> symmetric closure -> per-node min
+  // component, as a WITH RECURSIVE chain ending in `comp` — shared by
+  // neardup_components_md5 and neardup_keep_best_md5 (one definition,
+  // no drift)
+  private val md5ComponentsCtes: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> length(x) > 0) AS ts
+      |  FROM documents),
+      |sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+      |        FROM toks WHERE len(ts) >= 3),
+      |shm AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+      |       FROM sh0),
+      |hj AS (SELECT doc_id, s, unnest(range(1, 9)) AS j FROM shm),
+      |sigs AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+      |         FROM hj GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, CAST((j + 1) // 2 AS INT) AS band,
+      |            string_agg(mh, '|' ORDER BY j) AS bkey
+      |          FROM sigs GROUP BY doc_id, CAST((j + 1) // 2 AS INT)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      |    AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shm GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ninter
+      |  FROM cand c
+      |  JOIN shm sa ON sa.doc_id = c.id_a
+      |  JOIN shm sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+      |  GROUP BY c.id_a, c.id_b),
+      |mpairs AS (
+      |  SELECT i.id_a, i.id_b FROM inter i
+      |  JOIN sizes za ON za.doc_id = i.id_a
+      |  JOIN sizes zb ON zb.doc_id = i.id_b
+      |  WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5),
+      |medges AS (SELECT id_a AS u, id_b AS v FROM mpairs
+      |          UNION SELECT id_b, id_a FROM mpairs),
+      |reach AS (
+      |  SELECT u AS a, v AS b FROM medges
+      |  UNION
+      |  SELECT r.a, e.v FROM reach r JOIN medges e ON r.b = e.u),
+      |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+      |  FROM reach GROUP BY a)""".stripMargin
+
   private val coocPairsCte: String =
     s"""dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
        |  FROM documents),
@@ -2640,9 +2698,11 @@ object SparkEntry {
        |  ON s.doc_id = d.doc_id)""".stripMargin
 
   // shared oracle twins, reused verbatim by curation_scored's
-  // composition (one definition → the composed query cannot drift)
-  private val lmScoreSql: String =
-    """WITH ch AS (
+  // composition (one definition → the composed query cannot drift).
+  // The CTE-chain form exists so neardup_keep_best_md5 can join the
+  // SAME score definition against the component closure.
+  private val lmScoreCtes: String =
+    """ch AS (
       |  SELECT doc_id, lower(text) AS t FROM documents WHERE len(text) >= 2),
       |bg AS (
       |  SELECT doc_id, pos, substr(t, pos, 2) AS bigram FROM (
@@ -2658,10 +2718,16 @@ object SparkEntry {
       |agg AS (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
       |    list_sum(list(lnp ORDER BY pos)) AS s
-      |  FROM scored GROUP BY doc_id)
-      |SELECT doc_id, n_bigrams,
-      |  CAST(CAST(CAST(s / n_bigrams AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS lm_score
-      |FROM agg ORDER BY doc_id""".stripMargin
+      |  FROM scored GROUP BY doc_id),
+      |lmscore AS (
+      |  SELECT doc_id, n_bigrams,
+      |    CAST(CAST(CAST(s / n_bigrams AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS lm_score
+      |  FROM agg)""".stripMargin
+
+  private val lmScoreSql: String =
+    s"""WITH $lmScoreCtes
+       |SELECT doc_id, n_bigrams, lm_score
+       |FROM lmscore ORDER BY doc_id""".stripMargin
 
   // BM25 twin: same fit/score arithmetic as Bm25.fit/search in the
   // same operation order; inexact literals (k1=1.2, k1+1=2.2) enter
@@ -5169,44 +5235,25 @@ object SparkEntry {
     // transitive closure + min-reachable per node ≡ the operator's
     // min-id-in-component contract
     "neardup_components_md5" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
-        |    x -> length(x) > 0) AS ts
-        |  FROM documents),
-        |sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
-        |        FROM toks WHERE len(ts) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
-        |       FROM sh0),
-        |hj AS (SELECT doc_id, s, unnest(range(1, 9)) AS j FROM sh),
-        |sigs AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
-        |         FROM hj GROUP BY doc_id, j),
-        |bands AS (SELECT doc_id, CAST((j + 1) // 2 AS INT) AS band,
-        |            string_agg(mh, '|' ORDER BY j) AS bkey
-        |          FROM sigs GROUP BY doc_id, CAST((j + 1) // 2 AS INT)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-        |    AND a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ninter
-        |  FROM cand c
-        |  JOIN sh sa ON sa.doc_id = c.id_a
-        |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
-        |  GROUP BY c.id_a, c.id_b),
-        |pairs AS (
-        |  SELECT i.id_a, i.id_b FROM inter i
-        |  JOIN sizes za ON za.doc_id = i.id_a
-        |  JOIN sizes zb ON zb.doc_id = i.id_b
-        |  WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5),
-        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT u AS a, v AS b FROM edges
-        |  UNION
-        |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
-        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $md5ComponentsCtes
+         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+    // quality-aware canonicalization twin: the SAME component closure
+    // joined with the SAME lm-score definition; per component the
+    // (lm_score DESC, doc_id ASC) leader survives, everything else
+    // drops, untouched docs pass through (LEFT JOIN keeps docs the LM
+    // cannot score, with null scores)
+    "neardup_keep_best_md5" ->
+      s"""WITH RECURSIVE $md5ComponentsCtes,
+         |$lmScoreCtes,
+         |cs AS (SELECT c.doc_id, c.component, l.lm_score
+         |  FROM comp c JOIN lmscore l ON c.doc_id = l.doc_id),
+         |rk AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY component
+         |    ORDER BY lm_score DESC, doc_id ASC) AS rn FROM cs),
+         |losers AS (SELECT doc_id FROM rk WHERE rn > 1)
+         |SELECT d.doc_id, l.lm_score
+         |FROM documents d LEFT JOIN lmscore l ON d.doc_id = l.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY d.doc_id""".stripMargin,
     // winnowing selection over the shared md5 kernel: identical hex in
     // both engines; min over hex strings is the same total order
     "fingerprint_winnow" ->

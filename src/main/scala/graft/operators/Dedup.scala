@@ -524,6 +524,39 @@ object Dedup {
     df.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** QUALITY-AWARE near-dup canonicalization: per duplicate cluster
+    * (connected component of `pairs`), keep the row with the HIGHEST
+    * `scoreCol` (ties → smallest id), drop the rest; rows in no pair
+    * pass through untouched. This is the curation-pipeline refinement
+    * of [[dedupByPairs]]'s id-based policies: when a crawl carries
+    * five near-identical copies of a page, keep the one the quality
+    * model likes best (longest clean text, best LM score), not the one
+    * with the smallest crawl id.
+    *
+    * Null scores rank WORST (a component whose members are all
+    * unscored still keeps exactly one representative — the smallest
+    * id; dropping a whole cluster because the scorer skipped it would
+    * silently delete unique data). The winner argmax is a `min_by`
+    * over (−score, id) — no window, same shape as the first-wins
+    * aggregate; components come from the large-star/small-star
+    * operator, so the whole path is keyed joins + aggregates. */
+  def keepBestByComponent(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String = "idA",
+      bCol: String = "idB"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("component"))
+    val scored = comps.join(df.select(col(idCol), col(scoreCol)),
+      Seq(idCol))
+    val winners = scored.groupBy("component")
+      .agg(min_by(col(idCol),
+        struct(coalesce(lit(0.0) - col(scoreCol),
+          lit(Double.MaxValue)).as("ns"), col(idCol))).as(idCol))
+      .select(idCol)
+    val losers = comps.select(idCol)
+      .join(winners, Seq(idCol), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   def dedupNearMinHash(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7,

@@ -216,6 +216,78 @@ object StreamIngest {
     private[graft] def segments: Vector[DataFrame] = state()
   }
 
+  /** Handle for [[cmStream]]: `sketch` is the merged count-min frame
+    * over everything streamed so far, `candidates` the bounded
+    * heavy-hitter candidate set (both None before the first non-empty
+    * batch). `topK` ranks candidates by their CURRENT whole-stream CM
+    * estimate (an upper bound on the true count), ties to the smaller
+    * token. */
+  final class CmStream private[streaming] (
+      val query: StreamingQuery,
+      state: () => Option[(DataFrame, DataFrame)],
+      depth: Int, width: Int, portableHash: Boolean) {
+    def sketch: Option[DataFrame] = state().map(_._1)
+    def candidates: Option[DataFrame] = state().map(_._2)
+    def topK(k: Int): Option[DataFrame] = state().map { case (sk, cand) =>
+      graft.operators.CountMin.estimate(sk, cand, "token",
+        depth, width, portableHash)
+        .orderBy(col("est").desc, col("token").asc).limit(k)
+    }
+  }
+
+  /** Continuously maintain a count-min sketch + bounded heavy-hitter
+    * candidate set over a stream — "what's trending now" with
+    * O(depth·width + maxCandidates) state however long the stream
+    * runs. Each micro-batch: sketch O(batch) rows into ≤ depth·width
+    * counters and merge (the CM bucket-sum monoid makes the streamed
+    * sketch EXACTLY equal the batch sketch of the same rows —
+    * spec-asserted); then re-rank the previous candidates ∪ the
+    * batch's distinct tokens by whole-stream CM estimate and keep the
+    * top `maxCandidates`. A true heavy hitter can never be
+    * permanently suppressed: even if evicted while rare, its sketch
+    * counts persist, so its next occurrence re-admits it with its
+    * FULL stream estimate. The streaming face of
+    * [[graft.operators.CountMin]]; estimate with the same
+    * (depth, width, portableHash) you built with. */
+  def cmStream(stream: DataFrame, tokenCol: String, depth: Int,
+      width: Int, maxCandidates: Int = 1024,
+      portableHash: Boolean = false,
+      queryName: String = "graft-cm-stream"): CmStream = {
+    require(maxCandidates > 0, "maxCandidates must be positive")
+    val state = new java.util.concurrent.atomic.AtomicReference[
+      Option[(DataFrame, DataFrame)]](None)
+    val q = stream.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // tokens sketch as STRINGS: xxhash64 is type-sensitive, and
+          // the candidate set re-probes through a string column — the
+          // build and probe must hash identical (type, value) pairs
+          val sk = graft.operators.CountMin.sketch(
+            batch.select(col(tokenCol).cast("string").as(tokenCol)),
+            tokenCol, depth, width, portableHash)
+          val (merged, prevCand) = state.get() match {
+            case Some((prev, cand)) =>
+              (graft.operators.CountMin.merge(Seq(prev, sk)), cand)
+            case None =>
+              (sk, batch.sparkSession.emptyDataFrame
+                .withColumn("token", lit(null).cast("string")).limit(0))
+          }
+          val mergedCk = merged.localCheckpoint()
+          val pool = prevCand.select(col("token"))
+            .unionByName(batch.select(col(tokenCol).cast("string")
+              .as("token")).where(col("token").isNotNull).distinct())
+            .distinct()
+          val ranked = graft.operators.CountMin.estimate(mergedCk, pool,
+            "token", depth, width, portableHash)
+            .orderBy(col("est").desc, col("token").asc)
+            .limit(maxCandidates)
+            .select("token")
+          state.set(Some((mergedCk, ranked.localCheckpoint())))
+        }
+      }.start()
+    new CmStream(q, () => state.get(), depth, width, portableHash)
+  }
+
   /** Handle for [[sketchStream]]: `registers` is the merged
     * HyperLogLog register table over everything streamed so far (None
     * before the first non-empty batch). */

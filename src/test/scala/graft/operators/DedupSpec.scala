@@ -509,4 +509,34 @@ class DedupSpec extends SparkSpec {
       .flatMap { case (a, b) => Seq(a, b) }.filter(_ >= 40).toSet
     assert(probeFlag == crossPairs)
   }
+
+  test("keepBestByComponent keeps the top-scoring member per cluster " +
+      "(ties → smallest id), passes untouched rows through, and never " +
+      "drops a whole unscored cluster") {
+    import spark.implicits._
+    // clusters {1,2,3} (transitive via 1-2, 2-3) and {4,5}; 6 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("idA", "idB")
+    val df = Seq(
+      (1L, 0.1), (2L, 0.9), (3L, 0.5),   // 2 wins cluster 1
+      (4L, 0.7), (5L, 0.7),              // tie → 4 wins
+      (6L, 0.0)).toDF("id", "score")
+    val kept = Dedup.keepBestByComponent(df, "id", "score", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L, 6L))
+    // an all-null-score cluster keeps its smallest id, not nothing
+    val dfn = Seq(
+      (1L, Option(0.1)), (2L, Option(0.9)), (3L, Option(0.5)),
+      (4L, None: Option[Double]), (5L, None: Option[Double]),
+      (6L, Option(0.0))).toDF("id", "score")
+    val keptN = Dedup.keepBestByComponent(dfn, "id", "score", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptN === Set(2L, 4L, 6L))
+    // a null score LOSES to any scored member, whatever the ids
+    val dfm = Seq((1L, None: Option[Double]), (2L, Option(-5.0)),
+      (3L, Option(-9.0)), (4L, Option(1.0)), (5L, Option(2.0)),
+      (6L, Option(0.0))).toDF("id", "score")
+    val keptM = Dedup.keepBestByComponent(dfm, "id", "score", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptM === Set(2L, 5L, 6L))
+  }
 }

@@ -133,6 +133,44 @@ class StreamIngestSpec extends SparkSpec {
     } finally handle.query.stop()
   }
 
+  test("cmStream: streamed count-min equals the batch sketch exactly, " +
+      "topK surfaces planted heavy hitters, candidate state stays " +
+      "bounded") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[String]
+    val handle = StreamIngest.cmStream(source.toDF().toDF("tok"), "tok",
+      depth = 4, width = 256, maxCandidates = 4, portableHash = true)
+    try {
+      assert(handle.sketch.isEmpty, "no state before data")
+      // batch 1: heavy "aaa"(30) + light noise; batch 2: heavy
+      // "bbb"(40) + more "aaa"; batch 3: long tail that evicts nothing
+      val b1 = Seq.fill(30)("aaa") ++ (0 until 10).map(i => s"n$i")
+      val b2 = Seq.fill(40)("bbb") ++ Seq.fill(15)("aaa")
+      val b3 = (10 until 30).map(i => s"n$i") ++ Seq.fill(5)("aaa")
+      source.addData(b1: _*); handle.query.processAllAvailable()
+      source.addData(b2: _*); handle.query.processAllAvailable()
+      source.addData(b3: _*); handle.query.processAllAvailable()
+      val streamed = handle.sketch.get.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val whole = CountMin.sketch((b1 ++ b2 ++ b3).toDF("tok"), "tok",
+        depth = 4, width = 256, portableHash = true).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(streamed === whole,
+        "bucket-sum monoid must make stream == batch")
+      val top = handle.topK(2).get.collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      // CM never underestimates; with width 256 and ~110 values the
+      // planted heavies dominate any collision inflation
+      assert(top.map(_._1).toSeq === Seq("aaa", "bbb"),
+        s"top2 was ${top.toSeq}")
+      assert(top.toMap.apply("aaa") >= 50 && top.toMap.apply("bbb") >= 40)
+      // candidate set is bounded
+      assert(handle.candidates.get.count() <= 4)
+    } finally handle.query.stop()
+  }
+
   test("dsirFilter: streaming weights match the batch operator and " +
       "gate per micro-batch, statelessly") {
     import spark.implicits._
