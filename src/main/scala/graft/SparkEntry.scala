@@ -391,6 +391,17 @@ object SparkEntry {
       Similarity.topK(emb.select("vec_id", "embedding"), "embedding", "vec_id", q, k = 5)
         .select("vec_id", "distance")
     }),
+    // radius search (FAISS range_search): EVERY vector within the
+    // distance bound — scan + codegen'd score + filter, no heap, no
+    // shuffle; the unbounded-cardinality complement of top-k
+    "radius_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      Similarity.radiusSearch(emb.select("vec_id", "embedding"),
+        "embedding", "vec_id", q, radius = 1.45)
+        .select("vec_id", "distance")
+    }),
     // IVF pruned search with FIXED centroids (the first 4 embeddings —
     // no Lloyd's, so unlike ivf_knn the whole assign→probe→rank shape
     // is float-deterministic and oracle-checkable; the argmin kernel,
@@ -2174,6 +2185,15 @@ object SparkEntry {
         iters = 3)
         .orderBy("node")
     }),
+    // HITS hubs & authorities (2 iterations, L1-normalized per
+    // half-round) over the directed cooc DAG — the two-score ranking
+    // pair the single PageRank score cannot express
+    "token_hits" -> ((s, dir) => {
+      val pairs = SharedFrames.coocPairs(s, dir)
+        .select("tok_a", "tok_b")
+      graft.operators.Graph.hits(pairs, "tok_a", "tok_b", iters = 2)
+        .orderBy("node")
+    }),
     // per-node triangle counts (degree-ordered orientation — each
     // triangle enumerated exactly once from its rank-min vertex, hot
     // nodes capped at O(√E) wedge fan-out) over the cooc graph
@@ -2948,6 +2968,12 @@ object SparkEntry {
       s"""SELECT e.vec_id, $sqDist AS distance
          |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin,
+    // radius twin: same kernel distance, inclusive bound, no LIMIT
+    "radius_search" ->
+      s"""SELECT e.vec_id, $sqDist AS distance
+         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |WHERE $sqDist <= 1.45
+         |ORDER BY distance, e.vec_id""".stripMargin,
     // fixed-centroid IVF: nearest-cell assignment (ties → lowest cell,
     // matching the kernel's strict-< argmin), 2 probed cells, exact
     // top-5 inside the probed slice
@@ -4846,6 +4872,36 @@ object SparkEntry {
          |${iter("pr1", "pr2")},
          |${iter("pr2", "pr3")}
          |SELECT u AS node, pr AS rank FROM pr3 ORDER BY node""".stripMargin
+    },
+    // HITS twin: 2 unrolled iterations — per half-round one join-agg
+    // over the edge list, coalesce-zero over all vertices, and an L1
+    // normalizer via the decimal→VARCHAR→double bridge
+    "token_hits" -> {
+      def iter(prevH: String, k: Int): String =
+        s"""ar$k AS (SELECT vv.u, COALESCE(s.s, CAST(0 AS DECIMAL(18,12))) AS s
+           |  FROM verts vv LEFT JOIN (
+           |    SELECT e.v AS u, SUM(CAST(p.h AS DECIMAL(18,12))) AS s
+           |    FROM e JOIN $prevH p ON e.u = p.u GROUP BY e.v) s
+           |  ON vv.u = s.u),
+           |a$k AS (SELECT u, CAST(CAST(s AS VARCHAR) AS DOUBLE) /
+           |    CAST(CAST((SELECT SUM(s) FROM ar$k) AS VARCHAR) AS DOUBLE)
+           |    AS a FROM ar$k),
+           |hr$k AS (SELECT vv.u, COALESCE(s.s, CAST(0 AS DECIMAL(18,12))) AS s
+           |  FROM verts vv LEFT JOIN (
+           |    SELECT e.u, SUM(CAST(p.a AS DECIMAL(18,12))) AS s
+           |    FROM e JOIN a$k p ON e.v = p.u GROUP BY e.u) s
+           |  ON vv.u = s.u),
+           |h$k AS (SELECT u, CAST(CAST(s AS VARCHAR) AS DOUBLE) /
+           |    CAST(CAST((SELECT SUM(s) FROM hr$k) AS VARCHAR) AS DOUBLE)
+           |    AS h FROM hr$k)""".stripMargin
+      s"""WITH $coocPairsCte,
+         |e AS (SELECT DISTINCT tok_a AS u, tok_b AS v FROM pairs),
+         |verts AS (SELECT u FROM e UNION SELECT v FROM e),
+         |h0 AS (SELECT u, 1.0::DOUBLE AS h FROM verts),
+         |${iter("h0", 1)},
+         |${iter("h1", 2)}
+         |SELECT h2.u AS node, h2.h AS hub, a2.a AS authority
+         |FROM h2 JOIN a2 ON h2.u = a2.u ORDER BY node""".stripMargin
     },
     // triangle twin: plain canonical a<b<c enumeration — the oriented
     // wedge algorithm must find exactly the same triangle set

@@ -240,6 +240,67 @@ object Graph {
     labels.select(col("__u").as("node"), col("__lbl").as("label"))
   }
 
+  /** Fixed-iteration HITS (Kleinberg 1999) over a DIRECTED edge list:
+    * hubs point at good authorities, authorities are pointed at by
+    * good hubs — the query-dependent ranking pair PageRank's single
+    * score cannot express (a page can be a great directory and a poor
+    * destination). Returns (node, hub, authority) over V = src ∪ dst,
+    * L1-normalized each half-round (Σhub = Σauthority = 1 up to
+    * decimal rounding).
+    *
+    * Determinism chain matches [[pageRank]]: per-edge contributions
+    * cast decimal(18,12), per-node and normalizer sums exact decimal,
+    * every double re-entered through the VARCHAR bridge. Per
+    * half-round: one hash-join + one hash-aggregate + one broadcast
+    * 1-row normalizer — and the score frames checkpoint per round
+    * (each is read by the next half-round AND the normalizer), the
+    * [[pageRankDirected]] plan-growth rule. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, materializeEdges: Boolean = true): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val e0 = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+      .where(col("__u").isNotNull && col("__v").isNotNull &&
+        col("__u") =!= col("__v"))
+      .distinct()
+    val e = if (materializeEdges) e0.localCheckpoint() else e0
+    val verts0 = e.select(col("__u")).unionByName(
+      e.select(col("__v").as("__u"))).distinct()
+    val verts = if (materializeEdges) verts0.localCheckpoint() else verts0
+    val zero = lit(0L).cast("decimal(18,12)")
+    var hub = verts.withColumn("__h", lit(1.0))
+    var auth = verts.withColumn("__a", lit(1.0))
+    for (_ <- 1 to iters) {
+      val araw = verts.select(col("__u").as("__v"))
+        .join(e.join(hub, Seq("__u"))
+          .select(col("__v"), col("__h").cast("decimal(18,12)").as("__c"))
+          .groupBy("__v").agg(sum("__c").as("__s")),
+          Seq("__v"), "left")
+        .select(col("__v"), coalesce(col("__s"), zero).as("__s"))
+      val asum = broadcast(araw.agg(sum("__s").as("__t")))
+      auth = araw.crossJoin(asum)
+        .select(col("__v").as("__u"),
+          (col("__s").cast("string").cast("double") /
+            col("__t").cast("string").cast("double")).as("__a"))
+      if (materializeEdges) auth = auth.localCheckpoint()
+      val hraw = verts
+        .join(e.join(auth.select(col("__u").as("__v"), col("__a")),
+            Seq("__v"))
+          .select(col("__u"), col("__a").cast("decimal(18,12)").as("__c"))
+          .groupBy("__u").agg(sum("__c").as("__s")),
+          Seq("__u"), "left")
+        .select(col("__u"), coalesce(col("__s"), zero).as("__s"))
+      val hsum = broadcast(hraw.agg(sum("__s").as("__t")))
+      hub = hraw.crossJoin(hsum)
+        .select(col("__u"),
+          (col("__s").cast("string").cast("double") /
+            col("__t").cast("string").cast("double")).as("__h"))
+      if (materializeEdges) hub = hub.localCheckpoint()
+    }
+    hub.join(auth, Seq("__u"))
+      .select(col("__u").as("node"), col("__h").as("hub"),
+        col("__a").as("authority"))
+  }
+
   /** Per-node triangle counts over an UNDIRECTED edge list — the
     * clustering/cohesion primitive (community density, spam-farm
     * detection, graph feature engineering). Returns (node, triangles)

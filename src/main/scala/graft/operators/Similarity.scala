@@ -64,6 +64,34 @@ object Similarity {
     scored.orderBy(ord, col(idCol).asc).limit(k)
   }
 
+  /** Radius search (FAISS `range_search`): EVERY corpus row whose
+    * score against `query` is within `radius` — inclusive, in the
+    * metric's own direction (distance ≤ radius for ascending metrics,
+    * similarity ≥ radius for descending ones like cosine/dot). The
+    * unbounded-cardinality complement of [[topK]]: duplicate sweeps,
+    * "everything near this centroid" audits, recall studies where a
+    * fixed k silently truncates.
+    *
+    * Scale shape: one scan + codegen'd score + filter — no heap, no
+    * window, no shuffle at all (the top-k TakeOrdered is replaced by a
+    * pushable predicate); result ordered (score, id) for determinism.
+    * At 100 TB this is the cheapest query in the family — the filter
+    * runs inside whole-stage codegen next to the scan. */
+  def radiusSearch(corpus: DataFrame, vecCol: String, idCol: String,
+      query: Array[Float], radius: Double,
+      metric: Metric = Metric.SquaredL2,
+      scoreCol: String = "distance"): DataFrame = {
+    require(!corpus.columns.contains(scoreCol),
+      s"scoreCol '$scoreCol' collides with a corpus column — rename one")
+    val scored = corpus.withColumn(scoreCol,
+      metric.score(col(vecCol), typedLit(query)))
+    val keep =
+      if (metric.ascending) col(scoreCol) <= radius
+      else col(scoreCol) >= radius
+    val ord = if (metric.ascending) col(scoreCol).asc else col(scoreCol).desc
+    scored.where(keep).orderBy(ord, col(idCol).asc)
+  }
+
   /** Batch similarity join: per query row, the top-k nearest corpus
     * rows. Output = corpus columns + `queryIdCol` + `scoreCol`.
     *

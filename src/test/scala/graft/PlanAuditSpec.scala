@@ -48,7 +48,9 @@ class PlanAuditSpec extends SparkSpec {
       // crosses its broadcast 1-row per-round dangling-mass scalar —
       // bounded by construction
       "token_pagerank_weighted", "pagerank_directed",
-      "token_triangles", "token_bfs")
+      "token_triangles", "token_bfs",
+      // token_hits crosses its broadcast 1-row L1 normalizers
+      "token_hits")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

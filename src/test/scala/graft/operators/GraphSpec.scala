@@ -163,6 +163,39 @@ class GraphSpec extends SparkSpec {
     assert(ranks(3L) > ranks(2L) && ranks(2L) > ranks(1L))
   }
 
+  test("hits: hub/authority split on a directed star matches the " +
+      "hand-computed fixpoint; scores L1-normalize to 1") {
+    // hubs 1,2,3 all point at authorities 8,9: after any round,
+    // hubs carry all hub mass equally, authorities all auth mass
+    val e = (for (h <- Seq(1L, 2L, 3L); a <- Seq(8L, 9L)) yield (h, a))
+      .toDF("src", "dst")
+    val out = Graph.hits(e, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    for (h <- Seq(1L, 2L, 3L)) {
+      assert(math.abs(out(h)._1 - 1.0 / 3.0) < 1e-9, s"hub($h)")
+      assert(out(h)._2 === 0.0, s"auth($h) must be 0")
+    }
+    for (a <- Seq(8L, 9L)) {
+      assert(out(a)._1 === 0.0, s"hub($a) must be 0")
+      assert(math.abs(out(a)._2 - 0.5) < 1e-9, s"auth($a)")
+    }
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-8)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-8)
+  }
+
+  test("hits: a better-pointed-at authority outranks; a hub pointing " +
+      "at stronger authorities outranks") {
+    // 1→3, 2→3, 1→4: node 3 (2 inbound) > node 4 (1); hub 1 (points
+    // at both) > hub 2
+    val e = Seq((1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val out = Graph.hits(e, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(out(3L)._2 > out(4L)._2)
+    assert(out(1L)._1 > out(2L)._1)
+  }
+
   test("triangleCounts: K4 gives every node 3, a star gives 0, a " +
       "pendant node gets 0 while its triangle neighbors get 1") {
     val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))

@@ -22,6 +22,27 @@ class SimilaritySpec extends SparkSpec {
     assert(res.map(_.getDouble(2)).toSeq == Seq(0.0, 1.0, 1.0))
   }
 
+  test("radiusSearch: inclusive bound in the metric's direction, " +
+      "every qualifying row, (score, id) ordered") {
+    // distances to (1,0): id1=0, id3=1, id4=1, id2=2, id5=4
+    val r1 = Similarity.radiusSearch(corpus, "vec", "id",
+      Array(1f, 0f), radius = 1.0).collect()
+    assert(r1.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L),
+      "inclusive: the two distance-1.0 rows are IN, tie → id order")
+    val r2 = Similarity.radiusSearch(corpus, "vec", "id",
+      Array(1f, 0f), radius = 0.5).collect()
+    assert(r2.map(_.getLong(0)).toSeq == Seq(1L))
+    // descending metric (cosine): similarity >= radius
+    val rc = Similarity.radiusSearch(corpus, "vec", "id",
+      Array(1f, 0f), radius = 0.9, metric = Metric.Cosine,
+      scoreCol = "sim").collect()
+    assert(rc.map(_.getLong(0)).toSeq == Seq(1L, 4L),
+      "same-direction vectors qualify whatever the magnitude")
+    // nothing within radius → empty, not an error
+    assert(Similarity.radiusSearch(corpus, "vec", "id",
+      Array(100f, 100f), radius = 0.1).isEmpty)
+  }
+
   test("topK cosine descending ranks direction not magnitude") {
     val res = Similarity.topK(corpus, "vec", "id", Array(1f, 0f), k = 2,
       metric = Metric.Cosine, scoreCol = "sim").collect()
