@@ -834,6 +834,51 @@ object SparkEntry {
             .cast("int"))
         .orderBy("doc_id")
     }),
+    // THE pipeline showcase: the modern pretraining curation funnel
+    // end-to-end — Gopher rules → LM threshold → dup-span cap →
+    // quality-aware near-dup canonicalization → eval-set
+    // decontamination — as cumulative per-stage survivor counts (the
+    // attrition report every data team publishes). Every stage is an
+    // already-gate-checked kernel; the twin composes the SAME shared
+    // SQL definitions, so the composition cannot drift from the parts.
+    "curation_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.gopherRules(col("text")).as("g"))
+        .where(col("g.n_words") >= 30 && col("g.alpha_word_ratio") >= 0.8)
+        .select("doc_id")
+      val lmAll = SharedFrames.lmScoredDocs(s, dir)
+        .select("doc_id", "lm_score")
+      val lm = lmAll.where(col("lm_score") >= -1.75).select("doc_id")
+      val ds = graft.operators.Dedup.dupSpanStats(docs, "doc_id", "text",
+          k = 20, hashGrams = false)
+        .where(col("dup_ratio") <= 0.25).select("doc_id")
+      val keepIds = graft.operators.Dedup.keepBestByComponent(
+          docs.select("doc_id").join(lmAll, Seq("doc_id"), "left"),
+          "doc_id", "lm_score",
+          md5NearDupPairs(s, dir).select("id_a", "id_b"), "id_a", "id_b")
+        .select("doc_id")
+      val dec = graft.operators.Dedup.benchmarkOverlap(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+          k = 20, hashGrams = false)
+        .where(col("contamination_ratio") < 0.05).select("doc_id")
+      val s3 = g.join(lm, Seq("doc_id"))
+      val s4 = s3.join(ds, Seq("doc_id"))
+      val s5 = s4.join(keepIds, Seq("doc_id"))
+      val s6 = s5.join(dec, Seq("doc_id"))
+      def stage(i: Long, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_surviving"))
+          .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+            col("n_surviving"))
+      stage(1, "total", docs)
+        .unionByName(stage(2, "gopher", g))
+        .unionByName(stage(3, "lm", s3))
+        .unionByName(stage(4, "dupspan", s4))
+        .unionByName(stage(5, "neardup", s5))
+        .unionByName(stage(6, "decontam", s6))
+        .orderBy("stage_idx")
+    }),
     // lang-ID is hash-free (CJK ratio + stopword-profile argmax) so it
     // carries a full DuckDB twin, unlike the hash kernels below
     "langid_docs" -> ((s, dir) =>
@@ -2853,6 +2898,46 @@ object SparkEntry {
        |  (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1 AS quality_score
        |FROM f ORDER BY doc_id""".stripMargin
 
+  // decontamination twin (GPT-3 appendix-C 20-gram overlap) — a val so
+  // the standalone query and the curation_funnel composition share one
+  // definition
+  private val decontaminateSql: String =
+    """WITH bench AS (
+      |  SELECT text FROM documents
+      |  WHERE doc_id % 20 = 0 AND len(text) >= 20),
+      |bg AS (SELECT DISTINCT substr(text, CAST(pos AS INT), 20) AS gram
+      |  FROM (SELECT text,
+      |        unnest(range(1, len(text) - 18)) AS pos FROM bench)),
+      |corp AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 20 != 0 AND len(text) >= 20),
+      |cg AS (SELECT doc_id, substr(text, CAST(pos AS INT), 20) AS gram
+      |  FROM (SELECT doc_id, text,
+      |        unnest(range(1, len(text) - 18)) AS pos FROM corp)),
+      |hits AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM cg
+      |  WHERE gram IN (SELECT gram FROM bg) GROUP BY 1)
+      |SELECT corp.doc_id,
+      |  CAST(len(text) - 19 AS BIGINT) AS n_pos,
+      |  CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+      |  CAST(COALESCE(n_contaminated, 0) AS DOUBLE) /
+      |    CAST(len(text) - 19 AS DOUBLE) AS contamination_ratio
+      |FROM corp LEFT JOIN hits USING (doc_id)
+      |ORDER BY corp.doc_id""".stripMargin
+
+  // quality-aware keep-best survivors (md5 closure + LM rank-1) — a
+  // val so neardup_keep_best_md5 and curation_funnel share it
+  private val keepBestSurvivorsSql: String =
+    s"""WITH RECURSIVE $md5ComponentsCtes,
+       |$lmScoreCtes,
+       |cs AS (SELECT c.doc_id, c.component, l.lm_score
+       |  FROM comp c JOIN lmscore l ON c.doc_id = l.doc_id),
+       |rk AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY component
+       |    ORDER BY lm_score DESC, doc_id ASC) AS rn FROM cs),
+       |losers AS (SELECT doc_id FROM rk WHERE rn > 1)
+       |SELECT d.doc_id, l.lm_score
+       |FROM documents d LEFT JOIN lmscore l ON d.doc_id = l.doc_id
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+
   private val gopherQualitySql: String =
     s"""WITH w AS (
          |  SELECT doc_id, text, $toksSql AS toks,
@@ -3587,28 +3672,7 @@ object SparkEntry {
     "gopher_quality" -> gopherQualitySql,
     // gram semi-join twin; patterns interpolate from the operator's
     // own vals so engine and oracle cannot drift
-    "decontaminate" ->
-      """WITH bench AS (
-        |  SELECT text FROM documents
-        |  WHERE doc_id % 20 = 0 AND len(text) >= 20),
-        |bg AS (SELECT DISTINCT substr(text, CAST(pos AS INT), 20) AS gram
-        |  FROM (SELECT text,
-        |        unnest(range(1, len(text) - 18)) AS pos FROM bench)),
-        |corp AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE doc_id % 20 != 0 AND len(text) >= 20),
-        |cg AS (SELECT doc_id, substr(text, CAST(pos AS INT), 20) AS gram
-        |  FROM (SELECT doc_id, text,
-        |        unnest(range(1, len(text) - 18)) AS pos FROM corp)),
-        |hits AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM cg
-        |  WHERE gram IN (SELECT gram FROM bg) GROUP BY 1)
-        |SELECT corp.doc_id,
-        |  CAST(len(text) - 19 AS BIGINT) AS n_pos,
-        |  CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
-        |  CAST(COALESCE(n_contaminated, 0) AS DOUBLE) /
-        |    CAST(len(text) - 19 AS DOUBLE) AS contamination_ratio
-        |FROM corp LEFT JOIN hits USING (doc_id)
-        |ORDER BY corp.doc_id""".stripMargin,
+    "decontaminate" -> decontaminateSql,
     "pii_scrub" -> {
       import graft.operators.TextClean._
       s"""SELECT doc_id,
@@ -3627,6 +3691,32 @@ object SparkEntry {
          |    '$PhonePattern', '<PHONE>', 'g')) AS BIGINT) AS clean_len
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // funnel twin: the five stage predicates from the SAME shared SQL
+    // definitions the standalone twins use, cumulative inner joins,
+    // scalar-subquery counts
+    "curation_funnel" ->
+      s"""WITH g AS (SELECT doc_id FROM ($gopherQualitySql)
+         |  WHERE n_words >= 30 AND alpha_word_ratio >= 0.8),
+         |lmq AS (SELECT doc_id FROM ($lmScoreSql)
+         |  WHERE lm_score >= -1.75),
+         |dsq AS (SELECT doc_id FROM ($dupSpansSql)
+         |  WHERE dup_ratio <= 0.25),
+         |keepb AS (SELECT doc_id FROM ($keepBestSurvivorsSql)),
+         |dec AS (SELECT doc_id FROM ($decontaminateSql)
+         |  WHERE contamination_ratio < 0.05),
+         |s3 AS (SELECT g.doc_id FROM g JOIN lmq USING (doc_id)),
+         |s4 AS (SELECT s3.doc_id FROM s3 JOIN dsq USING (doc_id)),
+         |s5 AS (SELECT s4.doc_id FROM s4 JOIN keepb USING (doc_id)),
+         |s6 AS (SELECT s5.doc_id FROM s5 JOIN dec USING (doc_id))
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'total' AS stage,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_surviving
+         |  UNION ALL SELECT 2, 'gopher', (SELECT COUNT(*) FROM g)
+         |  UNION ALL SELECT 3, 'lm', (SELECT COUNT(*) FROM s3)
+         |  UNION ALL SELECT 4, 'dupspan', (SELECT COUNT(*) FROM s4)
+         |  UNION ALL SELECT 5, 'neardup', (SELECT COUNT(*) FROM s5)
+         |  UNION ALL SELECT 6, 'decontam', (SELECT COUNT(*) FROM s6))
+         |ORDER BY stage_idx""".stripMargin,
     // composed from the three shared twins verbatim — same thresholds,
     // same decimal/round conventions as the standalone queries
     "curation_scored" ->
@@ -5299,17 +5389,7 @@ object SparkEntry {
     // drops, untouched docs pass through (LEFT JOIN keeps docs the LM
     // cannot score, with null scores)
     "neardup_keep_best_md5" ->
-      s"""WITH RECURSIVE $md5ComponentsCtes,
-         |$lmScoreCtes,
-         |cs AS (SELECT c.doc_id, c.component, l.lm_score
-         |  FROM comp c JOIN lmscore l ON c.doc_id = l.doc_id),
-         |rk AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY component
-         |    ORDER BY lm_score DESC, doc_id ASC) AS rn FROM cs),
-         |losers AS (SELECT doc_id FROM rk WHERE rn > 1)
-         |SELECT d.doc_id, l.lm_score
-         |FROM documents d LEFT JOIN lmscore l ON d.doc_id = l.doc_id
-         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""SELECT * FROM ($keepBestSurvivorsSql) ORDER BY doc_id""",
     // winnowing selection over the shared md5 kernel: identical hex in
     // both engines; min over hex strings is the same total order
     "fingerprint_winnow" ->
