@@ -41,8 +41,10 @@ object SharedFrames {
   private val built = new ConcurrentHashMap[String, String]()
 
   /** Memoized materialization: build `frame` once per (process, key),
-    * persist to a temp parquet, read back on every call. */
-  private def materialized(s: SparkSession, key: String)(
+    * persist to a temp parquet, read back on every call. Exposed
+    * package-private for registry-side derivations whose building
+    * blocks live in SparkEntry (the md5 gate-twin pair kernel). */
+  private[graft] def materialized(s: SparkSession, key: String)(
       frame: => DataFrame): DataFrame = {
     val path = built.computeIfAbsent(key, _ => {
       val dir = java.nio.file.Files

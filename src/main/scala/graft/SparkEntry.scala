@@ -74,7 +74,18 @@ object SparkEntry {
         max_by(col("mh"), col("j"))).as("bkey"))
   }
 
-  private def md5NearDupPairs(s: SparkSession, dir: String): DataFrame = {
+  // process-shared artifact: four registered queries (pairs,
+  // components, keep-best, the curation funnel) replay this kernel —
+  // the md5 minhash of the whole corpus is the expensive part, and the
+  // pair table it yields is tiny, so it joins the SharedFrames stored
+  // set (built once, read by every consumer)
+  private def md5NearDupPairs(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.materialized(s, s"$dir#md5pairs05") {
+      md5NearDupPairsCompute(s, dir)
+    }
+
+  private def md5NearDupPairsCompute(s: SparkSession,
+      dir: String): DataFrame = {
     val sh = md5Shingles(t(s, dir, "documents"))
     val bands = md5Bands(sh)
     val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
@@ -863,20 +874,39 @@ object SparkEntry {
           docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
           k = 20, hashGrams = false)
         .where(col("contamination_ratio") < 0.05).select("doc_id")
-      val s3 = g.join(lm, Seq("doc_id"))
-      val s4 = s3.join(ds, Seq("doc_id"))
-      val s5 = s4.join(keepIds, Seq("doc_id"))
-      val s6 = s5.join(dec, Seq("doc_id"))
-      def stage(i: Long, name: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("n_surviving"))
-          .select(lit(i).as("stage_idx"), lit(name).as("stage"),
-            col("n_surviving"))
-      stage(1, "total", docs)
-        .unionByName(stage(2, "gopher", g))
-        .unionByName(stage(3, "lm", s3))
-        .unionByName(stage(4, "dupspan", s4))
-        .unionByName(stage(5, "neardup", s5))
-        .unionByName(stage(6, "decontam", s6))
+      // one flags frame + ONE conditional aggregate: each stage kernel
+      // evaluates exactly once (a per-stage count chain would re-run
+      // gopher 5x, dup-spans 3x, ... — measured 9.9 s vs 4-ish here)
+      val flags = docs.select("doc_id")
+        .join(g.select(col("doc_id"), lit(1).as("f2")), Seq("doc_id"), "left")
+        .join(lm.select(col("doc_id"), lit(1).as("f3")), Seq("doc_id"), "left")
+        .join(ds.select(col("doc_id"), lit(1).as("f4")), Seq("doc_id"), "left")
+        .join(keepIds.select(col("doc_id"), lit(1).as("f5")),
+          Seq("doc_id"), "left")
+        .join(dec.select(col("doc_id"), lit(1).as("f6")), Seq("doc_id"), "left")
+      def through(fs: String*) =
+        count(when(fs.map(col(_) === 1).reduce(_ && _), 1))
+      flags.agg(
+          count(lit(1)).as("n1"),
+          count(col("f2")).as("n2"),
+          through("f2", "f3").as("n3"),
+          through("f2", "f3", "f4").as("n4"),
+          through("f2", "f3", "f4", "f5").as("n5"),
+          through("f2", "f3", "f4", "f5", "f6").as("n6"))
+        .select(explode(array(
+          struct(lit(1L).as("stage_idx"), lit("total").as("stage"),
+            col("n1").as("n_surviving")),
+          struct(lit(2L).as("stage_idx"), lit("gopher").as("stage"),
+            col("n2").as("n_surviving")),
+          struct(lit(3L).as("stage_idx"), lit("lm").as("stage"),
+            col("n3").as("n_surviving")),
+          struct(lit(4L).as("stage_idx"), lit("dupspan").as("stage"),
+            col("n4").as("n_surviving")),
+          struct(lit(5L).as("stage_idx"), lit("neardup").as("stage"),
+            col("n5").as("n_surviving")),
+          struct(lit(6L).as("stage_idx"), lit("decontam").as("stage"),
+            col("n6").as("n_surviving")))).as("r"))
+        .select(col("r.*"))
         .orderBy("stage_idx")
     }),
     // lang-ID is hash-free (CJK ratio + stopword-profile argmax) so it
