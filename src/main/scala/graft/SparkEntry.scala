@@ -74,6 +74,14 @@ object SparkEntry {
         max_by(col("mh"), col("j"))).as("bkey"))
   }
 
+  // process-shared artifact: the distinct (doc_id, 3-shingle) frame
+  // behind every md5 gate twin — built once, read by the pair-kernel
+  // build and crossdup_md5's per-side signature chains
+  private def md5ShinglesShared(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.materialized(s, s"$dir#md5sh3") {
+      md5Shingles(t(s, dir, "documents"))
+    }
+
   // process-shared artifact: four registered queries (pairs,
   // components, keep-best, the curation funnel) replay this kernel —
   // the md5 minhash of the whole corpus is the expensive part, and the
@@ -86,7 +94,7 @@ object SparkEntry {
 
   private def md5NearDupPairsCompute(s: SparkSession,
       dir: String): DataFrame = {
-    val sh = md5Shingles(t(s, dir, "documents"))
+    val sh = md5ShinglesShared(s, dir)
     val bands = md5Bands(sh)
     val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
       .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bkey")),
@@ -1066,8 +1074,11 @@ object SparkEntry {
     "crossdup_md5" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val newDocs = docs.filter(col("doc_id") % 2 === 1)
-      val newSh = md5Shingles(newDocs)
-      val corpSh = md5Shingles(docs.filter(col("doc_id") % 2 === 0))
+      // per-side shingles = parity slices of the SHARED corpus shingle
+      // artifact (identical sets: shingling a filtered doc set equals
+      // filtering the shingled full set — per-doc rows are independent)
+      val newSh = md5ShinglesShared(s, dir).filter(col("doc_id") % 2 === 1)
+      val corpSh = md5ShinglesShared(s, dir).filter(col("doc_id") % 2 === 0)
       val cand = md5Bands(newSh)
         .select(col("doc_id").as("id_p"), col("band"), col("bkey"))
         .join(md5Bands(corpSh)
