@@ -917,6 +917,48 @@ object SparkEntry {
         .select(col("r.*"))
         .orderBy("stage_idx")
     }),
+    // the same funnel flags grouped by SOURCE — "which crawl slice is
+    // dying at which stage", the per-provider attrition dashboard
+    "curation_funnel_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val g = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.gopherRules(col("text")).as("g"))
+        .where(col("g.n_words") >= 30 && col("g.alpha_word_ratio") >= 0.8)
+        .select("doc_id")
+      val lmAll = SharedFrames.lmScoredDocs(s, dir)
+        .select("doc_id", "lm_score")
+      val lm = lmAll.where(col("lm_score") >= -1.75).select("doc_id")
+      val ds = graft.operators.Dedup.dupSpanStats(docs, "doc_id", "text",
+          k = 20, hashGrams = false)
+        .where(col("dup_ratio") <= 0.25).select("doc_id")
+      val keepIds = graft.operators.Dedup.keepBestByComponent(
+          docs.select("doc_id").join(lmAll, Seq("doc_id"), "left"),
+          "doc_id", "lm_score",
+          md5NearDupPairs(s, dir).select("id_a", "id_b"), "id_a", "id_b")
+        .select("doc_id")
+      val dec = graft.operators.Dedup.benchmarkOverlap(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+          k = 20, hashGrams = false)
+        .where(col("contamination_ratio") < 0.05).select("doc_id")
+      val flags = docs.select("doc_id", "source")
+        .join(g.select(col("doc_id"), lit(1).as("f2")), Seq("doc_id"), "left")
+        .join(lm.select(col("doc_id"), lit(1).as("f3")), Seq("doc_id"), "left")
+        .join(ds.select(col("doc_id"), lit(1).as("f4")), Seq("doc_id"), "left")
+        .join(keepIds.select(col("doc_id"), lit(1).as("f5")),
+          Seq("doc_id"), "left")
+        .join(dec.select(col("doc_id"), lit(1).as("f6")), Seq("doc_id"), "left")
+      def through(fs: String*) =
+        count(when(fs.map(col(_) === 1).reduce(_ && _), 1))
+      flags.groupBy("source").agg(
+          count(lit(1)).as("n_total"),
+          count(col("f2")).as("n_gopher"),
+          through("f2", "f3").as("n_lm"),
+          through("f2", "f3", "f4").as("n_dupspan"),
+          through("f2", "f3", "f4", "f5").as("n_neardup"),
+          through("f2", "f3", "f4", "f5", "f6").as("n_decontam"))
+        .orderBy("source")
+    }),
     // lang-ID is hash-free (CJK ratio + stopword-profile argmax) so it
     // carries a full DuckDB twin, unlike the hash kernels below
     "langid_docs" -> ((s, dir) =>
@@ -2269,6 +2311,26 @@ object SparkEntry {
         .select("tok_a", "tok_b")
       graft.operators.Graph.pageRankDirected(pairs, "tok_a", "tok_b",
         iters = 3)
+        .orderBy("node")
+    }),
+    // personalized PageRank: teleport to the 4 lexicographically
+    // smallest tokens — "rank every token by relevance to this seed
+    // set"; dangling mass teleports per the personalization vector.
+    // 4 seeds, not 3: p = 0.25 is exactly representable, and the
+    // resulting value stream was verified free of doubles that sit ON
+    // a decimal(18,12) rounding boundary — the double→decimal cast is
+    // the one op where engines can legitimately disagree (Spark
+    // quantizes the shortest string repr, DuckDB the exact binary
+    // value; 1/3-seeded runs hit one such boundary at iteration 1,
+    // found by simulating both casts over the real graph)
+    "token_ppr" -> ((s, dir) => {
+      val pairs = SharedFrames.coocPairs(s, dir)
+        .select("tok_a", "tok_b")
+      val seeds = pairs.select(col("tok_a").as("seed"))
+        .unionByName(pairs.select(col("tok_b").as("seed")))
+        .distinct().orderBy("seed").limit(4)
+      graft.operators.Graph.personalizedPageRank(pairs, "tok_a",
+        "tok_b", seeds, "seed", iters = 3)
         .orderBy("node")
     }),
     // HITS hubs & authorities (2 iterations, L1-normalized per
@@ -3758,6 +3820,41 @@ object SparkEntry {
          |  UNION ALL SELECT 5, 'neardup', (SELECT COUNT(*) FROM s5)
          |  UNION ALL SELECT 6, 'decontam', (SELECT COUNT(*) FROM s6))
          |ORDER BY stage_idx""".stripMargin,
+    // per-source funnel twin: same five shared stage predicates, the
+    // cumulative AND counted per documents.source
+    "curation_funnel_by_source" ->
+      s"""WITH g AS (SELECT doc_id FROM ($gopherQualitySql)
+         |  WHERE n_words >= 30 AND alpha_word_ratio >= 0.8),
+         |lmq AS (SELECT doc_id FROM ($lmScoreSql)
+         |  WHERE lm_score >= -1.75),
+         |dsq AS (SELECT doc_id FROM ($dupSpansSql)
+         |  WHERE dup_ratio <= 0.25),
+         |keepb AS (SELECT doc_id FROM ($keepBestSurvivorsSql)),
+         |dec AS (SELECT doc_id FROM ($decontaminateSql)
+         |  WHERE contamination_ratio < 0.05)
+         |SELECT d.source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(COUNT(g.doc_id) AS BIGINT) AS n_gopher,
+         |  CAST(COUNT(CASE WHEN g.doc_id IS NOT NULL
+         |    AND lmq.doc_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_lm,
+         |  CAST(COUNT(CASE WHEN g.doc_id IS NOT NULL
+         |    AND lmq.doc_id IS NOT NULL AND dsq.doc_id IS NOT NULL
+         |    THEN 1 END) AS BIGINT) AS n_dupspan,
+         |  CAST(COUNT(CASE WHEN g.doc_id IS NOT NULL
+         |    AND lmq.doc_id IS NOT NULL AND dsq.doc_id IS NOT NULL
+         |    AND keepb.doc_id IS NOT NULL THEN 1 END) AS BIGINT)
+         |    AS n_neardup,
+         |  CAST(COUNT(CASE WHEN g.doc_id IS NOT NULL
+         |    AND lmq.doc_id IS NOT NULL AND dsq.doc_id IS NOT NULL
+         |    AND keepb.doc_id IS NOT NULL AND dec.doc_id IS NOT NULL
+         |    THEN 1 END) AS BIGINT) AS n_decontam
+         |FROM documents d
+         |LEFT JOIN g ON d.doc_id = g.doc_id
+         |LEFT JOIN lmq ON d.doc_id = lmq.doc_id
+         |LEFT JOIN dsq ON d.doc_id = dsq.doc_id
+         |LEFT JOIN keepb ON d.doc_id = keepb.doc_id
+         |LEFT JOIN dec ON d.doc_id = dec.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // composed from the three shared twins verbatim — same thresholds,
     // same decimal/round conventions as the standalone queries
     "curation_scored" ->
@@ -4999,6 +5096,45 @@ object SparkEntry {
          |pr0 AS (SELECT u,
          |    1.0::DOUBLE / CAST((SELECT n FROM nn) AS DOUBLE) AS pr
          |  FROM verts),
+         |${iter("pr0", "pr1")},
+         |${iter("pr1", "pr2")},
+         |${iter("pr2", "pr3")}
+         |SELECT u AS node, pr AS rank FROM pr3 ORDER BY node""".stripMargin
+    },
+    // PPR twin: directed rounds with the personalization vector p
+    // (1/|S| on seeds, 0 elsewhere); teleport AND dangling mass land
+    // on p — pr' = (1−d)·p + d·(Σ + D·p)
+    "token_ppr" -> {
+      def iter(prev: String, out: String): String =
+        s"""c$out AS (SELECT e.v AS u,
+           |    CAST(p.pr / CAST(d.deg AS DOUBLE) AS DECIMAL(18,12)) AS c
+           |  FROM e JOIN $prev p ON e.u = p.u
+           |  JOIN outdeg d ON e.u = d.u),
+           |s$out AS (SELECT u, SUM(c) AS s FROM c$out GROUP BY u),
+           |d$out AS (SELECT COALESCE(SUM(CAST(p.pr AS DECIMAL(18,12))),
+           |    CAST(0 AS DECIMAL(18,12))) AS dmass
+           |  FROM $prev p WHERE p.u NOT IN (SELECT u FROM outdeg)),
+           |$out AS (SELECT vv.u, vv.p,
+           |    (1.0::DOUBLE - 0.85::DOUBLE) * vv.p +
+           |      0.85::DOUBLE *
+           |        (CAST(CAST(COALESCE(s.s, CAST(0 AS DECIMAL(18,12)))
+           |           AS VARCHAR) AS DOUBLE) +
+           |         CAST(CAST((SELECT dmass FROM d$out) AS VARCHAR)
+           |           AS DOUBLE) * vv.p) AS pr
+           |  FROM pv vv LEFT JOIN s$out s ON vv.u = s.u)""".stripMargin
+      s"""WITH $coocPairsCte,
+         |e AS (SELECT DISTINCT tok_a AS u, tok_b AS v FROM pairs),
+         |verts AS (SELECT u FROM e UNION SELECT v FROM e),
+         |sds AS (SELECT u FROM verts ORDER BY u LIMIT 4),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sds),
+         |pv AS (SELECT v.u,
+         |    CASE WHEN v.u IN (SELECT u FROM sds)
+         |      THEN 1.0::DOUBLE / CAST((SELECT n FROM ns) AS DOUBLE)
+         |      ELSE 0.0::DOUBLE END AS p
+         |  FROM verts v),
+         |outdeg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e
+         |  GROUP BY u),
+         |pr0 AS (SELECT u, p, p AS pr FROM pv),
          |${iter("pr0", "pr1")},
          |${iter("pr1", "pr2")},
          |${iter("pr2", "pr3")}

@@ -240,6 +240,101 @@ object Graph {
     labels.select(col("__u").as("node"), col("__lbl").as("label"))
   }
 
+  /** Personalized PageRank over a DIRECTED edge list: the teleport
+    * lands on the `seeds` set (uniformly) instead of all of V — "rank
+    * everything by relevance TO these nodes" (related-item retrieval,
+    * seed-expansion labeling, trust propagation). Dangling mass also
+    * teleports per the personalization vector, the standard PPR
+    * convention, so mass is conserved (Σ pr = 1 up to decimal
+    * rounding; spec-asserted). Nodes unreachable from the seed set
+    * (and outside it) converge to rank 0 and are RETAINED in the
+    * output — their zeros are information.
+    *
+    * Seeds are a COLUMN (never collected); seeds not present in the
+    * graph are ignored (require at least one in-graph seed — an empty
+    * teleport set has no fixpoint). Same determinism chain and
+    * per-round checkpoint rule as [[pageRankDirected]]; `weightCol`
+    * as there. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String, iters: Int,
+      damping: Double = 0.85, materializeEdges: Boolean = true,
+      weightCol: Option[String] = None): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    require(damping > 0.0 && damping < 1.0, "damping in (0,1)")
+    val e0 = weightCol match {
+      case Some(w) =>
+        val e = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"),
+            col(w).cast("decimal(27,12)").as("__w"))
+          .where(col("__u").isNotNull && col("__v").isNotNull &&
+            col("__u") =!= col("__v") && col("__w").isNotNull &&
+            col("__w") > 0)
+        e.groupBy("__u", "__v").agg(sum("__w").as("__w"))
+      case None =>
+        edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+          .where(col("__u").isNotNull && col("__v").isNotNull &&
+            col("__u") =!= col("__v"))
+          .distinct()
+          .withColumn("__w", lit(1L).cast("decimal(27,12)"))
+    }
+    val e = if (materializeEdges) e0.localCheckpoint() else e0
+    val verts0 = e.select(col("__u")).unionByName(
+      e.select(col("__v").as("__u"))).distinct()
+    val sInGraph = verts0.join(
+      seeds.select(col(seedCol).as("__u")).where(col("__u").isNotNull)
+        .distinct(), Seq("__u"), "left_semi")
+    // EAGER guard (one tiny job): an empty in-graph teleport set has
+    // no fixpoint — every rank would silently converge to 0
+    require(!sInGraph.isEmpty,
+      "personalizedPageRank needs at least one seed present in the graph")
+    val nSeeds = broadcast(sInGraph.agg(count(lit(1)).as("__ns")))
+    // personalization vector: 1/|S| on in-graph seeds, 0 elsewhere
+    val verts1 = verts0
+      .join(sInGraph.withColumn("__isSeed", lit(1)), Seq("__u"), "left")
+      .crossJoin(nSeeds)
+      .select(col("__u"),
+        when(col("__isSeed") === 1,
+          lit(1.0) / col("__ns").cast("double"))
+          .otherwise(lit(0.0)).as("__p"))
+    val verts = if (materializeEdges) verts1.localCheckpoint()
+      else verts1
+    val outw = e.groupBy("__u").agg(count(lit(1)).as("__deg"),
+      sum("__w").as("__wout"))
+    var pr = verts.select(col("__u"), col("__p"), col("__p").as("__pr"))
+    for (_ <- 1 to iters) {
+      val contribPerEdge = weightCol match {
+        case Some(_) =>
+          ((col("__pr") * col("__w").cast("string").cast("double")) /
+            col("__wout").cast("string").cast("double"))
+            .cast("decimal(18,12)")
+        case None =>
+          (col("__pr") / col("__deg").cast("double"))
+            .cast("decimal(18,12)")
+      }
+      val inbound = e
+        .join(pr.select(col("__u"), col("__pr")).join(outw, Seq("__u")),
+          Seq("__u"))
+        .select(col("__v"), contribPerEdge.as("__c"))
+        .groupBy(col("__v").as("__u"))
+        .agg(sum(col("__c")).as("__s"))
+      val dang = broadcast(
+        pr.join(outw.select("__u"), Seq("__u"), "left_anti")
+          .agg(coalesce(sum(col("__pr").cast("decimal(18,12)")),
+            lit(0L).cast("decimal(18,12)")).as("__d")))
+      pr = pr.select(col("__u"), col("__p"))
+        .join(inbound, Seq("__u"), "left")
+        .crossJoin(dang)
+        .select(col("__u"), col("__p"),
+          (lit(1.0 - damping) * col("__p") +
+            lit(damping) *
+              (coalesce(col("__s"), lit(0L).cast("decimal(18,12)"))
+                .cast("string").cast("double") +
+                col("__d").cast("string").cast("double") *
+                  col("__p"))).as("__pr"))
+      if (materializeEdges) pr = pr.localCheckpoint()
+    }
+    pr.select(col("__u").as("node"), col("__pr").as("rank"))
+  }
+
   /** Fixed-iteration HITS (Kleinberg 1999) over a DIRECTED edge list:
     * hubs point at good authorities, authorities are pointed at by
     * good hubs — the query-dependent ranking pair PageRank's single

@@ -49,8 +49,9 @@ class PlanAuditSpec extends SparkSpec {
       // bounded by construction
       "token_pagerank_weighted", "pagerank_directed",
       "token_triangles", "token_bfs",
-      // token_hits crosses its broadcast 1-row L1 normalizers
-      "token_hits")
+      // token_hits crosses its broadcast 1-row L1 normalizers;
+      // token_ppr its broadcast 1-row seed count + dangling scalar
+      "token_hits", "token_ppr")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

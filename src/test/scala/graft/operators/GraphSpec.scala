@@ -163,6 +163,34 @@ class GraphSpec extends SparkSpec {
     assert(ranks(3L) > ranks(2L) && ranks(2L) > ranks(1L))
   }
 
+  test("personalizedPageRank: rank concentrates on and near the seed; " +
+      "mass conserved; all-vertex seeding matches pageRankDirected") {
+    import org.apache.spark.sql.functions.col
+    // chain 1 → 2 → 3 plus far pair 8 → 9; seed {1}
+    val e = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(e, "src", "dst",
+      Seq(1L).toDF("seed"), "seed", iters = 6)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L), s"$r")
+    // nodes unreachable from the seed converge to 0 but stay present
+    assert(r(8L) < 1e-9 && r(9L) < 1e-9)
+    assert(math.abs(r.values.sum - 1.0) < 1e-8, s"mass ${r.values.sum}")
+    // seeding EVERY vertex reduces to the global directed PageRank
+    val verts = e.select(col("src").as("seed"))
+      .unionByName(e.select(col("dst").as("seed"))).distinct()
+    val ppr = Graph.personalizedPageRank(e, "src", "dst", verts, "seed",
+      iters = 3).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val dpr = Graph.pageRankDirected(e, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    ppr.foreach { case (n, v) =>
+      assert(math.abs(v - dpr(n)) < 1e-12, s"node $n: $v vs ${dpr(n)}") }
+    // a seed absent from the graph is ignored; all-absent rejects
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(e, "src", "dst",
+        Seq(77L).toDF("seed"), "seed", iters = 1)
+    }
+  }
+
   test("hits: hub/authority split on a directed star matches the " +
       "hand-computed fixpoint; scores L1-normalize to 1") {
     // hubs 1,2,3 all point at authorities 8,9: after any round,
