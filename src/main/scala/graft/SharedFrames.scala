@@ -46,14 +46,25 @@ object SharedFrames {
     * blocks live in SparkEntry (the md5 gate-twin pair kernel). */
   private[graft] def materialized(s: SparkSession, key: String)(
       frame: => DataFrame): DataFrame = {
-    val path = built.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-shared-").toAbsolutePath
-      dir.toFile.deleteOnExit()
-      val p = s"$dir/frame.parquet"
-      frame.write.mode("overwrite").parquet(p)
-      p
-    })
+    // get + putIfAbsent, NOT computeIfAbsent: artifact builds NEST
+    // (the md5 pair build reads the shingle artifact), and a nested
+    // computeIfAbsent on the same ConcurrentHashMap throws
+    // IllegalStateException("Recursive update") whenever the two keys
+    // happen to share a bin. The worst case here is two threads
+    // building the same artifact concurrently into separate temp dirs
+    // — one wins the putIfAbsent, both read consistent data.
+    val existing = built.get(key)
+    val path =
+      if (existing != null) existing
+      else {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-shared-").toAbsolutePath
+        dir.toFile.deleteOnExit()
+        val p = s"$dir/frame.parquet"
+        frame.write.mode("overwrite").parquet(p)
+        val prev = built.putIfAbsent(key, p)
+        if (prev != null) prev else p
+      }
     s.read.parquet(path)
   }
 

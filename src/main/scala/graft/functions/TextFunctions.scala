@@ -148,35 +148,6 @@ object TextFunctions {
     * for the oracle, bit-stable across engines. Returns a struct of
     * the metrics plus `keep` (1 = passes every rule, as INT for
     * comparator portability). */
-  /** Flesch readability profile — the classic audience-level text
-    * quality signal (reading-ease and Flesch–Kincaid grade), computed
-    * from three exact counts: whitespace words, sentence-final
-    * punctuation runs (min 1 — headline-style text without terminal
-    * punctuation reads as one sentence), and syllables approximated
-    * as vowel-group runs `[aeiouy]+` (the standard cheap estimator —
-    * off by one on silent-e words, which shifts scores uniformly and
-    * preserves ranking). Scores are fixed IEEE chains over two
-    * divisions of exact longs, decimal(18,6)-rounded; empty/wordless
-    * text yields null scores (counts still 0). Pure per-row map —
-    * zero shuffle at any corpus size. */
-  def readability(c: Column): Column = {
-    val w = token_count(c).cast("long")
-    val sents = greatest(lit(1L),
-      size(regexp_extract_all(c, lit("[.!?]+"), lit(0))).cast("long"))
-    val syl = size(regexp_extract_all(lower(c), lit("[aeiouy]+"), lit(0)))
-      .cast("long")
-    val wps = w.cast("double") / sents.cast("double")
-    val spw = syl.cast("double") / w.cast("double")
-    val ease = lit(206.835) - lit(1.015) * wps - lit(84.6) * spw
-    val grade = lit(0.39) * wps + lit(11.8) * spw - lit(15.59)
-    struct(
-      w.as("n_words"), sents.as("n_sentences"), syl.as("n_syllables"),
-      when(w > 0, ease.cast("decimal(18,6)").cast("double"))
-        .as("flesch_ease"),
-      when(w > 0, grade.cast("decimal(18,6)").cast("double"))
-        .as("fk_grade"))
-  }
-
   def gopherRules(c: Column): Column = {
     val words = tokens(c)
     val n = size(words)
@@ -219,6 +190,35 @@ object TextFunctions {
       ellipsisRatio.as("ellipsis_line_ratio"),
       nStop.cast("long").as("n_stop_distinct"),
       keep.cast("int").as("keep"))
+  }
+
+  /** Flesch readability profile — the classic audience-level text
+    * quality signal (reading-ease and Flesch–Kincaid grade), computed
+    * from three exact counts: whitespace words, sentence-final
+    * punctuation runs (min 1 — headline-style text without terminal
+    * punctuation reads as one sentence), and syllables approximated
+    * as vowel-group runs `[aeiouy]+` (the standard cheap estimator —
+    * off by one on silent-e words, which shifts scores uniformly and
+    * preserves ranking). Scores are fixed IEEE chains over two
+    * divisions of exact longs, decimal(18,6)-rounded; empty/wordless
+    * text yields null scores (counts still 0). Pure per-row map —
+    * zero shuffle at any corpus size. */
+  def readability(c: Column): Column = {
+    val w = token_count(c).cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(c, lit("[.!?]+"), lit(0))).cast("long"))
+    val syl = size(regexp_extract_all(lower(c), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    val wps = w.cast("double") / sents.cast("double")
+    val spw = syl.cast("double") / w.cast("double")
+    val ease = lit(206.835) - lit(1.015) * wps - lit(84.6) * spw
+    val grade = lit(0.39) * wps + lit(11.8) * spw - lit(15.59)
+    struct(
+      w.as("n_words"), sents.as("n_sentences"), syl.as("n_syllables"),
+      when(w > 0, ease.cast("decimal(18,6)").cast("double"))
+        .as("flesch_ease"),
+      when(w > 0, grade.cast("decimal(18,6)").cast("double"))
+        .as("fk_grade"))
   }
 
   /** Register kernel functions for `spark.sql(...)` use. */

@@ -56,6 +56,15 @@ object Attribution {
     require(model == Linear || model == TimeDecay,
       s"unknown attribution model '$model' (use '$Linear' or '$TimeDecay')")
     require(halfLifeNanos > 0, "halfLifeNanos must be positive")
+    // beyond ~50 half-lives per window the exactness guarantee decays,
+    // and past 1074 the raw weight UNDERFLOWS to 0.0 — a conversion
+    // whose touches all underflow would get 0/0 = null credits and
+    // silently vanish from the report total. Fail loudly instead.
+    require(model != TimeDecay || windowNanos / halfLifeNanos <= 50,
+      s"time_decay window spans ${windowNanos / halfLifeNanos} " +
+        "half-lives; beyond 50 the weight sums lose engine-exactness " +
+        "(and far beyond, weights underflow to 0/0 credits) — widen " +
+        "halfLifeNanos or narrow windowNanos")
     val keyNotNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
     val c = conversions
       .select((keyCols.map(col) :+ col(convIdCol).as("__cid") :+

@@ -201,8 +201,11 @@ object Graph {
       // vertex set, contribution join, dangling aggregate): without a
       // per-round materialization the lazy plan re-derives it 3^iters
       // times. The rank frame is |V| rows — checkpointing it each
-      // round is the standard Pregel shape, not an optimization hack.
-      if (materializeEdges) pr = pr.localCheckpoint()
+      // round is the standard Pregel shape, not an optimization hack,
+      // and is UNCONDITIONAL: materializeEdges governs only the edge
+      // frame (whose rebuild can be cheaper than a cache); skipping
+      // the rank checkpoint is never sane at any iters
+      pr = pr.localCheckpoint()
     }
     pr.select(col("__u").as("node"), col("__pr").as("rank"))
   }
@@ -330,7 +333,7 @@ object Graph {
                 .cast("string").cast("double") +
                 col("__d").cast("string").cast("double") *
                   col("__p"))).as("__pr"))
-      if (materializeEdges) pr = pr.localCheckpoint()
+      pr = pr.localCheckpoint() // see pageRankDirected: unconditional
     }
     pr.select(col("__u").as("node"), col("__pr").as("rank"))
   }
@@ -376,7 +379,7 @@ object Graph {
         .select(col("__v").as("__u"),
           (col("__s").cast("string").cast("double") /
             col("__t").cast("string").cast("double")).as("__a"))
-      if (materializeEdges) auth = auth.localCheckpoint()
+      auth = auth.localCheckpoint() // see pageRankDirected: unconditional
       val hraw = verts
         .join(e.join(auth.select(col("__u").as("__v"), col("__a")),
             Seq("__v"))
@@ -389,7 +392,7 @@ object Graph {
         .select(col("__u"),
           (col("__s").cast("string").cast("double") /
             col("__t").cast("string").cast("double")).as("__h"))
-      if (materializeEdges) hub = hub.localCheckpoint()
+      hub = hub.localCheckpoint() // see pageRankDirected: unconditional
     }
     hub.join(auth, Seq("__u"))
       .select(col("__u").as("node"), col("__h").as("hub"),
@@ -452,10 +455,12 @@ object Graph {
 
   /** Multi-source BFS hop distances over an UNDIRECTED edge list:
     * for every node reachable from `seeds` within `maxHops`, the
-    * minimum hop count (seeds are 0). The "how far is everything from
-    * this set" primitive — influence radius, contamination spread,
-    * crawl frontier depth. Unreachable nodes are ABSENT (a null/∞
-    * row would force every consumer to filter).
+    * minimum hop count (seeds are 0 — including seeds absent from the
+    * edge list, which pass through as isolated distance-0 rows). The
+    * "how far is everything from this set" primitive — influence
+    * radius, contamination spread, crawl frontier depth. Unreachable
+    * nodes are ABSENT (a null/∞ row would force every consumer to
+    * filter).
     *
     * One join + one min-aggregate per hop round (frontier expansion
     * re-derived from the full distance frame — simple and exactly
@@ -469,8 +474,9 @@ object Graph {
     require(maxHops >= 1, "at least one hop")
     val sym0 = symmetrize(edges, srcCol, dstCol)
     val sym = if (materializeEdges) sym0.localCheckpoint() else sym0
-    // seeds restricted to nodes that exist in the graph (an isolated
-    // seed has no edges to walk; it still reports distance 0)
+    // off-graph seeds are NOT filtered out: a seed with no edges still
+    // reports itself at distance 0 (spec-pinned) — callers wanting
+    // graph-only nodes semi-join the output against the edge list
     var dist = seeds.select(col(seedCol).as("__u")).where(
       col("__u").isNotNull).distinct()
       .withColumn("__d", lit(0L))
@@ -480,9 +486,10 @@ object Graph {
       dist = dist.unionByName(next)
         .groupBy("__u").agg(min("__d").as("__d"))
       // the round reads the previous distance frame twice (carry-over
-      // union + frontier join): checkpoint per round or the lazy plan
-      // re-derives it 2^maxHops times (the pageRankDirected shape)
-      if (materializeEdges) dist = dist.localCheckpoint()
+      // union + frontier join): checkpoint per round — unconditional,
+      // like pageRankDirected's rank frame — or the lazy plan
+      // re-derives it 2^maxHops times
+      dist = dist.localCheckpoint()
     }
     dist.select(col("__u").as("node"), col("__d").as("hops"))
   }

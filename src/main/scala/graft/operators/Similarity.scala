@@ -72,15 +72,17 @@ object Similarity {
     * "everything near this centroid" audits, recall studies where a
     * fixed k silently truncates.
     *
-    * Scale shape: one scan + codegen'd score + filter — no heap, no
-    * window, no shuffle at all (the top-k TakeOrdered is replaced by a
-    * pushable predicate); result ordered (score, id) for determinism.
-    * At 100 TB this is the cheapest query in the family — the filter
-    * runs inside whole-stage codegen next to the scan. */
+    * Scale shape: the match itself is one scan + codegen'd score +
+    * filter — no heap, no window (the top-k TakeOrdered is replaced
+    * by a pushable predicate). With `ordered = true` (default) the
+    * result sorts (score, id) for deterministic consumption — that
+    * final sort is a range-partition exchange over the MATCHING rows
+    * only; for an unbounded 100 TB sweep feeding a downstream join,
+    * pass `ordered = false` and the operator is shuffle-free. */
   def radiusSearch(corpus: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], radius: Double,
       metric: Metric = Metric.SquaredL2,
-      scoreCol: String = "distance"): DataFrame = {
+      scoreCol: String = "distance", ordered: Boolean = true): DataFrame = {
     require(!corpus.columns.contains(scoreCol),
       s"scoreCol '$scoreCol' collides with a corpus column — rename one")
     val scored = corpus.withColumn(scoreCol,
@@ -89,7 +91,8 @@ object Similarity {
       if (metric.ascending) col(scoreCol) <= radius
       else col(scoreCol) >= radius
     val ord = if (metric.ascending) col(scoreCol).asc else col(scoreCol).desc
-    scored.where(keep).orderBy(ord, col(idCol).asc)
+    val matched = scored.where(keep)
+    if (ordered) matched.orderBy(ord, col(idCol).asc) else matched
   }
 
   /** Batch similarity join: per query row, the top-k nearest corpus

@@ -107,5 +107,14 @@ class AttributionSpec extends SparkSpec {
       Attribution.credits(c, t, Seq("user"), "event_id", "ts", "ts",
         "touch_type", windowNanos = 24 * H, model = "u_shaped")
     }
+    // a window spanning > 50 half-lives is rejected: past the exactness
+    // bound, and far past it weights underflow to 0/0 = null credits
+    // that silently drop conversions from the report total
+    val err = intercept[IllegalArgumentException] {
+      Attribution.credits(c, t, Seq("user"), "event_id", "ts", "ts",
+        "touch_type", windowNanos = 51 * H,
+        model = Attribution.TimeDecay, halfLifeNanos = H)
+    }
+    assert(err.getMessage.contains("half-lives"))
   }
 }
