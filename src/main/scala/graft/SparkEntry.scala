@@ -2419,6 +2419,22 @@ object SparkEntry {
       graft.operators.Funnel.journeys(
         events(s, dir).select("user_id", "event_type", "ts", "event_id"),
         "user_id", "event_type", "ts", "event_id", n = 3, topK = 20)),
+    // session-scoped conversion funnel: view→click→purchase must ALL
+    // happen inside one 30-minute-gap session — the "did they convert
+    // in this visit" question, vs funnel_steps' 7-day cross-visit
+    // horizon; Sessionize composed with funnel keyed by session_id
+    "session_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnel(
+        graft.operators.Sessionize.sessionize(
+          events(s, dir)
+            .select("user_id", "event_type", "ts", "event_id")
+            .where(col("user_id").isNotNull &&
+              col("event_type").isNotNull && col("ts").isNotNull),
+          Seq("user_id"), "ts", maxGap = 1800L * 1000000000L),
+        "session_id", "event_type", "ts",
+        Seq("view", "click", "purchase"),
+        horizonNanos = 7L * 86400L * 1000000000L)
+        .orderBy("step")),
     // session-scoped journeys: the same top-20 path mining, but paths
     // may not cross a 30-minute inactivity gap — Sessionize composed
     // with journeys keyed by session_id (the composition the journeys
@@ -4510,6 +4526,44 @@ object SparkEntry {
         |FROM st WHERE s0 IS NOT NULL AND s1 IS NOT NULL
         |  AND s2 IS NOT NULL
         |GROUP BY 1 ORDER BY cnt DESC, path ASC LIMIT 20""".stripMargin,
+    // session-funnel twin: the proven session-boundary CTE with the
+    // funnel step chain keyed by (user, session) instead of user
+    "session_funnel" ->
+      """WITH b0 AS (SELECT user_id AS u, event_type AS et,
+        |    epoch_ns(ts) AS tn
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND ts IS NOT NULL),
+        |sess AS (SELECT u, et, tn,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR tn - prev <= 1800000000000
+        |                  THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY u ORDER BY tn
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sidx
+        |  FROM (SELECT u, et, tn,
+        |          lag(tn) OVER (PARTITION BY u ORDER BY tn) AS prev
+        |        FROM b0)),
+        |s1 AS (SELECT u, sidx, MIN(tn) AS t1, MIN(tn) AS tk FROM sess
+        |       WHERE et = 'view' GROUP BY u, sidx),
+        |s2 AS (SELECT b.u, b.sidx, MIN(s1.t1) AS t1, MIN(b.tn) AS tk
+        |       FROM sess b JOIN s1 ON b.u = s1.u AND b.sidx = s1.sidx
+        |       WHERE b.et = 'click' AND b.tn > s1.tk
+        |         AND b.tn <= s1.t1 + 604800000000000
+        |       GROUP BY b.u, b.sidx),
+        |s3 AS (SELECT b.u, b.sidx, MIN(s2.t1) AS t1, MIN(b.tn) AS tk
+        |       FROM sess b JOIN s2 ON b.u = s2.u AND b.sidx = s2.sidx
+        |       WHERE b.et = 'purchase' AND b.tn > s2.tk
+        |         AND b.tn <= s2.t1 + 604800000000000
+        |       GROUP BY b.u, b.sidx),
+        |n AS (
+        |  SELECT 1 AS step, 'view' AS event_type,
+        |    (SELECT COUNT(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+        |SELECT CAST(step AS INT) AS step, event_type,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CASE WHEN (SELECT COUNT(*) FROM s1) > 0 THEN
+        |    CAST(n_users AS DOUBLE) / (SELECT COUNT(*) FROM s1)
+        |  END AS conv_pct
+        |FROM n ORDER BY step""".stripMargin,
     // session-journeys twin: the proven session-boundary CTE (30-min
     // gap) with the journey LEADs partitioned by (user, session)
     "session_journeys" ->

@@ -50,8 +50,9 @@ class PlanAuditSpec extends SparkSpec {
       "token_pagerank_weighted", "pagerank_directed",
       "token_triangles", "token_bfs",
       // token_hits crosses its broadcast 1-row L1 normalizers;
-      // token_ppr its broadcast 1-row seed count + dangling scalar
-      "token_hits", "token_ppr")
+      // token_ppr its broadcast 1-row seed count + dangling scalar;
+      // session_funnel is funnel_steps' shape keyed by session
+      "token_hits", "token_ppr", "session_funnel")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
