@@ -40,12 +40,60 @@ object SharedFrames {
 
   private val built = new ConcurrentHashMap[String, String]()
 
+  // deleteOnExit cannot remove a NON-EMPTY directory, so each temp dir
+  // is also registered here and recursively deleted by one shutdown
+  // hook — without it every process run leaks its materialized parquet
+  // into OS tmp until external cleanup.
+  private val tempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempDirs.forEach { root =>
+        try {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => p.toFile.delete())
+        } catch { case _: Throwable => () } // best-effort at exit
+      }
+    }, "graft-shared-frames-cleanup"))
+  }
+
+  /** Memoization key: the caller's logical key plus a fingerprint of
+    * the input parquet files under `dir` (relative path, size, mtime).
+    * A bare path key would silently serve a STALE artifact if the
+    * parquet under the directory were regenerated in-process (the
+    * driver's gate never does this, but the failure mode is silent
+    * wrong answers, so the fingerprint closes it). Fingerprinting is
+    * one local directory listing — negligible next to the scan it
+    * memoizes. */
+  private def fingerprinted(dir: String, key: String): String = {
+    val root = java.nio.file.Paths.get(dir)
+    val fp =
+      if (!java.nio.file.Files.isDirectory(root)) "absent"
+      else {
+        val walk = java.nio.file.Files.walk(root)
+        try {
+          val entries = new java.util.ArrayList[String]()
+          walk.filter(p => java.nio.file.Files.isRegularFile(p))
+            .forEach { p =>
+              entries.add(root.relativize(p).toString + ":" +
+                java.nio.file.Files.size(p) + ":" +
+                java.nio.file.Files.getLastModifiedTime(p).toMillis)
+            }
+          java.util.Collections.sort(entries)
+          Integer.toHexString(String.join("\n", entries).hashCode)
+        } finally walk.close()
+      }
+    s"$dir#$key@$fp"
+  }
+
   /** Memoized materialization: build `frame` once per (process, key),
     * persist to a temp parquet, read back on every call. Exposed
     * package-private for registry-side derivations whose building
     * blocks live in SparkEntry (the md5 gate-twin pair kernel). */
-  private[graft] def materialized(s: SparkSession, key: String)(
-      frame: => DataFrame): DataFrame = {
+  private[graft] def materialized(s: SparkSession, dir: String,
+      key: String)(frame: => DataFrame): DataFrame = {
+    val fullKey = fingerprinted(dir, key)
     // get + putIfAbsent, NOT computeIfAbsent: artifact builds NEST
     // (the md5 pair build reads the shingle artifact), and a nested
     // computeIfAbsent on the same ConcurrentHashMap throws
@@ -53,16 +101,16 @@ object SharedFrames {
     // happen to share a bin. The worst case here is two threads
     // building the same artifact concurrently into separate temp dirs
     // — one wins the putIfAbsent, both read consistent data.
-    val existing = built.get(key)
+    val existing = built.get(fullKey)
     val path =
       if (existing != null) existing
       else {
         val dir = java.nio.file.Files
           .createTempDirectory("graft-shared-").toAbsolutePath
-        dir.toFile.deleteOnExit()
+        tempDirs.add(dir)
         val p = s"$dir/frame.parquet"
         frame.write.mode("overwrite").parquet(p)
-        val prev = built.putIfAbsent(key, p)
+        val prev = built.putIfAbsent(fullKey, p)
         if (prev != null) prev else p
       }
     s.read.parquet(path)
@@ -73,7 +121,7 @@ object SharedFrames {
     * [[operators.TextAnalysis.charBigramScore]] — fit + score run once
     * per process, shared by every LM-threshold consumer. */
   def lmScoredDocs(s: SparkSession, dir: String): DataFrame =
-    materialized(s, s"$dir#lm_scored") {
+    materialized(s, dir, "lm_scored") {
       operators.TextAnalysis.charBigramScore(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
     }
@@ -82,7 +130,7 @@ object SharedFrames {
     * stored inverted index the exact-Jaccard operators consume
     * ([[operators.Dedup.jaccardPairsExactFromTokens]]). */
   def docShingles(s: SparkSession, dir: String, width: Int): DataFrame =
-    materialized(s, s"$dir#shingles$width") {
+    materialized(s, dir, s"shingles$width") {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions
@@ -98,7 +146,7 @@ object SharedFrames {
     * triangles, BFS) — the stored edge-list shape of a graph
     * pipeline. */
   def coocPairs(s: SparkSession, dir: String): DataFrame =
-    materialized(s, s"$dir#cooc40x10") {
+    materialized(s, dir, "cooc40x10") {
       operators.TextAnalysis.coocLift(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         topV = 40, minSupport = 10L)

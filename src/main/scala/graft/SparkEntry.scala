@@ -78,7 +78,7 @@ object SparkEntry {
   // behind every md5 gate twin — built once, read by the pair-kernel
   // build and crossdup_md5's per-side signature chains
   private def md5ShinglesShared(s: SparkSession, dir: String): DataFrame =
-    SharedFrames.materialized(s, s"$dir#md5sh3") {
+    SharedFrames.materialized(s, dir, "md5sh3") {
       md5Shingles(t(s, dir, "documents"))
     }
 
@@ -88,7 +88,7 @@ object SparkEntry {
   // pair table it yields is tiny, so it joins the SharedFrames stored
   // set (built once, read by every consumer)
   private def md5NearDupPairs(s: SparkSession, dir: String): DataFrame =
-    SharedFrames.materialized(s, s"$dir#md5pairs05") {
+    SharedFrames.materialized(s, dir, "md5pairs05") {
       md5NearDupPairsCompute(s, dir)
     }
 
@@ -2813,9 +2813,15 @@ object SparkEntry {
       |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
       |  FROM reach GROUP BY a)""".stripMargin
 
+  // dt is DISTINCT over (doc_id, tok) — not just list_distinct within a
+  // row — to pin the operator's duplicate-doc-id semantics (coocLift
+  // dedupes the exploded frame on (id, tok) so a repeated id cannot
+  // inflate df/n_ab past N; the twin must do the same or the two
+  // engines drift the moment a fixture carries a duplicate id).
   private val coocPairsCte: String =
-    s"""dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
-       |  FROM documents),
+    s"""dt AS (SELECT DISTINCT doc_id, tok FROM (
+       |  SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+       |  FROM documents)),
        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
        |top AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt
        |  GROUP BY tok ORDER BY df DESC, tok ASC LIMIT 40),

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *    half-life form, chosen over continuous 2^(−lag/h) because
   *    integer-exponent powers of two are EXACT doubles: raw weights,
   *    their per-conversion sums (exact while the exponent spread stays
-  *    under 53 bits — any window/halfLife ratio ≤ ~50 qualifies), and
+  *    under 53 bits — any window/halfLife ratio ≤ 45 qualifies), and
   *    the normalizing division are all engine-deterministic, where a
   *    fractional-exponent pow is only as portable as two libms).
   *    Credits are w/Σw, decimal(18,12)-rounded.
@@ -56,13 +56,18 @@ object Attribution {
     require(model == Linear || model == TimeDecay,
       s"unknown attribution model '$model' (use '$Linear' or '$TimeDecay')")
     require(halfLifeNanos > 0, "halfLifeNanos must be positive")
-    // beyond ~50 half-lives per window the exactness guarantee decays,
-    // and past 1074 the raw weight UNDERFLOWS to 0.0 — a conversion
-    // whose touches all underflow would get 0/0 = null credits and
-    // silently vanish from the report total. Fail loudly instead.
-    require(model != TimeDecay || windowNanos / halfLifeNanos <= 50,
-      s"time_decay window spans ${windowNanos / halfLifeNanos} " +
-        "half-lives; beyond 50 the weight sums lose engine-exactness " +
+    // beyond ~45 half-lives per window the exactness guarantee decays
+    // (the per-conversion weight SUM must stay under 53 mantissa bits,
+    // and many weight-1 touches on top of a 2^-45 tail eat the
+    // headroom), and past 1074 the raw weight UNDERFLOWS to 0.0 — a
+    // conversion whose touches all underflow would get 0/0 = null
+    // credits and silently vanish from the report total. Fail loudly
+    // instead. Compared without division: windowNanos/halfLifeNanos
+    // truncates, which would admit up to 45.99 half-lives.
+    require(model != TimeDecay || halfLifeNanos > Long.MaxValue / 45 ||
+        windowNanos <= 45L * halfLifeNanos,
+      s"time_decay window spans ${windowNanos.toDouble / halfLifeNanos} " +
+        "half-lives; beyond 45 the weight sums lose engine-exactness " +
         "(and far beyond, weights underflow to 0/0 credits) — widen " +
         "halfLifeNanos or narrow windowNanos")
     val keyNotNull = keyCols.map(col(_).isNotNull).reduce(_ && _)

@@ -66,9 +66,21 @@ object StreamIngest {
     implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
     implicit val keyEnc: Encoder[String] = Encoders.STRING
     val keyIdx = stream.schema.fieldIndex(keyCol)
-    // prefix-discriminate null from the literal string "null"
-    val grouped = stream.groupByKey(r =>
-      if (r.isNullAt(keyIdx)) "n" else "v" + r.get(keyIdx))
+    // prefix-discriminate null from the literal string "null". For
+    // float/double keys, normalize -0.0 to 0.0 before rendering: SQL
+    // grouping (and the batch first-wins ingest) puts -0.0 and 0.0 in
+    // ONE group, but their strings ("-0.0" vs "0.0") differ — without
+    // the normalization streaming dedup would keep both. NaN is safe
+    // as-is: all NaN payloads render "NaN", matching SQL's one-NaN
+    // group.
+    val grouped = stream.groupByKey { r =>
+      if (r.isNullAt(keyIdx)) "n"
+      else "v" + (r.get(keyIdx) match {
+        case d: java.lang.Double if d.doubleValue == 0.0 => "0.0"
+        case f: java.lang.Float if f.floatValue == 0.0f => "0.0"
+        case v => v.toString
+      })
+    }
     val deduped: Dataset[Row] = grouped.flatMapGroupsWithState[Boolean, Row](
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
       (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>

@@ -88,6 +88,27 @@ class SharedFramesSpec extends SparkSpec {
     assert(shared.toSeq === direct.toSeq)
   }
 
+  test("regenerating the input parquet in-process invalidates the " +
+      "memo — the fingerprint serves fresh values, not a stale artifact") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sfspec-regen-").toAbsolutePath.toString
+    Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val before = SharedFrames.lmScoredDocs(spark, dir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(before === Array(1L))
+    // regenerate with different rows; bump mtimes past millisecond
+    // granularity so the (path, size, mtime) fingerprint must change
+    Thread.sleep(1100)
+    Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val after = SharedFrames.lmScoredDocs(spark, dir)
+      .select("doc_id").as[Long].collect().sorted
+    assert(after === Array(1L, 2L),
+      "memo must key on input fingerprint, not bare directory path")
+  }
+
   test("perplexityBucketsFromScored over the shared frame equals " +
       "perplexityBuckets run end-to-end") {
     val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")

@@ -107,12 +107,14 @@ class AttributionSpec extends SparkSpec {
       Attribution.credits(c, t, Seq("user"), "event_id", "ts", "ts",
         "touch_type", windowNanos = 24 * H, model = "u_shaped")
     }
-    // a window spanning > 50 half-lives is rejected: past the exactness
+    // a window spanning > 45 half-lives is rejected: past the exactness
     // bound, and far past it weights underflow to 0/0 = null credits
-    // that silently drop conversions from the report total
+    // that silently drop conversions from the report total. 45*H + 1
+    // pins the guard as non-truncating: the old integer-division form
+    // admitted anything under 46 whole half-lives.
     val err = intercept[IllegalArgumentException] {
       Attribution.credits(c, t, Seq("user"), "event_id", "ts", "ts",
-        "touch_type", windowNanos = 51 * H,
+        "touch_type", windowNanos = 45 * H + 1,
         model = Attribution.TimeDecay, halfLifeNanos = H)
     }
     assert(err.getMessage.contains("half-lives"))

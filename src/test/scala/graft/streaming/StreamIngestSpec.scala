@@ -51,6 +51,31 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingFirstWins: -0.0 and 0.0 double keys share one group, " +
+      "matching SQL grouping and the batch first-wins ingest") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Double, String)]
+    val deduped = StreamIngest.streamingFirstWins(
+      source.toDF().toDF("key", "payload"), "key")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_zero_out").outputMode("append").start()
+    try {
+      source.addData((0.0, "pos")) // first batch: positive zero wins
+      q.processAllAvailable()
+      source.addData((-0.0, "neg"), (1.5, "other"),
+        (Double.NaN, "nan1"))
+      q.processAllAvailable()
+      source.addData((Double.NaN, "nan2")) // NaN is one group too
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT payload FROM dedup_zero_out ORDER BY payload")
+        .collect().map(_.getString(0)).toSeq
+      assert(rows == Seq("nan1", "other", "pos"),
+        "-0.0 must dedup against 0.0; a second NaN must dedup too")
+    } finally q.stop()
+  }
+
   test("streamingFirstWins: a binary key fails loudly (identity-based " +
       "toString would silently never deduplicate)") {
     import spark.implicits._
