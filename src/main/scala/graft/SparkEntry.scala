@@ -1374,6 +1374,94 @@ object SparkEntry {
         .head.getSeq[Float](0).toArray
       idx.query(q, k = 5, nprobe = 4, refineFactor = 8)
     }),
+    // ---- search-over-persisted-artifact variants of the trained ANN
+    // families: the fit (Lloyd's/Procrustes/PCA) runs ONCE per process
+    // into a saved parquet artifact (SharedFrames.materializedArtifact
+    // — the scheduled offline index-build job), and the registered
+    // query is load + search only. Same hyperparameters as the live
+    // `*_knn` forms, so output matches them row-for-row (spec-pinned);
+    // rows-only for the same kmeans/float reasons. Bench's min-of-3
+    // never includes the first-call fit, so these lines measure the
+    // production "search online" cost the in-query-fit forms conflate.
+    "ivf_saved_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val root = SharedFrames.materializedArtifact(dir, "idx_ivf") { p =>
+        graft.operators.IvfIndex.save(
+          graft.operators.IvfIndex.build(emb, "embedding", "vec_id",
+            nClusters = 16, maxIter = 8, sampleFraction = 0.25), p)
+      }
+      val idx = graft.operators.IvfIndex.loadSaved(s, root, "embedding",
+        "vec_id")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5, nprobe = 4).select("vec_id", "distance")
+    }),
+    "sq8_saved_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val root = SharedFrames.materializedArtifact(dir, "idx_sq8") { p =>
+        graft.operators.SqIndex.save(
+          graft.operators.SqIndex.fit(emb, "embedding", "vec_id"), p)
+      }
+      val idx = graft.operators.SqIndex.loadSaved(s, root, emb,
+        "embedding", "vec_id")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5, refineFactor = 4)
+    }),
+    "pq_saved_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val root = SharedFrames.materializedArtifact(dir, "idx_pq") { p =>
+        graft.operators.PqIndex.save(
+          graft.operators.PqIndex.train(emb, "embedding", "vec_id",
+            m = 8, codesPerBook = 16, sampleFraction = 0.25), p)
+      }
+      val idx = graft.operators.PqIndex.loadSaved(s, root, emb,
+        "embedding", "vec_id")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5, refineFactor = 8)
+    }),
+    "opq_saved_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val root = SharedFrames.materializedArtifact(dir, "idx_opq") { p =>
+        graft.operators.PqIndex.saveRotated(
+          graft.operators.PqIndex.trainOpq(emb, "embedding", "vec_id",
+            m = 8, codesPerBook = 16, sampleFraction = 0.25,
+            opqIters = 2), p)
+      }
+      val idx = graft.operators.PqIndex.loadSavedRotated(s, root, emb,
+        "embedding", "vec_id")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5, refineFactor = 8)
+    }),
+    "ivfpq_saved_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val root = SharedFrames.materializedArtifact(dir, "idx_ivfpq") { p =>
+        graft.operators.IvfPqIndex.save(
+          graft.operators.IvfPqIndex.build(emb, "embedding", "vec_id",
+            nClusters = 16, m = 8, codesPerBook = 16,
+            sampleFraction = 0.25), p)
+      }
+      val idx = graft.operators.IvfPqIndex.loadSaved(s, root, emb,
+        "embedding", "vec_id")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5, nprobe = 4, refineFactor = 8)
+    }),
+    "pca_sq8_saved_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val root = SharedFrames.materializedArtifact(dir, "idx_pcasq8") { p =>
+        graft.operators.PcaReduce.saveSq(
+          graft.operators.PcaReduce.fitSq(emb, "embedding", "vec_id",
+            k = 16), s, p)
+      }
+      val idx = graft.operators.PcaReduce.loadSavedSq(s, root, emb,
+        "embedding", "vec_id")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      idx.query(q, k = 5, refineFactor = 8)
+    }),
     // batch twin of the streaming tumbling-window agg (ts normalized
     // to epoch nanos by the events() loader, layout-adaptive)
     "events_hourly" -> ((s, dir) =>

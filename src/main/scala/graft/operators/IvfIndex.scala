@@ -291,6 +291,22 @@ object IvfIndex {
       idCol: String): IvfIndex =
     new IvfIndex(centroids, spark.read.parquet(path), vecCol, idCol)
 
+  /** Persist the whole index under one root: the cell-partitioned
+    * rows (`<path>/table`) plus the centroid matrix (`<path>/cells`) —
+    * self-describing, so a search job reopens it from the path alone
+    * via [[loadSaved]]. */
+  def save(idx: IvfIndex, path: String): Unit = {
+    idx.writePartitioned(s"$path/table")
+    IndexArtifacts.writeMatrix(idx.assigned.sparkSession, idx.centroids,
+      s"$path/cells")
+  }
+
+  /** Reopen a [[save]]d index. */
+  def loadSaved(spark: SparkSession, path: String, vecCol: String,
+      idCol: String): IvfIndex =
+    new IvfIndex(IndexArtifacts.readMatrix(spark, s"$path/cells"),
+      spark.read.parquet(s"$path/table"), vecCol, idCol)
+
   /** One Lloyd's recenter step as a cross-engine-auditable frame —
     * the oracle twin of the iteration body shared by [[IvfIndex.build]]
     * and [[refreshCentroids]]. Runs the REAL code path (the codegen'd

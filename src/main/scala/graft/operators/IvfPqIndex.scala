@@ -138,4 +138,37 @@ object IvfPqIndex {
       corpus: DataFrame, vecCol: String, idCol: String): IvfPqIndex =
     new IvfPqIndex(cells, codebooks, spark.read.parquet(path), corpus,
       vecCol, idCol)
+
+  /** Persist the whole index under one root: the cell-partitioned
+    * codes table (`<path>/table`), coarse centroids (`<path>/cells`),
+    * codebooks (`<path>/books`), and — for the OPQ variant — the
+    * residual rotation (`<path>/rotation`). A search job reopens
+    * everything from the path via [[loadSaved]]: the honest
+    * fit-offline / search-online split at 100 TB, where Lloyd's runs
+    * in a scheduled build job and queries only read nprobe partition
+    * directories of m-byte codes. */
+  def save(idx: IvfPqIndex, path: String): Unit = {
+    val spark = idx.table.sparkSession
+    idx.writeTable(s"$path/table")
+    IndexArtifacts.writeMatrix(spark, idx.cells, s"$path/cells")
+    IndexArtifacts.writeBooks(spark, idx.codebooks, s"$path/books")
+    idx.rotation.foreach(
+      IndexArtifacts.writeMatrix(spark, _, s"$path/rotation"))
+  }
+
+  /** Reopen a [[save]]d index against its corpus (exact re-rank side).
+    * The rotation directory's presence decides plain-vs-OPQ — the
+    * artifact is self-describing. */
+  def loadSaved(spark: SparkSession, path: String, corpus: DataFrame,
+      vecCol: String, idCol: String): IvfPqIndex = {
+    val rotation =
+      if (IndexArtifacts.exists(spark, s"$path/rotation"))
+        Some(IndexArtifacts.readMatrix(spark, s"$path/rotation"))
+      else None
+    new IvfPqIndex(
+      IndexArtifacts.readMatrix(spark, s"$path/cells"),
+      IndexArtifacts.readBooks(spark, s"$path/books"),
+      spark.read.parquet(s"$path/table"), corpus, vecCol, idCol,
+      rotation)
+  }
 }

@@ -192,6 +192,31 @@ object PcaReduce {
       rows.head._4)
   }
 
+  /** Persist a [[fitSq]] index under one root: the PCA model
+    * (`<path>/pca`) plus the inner SQ index's params and reduced-space
+    * codes (`<path>/sq`). [[loadSavedSq]] reopens the whole thing from
+    * the path — fit offline, search online. */
+  def saveSq(idx: ReducedSqIndex,
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    save(idx.model, spark, s"$path/pca")
+    SqIndex.save(idx.inner, s"$path/sq")
+  }
+
+  /** Reopen a [[saveSq]]'d index against the ORIGINAL corpus: the
+    * inner SQ index's corpus view is the lazy PCA projection of
+    * `corpus` (a narrow codegen'd map — only materialized if an inner
+    * refine ever runs; [[ReducedSqIndex.query]] refines in the
+    * original space). */
+  def loadSavedSq(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, vecCol: String, idCol: String): ReducedSqIndex = {
+    val model = load(spark, s"$path/pca")
+    val reduced = transform(corpus, vecCol, model, "__pca_vec")
+      .select(col(idCol), col("__pca_vec"))
+    new ReducedSqIndex(model,
+      SqIndex.loadSaved(spark, s"$path/sq", reduced, "__pca_vec", idCol),
+      corpus.select(col(idCol), col(vecCol)), vecCol, idCol)
+  }
+
   /** PCA→SQ8 composition (faiss `PCAMatrix + SQ` index-factory shape):
     * candidates come from a byte-coded scan in the reduced space
     * (k bytes/row — 16× compression at 64→16), the final answer from an

@@ -440,6 +440,42 @@ object PqIndex {
     new PqIndex(codebooks, corpus, spark.read.parquet(codesPath), vecCol,
       idCol)
 
+  /** Persist codes AND codebooks under one root (`<path>/codes`,
+    * `<path>/books`) — the fully self-describing fit-offline artifact:
+    * a separate search job reopens the index from the path alone via
+    * [[loadSaved]], no trained arrays carried across processes. */
+  def save(idx: PqIndex, path: String): Unit = {
+    idx.writeCodes(s"$path/codes")
+    IndexArtifacts.writeBooks(idx.codes.sparkSession, idx.codebooks,
+      s"$path/books")
+  }
+
+  /** Reopen a [[save]]d index against its corpus (exact re-rank side). */
+  def loadSaved(spark: SparkSession, path: String, corpus: DataFrame,
+      vecCol: String, idCol: String): PqIndex =
+    load(spark, s"$path/codes",
+      IndexArtifacts.readBooks(spark, s"$path/books"), corpus, vecCol,
+      idCol)
+
+  /** Persist an OPQ index: rotated-space codes, codebooks, AND the
+    * rotation (`<path>/codes`, `<path>/books`, `<path>/rotation`). */
+  def saveRotated(idx: RotatedPqIndex, path: String): Unit = {
+    val spark = idx.inner.codes.sparkSession
+    idx.writeCodes(s"$path/codes")
+    IndexArtifacts.writeBooks(spark, idx.inner.codebooks, s"$path/books")
+    IndexArtifacts.writeMatrix(spark, idx.rotation, s"$path/rotation")
+  }
+
+  /** Reopen a [[saveRotated]]'d index against the ORIGINAL (unrotated)
+    * corpus — the corpus re-rotates through the lazy `mat_vec` kernel
+    * exactly as in [[loadRotated]]. */
+  def loadSavedRotated(spark: SparkSession, path: String,
+      corpus: DataFrame, vecCol: String, idCol: String): RotatedPqIndex =
+    loadRotated(spark, s"$path/codes",
+      IndexArtifacts.readMatrix(spark, s"$path/rotation"),
+      IndexArtifacts.readBooks(spark, s"$path/books"), corpus, vecCol,
+      idCol)
+
   /** Per-subspace seeding: the first `codesPerBook` DISTINCT subvectors
     * in seeded hash order (one window pass over the exploded sample;
     * the 4× oversample absorbs duplicate-heavy data, and the collected
