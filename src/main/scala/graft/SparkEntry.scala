@@ -2435,6 +2435,19 @@ object SparkEntry {
         pairs.agg(min(col("tok_a")).as("seed")), "seed", maxHops = 4)
         .orderBy("node")
     }),
+    // k-core of the lift-filtered cooc graph (lift >= 1.05 keeps only
+    // above-independence associations — the unfiltered top-40 graph is
+    // COMPLETE at gate scale, where every core is trivial). Driver
+    // convergence loop; all-integer, so the twin replays the peels
+    // unrolled. k=8 peels in 2 rounds at sf0.01 — the twin unrolls 4
+    // stages for margin (extra peels are idempotent). If the driver
+    // regenerates testdata, re-verify depth <= 4 (handoff note).
+    "token_kcore" -> ((s, dir) => {
+      val e = SharedFrames.coocPairs(s, dir)
+        .where(col("lift") >= 1.05).select("tok_a", "tok_b")
+      graft.operators.Graph.kCore(e, "tok_a", "tok_b", k = 8)
+        .orderBy("node")
+    }),
     // deterministic label propagation (2 rounds) over the same
     // co-occurrence token graph — community labels, ties to the
     // smallest label
@@ -5344,6 +5357,31 @@ object SparkEntry {
          |${round("d3", "d4")}
          |SELECT u AS node, CAST(d AS BIGINT) AS hops FROM d4
          |ORDER BY node""".stripMargin
+    },
+    // k-core twin: lift filter (one double division of exact ints —
+    // bit-identical cross-engine, the reason cooc_lift hash-matches),
+    // then 4 unrolled peel stages (degree >= 8 survivors, edges
+    // endpoint-semi-joined down). The operator converges in 2 peels at
+    // sf0.01; extra stages are idempotent, so 4 is depth margin, not a
+    // semantic knob. All-integer after the filter — no decimal bridge.
+    "token_kcore" -> {
+      def peel(prevE: String, i: Int): String =
+        s"""v$i AS (SELECT u FROM $prevE GROUP BY u
+           |  HAVING COUNT(*) >= 8),
+           |e$i AS (SELECT e.u, e.v FROM $prevE e
+           |  JOIN v$i a ON e.u = a.u JOIN v$i b ON e.v = b.u)""".stripMargin
+      s"""WITH $coocPairsCte,
+         |le AS (SELECT tok_a, tok_b FROM pairs
+         |  WHERE (CAST(n_ab AS DOUBLE) * CAST((SELECT n FROM n) AS DOUBLE)) /
+         |        (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)) >= 1.05),
+         |e0 AS (SELECT tok_a AS u, tok_b AS v FROM le
+         |       UNION ALL SELECT tok_b, tok_a FROM le),
+         |${peel("e0", 1)},
+         |${peel("e1", 2)},
+         |${peel("e2", 3)},
+         |${peel("e3", 4)}
+         |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+         |FROM e4 GROUP BY u ORDER BY node""".stripMargin
     },
     // LPA twin: same edges, 2 unrolled rounds, argmax by
     // ROW_NUMBER over (cnt DESC, lbl ASC) — the min_by tie rule

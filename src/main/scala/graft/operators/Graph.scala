@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over plain edge frames — the Pregel
@@ -492,6 +492,92 @@ object Graph {
       dist = dist.localCheckpoint()
     }
     dist.select(col("__u").as("node"), col("__d").as("hops"))
+  }
+
+  /** k-core of an UNDIRECTED edge list: the maximal subgraph where
+    * every node keeps degree ≥ k — the classic "dense part" peel
+    * (Seidman 1983; community cores, spam-farm pruning, the
+    * "remove the long tail before the expensive pass" primitive).
+    * Returns the surviving nodes with their WITHIN-CORE degree:
+    * (node, degree).
+    *
+    * Iterative peel with a DRIVER convergence check (the
+    * [[Dedup.connectedComponents]] loop shape — the round count is
+    * data-dependent, so a fixed unroll would either waste rounds or
+    * stop early): each round recomputes degrees over the surviving
+    * subgraph (one hash-aggregate), drops nodes under k, and
+    * semi-joins the edge list down to survivors (two hash semi-joins
+    * keyed on the vertex — the partitioning a cluster already has for
+    * edges). The edge frame is localCheckpointed per round: the next
+    * round reads it three times (degree pass + two endpoint
+    * semi-joins), so an unmaterialized plan would grow 3^rounds.
+    * Rounds are bounded by the longest peel cascade (≤ |V|, tiny in
+    * practice: each round removes EVERY currently-under-k node at
+    * once). All-integer arithmetic — exactly replayable cross-engine,
+    * no decimal bridge needed. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var e = symmetrize(edges, srcCol, dstCol).localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val deg = e.groupBy("__u").agg(count(lit(1)).as("__deg"))
+      val survivors = deg.where(col("__deg") >= k).select("__u")
+      val pruned = e
+        .join(survivors, Seq("__u"), "left_semi")
+        .join(survivors.select(col("__u").as("__v")), Seq("__v"),
+          "left_semi")
+        .localCheckpoint()
+      // fixpoint when no edge was peeled this round (edge count is
+      // monotone non-increasing, so equality IS convergence)
+      converged = pruned.count() == e.count()
+      e = pruned
+    }
+    e.groupBy(col("__u").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** Full core decomposition: every node's CORENESS (the largest k
+    * for which it survives the [[kCore]] peel). Computed by h-index
+    * propagation (Lü, Zhou, Zhang, Stanley — "The H-index of a
+    * network node", Nature Comms 2016): start at c(v) = deg(v),
+    * repeat c(v) ← H({c(u) : u ~ v}) until fixpoint; the limit is
+    * exactly the core number. Converges in far fewer rounds than
+    * k-by-k peeling (one pass per "coreness wave", not one per k per
+    * cascade step), and each round is the Pregel join+agg shape: join
+    * neighbor values, aggregate the h-index per node.
+    *
+    * The per-node h-index is computed from `sort_array(collect_list)`
+    * of neighbor values — bounded by the node's DEGREE. On a 100 TB
+    * graph a hub's list is its adjacency, the same row a plain
+    * adjacency-list layout stores; cap degrees upstream if hubs
+    * exceed executor memory (same guidance as Sessionize skew).
+    * All-integer — exactly replayable. Returns (node, coreness). */
+  def coreness(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = symmetrize(edges, srcCol, dstCol).localCheckpoint()
+    // h-index of a descending-sorted int array: largest i (1-based)
+    // with arr[i-1] >= i
+    val hIndex = (arr: Column) => aggregate(
+      zip_with(sort_array(arr, asc = false),
+        sequence(lit(1), size(arr)),
+        (v, i) => when(v >= i, i).otherwise(lit(0))),
+      lit(0), (acc, x) => greatest(acc, x))
+    var c = e.groupBy("__u").agg(count(lit(1)).cast("int").as("__c"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val next = e
+        .join(c.select(col("__u").as("__v"), col("__c").as("__cv")),
+          Seq("__v"))
+        .groupBy("__u")
+        .agg(hIndex(collect_list(col("__cv"))).as("__c"))
+        .localCheckpoint()
+      // values only ever DECREASE (h-index of neighbors ≤ degree, and
+      // the map is monotone), so fixpoint == no row changed
+      converged = next.join(c.withColumnRenamed("__c", "__prev"),
+        Seq("__u")).where(col("__c") =!= col("__prev")).isEmpty
+      c = next
+    }
+    c.select(col("__u").as("node"), col("__c").cast("long").as("coreness"))
   }
 
   /** Weighted [[symmetrize]]: both directions carry the edge's weight;

@@ -306,4 +306,58 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) > r(3L) * 2, s"$r")
     assert(math.abs(r.values.sum - 1.0) < 1e-8)
   }
+
+  test("kCore: peel cascade removes a tail chain hanging off a clique; " +
+      "survivors keep within-core degree") {
+    // K4 on {0,1,2,3} plus a chain 3-4-5: for k=2 the chain peels in
+    // CASCADE (5 first — degree 1 — then 4, whose degree drops to 1
+    // only after 5 is gone) — two rounds, exercising the driver loop
+    val e = (Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L)) ++
+      Seq((3L,4L),(4L,5L))).toDF("src", "dst")
+    val core2 = Graph.kCore(e, "src", "dst", k = 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(core2.toSeq === Seq((0L,3L),(1L,3L),(2L,3L),(3L,3L)),
+      "k=2 core must be exactly the K4 with degree 3 each")
+    // k=4 empties the graph (K4 max degree is 3)
+    assert(Graph.kCore(e, "src", "dst", k = 4).isEmpty)
+    // k=1 keeps everything with plain degrees
+    val core1 = Graph.kCore(e, "src", "dst", k = 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(core1.toSeq === Seq((0L,3L),(1L,3L),(2L,3L),(3L,4L),
+      (4L,2L),(5L,1L)))
+  }
+
+  test("kCore is idempotent: peeling the surviving core again changes " +
+      "nothing") {
+    val e = (Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L)) ++
+      Seq((3L,4L),(4L,5L),(5L,6L),(6L,4L))).toDF("src", "dst")
+    val once = Graph.kCore(e, "src", "dst", k = 2)
+    // rebuild the surviving edge set and peel again
+    val survivors = once.select("node")
+    val surEdges = e
+      .join(survivors.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(survivors.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+    val twice = Graph.kCore(surEdges, "src", "dst", k = 2)
+    assert(twice.orderBy("node").collect().toSeq ===
+      once.orderBy("node").collect().toSeq)
+  }
+
+  test("coreness equals the peel definition: node in kCore(k) iff " +
+      "coreness >= k, on a clique + cycle + tail graph") {
+    val e = (Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L)) ++
+      Seq((3L,4L),(4L,5L),(5L,6L),(6L,4L)) ++ Seq((6L,7L)))
+      .toDF("src", "dst")
+    val cn = Graph.coreness(e, "src", "dst").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 members: coreness 3; cycle {4,5,6}: 2; tail 7: 1; bridge
+    // node 3 is in the K4 so 3, node 4/5/6 cycle gives 2
+    assert(cn === Map(0L->3L,1L->3L,2L->3L,3L->3L,4L->2L,5L->2L,
+      6L->2L,7L->1L), cn.toString)
+    for (k <- 1 to 4) {
+      val inCore = Graph.kCore(e, "src", "dst", k)
+        .select("node").as[Long].collect().toSet
+      val byCoreness = cn.filter(_._2 >= k).keySet
+      assert(inCore === byCoreness, s"k=$k")
+    }
+  }
 }
