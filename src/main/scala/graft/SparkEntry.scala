@@ -946,6 +946,22 @@ object SparkEntry {
           through("f2", "f3", "f4", "f5", "f6").as("n_decontam"))
         .orderBy("source")
     }),
+    // the same funnel flags grouped by LANG — "which language slice is
+    // dying at which stage", the other attrition dashboard cut (CCNet
+    // runs the whole pipeline per language; this is its report shape)
+    "curation_funnel_by_lang" -> ((s, dir) => {
+      val flags = curationFlags(s, dir, Seq("lang"))
+      def through(fs: String*) =
+        count(when(fs.map(col(_) === 1).reduce(_ && _), 1))
+      flags.groupBy("lang").agg(
+          count(lit(1)).as("n_total"),
+          count(col("f2")).as("n_gopher"),
+          through("f2", "f3").as("n_lm"),
+          through("f2", "f3", "f4").as("n_dupspan"),
+          through("f2", "f3", "f4", "f5").as("n_neardup"),
+          through("f2", "f3", "f4", "f5", "f6").as("n_decontam"))
+        .orderBy("lang")
+    }),
     // lang-ID is hash-free (CJK ratio + stopword-profile argmax) so it
     // carries a full DuckDB twin, unlike the hash kernels below
     "langid_docs" -> ((s, dir) =>
@@ -3965,6 +3981,42 @@ object SparkEntry {
          |LEFT JOIN keepb ON d.doc_id = keepb.doc_id
          |LEFT JOIN dec ON d.doc_id = dec.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // per-lang funnel twin: identical to the per-source form with the
+    // grouping column swapped — both compose the SAME shared stage
+    // predicates, so the three funnel cuts cannot drift apart
+    "curation_funnel_by_lang" ->
+      s"""WITH g AS (SELECT doc_id FROM ($gopherQualitySql)
+         |  WHERE n_words >= 30 AND alpha_word_ratio >= 0.8),
+         |lmq AS (SELECT doc_id FROM ($lmScoreSql)
+         |  WHERE lm_score >= -1.75),
+         |dsq AS (SELECT doc_id FROM ($dupSpansSql)
+         |  WHERE dup_ratio <= 0.25),
+         |keepb AS (SELECT doc_id FROM ($keepBestSurvivorsSql)),
+         |dec AS (SELECT doc_id FROM ($decontaminateSql)
+         |  WHERE contamination_ratio < 0.05)
+         |SELECT d.lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(COUNT(g.doc_id) AS BIGINT) AS n_gopher,
+         |  CAST(COUNT(CASE WHEN g.doc_id IS NOT NULL
+         |    AND lmq.doc_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_lm,
+         |  CAST(COUNT(CASE WHEN g.doc_id IS NOT NULL
+         |    AND lmq.doc_id IS NOT NULL AND dsq.doc_id IS NOT NULL
+         |    THEN 1 END) AS BIGINT) AS n_dupspan,
+         |  CAST(COUNT(CASE WHEN g.doc_id IS NOT NULL
+         |    AND lmq.doc_id IS NOT NULL AND dsq.doc_id IS NOT NULL
+         |    AND keepb.doc_id IS NOT NULL THEN 1 END) AS BIGINT)
+         |    AS n_neardup,
+         |  CAST(COUNT(CASE WHEN g.doc_id IS NOT NULL
+         |    AND lmq.doc_id IS NOT NULL AND dsq.doc_id IS NOT NULL
+         |    AND keepb.doc_id IS NOT NULL AND dec.doc_id IS NOT NULL
+         |    THEN 1 END) AS BIGINT) AS n_decontam
+         |FROM documents d
+         |LEFT JOIN g ON d.doc_id = g.doc_id
+         |LEFT JOIN lmq ON d.doc_id = lmq.doc_id
+         |LEFT JOIN dsq ON d.doc_id = dsq.doc_id
+         |LEFT JOIN keepb ON d.doc_id = keepb.doc_id
+         |LEFT JOIN dec ON d.doc_id = dec.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     // composed from the three shared twins verbatim — same thresholds,
     // same decimal/round conventions as the standalone queries
     "curation_scored" ->
