@@ -2260,6 +2260,13 @@ object SparkEntry {
     // stored-table shape a 100 TB pipeline uses.
     "lm_score_docs" -> ((s, dir) =>
       SharedFrames.lmScoredDocs(s, dir).orderBy("doc_id")),
+    // word-level stupid-backoff LM (Brants 2007) — the closer KenLM
+    // analog: pruned tri/bi/unigram MLE fit on the corpus, ordered
+    // ln-fold score per doc (codegen'd kernel, zero shuffles)
+    "word_lm_score" -> ((s, dir) =>
+      graft.operators.TextAnalysis.wordLmScore(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // CCNet-style perplexity terciles: shared scored frame + exact
     // tercile cut-points → head/middle/tail buckets
     "ccnet_buckets" -> ((s, dir) =>
@@ -5105,6 +5112,62 @@ object SparkEntry {
     // ordered list_sum twin of the Scala fold: list(lnp ORDER BY pos)
     // fixes the accumulation order on both engines
     "lm_score_docs" -> lmScoreSql,
+    // word stupid-backoff twin: same pruned count tables (HAVING >= 2),
+    // the same per-position CASE chain in the same operation order
+    // (division, then one α multiply — α·α COMPUTED, never 0.16 — then
+    // ln), the same ordered fold; mean crosses the decimal(18,6)
+    // VARCHAR bridge like the char-LM twin
+    "word_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS w,
+         |  unnest(range(1, len(toks) + 1)) AS pos FROM toks),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+         |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+         |  GROUP BY w),
+         |ctx AS (SELECT doc_id, pos, w,
+         |  lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         |  lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |  FROM tok),
+         |big AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT w1 || ' ' || w AS g FROM ctx WHERE w1 IS NOT NULL)
+         |  GROUP BY g HAVING COUNT(*) >= 2),
+         |trig AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT w2 || ' ' || w1 || ' ' || w AS g FROM ctx
+         |    WHERE w2 IS NOT NULL)
+         |  GROUP BY g HAVING COUNT(*) >= 2),
+         |scored AS (SELECT ctx.doc_id, ctx.pos,
+         |  CASE
+         |    WHEN ctx.w1 IS NULL THEN
+         |      ln(CAST(u.c AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE))
+         |    WHEN ctx.w2 IS NULL THEN
+         |      CASE WHEN b.c IS NOT NULL THEN
+         |        ln(CAST(b.c AS DOUBLE) / CAST(u1.c AS DOUBLE))
+         |      ELSE ln(CAST('0.4' AS DOUBLE) *
+         |        (CAST(u.c AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE)))
+         |      END
+         |    ELSE
+         |      CASE WHEN t.c IS NOT NULL THEN
+         |        ln(CAST(t.c AS DOUBLE) / CAST(bx.c AS DOUBLE))
+         |      WHEN b.c IS NOT NULL THEN
+         |        ln(CAST('0.4' AS DOUBLE) *
+         |          (CAST(b.c AS DOUBLE) / CAST(u1.c AS DOUBLE)))
+         |      ELSE ln((CAST('0.4' AS DOUBLE) * CAST('0.4' AS DOUBLE)) *
+         |        (CAST(u.c AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE)))
+         |      END
+         |  END AS lnp
+         |  FROM ctx
+         |  LEFT JOIN uni u ON u.w = ctx.w
+         |  LEFT JOIN uni u1 ON u1.w = ctx.w1
+         |  LEFT JOIN big b ON b.g = ctx.w1 || ' ' || ctx.w
+         |  LEFT JOIN big bx ON bx.g = ctx.w2 || ' ' || ctx.w1
+         |  LEFT JOIN trig t ON t.g = ctx.w2 || ' ' || ctx.w1 || ' ' || ctx.w),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  list_sum(list(lnp ORDER BY pos)) AS s
+         |  FROM scored GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CAST(CAST(CAST(s / n_tokens AS DECIMAL(18,6)) AS VARCHAR)
+         |    AS DOUBLE) AS lm_score
+         |FROM agg ORDER BY doc_id""".stripMargin,
     // tercile twin composed from the shared LM twin + the exact
     // type-7 quantile shape of value_quantiles; tercile probabilities
     // are the same double division on both engines (CAST(1 AS

@@ -260,6 +260,66 @@ object TextOps {
       else Array[Any](n, acc / n.toDouble))
   }
 
+  /** Word n-gram LM scoring kernel with STUPID BACKOFF (Brants et al.,
+    * "Large Language Models in Machine Translation", EMNLP 2007 — the
+    * web-scale backoff that skips discounting): walk the document's
+    * whitespace tokens IN POSITION ORDER; token i scores
+    *   - trigram  c(w₋₂w₋₁w)/c(w₋₂w₋₁)            when the trigram survived pruning,
+    *   - else     α · c(w₋₁w)/c(w₋₁)              when the bigram survived,
+    *   - else     α·α · c(w)/N                    (unigram; α·α COMPUTED, not 0.16 —
+    *                                               the IEEE product is not the nearest
+    *                                               double to 0.16),
+    * with the shorter chains at positions 1–2, and `unseenLnp` when
+    * even the unigram is absent (streaming text; the batch
+    * fit-on-what-you-score path always finds it). Each term is ONE
+    * double division (exact longs), one optional multiply by α, one
+    * ln — mirrored operation-for-operation by the DuckDB twin; the
+    * fold order is the position order, so the double sum is
+    * partitioning-independent. Returns (n_tokens, mean_lnS); empty
+    * docs → (0, unseenLnp), never NaN. */
+  def wordLmScore(s: UTF8String,
+      uni: java.util.HashMap[String, java.lang.Long],
+      bi: java.util.HashMap[String, java.lang.Long],
+      tri: java.util.HashMap[String, java.lang.Long],
+      total: Long, alpha: Double, unseenLnp: Double)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(s.toString)
+    val a2 = alpha * alpha
+    var acc = 0.0
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      val cu = uni.get(w)
+      val lnS: Double =
+        if (i == 0) {
+          if (cu == null) unseenLnp
+          else math.log(cu.longValue().toDouble / total.toDouble)
+        } else {
+          val w1 = toks(i - 1)
+          val cb = bi.get(w1 + " " + w)
+          val ct = if (i >= 2) tri.get(toks(i - 2) + " " + w1 + " " + w)
+            else null
+          if (ct != null) {
+            val ctx = bi.get(toks(i - 2) + " " + w1)
+            // pruning invariant (minCountBi <= minCountTri) guarantees
+            // the context bigram survived whenever the trigram did
+            math.log(ct.longValue().toDouble / ctx.longValue().toDouble)
+          } else if (cb != null) {
+            val r = cb.longValue().toDouble / uni.get(w1).longValue().toDouble
+            if (i >= 2) math.log(alpha * r) else math.log(r)
+          } else if (cu != null) {
+            val r = cu.longValue().toDouble / total.toDouble
+            if (i >= 2) math.log(a2 * r) else math.log(alpha * r)
+          } else unseenLnp
+        }
+      acc += lnS
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      if (toks.length == 0) Array[Any](0L, unseenLnp)
+      else Array[Any](toks.length.toLong, acc / toks.length.toDouble))
+  }
+
   /** Greedy lowest-rank-first BPE segmentation of one document against
     * a trained merge-rank table (the GPT-2 `bpe()` application order):
     * whitespace-tokenize (lowercased, like [[tokenize]]), split each
@@ -345,6 +405,40 @@ case class CharBigramLmScore(child: Expression,
       s => s"graft.functions.TextOps.charBigramLmScore($s, $ref, $unseenLnp)")
   }
   override def prettyName: String = "char_bigram_lm"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** word_lm(text): struct<n_tokens, mean_lnp> — ordered sequential fold
+  * of per-token stupid-backoff ln-scores against embedded pruned count
+  * maps (reference objects, like the char-bigram model): accumulation
+  * order is the token position order, so the double result is
+  * partitioning-independent. See [[TextOps.wordLmScore]]. */
+case class WordLmScore(child: Expression,
+    uni: java.util.HashMap[String, java.lang.Long],
+    bi: java.util.HashMap[String, java.lang.Long],
+    tri: java.util.HashMap[String, java.lang.Long],
+    total: Long, alpha: Double, unseenLnp: Double)
+    extends UnaryStringExpression {
+  require(!uni.isEmpty, "unigram table must be non-empty")
+  require(total > 0L, "total token count must be positive")
+  require(alpha > 0.0 && alpha < 1.0, "backoff alpha in (0,1)")
+  // both doubles are interpolated as Java literals in doGenCode
+  require(java.lang.Double.isFinite(unseenLnp),
+    s"unseenLnp must be finite, got $unseenLnp")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("mean_lnp", DoubleType, nullable = false)))
+  override def nullSafeEval(s: Any): Any =
+    TextOps.wordLmScore(s.asInstanceOf[UTF8String], uni, bi, tri, total,
+      alpha, unseenLnp)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val uniRef = ctx.addReferenceObj("uni", uni, "java.util.HashMap")
+    val biRef = ctx.addReferenceObj("bi", bi, "java.util.HashMap")
+    val triRef = ctx.addReferenceObj("tri", tri, "java.util.HashMap")
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextOps.wordLmScore(" +
+      s"$s, $uniRef, $biRef, $triRef, ${total}L, $alpha, $unseenLnp)")
+  }
+  override def prettyName: String = "word_lm"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

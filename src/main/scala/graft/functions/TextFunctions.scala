@@ -46,6 +46,16 @@ object TextFunctions {
 
   def lang_id(c: Column): Column = column(LangId(expression(c)))
 
+  /** Ordered word n-gram stupid-backoff LM fold against embedded
+    * pruned count maps (see [[WordLmScore]]). */
+  def word_lm(c: Column,
+      uni: java.util.HashMap[String, java.lang.Long],
+      bi: java.util.HashMap[String, java.lang.Long],
+      tri: java.util.HashMap[String, java.lang.Long],
+      total: Long, alpha: Double, unseenLnp: Double): Column =
+    column(WordLmScore(expression(c), uni, bi, tri, total, alpha,
+      unseenLnp))
+
   /** Ordered char-bigram LM fold against an embedded model (see
     * [[CharBigramLmScore]]). */
   def char_bigram_lm(c: Column,

@@ -163,6 +163,99 @@ object TextAnalysis {
             .cast("decimal(18,6)").cast("double").as("lm_score"))
   }
 
+  /** Pruned word n-gram count tables for stupid-backoff scoring (see
+    * [[wordLmScore]]): unigram occurrence counts (unpruned — bounded
+    * by vocabulary), bigram/trigram counts kept only at
+    * `minCountBi`/`minCountTri` occurrences (the standard n-gram-model
+    * prune; at 100 TB the UNpruned trigram table is corpus-sized, the
+    * pruned one is the model you can actually broadcast — real
+    * stupid-backoff deployments shard even that, this single-map form
+    * is the local-JVM stand-in, same contract as the char-bigram and
+    * centroid models). `minCountBi <= minCountTri` is REQUIRED: it
+    * guarantees every surviving trigram's context bigram survived too,
+    * so the scoring kernel's context lookup cannot miss. Three
+    * partial-aggregated explode passes; the collects are
+    * model-bounded, not corpus-bounded. */
+  final case class WordLmModel(
+      uni: java.util.HashMap[String, java.lang.Long],
+      bi: java.util.HashMap[String, java.lang.Long],
+      tri: java.util.HashMap[String, java.lang.Long],
+      total: Long)
+
+  def wordLmModel(df: DataFrame, textCol: String,
+      minCountBi: Long = 2L, minCountTri: Long = 2L): WordLmModel = {
+    require(minCountBi >= 1L && minCountTri >= 1L,
+      "prune thresholds must be >= 1")
+    require(minCountBi <= minCountTri,
+      s"minCountBi ($minCountBi) must be <= minCountTri ($minCountTri):" +
+        " a surviving trigram's context bigram must survive too, or" +
+        " backoff scoring has no denominator")
+    def grams(width: Int, minCount: Long) = {
+      val g =
+        if (width == 1) df.select(explode(tokens(col(textCol))).as("g"))
+        else df.select(explode(shingles(col(textCol), width)).as("g"))
+      g.groupBy("g").agg(count(lit(1)).as("c"))
+        .where(col("c") >= minCount)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    }
+    val uniRows = grams(1, 1L)
+    val uni = new java.util.HashMap[String, java.lang.Long](
+      uniRows.length * 2)
+    var total = 0L
+    uniRows.foreach { case (g, c) =>
+      uni.put(g, java.lang.Long.valueOf(c)); total += c
+    }
+    val bi = new java.util.HashMap[String, java.lang.Long]()
+    grams(2, minCountBi).foreach { case (g, c) =>
+      bi.put(g, java.lang.Long.valueOf(c)) }
+    val tri = new java.util.HashMap[String, java.lang.Long]()
+    grams(3, minCountTri).foreach { case (g, c) =>
+      tri.put(g, java.lang.Long.valueOf(c)) }
+    WordLmModel(uni, bi, tri, total)
+  }
+
+  /** Word-level stupid-backoff LM score per document — the closer
+    * analog of CCNet's 5-gram KenLM filter than [[charBigramScore]]
+    * (whose char bigrams are a deliberately tiny stand-in): fit
+    * pruned trigram/bigram/unigram MLE tables on the corpus itself
+    * ([[wordLmModel]]), then score each document by its mean
+    * ln-stupid-backoff probability (Brants et al. 2007: no
+    * discounting, a fixed α per backoff step — built for exactly this
+    * "count on the whole web, score everything" regime).
+    *
+    * Same fit/score scale shape as the char LM: the fit is three
+    * partial-aggregated count passes whose pruned results broadcast;
+    * the score is a zero-shuffle codegen'd per-row kernel
+    * ([[graft.functions.WordLmScore]]) folding ln terms in position
+    * order. Scores are decimal(18,6)-rounded (ln ulps across libms);
+    * token-less documents drop out. Returns
+    * (idCol, n_tokens, lm_score). */
+  def wordLmScore(df: DataFrame, idCol: String, textCol: String,
+      minCountBi: Long = 2L, minCountTri: Long = 2L,
+      alpha: Double = 0.4): DataFrame =
+    scoreWithWordLm(df, idCol, textCol,
+      wordLmModel(df, textCol, minCountBi, minCountTri), alpha)
+
+  /** SCORE stage of [[wordLmScore]] against an already-fit model
+    * (streaming: fit on a bootstrap corpus, score micro-batches). */
+  def scoreWithWordLm(df: DataFrame, idCol: String, textCol: String,
+      model: WordLmModel, alpha: Double = 0.4,
+      floorProb: Double = 1e-9): DataFrame = {
+    val hasToks = df
+      .select(col(idCol), col(textCol).as("__t"))
+      .filter(size(tokens(col("__t"))) >= 1)
+    if (model.uni.isEmpty)
+      hasToks.select(col(idCol), lit(0L).as("n_tokens"),
+        lit(0.0).as("lm_score")).limit(0)
+    else
+      hasToks.withColumn("__sc", graft.functions.TextFunctions
+          .word_lm(col("__t"), model.uni, model.bi, model.tri,
+            model.total, alpha, math.log(floorProb)))
+        .select(col(idCol), col("__sc.n_tokens").as("n_tokens"),
+          col("__sc.mean_lnp")
+            .cast("decimal(18,6)").cast("double").as("lm_score"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     * document with the char-bigram LM and split the corpus into
     * `head` / `middle` / `tail` terciles by score — head (lowest
