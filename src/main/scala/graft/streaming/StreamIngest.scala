@@ -460,6 +460,133 @@ object StreamIngest {
     new NearDupFilter(q, () => segments.get())
   }
 
+  /** Accumulated per-stage survivor counts of
+    * [[streamingCurationFunnel]] — the streaming twin of the batch
+    * `curation_funnel` attrition report's six numbers. */
+  final case class CurationStageCounts(total: Long, gopher: Long,
+      lm: Long, dupspan: Long, neardup: Long, decontam: Long) {
+    def +(o: CurationStageCounts): CurationStageCounts =
+      CurationStageCounts(total + o.total, gopher + o.gopher, lm + o.lm,
+        dupspan + o.dupspan, neardup + o.neardup, decontam + o.decontam)
+  }
+
+  /** Handle on a running streaming curation funnel. */
+  final class CurationFunnelStream(val query: StreamingQuery,
+      state: () => CurationStageCounts) {
+    /** Stage counts over everything processed so far. */
+    def counts: CurationStageCounts = state()
+  }
+
+  /** Streaming twin of the batch curation funnel (the registered
+    * `curation_funnel` attrition report): per micro-batch, the SAME
+    * five stage flags are computed INDEPENDENTLY and counted
+    * cumulatively (total → gopher → +LM → +dup-span → +near-dup →
+    * +decontamination), mirroring the batch one-flags-frame /
+    * one-conditional-aggregate shape rather than a sequential gate
+    * pipeline (batch flags are corpus-independent per stage; gating
+    * sequentially would change what the later stages see).
+    *
+    * Per-stage batch-parity contract (spec-pinned):
+    *  - gopher, LM (pre-fit model), decontamination (fixed benchmark
+    *    frame): pure per-row flags — streaming totals equal the batch
+    *    report on the same data under ANY batch split.
+    *  - dup-span: gram counts are per MICRO-BATCH (+ within-doc
+    *    self-repetition) — the bounded-horizon contract of
+    *    [[dedupWithinHorizon]]: cross-batch duplicated spans are
+    *    caught by the near-dup stage or a downstream batch pass.
+    *    Totals equal batch when cross-doc span duplication lands
+    *    within one trigger.
+    *  - near-dup: first-seen-wins against the accumulated signature
+    *    state (vs batch quality-keep-best) — SURVIVOR COUNTS agree
+    *    when duplicate clusters are cliques (exact/near-identical
+    *    copies, the overwhelming near-dup case); which member
+    *    survives legitimately differs (first vs best).
+    *
+    * State: one simhash-signature segment list over all SEEN docs
+    * (compacted like [[nearDupIngest]]) plus six counters. Every
+    * per-batch job is O(batch) except the signature probe, which is
+    * banded — never all-pairs. */
+  def streamingCurationFunnel(stream: DataFrame, idCol: String,
+      textCol: String,
+      lmModel: java.util.HashMap[String, java.lang.Double],
+      benchmark: DataFrame,
+      minLmScore: Double = -1.75, minWords: Long = 30L,
+      minAlphaRatio: Double = 0.8, maxDupRatio: Double = 0.25,
+      dupK: Int = 20, maxContamination: Double = 0.05,
+      maxHamming: Int = 3, bands: Int = 4, compactEvery: Int = 16,
+      onSurvivors: DataFrame => Unit = _ => (),
+      queryName: String = "graft-curation-stream"): CurationFunnelStream = {
+    import graft.functions.TextFunctions.gopherRules
+    require(!lmModel.isEmpty,
+      "empty LM model — fit charBigramModel on a bootstrap corpus")
+    require(compactEvery >= 2, "compactEvery must be >= 2")
+    val benchFixed = benchmark.localCheckpoint(true)
+    val counts = new java.util.concurrent.atomic.AtomicReference(
+      CurationStageCounts(0L, 0L, 0L, 0L, 0L, 0L))
+    val segments = new java.util.concurrent.atomic.AtomicReference(
+      Vector(graft.operators.Dedup.simhashSignatures(
+        stream.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          stream.schema), idCol, textCol).localCheckpoint(true)))
+    var deltasSinceCompact = 0
+    val q = stream.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        if (!batch0.isEmpty) {
+          val batch = batch0.localCheckpoint(true)
+          val ids = batch.select(col(idCol))
+          val g = batch
+            .withColumn("__g", gopherRules(col(textCol)))
+            .where(col("__g.n_words") >= minWords &&
+              col("__g.alpha_word_ratio") >= minAlphaRatio)
+            .select(col(idCol))
+          val lm = graft.operators.TextAnalysis.scoreWithBigramModel(
+              batch, idCol, textCol, lmModel)
+            .where(col("lm_score") >= minLmScore).select(col(idCol))
+          val ds = graft.operators.Dedup.dupSpanStats(
+              batch, idCol, textCol, k = dupK, hashGrams = false)
+            .where(col("dup_ratio") <= maxDupRatio).select(col(idCol))
+          // near-dup: in-batch independent set, then anti vs all SEEN
+          val pairs = graft.operators.Dedup.nearDupPairsSimHash(
+            batch, idCol, textCol, maxHamming, bands = bands)
+          val inBatch = graft.operators.Dedup.dedupByPairs(
+            batch, idCol, pairs).select(col(idCol))
+          val sigs = graft.operators.Dedup.simhashSignatures(
+            batch, idCol, textCol).localCheckpoint(true)
+          val seen = segments.get().reduce(_ unionByName _)
+          val dupIds = graft.operators.Dedup.nearDupProbeSimHash(
+            sigs, seen, idCol, maxHamming = maxHamming, bands = bands)
+          val nd = inBatch.join(dupIds, Seq(idCol), "left_anti")
+          val dec = graft.operators.Dedup.benchmarkOverlap(
+              batch, benchFixed, idCol, textCol, k = dupK,
+              hashGrams = false)
+            .where(col("contamination_ratio") < maxContamination)
+            .select(col(idCol))
+          val s3 = g.join(lm, Seq(idCol), "left_semi")
+          val s4 = s3.join(ds, Seq(idCol), "left_semi")
+          val s5 = s4.join(nd, Seq(idCol), "left_semi")
+            .localCheckpoint(true)
+          val s6 = s5.join(dec, Seq(idCol), "left_semi")
+          val delta = CurationStageCounts(ids.count(), g.count(),
+            s3.count(), s4.count(), s5.count(), s6.count())
+          counts.set(counts.get() + delta)
+          // the signature state accumulates ALL seen docs (the batch
+          // flag is corpus-wide, so later copies of ANY seen doc must
+          // lose, whether or not the first copy survived other stages)
+          deltasSinceCompact += 1
+          if (deltasSinceCompact >= compactEvery) {
+            val merged = (segments.get().tail :+ sigs)
+              .reduce(_ unionByName _).localCheckpoint(true)
+            segments.set(Vector(segments.get().head, merged))
+            deltasSinceCompact = 0
+          } else segments.set(segments.get() :+ sigs)
+          onSurvivors(batch.join(s6, Seq(idCol), "left_semi"))
+        }
+      }
+      .start()
+    new CurationFunnelStream(q, () => counts.get())
+  }
+
   /** Continuously ingest a vector stream into a partitioned IVF layout
     * (see [[graft.operators.IvfIndex]]): each micro-batch pays one
     * narrow codegen'd cell assignment against the FIXED trained
