@@ -2492,6 +2492,29 @@ object SparkEntry {
         Seq("doc_id"), deleteWhen = Some(col("lang") === "zh"))
         .orderBy("doc_id")
     }),
+    // snapshot time travel: a three-commit versioned table (base →
+    // %7 n_chars updates → zh deletes) built ONCE per process into a
+    // generation-partitioned layout; the query is the READ side —
+    // as-of gen 1 (updates visible, later deletes NOT) union as-of
+    // gen 2, each one pruned scan + one keyed max_by(row, gen)
+    "snapshot_asof" -> ((s, dir) => {
+      val root = SharedFrames.materializedArtifact(dir, "snap_table") { p =>
+        val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        graft.operators.Lake.commitSnapshot(s, p, base, Seq("doc_id"))
+        graft.operators.Lake.commitSnapshot(s, p,
+          base.where(col("doc_id") % 7 === 0)
+            .withColumn("n_chars", col("n_chars") + 1000L), Seq("doc_id"))
+        graft.operators.Lake.commitSnapshot(s, p,
+          base.limit(0), Seq("doc_id"),
+          deletes = Some(base.where(col("lang") === "zh")
+            .select("doc_id")))
+      }
+      def asOf(g: Long) = graft.operators.Lake.readAsOf(
+          s, root, Seq("doc_id"), g)
+        .withColumn("asof_gen", lit(g))
+        .select("asof_gen", "doc_id", "lang", "n_chars")
+      asOf(1L).unionByName(asOf(2L)).orderBy("asof_gen", "doc_id")
+    }),
     // time-series densification: hourly per-type event counts with
     // gaps zero-filled across the observed span
     "dense_hourly" -> ((s, dir) =>
@@ -5537,6 +5560,21 @@ object SparkEntry {
         |  SELECT * FROM kept UNION ALL SELECT * FROM upd
         |  UNION ALL SELECT * FROM ins)
         |ORDER BY doc_id""".stripMargin,
+    // time-travel twin: the two as-of states reconstructed from the
+    // same commit definitions — gen 1 applies the %7 update, gen 2
+    // additionally drops the zh tombstone keys
+    "snapshot_asof" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |v1 AS (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END
+        |    AS n_chars FROM base)
+        |SELECT asof_gen, doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (
+        |  SELECT CAST(1 AS BIGINT) AS asof_gen, * FROM v1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), * FROM v1
+        |  WHERE NOT COALESCE(lang = 'zh', FALSE))
+        |ORDER BY asof_gen, doc_id""".stripMargin,
     // densify twin: observed counts left-joined onto the
     // keys × generate_series spine, 0-filled
     "dense_hourly" ->

@@ -327,6 +327,92 @@ object Lake {
       .select(cols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
+  /** Versioned snapshot table — the TIME-TRAVEL slice of the Delta
+    * feature family ([[snapshotDiff]] is the CDC slice, [[merge]] the
+    * upsert slice): commits append generation-stamped parquet
+    * directories (`root/gen=N/`), and [[readAsOf]] reconstructs the
+    * table AS OF any past generation. The registry is the partition
+    * layout itself — self-describing, no sidecar transaction log to
+    * corrupt, at the cost of Delta's commit atomicity (a concurrent
+    * writer needs external coordination; same contract as every other
+    * plain-parquet layout here).
+    *
+    * A commit carries upserts (full rows) and deletes (key rows) —
+    * deletes persist as TOMBSTONES, the standard MVCC trick: dropping
+    * a key must be visible to later as-of reads without rewriting
+    * history. A key written twice in ONE commit is a caller error
+    * (Delta MERGE's same rule — which row wins would be
+    * nondeterministic); dedupe upstream.
+    *
+    * Scale shape: a commit writes O(changes) — never touches prior
+    * generations; [[readAsOf]] is one partition-pruned scan
+    * (`gen <= g` prunes directories, plan-asserted in the spec) and
+    * ONE hash aggregate per key (`max_by(row, gen)` — latest write
+    * wins), so reconstruction costs one shuffle of the LIVE key set
+    * regardless of how many generations exist. Compact old
+    * generations with [[compactTo]] + a fresh base commit when the
+    * tombstone ratio grows. */
+  def commitSnapshot(spark: SparkSession, root: String,
+      upserts: DataFrame, keyCols: Seq[String],
+      deletes: Option[DataFrame] = None): Long = {
+    require(keyCols.nonEmpty, "key columns required")
+    require(keyCols.forall(upserts.columns.contains),
+      s"upserts must carry the key columns $keyCols")
+    deletes.foreach(d => require(keyCols.forall(d.columns.contains),
+      s"deletes must carry the key columns $keyCols"))
+    val gen = snapshotGenerations(spark, root)
+      .fold(-1L)(gs => if (gs.isEmpty) -1L else gs.max) + 1L
+    val dataCols = upserts.columns.toSeq.filterNot(_ == "__deleted")
+    val up = upserts.select(dataCols.map(col): _*)
+      .withColumn("__deleted", lit(false))
+    val full = deletes.fold(up) { d =>
+      val tomb = d.select(dataCols.map(c =>
+        (if (keyCols.contains(c)) col(c)
+         else lit(null).cast(up.schema(c).dataType)).as(c)): _*)
+        .withColumn("__deleted", lit(true))
+      up.unionByName(tomb)
+    }
+    full.write.mode("errorifexists").parquet(s"$root/gen=$gen")
+    gen
+  }
+
+  /** Committed generation numbers under `root`, ascending; None when
+    * the root directory does not exist, Some(empty) when it exists
+    * but holds no commits. Driver-side directory listing — generation
+    * counts are registry-sized, not data-sized. */
+  def snapshotGenerations(spark: SparkSession,
+      root: String): Option[Seq[Long]] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong).sorted)
+  }
+
+  /** The table AS OF generation `gen`: for every key, the row from
+    * the latest commit ≤ `gen` that wrote it — dropped if that write
+    * was a tombstone. One pruned scan + one keyed `max_by` aggregate.
+    * `gen` beyond the newest commit reads the current state (Delta's
+    * `versionAsOf` rejects that instead; here the registry is cheap
+    * to consult via [[snapshotGenerations]] when strictness
+    * matters). */
+  def readAsOf(spark: SparkSession, root: String, keyCols: Seq[String],
+      gen: Long): DataFrame = {
+    require(keyCols.nonEmpty, "key columns required")
+    val all = spark.read.parquet(root).where(col("gen") <= gen)
+    val dataCols = all.columns.toSeq
+      .filterNot(c => c == "gen" || c == "__deleted")
+    val latest = all
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(
+        struct((dataCols.filterNot(keyCols.contains).map(col) :+
+          col("__deleted")): _*), col("gen")).as("__r"))
+    latest.where(!col("__r.__deleted"))
+      .select(keyCols.map(col) ++
+        dataCols.filterNot(keyCols.contains).map(c => col(s"__r.$c").as(c)): _*)
+  }
+
   /** Schema-evolution read: one frame over parquet directories
     * spanning SCHEMA VERSIONS — the normal state of a long-lived
     * lake, where ingest v1 wrote (id, text), v2 added a column, v3

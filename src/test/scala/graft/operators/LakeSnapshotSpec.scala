@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Versioned snapshot table: commits, the generation registry, and
+  * as-of reconstruction (latest-write-wins, tombstone persistence,
+  * partition-pruned reads). */
+class LakeSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = java.nio.file.Files
+    .createTempDirectory("graft-snap-").toAbsolutePath.toString
+
+  private def state(root: String, g: Long): Map[Long, (String, Long)] =
+    Lake.readAsOf(spark, root, Seq("id"), g).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("as-of reads reconstruct every historical generation: insert, " +
+      "update, delete, re-insert after delete") {
+    val root = tmp()
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "n")
+    assert(Lake.commitSnapshot(spark, root, base, Seq("id")) == 0L)
+    assert(Lake.commitSnapshot(spark, root,
+      Seq((2L, "b2", 21L), (4L, "d", 40L)).toDF("id", "v", "n"),
+      Seq("id")) == 1L)
+    assert(Lake.commitSnapshot(spark, root,
+      base.limit(0), Seq("id"),
+      deletes = Some(Seq(Tuple1(1L)).toDF("id"))) == 2L)
+    // re-insert a deleted key: the later write must win the tombstone
+    assert(Lake.commitSnapshot(spark, root,
+      Seq((1L, "a3", 11L)).toDF("id", "v", "n"), Seq("id")) == 3L)
+    assert(Lake.snapshotGenerations(spark, root).get == Seq(0L, 1L, 2L, 3L))
+    assert(state(root, 0L) ==
+      Map(1L -> ("a", 10L), 2L -> ("b", 20L), 3L -> ("c", 30L)))
+    assert(state(root, 1L) ==
+      Map(1L -> ("a", 10L), 2L -> ("b2", 21L), 3L -> ("c", 30L),
+        4L -> ("d", 40L)))
+    assert(state(root, 2L) ==
+      Map(2L -> ("b2", 21L), 3L -> ("c", 30L), 4L -> ("d", 40L)),
+      "gen-2 read must hide the tombstoned key")
+    assert(state(root, 3L) ==
+      Map(1L -> ("a3", 11L), 2L -> ("b2", 21L), 3L -> ("c", 30L),
+        4L -> ("d", 40L)),
+      "re-insert after delete must resurrect the key")
+    // reading PAST state after later commits exist is the whole point
+    assert(state(root, 0L)(2L) == ("b", 20L))
+    // beyond-newest reads the current state
+    assert(state(root, 99L) == state(root, 3L))
+  }
+
+  test("readAsOf prunes generation directories (PartitionFilters) and " +
+      "a commit never rewrites prior generations") {
+    val root = tmp()
+    Lake.commitSnapshot(spark, root,
+      Seq((1L, "a", 1L)).toDF("id", "v", "n"), Seq("id"))
+    val gen0Files = Lake.fileStats(spark, s"$root/gen=0")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    Lake.commitSnapshot(spark, root,
+      Seq((2L, "b", 2L)).toDF("id", "v", "n"), Seq("id"))
+    assert(Lake.fileStats(spark, s"$root/gen=0")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == gen0Files, "a commit must not touch prior generations")
+    val plan = Lake.readAsOf(spark, root, Seq("id"), 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(!plan.contains("gen=1"),
+      s"as-of-0 scan must prune the gen=1 directory:\n$plan")
+  }
+
+  test("guards: missing keys fail loudly; empty registry is None; " +
+      "delete-only commits carry the schema") {
+    val root = tmp()
+    assert(Lake.snapshotGenerations(spark, root)
+      .forall(_.isEmpty), "no commits yet")
+    intercept[IllegalArgumentException] {
+      Lake.commitSnapshot(spark, root,
+        Seq((1L, "a")).toDF("id", "v"), Seq("missing"))
+    }
+    val base = Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "v", "n")
+    Lake.commitSnapshot(spark, root, base, Seq("id"))
+    // delete-only commit: upserts frame supplies only the schema
+    Lake.commitSnapshot(spark, root, base.limit(0), Seq("id"),
+      deletes = Some(Seq(Tuple1(2L)).toDF("id")))
+    assert(state(root, 1L) == Map(1L -> ("a", 1L)))
+  }
+}
