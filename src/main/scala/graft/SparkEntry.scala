@@ -962,6 +962,17 @@ object SparkEntry {
           through("f2", "f3", "f4", "f5", "f6").as("n_decontam"))
         .orderBy("lang")
     }),
+    // concat-and-chunk sequence packing: the document → fixed-length
+    // training-sequence placement map (per-lang shards, doc_id order,
+    // capacity 1024) — window cumsum, all-integer
+    "sequence_pack" -> ((s, dir) =>
+      graft.operators.Sampling.sequencePack(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.token_count(col("text"))
+            .cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", capacity = 1024L,
+        shardCols = Seq("lang"), orderCols = Seq("doc_id"))
+        .orderBy("lang", "doc_id")),
     // lang-ID is hash-free (CJK ratio + stopword-profile argmax) so it
     // carries a full DuckDB twin, unlike the hash kernels below
     "langid_docs" -> ((s, dir) =>
@@ -2066,6 +2077,22 @@ object SparkEntry {
         windowNanos = 24L * 3600L * 1000000000L,
         model = graft.operators.Attribution.TimeDecay,
         halfLifeNanos = 3600L * 1000000000L)
+        .orderBy("touch_type")
+    }),
+    // position-based (U-shaped) attribution: first and last in-window
+    // touch get 0.4, middles share 0.2 — literals plus one double
+    // division, engine-exact
+    "attribution_u_shaped" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select("event_id", "user_id", "event_type", "ts")
+        .where(col("user_id").isNotNull)
+      graft.operators.Attribution.report(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") =!= "purchase")
+          .withColumnRenamed("event_type", "touch_type"),
+        Seq("user_id"), "event_id", "ts", "ts", "touch_type",
+        windowNanos = 24L * 3600L * 1000000000L,
+        model = graft.operators.Attribution.UShaped)
         .orderBy("touch_type")
     }),
     // cohort retention matrix over event days: distinct (user, day) →
@@ -4011,6 +4038,26 @@ object SparkEntry {
          |LEFT JOIN keepb ON d.doc_id = keepb.doc_id
          |LEFT JOIN dec ON d.doc_id = dec.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // packing twin: same per-lang window cumsum, same integer floor
+    // divisions (all counts non-negative, so // matches Spark's div)
+    "sequence_pack" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY doc_id) AS BIGINT) AS cum FROM tk),
+         |placed AS (SELECT doc_id, lang, n_tokens,
+         |    cum - n_tokens AS start_offset,
+         |    (cum - n_tokens) // 1024 AS first_pack,
+         |    CASE WHEN n_tokens <= 0 THEN (cum - n_tokens) // 1024
+         |         ELSE (cum - 1) // 1024 END AS last_pack
+         |  FROM c)
+         |SELECT lang, doc_id, n_tokens,
+         |  CAST(start_offset AS BIGINT) AS start_offset,
+         |  CAST(first_pack AS BIGINT) AS first_pack,
+         |  CAST(last_pack AS BIGINT) AS last_pack,
+         |  CAST(last_pack - first_pack + 1 AS BIGINT) AS n_packs_spanned
+         |FROM placed ORDER BY lang, doc_id""".stripMargin,
     // per-lang funnel twin: identical to the per-source form with the
     // grouping column swapped — both compose the SAME shared stage
     // predicates, so the three funnel cuts cannot drift apart
@@ -4542,6 +4589,40 @@ object SparkEntry {
         |cred AS (SELECT w.event_id, w.touch_type,
         |    CAST(w.w / z.z AS DECIMAL(18,12)) AS credit
         |  FROM w JOIN z ON w.event_id = z.event_id),
+        |non AS (SELECT event_id, 'none' AS touch_type,
+        |    CAST(1 AS DECIMAL(18,12)) AS credit
+        |  FROM p WHERE event_id NOT IN (SELECT event_id FROM m)),
+        |u AS (SELECT * FROM cred UNION ALL SELECT * FROM non)
+        |SELECT touch_type,
+        |  CAST(CAST(SUM(credit) AS VARCHAR) AS DOUBLE) AS credit,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_conversions
+        |FROM u GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+    // u-shaped twin: same join, ROW_NUMBER over (touch ts, type) for
+    // first/last, the same literal/0.2-division credit CASE
+    "attribution_u_shaped" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS tn
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |t AS (SELECT user_id, epoch_ns(ts) AS tts,
+        |    event_type AS touch_type
+        |  FROM events WHERE event_type <> 'purchase'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |m AS (SELECT p.event_id, p.tn, t.tts, t.touch_type
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.tts <= p.tn AND p.tn - t.tts <= 86400000000000),
+        |r AS (SELECT event_id, touch_type,
+        |    ROW_NUMBER() OVER (PARTITION BY event_id
+        |      ORDER BY tts ASC, touch_type ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_id) AS k
+        |  FROM m),
+        |cred AS (SELECT event_id, touch_type,
+        |    CAST(CASE WHEN k = 1 THEN 1.0::DOUBLE
+        |      WHEN k = 2 THEN 0.5::DOUBLE
+        |      WHEN rn = 1 OR rn = k THEN 0.4::DOUBLE
+        |      ELSE 0.2::DOUBLE / CAST(k - 2 AS DOUBLE) END
+        |      AS DECIMAL(18,12)) AS credit
+        |  FROM r),
         |non AS (SELECT event_id, 'none' AS touch_type,
         |    CAST(1 AS DECIMAL(18,12)) AS credit
         |  FROM p WHERE event_id NOT IN (SELECT event_id FROM m)),

@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   *  - `linear`: each of a conversion's k in-window touches gets 1/k —
   *    ONE double division of exact longs, decimal(18,12)-rounded, so
   *    credits replay bit-identically cross-engine.
+  *  - `u_shaped` (position-based): the first and last in-window touch
+  *    get 0.4 each, the middles share 0.2 equally (k=1 gets all, k=2
+  *    splits 0.5/0.5) — every credit is a literal or ONE double
+  *    division, decimal(18,12)-rounded, engine-exact. First/last rank
+  *    by (touch time, touch type) so equal-timestamp ties are
+  *    deterministic.
   *  - `time_decay`: a touch's raw weight halves for every WHOLE
   *    `halfLifeNanos` of lag (w = 0.5^⌊lag/halfLife⌋ — the discrete
   *    half-life form, chosen over continuous 2^(−lag/h) because
@@ -22,7 +28,7 @@ import org.apache.spark.sql.functions._
   *    fractional-exponent pow is only as portable as two libms).
   *    Credits are w/Σw, decimal(18,12)-rounded.
   *
-  * Weights sum to 1 per conversion in both models (spec-pinned).
+  * Weights sum to 1 per conversion in every model (spec-pinned).
   * Conversions with NO in-window touch carry their full credit as the
   * `none` class, so total credit always equals the conversion count —
   * a report that silently dropped untouched conversions would
@@ -39,6 +45,7 @@ object Attribution {
 
   val Linear = "linear"
   val TimeDecay = "time_decay"
+  val UShaped = "u_shaped"
 
   /** Per-conversion fractional credits: (convIdCol, touch_type,
     * credit decimal(18,12)). Touches qualify when
@@ -53,8 +60,9 @@ object Attribution {
       halfLifeNanos: Long = 3600L * 1000000000L): DataFrame = {
     require(keyCols.nonEmpty, "at least one join key column")
     require(windowNanos > 0, "windowNanos must be positive")
-    require(model == Linear || model == TimeDecay,
-      s"unknown attribution model '$model' (use '$Linear' or '$TimeDecay')")
+    require(model == Linear || model == TimeDecay || model == UShaped,
+      s"unknown attribution model '$model' " +
+        s"(use '$Linear', '$TimeDecay' or '$UShaped')")
     require(halfLifeNanos > 0, "halfLifeNanos must be positive")
     // beyond ~45 half-lives per window the exactness guarantee decays
     // (the per-conversion weight SUM must stay under 53 mantissa bits,
@@ -90,6 +98,20 @@ object Attribution {
         m.join(k, Seq("__cid"))
           .select(col("__cid"), col("__ttype").as("touch_type"),
             (lit(1.0) / col("__k").cast("double"))
+              .cast("decimal(18,12)").as("credit"))
+      case UShaped =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("__cid")
+          .orderBy(col("__tt").asc, col("__ttype").asc)
+        m.withColumn("__rn", row_number().over(w))
+          .withColumn("__k",
+            count(lit(1)).over(Window.partitionBy("__cid")))
+          .select(col("__cid"), col("__ttype").as("touch_type"),
+            when(col("__k") === 1, lit(1.0))
+              .when(col("__k") === 2, lit(0.5))
+              .when(col("__rn") === 1 || col("__rn") === col("__k"),
+                lit(0.4))
+              .otherwise(lit(0.2) / (col("__k") - 2).cast("double"))
               .cast("decimal(18,12)").as("credit"))
       case TimeDecay =>
         val w = m.withColumn("__w",

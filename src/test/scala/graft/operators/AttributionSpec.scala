@@ -64,13 +64,39 @@ class AttributionSpec extends SparkSpec {
       math.abs(o2("b") - 0.5) < 1e-12)
   }
 
+  test("u_shaped: first/last get 0.4, middles split 0.2; k=1 takes " +
+      "all; k=2 splits evenly — hand-checked") {
+    val c = conv((1L, "u1", 10 * H), (2L, "u2", 10 * H),
+      (3L, "u3", 10 * H))
+    val t = touch(
+      // u1: 4 touches -> 0.4, 0.2/2, 0.2/2, 0.4 in time order
+      ("u1", 5 * H, "first"), ("u1", 6 * H, "mid1"),
+      ("u1", 7 * H, "mid2"), ("u1", 8 * H, "last"),
+      // u2: 1 touch -> full credit
+      ("u2", 9 * H, "only"),
+      // u3: 2 touches -> 0.5 each
+      ("u3", 5 * H, "a"), ("u3", 6 * H, "b"))
+    val cr = Attribution.credits(c, t, Seq("user"), "event_id", "ts",
+      "ts", "touch_type", windowNanos = 24 * H,
+      model = Attribution.UShaped)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDecimal(2).doubleValue()))
+    val byConv = cr.groupBy(_._1)
+    assert(byConv(1L).map(x => x._2 -> x._3).toMap ==
+      Map("first" -> 0.4, "mid1" -> 0.1, "mid2" -> 0.1, "last" -> 0.4))
+    assert(byConv(2L).map(x => x._2 -> x._3).toSeq == Seq("only" -> 1.0))
+    assert(byConv(3L).map(x => x._2 -> x._3).toMap ==
+      Map("a" -> 0.5, "b" -> 0.5))
+  }
+
   test("a conversion with no in-window touch carries full credit as " +
       "'none', so total credit equals the conversion count") {
     val c = conv((1L, "u1", 10 * H), (2L, "u2", 10 * H),
       (3L, "u3", 10 * H))
     val t = touch(("u1", 9 * H, "view"), ("u1", 8 * H, "click"),
       ("u2", 50 * H, "late_for_u2"))
-    for (model <- Seq(Attribution.Linear, Attribution.TimeDecay)) {
+    for (model <- Seq(Attribution.Linear, Attribution.TimeDecay,
+        Attribution.UShaped)) {
       val cr = Attribution.credits(c, t, Seq("user"), "event_id", "ts",
         "ts", "touch_type", windowNanos = 24 * H, model = model)
       val perConv = cr.groupBy("event_id")
@@ -105,7 +131,7 @@ class AttributionSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "view")))
     intercept[IllegalArgumentException] {
       Attribution.credits(c, t, Seq("user"), "event_id", "ts", "ts",
-        "touch_type", windowNanos = 24 * H, model = "u_shaped")
+        "touch_type", windowNanos = 24 * H, model = "quadratic")
     }
     // a window spanning > 45 half-lives is rejected: past the exactness
     // bound, and far past it weights underflow to 0/0 = null credits
