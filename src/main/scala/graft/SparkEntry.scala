@@ -2498,6 +2498,15 @@ object SparkEntry {
       graft.operators.Graph.kCore(e, "tok_a", "tok_b", k = 8)
         .orderBy("node")
     }),
+    // full core decomposition of the same lift-filtered graph via
+    // h-index propagation (Lü 2016 — converges to the core number);
+    // all-integer, fixpoint in 6 rounds at sf0.01, twin unrolls 8
+    "token_coreness" -> ((s, dir) => {
+      val e = SharedFrames.coocPairs(s, dir)
+        .where(col("lift") >= 1.05).select("tok_a", "tok_b")
+      graft.operators.Graph.coreness(e, "tok_a", "tok_b")
+        .orderBy("node")
+    }),
     // deterministic label propagation (2 rounds) over the same
     // co-occurrence token graph — community labels, ties to the
     // smallest label
@@ -5601,6 +5610,39 @@ object SparkEntry {
          |${peel("e3", 4)}
          |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
          |FROM e4 GROUP BY u ORDER BY node""".stripMargin
+    },
+    // coreness twin: 8 unrolled h-index rounds over the same
+    // lift-filtered symmetric edges (degree seed; per round each
+    // node's value becomes the h-index of its neighbors' values via a
+    // rank window — MAX(rn where value >= rn)). The operator reaches
+    // fixpoint in 6 rounds at sf0.01; the map is monotone decreasing,
+    // so extra unrolled rounds are idempotent. All-integer.
+    "token_coreness" -> {
+      def round(prev: String, out: String): String =
+        s"""$out AS (SELECT u,
+           |  MAX(CASE WHEN cv >= rn THEN rn ELSE 0 END) AS c FROM (
+           |    SELECT e.u, p.c AS cv, ROW_NUMBER() OVER (
+           |      PARTITION BY e.u ORDER BY p.c DESC) AS rn
+           |    FROM sym e JOIN $prev p ON e.v = p.u)
+           |  GROUP BY u)""".stripMargin
+      s"""WITH $coocPairsCte,
+         |le AS (SELECT tok_a, tok_b FROM pairs
+         |  WHERE (CAST(n_ab AS DOUBLE) * CAST((SELECT n FROM n) AS DOUBLE)) /
+         |        (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)) >= 1.05),
+         |sym AS (SELECT tok_a AS u, tok_b AS v FROM le
+         |        UNION ALL SELECT tok_b, tok_a FROM le),
+         |c0 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM sym
+         |  GROUP BY u),
+         |${round("c0", "c1")},
+         |${round("c1", "c2")},
+         |${round("c2", "c3")},
+         |${round("c3", "c4")},
+         |${round("c4", "c5")},
+         |${round("c5", "c6")},
+         |${round("c6", "c7")},
+         |${round("c7", "c8")}
+         |SELECT u AS node, CAST(c AS BIGINT) AS coreness
+         |FROM c8 ORDER BY node""".stripMargin
     },
     // LPA twin: same edges, 2 unrolled rounds, argmax by
     // ROW_NUMBER over (cnt DESC, lbl ASC) — the min_by tie rule
