@@ -962,16 +962,19 @@ object SparkEntry {
           through("f2", "f3", "f4", "f5", "f6").as("n_decontam"))
         .orderBy("lang")
     }),
-    // concat-and-chunk sequence packing: the document → fixed-length
-    // training-sequence placement map (per-lang shards, doc_id order,
-    // capacity 1024) — window cumsum, all-integer
-    "sequence_pack" -> ((s, dir) =>
-      graft.operators.Sampling.sequencePack(
-        t(s, dir, "documents").select(col("doc_id"), col("lang"),
-          graft.functions.TextFunctions.token_count(col("text"))
-            .cast("long").as("n_tokens")),
-        "doc_id", "n_tokens", capacity = 1024L,
-        shardCols = Seq("lang"), orderCols = Seq("doc_id"))
+    // boundary-span report over the per-lang packing layout: which
+    // chunk each doc STARTS and ENDS in (loader spill handling) —
+    // packSequencesByKey + the packSpans projection, token lengths,
+    // capacity 1024, all-integer
+    "pack_spans" -> ((s, dir) =>
+      graft.operators.PrefixScan.packSpans(
+        graft.operators.PrefixScan.packSequencesByKey(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            graft.functions.TextFunctions.token_count(col("text"))
+              .cast("long").as("n_tokens")),
+          Seq("lang"), "n_tokens", chunkSize = 1024L,
+          orderCols = Seq("doc_id")),
+        "n_tokens", chunkSize = 1024L)
         .orderBy("lang", "doc_id")),
     // lang-ID is hash-free (CJK ratio + stopword-profile argmax) so it
     // carries a full DuckDB twin, unlike the hash kernels below
@@ -4047,25 +4050,26 @@ object SparkEntry {
          |LEFT JOIN keepb ON d.doc_id = keepb.doc_id
          |LEFT JOIN dec ON d.doc_id = dec.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
-    // packing twin: same per-lang window cumsum, same integer floor
-    // divisions (all counts non-negative, so // matches Spark's div)
-    "sequence_pack" ->
+    // span twin: same per-lang exclusive cumsum as sequence_pack_by_lang
+    // plus the last-chunk arithmetic (// matches div on non-negatives)
+    "pack_spans" ->
       s"""WITH tk AS (SELECT doc_id, lang,
          |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
          |c AS (SELECT doc_id, lang, n_tokens,
-         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
-         |      ORDER BY doc_id) AS BIGINT) AS cum FROM tk),
-         |placed AS (SELECT doc_id, lang, n_tokens,
-         |    cum - n_tokens AS start_offset,
-         |    (cum - n_tokens) // 1024 AS first_pack,
-         |    CASE WHEN n_tokens <= 0 THEN (cum - n_tokens) // 1024
-         |         ELSE (cum - 1) // 1024 END AS last_pack
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM tk),
+         |placed AS (SELECT doc_id, lang, n_tokens, start_offset,
+         |    start_offset // 1024 AS chunk_id,
+         |    CASE WHEN n_tokens <= 0 THEN start_offset // 1024
+         |         ELSE (start_offset + n_tokens - 1) // 1024 END
+         |      AS last_pack
          |  FROM c)
          |SELECT lang, doc_id, n_tokens,
          |  CAST(start_offset AS BIGINT) AS start_offset,
-         |  CAST(first_pack AS BIGINT) AS first_pack,
+         |  CAST(chunk_id AS BIGINT) AS chunk_id,
          |  CAST(last_pack AS BIGINT) AS last_pack,
-         |  CAST(last_pack - first_pack + 1 AS BIGINT) AS n_packs_spanned
+         |  CAST(last_pack - chunk_id + 1 AS BIGINT) AS n_packs_spanned
          |FROM placed ORDER BY lang, doc_id""".stripMargin,
     // per-lang funnel twin: identical to the per-source form with the
     // grouping column swapped — both compose the SAME shared stage

@@ -144,4 +144,28 @@ object PrefixScan {
         expr(s"start_offset div ${chunkSize}L").cast(LongType))
       .drop("__cum")
   }
+
+  /** Augment a [[packSequences]]/[[packSequencesByKey]] result with
+    * the BOUNDARY-SPAN columns a loader needs to handle documents
+    * crossing chunk cuts: `last_pack` (the chunk the doc's LAST token
+    * falls into — equal to `chunk_id` for zero-length docs, which
+    * occupy no tokens) and `n_packs_spanned`. Same exact integer
+    * arithmetic as the placement itself; a narrow projection, no new
+    * shuffle. */
+  def packSpans(packed: DataFrame, lenCol: String,
+      chunkSize: Long): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val len = coalesce(col(lenCol).cast(LongType), lit(0L))
+    packed
+      .withColumn("last_pack",
+        when(len <= 0L, col("chunk_id"))
+          .otherwise(expr(
+            s"(start_offset + ${lenColExpr(lenCol)} - 1) div ${chunkSize}L")
+            .cast(LongType)))
+      .withColumn("n_packs_spanned",
+        col("last_pack") - col("chunk_id") + lit(1L))
+  }
+
+  private def lenColExpr(lenCol: String): String =
+    s"coalesce(cast(`$lenCol` as bigint), 0L)"
 }

@@ -306,45 +306,4 @@ object Sampling {
       lit(thresholdHex(defaultFraction)))
     df.filter(md5(col(idCol).cast("string").cast("binary")) < thr)
   }
-
-  /** Concat-and-chunk sequence packing — the map from documents to the
-    * fixed-length training sequences a pretraining run actually
-    * consumes (GPT-3/LLaMA-style packing: concatenate documents in a
-    * deterministic order, chunk the token stream every `capacity`
-    * tokens; a document may span a chunk boundary). Returns one row
-    * per input document with its placement:
-    * (shardCols…, idCol, nTokensCol, start_offset, first_pack,
-    * last_pack, n_packs_spanned) — offsets and pack ids are PER SHARD.
-    *
-    * Scale shape: the cumulative sum is a window ORDERED WITHIN EACH
-    * SHARD — exactly how production packing runs (each shard/worker
-    * packs its own slice; a single global order would serialize the
-    * corpus through one task). Shard by the column your loader shards
-    * by (lang, source, hash bucket); `orderCols` must be a total order
-    * within a shard (make the id the last column) or placement is
-    * nondeterministic. All-integer arithmetic — exactly replayable.
-    * Zero-token documents occupy no tokens and land at their current
-    * offset's pack. */
-  def sequencePack(df: DataFrame, idCol: String, nTokensCol: String,
-      capacity: Long, shardCols: Seq[String],
-      orderCols: Seq[String]): DataFrame = {
-    require(capacity > 0L, "capacity must be positive")
-    require(shardCols.nonEmpty,
-      "shard columns required: a global packing order means one task " +
-        "sorts the corpus — shard by the loader's sharding column")
-    require(orderCols.nonEmpty, "order columns required")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(shardCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
-    df.withColumn("__cum", sum(col(nTokensCol)).over(w))
-      .withColumn("start_offset", col("__cum") - col(nTokensCol))
-      .withColumn("first_pack",
-        expr(s"start_offset div ${capacity}L"))
-      .withColumn("last_pack",
-        when(col(nTokensCol) <= 0L, expr(s"start_offset div ${capacity}L"))
-          .otherwise(expr(s"(__cum - 1) div ${capacity}L")))
-      .withColumn("n_packs_spanned",
-        col("last_pack") - col("first_pack") + 1L)
-      .drop("__cum")
-  }
 }

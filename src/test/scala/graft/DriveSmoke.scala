@@ -562,6 +562,80 @@ object DriveSmoke {
         Seq("user_id"), "ts", maxGap = 1800L * 1000000000L),
       "session_id", "event_type", "ts", "event_id", n = 3, topK = 5)
       .show(false)
+
+    // r11: k-core + coreness over the lift-filtered cooc graph
+    val liftE = cl.where($"lift" >= 1.05).select("tok_a", "tok_b")
+    val kc = graft.operators.Graph.kCore(liftE, "tok_a", "tok_b", k = 8)
+    kc.explain("formatted")
+    println("KCORE_NODES=" + kc.count())
+    println("CORENESS_MAX=" + graft.operators.Graph.coreness(
+      liftE, "tok_a", "tok_b")
+      .agg(org.apache.spark.sql.functions.max("coreness")).head.getLong(0))
+
+    // r11: word stupid-backoff LM (fit + ordered-fold kernel score)
+    val wlm = graft.operators.TextAnalysis.wordLmScore(
+      docs, "doc_id", "text")
+    wlm.explain("formatted")
+    println("WORDLM_ROWS=" + wlm.count())
+
+    // r11: saved-artifact ANN (fit offline once, reopen, search)
+    val embR = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val savedRoot = java.nio.file.Files
+      .createTempDirectory("drive-ivfpq-").toString + "/idx"
+    graft.operators.IvfPqIndex.save(
+      graft.operators.IvfPqIndex.build(embR, "embedding", "vec_id",
+        nClusters = 8, m = 8, codesPerBook = 16), savedRoot)
+    val reopened = graft.operators.IvfPqIndex.loadSaved(
+      spark, savedRoot, embR, "embedding", "vec_id")
+    val q0 = embR.filter($"vec_id" === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    println("SAVED_IVFPQ_TOP=" + reopened.query(q0, k = 5, nprobe = 4,
+      refineFactor = 8).collect().map(_.getLong(0)).mkString(","))
+
+    // r11: snapshot time travel (3 commits, read each generation)
+    val snapRoot = java.nio.file.Files
+      .createTempDirectory("drive-snap-").toString + "/t"
+    val snapBase = docs.select("doc_id", "lang", "n_chars")
+    graft.operators.Lake.commitSnapshot(spark, snapRoot, snapBase,
+      Seq("doc_id"))
+    graft.operators.Lake.commitSnapshot(spark, snapRoot,
+      snapBase.where($"doc_id" % 7 === 0)
+        .withColumn("n_chars", $"n_chars" + 1000L), Seq("doc_id"))
+    graft.operators.Lake.commitSnapshot(spark, snapRoot,
+      snapBase.limit(0), Seq("doc_id"),
+      deletes = Some(snapBase.where($"lang" === "zh").select("doc_id")))
+    val asOf1 = graft.operators.Lake.readAsOf(
+      spark, snapRoot, Seq("doc_id"), 1L)
+    asOf1.explain("formatted")
+    println("SNAP_GENS=" + graft.operators.Lake
+      .snapshotGenerations(spark, snapRoot).get.mkString(","))
+    println("SNAP_ASOF=" + asOf1.count() + "/" +
+      graft.operators.Lake.readAsOf(spark, snapRoot, Seq("doc_id"), 2L)
+        .count())
+
+    // r11: u-shaped attribution + sequence packing
+    println("ATTRIB_USHAPED=" + graft.operators.Attribution.report(
+      evA.where($"event_type" === "purchase"),
+      evA.where($"event_type" =!= "purchase")
+        .withColumnRenamed("event_type", "touch_type"),
+      Seq("user_id"), "event_id", "ts", "ts", "touch_type",
+      windowNanos = 24L * 3600L * 1000000000L,
+      model = graft.operators.Attribution.UShaped)
+      .agg(org.apache.spark.sql.functions.sum("credit")).head.get(0))
+    val packedSeqs = graft.operators.PrefixScan.packSpans(
+      graft.operators.PrefixScan.packSequencesByKey(
+        docs.select($"doc_id", $"lang",
+          graft.functions.TextFunctions.token_count($"text")
+            .cast("long").as("n_tokens")),
+        Seq("lang"), "n_tokens", chunkSize = 1024L,
+        orderCols = Seq("doc_id")),
+      "n_tokens", chunkSize = 1024L)
+    packedSeqs.explain("formatted")
+    println("PACKS=" + packedSeqs.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.max("last_pack").as("p"))
+      .agg(org.apache.spark.sql.functions.sum($"p" + 1)).head.get(0))
     spark.stop()
   }
 }

@@ -145,4 +145,41 @@ class PrefixScanSpec extends SparkSpec {
         Seq("id"), "id")
     }
   }
+
+  test("packSpans: a doc crossing the chunk boundary spans two packs, " +
+      "an exact fill ends its pack, zero-length docs span their start " +
+      "chunk") {
+    import spark.implicits._
+    // capacity 10: docs of 4, 6 (fills chunk 0 exactly), 12 (spans
+    // chunks 1-2), 0 (no tokens), 3
+    val df = Seq((1L, 4L), (2L, 6L), (3L, 12L), (4L, 0L), (5L, 3L))
+      .toDF("id", "n")
+    val got = PrefixScan.packSpans(
+      PrefixScan.packSequences(df, "n", chunkSize = 10L,
+        orderCols = Seq("id"), materialize = false),
+      "n", chunkSize = 10L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // (id, start_offset, chunk_id, last_pack, n_packs_spanned)
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 1L),
+      (2L, 4L, 0L, 0L, 1L),   // ends at token 9 — still chunk 0
+      (3L, 10L, 1L, 2L, 2L),  // tokens 10..21 span chunks 1-2
+      (4L, 22L, 2L, 2L, 1L),  // zero-length: spans its start chunk
+      (5L, 22L, 2L, 2L, 1L)))
+    // keyed form: spans restart per key
+    val keyed = PrefixScan.packSpans(
+      PrefixScan.packSequencesByKey(
+        Seq((1L, "a", 7L), (2L, "a", 7L), (3L, "b", 7L))
+          .toDF("id", "k", "n"),
+        Seq("k"), "n", chunkSize = 10L, orderCols = Seq("id")),
+      "n", chunkSize = 10L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(5), r.getLong(6)))
+    // (id, last_pack, n_packs_spanned): doc 2 starts at offset 7 in
+    // key a's stream and spans chunks 0-1; key b restarts at 0
+    assert(keyed.toSeq ==
+      Seq((1L, 0L, 1L), (2L, 1L, 2L), (3L, 0L, 1L)))
+  }
 }
