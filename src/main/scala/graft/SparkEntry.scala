@@ -315,8 +315,22 @@ object SparkEntry {
     * frame + one conditional aggregate downstream: each stage kernel
     * evaluates exactly once (a per-stage count chain re-ran gopher
     * 5x, dup-spans 3x — measured 9.9 s vs ~2 s at sf0.1). */
+  // the full flags frame (doc_id, source, lang, f2..f6) materializes
+  // ONCE per process (SharedFrames): three funnel cuts consume it, and
+  // without the memo each re-ran the gopher/dup-span/decontam kernels
+  // (~1.9 s per funnel query at sf0.1 → a slim parquet read + one
+  // aggregate). Ints/strings round-trip parquet bit-exactly; the
+  // oracle gate re-verifies all three reports per run.
   private def curationFlags(s: SparkSession, dir: String,
-      extraCols: Seq[String]): DataFrame = {
+      extraCols: Seq[String]): DataFrame =
+    SharedFrames.materialized(s, dir, "curation_flags") {
+      curationFlagsCompute(s, dir)
+    }.select((Seq("doc_id") ++ extraCols ++
+      Seq("f2", "f3", "f4", "f5", "f6")).map(col): _*)
+
+  private def curationFlagsCompute(s: SparkSession,
+      dir: String): DataFrame = {
+    val extraCols = Seq("source", "lang")
     val docs = t(s, dir, "documents")
     val g = docs.select(col("doc_id"),
         graft.functions.TextFunctions.gopherRules(col("text")).as("g"))

@@ -52,9 +52,13 @@ class CurationFunnelStreamSpec extends SparkSpec {
       "curation_funnel report on the same documents") {
     val docs = fixture.map(t => (t._1, t._2)).toDF("doc_id", "text")
     // batch side: the registered query over the fixture as a table
+    // (the shared flags frame carries source/lang, so the fixture
+    // table declares them like the real documents table does)
     val dir = java.nio.file.Files
       .createTempDirectory("graft-curstream-").toAbsolutePath.toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    docs.withColumn("source", lit("fix"))
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val batchReport = graft.SparkEntry.queries("curation_funnel")(
         spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
