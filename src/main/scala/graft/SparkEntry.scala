@@ -616,6 +616,28 @@ object SparkEntry {
       t(s, dir, "embeddings")
         .select(col("vec_id"), vec_norm(col("embedding")).as("norm"))
         .orderBy("vec_id")),
+    // embedding drift monitor: per-dimension mean shift between two
+    // corpus slices (vec_id parity as the stand-in for two ingest
+    // snapshots) — the "did the embedding distribution move" check a
+    // retrieval pipeline runs after a model or crawl change. Means per
+    // the label_centroids decimal(18,9) convention; delta of the two
+    // bridged doubles re-bridged
+    "embedding_dim_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+      def mean(par: Int) =
+        (sum(when(col("vec_id") % 2 === par, col("v").cast("double"))) /
+          sum(when(col("vec_id") % 2 === par, 1L)).cast("double"))
+          .cast("decimal(18,9)").cast("double")
+      e.groupBy("i")
+        .agg(mean(0).as("mean_a"), mean(1).as("mean_b"))
+        .select(col("i").cast("long").as("dim"), col("mean_a"),
+          col("mean_b"),
+          (col("mean_a") - col("mean_b"))
+            .cast("decimal(18,9)").cast("double").as("delta"))
+        .orderBy("dim")
+    }),
     "knn_batch_join" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
@@ -809,6 +831,25 @@ object SparkEntry {
         .select(col("doc_id"),
           token_count_bpe(col("text")).cast("long").as("n_bpe"))
         .orderBy("doc_id")),
+    // tokenizer-fertility report per language: BPE-ish tokens per
+    // whitespace token and chars per BPE token — the "how expensive is
+    // this language for the tokenizer" budgeting table (exact long
+    // sums, one double division each through the decimal bridge)
+    "token_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          token_count(col("text")).cast("long").as("__ws"),
+          token_count_bpe(col("text")).cast("long").as("__bpe"),
+          col("n_chars").as("__ch"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("__ws").as("n_tokens"),
+          sum("__bpe").as("n_bpe"),
+          (sum("__bpe").cast("double") / sum("__ws").cast("double"))
+            .cast("decimal(18,9)").cast("double").as("fertility"),
+          (sum("__ch").cast("double") / sum("__bpe").cast("double"))
+            .cast("decimal(18,9)").cast("double").as("chars_per_bpe"))
+        .orderBy("lang")),
     // BPE tokenizer TRAINED on the corpus itself (Sennrich et al.):
     // one word-count pass + driver-side merge loop on the weighted
     // vocabulary, then the codegen'd segmenter kernel. Iterative
@@ -1078,6 +1119,23 @@ object SparkEntry {
     // 100 TB path; this exists to pin the selection logic cross-engine.
     "neardup_pairs_md5" -> ((s, dir) =>
       md5NearDupPairs(s, dir).orderBy("id_a", "id_b")),
+    // cross-source duplication matrix: which provider slices duplicate
+    // EACH OTHER — the near-dup pair table joined back to sources,
+    // pair canonicalized (least, greatest) so direction cannot split a
+    // cell; the "do these two crawls overlap" procurement dashboard
+    "crossdup_sources" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select("doc_id", "source")
+      md5NearDupPairs(s, dir).select("id_a", "id_b")
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
     // EXACT Jaccard self-join (recall 1.0, no LSH) via prefix
     // filtering — the oracle twin is the NAIVE shared-token all-pairs
     // join, so the gate machine-checks the prefix-filter completeness
@@ -3718,6 +3776,26 @@ object SparkEntry {
     "vec_norms" ->
       s"""SELECT vec_id, ${normOf("embedding")} AS norm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // drift twin: same parity split, same per-dim double sums and
+    // decimal(18,9) bridges, delta of the bridged doubles re-bridged
+    "embedding_dim_drift" ->
+      """WITH ex AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+        |    embedding FROM embeddings),
+        |v AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM ex),
+        |m AS (SELECT i,
+        |  CAST(CAST(CAST(
+        |    SUM(CASE WHEN vec_id % 2 = 0 THEN v END) /
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS DOUBLE)
+        |    AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS mean_a,
+        |  CAST(CAST(CAST(
+        |    SUM(CASE WHEN vec_id % 2 = 1 THEN v END) /
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS DOUBLE)
+        |    AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS mean_b
+        |  FROM v GROUP BY i)
+        |SELECT CAST(i - 1 AS BIGINT) AS dim, mean_a, mean_b,
+        |  CAST(CAST(CAST(mean_a - mean_b AS DECIMAL(18,9)) AS VARCHAR)
+        |    AS DOUBLE) AS delta
+        |FROM m ORDER BY dim""".stripMargin,
     "knn_batch_join" ->
       s"""SELECT query_id, vec_id, distance FROM (
          |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, $sqDist AS distance,
@@ -3966,6 +4044,25 @@ object SparkEntry {
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
         "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe " +
         "FROM documents ORDER BY doc_id"),
+    // fertility twin: same kernel counts (toksSql length, the BPE
+    // regex), exact BIGINT sums, one double division per ratio via
+    // the decimal(18,9) VARCHAR bridge
+    "token_fertility" ->
+      (s"""WITH c AS (SELECT lang, CAST(len($toksSql) AS BIGINT) AS ws,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${"''"}(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'
+         |  )) AS BIGINT) AS bpe,
+         |  n_chars AS ch FROM documents)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(ws) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(bpe) AS BIGINT) AS n_bpe,
+         |  CAST(CAST(CAST(CAST(CAST(SUM(bpe) AS BIGINT) AS DOUBLE) /
+         |    CAST(CAST(SUM(ws) AS BIGINT) AS DOUBLE) AS DECIMAL(18,9))
+         |    AS VARCHAR) AS DOUBLE) AS fertility,
+         |  CAST(CAST(CAST(CAST(CAST(SUM(ch) AS BIGINT) AS DOUBLE) /
+         |    CAST(CAST(SUM(bpe) AS BIGINT) AS DOUBLE) AS DECIMAL(18,9))
+         |    AS VARCHAR) AS DOUBLE) AS chars_per_bpe
+         |FROM c GROUP BY lang ORDER BY lang""").stripMargin,
     "doc_quality" -> docQualitySql,
     // greedy budget fill composed verbatim from the doc_quality twin;
     // the running sum is exact BIGINT addition in an explicit-ROWS
@@ -6027,6 +6124,18 @@ object SparkEntry {
     "neardup_components_md5" ->
       s"""WITH RECURSIVE $md5ComponentsCtes
          |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+    // cross-source matrix twin: the SAME mpairs selection joined back
+    // to documents.source, LEAST/GREATEST canonical pair (ASCII source
+    // names — binary collation agrees across engines)
+    "crossdup_sources" ->
+      s"""WITH RECURSIVE $md5ComponentsCtes
+         |SELECT LEAST(da.source, db.source) AS source_a,
+         |  GREATEST(da.source, db.source) AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM mpairs p
+         |JOIN documents da ON da.doc_id = p.id_a
+         |JOIN documents db ON db.doc_id = p.id_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // quality-aware canonicalization twin: the SAME component closure
     // joined with the SAME lm-score definition; per component the
     // (lm_score DESC, doc_id ASC) leader survives, everything else
