@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 
 /** Parquet persistence for the small driver-side index parameters
   * (centroid matrices, PQ codebooks, rotations) that the fit-offline /
@@ -47,12 +47,6 @@ private[operators] object IndexArtifacts {
         r.getSeq[Float](r.fieldIndex("values")).toArray))
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3))
-
-  def exists(df: DataFrame, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      .exists(p)
-  }
 
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

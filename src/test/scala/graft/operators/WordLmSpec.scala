@@ -99,4 +99,34 @@ class WordLmSpec extends SparkSpec {
     assert(scored(99L) < scored(1L) - 1.0,
       s"gibberish ${scored(99L)} not far below typical ${scored(1L)}")
   }
+
+  test("streaming micro-batches scored with a pre-fit model equal the " +
+      "batch scoring pass on the same rows (fit/score split contract)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = (1L to 20L)
+      .map(i => (i, s"alpha beta gamma doc$i delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.wordLmModel(corpus, "text")
+    val batch = TextAnalysis.scoreWithWordLm(corpus, "doc_id", "text",
+      model).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val scored = TextAnalysis.scoreWithWordLm(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+    val q = scored.writeStream.format("memory")
+      .queryName("wordlm_stream_out").outputMode("append").start()
+    try {
+      val rows = corpus.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      source.addData(rows.take(7))
+      q.processAllAvailable()
+      source.addData(rows.drop(7))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, n_tokens, lm_score FROM wordlm_stream_out " +
+          "ORDER BY doc_id").collect().map(_.toSeq).toSeq
+      assert(streamed == batch,
+        "pre-fit word-LM scoring must be micro-batch invariant")
+    } finally q.stop()
+  }
 }
