@@ -2384,6 +2384,17 @@ object SparkEntry {
       graft.operators.Bm25.search(idx,
         Seq("spark", "hash", "window"), k = 20)
     }),
+    // RM3-lite pseudo-relevance feedback: seed search → top-5
+    // expansion terms by summed tf·idf in the top-10 feedback docs →
+    // expanded search (the recall lever when the seed query
+    // undersamples the topic vocabulary)
+    "bm25_prf" -> ((s, dir) => {
+      val idx = graft.operators.Bm25.fit(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.Bm25.prfSearch(idx,
+        Seq("spark", "hash", "window"), k = 20, fbDocs = 10,
+        fbTerms = 5)
+    }),
     // batch BM25: a query TABLE against the postings in one plan —
     // broadcast (query, term, idf), one (query, doc) aggregation,
     // per-query WindowGroupLimit top-k; scores identical to `search`
@@ -5431,6 +5442,72 @@ object SparkEntry {
     // are decimal(20,8) before SUM (exact, order-free), and the final
     // score crosses the decimal→double bridge via VARCHAR
     "bm25_topk" -> bm25Sql,
+    // PRF twin: the bm25 CTE arithmetic verbatim, run twice — seed
+    // scoring picks the top-10 feedback docs (ordered by the BRIDGED
+    // double score, like the engine), candidate terms rank by exact
+    // tf-sum × idf rounded decimal(20,8) (ties by token asc), and the
+    // union term set re-scores for the final top-20
+    "bm25_prf" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+         |  GROUP BY doc_id, token),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+         |stats AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM dl),
+         |post AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, dl.dl
+         |  FROM tf JOIN dl USING (doc_id)),
+         |dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM post GROUP BY token),
+         |seedt AS (SELECT unnest(['spark', 'hash', 'window']) AS token),
+         |idf1 AS (
+         |  SELECT d.token,
+         |    ln(1.0 + (CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5)
+         |      / (df + 0.5)) AS idf
+         |  FROM dfx d JOIN seedt USING (token)),
+         |fb AS (SELECT doc_id FROM (
+         |  SELECT p.doc_id,
+         |    CAST(CAST(SUM(CAST(
+         |      i.idf * (CAST(p.tf AS DOUBLE) * CAST('2.2' AS DOUBLE))
+         |        / (CAST(p.tf AS DOUBLE) + CAST('1.2' AS DOUBLE) *
+         |          (0.25 + 0.75 * CAST(p.dl AS DOUBLE)
+         |            / (SELECT avgdl FROM stats)))
+         |      AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS s
+         |  FROM post p JOIN idf1 i USING (token)
+         |  GROUP BY p.doc_id
+         |  ORDER BY s DESC, p.doc_id LIMIT 10)),
+         |cand AS (SELECT token FROM (
+         |  SELECT p.token,
+         |    CAST(CAST(CAST(SUM(p.tf) AS BIGINT) AS DOUBLE) *
+         |      ln(1.0 + (CAST((SELECT n FROM stats) AS DOUBLE) - d.df + 0.5)
+         |        / (d.df + 0.5)) AS DECIMAL(20,8)) AS w
+         |  FROM post p
+         |  JOIN fb USING (doc_id)
+         |  JOIN dfx d ON d.token = p.token
+         |  WHERE p.token NOT IN (SELECT token FROM seedt)
+         |  GROUP BY p.token, d.df
+         |  ORDER BY w DESC, p.token ASC LIMIT 5)),
+         |allt AS (SELECT token FROM seedt UNION SELECT token FROM cand),
+         |idf2 AS (
+         |  SELECT d.token,
+         |    ln(1.0 + (CAST((SELECT n FROM stats) AS DOUBLE) - df + 0.5)
+         |      / (df + 0.5)) AS idf
+         |  FROM dfx d JOIN allt USING (token))
+         |SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+         |  CAST(CAST(SUM(CAST(
+         |    i.idf * (CAST(p.tf AS DOUBLE) * CAST('2.2' AS DOUBLE))
+         |      / (CAST(p.tf AS DOUBLE) + CAST('1.2' AS DOUBLE) *
+         |        (0.25 + 0.75 * CAST(p.dl AS DOUBLE)
+         |          / (SELECT avgdl FROM stats)))
+         |    AS DECIMAL(20,8))) AS VARCHAR) AS DOUBLE) AS score
+         |FROM post p JOIN idf2 i USING (token)
+         |GROUP BY p.doc_id
+         |ORDER BY score DESC, p.doc_id LIMIT 20""".stripMargin,
     // boolean AND/NOT twin over the same distinct-token postings
     "bool_query" ->
       s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok

@@ -128,6 +128,45 @@ object Bm25 {
       .limit(k)
   }
 
+  /** Pseudo-relevance-feedback search (the RM3-lite expansion loop —
+    * Lavrenko & Croft relevance models, as Anserini/Terrier ship it,
+    * minus the interpolation weights): run the seed query, rank
+    * candidate expansion terms by their summed tf·idf inside the top
+    * `fbDocs` feedback documents (seed terms excluded, ties by term
+    * asc), append the best `fbTerms`, search again with the expanded
+    * term set. The recall lever when the seed query undersamples the
+    * topic's vocabulary.
+    *
+    * Scale shape: the feedback set is `fbDocs` ids (a broadcast
+    * semi-join against the postings), candidate ranking is one slim
+    * aggregation over feedback postings + a `TakeOrderedAndProject`,
+    * and the expansion term collect is `fbTerms`-bounded driver state
+    * (the centroid-table convention). Both searches are the proven
+    * [[search]] path. Candidate weights round to decimal(20,8) before
+    * ranking — the same ln-ulp containment as the score sums. */
+  def prfSearch(index: Bm25Index, terms: Seq[String], k: Int,
+      fbDocs: Int = 10, fbTerms: Int = 5, idCol: String = "doc_id",
+      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    require(fbDocs > 0, "fbDocs must be positive")
+    require(fbTerms >= 0, "fbTerms must be non-negative")
+    val qTerms = terms.map(_.toLowerCase).distinct
+    val seed = search(index, terms, fbDocs, idCol, k1, b)
+      .select(col(idCol))
+    val cand = index.postings
+      .join(broadcast(seed), Seq(idCol), "left_semi")
+      .filter(!col("token").isin(qTerms: _*))
+      .groupBy("token").agg(sum("tf").as("__tfsum"))
+      .join(index.docFreq, Seq("token"))
+      .withColumn("__w",
+        (col("__tfsum").cast("double") * log(lit(1.0) +
+          (lit(index.nDocs.toDouble) - col("df") + 0.5) /
+            (col("df") + 0.5))).cast("decimal(20,8)"))
+      .orderBy(col("__w").desc, col("token").asc)
+      .limit(fbTerms)
+    val expansion = cand.select("token").collect().map(_.getString(0))
+    search(index, qTerms ++ expansion, k, idCol, k1, b)
+  }
+
   /** Persist the index under one root (`<path>/postings`,
     * `<path>/docfreq`, `<path>/stats`) — the fit-offline/search-online
     * split: postings land as parquet (bucket by token at scale),

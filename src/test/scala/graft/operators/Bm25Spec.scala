@@ -244,4 +244,35 @@ class Bm25Spec extends SparkSpec {
       Bm25.phraseQuery(docs, "doc_id", "text", Nil)
     }
   }
+
+  test("prfSearch: fbTerms=0 equals plain search; expansion pulls in " +
+      "documents sharing only feedback-doc vocabulary; seed terms are " +
+      "never expansion candidates") {
+    import spark.implicits._
+    // seed 'spark' matches docs 1/2; doc 2 also says 'hash plan';
+    // doc 6 shares ONLY the feedback vocabulary ('join', 'shuffle') —
+    // invisible to the seed query, reachable after expansion
+    val docs = Seq(
+      (1L, "spark shuffle join spark"),
+      (2L, "spark hash join plan"),
+      (3L, "rows and columns batch"),
+      (6L, "shuffle join shuffle join")).toDF("doc_id", "text")
+    val idx = Bm25.fit(docs, "doc_id", "text")
+    val plain = Bm25.search(idx, Seq("spark"), k = 10)
+      .collect().map(_.toSeq).toSeq
+    val noExp = Bm25.prfSearch(idx, Seq("spark"), k = 10, fbDocs = 2,
+      fbTerms = 0).collect().map(_.toSeq).toSeq
+    assert(noExp == plain, "fbTerms=0 must degenerate to plain search")
+    assert(!plain.exists(_.head == 6L))
+    val expanded = Bm25.prfSearch(idx, Seq("spark"), k = 10,
+      fbDocs = 2, fbTerms = 3)
+    val ids = expanded.collect().map(_.getLong(0)).toSet
+    assert(ids.contains(6L),
+      "expansion must surface the feedback-vocabulary-only doc")
+    // a doc matching nothing stays absent
+    assert(!ids.contains(3L))
+    intercept[IllegalArgumentException] {
+      Bm25.prfSearch(idx, Seq("spark"), k = 10, fbDocs = 0)
+    }
+  }
 }
