@@ -2243,6 +2243,28 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id"), "doc_id",
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         .orderBy("doc_id")),
+    // split-leakage audit: near-dup pairs whose members landed in
+    // DIFFERENT splits — the eval-contamination check run before any
+    // training job (split on doc_id leaks near-dups by construction;
+    // the fix is splitting on the component key, and this report is
+    // the evidence). Pair table is the shared md5 artifact.
+    "split_leakage" -> ((s, dir) => {
+      val splits = graft.operators.Sampling.assignSplits(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      md5NearDupPairs(s, dir).select("id_a", "id_b")
+        .join(splits.select(col("doc_id").as("id_a"),
+          col("split").as("sa")), Seq("id_a"))
+        .join(splits.select(col("doc_id").as("id_b"),
+          col("split").as("sb")), Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaks",
+          (col("split_a") =!= col("split_b")).cast("int"))
+        .orderBy("split_a", "split_b")
+    }),
     // target-mix rebalance: largest achievable downsample total T =
     // min(n_k/p_k), per-key md5-threshold fractions f_k = p_k·T/n_k —
     // one count pass + the narrow deterministic stratified filter
@@ -5230,6 +5252,26 @@ object SparkEntry {
          |      '${graft.operators.Sampling.thresholdHex(0.9)}' THEN 'valid'
          |    ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // leakage twin: the shared mpairs selection x the split CASE of
+    // the split_docs twin, canonicalized pair cells
+    "split_leakage" ->
+      (s"""WITH RECURSIVE $md5ComponentsCtes,
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+         |      '${graft.operators.Sampling.thresholdHex(0.8)}' THEN 'train'
+         |    WHEN md5(CAST(doc_id AS VARCHAR)) <
+         |      '${graft.operators.Sampling.thresholdHex(0.9)}' THEN 'valid'
+         |    ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT LEAST(sa.split, sb.split) AS split_a,
+         |  GREATEST(sa.split, sb.split) AS split_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(LEAST(sa.split, sb.split) <> GREATEST(sa.split, sb.split)
+         |    AS INT) AS leaks
+         |FROM mpairs p
+         |JOIN sp sa ON sa.doc_id = p.id_a
+         |JOIN sp sb ON sb.doc_id = p.id_b
+         |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin),
     // rebalance twin: identical fixed-order double arithmetic for
     // T = min(n/p) and f = p*T/n, then the same round(f*65536)
     // threshold (half-up ≡ half-away for positives) with the ≥65536 →
