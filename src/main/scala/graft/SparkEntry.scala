@@ -2265,6 +2265,34 @@ object SparkEntry {
           (col("split_a") =!= col("split_b")).cast("int"))
         .orderBy("split_a", "split_b")
     }),
+    // the FIX for split_leakage: split on the near-dup COMPONENT key
+    // (singletons key on their own id), so every near-dup cluster
+    // lands whole in one split — per-split doc/group counts plus the
+    // machine-checked leaking-pair count, which must be zero
+    "split_by_component" -> ((s, dir) => {
+      val pairs = md5NearDupPairs(s, dir).select("id_a", "id_b")
+      val comp = graft.operators.Dedup.connectedComponents(
+        pairs, "id_a", "id_b")
+      val keyed = t(s, dir, "documents").select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+          "left")
+        .withColumn("gkey", coalesce(col("component"), col("doc_id")))
+      val splits = graft.operators.Sampling.assignSplits(
+        keyed.select("doc_id", "gkey"), "gkey",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      val leak = pairs
+        .join(splits.select(col("doc_id").as("id_a"),
+          col("split").as("sa")), Seq("id_a"))
+        .join(splits.select(col("doc_id").as("id_b"),
+          col("split").as("sb")), Seq("id_b"))
+        .where(col("sa") =!= col("sb"))
+        .agg(count(lit(1)).as("leaking_pairs"))
+      splits.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("gkey")).as("n_groups"))
+        .crossJoin(broadcast(leak))
+        .orderBy("split")
+    }),
     // target-mix rebalance: largest achievable downsample total T =
     // min(n_k/p_k), per-key md5-threshold fractions f_k = p_k·T/n_k —
     // one count pass + the narrow deterministic stratified filter
@@ -5272,6 +5300,30 @@ object SparkEntry {
          |JOIN sp sa ON sa.doc_id = p.id_a
          |JOIN sp sb ON sb.doc_id = p.id_b
          |GROUP BY 1, 2, 4 ORDER BY 1, 2""".stripMargin),
+    // component-split twin: recursive component closure -> gkey
+    // COALESCE -> the split_docs threshold CASE on gkey -> per-split
+    // aggregates x the scalar crossing-pair count
+    "split_by_component" ->
+      (s"""WITH RECURSIVE $md5ComponentsCtes,
+         |keyed AS (SELECT d.doc_id,
+         |    COALESCE(c.component, d.doc_id) AS gkey
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |sp AS (SELECT doc_id, gkey,
+         |  CASE WHEN md5(CAST(gkey AS VARCHAR)) <
+         |      '${graft.operators.Sampling.thresholdHex(0.8)}' THEN 'train'
+         |    WHEN md5(CAST(gkey AS VARCHAR)) <
+         |      '${graft.operators.Sampling.thresholdHex(0.9)}' THEN 'valid'
+         |    ELSE 'test' END AS split
+         |  FROM keyed),
+         |leak AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaking_pairs
+         |  FROM mpairs p
+         |  JOIN sp sa ON sa.doc_id = p.id_a
+         |  JOIN sp sb ON sb.doc_id = p.id_b
+         |  WHERE sa.split <> sb.split)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT gkey) AS BIGINT) AS n_groups,
+         |  (SELECT leaking_pairs FROM leak) AS leaking_pairs
+         |FROM sp GROUP BY split ORDER BY split""").stripMargin,
     // rebalance twin: identical fixed-order double arithmetic for
     // T = min(n/p) and f = p*T/n, then the same round(f*65536)
     // threshold (half-up ≡ half-away for positives) with the ≥65536 →
