@@ -2634,6 +2634,15 @@ object SparkEntry {
       graft.operators.Graph.kCore(e, "tok_a", "tok_b", k = 8)
         .orderBy("node")
     }),
+    // k-truss of the same lift-filtered graph (k=7: every surviving
+    // edge sits in >= 5 within-truss triangles — 5 peel rounds at
+    // sf0.01, twin unrolls 7); the edge-level cohesion peel
+    "token_ktruss" -> ((s, dir) => {
+      val e = SharedFrames.coocPairs(s, dir)
+        .where(col("lift") >= 1.05).select("tok_a", "tok_b")
+      graft.operators.Graph.kTruss(e, "tok_a", "tok_b", k = 7)
+        .orderBy("tok_a", "tok_b")
+    }),
     // full core decomposition of the same lift-filtered graph via
     // h-index propagation (Lü 2016 — converges to the core number);
     // all-integer, fixpoint in 6 rounds at sf0.01, twin unrolls 8
@@ -5896,6 +5905,46 @@ object SparkEntry {
          |${peel("e3", 4)}
          |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
          |FROM e4 GROUP BY u ORDER BY node""".stripMargin
+    },
+    // k-truss twin: 7 unrolled peel rounds (id-ordered wedge close →
+    // per-edge triangle support via the 3-edge explode → keep >= k-2);
+    // extra rounds past the 5-round fixpoint are idempotent
+    "token_ktruss" -> {
+      // AS MATERIALIZED: each round references its predecessor four
+      // times; DuckDB's default CTE inlining would expand 4^rounds
+      // copies of the whole chain (observed as a file-handle blowup
+      // on the documents scan)
+      def round(prev: String, out: String): String =
+        s"""t$out AS MATERIALIZED (
+           |  SELECT w.a, w.b, w.c FROM (
+           |    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           |    FROM $prev e1 JOIN $prev e2
+           |      ON e1.u = e2.u AND e1.v < e2.v) w
+           |  JOIN $prev e ON e.u = w.b AND e.v = w.c),
+           |s$out AS MATERIALIZED (
+           |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support
+           |  FROM (SELECT a AS u, b AS v FROM t$out
+           |        UNION ALL SELECT a, c FROM t$out
+           |        UNION ALL SELECT b, c FROM t$out)
+           |  GROUP BY u, v),
+           |$out AS MATERIALIZED (SELECT e.u, e.v,
+           |    COALESCE(s.support, CAST(0 AS BIGINT)) AS support
+           |  FROM $prev e LEFT JOIN s$out s ON s.u = e.u AND s.v = e.v
+           |  WHERE COALESCE(s.support, 0) >= 5)""".stripMargin
+      s"""WITH $coocPairsCte,
+         |le AS (SELECT tok_a, tok_b FROM pairs
+         |  WHERE (CAST(n_ab AS DOUBLE) * CAST((SELECT n FROM n) AS DOUBLE)) /
+         |        (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)) >= 1.05),
+         |e0 AS MATERIALIZED (SELECT tok_a AS u, tok_b AS v FROM le),
+         |${round("e0", "e1")},
+         |${round("e1", "e2")},
+         |${round("e2", "e3")},
+         |${round("e3", "e4")},
+         |${round("e4", "e5")},
+         |${round("e5", "e6")},
+         |${round("e6", "e7")}
+         |SELECT u AS tok_a, v AS tok_b, support
+         |FROM e7 ORDER BY tok_a, tok_b""".stripMargin
     },
     // coreness twin: 8 unrolled h-index rounds over the same
     // lift-filtered symmetric edges (degree seed; per round each

@@ -536,6 +536,56 @@ object Graph {
     e.groupBy(col("__u").as("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** k-truss of an UNDIRECTED edge list: the maximal subgraph where
+    * every EDGE sits in at least k−2 triangles (Cohen 2008) — the
+    * cohesion peel one level stronger than [[kCore]] (a k-truss is
+    * always inside the (k−1)-core): spam-farm edges and weak bridges
+    * die even when their endpoints are individually well-connected.
+    * Returns the surviving id-canonical edges with their WITHIN-TRUSS
+    * triangle support: (src, dst, support), src < dst.
+    *
+    * Same driver-convergence-loop shape as [[kCore]]: per round,
+    * enumerate triangles by the id-ordered wedge join (wedges from a
+    * common smallest vertex closed against the edge table — each
+    * triangle counted once; the degree orientation that optimizes
+    * [[triangleCounts]] is unnecessary here because the table shrinks
+    * every round), explode each triangle onto its three edges for the
+    * support count, drop edges under k−2, checkpoint, repeat until no
+    * edge drops. All-integer — exactly replayable; the twin unrolls
+    * the rounds. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2 (k-2 triangles per edge)")
+    var canon = symmetrize(edges, srcCol, dstCol)
+      .where(col("__u") < col("__v")).localCheckpoint()
+    var result: DataFrame = null
+    var converged = false
+    while (!converged) {
+      val wedges = canon.select(col("__u").as("__a"), col("__v").as("__b"))
+        .join(canon.select(col("__u").as("__a"), col("__v").as("__c")),
+          Seq("__a"))
+        .where(col("__b") < col("__c"))
+      val tri = wedges.join(
+        canon.select(col("__u").as("__b"), col("__v").as("__c")),
+        Seq("__b", "__c"))
+      val sup = tri.select(explode(array(
+          struct(col("__a").as("__u"), col("__b").as("__v")),
+          struct(col("__a").as("__u"), col("__c").as("__v")),
+          struct(col("__b").as("__u"), col("__c").as("__v")))).as("__e"))
+        .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
+        .groupBy("__u", "__v").agg(count(lit(1)).as("support"))
+      val kept = canon.join(sup, Seq("__u", "__v"), "left")
+        .withColumn("support", coalesce(col("support"), lit(0L)))
+        .where(col("support") >= (k - 2).toLong)
+        .localCheckpoint()
+      converged = kept.count() == canon.count()
+      result = kept
+      canon = kept.select("__u", "__v").localCheckpoint()
+    }
+    result.select(col("__u").as(srcCol), col("__v").as(dstCol),
+      col("support"))
+  }
+
   /** Full core decomposition: every node's CORENESS (the largest k
     * for which it survives the [[kCore]] peel). Computed by h-index
     * propagation (Lü, Zhou, Zhang, Stanley — "The H-index of a

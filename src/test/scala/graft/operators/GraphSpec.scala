@@ -360,4 +360,43 @@ class GraphSpec extends SparkSpec {
       assert(inCore === byCoreness, s"k=$k")
     }
   }
+
+  test("kTruss: a K4 with a pendant triangle — the 4-truss keeps only " +
+      "the K4 (cascade: the bridge triangle dies once the K4 edge " +
+      "support recounts)") {
+    // K4 on {0,1,2,3}; extra triangle (3,4),(3,5),(4,5) hanging off
+    val e = (Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L)) ++
+      Seq((3L,4L),(3L,5L),(4L,5L))).toDF("src", "dst")
+    // k=3: every edge in >= 1 triangle — everything survives
+    val t3 = Graph.kTruss(e, "src", "dst", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t3.size == 9)
+    // k=4: K4 edges each sit in 2 K4-triangles; the pendant triangle
+    // edges have support 1 and peel away
+    val t4 = Graph.kTruss(e, "src", "dst", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t4.map(x => (x._1, x._2)).toSet ==
+      Set((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L)))
+    assert(t4.forall(_._3 == 2L), "within-truss support must be 2")
+    // k=5 empties a K4 (max support 2 < 3)
+    assert(Graph.kTruss(e, "src", "dst", k = 5).isEmpty)
+  }
+
+  test("kTruss is nested in kCore: every k-truss vertex is in the " +
+      "(k-1)-core, and the truss is idempotent under re-peeling") {
+    val e = (Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L)) ++
+      Seq((3L,4L),(4L,5L),(5L,6L),(6L,4L),(2L,6L))).toDF("src", "dst")
+    for (k <- 3 to 4) {
+      val truss = Graph.kTruss(e, "src", "dst", k)
+      val trussNodes = truss.select("src").union(truss.select("dst"))
+        .distinct().as[Long].collect().toSet
+      val coreNodes = Graph.kCore(e, "src", "dst", k - 1)
+        .select("node").as[Long].collect().toSet
+      assert(trussNodes.subsetOf(coreNodes), s"k=$k")
+      val again = Graph.kTruss(truss.select("src", "dst"), "src",
+        "dst", k)
+      assert(again.orderBy("src", "dst").collect().toSeq ==
+        truss.orderBy("src", "dst").collect().toSeq, s"k=$k idempotence")
+    }
+  }
 }
