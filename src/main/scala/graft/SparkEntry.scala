@@ -495,6 +495,35 @@ object SparkEntry {
         "embedding", "vec_id")
       idx.query(q, k = 5, nprobe = 2).select("vec_id", "distance")
     }),
+    // recall-vs-nprobe tuning curve over FIXED centroids (float-
+    // deterministic, so unlike a trained index the whole curve is
+    // oracle-checkable): 8 queries, recall@10 against brute force for
+    // nprobe 1/2/4 — the report that picks an IVF operating point
+    "ivf_fixed_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val idx = new graft.operators.IvfIndex(cents,
+        graft.operators.IvfIndex.assignCells(emb, "embedding", cents),
+        "embedding", "vec_id")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val brute = graft.operators.Similarity.topKJoin(emb, queries,
+        k = 10, corpusIdCol = "vec_id", corpusVecCol = "embedding",
+        queryIdCol = "query_id", queryVecCol = "embedding")
+        .select("query_id", "vec_id")
+      Seq(1, 2, 4).map { np =>
+        idx.queryBatch(queries, "query_id", "embedding", k = 10,
+            nprobe = np)
+          .select("query_id", "vec_id")
+          .join(brute, Seq("query_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np.toLong).as("nprobe"), col("n_hits"),
+            lit(80L).as("n_possible"),
+            (col("n_hits").cast("double") / lit(80.0))
+              .cast("decimal(18,9)").cast("double").as("recall"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
+    }),
     // One full Lloyd's ITERATION with fixed input centroids (the first
     // 4 embeddings): the codegen'd argmin assignment kernel + the
     // vec_sum recenter, means rounded to decimal(18,9) for sum-order
@@ -3839,6 +3868,58 @@ object SparkEntry {
          |  JOIN asg a ON a.cell = p.cell
          |  JOIN embeddings e ON e.vec_id = a.vec_id)
          |WHERE rn <= 5 ORDER BY query_id, distance, vec_id""".stripMargin,
+    // recall-curve twin: the fixed-centroid assign/probe CTEs with
+    // per-nprobe branches, hits counted against the brute top-10,
+    // one division through the decimal bridge
+    "ivf_fixed_recall" -> {
+      def branch(np: Int): String =
+        s"""top$np AS MATERIALIZED (SELECT qid, vec_id FROM (
+           |  SELECT p.qid, e.vec_id,
+           |    row_number() OVER (PARTITION BY p.qid
+           |      ORDER BY ${sqDistOf("e.embedding", "s.qemb")}, e.vec_id) AS rn
+           |  FROM pr p
+           |  JOIN qs s ON s.qid = p.qid
+           |  JOIN asg a ON a.cell = p.cell
+           |  JOIN embeddings e ON e.vec_id = a.vec_id
+           |  WHERE p.rn <= $np) WHERE rn <= 10),
+           |hits$np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+           |  FROM top$np t JOIN brute b
+           |    ON b.qid = t.qid AND b.vec_id = t.vec_id)""".stripMargin
+      s"""WITH cells AS (SELECT vec_id AS cell, embedding AS cemb
+         |               FROM embeddings WHERE vec_id < 4),
+         |qs AS (SELECT vec_id AS qid, embedding AS qemb
+         |       FROM embeddings WHERE vec_id < 8),
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDistOf("e.embedding", "c.cemb")}, c.cell) AS rn
+         |    FROM embeddings e, cells c)
+         |  WHERE rn = 1),
+         |pr AS MATERIALIZED (
+         |  SELECT qid, cell, rn FROM (
+         |    SELECT s.qid, c.cell,
+         |      row_number() OVER (PARTITION BY s.qid
+         |        ORDER BY ${sqDistOf("c.cemb", "s.qemb")}, c.cell) AS rn
+         |    FROM qs s, cells c)),
+         |brute AS MATERIALIZED (SELECT qid, vec_id FROM (
+         |  SELECT s.qid, e.vec_id,
+         |    row_number() OVER (PARTITION BY s.qid
+         |      ORDER BY ${sqDistOf("e.embedding", "s.qemb")}, e.vec_id) AS rn
+         |  FROM embeddings e, qs s) WHERE rn <= 10),
+         |${branch(1)},
+         |${branch(2)},
+         |${branch(4)}
+         |SELECT nprobe, n_hits, CAST(80 AS BIGINT) AS n_possible,
+         |  CAST(CAST(CAST(CAST(n_hits AS DOUBLE) / 80.0 AS DECIMAL(18,9))
+         |    AS VARCHAR) AS DOUBLE) AS recall
+         |FROM (
+         |  SELECT CAST(1 AS BIGINT) AS nprobe,
+         |    (SELECT n_hits FROM hits1) AS n_hits
+         |  UNION ALL SELECT 2, (SELECT n_hits FROM hits2)
+         |  UNION ALL SELECT 4, (SELECT n_hits FROM hits4))
+         |ORDER BY nprobe""".stripMargin
+    },
     "cosine_top5" ->
       s"""SELECT e.vec_id, $cosineEq AS sim
          |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
