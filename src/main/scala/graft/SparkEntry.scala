@@ -2077,6 +2077,48 @@ object SparkEntry {
         Seq("view", "click", "purchase"),
         horizonNanos = 7L * 86400 * 1000000000L)
         .orderBy("step")),
+    // RFM segmentation: per purchasing user, quartile scores for
+    // recency (latest purchase), frequency (purchase count), monetary
+    // (exact decimal spend) — the classic CRM cut; ntile over a fully
+    // tie-broken order is engine-deterministic
+    "rfm_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = events(s, dir)
+        .where(col("user_id").isNotNull &&
+          col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max("ts").as("last_ts"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast("decimal(18,2)")).as("__m"))
+        .withColumn("monetary",
+          col("__m").cast("string").cast("double"))
+      p.select(col("user_id"), col("frequency"), col("monetary"),
+          ntile(4).over(Window.orderBy(col("last_ts").asc,
+            col("user_id").asc)).cast("long").as("r_score"),
+          ntile(4).over(Window.orderBy(col("frequency").asc,
+            col("user_id").asc)).cast("long").as("f_score"),
+          ntile(4).over(Window.orderBy(col("__m").asc,
+            col("user_id").asc)).cast("long").as("m_score"))
+        .orderBy("user_id")
+    }),
+    // time-to-convert distribution: whole days from a user's first
+    // view to their first subsequent purchase, counted per offset —
+    // the survival-curve complement of funnel_lag's single average
+    "conversion_lag_curve" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+      val firstView = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts")
+      firstView.join(purch, Seq("user_id"))
+        .where(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min(col("ts") - col("t1")).as("__lag"))
+        .select(expr("__lag div 86400000000000").as("offset_days"))
+        .groupBy("offset_days")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("offset_days")
+    }),
     // semi-structured props: real JSON parsing (from_json) → typed
     // aggregation per event type
     "props_parse" -> ((s, dir) =>
@@ -4906,6 +4948,39 @@ object SparkEntry {
         |  CAST(CAST(SUM(credit) AS VARCHAR) AS DOUBLE) AS credit,
         |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_conversions
         |FROM u GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+    // RFM twin: same purchase aggregates, same fully-tie-broken ntile
+    // windows (r by last purchase time, f by count, m by exact decimal
+    // spend), monetary through the VARCHAR bridge
+    "rfm_segments" ->
+      """WITH p AS (SELECT user_id, MAX(epoch_ns(ts)) AS last_ts,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS m
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        |  GROUP BY user_id)
+        |SELECT user_id, frequency,
+        |  CAST(CAST(m AS VARCHAR) AS DOUBLE) AS monetary,
+        |  CAST(ntile(4) OVER (ORDER BY last_ts ASC, user_id ASC)
+        |    AS BIGINT) AS r_score,
+        |  CAST(ntile(4) OVER (ORDER BY frequency ASC, user_id ASC)
+        |    AS BIGINT) AS f_score,
+        |  CAST(ntile(4) OVER (ORDER BY m ASC, user_id ASC)
+        |    AS BIGINT) AS m_score
+        |FROM p ORDER BY user_id""".stripMargin,
+    // lag-curve twin: first view, first subsequent purchase, whole-day
+    // integer division, counts per offset
+    "conversion_lag_curve" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |fv AS (SELECT user_id, MIN(tn) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |lg AS (SELECT f.user_id, MIN(p.tn - f.t1) AS l
+        |  FROM fv f JOIN ev p ON p.user_id = f.user_id
+        |    AND p.event_type = 'purchase' AND p.tn >= f.t1
+        |  GROUP BY f.user_id)
+        |SELECT CAST(l // 86400000000000 AS BIGINT) AS offset_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM lg GROUP BY 1 ORDER BY 1""".stripMargin,
     // funnel-lag twin: same step CTEs; lag sums as DECIMAL(28,0),
     // avg via the VARCHAR bridge then one double division
     "funnel_lag" -> {
