@@ -636,6 +636,35 @@ object DriveSmoke {
     println("PACKS=" + packedSeqs.groupBy("lang")
       .agg(org.apache.spark.sql.functions.max("last_pack").as("p"))
       .agg(org.apache.spark.sql.functions.sum($"p" + 1)).head.get(0))
+
+    // r11b: PRF retrieval, k-truss, split audit/fix pair
+    val prf = graft.operators.Bm25.prfSearch(
+      graft.operators.Bm25.fit(docs, "doc_id", "text"),
+      Seq("spark", "hash"), k = 10, fbDocs = 5, fbTerms = 3)
+    prf.explain("formatted")
+    println("PRF_TOP=" + prf.collect().take(3)
+      .map(_.getLong(0)).mkString(","))
+    println("KTRUSS_EDGES=" + graft.operators.Graph.kTruss(
+      liftE, "tok_a", "tok_b", k = 5).count())
+    val drivePairs = graft.operators.Dedup.nearDupPairsMinHash(
+      docs, "doc_id", "text", threshold = 0.5)
+      .select($"idA".as("id_a"), $"idB".as("id_b"))
+    val driveComp = graft.operators.Dedup.connectedComponents(
+      drivePairs, "id_a", "id_b")
+    val keyedSplit = docs.select("doc_id")
+      .join(driveComp.withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .withColumn("gkey", coalesce($"component", $"doc_id"))
+    val compSplits = graft.operators.Sampling.assignSplits(
+      keyedSplit.select("doc_id", "gkey"), "gkey",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val crossing = drivePairs
+      .join(compSplits.select($"doc_id".as("id_a"), $"split".as("sa")),
+        Seq("id_a"))
+      .join(compSplits.select($"doc_id".as("id_b"), $"split".as("sb")),
+        Seq("id_b"))
+      .where($"sa" =!= $"sb").count()
+    println("SPLIT_LEAKING_PAIRS=" + crossing)
     spark.stop()
   }
 }
