@@ -81,7 +81,11 @@ object SharedFrames {
                 java.nio.file.Files.getLastModifiedTime(p).toMillis)
             }
           java.util.Collections.sort(entries)
-          Integer.toHexString(String.join("\n", entries).hashCode)
+          // md5, not hashCode: a 32-bit collision would silently serve
+          // a stale artifact — the exact failure the fingerprint closes
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.digest(String.join("\n", entries).getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
         } finally walk.close()
       }
     s"$dir#$key@$fp"

@@ -360,9 +360,20 @@ object Lake {
       s"upserts must carry the key columns $keyCols")
     deletes.foreach(d => require(keyCols.forall(d.columns.contains),
       s"deletes must carry the key columns $keyCols"))
-    val gen = snapshotGenerations(spark, root)
-      .fold(-1L)(gs => if (gs.isEmpty) -1L else gs.max) + 1L
+    val gens = snapshotGenerations(spark, root)
+    val gen = gens.fold(-1L)(gs => if (gs.isEmpty) -1L else gs.max) + 1L
     val dataCols = upserts.columns.toSeq.filterNot(_ == "__deleted")
+    // schema drift guard: a later commit with different columns would
+    // silently null-fill under the plain (non-mergeSchema) read that
+    // readAsOf uses — fail loudly instead (evolve via a fresh base
+    // table + readEvolved, like any other layout change)
+    gens.filter(_.nonEmpty).foreach { gs =>
+      val existing = spark.read.parquet(s"$root/gen=${gs.head}")
+        .columns.toSeq.filterNot(_ == "__deleted")
+      require(existing == dataCols,
+        s"snapshot schema drift: table has $existing, commit carries " +
+          s"$dataCols — time travel needs one schema per table root")
+    }
     val up = upserts.select(dataCols.map(col): _*)
       .withColumn("__deleted", lit(false))
     val full = deletes.fold(up) { d =>

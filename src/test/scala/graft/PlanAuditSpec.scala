@@ -52,7 +52,12 @@ class PlanAuditSpec extends SparkSpec {
       // token_hits crosses its broadcast 1-row L1 normalizers;
       // token_ppr its broadcast 1-row seed count + dangling scalar;
       // session_funnel is funnel_steps' shape keyed by session
-      "token_hits", "token_ppr", "session_funnel")
+      "token_hits", "token_ppr", "session_funnel",
+      // ivf_fixed_recall rides topKJoin's broadcast query cross for
+      // its brute-force reference side (8 queries, bounded);
+      // split_by_component crosses its broadcast 1-row leaking-pair
+      // count — bounded by construction
+      "ivf_fixed_recall", "split_by_component")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
