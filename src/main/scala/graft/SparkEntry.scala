@@ -2767,6 +2767,28 @@ object SparkEntry {
         .select("asof_gen", "doc_id", "lang", "n_chars")
       asOf(1L).unionByName(asOf(2L)).orderBy("asof_gen", "doc_id")
     }),
+    // change-data-feed from history: snapshotDiff between two AS-OF
+    // reconstructions of the versioned table — "what did commit 2 do",
+    // recoverable from the layout alone (here: the zh tombstones
+    // surface as op='delete' rows)
+    "snapshot_cdc" -> ((s, dir) => {
+      val root = SharedFrames.materializedArtifact(dir, "snap_table") { p =>
+        val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        graft.operators.Lake.commitSnapshot(s, p, base, Seq("doc_id"))
+        graft.operators.Lake.commitSnapshot(s, p,
+          base.where(col("doc_id") % 7 === 0)
+            .withColumn("n_chars", col("n_chars") + 1000L), Seq("doc_id"))
+        graft.operators.Lake.commitSnapshot(s, p,
+          base.limit(0), Seq("doc_id"),
+          deletes = Some(base.where(col("lang") === "zh")
+            .select("doc_id")))
+      }
+      def asOf(g: Long) = graft.operators.Lake.readAsOf(
+        s, root, Seq("doc_id"), g)
+      graft.operators.Lake.snapshotDiff(asOf(1L), asOf(2L),
+        Seq("doc_id"), Seq("lang", "n_chars"))
+        .orderBy("doc_id")
+    }),
     // time-series densification: hourly per-type event counts with
     // gaps zero-filled across the observed span
     "dense_hourly" -> ((s, dir) =>
@@ -6189,6 +6211,20 @@ object SparkEntry {
         |  SELECT CAST(2 AS BIGINT), * FROM v1
         |  WHERE NOT COALESCE(lang = 'zh', FALSE))
         |ORDER BY asof_gen, doc_id""".stripMargin,
+    // CDC twin: commit 2 only deletes — every zh row of the gen-1
+    // state appears as a delete row with null "after" values
+    "snapshot_cdc" ->
+      """WITH v1 AS (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END
+        |    AS n_chars
+        |  FROM (SELECT doc_id, lang, n_chars FROM documents))
+        |SELECT doc_id,
+        |  lang AS lang_before, CAST(NULL AS VARCHAR) AS lang_after,
+        |  CAST(n_chars AS BIGINT) AS n_chars_before,
+        |  CAST(NULL AS BIGINT) AS n_chars_after,
+        |  'delete' AS op
+        |FROM v1 WHERE COALESCE(lang = 'zh', FALSE)
+        |ORDER BY doc_id""".stripMargin,
     // densify twin: observed counts left-joined onto the
     // keys × generate_series spine, 0-filled
     "dense_hourly" ->
