@@ -85,4 +85,30 @@ class LakeSnapshotSpec extends SparkSpec {
       deletes = Some(Seq(Tuple1(2L)).toDF("id")))
     assert(state(root, 1L) == Map(1L -> ("a", 1L)))
   }
+
+  test("streaming ingest into a snapshot table: one commit per " +
+      "micro-batch, and as-of reads reconstruct every batch boundary") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp() + "/t"
+    val source = MemoryStream[(Long, String, Long)]
+    val q = source.toDF().toDF("id", "v", "n").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Lake.commitSnapshot(spark, root, batch, Seq("id"))
+        ()
+      }.start()
+    try {
+      source.addData((1L, "a", 1L), (2L, "b", 2L))
+      q.processAllAvailable()
+      source.addData((2L, "b2", 22L), (3L, "c", 3L)) // upsert + insert
+      q.processAllAvailable()
+      assert(Lake.snapshotGenerations(spark, root).get == Seq(0L, 1L))
+      assert(state(root, 0L) == Map(1L -> ("a", 1L), 2L -> ("b", 2L)),
+        "the pre-upsert state must stay readable after the next trigger")
+      assert(state(root, 1L) ==
+        Map(1L -> ("a", 1L), 2L -> ("b2", 22L), 3L -> ("c", 3L)))
+    } finally q.stop()
+  }
 }
