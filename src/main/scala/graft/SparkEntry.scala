@@ -2068,6 +2068,17 @@ object SparkEntry {
         Seq("view", "click", "purchase"),
         horizonNanos = 7L * 86400 * 1000000000L)
         .orderBy("step")),
+    // unordered funnel: did the user hit view AND click AND purchase
+    // within 7 days, in ANY order — the engagement-checklist
+    // complement of the ordered funnel; full hitters split by
+    // within-horizon completion
+    "unordered_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.unorderedFunnel(
+        events(s, dir).select("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"),
+        horizonNanos = 7L * 86400 * 1000000000L)
+        .orderBy("n_steps_hit", "completed")),
     // time-to-convert per funnel step (avg lag from step 1, decimal
     // sums — horizon·users overflows a long at corpus scale)
     "funnel_lag" -> ((s, dir) =>
@@ -4982,6 +4993,30 @@ object SparkEntry {
         |  CAST(CAST(SUM(credit) AS VARCHAR) AS DOUBLE) AS credit,
         |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_conversions
         |FROM u GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+    // unordered twin: conditional MIN per step, hit count, span test
+    // only for full hitters (all three mins non-null)
+    "unordered_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |pu AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN tn END) AS tv,
+        |    MIN(CASE WHEN event_type = 'click' THEN tn END) AS tc,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN tn END) AS tp
+        |  FROM ev GROUP BY user_id),
+        |b AS (SELECT
+        |    (CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END +
+        |     CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END +
+        |     CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) AS n_steps_hit,
+        |    CASE WHEN tv IS NOT NULL AND tc IS NOT NULL
+        |        AND tp IS NOT NULL
+        |        AND GREATEST(tv, tc, tp) - LEAST(tv, tc, tp)
+        |          <= 604800000000000 THEN 1 ELSE 0 END AS completed
+        |  FROM pu)
+        |SELECT CAST(n_steps_hit AS BIGINT) AS n_steps_hit,
+        |  CAST(completed AS INT) AS completed,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // RFM twin: same purchase aggregates, same fully-tie-broken ntile
     // windows (r by last purchase time, f by count, m by exact decimal
     // spend), monetary through the VARCHAR bridge

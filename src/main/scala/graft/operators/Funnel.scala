@@ -55,6 +55,48 @@ object Funnel {
       .drop("n_first")
   }
 
+  /** UNORDERED funnel ("did they do all of these within the window",
+    * any order): per user, the FIRST time of each step; the user
+    * completes when every step is present and the span between the
+    * earliest and latest first-occurrence fits `horizonNanos`. The
+    * engagement-checklist complement of the ordered [[funnel]] — "hit
+    * view AND click AND purchase this week" regardless of sequence.
+    * Returns (n_steps_hit, completed, n_users): users bucket by how
+    * many DISTINCT steps they performed at all, and full hitters
+    * split into completed (span within the horizon) vs not — the
+    * "engaged but too slowly" slice stays visible.
+    *
+    * One filtered aggregate per user (min ts per step via conditional
+    * MIN — no join per step), one count by bucket. Exact integers. */
+  def unorderedFunnel(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String],
+      horizonNanos: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, s"duplicate step in $steps")
+    require(horizonNanos > 0, "horizonNanos must be positive")
+    val perUser = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol))
+      .agg(steps.map(st =>
+        min(when(col(typeCol) === st, col(tsCol))).as(s"__t_$st")).head,
+        steps.tail.map(st =>
+          min(when(col(typeCol) === st, col(tsCol))).as(s"__t_$st")): _*)
+    val stepCols = steps.map(st => col(s"__t_$st"))
+    val nHit = stepCols.map(c =>
+      when(c.isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    // span only gates FULL hitters (nHit == |steps| ⇒ every step col
+    // non-null, so engines' differing greatest/least null conventions
+    // never reach the comparison)
+    val span = greatest(stepCols: _*) - least(stepCols: _*)
+    perUser
+      .select(nHit.as("n_steps_hit"),
+        (nHit === steps.size.toLong && span <= horizonNanos)
+          .cast("int").as("completed"))
+      .groupBy("n_steps_hit", "completed")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Funnel over time: reach and conversion per (cohort, step), where
     * a user's cohort is the period of their STEP-1 time — "did last
     * week's signups convert worse than this week's". Same step-reach

@@ -228,4 +228,27 @@ class FunnelSpec extends SparkSpec {
     val se = math.sqrt(pool * (1.0 - pool) * (1.0 / 4 + 1.0 / 4))
     assert(math.abs(r.getAs[Double]("z") - (0.5 - 0.25) / se) < 1e-15)
   }
+
+  test("unorderedFunnel: any-order completion within the horizon; " +
+      "partials bucket by step count; too-slow full hitters split out") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: all three, out of order, tight span -> completed
+      ("u1", "purchase", 10L), ("u1", "view", 20L), ("u1", "click", 30L),
+      // u2: all three but span > horizon -> full hit, not completed
+      ("u2", "view", 0L), ("u2", "click", 500L), ("u2", "purchase", 5000L),
+      // u3: two steps only
+      ("u3", "view", 0L), ("u3", "click", 1L),
+      // u4: one step, repeated (min-ts dedup)
+      ("u4", "view", 0L), ("u4", "view", 999L),
+      // noise: unrelated type and null user drop
+      ("u1", "scroll", 5L), (null, "view", 1L))
+      .toDF("user", "etype", "ts")
+    val out = Funnel.unorderedFunnel(ev, "user", "etype", "ts",
+      Seq("view", "click", "purchase"), horizonNanos = H)
+      .orderBy("n_steps_hit", "completed").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0, 1L), (2L, 0, 1L), (3L, 0, 1L),
+      (3L, 1, 1L)), out.toSeq.toString)
+  }
 }
