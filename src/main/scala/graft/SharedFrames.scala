@@ -167,6 +167,23 @@ object SharedFrames {
         .distinct()
     }
 
+  /** DSIR scored-weights table for `dir` at the registry's fixed
+    * parameters (target = src1/src2, buckets = 4096, portable hash,
+    * oracle rounding): (doc_id, logw decimal) from
+    * [[operators.Dsir.logRatioTable]] + `importanceWeights` — the
+    * fit + corpus scoring pass runs once per process; the weights
+    * report and the Gumbel selection both read the slim artifact
+    * (decimal survives parquet bit-exactly). */
+  def dsirLogw(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "dsir_logw4096") {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tgt = docs.filter(col("source").isin("src1", "src2"))
+      val llr = operators.Dsir.logRatioTable(tgt, docs, "text",
+        buckets = 4096, portableHash = true, oracleRounding = true)
+      operators.Dsir.importanceWeights(docs, "doc_id", "text", llr,
+        buckets = 4096, portableHash = true)
+    }
+
   /** Co-occurrence association table for `dir` (topV=40, minSupport=10
     * — the registry's fixed graph parameters): (tok_a, tok_b, n_ab,
     * df_a, df_b, lift) from [[operators.TextAnalysis.coocLift]]. One

@@ -2444,29 +2444,22 @@ object SparkEntry {
     // bucketing + decimal(18,9)-rounded llr make the per-doc sum
     // order-free → the whole fit→score pipeline is oracle-checked
     // (xxhash64 bucketing is the codegen'd default for the scale path)
-    "dsir_weights" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val tgt = docs.filter(col("source").isin("src1", "src2"))
-      val llr = graft.operators.Dsir.logRatioTable(tgt, docs, "text",
-        buckets = 4096, portableHash = true, oracleRounding = true)
-      graft.operators.Dsir.importanceWeights(docs, "doc_id", "text", llr,
-        buckets = 4096, portableHash = true)
+    "dsir_weights" -> ((s, dir) =>
+      // the shared scored-weights artifact (fit + corpus scoring once
+      // per process; the Gumbel selection below reads the same frame)
+      SharedFrames.dsirLogw(s, dir)
         .withColumn("logw", col("logw").cast("decimal(18,9)").cast("double"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
     // DSIR Gumbel top-k resampling (without replacement ∝ exp(logw)):
     // md5-derived uniforms, decimal(18,6) keys + id tiebreak (the
     // weighted_sample determinism contract) → the selection itself is
     // oracle-checked end-to-end
-    "dsir_select" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val tgt = docs.filter(col("source").isin("src1", "src2"))
-      graft.operators.Dsir.selectTopK(docs, tgt, "doc_id", "text",
-        k = 100, buckets = 4096, portableHash = true,
-        oracleRounding = true)
+    "dsir_select" -> ((s, dir) =>
+      graft.operators.Dsir.gumbelTopK(
+        SharedFrames.dsirLogw(s, dir), "doc_id", "logw", k = 100,
+        roundKeys = true)
         .withColumn("logw", col("logw").cast("decimal(18,9)").cast("double"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
     // sequence packing: concatenate the corpus in doc order and cut
     // into fixed-size context windows — two-phase distributed prefix
     // scan, NOT a single-partition global window
