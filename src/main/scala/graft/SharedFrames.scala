@@ -59,13 +59,17 @@ object SharedFrames {
   }
 
   /** Memoization key: the caller's logical key plus a fingerprint of
-    * the input parquet files under `dir` (relative path, size, mtime).
-    * A bare path key would silently serve a STALE artifact if the
-    * parquet under the directory were regenerated in-process (the
-    * driver's gate never does this, but the failure mode is silent
-    * wrong answers, so the fingerprint closes it). Fingerprinting is
-    * one local directory listing — negligible next to the scan it
-    * memoizes. */
+    * the input parquet files under `dir` (relative path, inode
+    * fileKey, size, nanosecond mtime). A bare path key would silently
+    * serve a STALE artifact if the parquet under the directory were
+    * regenerated in-process (the driver's gate never does this, but
+    * the failure mode is silent wrong answers, so the fingerprint
+    * closes it). The inode fileKey is the load-bearing field: a
+    * parquet overwrite deletes and recreates every part file, so the
+    * inode changes even when size and a coarse-granularity mtime
+    * collide — no content read, no timestamp-resolution race.
+    * Fingerprinting is one local directory listing — negligible next
+    * to the scan it memoizes. */
   private def fingerprinted(dir: String, key: String): String = {
     val root = java.nio.file.Paths.get(dir)
     val fp =
@@ -76,9 +80,13 @@ object SharedFrames {
           val entries = new java.util.ArrayList[String]()
           walk.filter(p => java.nio.file.Files.isRegularFile(p))
             .forEach { p =>
-              entries.add(root.relativize(p).toString + ":" +
-                java.nio.file.Files.size(p) + ":" +
-                java.nio.file.Files.getLastModifiedTime(p).toMillis)
+              val attrs = java.nio.file.Files.readAttributes(
+                p, classOf[java.nio.file.attribute.BasicFileAttributes])
+              val inode = Option(attrs.fileKey).map(_.toString)
+                .getOrElse("nokey")
+              entries.add(root.relativize(p).toString + ":" + inode +
+                ":" + attrs.size + ":" + attrs.lastModifiedTime
+                  .to(java.util.concurrent.TimeUnit.NANOSECONDS))
             }
           java.util.Collections.sort(entries)
           // md5, not hashCode: a 32-bit collision would silently serve

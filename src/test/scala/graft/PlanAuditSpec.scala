@@ -308,16 +308,31 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("DSIR scoring joins the llr table BROADCAST — the corpus never " +
-      "shuffles to meet the model") {
-    val plan = planOf("dsir_weights")
+      "shuffles to meet the model (asserted on the artifact-BUILD " +
+      "plan: the registered dsir_weights serves the SharedFrames " +
+      "parquet, and its build runs exactly this pipeline)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val tgt = docs.filter(col("source").isin("src1", "src2"))
+    val llr = graft.operators.Dsir.logRatioTable(tgt, docs, "text",
+      buckets = 4096, portableHash = true, oracleRounding = true)
+    val plan = graft.operators.Dsir
+      .importanceWeights(docs, "doc_id", "text", llr,
+        buckets = 4096, portableHash = true)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
-      s"dsir_weights lost the broadcast llr join:\n$plan")
+      s"DSIR scoring lost the broadcast llr join:\n$plan")
     // the corpus-sized doc-completion left join may legitimately
     // sort-merge (both sides are corpus-sized); the per-GRAM bucket
     // join must not — that would shuffle every gram occurrence
     assert(!plan.split("\n").exists(l =>
         l.contains("SortMergeJoin") && l.contains("[bucket")),
-      s"dsir_weights sort-merges the gram/llr join:\n$plan")
+      s"DSIR scoring sort-merges the gram/llr join:\n$plan")
+    // and the registered query itself serves the materialized slim
+    // artifact — a parquet scan, no per-call refit
+    val served = planOf("dsir_weights")
+    assert(served.contains("Scan parquet") && !served.contains("Join"),
+      s"dsir_weights should serve the shared artifact scan:\n$served")
   }
 
   test("sliding windows aggregate with map-side partial aggregation") {

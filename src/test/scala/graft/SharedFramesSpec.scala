@@ -14,12 +14,12 @@ class SharedFramesSpec extends SparkSpec {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-sfspec-").toAbsolutePath.toString
     Seq(
-      (1L, "the quick brown fox jumps over the lazy dog"),
-      (2L, "the quick brown fox jumps over a sleeping cat"),
-      (3L, "completely different text with no overlap at all"),
-      (4L, "zz"),
-      (5L, "the quick brown fox jumps over the lazy dog"))
-      .toDF("doc_id", "text")
+      (1L, "the quick brown fox jumps over the lazy dog", "src1"),
+      (2L, "the quick brown fox jumps over a sleeping cat", "src2"),
+      (3L, "completely different text with no overlap at all", "src3"),
+      (4L, "zz", "src3"),
+      (5L, "the quick brown fox jumps over the lazy dog", "src1"))
+      .toDF("doc_id", "text", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
   }
@@ -88,6 +88,22 @@ class SharedFramesSpec extends SparkSpec {
     assert(shared.toSeq === direct.toSeq)
   }
 
+  test("dsirLogw equals a direct logRatioTable + importanceWeights " +
+      "recompute at the registry's fixed parameters — the shared " +
+      "scored-weights artifact is indistinguishable from the live fit") {
+    import graft.operators.Dsir
+    val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
+    val tgt = docs.filter(col("source").isin("src1", "src2"))
+    val llr = Dsir.logRatioTable(tgt, docs, "text",
+      buckets = 4096, portableHash = true, oracleRounding = true)
+    val direct = Dsir.importanceWeights(docs, "doc_id", "text", llr,
+      buckets = 4096, portableHash = true)
+      .orderBy("doc_id").collect()
+    val shared = SharedFrames.dsirLogw(spark, fixtureDir)
+      .orderBy("doc_id").collect()
+    assert(shared.toSeq === direct.toSeq)
+  }
+
   test("regenerating the input parquet in-process invalidates the " +
       "memo — the fingerprint serves fresh values, not a stale artifact") {
     val dir = java.nio.file.Files
@@ -97,9 +113,9 @@ class SharedFramesSpec extends SparkSpec {
     val before = SharedFrames.lmScoredDocs(spark, dir)
       .select("doc_id").as[Long].collect().sorted
     assert(before === Array(1L))
-    // regenerate with different rows; bump mtimes past millisecond
-    // granularity so the (path, size, mtime) fingerprint must change
-    Thread.sleep(1100)
+    // regenerate immediately, with different rows — no sleep: the
+    // overwrite recreates the part files, so the inode fileKey in the
+    // fingerprint changes even inside one mtime-granularity tick
     Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
