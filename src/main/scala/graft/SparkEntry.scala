@@ -881,14 +881,16 @@ object SparkEntry {
         .orderBy("lang")),
     // BPE tokenizer TRAINED on the corpus itself (Sennrich et al.):
     // one word-count pass + driver-side merge loop on the weighted
-    // vocabulary, then the codegen'd segmenter kernel. Iterative
-    // merges are not SQL-expressible → rows-only; merge order and
-    // segmentation are unit-pinned on a hand-checked corpus
+    // vocabulary, then the codegen'd segmenter kernel. The twin
+    // replays the WHOLE pipeline in SQL — unrolled training stages
+    // (weighted pair counts → argmax → one-pass merge) + a recursive
+    // rank-order segmentation — so the trained path is oracle-checked
+    // end-to-end (merge order and segmentation stay unit-pinned too)
     "bpe_trained_tokens" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val ranks = graft.operators.TextAnalysis.bpeRanks(
         graft.operators.TextAnalysis.trainBpeMerges(docs, "text",
-          numMerges = 60))
+          numMerges = bpeTrainedMerges))
       docs.select(col("doc_id"),
         size(graft.functions.TextFunctions.bpe_segment(col("text"), ranks))
           .cast("long").as("n_subwords"))
@@ -2090,10 +2092,14 @@ object SparkEntry {
         .orderBy("step")),
     // RFM segmentation: per purchasing user, quartile scores for
     // recency (latest purchase), frequency (purchase count), monetary
-    // (exact decimal spend) — the classic CRM cut; ntile over a fully
-    // tie-broken order is engine-deterministic
+    // (exact decimal spend) — the classic CRM cut. Quartiles come from
+    // Profile.ntileExact (two-phase PrefixScan rank + broadcast count,
+    // NEVER a global unpartitioned ntile window — that funnels every
+    // purchasing user into one task); the arithmetic reproduces ntile
+    // bit-for-bit under the same tie-broken order, so the DuckDB twin
+    // keeps its plain ntile windows
     "rfm_segments" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Profile
       val p = events(s, dir)
         .where(col("user_id").isNotNull &&
           col("event_type") === "purchase")
@@ -2103,13 +2109,20 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).as("__m"))
         .withColumn("monetary",
           col("__m").cast("string").cast("double"))
-      p.select(col("user_id"), col("frequency"), col("monetary"),
-          ntile(4).over(Window.orderBy(col("last_ts").asc,
-            col("user_id").asc)).cast("long").as("r_score"),
-          ntile(4).over(Window.orderBy(col("frequency").asc,
-            col("user_id").asc)).cast("long").as("f_score"),
-          ntile(4).over(Window.orderBy(col("__m").asc,
-            col("user_id").asc)).cast("long").as("m_score"))
+      // deterministic lineage (parquet scan → agg, fully tie-broken
+      // orders) → the lazy runningSumBy path is exact; nothing is
+      // checkpointed (the 100 TB posture)
+      val withR = Profile.ntileExact(p,
+        Seq(col("last_ts").asc, col("user_id").asc), 4, "r_score",
+        materialize = false)
+      val withF = Profile.ntileExact(withR,
+        Seq(col("frequency").asc, col("user_id").asc), 4, "f_score",
+        materialize = false)
+      val withM = Profile.ntileExact(withF,
+        Seq(col("__m").asc, col("user_id").asc), 4, "m_score",
+        materialize = false)
+      withM.select("user_id", "frequency", "monetary",
+          "r_score", "f_score", "m_score")
         .orderBy("user_id")
     }),
     // time-to-convert distribution: whole days from a user's first
@@ -3533,6 +3546,25 @@ object SparkEntry {
          |FROM m ORDER BY doc_id""".stripMargin
 
 
+  /** Unroll depths of the graph-peel DuckDB twins. The operators'
+    * round counts are DATA-DEPENDENT (driver convergence loops); the
+    * twins replay a FIXED number of stages. Extra stages past the
+    * fixpoint are idempotent, but a twin unrolled SHORTER than the
+    * operator's actual depth returns a non-fixpoint and the gate
+    * reports a bare hash mismatch with no pointer to the cause —
+    * `TwinDepthSpec` measures the real round counts on the gate data
+    * and fails with a "regenerate the twin" message when these
+    * constants no longer clear them. The twin SQL chains are GENERATED
+    * from these values, so constant and twin cannot drift apart. */
+  private[graft] val tokenKcoreTwinRounds = 4
+  private[graft] val tokenKtrussTwinRounds = 7
+  private[graft] val tokenCorenessTwinRounds = 8
+
+  /** Merge count of the trained-BPE query — the twin's training
+    * replay unrolls exactly this many stages, so registration and
+    * twin cannot drift. */
+  private[graft] val bpeTrainedMerges = 60
+
   def oracleSql: Map[String, String] = Map(
     // Q17 twin: same division-free correlated-subquery text
     "q17_correlated" ->
@@ -4275,6 +4307,79 @@ object SparkEntry {
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
         "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe " +
         "FROM documents ORDER BY doc_id"),
+    // trained-BPE twin: replays TRAINING (weighted word counts →
+    // per-stage pair counts → (count DESC, a, b) argmax → merge) and
+    // SEGMENTATION (apply merges in rank order) entirely in SQL.
+    // Representation trick: every symbol sits in its OWN chr(1)
+    // wrappers ("␁a␁␁b␁"), so adjacent pairs never share a separator
+    // and ONE replace() call = exactly one left-to-right
+    // non-overlapping merge pass — the same pass TextOps.mergePair /
+    // bpeSegment make (rank-order application ≡ the kernel's greedy
+    // lowest-rank-first order for any trained merge list, since a
+    // merge's parts always predate it). chr(1) never occurs in the
+    // corpus text (checked; a contaminated corpus would fail the
+    // hash, not silently pass). Training stages are MATERIALIZED —
+    // each references its predecessor twice and DuckDB would inline
+    // 2^stages copies otherwise.
+    "bpe_trained_tokens" -> {
+      val SEP = "chr(1)"
+      def pat(a: String, b: String) =
+        s"$SEP||$a||$SEP||$SEP||$b||$SEP"
+      def rep(a: String, b: String) = s"$SEP||$a||$b||$SEP"
+      def wrap(e: String) =
+        s"$SEP || array_to_string(regexp_extract_all($e, '.'), " +
+          s"$SEP||$SEP) || $SEP"
+      def stage(i: Int): String =
+        s"""p$i AS MATERIALIZED (
+           |  SELECT pr.a AS a, pr.b AS b, SUM(c) AS pc FROM (
+           |    SELECT unnest(list_transform(range(1, len(parts)),
+           |      j -> struct_pack(a := parts[j], b := parts[j+1])))
+           |      AS pr, c
+           |    FROM (SELECT list_filter(string_split(s, chr(1)),
+           |      x -> x <> '') AS parts, c FROM v${i - 1}))
+           |  GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (
+           |  SELECT a, b FROM p$i ORDER BY pc DESC, a, b LIMIT 1),
+           |v$i AS MATERIALIZED (
+           |  SELECT CASE WHEN b.a IS NULL THEN v.s
+           |    ELSE replace(v.s, ${pat("b.a", "b.b")},
+           |                 ${rep("b.a", "b.b")}) END AS s, v.c
+           |  FROM v${i - 1} v LEFT JOIN b$i b ON TRUE)""".stripMargin
+      val mgUnion = (1 to bpeTrainedMerges)
+        .map(i => s"SELECT ${i - 1} AS r, a, b FROM b$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE
+         |w0 AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest($toksSql) AS w FROM documents)
+         |  GROUP BY w ORDER BY c DESC, w LIMIT 100000),
+         |v0 AS MATERIALIZED (SELECT ${wrap("w")} AS s, c FROM w0),
+         |${(1 to bpeTrainedMerges).map(stage).mkString(",\n")},
+         |mg AS MATERIALIZED (
+         |  $mgUnion),
+         |docword AS (SELECT doc_id, unnest($toksSql) AS w
+         |  FROM documents),
+         |dw AS (SELECT DISTINCT w FROM docword),
+         |seg AS (
+         |  SELECT w, ${wrap("w")} AS s, 0 AS r FROM dw
+         |  UNION ALL
+         |  SELECT seg.w, CASE WHEN m.a IS NULL THEN seg.s
+         |    ELSE replace(seg.s, ${pat("m.a", "m.b")},
+         |                 ${rep("m.a", "m.b")}) END,
+         |    seg.r + 1
+         |  FROM seg LEFT JOIN mg m ON m.r = seg.r
+         |  WHERE seg.r < $bpeTrainedMerges),
+         |wc AS (SELECT w,
+         |    CAST((len(s) - len(replace(s, chr(1), ''))) // 2
+         |      AS BIGINT) AS n
+         |  FROM seg WHERE r = $bpeTrainedMerges)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(SUM(wc.n), 0) AS BIGINT) AS n_subwords
+         |FROM documents d
+         |LEFT JOIN docword dwd ON dwd.doc_id = d.doc_id
+         |LEFT JOIN wc ON wc.w = dwd.w
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    },
     // fertility twin: same kernel counts (toksSql length, the BPE
     // regex), exact BIGINT sums, one double division per ratio via
     // the decimal(18,9) VARCHAR bridge
@@ -6119,12 +6224,10 @@ object SparkEntry {
          |        (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)) >= 1.05),
          |e0 AS (SELECT tok_a AS u, tok_b AS v FROM le
          |       UNION ALL SELECT tok_b, tok_a FROM le),
-         |${peel("e0", 1)},
-         |${peel("e1", 2)},
-         |${peel("e2", 3)},
-         |${peel("e3", 4)}
+         |${(1 to tokenKcoreTwinRounds)
+            .map(i => peel(s"e${i - 1}", i)).mkString(",\n")}
          |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
-         |FROM e4 GROUP BY u ORDER BY node""".stripMargin
+         |FROM e$tokenKcoreTwinRounds GROUP BY u ORDER BY node""".stripMargin
     },
     // k-truss twin: 7 unrolled peel rounds (id-ordered wedge close →
     // per-edge triangle support via the 3-edge explode → keep >= k-2);
@@ -6156,15 +6259,10 @@ object SparkEntry {
          |  WHERE (CAST(n_ab AS DOUBLE) * CAST((SELECT n FROM n) AS DOUBLE)) /
          |        (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)) >= 1.05),
          |e0 AS MATERIALIZED (SELECT tok_a AS u, tok_b AS v FROM le),
-         |${round("e0", "e1")},
-         |${round("e1", "e2")},
-         |${round("e2", "e3")},
-         |${round("e3", "e4")},
-         |${round("e4", "e5")},
-         |${round("e5", "e6")},
-         |${round("e6", "e7")}
+         |${(1 to tokenKtrussTwinRounds)
+            .map(i => round(s"e${i - 1}", s"e$i")).mkString(",\n")}
          |SELECT u AS tok_a, v AS tok_b, support
-         |FROM e7 ORDER BY tok_a, tok_b""".stripMargin
+         |FROM e$tokenKtrussTwinRounds ORDER BY tok_a, tok_b""".stripMargin
     },
     // coreness twin: 8 unrolled h-index rounds over the same
     // lift-filtered symmetric edges (degree seed; per round each
@@ -6188,16 +6286,10 @@ object SparkEntry {
          |        UNION ALL SELECT tok_b, tok_a FROM le),
          |c0 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM sym
          |  GROUP BY u),
-         |${round("c0", "c1")},
-         |${round("c1", "c2")},
-         |${round("c2", "c3")},
-         |${round("c3", "c4")},
-         |${round("c4", "c5")},
-         |${round("c5", "c6")},
-         |${round("c6", "c7")},
-         |${round("c7", "c8")}
+         |${(1 to tokenCorenessTwinRounds)
+            .map(i => round(s"c${i - 1}", s"c$i")).mkString(",\n")}
          |SELECT u AS node, CAST(c AS BIGINT) AS coreness
-         |FROM c8 ORDER BY node""".stripMargin
+         |FROM c$tokenCorenessTwinRounds ORDER BY node""".stripMargin
     },
     // LPA twin: same edges, 2 unrolled rounds, argmax by
     // ROW_NUMBER over (cnt DESC, lbl ASC) — the min_by tie rule

@@ -399,6 +399,46 @@ object Graph {
         col("__a").as("authority"))
   }
 
+  /** Degree-ordered wedge enumeration over an id-canonical edge list
+    * (`__u` < `__v`, one row per unordered pair): orient each edge
+    * from its (within-subgraph degree, id)-smaller endpoint to the
+    * larger, and self-join oriented edges on their source. The
+    * orientation caps every node's wedge fan-out at its oriented
+    * OUT-degree — O(√|E|) for any graph (Cohen 2009 / Suri &
+    * Vassilvitskii WWW'11) — so a hub contributes no O(d²) wedge
+    * blow-up: its edges all point INTO it. Returns (__s, __b, __c)
+    * with __b < __c (id order — the closure key matches canon). */
+  private[operators] def orientedWedges(canon: DataFrame): DataFrame = {
+    val deg = canon
+      .select(explode(array(col("__u"), col("__v"))).as("__n"))
+      .groupBy("__n").agg(count(lit(1)).as("__deg"))
+    val ranked = canon
+      .join(deg.select(col("__n").as("__u"), col("__deg").as("__du")),
+        Seq("__u"))
+      .join(deg.select(col("__n").as("__v"), col("__deg").as("__dv")),
+        Seq("__v"))
+    val oriented = ranked.select(
+      when(col("__du") < col("__dv") ||
+          (col("__du") === col("__dv") && col("__u") < col("__v")),
+        struct(col("__u").as("s"), col("__v").as("t")))
+        .otherwise(struct(col("__v").as("s"), col("__u").as("t")))
+        .as("__e"))
+      .select(col("__e.s").as("__s"), col("__e.t").as("__t"))
+    // wedges from a common source, id-ordered to count each pair once
+    oriented.select(col("__s"), col("__t").as("__b"))
+      .join(oriented.select(col("__s"), col("__t").as("__c")), Seq("__s"))
+      .where(col("__b") < col("__c"))
+  }
+
+  /** Each triangle of the id-canonical edge list EXACTLY once:
+    * [[orientedWedges]] closed against the edge table (wedge pairs are
+    * id-ordered, so the lookup key is exactly canon's (u, v)).
+    * Returns (__s, __b, __c), __b < __c. */
+  private[operators] def orientedTriangles(canon: DataFrame): DataFrame =
+    orientedWedges(canon).join(
+      canon.select(col("__u").as("__b"), col("__v").as("__c")),
+      Seq("__b", "__c"))
+
   /** Per-node triangle counts over an UNDIRECTED edge list — the
     * clustering/cohesion primitive (community density, spam-farm
     * detection, graph feature engineering). Returns (node, triangles)
@@ -422,27 +462,7 @@ object Graph {
     val deg = sym.groupBy("__u").agg(count(lit(1)).as("__deg"))
     // canonical undirected edges (one row per unordered pair)
     val canon = sym.where(col("__u") < col("__v"))
-    // orientation rank: (degree, id) — a total order on nodes
-    val ranked = canon
-      .join(deg.select(col("__u"), col("__deg").as("__du")), Seq("__u"))
-      .join(deg.select(col("__u").as("__v"), col("__deg").as("__dv")),
-        Seq("__v"))
-    val oriented = ranked.select(
-      when(col("__du") < col("__dv") ||
-          (col("__du") === col("__dv") && col("__u") < col("__v")),
-        struct(col("__u").as("s"), col("__v").as("t")))
-        .otherwise(struct(col("__v").as("s"), col("__u").as("t")))
-        .as("__e"))
-      .select(col("__e.s").as("__s"), col("__e.t").as("__t"))
-    // wedges from a common source, ordered to count each pair once
-    val wedges = oriented.select(col("__s"), col("__t").as("__b"))
-      .join(oriented.select(col("__s"), col("__t").as("__c")), Seq("__s"))
-      .where(col("__b") < col("__c"))
-    // close the wedge against the id-canonical edge table (wedge pairs
-    // are id-ordered, so the lookup key is exactly canon's (u, v))
-    val closed = wedges.join(
-      canon.select(col("__u").as("__b"), col("__v").as("__c")),
-      Seq("__b", "__c"))
+    val closed = orientedTriangles(canon)
     val perNode = closed
       .select(explode(array(col("__s"), col("__b"), col("__c")))
         .as("node"))
@@ -516,11 +536,28 @@ object Graph {
     * once). All-integer arithmetic — exactly replayable cross-engine,
     * no decimal bridge needed. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxRounds: Int = 10000): DataFrame =
+    kCoreInstrumented(edges, srcCol, dstCol, k, maxRounds)._1
+
+  /** [[kCore]] plus the number of driver peel rounds executed
+    * (including the final no-change confirming round) — the
+    * measurement behind the twin-unroll-depth gate: a DuckDB twin
+    * that unrolls fewer stages than the operator needs would return a
+    * NON-fixpoint and fail the hash with no pointer to the cause. */
+  private[graft] def kCoreInstrumented(edges: DataFrame, srcCol: String,
+      dstCol: String, k: Int, maxRounds: Int = 10000): (DataFrame, Int) = {
     require(k >= 1, "k must be >= 1")
     var e = symmetrize(edges, srcCol, dstCol).localCheckpoint()
-    var converged = false
+    // ONE count action per round: the previous round's count is
+    // already known, so carry it instead of re-counting the old frame
+    var prevEdges = e.count()
+    var rounds = 0
+    var converged = prevEdges == 0L
     while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"kCore did not converge within $maxRounds rounds — " +
+          "non-monotone peel (bug) or raise maxRounds")
       val deg = e.groupBy("__u").agg(count(lit(1)).as("__deg"))
       val survivors = deg.where(col("__deg") >= k).select("__u")
       val pruned = e
@@ -530,10 +567,13 @@ object Graph {
         .localCheckpoint()
       // fixpoint when no edge was peeled this round (edge count is
       // monotone non-increasing, so equality IS convergence)
-      converged = pruned.count() == e.count()
+      val prunedEdges = pruned.count()
+      converged = prunedEdges == prevEdges
+      prevEdges = prunedEdges
       e = pruned
     }
-    e.groupBy(col("__u").as("node")).agg(count(lit(1)).as("degree"))
+    (e.groupBy(col("__u").as("node")).agg(count(lit(1)).as("degree")),
+      rounds)
   }
 
   /** k-truss of an UNDIRECTED edge list: the maximal subgraph where
@@ -545,32 +585,42 @@ object Graph {
     * triangle support: (src, dst, support), src < dst.
     *
     * Same driver-convergence-loop shape as [[kCore]]: per round,
-    * enumerate triangles by the id-ordered wedge join (wedges from a
-    * common smallest vertex closed against the edge table — each
-    * triangle counted once; the degree orientation that optimizes
-    * [[triangleCounts]] is unnecessary here because the table shrinks
-    * every round), explode each triangle onto its three edges for the
-    * support count, drop edges under k−2, checkpoint, repeat until no
-    * edge drops. All-integer — exactly replayable; the twin unrolls
-    * the rounds. */
+    * enumerate triangles by the DEGREE-ORIENTED wedge join
+    * ([[orientedTriangles]] — the same (degree, id)-min orientation
+    * [[triangleCounts]] uses, so round-1 wedge fan-out on a hub-heavy
+    * graph is O(√|E|)-capped, not O(d²) from a low-id hub), explode
+    * each triangle onto its three id-canonical edges for the support
+    * count, drop edges under k−2, checkpoint, repeat until no edge
+    * drops. All-integer — exactly replayable; the twin unrolls the
+    * rounds. */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxRounds: Int = 10000): DataFrame =
+    kTrussInstrumented(edges, srcCol, dstCol, k, maxRounds)._1
+
+  /** [[kTruss]] plus the executed round count (incl. the confirming
+    * round) — see [[kCoreInstrumented]] for why the gate needs it. */
+  private[graft] def kTrussInstrumented(edges: DataFrame, srcCol: String,
+      dstCol: String, k: Int, maxRounds: Int = 10000): (DataFrame, Int) = {
     require(k >= 2, "k must be >= 2 (k-2 triangles per edge)")
     var canon = symmetrize(edges, srcCol, dstCol)
       .where(col("__u") < col("__v")).localCheckpoint()
-    var result: DataFrame = null
-    var converged = false
+    var prevEdges = canon.count()
+    var result: DataFrame = canon.withColumn("support", lit(0L))
+    var rounds = 0
+    var converged = prevEdges == 0L
     while (!converged) {
-      val wedges = canon.select(col("__u").as("__a"), col("__v").as("__b"))
-        .join(canon.select(col("__u").as("__a"), col("__v").as("__c")),
-          Seq("__a"))
-        .where(col("__b") < col("__c"))
-      val tri = wedges.join(
-        canon.select(col("__u").as("__b"), col("__v").as("__c")),
-        Seq("__b", "__c"))
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"kTruss did not converge within $maxRounds rounds — " +
+          "non-monotone peel (bug) or raise maxRounds")
+      // wedge source is (degree, id)-min; the triangle's three edges
+      // re-canonicalize by id for the support key
+      val tri = orientedTriangles(canon)
       val sup = tri.select(explode(array(
-          struct(col("__a").as("__u"), col("__b").as("__v")),
-          struct(col("__a").as("__u"), col("__c").as("__v")),
+          struct(least(col("__s"), col("__b")).as("__u"),
+            greatest(col("__s"), col("__b")).as("__v")),
+          struct(least(col("__s"), col("__c")).as("__u"),
+            greatest(col("__s"), col("__c")).as("__v")),
           struct(col("__b").as("__u"), col("__c").as("__v")))).as("__e"))
         .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
         .groupBy("__u", "__v").agg(count(lit(1)).as("support"))
@@ -578,12 +628,14 @@ object Graph {
         .withColumn("support", coalesce(col("support"), lit(0L)))
         .where(col("support") >= (k - 2).toLong)
         .localCheckpoint()
-      converged = kept.count() == canon.count()
+      val keptEdges = kept.count()
+      converged = keptEdges == prevEdges
+      prevEdges = keptEdges
       result = kept
       canon = kept.select("__u", "__v").localCheckpoint()
     }
-    result.select(col("__u").as(srcCol), col("__v").as(dstCol),
-      col("support"))
+    (result.select(col("__u").as(srcCol), col("__v").as(dstCol),
+      col("support")), rounds)
   }
 
   /** Full core decomposition: every node's CORENESS (the largest k
@@ -602,7 +654,13 @@ object Graph {
     * adjacency-list layout stores; cap degrees upstream if hubs
     * exceed executor memory (same guidance as Sessionize skew).
     * All-integer — exactly replayable. Returns (node, coreness). */
-  def coreness(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def coreness(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    corenessInstrumented(edges, srcCol, dstCol)._1
+
+  /** [[coreness]] plus the executed h-index round count (incl. the
+    * confirming round) — see [[kCoreInstrumented]]. */
+  private[graft] def corenessInstrumented(edges: DataFrame,
+      srcCol: String, dstCol: String): (DataFrame, Int) = {
     val e = symmetrize(edges, srcCol, dstCol).localCheckpoint()
     // h-index of a descending-sorted int array: largest i (1-based)
     // with arr[i-1] >= i
@@ -614,7 +672,9 @@ object Graph {
     var c = e.groupBy("__u").agg(count(lit(1)).cast("int").as("__c"))
       .localCheckpoint()
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       val next = e
         .join(c.select(col("__u").as("__v"), col("__c").as("__cv")),
           Seq("__v"))
@@ -627,7 +687,8 @@ object Graph {
         Seq("__u")).where(col("__c") =!= col("__prev")).isEmpty
       c = next
     }
-    c.select(col("__u").as("node"), col("__c").cast("long").as("coreness"))
+    (c.select(col("__u").as("node"),
+      col("__c").cast("long").as("coreness")), rounds)
   }
 
   /** Weighted [[symmetrize]]: both directions carry the edge's weight;

@@ -335,7 +335,15 @@ object Lake {
     * layout itself — self-describing, no sidecar transaction log to
     * corrupt, at the cost of Delta's commit atomicity (a concurrent
     * writer needs external coordination; same contract as every other
-    * plain-parquet layout here).
+    * plain-parquet layout here). Two unguarded failure modes and
+    * their handling: (1) TORN COMMIT — a writer dying mid-write
+    * leaves a partial `gen=N` with no `_SUCCESS` marker; readers
+    * ([[snapshotGenerations]], [[readAsOf]]) skip marker-less
+    * directories, and the next commit numbers PAST the torn dir
+    * (recovery = delete it, or just leave it — it stays invisible).
+    * (2) CONCURRENT WRITERS — two commits racing the same `gen=N`:
+    * the loser dies on `errorifexists` with no partial visible
+    * state (its retry lands on the next number).
     *
     * A commit carries upserts (full rows) and deletes (key rows) —
     * deletes persist as TOMBSTONES, the standard MVCC trick: dropping
@@ -360,8 +368,13 @@ object Lake {
       s"upserts must carry the key columns $keyCols")
     deletes.foreach(d => require(keyCols.forall(d.columns.contains),
       s"deletes must carry the key columns $keyCols"))
-    val gens = snapshotGenerations(spark, root)
-    val gen = gens.fold(-1L)(gs => if (gs.isEmpty) -1L else gs.max) + 1L
+    // next generation avoids EVERY existing gen= directory, committed
+    // or torn — assigning over a torn dir would hit errorifexists
+    // forever; committed-only numbering is what readers see
+    val dirs = genDirs(spark, root)
+    val gen = dirs.fold(-1L)(ds =>
+      if (ds.isEmpty) -1L else ds.map(_._1).max) + 1L
+    val gens = dirs.map(_.filter(_._2).map(_._1))
     val dataCols = upserts.columns.toSeq.filterNot(_ == "__deleted")
     // schema drift guard: a later commit with different columns would
     // silently null-fill under the plain (non-mergeSchema) read that
@@ -387,18 +400,30 @@ object Lake {
     gen
   }
 
-  /** Committed generation numbers under `root`, ascending; None when
+  /** COMMITTED generation numbers under `root`, ascending; None when
     * the root directory does not exist, Some(empty) when it exists
-    * but holds no commits. Driver-side directory listing — generation
-    * counts are registry-sized, not data-sized. */
+    * but holds no commits. A generation counts as committed only when
+    * its `_SUCCESS` marker exists (Spark's output committer writes it
+    * last) — a writer dying mid-commit leaves a marker-less torn
+    * directory that readers must never treat as a commit. Driver-side
+    * directory listing — generation counts are registry-sized, not
+    * data-sized. */
   def snapshotGenerations(spark: SparkSession,
-      root: String): Option[Seq[Long]] = {
+      root: String): Option[Seq[Long]] =
+    genDirs(spark, root).map(_.filter(_._2).map(_._1))
+
+  /** Every `gen=N` directory under `root` with its committed flag
+    * (`_SUCCESS` present), ascending by generation. */
+  private def genDirs(spark: SparkSession,
+      root: String): Option[Seq[(Long, Boolean)]] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else Some(fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
-      .map(_.getPath.getName.stripPrefix("gen=").toLong).sorted)
+      .map(s => (s.getPath.getName.stripPrefix("gen=").toLong,
+        fs.exists(new Path(s.getPath, "_SUCCESS"))))
+      .sortBy(_._1))
   }
 
   /** The table AS OF generation `gen`: for every key, the row from
@@ -411,7 +436,16 @@ object Lake {
   def readAsOf(spark: SparkSession, root: String, keyCols: Seq[String],
       gen: Long): DataFrame = {
     require(keyCols.nonEmpty, "key columns required")
-    val all = spark.read.parquet(root).where(col("gen") <= gen)
+    // scan COMMITTED generations only (explicit paths + basePath keeps
+    // the gen partition column): a torn, marker-less directory from a
+    // writer that died mid-commit must stay invisible to readers
+    val visible = snapshotGenerations(spark, root)
+      .getOrElse(Seq.empty).filter(_ <= gen)
+    require(visible.nonEmpty,
+      s"no committed generation <= $gen under $root")
+    val all = spark.read.option("basePath", root)
+      .parquet(visible.map(g => s"$root/gen=$g"): _*)
+      .where(col("gen") <= gen)
     val dataCols = all.columns.toSeq
       .filterNot(c => c == "gen" || c == "__deleted")
     val latest = all

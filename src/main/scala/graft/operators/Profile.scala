@@ -144,6 +144,43 @@ object Profile {
       .drop("__graft_pos", "__graft_n")
   }
 
+  /** Scale-safe `ntile(k)` over a TOTAL order: tile assignment from
+    * exact integer arithmetic on (position, n) instead of a global
+    * unpartitioned window (which funnels every row into one task).
+    * Standard ntile semantics — with q = n div k and r = n mod k, the
+    * first r tiles hold q+1 rows, the rest q — so results are
+    * bit-identical to `ntile() OVER (ORDER BY ...)` in any ANSI
+    * engine, provided `orderBy` is fully tie-broken.
+    *
+    * Scale shape: positions come from [[PrefixScan.runningSumBy]]
+    * (range-partitioned sort + two-phase scan); n rides a broadcast
+    * 1-row count. All arithmetic is integral — engine-reproducible. */
+  def ntileExact(df: DataFrame, orderBy: Seq[org.apache.spark.sql.Column],
+      k: Int, outCol: String, materialize: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' collides — rename one")
+    val reserved = Seq("__graft_one", "__graft_pos", "__graft_n")
+    require(reserved.forall(r => !df.columns.contains(r)),
+      s"reserved columns $reserved present — rename them")
+    val counted = PrefixScan.runningSumBy(
+      df.withColumn("__graft_one", lit(1L)),
+      orderBy, "__graft_one", "__graft_pos", materialize)
+      .drop("__graft_one")
+    val n = df.agg(count(lit(1)).as("__graft_n"))
+    counted.crossJoin(broadcast(n))
+      // big-tile section first: r tiles of (q+1) rows, then q-row tiles
+      .withColumn(outCol, expr(
+        s"""CASE WHEN __graft_pos <=
+           |    (__graft_n % $k) * (__graft_n div $k + 1)
+           |  THEN (__graft_pos - 1) div (__graft_n div $k + 1) + 1
+           |  ELSE (__graft_n % $k) +
+           |    (__graft_pos - (__graft_n % $k) * (__graft_n div $k + 1)
+           |      - 1) div greatest(__graft_n div $k, 1) + 1
+           |END""".stripMargin).cast("long"))
+      .drop("__graft_pos", "__graft_n")
+  }
+
   /** Key-skew histogram — the "will this key explode my shuffle"
     * diagnostic run BEFORE a big join/groupBy: group sizes bucketed by
     * log2 (bucket b holds keys with 2^b ≤ count < 2^(b+1)), one row

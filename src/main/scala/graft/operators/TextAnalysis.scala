@@ -183,20 +183,34 @@ object TextAnalysis {
       total: Long)
 
   def wordLmModel(df: DataFrame, textCol: String,
-      minCountBi: Long = 2L, minCountTri: Long = 2L): WordLmModel = {
+      minCountBi: Long = 2L, minCountTri: Long = 2L,
+      maxModelRows: Int = 2000000): WordLmModel = {
     require(minCountBi >= 1L && minCountTri >= 1L,
       "prune thresholds must be >= 1")
     require(minCountBi <= minCountTri,
       s"minCountBi ($minCountBi) must be <= minCountTri ($minCountTri):" +
         " a surviving trigram's context bigram must survive too, or" +
         " backoff scoring has no denominator")
+    require(maxModelRows >= 1, "maxModelRows must be >= 1")
     def grams(width: Int, minCount: Long) = {
       val g =
         if (width == 1) df.select(explode(tokens(col(textCol))).as("g"))
         else df.select(explode(shingles(col(textCol), width)).as("g"))
-      g.groupBy("g").agg(count(lit(1)).as("c"))
+      // driver-bound guard: the collect is pruned-table-bounded, not
+      // corpus-bounded — but "pruned" is only as small as the
+      // thresholds make it. limit(cap+1) keeps even the FAILING path
+      // bounded (no cap-sized OOM while diagnosing), and one extra
+      // row is enough to prove the violation.
+      val rows = g.groupBy("g").agg(count(lit(1)).as("c"))
         .where(col("c") >= minCount)
+        .limit(maxModelRows + 1)
         .collect().map(r => (r.getString(0), r.getLong(1)))
+      require(rows.length <= maxModelRows,
+        s"pruned $width-gram table exceeds maxModelRows=$maxModelRows " +
+          "— the model no longer fits the driver at this corpus size: " +
+          "raise minCountBi/minCountTri (move the oracle twin's HAVING " +
+          "thresholds in LOCKSTEP) or raise maxModelRows deliberately")
+      rows
     }
     val uniRows = grams(1, 1L)
     val uni = new java.util.HashMap[String, java.lang.Long](

@@ -57,7 +57,23 @@ class PlanAuditSpec extends SparkSpec {
       // its brute-force reference side (8 queries, bounded);
       // split_by_component crosses its broadcast 1-row leaking-pair
       // count — bounded by construction
-      "ivf_fixed_recall", "split_by_component")
+      "ivf_fixed_recall", "split_by_component",
+      // rfm_segments crosses three broadcast 1-row counts (the
+      // Profile.ntileExact quartile arithmetic) — bounded by
+      // construction
+      "rfm_segments")
+
+  // Queries allowed to plan a GLOBAL (unpartitioned) window — each
+  // windows over a frame bounded by construction, documented at the
+  // operator. Everything else must keep windows key-partitioned (or
+  // use the two-phase PrefixScan rank) — a global window funnels the
+  // whole frame into one task, the canonical 100 TB scale-killer.
+  private val globalWindowAllowed: Set[String] = Set(
+    // hybrid_rrf fuses two top-20 ranked lists (≤ 2k rows by
+    // construction: k per retriever)
+    "hybrid_rrf",
+    // sketch_quantiles ranks the ≤ B-row sketch buckets, not the data
+    "sketch_quantiles")
 
   private def planOf(name: String): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -377,6 +393,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!sd.contains("CartesianProduct") &&
       !sd.contains("BroadcastNestedLoopJoin"),
       s"snapshot_diff must join by key equality:\n$sd")
+  }
+
+  test("global-window sweep: NO registered query plans an " +
+      "unpartitioned window outside the bounded-frame allowlist") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Window => LogicalWindow, WindowGroupLimit}
+    for (name <- SparkEntry.queries.keys.toSeq.sorted
+        if !globalWindowAllowed(name)) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val qe = SparkEntry.queries(name)(spark, sf()).queryExecution
+      val bad = qe.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans a global unpartitioned window (single-task " +
+          s"sort of the whole frame at scale) — partition it, use " +
+          s"the PrefixScan two-phase rank, or justify an allowlist " +
+          s"entry:\n${qe.optimizedPlan}")
+    }
   }
 
   test("event-analytics windows are key-partitioned — never a " +

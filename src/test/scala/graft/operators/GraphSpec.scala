@@ -382,6 +382,45 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kTruss(e, "src", "dst", k = 5).isEmpty)
   }
 
+  test("orientedWedges caps hub fan-out: a LOW-ID hub star yields " +
+      "ZERO wedges (edges point into the hub), so kTruss round-1 " +
+      "never pays the O(d^2) id-ordered blow-up") {
+    import org.apache.spark.sql.functions.{col => c}
+    // star: hub 0 (the SMALLEST id — the id-ordered enumeration would
+    // key every wedge on it: C(60,2) = 1770 rows) with 60 leaves
+    val star = (1L to 60L).map(l => (0L, l)).toDF("src", "dst")
+    val canon = star.select(c("src").as("__u"), c("dst").as("__v"))
+    assert(Graph.orientedWedges(canon).count() == 0L,
+      "degree orientation must point every star edge INTO the hub")
+    // and the full operator stays correct on a star + one triangle:
+    // only the triangle survives a 3-truss
+    val withTri = (star.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq ++ Seq((61L, 62L), (62L, 63L), (61L, 63L)))
+      .toDF("src", "dst")
+    val t3 = Graph.kTruss(withTri, "src", "dst", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t3.map(x => (x._1, x._2)).toSet ===
+      Set((61L, 62L), (61L, 63L), (62L, 63L)))
+    assert(t3.forall(_._3 == 1L))
+  }
+
+  test("kTruss/kCore maxRounds backstop fails loudly, and the real " +
+      "loops stay far under it") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    // a 1-round fixpoint fits within maxRounds = 1
+    assert(Graph.kTruss(e, "src", "dst", k = 3, maxRounds = 1)
+      .count() == 3L)
+    assert(Graph.kCore(e, "src", "dst", k = 2, maxRounds = 1)
+      .count() == 3L)
+    // a peel CASCADE (chain 0-1-2-3 under k=2 peels end-in) trips a
+    // too-small bound with the documented message
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kCore(chain, "src", "dst", k = 2, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("kTruss is nested in kCore: every k-truss vertex is in the " +
       "(k-1)-core, and the truss is idempotent under re-peeling") {
     val e = (Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L)) ++

@@ -111,4 +111,59 @@ class LakeSnapshotSpec extends SparkSpec {
         Map(1L -> ("a", 1L), 2L -> ("b2", 22L), 3L -> ("c", 3L)))
     } finally q.stop()
   }
+
+  test("a TORN commit (no _SUCCESS marker) is invisible to readers " +
+      "and the next commit numbers past it") {
+    val root = tmp()
+    Lake.commitSnapshot(spark, root,
+      Seq((1L, "a", 1L)).toDF("id", "v", "n"), Seq("id"))
+    // simulate a writer dying mid-commit on gen=1: data file present,
+    // no _SUCCESS marker
+    Seq((9L, "torn", 9L)).toDF("id", "v", "n")
+      .withColumn("__deleted", lit(false))
+      .write.parquet(s"$root/gen=1")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$root/gen=1/_SUCCESS"))
+    assert(Lake.snapshotGenerations(spark, root).get == Seq(0L),
+      "torn generation must not register as a commit")
+    assert(state(root, 99L) == Map(1L -> ("a", 1L)),
+      "torn rows must stay invisible to as-of reads")
+    // the next commit must NOT collide with the torn directory
+    val g = Lake.commitSnapshot(spark, root,
+      Seq((2L, "b", 2L)).toDF("id", "v", "n"), Seq("id"))
+    assert(g == 2L, s"next commit must number past the torn dir, got $g")
+    assert(Lake.snapshotGenerations(spark, root).get == Seq(0L, 2L))
+    assert(state(root, 99L) == Map(1L -> ("a", 1L), 2L -> ("b", 2L)))
+  }
+
+  test("two concurrent writers: at most one commit per generation, " +
+      "the loser fails with NO partial visible state") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmp()
+    Lake.commitSnapshot(spark, root,
+      Seq((1L, "base", 0L)).toDF("id", "v", "n"), Seq("id"))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def writer(tag: String) = Future {
+      gate.await()
+      scala.util.Try(Lake.commitSnapshot(spark, root,
+        Seq((100L, tag, 1L)).toDF("id", "v", "n"), Seq("id")))
+    }
+    val (fa, fb) = (writer("a"), writer("b"))
+    gate.countDown()
+    val outcomes = Seq(fa, fb).map(Await.result(_, 120.seconds))
+    val won = outcomes.flatMap(_.toOption)
+    assert(won.nonEmpty, "at least one writer must commit")
+    assert(won.distinct.size == won.size,
+      s"two commits may never share a generation: $won")
+    // the registry and the reconstructed state agree with exactly the
+    // successful commits — a loser leaves nothing visible
+    val gens = Lake.snapshotGenerations(spark, root).get
+    assert(gens == (0L +: won.sorted),
+      s"registry $gens must hold the base commit plus the winners $won")
+    val got = state(root, 99L)
+    assert(got(1L) == ("base", 0L) && got.contains(100L) &&
+      got.size == 2, got.toString)
+  }
 }

@@ -24,6 +24,25 @@ class ProfileSpec extends SparkSpec {
     assert(a === got)
   }
 
+  test("ntileExact matches Spark's own ntile window bit-for-bit over " +
+      "every (n, k) shape — big tiles first, partitioning-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 2, 3, 4, 5, 7, 10, 11, 97); k <- Seq(1, 2, 4, 5)) {
+      // values deliberately tie-heavy: the id tiebreak decides order
+      val df = (1 to n).map(i => (i.toLong, (i % 3).toLong))
+        .toDF("id", "v").repartition(4)
+      val want = df.select($"id",
+          ntile(k).over(Window.orderBy($"v".asc, $"id".asc))
+            .cast("long").as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = Profile.ntileExact(df, Seq($"v".asc, $"id".asc), k, "t",
+          materialize = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === want, s"n=$n k=$k")
+    }
+  }
+
   test("counts rows, nulls and exact distincts per column") {
     import spark.implicits._
     val df = Seq(

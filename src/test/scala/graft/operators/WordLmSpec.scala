@@ -30,6 +30,20 @@ class WordLmSpec extends SparkSpec {
     assert(m.tri.size() == 1 && m.tri.get("a b c") == 2L)
   }
 
+  test("fit: maxModelRows guard fails LOUDLY with the lockstep remedy " +
+      "when the pruned tables outgrow the driver bound") {
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.wordLmModel(docs, "text", maxModelRows = 3)
+    }
+    assert(ex.getMessage.contains("maxModelRows") &&
+      ex.getMessage.contains("LOCKSTEP"),
+      s"guard must name the cap and the twin-HAVING remedy: " +
+        s"${ex.getMessage}")
+    // at the cap boundary the fit succeeds unchanged (4 unigrams)
+    val m = TextAnalysis.wordLmModel(docs, "text", maxModelRows = 4)
+    assert(m.total == 9L && m.uni.size() == 4)
+  }
+
   test("score: every tier hand-checked (unigram start, bigram pos-2, " +
       "trigram, alpha-bigram, alpha^2-unigram)") {
     val m = fit()
