@@ -300,7 +300,7 @@ object SparkEntry {
   // four of their five stages are pure engine kernels
   val gateTwins: Set[String] = Set(
     "crossdup_md5", "embed_knn_md5", "neardup_components_md5",
-    "neardup_keep_best_md5",
+    "neardup_keep_best_md5", "minhash_calibration",
     "neardup_pairs_md5", "simhash_md5", "fingerprint_winnow",
     "ivf_fixed_knn", "ivf_fixed_batch_knn", "ivfpq_fixed_knn",
     "opq_fixed_knn", "pq_fixed_knn", "semantic_dedup_fixed",
@@ -494,6 +494,24 @@ object SparkEntry {
         graft.operators.IvfIndex.assignCells(emb, "embedding", cents),
         "embedding", "vec_id")
       idx.query(q, k = 5, nprobe = 2).select("vec_id", "distance")
+    }),
+    // IVF cell-balance report over the same fixed centroids: vectors
+    // per cell + corpus share — the "is this index skewed" diagnostic
+    // read before trusting nprobe-pruned latency (a hot cell serves
+    // most queries and the pruning stops paying). Assignment is the
+    // exact argmin kernel; share is one bridged division
+    "ivf_cell_balance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val n = emb.count()
+      graft.operators.IvfIndex.assignCells(emb, "embedding", cents)
+        .groupBy(col("cluster").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .withColumn("share",
+          (col("n_vectors").cast("double") / lit(n.toDouble))
+            .cast("decimal(18,9)").cast("double"))
+        .orderBy("cell")
     }),
     // recall-vs-nprobe tuning curve over FIXED centroids (float-
     // deterministic, so unlike a trained index the whole curve is
@@ -1150,6 +1168,59 @@ object SparkEntry {
     // 100 TB path; this exists to pin the selection logic cross-engine.
     "neardup_pairs_md5" -> ((s, dir) =>
       md5NearDupPairs(s, dir).orderBy("id_a", "id_b")),
+    // MinHash estimator CALIBRATION: for every LSH candidate pair (no
+    // jaccard floor), the signature estimate (n_match/8) vs the exact
+    // Jaccard, grouped by matching-hash count — the table you read
+    // before picking a band/threshold operating point. Exact ints
+    // everywhere; means via decimal(18,12)-quantized exact sums
+    "minhash_calibration" -> ((s, dir) => {
+      val sh = md5ShinglesShared(s, dir)
+      val H = 8
+      val sigs = sh
+        .withColumn("j", explode(sequence(lit(1), lit(H))))
+        .select(col("doc_id"), col("j"),
+          md5(concat(col("j").cast("string"), lit(":"), col("s"))).as("mh"))
+        .groupBy("doc_id", "j").agg(min("mh").as("mh"))
+      val bands = md5Bands(sh)
+      val cand = bands
+        .select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+        .join(bands.select(col("doc_id").as("id_b"), col("band"),
+          col("bkey")), Seq("band", "bkey"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val matches = cand
+        .join(sigs.select(col("doc_id").as("id_a"), col("j"),
+          col("mh").as("ma")), Seq("id_a"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("j"),
+          col("mh").as("mb")), Seq("id_b", "j"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
+          .as("n_match"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("s")),
+          Seq("id_b", "s"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("ninter"))
+      val pairs = matches
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .withColumn("ninter", coalesce(col("ninter"), lit(0L)))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+          Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+          Seq("id_b"))
+        .select(col("n_match"), (col("ninter").cast("double") /
+          (col("na") + col("nb") - col("ninter"))).as("jac"))
+      pairs.groupBy("n_match")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          (sum(col("jac").cast("decimal(18,12)")).cast("double") /
+            count(lit(1))).cast("decimal(18,9)").cast("double")
+            .as("mean_jaccard"),
+          (sum(abs(col("n_match").cast("double") / lit(8.0) - col("jac"))
+            .cast("decimal(18,12)")).cast("double") / count(lit(1)))
+            .cast("decimal(18,9)").cast("double").as("mean_abs_err"))
+        .orderBy("n_match")
+    }),
     // cross-source duplication matrix: which provider slices duplicate
     // EACH OTHER — the near-dup pair table joined back to sources,
     // pair canonicalized (least, greatest) so direction cannot split a
@@ -2143,6 +2214,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("offset_days")
     }),
+    // DAU/WAU stickiness: per active day, distinct daily actives,
+    // distinct trailing-7-day actives, and their ratio — the classic
+    // engagement metric. The trailing window is an EXPLODE of 7 day
+    // offsets over the distinct (user, day) frame (each row fans out
+    // 7×, partial-aggregated — never a per-day distinct window);
+    // all-integer counts, one bridged division
+    "dau_wau_stickiness" -> ((s, dir) => {
+      val ud = events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau").cast("long").as("dau"),
+          col("wau").cast("long").as("wau"),
+          (col("dau").cast("double") / col("wau").cast("double"))
+            .cast("decimal(18,9)").cast("double").as("stickiness"))
+        .orderBy("day")
+    }),
     // semi-structured props: real JSON parsing (from_json) → typed
     // aggregation per event type
     "props_parse" -> ((s, dir) =>
@@ -2636,6 +2731,38 @@ object SparkEntry {
         t(s, dir, "documents"), "text", minCount = 5)
         .withColumn("pmi", col("pmi").cast("decimal(18,9)").cast("double"))
         .orderBy("w1", "w2")),
+    // length-bucketed training-batch assembly: power-of-two buckets
+    // by n_chars, (len DESC, id) order inside each bucket, 8-doc
+    // batches via the two-phase PrefixScan rank (no per-bucket global
+    // window) — per-batch padding-waste report
+    "length_batches" -> ((s, dir) => {
+      val packed = graft.operators.PrefixScan.packByLength(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
+        "doc_id", "n_chars", batchDocs = 8, materialize = false)
+      packed.groupBy("length_bucket", "batch_id")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          max("n_chars").cast("long").as("max_len"),
+          sum("n_chars").cast("long").as("sum_len"))
+        .withColumn("pad_waste",
+          col("max_len") * col("n_docs") - col("sum_len"))
+        .orderBy("length_bucket", "batch_id")
+    }),
+    // vocabulary-growth (Heaps-law) curve: cumulative distinct tokens
+    // at 10 equal corpus slices — ntileExact buckets (no global
+    // window), one explode + min-agg, bounded cumulative rollup
+    "vocab_growth" -> ((s, dir) =>
+      graft.operators.TextAnalysis.vocabGrowth(
+        t(s, dir, "documents"), "doc_id", "text", buckets = 10)
+        .orderBy("bucket")),
+    // windowed skip-gram PMI (window=3): the word2vec co-occurrence
+    // statistic — unordered pairs within 3 positions, map-side pair
+    // stream (no self-join), broadcast totals, bridged doubles
+    "skipgram_pmi" -> ((s, dir) =>
+      graft.operators.TextAnalysis.skipgramPmi(
+        t(s, dir, "documents"), "text", window = 3, minCount = 5)
+        .withColumn("pmi", col("pmi").cast("decimal(18,9)").cast("double"))
+        .orderBy("w1", "w2")),
     // document-level co-occurrence association rules over the top-40
     // vocabulary (bounded-V pair join; lift in mirrored IEEE ops)
     "cooc_lift" -> ((s, dir) =>
@@ -2751,6 +2878,40 @@ object SparkEntry {
         .where(col("lift") >= 1.05).select("tok_a", "tok_b")
       graft.operators.Graph.coreness(e, "tok_a", "tok_b")
         .orderBy("node")
+    }),
+    // link prediction over the lift-filtered graph: common-neighbor /
+    // Jaccard / Adamic-Adar features for every non-adjacent pair with
+    // a shared (degree-capped) middle — the "which edge forms next"
+    // ranking; AA terms decimal-quantized then summed exactly
+    "link_prediction" -> ((s, dir) => {
+      val e = SharedFrames.coocPairs(s, dir)
+        .where(col("lift") >= 1.05).select("tok_a", "tok_b")
+      graft.operators.Graph.linkPrediction(e, "tok_a", "tok_b")
+        .withColumn("jaccard",
+          col("jaccard").cast("decimal(18,9)").cast("double"))
+        .withColumn("adamic_adar",
+          col("adamic_adar").cast("decimal(18,9)").cast("double"))
+        .orderBy("tok_a", "tok_b")
+    }),
+    // k-anonymity audit over the (lang, source) quasi-identifier:
+    // per k threshold, equivalence classes smaller than k and the
+    // row share they hold — the re-identification risk table read
+    // before releasing a slice; all-integer + one bridged division
+    "k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val classes = docs.groupBy("lang", "source")
+        .agg(count(lit(1)).as("__n"))
+      val total = docs.count()
+      Seq(2L, 5L, 10L, 50L).toDF("k")
+        .join(classes, col("__n") < col("k"), "left")
+        .groupBy("k")
+        .agg(count(col("__n")).cast("long").as("n_classes_below"),
+          coalesce(sum("__n"), lit(0L)).cast("long").as("n_rows_below"))
+        .withColumn("row_share_below",
+          (col("n_rows_below").cast("double") / lit(total.toDouble))
+            .cast("decimal(18,9)").cast("double"))
+        .orderBy("k")
     }),
     // deterministic label propagation (2 rounds) over the same
     // co-occurrence token graph — community labels, ties to the
@@ -3665,6 +3826,40 @@ object SparkEntry {
          |JOIN asg a ON a.vec_id = e.vec_id
          |JOIN probed p ON a.cell = p.cell, q
          |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin,
+    // cell-balance twin: the ivf_fixed_knn assign CTE, counted per
+    // cell, share through the decimal bridge
+    "ivf_cell_balance" ->
+      s"""WITH cells AS (SELECT vec_id AS cell, embedding AS cemb
+         |               FROM embeddings WHERE vec_id < 4),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDistOf("e.embedding", "c.cemb")}, c.cell) AS rn
+         |    FROM embeddings e, cells c)
+         |  WHERE rn = 1),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings)
+         |SELECT CAST(cell AS BIGINT) AS cell,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  CAST(CAST(CAST(CAST(COUNT(*) AS DOUBLE) / n.n AS DECIMAL(18,9))
+         |    AS VARCHAR) AS DOUBLE) AS share
+         |FROM asg, n GROUP BY cell, n.n ORDER BY cell""".stripMargin,
+    // stickiness twin: same distinct (user, day) frame, 7-offset
+    // fan-out, integer counts, bridged ratio
+    "dau_wau_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud
+        |  GROUP BY day),
+        |wx AS (SELECT DISTINCT user_id, day + o AS day
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) t),
+        |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM wx
+        |  GROUP BY day)
+        |SELECT d.day, d.dau, w.wau,
+        |  CAST(CAST(CAST(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)
+        |    AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS stickiness
+        |FROM dau d JOIN wau w ON w.day = d.day ORDER BY d.day""".stripMargin,
     // one Lloyd's iteration over fixed cells: the ivf_fixed_knn assign
     // CTE + the label_centroids decimal-mean shape, grouped by cell
     "ivf_lloyd_step" ->
@@ -6291,6 +6486,52 @@ object SparkEntry {
          |SELECT u AS node, CAST(c AS BIGINT) AS coreness
          |FROM c$tokenCorenessTwinRounds ORDER BY node""".stripMargin
     },
+    // link-prediction twin: same lift-filtered symmetric edges,
+    // wedge join through degree-capped middles, LEFT-JOIN-IS-NULL
+    // non-edge filter, decimal-quantized Adamic-Adar terms
+    "link_prediction" ->
+      s"""WITH $coocPairsCte,
+         |le AS (SELECT tok_a, tok_b FROM pairs
+         |  WHERE (CAST(n_ab AS DOUBLE) * CAST((SELECT n FROM n) AS DOUBLE)) /
+         |        (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)) >= 1.05),
+         |sym AS (SELECT tok_a AS u, tok_b AS v FROM le
+         |        UNION ALL SELECT tok_b, tok_a FROM le),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym
+         |  GROUP BY u),
+         |mid AS (SELECT u AS z, d AS dz FROM deg
+         |  WHERE d >= 2 AND d <= 10000),
+         |w AS (SELECT s1.v AS a, s2.v AS b, m.dz
+         |  FROM sym s1 JOIN mid m ON m.z = s1.u
+         |  JOIN sym s2 ON s2.u = s1.u WHERE s1.v < s2.v),
+         |sc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+         |    SUM(CAST(1.0 / ln(CAST(dz AS DOUBLE)) AS DECIMAL(18,9)))
+         |      AS aa
+         |  FROM w GROUP BY a, b),
+         |ne AS (SELECT sc.* FROM sc
+         |  LEFT JOIN (SELECT u, v FROM sym WHERE u < v) e
+         |    ON e.u = sc.a AND e.v = sc.b
+         |  WHERE e.u IS NULL)
+         |SELECT a AS tok_a, b AS tok_b, n_common,
+         |  CAST(CAST(CAST(CAST(n_common AS DOUBLE) /
+         |    CAST(da.d + db.d - n_common AS DOUBLE) AS DECIMAL(18,9))
+         |    AS VARCHAR) AS DOUBLE) AS jaccard,
+         |  CAST(CAST(CAST(CAST(aa AS DOUBLE) AS DECIMAL(18,9))
+         |    AS VARCHAR) AS DOUBLE) AS adamic_adar
+         |FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
+         |ORDER BY tok_a, tok_b""".stripMargin,
+    // k-anonymity twin: class sizes, threshold LEFT JOIN, bridged share
+    "k_anonymity" ->
+      """WITH cls AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang, source),
+        |ks AS (SELECT unnest([2, 5, 10, 50]) AS k),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM documents)
+        |SELECT CAST(ks.k AS BIGINT) AS k,
+        |  CAST(COUNT(cls.n) AS BIGINT) AS n_classes_below,
+        |  CAST(COALESCE(SUM(cls.n), 0) AS BIGINT) AS n_rows_below,
+        |  CAST(CAST(CAST(CAST(COALESCE(SUM(cls.n), 0) AS DOUBLE) / tot.t
+        |    AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS row_share_below
+        |FROM ks LEFT JOIN cls ON cls.n < ks.k, tot
+        |GROUP BY ks.k, tot.t ORDER BY k""".stripMargin,
     // LPA twin: same edges, 2 unrolled rounds, argmax by
     // ROW_NUMBER over (cnt DESC, lbl ASC) — the min_by tie rule
     "label_prop" -> {
@@ -6538,6 +6779,60 @@ object SparkEntry {
         |JOIN sizes zb ON zb.doc_id = i.id_b
         |WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5
         |ORDER BY i.id_a, i.id_b""".stripMargin,
+    // MinHash-calibration twin: the neardup_pairs_md5 CTE chain
+    // without the jaccard floor, plus a per-pair signature-match
+    // count; means through decimal(18,12)-quantized exact sums and
+    // the decimal(18,9) VARCHAR bridge
+    "minhash_calibration" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+        |       FROM sh0),
+        |hj AS (SELECT doc_id, s, unnest(range(1, 9)) AS j FROM sh),
+        |sigs AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+        |         FROM hj GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, CAST((j + 1) // 2 AS INT) AS band,
+        |            string_agg(mh, '|' ORDER BY j) AS bkey
+        |          FROM sigs GROUP BY doc_id, CAST((j + 1) // 2 AS INT)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        |    AND a.doc_id < b.doc_id),
+        |matches AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_match
+        |  FROM cand c
+        |  JOIN sigs sa ON sa.doc_id = c.id_a
+        |  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+        |  GROUP BY c.id_a, c.id_b),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ninter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.id_a
+        |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+        |  GROUP BY c.id_a, c.id_b),
+        |pj AS (
+        |  SELECT m.n_match,
+        |    CAST(COALESCE(i.ninter, 0) AS DOUBLE) /
+        |      (za.n + zb.n - COALESCE(i.ninter, 0)) AS jac
+        |  FROM matches m
+        |  LEFT JOIN inter i ON i.id_a = m.id_a AND i.id_b = m.id_b
+        |  JOIN sizes za ON za.doc_id = m.id_a
+        |  JOIN sizes zb ON zb.doc_id = m.id_b)
+        |SELECT n_match, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(CAST(CAST(CAST(SUM(CAST(jac AS DECIMAL(18,12))) AS DOUBLE)
+        |    / COUNT(*) AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE)
+        |    AS mean_jaccard,
+        |  CAST(CAST(CAST(CAST(SUM(CAST(abs(CAST(n_match AS DOUBLE) / 8.0
+        |    - jac) AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+        |    AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS mean_abs_err
+        |FROM pj GROUP BY n_match ORDER BY n_match""".stripMargin,
     // naive all-pairs twin of the prefix-filtered exact Jaccard join:
     // same shingles, same exact-int intersection count, same single
     // double division — but candidates come from ANY shared token, so
@@ -6731,6 +7026,75 @@ object SparkEntry {
          |JOIN uni u1 ON u1.tok = split_part(bg, ' ', 1)
          |JOIN uni u2 ON u2.tok = split_part(bg, ' ', 2), nu, nb
          |ORDER BY w1, w2""".stripMargin,
+    // length-batches twin: same exact bit-length bucket, ROW_NUMBER
+    // per bucket over (len DESC, id), (rn-1)//8 batch cut — the
+    // PrefixScan rank restricted to a bucket IS this row number
+    "length_batches" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+        |    CASE WHEN n_chars <= 0 THEN 0
+        |      ELSE length(format('{:b}', CAST(n_chars AS BIGINT))) - 1
+        |    END AS lb
+        |  FROM documents),
+        |r AS (SELECT doc_id, len, lb, ROW_NUMBER() OVER (
+        |    PARTITION BY lb ORDER BY len DESC, doc_id) AS rn FROM d)
+        |SELECT CAST(lb AS BIGINT) AS length_bucket,
+        |  CAST((rn - 1) // 8 AS BIGINT) AS batch_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MAX(len) AS BIGINT) AS max_len,
+        |  CAST(SUM(len) AS BIGINT) AS sum_len,
+        |  CAST(MAX(len) * COUNT(*) - SUM(len) AS BIGINT) AS pad_waste
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // vocab-growth twin: same ntile bucketing (ntileExact ≡ ntile,
+    // property-pinned), first-bucket per token, windowed cumsum over
+    // the 10-row summary
+    "vocab_growth" ->
+      s"""WITH bk AS (SELECT doc_id, text,
+         |    CAST(ntile(10) OVER (ORDER BY doc_id) AS BIGINT) AS b
+         |  FROM documents),
+         |nd AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nd FROM bk
+         |  GROUP BY b),
+         |ft AS (SELECT tok, MIN(b) AS b FROM (
+         |    SELECT b, unnest($toksSql) AS tok FROM bk) GROUP BY tok),
+         |nt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nt FROM ft
+         |  GROUP BY b)
+         |SELECT nd.b AS bucket,
+         |  CAST(SUM(nd.nd) OVER (ORDER BY nd.b) AS BIGINT)
+         |    AS n_docs_cum,
+         |  CAST(SUM(COALESCE(nt.nt, 0)) OVER (ORDER BY nd.b)
+         |    AS BIGINT) AS vocab_cum
+         |FROM nd LEFT JOIN nt ON nt.b = nd.b ORDER BY bucket""".stripMargin,
+    // skip-gram PMI twin: per offset d in 1..3 the token list zipped
+    // with itself shifted by d (lexicographic canonical pair), totals
+    // = Σ_d max(len−d, 0), same ln parenthesization + decimal bridge
+    "skipgram_pmi" -> {
+      val w = 3
+      val dLists = (1 to w).map(d =>
+        s"""list_transform(range(1, len(toks) - ${d - 1}),
+           |      j -> CASE WHEN toks[j] <= toks[j + $d]
+           |        THEN toks[j] || ' ' || toks[j + $d]
+           |        ELSE toks[j + $d] || ' ' || toks[j] END)""".stripMargin)
+        .mkString(" ||\n    ")
+      val slotSum = (1 to w)
+        .map(d => s"greatest(len(toks) - $d, 0)").mkString(" + ")
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |pg AS (SELECT unnest(
+         |    $dLists) AS pg FROM t),
+         |alluni AS (SELECT unnest(toks) AS tok FROM t),
+         |uni AS (SELECT tok, COUNT(*) AS c FROM alluni GROUP BY tok),
+         |pairs AS (SELECT pg, COUNT(*) AS pair_count FROM pg
+         |          GROUP BY pg HAVING COUNT(*) >= 5),
+         |np AS (SELECT CAST(SUM($slotSum) AS DOUBLE) AS n FROM t),
+         |nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM alluni)
+         |SELECT split_part(pg, ' ', 1) AS w1,
+         |  split_part(pg, ' ', 2) AS w2, pair_count,
+         |  CAST(CAST(CAST(ln((CAST(pair_count AS DOUBLE) / np.n) /
+         |    ((CAST(u1.c AS DOUBLE) / nu.n) * (CAST(u2.c AS DOUBLE) / nu.n)))
+         |    AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS pmi
+         |FROM pairs
+         |JOIN uni u1 ON u1.tok = split_part(pg, ' ', 1)
+         |JOIN uni u2 ON u2.tok = split_part(pg, ' ', 2), np, nu
+         |ORDER BY w1, w2""".stripMargin
+    },
     // 5-NN votes with (votes DESC, label ASC) tiebreak, neighbor rank
     // by (squared-L2, corpus id) exactly as the Spark window
     "knn_classify" ->

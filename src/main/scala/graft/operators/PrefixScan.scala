@@ -168,4 +168,45 @@ object PrefixScan {
 
   private def lenColExpr(lenCol: String): String =
     s"coalesce(cast(`$lenCol` as bigint), 0L)"
+
+  /** Length-bucketed training-batch assembly: bucket documents by
+    * power-of-two length (bucket b holds 2^b ≤ len < 2^(b+1); len ≤ 0
+    * lands in bucket 0), order each bucket by (len DESC, id), and cut
+    * into fixed `batchDocs`-document batches — the dynamic-batching
+    * layout that minimizes padding waste when a trainer pads every
+    * batch to its longest member. Returns the input ids with
+    * (length_bucket, batch_id); aggregate per (bucket, batch) for the
+    * padding-waste report.
+    *
+    * Scale shape: ONE two-phase [[runningSumBy]] rank over
+    * (bucket, len DESC, id) — never a per-bucket global window (the
+    * ≤64 power-of-two buckets would each funnel into one task); the
+    * per-bucket start offsets ride a broadcast ≤64-row cumulative
+    * self-join. The bucket is the exact integer bit length
+    * (`length(bin(len)) − 1` — no floating log2), so any engine
+    * replays it. */
+  def packByLength(df: DataFrame, idCol: String, lenCol: String,
+      batchDocs: Int, materialize: Boolean = true): DataFrame = {
+    require(batchDocs >= 1, "batchDocs must be >= 1")
+    val reserved = Seq("__lb", "__one", "__pos", "__n", "__start")
+    require(reserved.forall(r => !df.columns.contains(r)),
+      s"reserved columns $reserved present — rename them")
+    val withB = df.withColumn("__lb",
+      when(col(lenCol) <= 0L, lit(0L))
+        .otherwise((length(bin(col(lenCol))) - 1).cast("long")))
+    val pos = runningSumBy(withB.withColumn("__one", lit(1L)),
+      Seq(col("__lb").asc, col(lenCol).desc, col(idCol).asc),
+      "__one", "__pos", materialize).drop("__one")
+    val counts = withB.groupBy("__lb").agg(count(lit(1)).as("__n"))
+    val starts = counts.as("x")
+      .join(broadcast(counts.as("y")),
+        col("y.__lb") < col("x.__lb"), "left")
+      .groupBy(col("x.__lb").as("__lb"))
+      .agg(coalesce(sum(col("y.__n")), lit(0L)).as("__start"))
+    pos.join(broadcast(starts), Seq("__lb"))
+      .withColumn("batch_id",
+        expr(s"(__pos - __start - 1) div ${batchDocs}L").cast("long"))
+      .withColumn("length_bucket", col("__lb"))
+      .drop("__lb", "__pos", "__start")
+  }
 }

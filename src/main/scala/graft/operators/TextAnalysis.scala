@@ -457,6 +457,90 @@ object TextAnalysis {
             (col("__c2").cast("double") / col("__nuni")))).as("pmi"))
   }
 
+  /** Vocabulary-growth (Heaps-law) curve: slice the corpus into
+    * `buckets` equal doc-count slices in `idCol` order and report, at
+    * each slice boundary, the cumulative document count and the
+    * cumulative DISTINCT token count (tokens whose first occurrence
+    * lies at or before the slice). The "is the vocabulary still
+    * growing" diagnostic run before sizing a tokenizer or judging
+    * crawl saturation — a flattening curve means new data is mostly
+    * old words. Returns (bucket, n_docs_cum, vocab_cum), only for
+    * non-empty buckets.
+    *
+    * Scale shape: bucket assignment is [[Profile.ntileExact]] (the
+    * two-phase rank — NEVER a global ntile window); each token's
+    * first bucket is one explode + min-aggregate; the cumulative
+    * rollup runs on the ≤ `buckets`-row summary via a broadcast
+    * inequality self-join (bounded by construction). All-integer —
+    * engine-exact. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val bucketed = Profile.ntileExact(
+      df.select(col(idCol), col(textCol)),
+      Seq(col(idCol).asc), buckets, "__b", materialize = false)
+    val nd = bucketed.groupBy("__b").agg(count(lit(1)).as("__nd"))
+    val nt = bucketed
+      .select(col("__b"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(min("__b").as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__nt"))
+    def summary = nd.join(nt, Seq("__b"), "left")
+      .select(col("__b"), col("__nd"),
+        coalesce(col("__nt"), lit(0L)).as("__nt"))
+    summary.as("x")
+      .join(broadcast(summary.as("y")), col("y.__b") <= col("x.__b"))
+      .groupBy(col("x.__b").as("bucket"))
+      .agg(sum(col("y.__nd")).cast("long").as("n_docs_cum"),
+        sum(col("y.__nt")).cast("long").as("vocab_cum"))
+  }
+
+  /** Windowed skip-gram PMI — the word2vec/GloVe co-occurrence
+    * statistic: every UNORDERED token pair within `window` positions
+    * of each other (1 ≤ offset ≤ window), PMI'd against the unigram
+    * distribution. Sits between [[bigramPmi]] (adjacent only) and
+    * [[coocLift]] (anywhere in the document): the statistic embedding
+    * trainers and collocation miners actually consume. Returns
+    * (w1, w2, pair_count, pmi) for pairs seen ≥ `minCount` times,
+    * w1 ≤ w2 (canonical order).
+    *
+    * Scale shape: NO self-join — each document emits its own pair
+    * stream narrowly (per offset d, the token array zipped with
+    * itself shifted by d; a doc contributes Σ_d (n−d) rows, the same
+    * cardinality a position self-join would shuffle, but produced
+    * map-side and partial-aggregated before the exchange). Totals
+    * ride one broadcast 1-row aggregate, divisions mirror
+    * [[bigramPmi]]'s IEEE parenthesization. */
+  def skipgramPmi(df: DataFrame, textCol: String, window: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val toks = tokens(col(textCol))
+    def shifted(d: Int): org.apache.spark.sql.Column = {
+      val n = greatest(size(toks) - d, lit(0))
+      zip_with(slice(toks, lit(1), n), slice(toks, lit(d + 1), n),
+        (a, b) => concat_ws(" ", least(a, b), greatest(a, b)))
+    }
+    val uni = df.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val pairAll = df
+      .select(explode(flatten(array((1 to window).map(shifted): _*)))
+        .as("pg"))
+      .groupBy("pg").agg(count(lit(1)).as("pair_count"))
+    val totals = broadcast(df.agg(
+      sum((1 to window).map(d => greatest(size(toks) - d, lit(0)))
+        .reduce(_ + _)).cast("double").as("__npair"),
+      sum(size(toks)).cast("double").as("__nuni")))
+    pairAll.filter(col("pair_count") >= minCount)
+      .withColumn("w1", split(col("pg"), " ").getItem(0))
+      .withColumn("w2", split(col("pg"), " ").getItem(1))
+      .join(uni.select(col("tok").as("w1"), col("c").as("__c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("__c2")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("pair_count"),
+        log((col("pair_count").cast("double") / col("__npair")) /
+          ((col("__c1").cast("double") / col("__nuni")) *
+            (col("__c2").cast("double") / col("__nuni")))).as("pmi"))
+  }
+
   /** Document-level co-occurrence association rules over a BOUNDED
     * vocabulary: for the `topV` tokens by document frequency
     * (ties by token, so the cut is deterministic), every unordered

@@ -665,6 +665,27 @@ object DriveSmoke {
         Seq("id_b"))
       .where($"sa" =!= $"sb").count()
     println("SPLIT_LEAKING_PAIRS=" + crossing)
+
+    // r12: skip-gram PMI, vocab growth, length-bucketed batching
+    val sg = graft.operators.TextAnalysis.skipgramPmi(
+      docs, "text", window = 3, minCount = 5)
+    sg.explain("formatted")
+    println("SKIPGRAM_PAIRS=" + sg.count())
+    println("VOCAB_CURVE=" + graft.operators.TextAnalysis
+      .vocabGrowth(docs, "doc_id", "text", buckets = 5)
+      .orderBy("bucket").collect()
+      .map(r => r.getLong(2)).mkString(","))
+    val lb = graft.operators.PrefixScan.packByLength(
+      docs.select($"doc_id",
+        org.apache.spark.sql.functions.col("n_chars")
+          .cast("long").as("n_chars")),
+      "doc_id", "n_chars", batchDocs = 8, materialize = false)
+    lb.explain("formatted")
+    println("LENGTH_BATCHES=" + lb
+      .select("length_bucket", "batch_id").distinct().count())
+    val lp = graft.operators.Graph.linkPrediction(liftE, "tok_a", "tok_b")
+    lp.explain("formatted")
+    println("LINK_CANDIDATES=" + lp.count())
     spark.stop()
   }
 }

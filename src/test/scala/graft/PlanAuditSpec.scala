@@ -27,7 +27,10 @@ class PlanAuditSpec extends SparkSpec {
   // a rank-range inequality (HistSketch.quantiles) — both sides
   // bounded by construction.
   private val broadcastNljAllowed =
+    // skipgram_pmi crossJoins its broadcast 1-row totals exactly like
+    // bigram_pmi — bounded by construction
     Set("knn_batch_join", "knn_classify", "retrieval_eval", "bigram_pmi",
+      "skipgram_pmi",
       "dsir_weights", "dsir_select", "binary_batch_knn",
       "pct_rank_scores", "margin_pairs", "margin_mine", "domain_kl",
       "sketch_quantiles",
@@ -61,7 +64,19 @@ class PlanAuditSpec extends SparkSpec {
       // rfm_segments crosses three broadcast 1-row counts (the
       // Profile.ntileExact quartile arithmetic) — bounded by
       // construction
-      "rfm_segments")
+      "rfm_segments",
+      // vocab_growth crosses a broadcast 1-row count (ntileExact) and
+      // inequality-joins its broadcast ≤10-row bucket summary —
+      // bounded by construction
+      "vocab_growth",
+      // length_batches inequality-joins its broadcast ≤64-row
+      // power-of-two bucket-count summary (per-bucket start offsets)
+      // — bounded by construction
+      "length_batches",
+      // k_anonymity inequality-joins its 4-row threshold frame
+      // against the (lang, source) class sizes — bounded by
+      // construction
+      "k_anonymity")
 
   // Queries allowed to plan a GLOBAL (unpartitioned) window — each
   // windows over a frame bounded by construction, documented at the

@@ -421,6 +421,33 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("linkPrediction: hand-checked path/square scores, existing " +
+      "edges excluded, hub middles capped out") {
+    import org.apache.spark.sql.functions.{col => c}
+    // path 1-2-3: the only candidate is (1,3) via middle 2
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graph.linkPrediction(path, "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(p.length == 1)
+    assert(p(0)._1 == 1L && p(0)._2 == 3L && p(0)._3 == 1L)
+    assert(math.abs(p(0)._4 - 1.0) < 1e-12, "jaccard 1/(1+1-1)")
+    assert(math.abs(p(0)._5 - 1.0 / math.log(2.0)) < 1e-9)
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4), TWO middles each
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val d = Graph.linkPrediction(sq, "src", "dst").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(d === Map((1L, 3L) -> 2L, (2L, 4L) -> 2L))
+    // star: hub middle capped out → no candidates survive the cap
+    val star = (2L to 12L).map(l => (1L, l)).toDF("src", "dst")
+    assert(Graph.linkPrediction(star, "src", "dst",
+      maxMiddleDegree = 5L).isEmpty)
+    // existing edges never appear as predictions
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.linkPrediction(tri, "src", "dst").isEmpty)
+  }
+
   test("kTruss is nested in kCore: every k-truss vertex is in the " +
       "(k-1)-core, and the truss is idempotent under re-peeling") {
     val e = (Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L)) ++

@@ -182,4 +182,34 @@ class PrefixScanSpec extends SparkSpec {
     assert(keyed.toSeq ==
       Seq((1L, 0L, 1L), (2L, 1L, 2L), (3L, 0L, 1L)))
   }
+
+  test("packByLength: power-of-two buckets, (len DESC, id) batch " +
+      "cuts, zero lengths land in bucket 0, partitioning-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // lens 1,1 → bucket 0; 2,3,3,3 → bucket 1; 0 → bucket 0
+    val docs = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 3L),
+      (6L, 3L), (7L, 0L)).toDF("id", "len")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      PrefixScan.packByLength(df, "id", "len", batchDocs = 2,
+          materialize = false)
+        .select("id", "length_bucket", "batch_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+    val got = run(docs)
+    // bucket 0 order (len desc, id): (1,1),(2,1),(7,0) → batches 0,0,1
+    // bucket 1 order: (4,3),(5,3),(6,3),(3,2) → batches 0,0,1,1
+    assert(got.toSeq === Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 1L, 1L),
+      (4L, 1L, 0L), (5L, 1L, 0L), (6L, 1L, 1L), (7L, 0L, 1L)))
+    assert(run(docs.repartition(5)).toSeq === got.toSeq,
+      "batch assignment must not depend on input partitioning")
+    // padding waste of bucket-1 batch 1: max 3 * 2 docs - (3+2) = 1
+    val waste = PrefixScan.packByLength(docs, "id", "len", 2,
+        materialize = false)
+      .groupBy("length_bucket", "batch_id")
+      .agg((max("len") * count(lit(1)) - sum("len")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(waste((1L, 1L)) == 1L && waste((1L, 0L)) == 0L)
+  }
 }

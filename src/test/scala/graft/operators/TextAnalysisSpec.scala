@@ -77,6 +77,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ny._2 > pmi(("is", "big"))._2)
   }
 
+  test("vocabGrowth: cumulative docs and distinct-token curve, " +
+      "repeat-only tail flattens, fewer docs than buckets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b"), (2L, "b c"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    // buckets=2: docs {1,2} then {3,4}; vocab after slice 1 = {a,b,c}
+    // = 3, slice 2 adds nothing (saturated corpus)
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text",
+      buckets = 2).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 3L), (2L, 4L, 3L)))
+    // growing corpus: each slice introduces a new token
+    val grow = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val g = TextAnalysis.vocabGrowth(grow, "doc_id", "text",
+      buckets = 4).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g.toSeq === Seq((1L, 1L, 1L), (2L, 2L, 2L),
+      (3L, 3L, 3L), (4L, 4L, 4L)))
+    // 2 docs, 5 buckets: only occupied tiles report
+    val small = TextAnalysis.vocabGrowth(
+      Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text"),
+      "doc_id", "text", buckets = 5).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(small.toSeq === Seq((1L, 1L, 1L), (2L, 2L, 2L)))
+  }
+
+  test("skipgramPmi: hand-computed window-2 pair counts and PMI, " +
+      "canonical unordered pairs, window growth only adds pairs") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a")).toDF("id", "text")
+    val got = TextAnalysis.skipgramPmi(docs, "text", window = 2,
+      minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // d=1: (a,b)(b,c)(c,a→a c); d=2: (a,c)(b,a→a b)
+    assert(got.view.mapValues(_._1).toMap ===
+      Map(("a", "b") -> 2L, ("a", "c") -> 2L, ("b", "c") -> 1L))
+    // npair = 3 + 2 = 5; unigrams a:2 b:1 c:1, nuni = 4
+    val expectAb = math.log((2.0 / 5.0) / ((2.0 / 4.0) * (1.0 / 4.0)))
+    assert(math.abs(got(("a", "b"))._2 - expectAb) < 1e-12)
+    // window=1 restricted to adjacency only
+    val w1 = TextAnalysis.skipgramPmi(docs, "text", window = 1,
+      minCount = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(w1 === Map(("a", "b") -> 1L, ("a", "c") -> 1L,
+      ("b", "c") -> 1L))
+    // untokenizable corpus: empty result, not an error
+    assert(TextAnalysis.skipgramPmi(
+      Seq((1L, "   ")).toDF("id", "text"), "text", window = 3)
+      .count() == 0L)
+  }
+
   test("repetition: most repeated bigram share, short docs drop out") {
     import spark.implicits._
     val df = Seq(
