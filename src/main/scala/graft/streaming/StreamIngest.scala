@@ -109,6 +109,29 @@ object StreamIngest {
     stream.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming DAU: EXACT distinct users per event-time day over an
+    * unbounded stream — watermark-bounded (user, day) dedup
+    * (`dropDuplicatesWithinWatermark`, so state holds one row per
+    * active user-day inside the horizon, not forever) followed by a
+    * windowed count. Equals the batch per-day distinct count whenever
+    * a user-day's events all arrive within `horizon` of each other —
+    * the bounded-horizon contract every streaming dedup here carries
+    * (a user-day recurring past the horizon re-counts; batch
+    * reconciliation downstream owns long-range exactness). Returns
+    * (day, dau) with `day` the window start. */
+  def streamingDau(stream: DataFrame, userCol: String, tsCol: String,
+      horizon: String = "1 day"): DataFrame =
+    stream
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .withWatermark(tsCol, horizon)
+      // the window struct inherits the event-time marker; the raw ts
+      // must NOT ride along (two event-time columns is an error)
+      .select(col(userCol), window(col(tsCol), "1 day").as("__day"))
+      .dropDuplicatesWithinWatermark(userCol, "__day")
+      .groupBy(col("__day"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("__day.start").as("day"), col("dau"))
+
   /** Gap-based streaming sessionization via the BUILT-IN
     * `session_window` aggregation — the Spark-native complement to
     * [[streamingSessions]]' custom state path: the engine owns

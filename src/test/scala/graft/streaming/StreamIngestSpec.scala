@@ -980,4 +980,47 @@ class StreamIngestSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streamingDau: accumulated per-day distinct-user counts EQUAL " +
+      "the batch distinct count across micro-batches, re-events " +
+      "within the horizon never double-count") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp)]
+    val dau = StreamIngest.streamingDau(
+      source.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      horizon = "1 day")
+    val q = dau.writeStream.format("memory")
+      .queryName("dau_out").outputMode("complete").start()
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2026-01-01 09:00:00")),
+      (2L, Timestamp.valueOf("2026-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2026-01-01 11:00:00")), // same user-day
+      (3L, Timestamp.valueOf("2026-01-02 09:00:00")),
+      (1L, Timestamp.valueOf("2026-01-02 10:00:00")),
+      (1L, Timestamp.valueOf("2026-01-02 10:30:00")), // same user-day
+      (2L, Timestamp.valueOf("2026-01-02 23:00:00")))
+    try {
+      source.addData(rows.take(3))
+      q.processAllAvailable()
+      source.addData(rows.drop(3))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT day, dau FROM dau_out ORDER BY day")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+      // batch truth: distinct (user, day) counted per day
+      val want = rows.toDF("user_id", "ts")
+        .select($"user_id",
+          org.apache.spark.sql.functions.window($"ts", "1 day")("start")
+            .as("day"))
+        .distinct().groupBy("day")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("dau"))
+        .orderBy("day").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)))
+      assert(got.toSeq === want.toSeq,
+        s"streaming DAU must equal the batch distinct count: " +
+          s"got ${got.toSeq} want ${want.toSeq}")
+      assert(got.map(_._2).toSeq === Seq(2L, 3L))
+    } finally q.stop()
+  }
 }
