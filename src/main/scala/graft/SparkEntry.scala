@@ -1265,6 +1265,41 @@ object SparkEntry {
         "doc_id", "tok", threshold = 0.4)
         .orderBy("doc_id")
     }),
+    // LSH BLOCKING-QUALITY report (the entity-resolution evaluation
+    // pair): candidates from the md5 band join, truth from the naive
+    // exact-Jaccard >= 0.5 pairs ON THE SAME shingle frame, caught =
+    // the verified md5 pair table (candidates ∩ truth by
+    // construction) — pair completeness + reduction ratio, the two
+    // numbers that justify a blocking scheme
+    "blocking_quality" -> ((s, dir) => {
+      val sh = md5ShinglesShared(s, dir)
+      val bands = md5Bands(sh)
+      val cand = bands
+        .select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+        .join(bands.select(col("doc_id").as("id_b"), col("band"),
+          col("bkey")), Seq("band", "bkey"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val truePairs = Dedup.jaccardPairsExactFromTokens(
+        sh.select(col("doc_id"), col("s").as("tok")),
+        "doc_id", "tok", threshold = 0.5)
+      val nCand = broadcast(cand.agg(count(lit(1)).as("n_candidates")))
+      val nTrue = broadcast(truePairs.agg(count(lit(1)).as("n_true")))
+      val nCaught = broadcast(
+        md5NearDupPairs(s, dir).agg(count(lit(1)).as("n_caught")))
+      val nDocs = broadcast(sh.select("doc_id").distinct()
+        .agg(count(lit(1)).as("__nd")))
+      nCand.crossJoin(nTrue).crossJoin(nCaught).crossJoin(nDocs)
+        .withColumn("pair_completeness",
+          when(col("n_true") > 0,
+            (col("n_caught").cast("double") / col("n_true").cast("double"))
+              .cast("decimal(18,9)").cast("double")))
+        .withColumn("reduction_ratio",
+          (lit(1.0) - col("n_candidates").cast("double") * 2.0 /
+            (col("__nd").cast("double") * (col("__nd").cast("double") - 1.0)))
+            .cast("decimal(18,9)").cast("double"))
+        .drop("__nd")
+    }),
     // connected components (large-star/small-star operator) over the
     // md5 pair graph — the DuckDB twin computes the same labels with a
     // recursive-CTE transitive closure + min per node, so the CC
@@ -2141,6 +2176,25 @@ object SparkEntry {
         Seq("view", "click", "purchase"),
         horizonNanos = 7L * 86400 * 1000000000L)
         .orderBy("step")),
+    // EXCLUSION funnel: view → purchase with NO click strictly in
+    // between — the "did not" step product tools ship; user-keyed
+    // aggregates only, one row out
+    "funnel_exclusion" -> ((s, dir) =>
+      graft.operators.Funnel.exclusionFunnel(
+        events(s, dir).select("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts",
+        startStep = "view", endStep = "purchase",
+        excludeStep = "click",
+        horizonNanos = 7L * 86400 * 1000000000L)),
+    // CUSUM change-point curve over daily event counts: exact
+    // integer-scaled deviations (n·S_t − t·T), |dev| argmax = the
+    // rate-shift candidate; the bounded day summary rolls up via a
+    // broadcast inequality self-join
+    "changepoint_cusum" -> ((s, dir) =>
+      graft.operators.Anomaly.cusumCurve(
+        events(s, dir).where(col("ts").isNotNull)
+          .select(expr("ts div 86400000000000").as("day")), "day")
+        .orderBy("bucket")),
     // unordered funnel: did the user hit view AND click AND purchase
     // within 7 days, in ANY order — the engagement-checklist
     // complement of the ordered funnel; full hitters split by
@@ -2546,6 +2600,24 @@ object SparkEntry {
           .select(col("doc_id"), col("n_chars").cast("double").as("w")),
         "doc_id", "w", n = 100, roundKeys = true)
         .select("doc_id").orderBy("doc_id")),
+    // systematic every-7th sampling under the doc_id total order —
+    // two-phase rank + modulo filter, no global ROW_NUMBER window
+    "systematic_sample" -> ((s, dir) =>
+      graft.operators.Sampling.systematicSample(
+        t(s, dir, "documents").select("doc_id", "source"),
+        Seq(col("doc_id").asc), every = 7, offset = 3,
+        materialize = false)
+        .orderBy("doc_id")),
+    // time-weighted average value per user (last-value interpolation
+    // between ticks): exact decimal duration-weighted sums, one
+    // bridged division; (ts, value) totally orders each user's ticks
+    "twap_value" -> ((s, dir) =>
+      graft.operators.TimeWindows.twap(
+        events(s, dir).select("user_id", "ts", "value")
+          .where(col("user_id").isNotNull),
+        Seq("user_id"), "ts", "value",
+        orderBy = Seq(col("ts").asc, col("value").asc))
+        .orderBy("user_id")),
     // DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169):
     // bucketed-ngram LM ratio of a target slice (src1/src2) vs the
     // full corpus, add-1 smoothing over 4096 buckets; md5-portable
@@ -2731,6 +2803,20 @@ object SparkEntry {
         t(s, dir, "documents"), "text", minCount = 5)
         .withColumn("pmi", col("pmi").cast("decimal(18,9)").cast("double"))
         .orderBy("w1", "w2")),
+    // PSI drift: population stability of n_chars between src1 (the
+    // "current" feed) and the rest (the reference) — decile edges
+    // from ntileExact over the reference, Laplace-smoothed per-bin
+    // proportions, per-bin PSI terms (no cross-engine double sum)
+    "psi_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Drift.psi(
+        docs.where(col("source") =!= "src1")
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
+        docs.where(col("source") === "src1")
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
+        "n_chars", "doc_id", bins = 10)
+        .orderBy("bin")
+    }),
     // length-bucketed training-batch assembly: power-of-two buckets
     // by n_chars, (len DESC, id) order inside each bucket, 8-doc
     // batches via the two-phase PrefixScan rank (no per-bucket global
@@ -5135,6 +5221,47 @@ object SparkEntry {
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '\s+', ' ', 'g')) AS cleaned
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // exclusion-funnel twin: first view, first purchase strictly
+    // after within 7d, exclusion = any click STRICTLY between; exact
+    // counts, one division
+    "funnel_exclusion" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |a AS (SELECT user_id, MIN(tn) AS ta FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MAX(a.ta) AS ta, MIN(e.tn) AS tc
+        |  FROM ev e JOIN a ON a.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tn > a.ta
+        |    AND e.tn <= a.ta + 604800000000000
+        |  GROUP BY e.user_id),
+        |x AS (SELECT DISTINCT e.user_id FROM ev e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.tn > c.ta AND e.tn < c.tc),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_start FROM a),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_converted FROM c),
+        |nx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_excluded FROM x)
+        |SELECT ns.n_start, nc.n_converted, nx.n_excluded,
+        |  nc.n_converted - nx.n_excluded AS n_clean,
+        |  CASE WHEN nc.n_converted > 0
+        |    THEN CAST(nc.n_converted - nx.n_excluded AS DOUBLE) /
+        |      CAST(nc.n_converted AS DOUBLE) END AS clean_pct
+        |FROM ns, nc, nx""".stripMargin,
+    // CUSUM twin: per-day counts, rank + cumsum windows over the
+    // bounded day summary, identical integer dev arithmetic
+    "changepoint_cusum" ->
+      """WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT day AS bucket, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM d GROUP BY day)
+        |SELECT bucket, n_events,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY bucket) AS BIGINT) AS t,
+        |  CAST(SUM(n_events) OVER (ORDER BY bucket) AS BIGINT)
+        |    AS cum_events,
+        |  CAST((SELECT COUNT(*) FROM c) *
+        |      SUM(n_events) OVER (ORDER BY bucket)
+        |    - ROW_NUMBER() OVER (ORDER BY bucket) *
+        |      (SELECT SUM(n_events) FROM c) AS BIGINT) AS dev
+        |FROM c ORDER BY bucket""".stripMargin,
     // funnel twin: same strictly-after + 7d-from-step-1 semantics; the
     // per-step CTE chain mirrors Funnel.funnel's scanLeft exactly
     "funnel_steps" ->
@@ -5712,6 +5839,31 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE md5(CAST(doc_id AS VARCHAR)) < '28'
         |ORDER BY doc_id""".stripMargin,
+    // systematic-sample twin: plain ROW_NUMBER under the same total
+    // order, identical modulo cut
+    "systematic_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM documents)
+        |WHERE (rn - 1) % 7 = 3 ORDER BY doc_id""".stripMargin,
+    // TWAP twin: same (ts, value)-ordered lead durations, exact
+    // decimal duration-weighted sum, one bridged division
+    "twap_value" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) AS tn,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |st AS (SELECT user_id, v,
+        |    LEAD(tn) OVER (PARTITION BY user_id ORDER BY tn, v) - tn
+        |      AS dt
+        |  FROM ev)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |  CAST(SUM(dt) AS BIGINT) AS span_nanos,
+        |  CASE WHEN SUM(dt) > 0 THEN
+        |    CAST(CAST(CAST(CAST(SUM(v * dt) AS DOUBLE) /
+        |      CAST(SUM(dt) AS DOUBLE) AS DECIMAL(18,9)) AS VARCHAR)
+        |      AS DOUBLE) END AS twap
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
     // E-S twin: fold the 13-hex-char md5 prefix to the same 52-bit
     // uniform, identical -ln(u)/w keys decimal(18,6)-rounded, id
     // tiebreak — both engines rank identical decimals
@@ -6859,6 +7011,63 @@ object SparkEntry {
         |JOIN sizes zb ON zb.doc_id = i.id_b
         |WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // blocking-quality twin: the md5 candidate chain + the naive
+    // exact-pair chain on the same shingles, counted; caught = the
+    // verified >= 0.5 candidate pairs; bridged ratios
+    "blocking_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+        |       FROM sh0),
+        |hj AS (SELECT doc_id, s, unnest(range(1, 9)) AS j FROM sh),
+        |sigs AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+        |         FROM hj GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, CAST((j + 1) // 2 AS INT) AS band,
+        |            string_agg(mh, '|' ORDER BY j) AS bkey
+        |          FROM sigs GROUP BY doc_id, CAST((j + 1) // 2 AS INT)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        |    AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |candj AS (
+        |  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ninter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.id_a
+        |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+        |  GROUP BY c.id_a, c.id_b),
+        |caught AS (
+        |  SELECT i.id_a FROM candj i
+        |  JOIN sizes za ON za.doc_id = i.id_a
+        |  JOIN sizes zb ON zb.doc_id = i.id_b
+        |  WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5),
+        |allp AS (
+        |  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS ninter
+        |  FROM sh sa JOIN sh sb ON sb.s = sa.s AND sa.doc_id < sb.doc_id
+        |  GROUP BY sa.doc_id, sb.doc_id),
+        |trueP AS (
+        |  SELECT i.id_a FROM allp i
+        |  JOIN sizes za ON za.doc_id = i.id_a
+        |  JOIN sizes zb ON zb.doc_id = i.id_b
+        |  WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM trueP),
+        |ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_caught FROM caught),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS d FROM sh)
+        |SELECT nc.n_candidates, nt.n_true, ng.n_caught,
+        |  CASE WHEN nt.n_true > 0 THEN
+        |    CAST(CAST(CAST(CAST(ng.n_caught AS DOUBLE) /
+        |      CAST(nt.n_true AS DOUBLE) AS DECIMAL(18,9)) AS VARCHAR)
+        |      AS DOUBLE) END AS pair_completeness,
+        |  CAST(CAST(CAST(1.0 - CAST(nc.n_candidates AS DOUBLE) * 2.0 /
+        |    (nd.d * (nd.d - 1.0)) AS DECIMAL(18,9)) AS VARCHAR)
+        |    AS DOUBLE) AS reduction_ratio
+        |FROM nc, nt, ng, nd""".stripMargin,
     // naive cross-pairs twin of the asymmetric exact probe: every
     // odd/even pair sharing any token, exact-int intersection, single
     // double division, distinct flagged probe ids
@@ -7026,6 +7235,39 @@ object SparkEntry {
          |JOIN uni u1 ON u1.tok = split_part(bg, ' ', 1)
          |JOIN uni u2 ON u2.tok = split_part(bg, ' ', 2), nu, nb
          |ORDER BY w1, w2""".stripMargin,
+    // PSI twin: ntile deciles on the reference (≡ ntileExact), edge
+    // table, clamped current-slice binning, same smoothing and
+    // per-bin bridged terms
+    "psi_drift" ->
+      """WITH r AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE source <> 'src1' AND n_chars IS NOT NULL),
+        |c AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE source = 'src1' AND n_chars IS NOT NULL),
+        |tiled AS (SELECT v,
+        |    CAST(ntile(10) OVER (ORDER BY v, id) AS BIGINT) AS bin
+        |  FROM r),
+        |edges AS (SELECT bin, MAX(v) AS edge FROM tiled GROUP BY bin),
+        |rc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_ref
+        |  FROM tiled GROUP BY bin),
+        |cb AS (SELECT id, COALESCE(MIN(e.bin), 10) AS bin
+        |  FROM c LEFT JOIN edges e ON c.v <= e.edge GROUP BY id),
+        |cc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_cur
+        |  FROM cb GROUP BY bin),
+        |nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nr FROM r),
+        |nc2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nc FROM c),
+        |j AS (SELECT COALESCE(rc.bin, cc.bin) AS bin,
+        |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        |  FROM rc FULL OUTER JOIN cc ON cc.bin = rc.bin),
+        |p AS (SELECT j.bin, e.edge, n_ref, n_cur,
+        |    CAST(CAST(CAST((CAST(n_ref AS DOUBLE) + 0.5) / (nr.nr + 5.0)
+        |      AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS p_ref,
+        |    CAST(CAST(CAST((CAST(n_cur AS DOUBLE) + 0.5) / (nc2.nc + 5.0)
+        |      AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS p_cur
+        |  FROM j LEFT JOIN edges e ON e.bin = j.bin, nr, nc2)
+        |SELECT bin, edge, n_ref, n_cur, p_ref, p_cur,
+        |  CAST(CAST(CAST((p_ref - p_cur) * ln(p_ref / p_cur)
+        |    AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS psi_term
+        |FROM p ORDER BY bin""".stripMargin,
     // length-batches twin: same exact bit-length bucket, ROW_NUMBER
     // per bucket over (len DESC, id), (rn-1)//8 batch cut — the
     // PrefixScan rank restricted to a bucket IS this row number

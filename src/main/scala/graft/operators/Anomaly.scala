@@ -67,4 +67,35 @@ object Anomaly {
         col("z").isNotNull && abs(col("z")) > threshold)
       .drop("__v6", "__n", "__s", "__q")
   }
+
+  /** CUSUM change-point curve over a bucketed count series: for each
+    * bucket t (rank order, 1-based), the cumulative count S_t and the
+    * INTEGER-scaled deviation `dev = n·S_t − t·T` (n = #buckets, T =
+    * total) — the classic "where did the rate shift" statistic with
+    * the 1/n·1/T divisions cleared, so every value is an exact long
+    * and any engine replays it bit-for-bit. The |dev| argmax is the
+    * change-point candidate; a flat series stays near 0.
+    *
+    * Scale shape: one count aggregate per bucket, then the cumulative
+    * rollup runs on the ≤ |buckets|-row summary via a broadcast
+    * inequality self-join (bounded by construction — bucket count is
+    * calendar-sized, not corpus-sized). Returns
+    * (bucket, n_events, t, cum_events, dev) ordered by bucket. */
+  def cusumCurve(df: DataFrame, bucketCol: String): DataFrame = {
+    val counts = df.groupBy(col(bucketCol).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = broadcast(counts.agg(
+      count(lit(1)).as("__n"), sum("n_events").as("__t")))
+    counts.as("x")
+      .join(broadcast(counts.as("y")),
+        col("y.bucket") <= col("x.bucket"))
+      .groupBy(col("x.bucket").as("bucket"),
+        col("x.n_events").as("n_events"))
+      .agg(count(lit(1)).as("t"),
+        sum(col("y.n_events")).cast("long").as("cum_events"))
+      .crossJoin(totals)
+      .withColumn("dev",
+        col("__n") * col("cum_events") - col("t") * col("__t"))
+      .drop("__n", "__t")
+  }
 }

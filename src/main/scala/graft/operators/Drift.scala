@@ -47,7 +47,7 @@ object Drift {
       .agg(sum("__c").cast("long").as("__nk"),
         count(lit(1)).cast("long").as("__vk"))
     val scalars = corpus.agg(sum("__ct").cast("long").as("__n"),
-      count(lit(1)).cast("long").as("__v"))
+      count(lit(1)).cast("long").as("__val"))
     // grid = vocab × keys (keys are few by contract) with the
     // corpus-wide scalars riding along. The counts join must be
     // NULL-SAFE on the key: a null key is a legitimate group
@@ -62,7 +62,7 @@ object Drift {
       .drop("__ck", "__ct2")
       .na.fill(0L, Seq("__c"))
     val p = (col("__c") + lit(1L)).cast("double") /
-      (col("__nk") + col("__v")).cast("double")
+      (col("__nk") + col("__val")).cast("double")
     val q = col("__ct").cast("double") / col("__n").cast("double")
     val term = round(p * log(p / q), 9).cast("decimal(18,9)")
     grid.withColumn("__term", term)
@@ -70,5 +70,65 @@ object Drift {
       .agg(first("__nk").as("n_tokens"), first("__vk").as("vocab_used"),
         sum("__term").cast("string").cast("double").as("kl"))
       .withColumnRenamed("__k", keyCol)
+  }
+
+  /** Population Stability Index between a REFERENCE slice and a
+    * CURRENT slice of a numeric column — the ML-ops drift staple
+    * ("did the feature distribution move since training"): bin edges
+    * are the reference slice's `bins`-quantile cut points
+    * ([[Profile.ntileExact]] under a (value, id) total order — never
+    * a global ntile window), both slices are counted per bin, and
+    * each bin reports its Laplace-smoothed proportions and PSI term
+    * `(p − q)·ln(p/q)`. Σ terms < 0.1 is the classic "stable" read.
+    * Returns (bin, edge, n_ref, n_cur, p_ref, p_cur, psi_term),
+    * per-bin — no cross-engine double sum; terms quantize at scale 9.
+    *
+    * Scale shape: one ntileExact pass over the reference, a ≤`bins`-
+    * row broadcast edge table, one fan-out-`bins` inequality join to
+    * bin the current slice (bounded by construction), two counts. */
+  def psi(ref: DataFrame, cur: DataFrame, valCol: String,
+      idCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val r = ref.where(col(valCol).isNotNull)
+      .select(col(idCol).as("__id"), col(valCol).as("__val"))
+    val c = cur.where(col(valCol).isNotNull)
+      .select(col(idCol).as("__id"), col(valCol).as("__val"))
+    val tiled = Profile.ntileExact(r,
+      Seq(col("__val").asc, col("__id").asc), bins, "__bin",
+      materialize = false)
+    // reference bin edges: per-tile max; the top tile's edge is +inf
+    // conceptually — current values above it clamp into the top bin
+    val edges = broadcast(tiled.groupBy("__bin")
+      .agg(max("__val").as("__edge")))
+    val refCounts = tiled.groupBy("__bin")
+      .agg(count(lit(1)).as("n_ref"))
+    val maxBin = lit(bins.toLong)
+    val curBinned = c
+      .join(edges, col("__val") <= col("__edge"), "left")
+      .groupBy("__id")
+      .agg(coalesce(min("__bin"), maxBin).as("__bin"))
+      .groupBy("__bin").agg(count(lit(1)).as("n_cur"))
+    val nR = broadcast(r.agg(count(lit(1)).as("__nr")))
+    val nC = broadcast(c.agg(count(lit(1)).as("__nc")))
+    refCounts.join(curBinned, Seq("__bin"), "full_outer")
+      .select(col("__bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .join(edges, Seq("__bin"), "left")
+      .crossJoin(nR).crossJoin(nC)
+      .withColumn("p_ref",
+        ((col("n_ref").cast("double") + 0.5) /
+          (col("__nr").cast("double") + 0.5 * bins))
+          .cast("decimal(18,9)").cast("double"))
+      .withColumn("p_cur",
+        ((col("n_cur").cast("double") + 0.5) /
+          (col("__nc").cast("double") + 0.5 * bins))
+          .cast("decimal(18,9)").cast("double"))
+      .withColumn("psi_term",
+        ((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")))
+          .cast("decimal(18,9)").cast("double"))
+      .select(col("__bin").as("bin"), col("__edge").as("edge"),
+        col("n_ref"), col("n_cur"), col("p_ref"), col("p_cur"),
+        col("psi_term"))
   }
 }

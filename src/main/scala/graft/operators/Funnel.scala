@@ -55,6 +55,49 @@ object Funnel {
       .drop("n_first")
   }
 
+  /** EXCLUSION funnel ("did A then C WITHOUT B in between"): per user,
+    * t_A = first `startStep`, t_C = first `endStep` strictly after
+    * t_A within `horizonNanos`; a converted user is EXCLUDED when any
+    * `excludeStep` event falls strictly between t_A and t_C. The
+    * negative-path analytics cut ("purchased without clicking the
+    * promo") product tools ship as "did not" steps. Returns ONE row:
+    * (n_start, n_converted, n_excluded, n_clean, clean_pct) —
+    * clean_pct = n_clean / n_converted, null when nothing converts.
+    *
+    * Shape: three user-keyed aggregates/joins (A-times, C-after-A,
+    * B-between) — every shuffle is on the user key; the final row
+    * composes broadcast 1-row counts. Exact longs; one division. */
+  def exclusionFunnel(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, startStep: String,
+      endStep: String, excludeStep: String,
+      horizonNanos: Long): DataFrame = {
+    require(horizonNanos > 0, "horizon must be positive")
+    val ev = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol), col(typeCol), col(tsCol).cast("long"))
+    val a = ev.where(col(typeCol) === startStep)
+      .groupBy(userCol).agg(min(tsCol).as("__ta"))
+    val c = ev.where(col(typeCol) === endStep)
+      .join(a, Seq(userCol))
+      .where(col(tsCol) > col("__ta") &&
+        col(tsCol) <= col("__ta") + horizonNanos)
+      .groupBy(userCol)
+      .agg(max(col("__ta")).as("__ta"), min(col(tsCol)).as("__tc"))
+    val excluded = ev.where(col(typeCol) === excludeStep)
+      .join(c, Seq(userCol))
+      .where(col(tsCol) > col("__ta") && col(tsCol) < col("__tc"))
+      .select(col(userCol)).distinct()
+    val nStart = broadcast(a.agg(count(lit(1)).as("n_start")))
+    val nConv = broadcast(c.agg(count(lit(1)).as("n_converted")))
+    val nExcl = broadcast(excluded.agg(count(lit(1)).as("n_excluded")))
+    nStart.crossJoin(nConv).crossJoin(nExcl)
+      .withColumn("n_clean", col("n_converted") - col("n_excluded"))
+      .withColumn("clean_pct",
+        when(col("n_converted") > 0,
+          col("n_clean").cast("double") /
+            col("n_converted").cast("double")))
+  }
+
   /** UNORDERED funnel ("did they do all of these within the window",
     * any order): per user, the FIRST time of each step; the user
     * completes when every step is present and the span between the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -305,5 +305,30 @@ object Sampling {
     val thr = coalesce(element_at(thrMap, col(keyCol).cast("string")),
       lit(thresholdHex(defaultFraction)))
     df.filter(md5(col(idCol).cast("string").cast("binary")) < thr)
+  }
+
+  /** Systematic (every k-th) sampling under a TOTAL order: keep the
+    * rows whose 1-based position in `orderBy` order satisfies
+    * `(pos − 1) % every == offset` — the audit-sampling mode where a
+    * reviewer wants a deterministic, evenly-spaced sweep of a sorted
+    * population rather than a hash draw. Pass a unique tiebreaker in
+    * `orderBy` for full determinism.
+    *
+    * Scale shape: positions come from [[PrefixScan.runningSumBy]]
+    * (range-partitioned two-phase rank — never a global ROW_NUMBER
+    * window), then one narrow modulo filter. */
+  def systematicSample(df: DataFrame, orderBy: Seq[Column], every: Int,
+      offset: Int = 0, materialize: Boolean = true): DataFrame = {
+    require(every >= 1, "every must be >= 1")
+    require(offset >= 0 && offset < every,
+      s"offset must be in [0, $every)")
+    val reserved = Seq("__graft_one", "__graft_pos")
+    require(reserved.forall(r => !df.columns.contains(r)),
+      s"reserved columns $reserved present — rename them")
+    PrefixScan.runningSumBy(
+      df.withColumn("__graft_one", lit(1L)),
+      orderBy, "__graft_one", "__graft_pos", materialize)
+      .where((col("__graft_pos") - 1L) % every === offset.toLong)
+      .drop("__graft_one", "__graft_pos")
   }
 }

@@ -105,4 +105,45 @@ object TimeWindows {
       .select((bucketCol +: keyCols).map(col) :+
         coalesce(col("cnt"), lit(0L)).as("cnt"): _*)
   }
+
+  /** Time-weighted average (TWAP) of a step-wise value series per
+    * key: each observation holds its value until the NEXT observation
+    * (last-value interpolation), and the average weights each value
+    * by its holding duration — the finance/metrics convention where a
+    * plain mean over-counts bursts of ticks. Returns one row per key:
+    * (keyCols, n_obs, span_nanos, twap); keys with < 2 observations
+    * have no holding span and report a null twap.
+    *
+    * Exact arithmetic: durations are long nanos, values quantize to
+    * decimal(18,2) (the events.value convention), the
+    * duration-weighted sum is an exact decimal, and the single final
+    * division runs on bridged doubles — engine-reproducible. `tsCol`
+    * must be epoch-nanos; `orderBy` must TOTALLY order each key's
+    * rows (pass value as a tiebreaker for same-timestamp ticks —
+    * equal (ts, value) duplicates are then order-free).
+    *
+    * Scale shape: one key-partitioned lead() window (keys
+    * parallelize; never a global window) + one aggregate. Decimal
+    * sums overflow at ~10^36 value·nanos per key — bound holding
+    * spans upstream for multi-year tick data. */
+  def twap(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String,
+      orderBy: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(keyCols.nonEmpty, "key columns required")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(orderBy: _*)
+    val stepped = df
+      .where(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .withColumn("__v", col(valCol).cast("decimal(18,2)"))
+      .withColumn("__dt", lead(col(tsCol), 1).over(w) - col(tsCol))
+    stepped.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("__dt")).cast("long").as("span_nanos"),
+        sum(col("__v") * col("__dt")).as("__ws"))
+      .withColumn("twap",
+        when(col("span_nanos") > 0L,
+          (col("__ws").cast("double") / col("span_nanos").cast("double"))
+            .cast("decimal(18,9)").cast("double")))
+      .drop("__ws")
+  }
 }

@@ -76,7 +76,20 @@ class PlanAuditSpec extends SparkSpec {
       // k_anonymity inequality-joins its 4-row threshold frame
       // against the (lang, source) class sizes — bounded by
       // construction
-      "k_anonymity")
+      "k_anonymity",
+      // funnel_exclusion composes three broadcast 1-row counts;
+      // changepoint_cusum inequality-joins its broadcast
+      // calendar-sized day summary + a 1-row totals cross — all
+      // bounded by construction
+      "funnel_exclusion", "changepoint_cusum",
+      // psi_drift crosses ntileExact's broadcast 1-row count, bins
+      // the current slice against the broadcast ≤10-row edge table
+      // (inequality join), and crosses two broadcast 1-row totals —
+      // bounded by construction
+      "psi_drift",
+      // blocking_quality composes four broadcast 1-row counts —
+      // bounded by construction
+      "blocking_quality")
 
   // Queries allowed to plan a GLOBAL (unpartitioned) window — each
   // windows over a frame bounded by construction, documented at the

@@ -93,4 +93,29 @@ class AnomalySpec extends SparkSpec {
       Anomaly.rollingZScore(d, Seq("key"), "ts", "value", SEC,
         minCount = 1))
   }
+
+  test("cusumCurve: hand-computed integer deviations peak at the " +
+      "rate shift; a flat series stays at zero") {
+    import spark.implicits._
+    // counts per day: 1,1,1,5,5 → shift after day 3
+    val rows = Seq.fill(1)(1L) ++ Seq.fill(1)(2L) ++ Seq.fill(1)(3L) ++
+      Seq.fill(5)(4L) ++ Seq.fill(5)(5L)
+    val got = Anomaly.cusumCurve(rows.toDF("day"), "day")
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // n=5 buckets, T=13; dev_t = 5*S_t - t*13
+    assert(got.toSeq === Seq(
+      (1L, 1L, 1L, 1L, 5 * 1 - 1 * 13L),
+      (2L, 1L, 2L, 2L, 5 * 2 - 2 * 13L),
+      (3L, 1L, 3L, 3L, 5 * 3 - 3 * 13L),
+      (4L, 5L, 4L, 8L, 5 * 8 - 4 * 13L),
+      (5L, 5L, 5L, 13L, 5 * 13 - 5 * 13L)))
+    // |dev| argmax at day 3 — the change point
+    assert(got.maxBy(r => math.abs(r._5))._1 == 3L)
+    // flat series: every deviation is exactly zero
+    val flat = (1L to 4L).flatMap(d => Seq.fill(3)(d))
+    assert(Anomaly.cusumCurve(flat.toDF("day"), "day")
+      .collect().forall(_.getLong(4) == 0L))
+  }
 }

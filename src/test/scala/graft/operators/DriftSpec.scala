@@ -78,4 +78,30 @@ class DriftSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  test("psi: identical slices score ~0 per bin; a shifted slice " +
+      "concentrates mass in the top bin; clamping and smoothing " +
+      "hand-checked") {
+    val ref = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    // identical distribution → p_ref == p_cur in every bin → terms 0
+    val same = Drift.psi(ref, ref, "v", "id", bins = 10).collect()
+    assert(same.length == 10)
+    assert(same.forall(_.getDouble(6) == 0.0),
+      "identical slices must have exactly-zero PSI terms")
+    // shifted current slice: every value beyond the reference max
+    // clamps into bin 10
+    val cur = (1L to 50L).map(i => (i, 1000L + i)).toDF("id", "v")
+    val shifted = Drift.psi(ref, cur, "v", "id", bins = 10)
+      .orderBy("bin").collect()
+    val top = shifted.last
+    assert(top.getLong(0) == 10L && top.getLong(3) == 50L,
+      s"all current rows must clamp into the top bin: $top")
+    // smoothing keeps empty-current bins finite: p_cur = 0.5/55
+    val b1 = shifted.head
+    assert(b1.getLong(3) == 0L && !b1.getDouble(6).isNaN &&
+      !b1.getDouble(6).isInfinite)
+    assert(math.abs(b1.getDouble(5) - 0.5 / 55.0) < 1e-9)
+    // total PSI is large for the shifted slice
+    assert(shifted.map(_.getDouble(6)).sum > 1.0)
+  }
 }

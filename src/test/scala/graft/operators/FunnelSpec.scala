@@ -82,6 +82,36 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("exclusionFunnel: A→C without B — clean vs excluded split, " +
+      "boundary B events (at t_A or t_C) do NOT exclude, horizon cuts") {
+    val e = ev(
+      // u1: clean convert (no click between view@10 and buy@30)
+      (1L, "view", 10L), (1L, "buy", 30L), (1L, "click", 30L),
+      // u2: excluded (click strictly between)
+      (2L, "view", 10L), (2L, "click", 20L), (2L, "buy", 30L),
+      // u3: click AT t_A — boundary, does not exclude
+      (3L, "view", 10L), (3L, "click", 10L), (3L, "buy", 30L),
+      // u4: converts too late (beyond horizon)
+      (4L, "view", 10L), (4L, "buy", 10L + H + 1L),
+      // u5: starts, never converts
+      (5L, "view", 10L),
+      // u6: buys before viewing — no conversion
+      (6L, "buy", 5L), (6L, "view", 10L))
+    val out = Funnel.exclusionFunnel(e, "user_id", "event_type", "ts",
+      "view", "buy", "click", H).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((6L, 3L, 1L, 2L)),
+      s"n_start/n_converted/n_excluded/n_clean: $r")
+    assert(math.abs(r.getDouble(4) - 2.0 / 3.0) < 1e-15)
+    // nothing converts → clean_pct is null, row still emitted
+    val none = Funnel.exclusionFunnel(
+      ev((1L, "view", 10L)), "user_id", "event_type", "ts",
+      "view", "buy", "click", H).collect()(0)
+    assert(none.getLong(1) == 0L && none.isNullAt(4))
+  }
+
   test("retention builds the cohort matrix with exact rates") {
     // period = 10ns "days". u1 first in p0, active p0,p1,p2; u2 first p0,
     // active p0,p2; u3 first p1, active p1. Cohort p0 size 2, p1 size 1.

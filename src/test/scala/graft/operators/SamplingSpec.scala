@@ -287,4 +287,23 @@ class SamplingSpec extends SparkSpec {
         "id", "k", Map("a" -> 1.5))
     }
   }
+
+  test("systematicSample keeps exactly every k-th row in order, " +
+      "partitioning-invariant, offset/every guards fire") {
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    def ids(frame: org.apache.spark.sql.DataFrame) =
+      Sampling.systematicSample(frame, Seq(col("id").asc),
+          every = 5, offset = 2, materialize = false)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // positions 3, 8, 13, 18 (1-based pos with (pos-1)%5 == 2)
+    assert(ids(df) === Seq(3L, 8L, 13L, 18L))
+    assert(ids(df.repartition(7)) === Seq(3L, 8L, 13L, 18L))
+    // every=1 keeps everything
+    assert(Sampling.systematicSample(df, Seq(col("id").asc), 1,
+      materialize = false).count() == 20L)
+    intercept[IllegalArgumentException] {
+      Sampling.systematicSample(df, Seq(col("id").asc), 5, offset = 5)
+    }
+  }
 }

@@ -79,4 +79,38 @@ class TimeWindowsSpec extends SparkSpec {
       TimeWindows.slidingWindows(df, "ts", 3 * H / 2, H)
     }
   }
+
+  test("twap: hand-computed duration weighting, burst of ticks does " +
+      "not over-count, single observation yields null") {
+    import org.apache.spark.sql.functions.col
+    // u1: value 10 held 3 ns, then 20 held 1 ns → (30+20)/4 = 12.5
+    // u2: a BURST of three ticks at t=0..2 then long hold: plain mean
+    // would be ~27.5; TWAP ≈ the long-held value
+    // u3: one tick → no span, null twap
+    val df = Seq(
+      (1L, 0L, 10.0), (1L, 3L, 20.0), (1L, 4L, 20.0),
+      (2L, 0L, 100.0), (2L, 1L, 100.0), (2L, 2L, 100.0),
+      (2L, 102L, 10.0),
+      (3L, 0L, 42.0))
+      .toDF("user_id", "ts", "value")
+    val got = TimeWindows.twap(df, Seq("user_id"), "ts", "value",
+        Seq(col("ts").asc, col("value").asc))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got(0) == ((1L, 3L, Some(4L), Some(12.5))))
+    // u2: 100 held 2 ns + 100 held 100 ns... wait: ticks at 0,1,2
+    // hold 1+1 ns at 100, then 100 ns at 100 until t=102 → all-100
+    // until the last tick: (100*1 + 100*1 + 100*100)/102 = 100
+    assert(got(1)._4.exists(v => math.abs(v - 100.0) < 1e-9))
+    assert(got(2) == ((3L, 1L, None, None)))
+    // same-timestamp ticks with equal (ts, value) are order-free
+    val dup = Seq((1L, 0L, 5.0), (1L, 0L, 5.0), (1L, 10L, 15.0))
+      .toDF("user_id", "ts", "value")
+    val t = TimeWindows.twap(dup, Seq("user_id"), "ts", "value",
+        Seq(col("ts").asc, col("value").asc))
+      .collect()(0).getDouble(3)
+    assert(math.abs(t - 5.0) < 1e-9)
+  }
 }
