@@ -1273,16 +1273,24 @@ object SparkEntry {
     // numbers that justify a blocking scheme
     "blocking_quality" -> ((s, dir) => {
       val sh = md5ShinglesShared(s, dir)
-      val bands = md5Bands(sh)
-      val cand = bands
-        .select(col("doc_id").as("id_a"), col("band"), col("bkey"))
-        .join(bands.select(col("doc_id").as("id_b"), col("band"),
-          col("bkey")), Seq("band", "bkey"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-      val truePairs = Dedup.jaccardPairsExactFromTokens(
-        sh.select(col("doc_id"), col("s").as("tok")),
-        "doc_id", "tok", threshold = 0.5)
+      // the candidate and truth pair tables are PRODUCTS of pipeline
+      // stages — a quality report reads the stored tables, it doesn't
+      // re-run blocking and the exact join (both memoize per process
+      // like the verified md5 pair table they bracket)
+      val cand = SharedFrames.materialized(s, dir, "md5cand05") {
+        val bands = md5Bands(sh)
+        bands
+          .select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+          .join(bands.select(col("doc_id").as("id_b"), col("band"),
+            col("bkey")), Seq("band", "bkey"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+      }
+      val truePairs = SharedFrames.materialized(s, dir, "truepairs05") {
+        Dedup.jaccardPairsExactFromTokens(
+          sh.select(col("doc_id"), col("s").as("tok")),
+          "doc_id", "tok", threshold = 0.5)
+      }
       val nCand = broadcast(cand.agg(count(lit(1)).as("n_candidates")))
       val nTrue = broadcast(truePairs.agg(count(lit(1)).as("n_true")))
       val nCaught = broadcast(
@@ -2833,6 +2841,28 @@ object SparkEntry {
         .withColumn("pad_waste",
           col("max_len") * col("n_docs") - col("sum_len"))
         .orderBy("length_bucket", "batch_id")
+    }),
+    // per-document codepoint entropy: the cheap gibberish / filler /
+    // base64-blob quality signal — order-free decimal term sums
+    "char_entropy" -> ((s, dir) =>
+      graft.operators.TextAnalysis.charEntropy(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // hour-of-day seasonality profile: events per UTC hour bucket +
+    // corpus share — the "when is this feed alive" operational read;
+    // all-integer buckets, one bridged division
+    "hour_profile" -> ((s, dir) => {
+      val e = events(s, dir).where(col("ts").isNotNull)
+        .select(expr("(ts div 3600000000000) % 24").as("hour"))
+      val counts = e.groupBy("hour").agg(count(lit(1)).as("n_events"))
+      counts
+        .crossJoin(broadcast(counts.agg(
+          sum("n_events").cast("double").as("__t"))))
+        .withColumn("share",
+          (col("n_events").cast("double") / col("__t"))
+            .cast("decimal(18,9)").cast("double"))
+        .drop("__t")
+        .orderBy("hour")
     }),
     // vocabulary-growth (Heaps-law) curve: cumulative distinct tokens
     // at 10 equal corpus slices — ntileExact buckets (no global
@@ -7286,6 +7316,36 @@ object SparkEntry {
         |  CAST(SUM(len) AS BIGINT) AS sum_len,
         |  CAST(MAX(len) * COUNT(*) - SUM(len) AS BIGINT) AS pad_waste
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // entropy twin: same codepoint regex, same quantized terms, the
+    // exact decimal sum through the VARCHAR bridge
+    "char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '.')) AS ch
+        |  FROM documents),
+        |cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM ch GROUP BY doc_id, ch),
+        |tt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |  FROM cc GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_chars, t.n_distinct,
+        |  CAST(CAST(SUM(CAST(
+        |    -(CAST(c AS DOUBLE) / CAST(t.n_chars AS DOUBLE)) *
+        |     ln(CAST(c AS DOUBLE) / CAST(t.n_chars AS DOUBLE))
+        |    AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS entropy
+        |FROM cc JOIN tt t USING (doc_id)
+        |GROUP BY t.doc_id, t.n_chars, t.n_distinct
+        |ORDER BY t.doc_id""".stripMargin,
+    // hour-profile twin: identical floor-div bucket, bridged share
+    "hour_profile" ->
+      """WITH e AS (SELECT (epoch_ns(ts) // 3600000000000) % 24 AS hour
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY hour),
+        |t AS (SELECT CAST(SUM(n_events) AS DOUBLE) AS t FROM c)
+        |SELECT hour, n_events,
+        |  CAST(CAST(CAST(CAST(n_events AS DOUBLE) / t.t
+        |    AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS share
+        |FROM c, t ORDER BY hour""".stripMargin,
     // vocab-growth twin: same ntile bucketing (ntileExact ≡ ntile,
     // property-pinned), first-bucket per token, windowed cumsum over
     // the 10-row summary

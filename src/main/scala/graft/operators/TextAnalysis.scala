@@ -457,6 +457,37 @@ object TextAnalysis {
             (col("__c2").cast("double") / col("__nuni")))).as("pmi"))
   }
 
+  /** Per-document CODEPOINT entropy: Shannon entropy (nats) of each
+    * document's character distribution — the cheap gibberish /
+    * base64-blob / repeated-filler detector (natural language sits
+    * ~3–4 nats; a single repeated char is 0; random base64 pushes
+    * toward ln 64). Returns (idCol, n_chars, n_distinct, entropy);
+    * empty/null texts drop out.
+    *
+    * Determinism: each (doc, char) term −(c/n)·ln(c/n) quantizes to
+    * decimal(18,9) before the per-doc sum, so the sum is an exact
+    * decimal and order-free (the BM25/nDCG convention). Characters
+    * are regex `.` matches — CODEPOINTS (Java regex and RE2 agree,
+    * astral-safe), newlines excluded identically in both engines.
+    * One explode + two partial-aggregated hash aggregations keyed by
+    * (doc, char) then doc. */
+  def charEntropy(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val chars = df
+      .select(col(idCol),
+        explode(expr(s"regexp_extract_all($textCol, '.', 0)"))
+          .as("__ch"))
+      .groupBy(idCol, "__ch").agg(count(lit(1)).as("__c"))
+    val totals = chars.groupBy(idCol)
+      .agg(sum("__c").cast("long").as("n_chars"),
+        count(lit(1)).cast("long").as("n_distinct"))
+    val p = col("__c").cast("double") / col("n_chars").cast("double")
+    chars.join(totals, Seq(idCol))
+      .withColumn("__term", (-p * log(p)).cast("decimal(18,9)"))
+      .groupBy(col(idCol), col("n_chars"), col("n_distinct"))
+      .agg(sum("__term").cast("string").cast("double").as("entropy"))
+  }
+
   /** Vocabulary-growth (Heaps-law) curve: slice the corpus into
     * `buckets` equal doc-count slices in `idCol` order and report, at
     * each slice boundary, the cumulative document count and the

@@ -87,9 +87,10 @@ class PlanAuditSpec extends SparkSpec {
       // (inequality join), and crosses two broadcast 1-row totals —
       // bounded by construction
       "psi_drift",
-      // blocking_quality composes four broadcast 1-row counts —
-      // bounded by construction
-      "blocking_quality")
+      // blocking_quality composes four broadcast 1-row counts;
+      // hour_profile crosses its broadcast 1-row total — bounded by
+      // construction
+      "blocking_quality", "hour_profile")
 
   // Queries allowed to plan a GLOBAL (unpartitioned) window — each
   // windows over a frame bounded by construction, documented at the

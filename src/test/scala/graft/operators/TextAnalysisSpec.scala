@@ -77,6 +77,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ny._2 > pmi(("is", "big"))._2)
   }
 
+  test("charEntropy: hand-computed nats, constant text scores 0, " +
+      "astral codepoints count once, empty text drops out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aabb"),          // ln 2
+      (2L, "zzzz"),          // 0
+      (3L, "abcd"),          // ln 4
+      (4L, "😀😀x"), // 2× astral + x: H(2/3,1/3)
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!got.contains(5L), "empty text has no characters")
+    assert(got(1L)._1 == 4L && got(1L)._2 == 2L)
+    assert(math.abs(got(1L)._3 - math.log(2.0)) < 1e-8)
+    assert(got(2L)._3 == 0.0)
+    assert(math.abs(got(3L)._3 - math.log(4.0)) < 1e-8)
+    // the emoji is ONE codepoint (n_chars 3, 2 distinct)
+    assert(got(4L)._1 == 3L && got(4L)._2 == 2L)
+    val h = -(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3)
+    assert(math.abs(got(4L)._3 - h) < 1e-8)
+  }
+
   test("vocabGrowth: cumulative docs and distinct-token curve, " +
       "repeat-only tail flattens, fewer docs than buckets") {
     import spark.implicits._
