@@ -164,6 +164,31 @@ object SparkEntry {
 
   private val sqDist = sqDistOf("e.embedding", "q.embedding")
 
+  /** Fixed-centroid IVF twin — shared verbatim by `ivf_fixed_knn` and
+    * `ivf_fixed_append_knn` (append ≡ refit under fixed centroids). */
+  private lazy val ivfFixedKnnSql: String =
+    s"""WITH cells AS (SELECT vec_id AS cell, embedding AS cemb
+       |               FROM embeddings WHERE vec_id < 4),
+       |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqDistOf("e.embedding", "c.cemb")}, c.cell) AS rn
+       |    FROM embeddings e, cells c)
+       |  WHERE rn = 1),
+       |probed AS (
+       |  SELECT cell FROM (
+       |    SELECT c.cell, row_number() OVER (
+       |        ORDER BY ${sqDistOf("c.cemb", "q.embedding")}, c.cell) AS rn
+       |    FROM cells c, q)
+       |  WHERE rn <= 2)
+       |SELECT e.vec_id, $sqDist AS distance
+       |FROM embeddings e
+       |JOIN asg a ON a.vec_id = e.vec_id
+       |JOIN probed p ON a.cell = p.cell, q
+       |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin
+
   /** Kernel-faithful cosine between two arbitrary float-list exprs
     * (the cosineEq shape, parametrized). */
   private def cosOf(a: String, b: String): String = {
@@ -303,6 +328,7 @@ object SparkEntry {
     "neardup_keep_best_md5", "minhash_calibration",
     "neardup_pairs_md5", "simhash_md5", "fingerprint_winnow",
     "ivf_fixed_knn", "ivf_fixed_batch_knn", "ivfpq_fixed_knn",
+    "ivf_fixed_append_knn", "maxsim_md5_topk",
     "opq_fixed_knn", "pq_fixed_knn", "semantic_dedup_fixed",
     "triplet_mine_fixed", "ivf_lloyd_step", "pca_moments",
     "ivfbq_fixed_knn")
@@ -512,6 +538,27 @@ object SparkEntry {
           (col("n_vectors").cast("double") / lit(n.toDouble))
             .cast("decimal(18,9)").cast("double"))
         .orderBy("cell")
+    }),
+    // INCREMENTAL index maintenance invariant: assign a base slice
+    // and an incoming batch to the same FIXED centroids separately,
+    // union the assignments, search — append ≡ refit by construction
+    // (per-row assignment commutes with union), so the twin is the
+    // whole-corpus ivf_fixed_knn SQL verbatim and the gate
+    // machine-checks the maintenance path end-to-end
+    "ivf_fixed_append_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val incoming = emb.filter(col("vec_id") % 10 === 0)
+      val idx = new graft.operators.IvfIndex(cents,
+        graft.operators.IvfIndex.assignCells(base, "embedding", cents)
+          .unionByName(graft.operators.IvfIndex
+            .assignCells(incoming, "embedding", cents)),
+        "embedding", "vec_id")
+      idx.query(q, k = 5, nprobe = 2).select("vec_id", "distance")
     }),
     // recall-vs-nprobe tuning curve over FIXED centroids (float-
     // deterministic, so unlike a trained index the whole curve is
@@ -1451,6 +1498,46 @@ object SparkEntry {
         .orderBy(col("distance").asc, col("doc_id").asc)
         .limit(5)
     }),
+    // late-interaction (chunked max-pooling) retrieval over the md5
+    // integer embeddings: docs split into 8-token chunks, each chunk
+    // embedded, a document scores by its BEST chunk (min squared-L2)
+    // — the long-document retrieval standard where one good passage
+    // should win even inside a mostly-irrelevant page; all-integer →
+    // the whole multi-vector pipeline is oracle-checked
+    "maxsim_md5_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pt = docs.select(col("doc_id"),
+          posexplode(filter(split(lower(col("text")), "\\s+"),
+            x => length(x) > 0)))
+        .select(col("doc_id"), expr("pos div 8").as("chunk"),
+          col("col").as("tok"))
+      val tokCounts = pt.groupBy("doc_id", "chunk", "tok")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val tokVecs = pt.select("tok").distinct()
+        .withColumn("hx", md5(col("tok")))
+        .withColumn("d", explode(sequence(lit(1), lit(16))))
+        .select(col("tok"), col("d"),
+          (expr("instr('0123456789abcdef', substring(hx, d, 1))")
+            * 2 - 17).cast("long").as("c"))
+      val vecs = tokCounts.join(tokVecs, Seq("tok"))
+        .select(col("doc_id"), col("chunk"), col("d"),
+          (col("c") * col("cnt")).as("c"))
+        .groupBy("doc_id", "chunk", "d")
+        .agg(sum("c").cast("long").as("v"))
+      val qid = docs.agg(min("doc_id")).head.getLong(0)
+      // the query is the min-doc's FULL-document vector (= the sum of
+      // its chunk vectors)
+      val qv = vecs.where(col("doc_id") === qid)
+        .groupBy("d").agg(sum("v").cast("long").as("qv"))
+      vecs.where(col("doc_id") =!= qid)
+        .join(broadcast(qv), Seq("d"))
+        .withColumn("sq", (col("v") - col("qv")) * (col("v") - col("qv")))
+        .groupBy("doc_id", "chunk")
+        .agg(sum("sq").cast("long").as("__cd"))
+        .groupBy("doc_id").agg(min("__cd").as("distance"))
+        .orderBy(col("distance").asc, col("doc_id").asc)
+        .limit(5)
+    }),
     // full text pipeline at bench scale: embed every document with the
     // offline hash embedder (mapPartitions batched inference), then
     // text-query top-5 — custom hashing → rows-only check
@@ -2314,6 +2401,23 @@ object SparkEntry {
         .agg(count(col("k")).as("n"), sum(col("k")).cast("long").as("sum_k"))
         .withColumn("avg_k", col("sum_k").cast("double") / col("n"))
         .orderBy("event_type")),
+    // item co-visitation over props.k: "users who touched A also
+    // touched B", recency-capped baskets, lift like coocLift —
+    // the related-items signal
+    "covisitation" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType))))
+            .getField("k").cast("long").as("item"))
+      graft.operators.Funnel.covisitation(ev, "user_id", "item", "ts",
+        maxPerUser = 30, minSupport = 5L)
+        .withColumn("lift",
+          col("lift").cast("decimal(18,9)").cast("double"))
+        .orderBy("item_a", "item_b")
+    }),
     // HLL set algebra: en-token vs de-token sketches, union by
     // register MAX, intersection by inclusion–exclusion — plus the
     // exact counts for context
@@ -3920,28 +4024,11 @@ object SparkEntry {
     // fixed-centroid IVF: nearest-cell assignment (ties → lowest cell,
     // matching the kernel's strict-< argmin), 2 probed cells, exact
     // top-5 inside the probed slice
-    "ivf_fixed_knn" ->
-      s"""WITH cells AS (SELECT vec_id AS cell, embedding AS cemb
-         |               FROM embeddings WHERE vec_id < 4),
-         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-         |asg AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${sqDistOf("e.embedding", "c.cemb")}, c.cell) AS rn
-         |    FROM embeddings e, cells c)
-         |  WHERE rn = 1),
-         |probed AS (
-         |  SELECT cell FROM (
-         |    SELECT c.cell, row_number() OVER (
-         |        ORDER BY ${sqDistOf("c.cemb", "q.embedding")}, c.cell) AS rn
-         |    FROM cells c, q)
-         |  WHERE rn <= 2)
-         |SELECT e.vec_id, $sqDist AS distance
-         |FROM embeddings e
-         |JOIN asg a ON a.vec_id = e.vec_id
-         |JOIN probed p ON a.cell = p.cell, q
-         |ORDER BY distance, e.vec_id LIMIT 5""".stripMargin,
+    "ivf_fixed_knn" -> ivfFixedKnnSql,
+    // append ≡ refit: per-row assignment to fixed centroids commutes
+    // with union, so the incremental-maintenance registration answers
+    // the SAME whole-corpus SQL — one string, zero drift
+    "ivf_fixed_append_knn" -> ivfFixedKnnSql,
     // cell-balance twin: the ivf_fixed_knn assign CTE, counted per
     // cell, share through the decimal bridge
     "ivf_cell_balance" ->
@@ -5251,6 +5338,37 @@ object SparkEntry {
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '\s+', ' ', 'g')) AS cleaned
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // co-visitation twin: same last-touch aggregate, same
+    // (lt DESC, item) recency cap, pair self-join, coocLift lift
+    // arithmetic through the decimal bridge
+    "covisitation" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) AS tn,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE user_id IS NOT NULL),
+        |ui AS (SELECT user_id, item, MAX(tn) AS lt FROM ev
+        |  WHERE item IS NOT NULL GROUP BY user_id, item),
+        |cap AS (SELECT user_id, item FROM (
+        |    SELECT user_id, item, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id ORDER BY lt DESC, item ASC) AS rn
+        |    FROM ui)
+        |  WHERE rn <= 30),
+        |nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+        |  FROM cap),
+        |iu AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS u FROM cap
+        |  GROUP BY item),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM cap a JOIN cap b ON b.user_id = a.user_id
+        |    AND a.item < b.item
+        |  GROUP BY a.item, b.item HAVING COUNT(*) >= 5)
+        |SELECT item_a, item_b, n_users,
+        |  CAST(CAST(CAST((CAST(n_users AS DOUBLE) * CAST(nu.nu AS DOUBLE))
+        |    / (CAST(ua.u AS DOUBLE) * CAST(ub.u AS DOUBLE))
+        |    AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS lift
+        |FROM p
+        |JOIN iu ua ON ua.item = p.item_a
+        |JOIN iu ub ON ub.item = p.item_b, nu
+        |ORDER BY item_a, item_b""".stripMargin,
     // exclusion-funnel twin: first view, first purchase strictly
     // after within 7d, exclusion = any click STRICTLY between; exact
     // counts, one division
@@ -7157,6 +7275,39 @@ object SparkEntry {
         |  WHERE a.doc_id <> (SELECT MIN(doc_id) FROM documents)
         |  GROUP BY a.doc_id)
         |SELECT doc_id, distance FROM dist ORDER BY distance, doc_id LIMIT 5""".stripMargin,
+    // late-interaction twin: same 8-token chunk cut, same md5-nibble
+    // integer embeddings per chunk, min chunk distance per doc —
+    // exact BIGINT arithmetic end-to-end
+    "maxsim_md5_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS ts FROM documents),
+        |pt AS (SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS chunk,
+        |    ts[i] AS tok
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+        |        FROM toks)),
+        |cnt AS (SELECT doc_id, chunk, tok,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM pt GROUP BY doc_id, chunk, tok),
+        |vt AS (SELECT DISTINCT tok FROM pt),
+        |codes AS (
+        |  SELECT tok, d,
+        |    CAST(2 * strpos('0123456789abcdef',
+        |      substr(md5(tok), CAST(d AS INT), 1)) - 17 AS BIGINT) AS c
+        |  FROM (SELECT tok, unnest(range(1, 17)) AS d FROM vt)),
+        |vecs AS (SELECT doc_id, chunk, d,
+        |    CAST(SUM(c * cnt) AS BIGINT) AS v
+        |  FROM cnt JOIN codes USING (tok) GROUP BY doc_id, chunk, d),
+        |qv AS (SELECT d, CAST(SUM(v) AS BIGINT) AS qv FROM vecs
+        |  WHERE doc_id = (SELECT MIN(doc_id) FROM documents)
+        |  GROUP BY d),
+        |cd AS (SELECT a.doc_id, a.chunk,
+        |    CAST(SUM((a.v - q.qv) * (a.v - q.qv)) AS BIGINT) AS cdist
+        |  FROM vecs a JOIN qv q ON a.d = q.d
+        |  WHERE a.doc_id <> (SELECT MIN(doc_id) FROM documents)
+        |  GROUP BY a.doc_id, a.chunk)
+        |SELECT doc_id, MIN(cdist) AS distance FROM cd
+        |GROUP BY doc_id ORDER BY distance, doc_id LIMIT 5""".stripMargin,
     // cross-corpus probe/filter over the md5 kernel: odd ids probe the
     // even-id corpus; kept = probes with no verified cross near-dup
     "crossdup_md5" ->

@@ -98,6 +98,57 @@ object Funnel {
             col("n_converted").cast("double")))
   }
 
+  /** Item co-visitation ("users who touched A also touched B") — the
+    * classic related-items / market-basket signal over an event
+    * stream: per user, the distinct items they touched (capped at the
+    * `maxPerUser` MOST RECENT by last-touch time — the standard
+    * basket cap that stops a bot account from emitting O(catalog²)
+    * pairs), then every unordered item pair counted by co-visiting
+    * users, with lift = n_ab·U / (u_a·u_b). Returns
+    * (item_a, item_b, n_users, lift), item_a < item_b, pairs with
+    * ≥ `minSupport` users.
+    *
+    * Scale shape: one (user, item) last-touch aggregate, one
+    * user-keyed WindowGroupLimit cap (≤ maxPerUser rows leave each
+    * user), a self-join whose per-user fan-out is ≤ C(maxPerUser, 2)
+    * by construction, then item-keyed count joins; U rides a
+    * broadcast 1-row aggregate. Lift is two double products and one
+    * division on exact longs (the coocLift convention). */
+  def covisitation(events: DataFrame, userCol: String, itemCol: String,
+      tsCol: String, maxPerUser: Int = 30,
+      minSupport: Long = 2L): DataFrame = {
+    require(maxPerUser >= 2, "maxPerUser must be >= 2")
+    require(minSupport >= 1, "minSupport must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val ui = events
+      .where(col(userCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(userCol, itemCol).agg(max(col(tsCol)).as("__lt"))
+    val w = Window.partitionBy(userCol)
+      .orderBy(col("__lt").desc, col(itemCol).asc)
+    val capped = ui.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerUser)
+      .select(col(userCol), col(itemCol))
+    val users = broadcast(capped.select(userCol).distinct()
+      .agg(count(lit(1)).as("__nu")))
+    val itemUsers = capped.groupBy(itemCol)
+      .agg(count(lit(1)).as("__u"))
+    capped.select(col(userCol), col(itemCol).as("item_a"))
+      .join(capped.select(col(userCol), col(itemCol).as("item_b")),
+        Seq(userCol))
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_users"))
+      .where(col("n_users") >= minSupport)
+      .join(itemUsers.select(col(itemCol).as("item_a"),
+        col("__u").as("__ua")), Seq("item_a"))
+      .join(itemUsers.select(col(itemCol).as("item_b"),
+        col("__u").as("__ub")), Seq("item_b"))
+      .crossJoin(users)
+      .select(col("item_a"), col("item_b"), col("n_users"),
+        ((col("n_users").cast("double") * col("__nu").cast("double")) /
+          (col("__ua").cast("double") * col("__ub").cast("double")))
+          .as("lift"))
+  }
+
   /** UNORDERED funnel ("did they do all of these within the window",
     * any order): per user, the FIRST time of each step; the user
     * completes when every step is present and the span between the

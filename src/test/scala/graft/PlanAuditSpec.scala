@@ -88,9 +88,9 @@ class PlanAuditSpec extends SparkSpec {
       // bounded by construction
       "psi_drift",
       // blocking_quality composes four broadcast 1-row counts;
-      // hour_profile crosses its broadcast 1-row total — bounded by
-      // construction
-      "blocking_quality", "hour_profile")
+      // hour_profile and covisitation cross their broadcast 1-row
+      // totals — bounded by construction
+      "blocking_quality", "hour_profile", "covisitation")
 
   // Queries allowed to plan a GLOBAL (unpartitioned) window — each
   // windows over a frame bounded by construction, documented at the

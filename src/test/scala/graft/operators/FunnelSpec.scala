@@ -112,6 +112,36 @@ class FunnelSpec extends SparkSpec {
     assert(none.getLong(1) == 0L && none.isNullAt(4))
   }
 
+  test("covisitation: hand-counted pairs and lift, the recency cap " +
+      "bounds a bot basket, minSupport prunes") {
+    import spark.implicits._
+    // (user, item, ts): u1 touches {1,2,3}, u2 {1,2}, u3 {2,3}
+    val ev = Seq(
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L), (1L, 2L, 40L),
+      (2L, 1L, 10L), (2L, 2L, 20L),
+      (3L, 2L, 10L), (3L, 3L, 20L))
+      .toDF("user_id", "item", "ts")
+    val got = Funnel.covisitation(ev, "user_id", "item", "ts",
+        maxPerUser = 30, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // pairs with >= 2 users: (1,2) u1+u2, (2,3) u1+u3; (1,3) only u1
+    assert(got.keySet === Set((1L, 2L), (2L, 3L)))
+    // U=3, u(1)=2, u(2)=3, u(3)=2: lift(1,2) = 2*3/(2*3) = 1
+    assert(got((1L, 2L))._1 == 2L &&
+      math.abs(got((1L, 2L))._2 - 1.0) < 1e-12)
+    assert(math.abs(got((2L, 3L))._2 - (2.0 * 3) / (3.0 * 2)) < 1e-12)
+    // a bot touching 5 items with cap 2 keeps only its 2 most recent
+    // (ties by item asc): items 4,5 at ts 50, others older
+    val bot = Seq((9L, 1L, 10L), (9L, 2L, 20L), (9L, 3L, 30L),
+      (9L, 4L, 50L), (9L, 5L, 50L)).toDF("user_id", "item", "ts")
+    val capped = Funnel.covisitation(bot, "user_id", "item", "ts",
+      maxPerUser = 2, minSupport = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq === Seq((4L, 5L)),
+      s"cap must keep only the 2 most recent items: ${capped.toSeq}")
+  }
+
   test("retention builds the cohort matrix with exact rates") {
     // period = 10ns "days". u1 first in p0, active p0,p1,p2; u2 first p0,
     // active p0,p2; u3 first p1, active p1. Cohort p0 size 2, p1 size 1.
