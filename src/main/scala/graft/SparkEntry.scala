@@ -4712,9 +4712,13 @@ object SparkEntry {
     // wrappers ("␁a␁␁b␁"), so adjacent pairs never share a separator
     // and ONE replace() call = exactly one left-to-right
     // non-overlapping merge pass — the same pass TextOps.mergePair /
-    // bpeSegment make (rank-order application ≡ the kernel's greedy
-    // lowest-rank-first order for any trained merge list, since a
-    // merge's parts always predate it). chr(1) never occurs in the
+    // bpeSegment make. Rank-order application ≡ the kernel's greedy
+    // lowest-rank-first order ONLY under the no-duplicate-derivation
+    // assumption (no symbol string produced by two distinct trained
+    // merges, e.g. (a,bc) vs (ab,c) both yielding "abc");
+    // trainBpeMerges ASSERTS that property on the trained list, so a
+    // violating corpus fails loudly there, never as a silent twin
+    // hash mismatch here. chr(1) never occurs in the
     // corpus text (checked; a contaminated corpus would fail the
     // hash, not silently pass). Training stages are MATERIALIZED —
     // each references its predecessor twice and DuckDB would inline
@@ -7467,11 +7471,14 @@ object SparkEntry {
         |  CAST(SUM(len) AS BIGINT) AS sum_len,
         |  CAST(MAX(len) * COUNT(*) - SUM(len) AS BIGINT) AS pad_waste
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // entropy twin: same codepoint regex, same quantized terms, the
-    // exact decimal sum through the VARCHAR bridge
+    // entropy twin: same EXPLICIT codepoint class [^\n] (Java `.`
+    // excludes all line terminators, RE2 `.` only \n — the explicit
+    // class makes \r/U+0085/U+2028/U+2029 count identically in both
+    // engines), same quantized terms, the exact decimal sum through
+    // the VARCHAR bridge
     "char_entropy" ->
       """WITH ch AS (SELECT doc_id,
-        |    unnest(regexp_extract_all(text, '.')) AS ch
+        |    unnest(regexp_extract_all(text, '[^\n]')) AS ch
         |  FROM documents),
         |cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
         |  FROM ch GROUP BY doc_id, ch),

@@ -698,8 +698,10 @@ object Graph {
     * needs degree ≥ 2, so ln never hits 0). The "which edge forms
     * next" ranking behind related-item suggestion and graph cleanup.
     * Returns (src, dst, n_common, jaccard, adamic_adar), src < dst,
-    * Adamic-Adar as per-middle decimal(18,12)-quantized terms summed
-    * exactly (order-free, engine-replayable).
+    * Adamic-Adar as per-middle decimal(18,9)-quantized terms summed
+    * exactly (order-free, engine-replayable; scale 9 so the exact
+    * decimal sum already carries the output scale — see the in-code
+    * comment at the aggregation).
     *
     * Scale shape: one wedge join keyed on the middle vertex plus two
     * degree joins and an anti-join against the edge set — ids only.

@@ -342,8 +342,17 @@ object Lake {
     * directories, and the next commit numbers PAST the torn dir
     * (recovery = delete it, or just leave it — it stays invisible).
     * (2) CONCURRENT WRITERS — two commits racing the same `gen=N`:
-    * the loser dies on `errorifexists` with no partial visible
-    * state (its retry lands on the next number).
+    * the loser TYPICALLY fails on `errorifexists` and
+    * [[commitSnapshot]] then retries it on the next free number
+    * (bounded attempts), so under ordinary interleavings both
+    * commits land, serialized. But `errorifexists` is a
+    * check-then-write, NOT an atomic reservation — two writers whose
+    * existence checks interleave before either writes can BOTH pass
+    * and merge files into the same `gen=N` directory, a corrupt
+    * commit with a `_SUCCESS` marker. True mutual exclusion still
+    * requires external coordination (a lock service, a single-writer
+    * job queue) or an atomic-rename commit protocol; do not rely on
+    * `errorifexists` as a lock.
     *
     * A commit carries upserts (full rows) and deletes (key rows) —
     * deletes persist as TOMBSTONES, the standard MVCC trick: dropping
@@ -362,19 +371,30 @@ object Lake {
     * tombstone ratio grows. */
   def commitSnapshot(spark: SparkSession, root: String,
       upserts: DataFrame, keyCols: Seq[String],
-      deletes: Option[DataFrame] = None): Long = {
+      deletes: Option[DataFrame] = None,
+      maxAttempts: Int = 3): Long =
+    commitSnapshotImpl(spark, root, upserts, keyCols, deletes,
+      maxAttempts, identity)
+
+  /** [[commitSnapshot]] with an injectable generation assignment —
+    * `genHook` sees the freshly-listed next-free generation before
+    * each write attempt. Production passes `identity`; the
+    * concurrent-writer spec passes a hook that returns an
+    * already-taken number once, deterministically replaying the race
+    * window (another committer landing between this writer's listing
+    * and its write) that wall-clock thread interleaving cannot pin
+    * down. */
+  private[graft] def commitSnapshotImpl(spark: SparkSession,
+      root: String, upserts: DataFrame, keyCols: Seq[String],
+      deletes: Option[DataFrame], maxAttempts: Int,
+      genHook: Long => Long): Long = {
     require(keyCols.nonEmpty, "key columns required")
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
     require(keyCols.forall(upserts.columns.contains),
       s"upserts must carry the key columns $keyCols")
     deletes.foreach(d => require(keyCols.forall(d.columns.contains),
       s"deletes must carry the key columns $keyCols"))
-    // next generation avoids EVERY existing gen= directory, committed
-    // or torn — assigning over a torn dir would hit errorifexists
-    // forever; committed-only numbering is what readers see
-    val dirs = genDirs(spark, root)
-    val gen = dirs.fold(-1L)(ds =>
-      if (ds.isEmpty) -1L else ds.map(_._1).max) + 1L
-    val gens = dirs.map(_.filter(_._2).map(_._1))
+    val gens = genDirs(spark, root).map(_.filter(_._2).map(_._1))
     val dataCols = upserts.columns.toSeq.filterNot(_ == "__deleted")
     // schema drift guard: a later commit with different columns would
     // silently null-fill under the plain (non-mergeSchema) read that
@@ -396,8 +416,41 @@ object Lake {
         .withColumn("__deleted", lit(true))
       up.unionByName(tomb)
     }
-    full.write.mode("errorifexists").parquet(s"$root/gen=$gen")
-    gen
+    // Bounded retry: each attempt re-lists and targets one past EVERY
+    // existing gen= directory, committed or torn (assigning over a
+    // torn dir would hit errorifexists forever; committed-only
+    // numbering is what readers see). A racing writer landing first
+    // makes this writer's errorifexists fail; the loser re-lists and
+    // re-attempts on the next free number, so both commits land,
+    // serialized. Retried ONLY when the failure is a lost race (the
+    // target directory now exists) — any other write failure rethrows
+    // immediately.
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0L) {
+      val dirs = genDirs(spark, root)
+      val gen = genHook(dirs.fold(-1L)(ds =>
+        if (ds.isEmpty) -1L else ds.map(_._1).max) + 1L)
+      val target = s"$root/gen=$gen"
+      attempt += 1
+      try {
+        full.write.mode("errorifexists").parquet(target)
+        committed = gen
+      } catch {
+        case e: Throwable =>
+          val p = new Path(target)
+          val lostRace =
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(p)
+          if (!lostRace || attempt >= maxAttempts)
+            throw new IllegalStateException(
+              s"snapshot commit to $target failed after $attempt " +
+                s"attempt(s)" + (if (lostRace) " (lost the race to a " +
+                "concurrent writer each time; raise maxAttempts or " +
+                "coordinate writers externally)" else ""), e)
+      }
+    }
+    committed
   }
 
   /** COMMITTED generation numbers under `root`, ascending; None when

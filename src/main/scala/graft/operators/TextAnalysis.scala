@@ -388,6 +388,24 @@ object TextAnalysis {
         vocab = vocab.map { case (syms, c) => (mergePair(syms, best), c) }
       }
     }
+    // Replay-equivalence guard: the bpe_trained_tokens oracle twin
+    // applies merges in RANK ORDER (one replace() per merge), which
+    // matches the kernel's greedy lowest-rank-first segmentation only
+    // when no symbol string is derivable by two DISTINCT trained
+    // merges (e.g. (a,bc) and (ab,c) both yielding "abc" would let a
+    // lower-rank pair become newly applicable after a higher-rank
+    // merge — greedy applies it, rank-order replay does not). Assert
+    // it here so a violating corpus fails with a pointed message
+    // instead of an opaque twin hash mismatch.
+    val dupProducts = merges.groupBy { case (a, b) => a + b }
+      .filter(_._2.length > 1)
+    require(dupProducts.isEmpty,
+      s"trained merge list violates the rank-order-replay assumption: " +
+        s"symbol string(s) ${dupProducts.keys.mkString(", ")} are each " +
+        "derivable by two distinct merges; the bpe_trained_tokens " +
+        "DuckDB twin's rank-order replay would diverge from greedy " +
+        "segmentation — retrain with different numMerges or drop the " +
+        "twin to rows-only for this corpus")
     merges.toSeq
   }
 
@@ -467,15 +485,18 @@ object TextAnalysis {
     * Determinism: each (doc, char) term −(c/n)·ln(c/n) quantizes to
     * decimal(18,9) before the per-doc sum, so the sum is an exact
     * decimal and order-free (the BM25/nDCG convention). Characters
-    * are regex `.` matches — CODEPOINTS (Java regex and RE2 agree,
-    * astral-safe), newlines excluded identically in both engines.
+    * are regex `[^\n]` matches — CODEPOINTS, the class written
+    * EXPLICITLY because Java regex `.` excludes all line terminators
+    * (\r, U+0085, U+2028, U+2029) while RE2's `.` excludes only \n:
+    * with `[^\n]` both engines drop exactly \n and count \r (CRLF
+    * crawl text) and the unicode separators identically.
     * One explode + two partial-aggregated hash aggregations keyed by
     * (doc, char) then doc. */
   def charEntropy(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val chars = df
       .select(col(idCol),
-        explode(expr(s"regexp_extract_all($textCol, '.', 0)"))
+        explode(expr(s"regexp_extract_all($textCol, '[^\\\\n]', 0)"))
           .as("__ch"))
       .groupBy(idCol, "__ch").agg(count(lit(1)).as("__c"))
     val totals = chars.groupBy(idCol)

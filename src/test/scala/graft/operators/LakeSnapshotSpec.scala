@@ -166,4 +166,42 @@ class LakeSnapshotSpec extends SparkSpec {
     assert(got(1L) == ("base", 0L) && got.contains(100L) &&
       got.size == 2, got.toString)
   }
+
+  test("commitSnapshot retries a lost race on the next generation: " +
+      "both commits land, serialized, history intact") {
+    val root = tmp()
+    Lake.commitSnapshot(spark, root,
+      Seq((1L, "a", 1L)).toDF("id", "v", "n"), Seq("id"))
+    // deterministic race replay: the hook sends the first attempt to
+    // the ALREADY-COMMITTED gen=0 (as if a racer landed between this
+    // writer's listing and its write) → errorifexists → the retry
+    // re-lists and lands on the real next generation
+    var calls = 0
+    val g = Lake.commitSnapshotImpl(spark, root,
+      Seq((2L, "b", 2L)).toDF("id", "v", "n"), Seq("id"), None,
+      maxAttempts = 3,
+      genHook = { next => calls += 1; if (calls == 1) 0L else next })
+    assert(calls == 2, s"expected one lost race + one retry, got $calls")
+    assert(g == 1L, s"loser must land on the next free generation, got $g")
+    assert(Lake.snapshotGenerations(spark, root).get == Seq(0L, 1L))
+    assert(state(root, 99L) ==
+      Map(1L -> ("a", 1L), 2L -> ("b", 2L)),
+      "gen-0 rows must survive the failed attempt against its dir")
+    assert(state(root, 0L) == Map(1L -> ("a", 1L)))
+  }
+
+  test("commitSnapshot rethrows after maxAttempts lost races and on " +
+      "non-race failures") {
+    val root = tmp()
+    Lake.commitSnapshot(spark, root,
+      Seq((1L, "a", 1L)).toDF("id", "v", "n"), Seq("id"))
+    val e = intercept[IllegalStateException] {
+      Lake.commitSnapshotImpl(spark, root,
+        Seq((2L, "b", 2L)).toDF("id", "v", "n"), Seq("id"), None,
+        maxAttempts = 2, genHook = _ => 0L) // every attempt collides
+    }
+    assert(e.getMessage.contains("lost the race"), e.getMessage)
+    assert(Lake.snapshotGenerations(spark, root).get == Seq(0L),
+      "failed committer must leave the registry untouched")
+  }
 }

@@ -85,7 +85,11 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "zzzz"),          // 0
       (3L, "abcd"),          // ln 4
       (4L, "😀😀x"), // 2× astral + x: H(2/3,1/3)
-      (5L, "")).toDF("doc_id", "text")
+      (5L, ""),
+      // CRLF crawl text: \n excluded, \r COUNTED (the explicit
+      // [^\n] class — Java `.` would silently drop the \r too and
+      // diverge from the RE2 twin)
+      (6L, "ab\r\nab\r\n")).toDF("doc_id", "text")
     val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
@@ -98,6 +102,9 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L)._1 == 3L && got(4L)._2 == 2L)
     val h = -(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3)
     assert(math.abs(got(4L)._3 - h) < 1e-8)
+    // doc 6 "ab\r\nab\r\n": 6 counted chars {a:2, b:2, \r:2}, \n out
+    assert(got(6L)._1 == 6L && got(6L)._2 == 3L)
+    assert(math.abs(got(6L)._3 - math.log(3.0)) < 1e-8)
   }
 
   test("vocabGrowth: cumulative docs and distinct-token curve, " +
