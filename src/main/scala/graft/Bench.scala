@@ -69,6 +69,13 @@ object Bench {
     val twinsSec = ok.collect {
       case (n, s) if SparkEntry.gateTwins(n) => s }.sum
     val engineSec = total - twinsSec
+    // in-query-fit subtotal: the queries that run Lloyd's/Procrustes/
+    // PCA/min-max fitting INSIDE the measured query (their *_saved_knn
+    // twins isolate online search). A contention spike on iterative
+    // fitting shows up here, diagnosable from the artifact alone
+    // without a judge re-run.
+    val fitSec = ok.collect {
+      case (n, s) if SparkEntry.inQueryFit(n) => s }.sum
     // The harness keeps only the LAST ~2000 chars of combined output and
     // parses the JSON line out of that window. With 80+ queries a
     // full-precision map overflows it and the whole line is lost, so the
@@ -77,7 +84,7 @@ object Bench {
     // per-query map is printed earlier (it may scroll out of the window).
     val allQs = ok.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
-    System.out.println(s"""[bench-full] {"metric":"total","value":${f2(total)},"unit":"sec","engine_sec":${f2(engineSec)},"twins_sec":${f2(twinsSec)},"queries":$allQs,"errors":$errs,"sf":"$sfDir"}""")
+    System.out.println(s"""[bench-full] {"metric":"total","value":${f2(total)},"unit":"sec","engine_sec":${f2(engineSec)},"twins_sec":${f2(twinsSec)},"fit_sec":${f2(fitSec)},"queries":$allQs,"errors":$errs,"sf":"$sfDir"}""")
     val bySlow = ok.sortBy(-_._2)
     val budget = 1250 // chars for the per-query map body
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -95,7 +102,7 @@ object Bench {
     // shutdown-hook loggers that would otherwise fire after main returns.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","engine_sec":${f2(engineSec)},"twins_sec":${f2(twinsSec)},"queries":$qs,"fast_n":${fast.size},"fast_sec":${f2(fast.map(_._2).sum)},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","engine_sec":${f2(engineSec)},"twins_sec":${f2(twinsSec)},"fit_sec":${f2(fitSec)},"queries":$qs,"fast_n":${fast.size},"fast_sec":${f2(fast.map(_._2).sum)},"errors":$errs,"sf":"$sfDir"}""")
     System.out.flush()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -163,6 +163,22 @@ object SharedFrames {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
     }
 
+  /** Per-doc quality-feature table for `dir` — doc_id plus the
+    * flattened [[graft.functions.TextFunctions.qualityFeatures]]
+    * struct (n_tokens, avg_token_len, alpha_ratio, punct_ratio,
+    * stopword_ratio, quality_score). The text scan runs once per
+    * process and `doc_quality` / `budget_select` both read the slim
+    * score table — the thing a 100 TB pipeline persists anyway (the
+    * dsir_weights precedent). */
+  def qualityScoredDocs(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "quality_scored") {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions
+            .qualityFeatures(col("text")).as("q"))
+        .select(col("doc_id"), col("q.*"))
+    }
+
   /** Distinct (doc_id, tok) word-`width`-shingle table for `dir` — the
     * stored inverted index the exact-Jaccard operators consume
     * ([[operators.Dedup.jaccardPairsExactFromTokens]]). */

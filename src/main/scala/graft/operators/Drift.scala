@@ -83,9 +83,12 @@ object Drift {
     * Returns (bin, edge, n_ref, n_cur, p_ref, p_cur, psi_term),
     * per-bin — no cross-engine double sum; terms quantize at scale 9.
     *
-    * Scale shape: one ntileExact pass over the reference, a ≤`bins`-
-    * row broadcast edge table, one fan-out-`bins` inequality join to
-    * bin the current slice (bounded by construction), two counts. */
+    * Scale shape: one ntileExact pass over the reference; the
+    * ≤`bins`-row edge table collects to the driver (bins is small by
+    * contract — this makes the operator EAGER at call time) and the
+    * current slice is binned by a pure CASE-chain projection — no
+    * row fan-out, no per-row-id shuffle; the only exchange over the
+    * current slice is the partial-aggregated ≤`bins`-key count. */
   def psi(ref: DataFrame, cur: DataFrame, valCol: String,
       idCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 2, "bins must be >= 2")
@@ -96,25 +99,54 @@ object Drift {
     val tiled = Profile.ntileExact(r,
       Seq(col("__val").asc, col("__id").asc), bins, "__bin",
       materialize = false)
-    // reference bin edges: per-tile max; the top tile's edge is +inf
-    // conceptually — current values above it clamp into the top bin
-    val edges = broadcast(tiled.groupBy("__bin")
-      .agg(max("__val").as("__edge")))
-    val refCounts = tiled.groupBy("__bin")
-      .agg(count(lit(1)).as("n_ref"))
-    val maxBin = lit(bins.toLong)
-    val curBinned = c
-      .join(edges, col("__val") <= col("__edge"), "left")
-      .groupBy("__id")
-      .agg(coalesce(min("__bin"), maxBin).as("__bin"))
+    // ONE ref-side stats pass, collected: per-tile max (the bin
+    // edge — the top tile's edge is +inf conceptually; current
+    // values above it clamp into the top bin) and per-tile count.
+    // ≤ bins rows by construction, so driver-side is free, and the
+    // ntileExact lineage executes ONCE instead of once per consumer
+    // (edges, counts, and the reference total all derive from it).
+    val refStats = tiled.groupBy("__bin")
+      .agg(max("__val").as("__edge"), count(lit(1)).as("n_ref"))
+      .orderBy("__bin").collect()
+    // current-side binning as a pure projection: ascending-edge CASE
+    // chain ≡ min bin with __val <= edge (first match wins), values
+    // above every edge (and the empty-reference corner) clamp to bin
+    // `bins` — exactly the semantics the old inequality-join +
+    // min-per-id form had, with zero added shuffles
+    val binCase = refStats.map(row => (row.getLong(0), row.get(1)))
+      .foldRight(lit(bins.toLong): Column) {
+        case ((b, e), rest) =>
+          when(col("__val") <= lit(e), lit(b)).otherwise(rest)
+      }
+    // ≤ bins rows after the one partial-aggregated count shuffle;
+    // pinned so its two consumers (the join and the Σ n_cur total)
+    // don't rescan the current slice
+    val curBinned = c.withColumn("__bin", binCase)
       .groupBy("__bin").agg(count(lit(1)).as("n_cur"))
-    val nR = broadcast(r.agg(count(lit(1)).as("__nr")))
-    val nC = broadcast(c.agg(count(lit(1)).as("__nc")))
-    refCounts.join(curBinned, Seq("__bin"), "full_outer")
+      .localCheckpoint()
+    // ref side re-enters as a LITERAL frame (it was just collected);
+    // totals derive from the per-bin counts (every row lands in
+    // exactly one bin) instead of re-scanning either slice
+    val valType = c.schema("__val").dataType
+    val refLit = r.sparkSession.createDataFrame(
+      java.util.Arrays.asList(refStats: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__bin",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__edge", valType),
+        org.apache.spark.sql.types.StructField("n_ref",
+          org.apache.spark.sql.types.LongType))))
+    // coalesce: an empty slice must total 0 (the old count(*) form),
+    // not a null that would poison every smoothed proportion
+    val nR = broadcast(refLit.agg(
+      coalesce(sum("n_ref"), lit(0L)).cast("long").as("__nr")))
+    val nC = broadcast(curBinned.agg(
+      coalesce(sum("n_cur"), lit(0L)).cast("long").as("__nc")))
+    refLit.join(curBinned, Seq("__bin"), "full_outer")
       .select(col("__bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-      .join(edges, Seq("__bin"), "left")
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        col("__edge"))
       .crossJoin(nR).crossJoin(nC)
       .withColumn("p_ref",
         ((col("n_ref").cast("double") + 0.5) /

@@ -280,6 +280,79 @@ object Sampling {
       defaultFraction = 0.0)
   }
 
+  /** Repetition-capped TOKEN-budget allocation — the data-constrained
+    * mixing planner (Muennighoff et al. 2023, arXiv:2305.16264: past
+    * ~4 epochs repeated data stops paying; so cap per-source epochs
+    * and water-fill the rest): given per-key token counts n_k, a
+    * total token `budget` T, and `maxEpochs` R, allocate
+    * `alloc_k = min(R·n_k, τ)` where the water level τ satisfies
+    * `Σ min(R·n_k, τ) = min(T, Σ R·n_k)` — [[unimaxMix]]'s closed
+    * form with availability replaced by the repetition cap (UniMax is
+    * exactly the R = 1 row-level case, applied as a sampler; this is
+    * the PLANNER's report, epochs > 1 allowed). Returns one row per
+    * key: (keyCol, n_tokens, cap_tokens, alloc_tokens, epochs,
+    * capped), key order.
+    *
+    * Deterministic: τ falls out of integer prefix sums over keys
+    * sorted by (cap, key) with the integer full-take test
+    * `c_j·(m−j+1) ≤ T − prefix_{j−1}` (no division). The flag is
+    * ONE-WAY by construction: a key is capped iff every key up to and
+    * including it passed the test — a later key re-passing after a
+    * failure must NOT cap (the water level is already below its cap);
+    * the twin replays exactly that prefix-all-passed rule. Then ONE
+    * double division `τ = remaining / m` bridged to decimal(18,9);
+    * epochs = alloc/n in the same bridged order — the oracle twin
+    * replays every step. If `budget ≥ Σ caps` every key is capped and
+    * the leftover is the caller's signal to go find more data.
+    *
+    * Scale shape: one partial-aggregated token-count pass with |keys|
+    * rows to the driver (keyCol must be LOW-cardinality — sources,
+    * languages; the [[rebalanceToMix]] contract); everything after is
+    * driver-side arithmetic on the registry-sized mix table. */
+  def epochCappedAlloc(df: DataFrame, keyCol: String, tokenCol: String,
+      budget: Long, maxEpochs: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val spark = df.sparkSession
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(sum(col(tokenCol).cast("long")).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val sorted = counts
+      .map { case (k, n) => (k, n, maxEpochs * n) }
+      .sortBy { case (k, _, c) => (c, k) }
+    var remaining = budget
+    var tau = -1.0
+    val rows = sorted.zipWithIndex.map { case ((k, n, c), idx) =>
+      val m = sorted.size - idx
+      val (alloc, capped) =
+        if (tau < 0 && c * m <= remaining) { remaining -= c; (c.toDouble, true) }
+        else {
+          if (tau < 0) tau = remaining.toDouble / m
+          (tau, false)
+        }
+      org.apache.spark.sql.Row(k, n, c, alloc, capped)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField(keyCol, StringType),
+        StructField("n_tokens", LongType),
+        StructField("cap_tokens", LongType),
+        StructField("__alloc", DoubleType),
+        StructField("capped", BooleanType))))
+      .withColumn("alloc_tokens",
+        col("__alloc").cast("decimal(18,9)").cast("string").cast("double"))
+      .withColumn("epochs",
+        when(col("n_tokens") === 0L, 0.0).otherwise(
+          (col("alloc_tokens") / col("n_tokens").cast("double"))
+            .cast("decimal(18,9)").cast("string").cast("double")))
+      .select(keyCol, "n_tokens", "cap_tokens", "alloc_tokens",
+        "epochs", "capped")
+      .orderBy(keyCol)
+  }
+
   /** Deterministic STRATIFIED sampling — the "rebalance the language /
     * domain mix" curation primitive: each stratum keeps ≈ its fraction
     * of rows via a per-key md5 threshold (16-bit granularity, so

@@ -555,12 +555,20 @@ object TextAnalysis {
     * (w1, w2, pair_count, pmi) for pairs seen ≥ `minCount` times,
     * w1 ≤ w2 (canonical order).
     *
-    * Scale shape: NO self-join — each document emits its own pair
-    * stream narrowly (per offset d, the token array zipped with
-    * itself shifted by d; a doc contributes Σ_d (n−d) rows, the same
-    * cardinality a position self-join would shuffle, but produced
-    * map-side and partial-aggregated before the exchange). Totals
-    * ride one broadcast 1-row aggregate, divisions mirror
+    * Scale shape: NO self-join, ONE corpus scan — each document emits
+    * pairs AND unigrams into a single exploded stream (per offset d,
+    * the token array zipped with itself shifted by d, keys
+    * canonicalized "a b"; bare tokens ride the same stream — a
+    * whitespace token can never contain a space, so the two key
+    * kinds cannot collide) and ONE partial-aggregated count keyed by
+    * that stream serves pair counts, unigram counts, and both
+    * normalizing totals (Σ pair counts ≡ Σ_d (n−d) pair slots,
+    * Σ unigram counts ≡ Σ n). The counted frame MATERIALIZES once
+    * (localCheckpoint — it is distinct-key-sized, i.e. bounded by
+    * the pair vocabulary, which is the statistic's own output
+    * cardinality) because its four consumers carry different pushed
+    * filters, so plan-level exchange reuse cannot deduplicate them
+    * and lazily the corpus would rescan 4×. Divisions mirror
     * [[bigramPmi]]'s IEEE parenthesization. */
   def skipgramPmi(df: DataFrame, textCol: String, window: Int,
       minCount: Long = 2L): DataFrame = {
@@ -571,16 +579,19 @@ object TextAnalysis {
       zip_with(slice(toks, lit(1), n), slice(toks, lit(d + 1), n),
         (a, b) => concat_ws(" ", least(a, b), greatest(a, b)))
     }
-    val uni = df.select(explode(toks).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-    val pairAll = df
-      .select(explode(flatten(array((1 to window).map(shifted): _*)))
-        .as("pg"))
-      .groupBy("pg").agg(count(lit(1)).as("pair_count"))
-    val totals = broadcast(df.agg(
-      sum((1 to window).map(d => greatest(size(toks) - d, lit(0)))
-        .reduce(_ + _)).cast("double").as("__npair"),
-      sum(size(toks)).cast("double").as("__nuni")))
+    val keyed = df
+      .select(explode(concat(
+        flatten(array((1 to window).map(shifted): _*)), toks)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val isPair = col("k").contains(" ")
+    val uni = keyed.where(!isPair)
+      .select(col("k").as("tok"), col("c"))
+    val pairAll = keyed.where(isPair)
+      .select(col("k").as("pg"), col("c").as("pair_count"))
+    val totals = broadcast(keyed.agg(
+      sum(when(isPair, col("c"))).cast("double").as("__npair"),
+      sum(when(!isPair, col("c"))).cast("double").as("__nuni")))
     pairAll.filter(col("pair_count") >= minCount)
       .withColumn("w1", split(col("pg"), " ").getItem(0))
       .withColumn("w2", split(col("pg"), " ").getItem(1))

@@ -306,4 +306,48 @@ class SamplingSpec extends SparkSpec {
       Sampling.systematicSample(df, Seq(col("id").asc), 5, offset = 5)
     }
   }
+
+  test("epochCappedAlloc: hand-computed water level, caps bite in " +
+      "(cap, key) order, epochs never exceed the cap factor") {
+    import spark.implicits._
+    // per-doc token counts summing to a=100, b=400, c=1000 per source;
+    // R=2 -> caps 200, 800, 2000; T=1500:
+    //   j=1 a: 200*3=600 <= 1500 -> capped, rem 1300
+    //   j=2 b: 800*2=1600 > 1300 -> tau = 1300/2 = 650
+    //   j=3 c: 650
+    val df = Seq(("a", 100L), ("b", 150L), ("b", 250L), ("c", 1000L))
+      .toDF("src", "n")
+    val got = Sampling.epochCappedAlloc(df, "src", "n",
+      budget = 1500L, maxEpochs = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    assert(got("a") === ((100L, 200L, 200.0, 2.0, true)))
+    assert(got("b") === ((400L, 800L, 650.0, 1.625, false)))
+    assert(got("c") === ((1000L, 2000L, 650.0, 0.65, false)))
+    // epochs never exceed R anywhere
+    assert(got.values.forall(_._4 <= 2.0))
+    // a later key re-passing after a failure must NOT cap: caps
+    // (10, 10, 14), T=29 -> j=1: 10*3=30 > 29 fails, so NOTHING caps
+    // even though 10*2 <= 29 would re-pass at j=2; everyone gets
+    // tau = 29/3
+    val re = Sampling.epochCappedAlloc(
+      Seq(("x", 5L), ("y", 5L), ("z", 7L)).toDF("src", "n"),
+      "src", "n", budget = 29L, maxEpochs = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getBoolean(5))).toMap
+    assert(re.values.forall(!_._2), s"one-way flag violated: $re")
+    assert(re.values.forall(v => math.abs(v._1 - 29.0 / 3) < 1e-9))
+    // budget >= all caps: everything capped at R epochs
+    val full = Sampling.epochCappedAlloc(df, "src", "n",
+      budget = 99999L, maxEpochs = 2L)
+      .collect().map(r => (r.getDouble(4), r.getBoolean(5)))
+    assert(full.forall { case (e, c) => c && e === 2.0 })
+    // determinism across partitioning
+    val p = Sampling.epochCappedAlloc(df.repartition(7), "src", "n",
+      budget = 1500L, maxEpochs = 2L).collect().toSeq.map(_.toString)
+    val q = Sampling.epochCappedAlloc(df, "src", "n",
+      budget = 1500L, maxEpochs = 2L).collect().toSeq.map(_.toString)
+    assert(p === q)
+  }
 }
