@@ -325,7 +325,8 @@ object SparkEntry {
   // four of their five stages are pure engine kernels
   val gateTwins: Set[String] = Set(
     "crossdup_md5", "embed_knn_md5", "neardup_components_md5",
-    "neardup_keep_best_md5", "minhash_calibration",
+    "neardup_cluster_sizes", "neardup_keep_best_md5",
+    "minhash_calibration",
     "neardup_pairs_md5", "simhash_md5", "fingerprint_winnow",
     "ivf_fixed_knn", "ivf_fixed_batch_knn", "ivfpq_fixed_knn",
     "ivf_fixed_append_knn", "maxsim_md5_topk",
@@ -1424,6 +1425,20 @@ object SparkEntry {
         md5NearDupPairs(s, dir).select("id_a", "id_b"), "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")),
+    // duplicate-cluster SIZE distribution over the same components —
+    // the "how duplicated is this corpus" policy read (a fat tail of
+    // huge clusters says boilerplate flood, not isolated copies;
+    // dedup keeps 1 per cluster so n_docs − n_clusters is the row
+    // saving). Covers PAIRED docs only: singletons never enter the
+    // pair graph and are everyone else by subtraction
+    "neardup_cluster_sizes" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        md5NearDupPairs(s, dir).select("id_a", "id_b"), "id_a", "id_b")
+        .groupBy("component").agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).cast("long").as("n_clusters"),
+          sum("__sz").cast("long").as("n_docs"))
+        .orderBy("cluster_size")),
     // quality-aware near-dup canonicalization: per duplicate cluster
     // keep the member the LM scores best (ties → smallest id), pass
     // untouched docs through — the curation refinement of id-based
@@ -3097,6 +3112,28 @@ object SparkEntry {
         "n_chars", "doc_id", bins = 10)
         .orderBy("bin")
     }),
+    // categorical drift companion: chi-squared of src1's LANGUAGE mix
+    // against the rest of the corpus — per-category observed/expected/
+    // term, the discrete-column test psi/ks can't do (no ordering)
+    "chi2_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Drift.chiSquared(
+        docs.where(col("source") =!= "src1").select("lang"),
+        docs.where(col("source") === "src1").select("lang"),
+        "lang").orderBy("lang")
+    }),
+    // binning-free drift companion: two-sample KS statistic on the
+    // same slices — largest CDF gap over every distinct value, exact
+    // cumulative longs, bridged divisions, deterministic argmax
+    "ks_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Drift.ksStat(
+        docs.where(col("source") =!= "src1")
+          .select(col("n_chars").cast("long").as("n_chars")),
+        docs.where(col("source") === "src1")
+          .select(col("n_chars").cast("long").as("n_chars")),
+        "n_chars")
+    }),
     // length-bucketed training-batch assembly: power-of-two buckets
     // by n_chars, (len DESC, id) order inside each bucket, 8-doc
     // batches via the two-phase PrefixScan rank (no per-bucket global
@@ -3116,6 +3153,35 @@ object SparkEntry {
     }),
     // per-document codepoint entropy: the cheap gibberish / filler /
     // base64-blob quality signal — order-free decimal term sums
+    // tokenizer fertility per language: BPE-regex tokens per
+    // whitespace word + UTF-8 bytes per BPE token — the "is this
+    // tokenizer efficient on this language" sizing read (fertility
+    // near 1 = word-aligned; high = the language fragments; bytes/
+    // token is the context-window cost). Exact longs, two bridged
+    // divisions
+    "tokenizer_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang").agg(
+          sum(token_count(col("text")).cast("long")).as("n_words"),
+          sum(token_count_bpe(col("text")).cast("long")).as("n_bpe"),
+          sum(expr("octet_length(text)").cast("long")).as("n_bytes"))
+        .withColumn("fertility",
+          when(col("n_words") > 0L,
+            (col("n_bpe").cast("double") / col("n_words").cast("double"))
+              .cast("decimal(18,9)").cast("string").cast("double")))
+        .withColumn("bytes_per_token",
+          when(col("n_bpe") > 0L,
+            (col("n_bytes").cast("double") / col("n_bpe").cast("double"))
+              .cast("decimal(18,9)").cast("string").cast("double")))
+        .orderBy("lang")),
+    // distinct-n diversity per source (Li et al. 2016): a low ratio
+    // flags template-spam / boilerplate floods inside a slice that
+    // per-document filters can't see (each copy looks fine)
+    "distinct_ngrams" -> ((s, dir) =>
+      graft.operators.TextAnalysis.distinctNgrams(
+        t(s, dir, "documents").select("source", "text"),
+        "source", "text", n = 2)
+        .orderBy("source")),
     "char_entropy" -> ((s, dir) =>
       graft.operators.TextAnalysis.charEntropy(
         t(s, dir, "documents"), "doc_id", "text")
@@ -7677,6 +7743,15 @@ object SparkEntry {
     "neardup_components_md5" ->
       s"""WITH RECURSIVE $md5ComponentsCtes
          |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+    // cluster-size histogram over the SAME shared components chain
+    "neardup_cluster_sizes" ->
+      s"""WITH RECURSIVE $md5ComponentsCtes,
+         |cs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM comp GROUP BY component)
+         |SELECT sz AS cluster_size,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(sz) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY sz ORDER BY sz""".stripMargin,
     // cross-source matrix twin: the SAME mpairs selection joined back
     // to documents.source, LEAST/GREATEST canonical pair (ASCII source
     // names — binary collation agrees across engines)
@@ -7741,6 +7816,58 @@ object SparkEntry {
     // PSI twin: ntile deciles on the reference (≡ ntileExact), edge
     // table, clamped current-slice binning, same smoothing and
     // per-bin bridged terms
+    // chi² twin: per-category side counts, expected =
+    // (n_cur_total·ref_k)/n_ref_total bridged, term re-bridged with
+    // the same zero guards
+    "chi2_drift" ->
+      """WITH v AS (SELECT CAST(lang AS VARCHAR) AS k,
+        |    CASE WHEN source <> 'src1' THEN 1 ELSE 0 END AS r,
+        |    CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS c
+        |  FROM documents),
+        |g AS (SELECT k, CAST(SUM(r) AS BIGINT) AS n_ref,
+        |    CAST(SUM(c) AS BIGINT) AS n_cur FROM v GROUP BY k),
+        |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+        |    CAST(SUM(n_cur) AS BIGINT) AS tc FROM g),
+        |e AS (SELECT k, n_ref, n_cur,
+        |    CASE WHEN n_ref > 0 THEN
+        |      CAST(CAST(CAST((CAST(tc AS DOUBLE) * CAST(n_ref AS DOUBLE))
+        |        / CAST(tr AS DOUBLE) AS DECIMAL(18,9)) AS VARCHAR)
+        |        AS DOUBLE) END AS expected
+        |  FROM g, t)
+        |SELECT k AS lang, n_ref, n_cur, expected,
+        |  CASE WHEN n_ref > 0 AND expected > 0 THEN
+        |    CAST(CAST(CAST((CAST(n_cur AS DOUBLE) - expected) *
+        |      (CAST(n_cur AS DOUBLE) - expected) / expected
+        |      AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) END AS chi2_term,
+        |  n_ref = 0 AS new_category
+        |FROM e ORDER BY lang""".stripMargin,
+    // KS twin: per-value side counts, windowed cumulative longs,
+    // bridged CDF divisions, |Δ| re-bridged, (d DESC, x ASC) argmax —
+    // the operator's exact arithmetic replayed
+    "ks_drift" ->
+      """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS x,
+        |    CASE WHEN source <> 'src1' THEN 1 ELSE 0 END AS r,
+        |    CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS c
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (SELECT x, CAST(SUM(r) AS BIGINT) AS nr,
+        |    CAST(SUM(c) AS BIGINT) AS nc FROM v GROUP BY x),
+        |t AS (SELECT CAST(SUM(nr) AS BIGINT) AS tr,
+        |    CAST(SUM(nc) AS BIGINT) AS tc FROM g),
+        |cum AS (SELECT x,
+        |    SUM(nr) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cumr,
+        |    SUM(nc) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cumc
+        |  FROM g),
+        |s AS (SELECT x,
+        |    CAST(CAST(CAST(CAST(cumr AS DOUBLE) / CAST(tr AS DOUBLE)
+        |      AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS fr,
+        |    CAST(CAST(CAST(CAST(cumc AS DOUBLE) / CAST(tc AS DOUBLE)
+        |      AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS fc
+        |  FROM cum, t WHERE tr > 0 AND tc > 0)
+        |SELECT t.tr AS n_ref, t.tc AS n_cur,
+        |  CAST(CAST(CAST(abs(fr - fc) AS DECIMAL(18,9)) AS VARCHAR)
+        |    AS DOUBLE) AS d_stat,
+        |  x AS at_value
+        |FROM s, t ORDER BY d_stat DESC, x LIMIT 1""".stripMargin,
     "psi_drift" ->
       """WITH r AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS v
         |  FROM documents WHERE source <> 'src1' AND n_chars IS NOT NULL),
@@ -7789,6 +7916,39 @@ object SparkEntry {
         |  CAST(SUM(len) AS BIGINT) AS sum_len,
         |  CAST(MAX(len) * COUNT(*) - SUM(len) AS BIGINT) AS pad_waste
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // fertility twin: same whitespace-word and BPE-regex counts,
+    // strlen = UTF-8 bytes (Spark octet_length), bridged divisions
+    "tokenizer_fertility" ->
+      s"""WITH n AS (SELECT lang,
+         |    CAST(SUM(len($toksSql)) AS BIGINT) AS n_words,
+         |    CAST(SUM(len(regexp_extract_all(text,
+         |      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')))
+         |      AS BIGINT) AS n_bpe,
+         |    CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes
+         |  FROM documents GROUP BY lang)
+         |SELECT lang, n_words, n_bpe, n_bytes,
+         |  CASE WHEN n_words > 0 THEN
+         |    CAST(CAST(CAST(CAST(n_bpe AS DOUBLE) /
+         |      CAST(n_words AS DOUBLE) AS DECIMAL(18,9)) AS VARCHAR)
+         |      AS DOUBLE) END AS fertility,
+         |  CASE WHEN n_bpe > 0 THEN
+         |    CAST(CAST(CAST(CAST(n_bytes AS DOUBLE) /
+         |      CAST(n_bpe AS DOUBLE) AS DECIMAL(18,9)) AS VARCHAR)
+         |      AS DOUBLE) END AS bytes_per_token
+         |FROM n ORDER BY lang""".stripMargin,
+    // distinct-n twin: same word-bigram shingles, exact counts, one
+    // bridged division
+    "distinct_ngrams" ->
+      s"""WITH tk AS (SELECT source, $toksSql AS toks FROM documents),
+         |g AS (SELECT source, unnest(${shSql("toks")}) AS g FROM tk),
+         |c AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM g GROUP BY source, g)
+         |SELECT source, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(CAST(CAST(CAST(COUNT(*) AS DOUBLE) /
+         |    CAST(SUM(c) AS DOUBLE) AS DECIMAL(18,9)) AS VARCHAR)
+         |    AS DOUBLE) AS distinct_ratio
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // entropy twin: same EXPLICIT codepoint class [^\n] (Java `.`
     // excludes all line terminators, RE2 `.` only \n — the explicit
     // class makes \r/U+0085/U+2028/U+2029 count identically in both

@@ -163,4 +163,103 @@ object Drift {
         col("n_ref"), col("n_cur"), col("p_ref"), col("p_cur"),
         col("psi_term"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between a REFERENCE and
+    * a CURRENT slice of a numeric column: `D = max_x |F_ref(x) −
+    * F_cur(x)|`, the binning-free companion to [[psi]] (PSI answers
+    * "how much did the distribution move per decile", KS answers "is
+    * the largest CDF gap big" without choosing bins — the classic
+    * pre-deploy feature-drift test). The sup of two step functions is
+    * attained at an observed value, so evaluating at every DISTINCT
+    * value is exact, not an approximation. Returns ONE row:
+    * (n_ref, n_cur, d_stat, at_value) with `at_value` the SMALLEST
+    * value attaining the max (deterministic argmax); empty if either
+    * slice is empty (KS is undefined, not zero).
+    *
+    * Determinism: cumulative counts are exact longs; each CDF is one
+    * double division bridged to decimal(18,9), and D re-bridges the
+    * difference — engine-replayable.
+    *
+    * Scale shape: one (value, side) count shuffle → per-value count
+    * rows (bounded by DISTINCT values, not rows), materialized once;
+    * two range-partitioned [[PrefixScan.runningSumBy]] passes for the
+    * cumulative counts (never a global window); one TakeOrdered(1)
+    * argmax. */
+  def ksStat(ref: DataFrame, cur: DataFrame, valCol: String): DataFrame = {
+    val r = ref.where(col(valCol).isNotNull)
+      .select(col(valCol).as("__x"), lit(1L).as("__r"), lit(0L).as("__c"))
+    val c = cur.where(col(valCol).isNotNull)
+      .select(col(valCol).as("__x"), lit(0L).as("__r"), lit(1L).as("__c"))
+    val counts = r.unionByName(c).groupBy("__x")
+      .agg(sum("__r").as("__nr"), sum("__c").as("__nc"))
+      .localCheckpoint() // base for two prefix passes + the totals
+    val cum = PrefixScan.runningSumBy(
+      PrefixScan.runningSumBy(counts, Seq(col("__x").asc), "__nr",
+        "__cumr", materialize = false),
+      Seq(col("__x").asc), "__nc", "__cumc", materialize = false)
+    val tot = broadcast(counts.agg(
+      sum("__nr").cast("long").as("__tr"),
+      sum("__nc").cast("long").as("__tc")))
+    def bridge(e: Column): Column =
+      e.cast("decimal(18,9)").cast("string").cast("double")
+    cum.crossJoin(tot)
+      .where(col("__tr") > 0L && col("__tc") > 0L)
+      .withColumn("__fr",
+        bridge(col("__cumr").cast("double") / col("__tr").cast("double")))
+      .withColumn("__fc",
+        bridge(col("__cumc").cast("double") / col("__tc").cast("double")))
+      .withColumn("__d", bridge(abs(col("__fr") - col("__fc"))))
+      .orderBy(col("__d").desc, col("__x").asc)
+      .limit(1)
+      .select(col("__tr").as("n_ref"), col("__tc").as("n_cur"),
+        col("__d").as("d_stat"), col("__x").as("at_value"))
+  }
+
+  /** Categorical drift: one-sample chi-squared of the CURRENT slice's
+    * category counts against the REFERENCE slice's proportions — the
+    * companion test for DISCRETE mix columns (language, source,
+    * license, format) where [[psi]]/[[ksStat]]'s numeric orderings
+    * don't apply. Per category: observed current count, expected
+    * count `e = n_cur·(ref_k/n_ref)`, and the chi² term `(o−e)²/e`.
+    * Σ terms against a χ²(k−1) table is the textbook read; the
+    * per-category terms themselves say WHICH category moved.
+    * Categories unseen in the reference get NULL expected/term (a
+    * genuinely new category is a schema alarm, not a statistic —
+    * flagged via `new_category`); categories that vanished from the
+    * current slice still report (o = 0). Null keys count as a
+    * category (nulls appearing is drift too).
+    *
+    * Determinism: counts are exact longs; `e` is
+    * (n_cur·ref_k)/n_ref — one double division of exact products,
+    * bridged decimal(18,9); the term re-bridges. Scale shape: one
+    * (side, key) count shuffle bounded by DISTINCT categories (the
+    * low-cardinality keyCol contract), broadcast 1-row totals. */
+  def chiSquared(ref: DataFrame, cur: DataFrame,
+      keyCol: String): DataFrame = {
+    val r = ref.select(col(keyCol).cast("string").as("__k"),
+      lit(1L).as("__r"), lit(0L).as("__c"))
+    val c = cur.select(col(keyCol).cast("string").as("__k"),
+      lit(0L).as("__r"), lit(1L).as("__c"))
+    val counts = r.unionByName(c).groupBy("__k")
+      .agg(sum("__r").as("n_ref"), sum("__c").as("n_cur"))
+      .localCheckpoint() // two consumers: totals + the term projection
+    val tot = broadcast(counts.agg(
+      sum("n_ref").cast("long").as("__tr"),
+      sum("n_cur").cast("long").as("__tc")))
+    def bridge(e: Column): Column =
+      e.cast("decimal(18,9)").cast("string").cast("double")
+    counts.crossJoin(tot)
+      .withColumn("expected",
+        when(col("n_ref") > 0L, bridge(
+          (col("__tc").cast("double") * col("n_ref").cast("double")) /
+            col("__tr").cast("double"))))
+      .withColumn("chi2_term",
+        when(col("n_ref") > 0L && col("expected") > 0.0, bridge(
+          (col("n_cur").cast("double") - col("expected")) *
+            (col("n_cur").cast("double") - col("expected")) /
+            col("expected"))))
+      .select(col("__k").as(keyCol), col("n_ref"), col("n_cur"),
+        col("expected"), col("chi2_term"),
+        (col("n_ref") === 0L).as("new_category"))
+  }
 }

@@ -475,6 +475,33 @@ object TextAnalysis {
             (col("__c2").cast("double") / col("__nuni")))).as("pmi"))
   }
 
+  /** Distinct-n diversity report per key (Li et al. 2016's
+    * "distinct-n", the text-diversity staple): total word n-gram
+    * OCCURRENCES, DISTINCT n-grams, and their ratio, per key — a low
+    * distinct-n flags template spam / boilerplate floods inside a
+    * source or a generation batch the way no per-document filter can
+    * (each copy looks fine; the SLICE is degenerate). Returns
+    * (keyCol, n_grams, n_distinct, distinct_ratio), dropping keys
+    * with zero n-grams (ratio undefined); null keys count as a group.
+    *
+    * Scale shape: one explode → partial-aggregated (key, gram) count
+    * → per-key rollup; ratio is one bridged decimal(18,9) division —
+    * engine-exact. */
+  def distinctNgrams(df: DataFrame, keyCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val grams =
+      if (n == 1) tokens(col(textCol)) else shingles(col(textCol), n)
+    df.select(col(keyCol), explode(grams).as("__g"))
+      .groupBy(keyCol, "__g").agg(count(lit(1)).as("__c"))
+      .groupBy(keyCol).agg(
+        sum("__c").cast("long").as("n_grams"),
+        count(lit(1)).cast("long").as("n_distinct"))
+      .withColumn("distinct_ratio",
+        (col("n_distinct").cast("double") / col("n_grams").cast("double"))
+          .cast("decimal(18,9)").cast("string").cast("double"))
+  }
+
   /** Per-document CODEPOINT entropy: Shannon entropy (nats) of each
     * document's character distribution — the cheap gibberish /
     * base64-blob / repeated-filler detector (natural language sits

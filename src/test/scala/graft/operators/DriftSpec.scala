@@ -104,4 +104,53 @@ class DriftSpec extends SparkSpec {
     // total PSI is large for the shifted slice
     assert(shifted.map(_.getDouble(6)).sum > 1.0)
   }
+
+  test("ksStat: hand-computed D and argmax, identical slices score 0, " +
+      "empty slice yields an empty frame") {
+    import spark.implicits._
+    // ref {1,2,3,4}, cur {3,4,5,6}: F_r−F_c gaps .25,.5,.5,.5,.25,0
+    // → D = 0.5 first attained at x = 2
+    val refD = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val curD = Seq(3L, 4L, 5L, 6L).toDF("v")
+    val got = Drift.ksStat(refD, curD, "v").collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(0) === 4L && got(0).getLong(1) === 4L)
+    assert(math.abs(got(0).getDouble(2) - 0.5) < 1e-9)
+    assert(got(0).getLong(3) === 2L, "smallest value attaining the max")
+    // identical slices: D = 0 at the smallest value
+    val same = Drift.ksStat(refD, refD, "v").collect()(0)
+    assert(same.getDouble(2) === 0.0 && same.getLong(3) === 1L)
+    // empty current slice: KS undefined -> empty, not 0
+    assert(Drift.ksStat(refD, refD.limit(0), "v").count() === 0L)
+    // ties/duplicates: ref {1,1,1,9}, cur {1,9,9,9}:
+    // F_r(1)=.75 F_c(1)=.25 -> D=.5 at 1
+    val dup = Drift.ksStat(
+      Seq(1L, 1L, 1L, 9L).toDF("v"), Seq(1L, 9L, 9L, 9L).toDF("v"), "v")
+      .collect()(0)
+    assert(math.abs(dup.getDouble(2) - 0.5) < 1e-9 &&
+      dup.getLong(3) === 1L)
+  }
+
+  test("chiSquared: hand-computed expected/terms, new category flags " +
+      "with null term, vanished category still reports") {
+    import spark.implicits._
+    val refK = (Seq.fill(8)("a") ++ Seq.fill(2)("b")).toDF("k")
+    val curK = (Seq.fill(3)("a") ++ Seq.fill(6)("b") ++ Seq("c")).toDF("k")
+    val got = Drift.chiSquared(refK, curK, "k").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // expected: a=10*8/10=8, b=2; terms: a=(3-8)^2/8=3.125, b=(6-2)^2/2=8
+    assert(got("a").getLong(1) === 8L && got("a").getLong(2) === 3L)
+    assert(math.abs(got("a").getDouble(3) - 8.0) < 1e-9)
+    assert(math.abs(got("a").getDouble(4) - 3.125) < 1e-9)
+    assert(math.abs(got("b").getDouble(4) - 8.0) < 1e-9)
+    assert(!got("a").getBoolean(5) && !got("b").getBoolean(5))
+    // c is new: no expected, no term, flagged
+    assert(got("c").getBoolean(5) && got("c").isNullAt(3) &&
+      got("c").isNullAt(4))
+    // vanished category: present in ref, absent in cur -> o=0, term>0
+    val van = Drift.chiSquared(refK, Seq.fill(10)("a").toDF("k"), "k")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(van("b").getLong(2) === 0L &&
+      math.abs(van("b").getDouble(4) - 2.0) < 1e-9)
+  }
 }

@@ -107,6 +107,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got(6L)._3 - math.log(3.0)) < 1e-8)
   }
 
+  test("distinctNgrams: hand counts for bigrams and unigrams, " +
+      "boilerplate flood scores low, gram-less keys drop") {
+    import spark.implicits._
+    val docs = Seq(
+      ("tpl", "buy now click here"), ("tpl", "buy now click here"),
+      ("tpl", "buy now click here"),
+      ("var", "alpha beta gamma"), ("var", "delta epsilon zeta"),
+      ("tiny", "one")).toDF("src", "text")
+    val bi = TextAnalysis.distinctNgrams(docs, "src", "text", n = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // tpl: 3 docs x 3 bigrams = 9 occurrences, 3 distinct -> 1/3
+    // (ratio decimal(18,9)-bridged)
+    assert(bi("tpl") === ((9L, 3L, 0.333333333)))
+    // var: 2+2 = 4 occurrences, all distinct -> 1.0
+    assert(bi("var") === ((4L, 4L, 1.0)))
+    // "one" has no bigrams: the key drops
+    assert(!bi.contains("tiny"))
+    // unigram path: tiny has 1/1
+    val uni = TextAnalysis.distinctNgrams(docs, "src", "text", n = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(uni("tiny") === 1L && uni("tpl") === 4L)
+  }
+
   test("vocabGrowth: cumulative docs and distinct-token curve, " +
       "repeat-only tail flattens, fewer docs than buckets") {
     import spark.implicits._
