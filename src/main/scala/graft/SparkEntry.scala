@@ -2851,6 +2851,18 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
         alpha = 0.5)
         .orderBy("doc_id")),
+    // EXACT per-stratum quota cut in md5 hash order — the "exactly N
+    // eval docs per language" contract stratifiedHashSample's
+    // fraction thresholds can't give; rank via the GROUPED two-phase
+    // scan (no PARTITION BY window — a hot stratum stays parallel)
+    "quota_sample" -> ((s, dir) =>
+      graft.operators.Sampling.quotaSample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang",
+        quotas = Map("en" -> 50L, "de" -> 30L, "fr" -> 20L,
+          "es" -> 10L, "zh" -> 5L),
+        materialize = false)
+        .orderBy("doc_id")),
     // data-constrained token-budget planner (epochs > 1, repetition
     // capped at 4 — the "how many epochs of each source fit the
     // budget" report; unimaxMix is the R=1 row-level SAMPLER, this is
@@ -6522,6 +6534,19 @@ object SparkEntry {
         |  FROM cnt)
         |SELECT doc_id, lang FROM documents JOIN thr ON lang = thr.k
         |WHERE md5(CAST(doc_id AS VARCHAR)) < thr.t
+        |ORDER BY doc_id""".stripMargin,
+    // quota twin: the same md5-order rank, expressed as the window
+    // DuckDB can afford (the Spark side uses the grouped two-phase
+    // scan precisely to avoid this window's single-task-per-key plan)
+    "quota_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
+        |  WHEN 'fr' THEN 20 WHEN 'es' THEN 10 WHEN 'zh' THEN 5
+        |  ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
     // epoch_capped_alloc twin: the water-filling closed form — keys
     // sorted by (cap, key), integer prefix sums, a key is capped iff

@@ -90,6 +90,69 @@ object PrefixScan {
     } finally { if (materialize) { rdd.unpersist(); () } }
   }
 
+  /** Per-KEY inclusive running sum WITHOUT a partitioned window: the
+    * two-phase scan generalized to groups. `sum() OVER (PARTITION BY
+    * key ORDER BY …)` puts EVERY row of a key in one task — fine for
+    * many small keys, a scale-killer the moment one key holds half
+    * the corpus (the `en` slice of a multilingual crawl). Here rows
+    * are range-partitioned by (key, orderBy) — a hot key simply spans
+    * ADJACENT partitions — pass 1 ships one (key → partition total)
+    * list per partition to the driver (total entries ≤ #keys +
+    * #partitions, because each partition holds a contiguous key
+    * range), the driver prefix-adds per key across partitions, and
+    * pass 2 adds each partition's per-key offsets in one narrow map.
+    * Same `materialize` contract as [[runningSumBy]]. */
+  def runningSumByKey(df: DataFrame, keyCols: Seq[String],
+      orderBy: Seq[Column], valueCol: String,
+      outCol: String = "running_total",
+      materialize: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "key columns required")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' collides — rename one")
+    val spark = df.sparkSession
+    val sorted = df.orderBy(keyCols.map(col) ++ orderBy: _*)
+      .withColumn("__v", coalesce(col(valueCol).cast(LongType), lit(0L)))
+    val kIdx = keyCols.map(sorted.schema.fieldIndex)
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val rdd = sorted.rdd
+    if (materialize) rdd.cache()
+    try {
+      // pass 1: per-partition per-key totals (keys are contiguous in
+      // a (key, order)-sorted layout, so this is small by construction)
+      val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+        val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
+        it.foreach { r =>
+          val k = kIdx.map(r.get)
+          m.update(k, m.getOrElse(k, 0L) + r.getLong(vIdx))
+        }
+        Iterator((i, m.toSeq))
+      }.collect().sortBy(_._1)
+      val running = scala.collection.mutable.HashMap[Seq[Any], Long]()
+      val offsets: Array[Map[Seq[Any], Long]] = partTotals.map {
+        case (_, kvs) =>
+          val off = kvs.map { case (k, _) =>
+            k -> running.getOrElse(k, 0L) }.toMap
+          kvs.foreach { case (k, v) =>
+            running.update(k, running.getOrElse(k, 0L) + v) }
+          off
+      }
+      val outSchema = sorted.schema.add(outCol, LongType, nullable = false)
+      val out = rdd.mapPartitionsWithIndex { (i, it) =>
+        val off = offsets(i)
+        var curKey: Seq[Any] = null
+        var run = 0L
+        it.map { r =>
+          val k = kIdx.map(r.get)
+          if (k != curKey) { curKey = k; run = off.getOrElse(k, 0L) }
+          run += r.getLong(vIdx)
+          Row.fromSeq(r.toSeq :+ run)
+        }
+      }
+      val result = spark.createDataFrame(out, outSchema).drop("__v")
+      if (materialize) result.localCheckpoint() else result
+    } finally { if (materialize) { rdd.unpersist(); () } }
+  }
+
   /** Token-budget selection — "fill an N-token training budget with
     * the best documents first": rows are ranked by `orderBy` (pass a
     * priority desc + unique id tiebreak for determinism) and kept

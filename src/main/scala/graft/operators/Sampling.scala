@@ -380,6 +380,41 @@ object Sampling {
     df.filter(md5(col(idCol).cast("string").cast("binary")) < thr)
   }
 
+  /** EXACT stratified quota sampling: per key keep exactly
+    * `min(quota_k, n_k)` rows, chosen in md5(id) hash order (a pure
+    * function of the data — reproducible on any engine, partitioning,
+    * or cluster size) — the "exactly 10k eval docs per language" cut
+    * where [[stratifiedHashSample]]'s fraction thresholds (±1/65536)
+    * aren't a contract. Keys absent from `quotas` get `defaultQuota`.
+    *
+    * Scale shape: the per-key rank comes from
+    * [[PrefixScan.runningSumByKey]] — the GROUPED two-phase scan, so
+    * a hot stratum spans many partitions instead of serializing into
+    * one `PARTITION BY` window task; the quota filter is a narrow map
+    * over a broadcast-compiled map literal. */
+  def quotaSample(df: DataFrame, idCol: String, keyCol: String,
+      quotas: Map[String, Long], defaultQuota: Long = 0L,
+      materialize: Boolean = true): DataFrame = {
+    require(quotas.nonEmpty, "at least one stratum quota")
+    require((quotas.values ++ Seq(defaultQuota)).forall(_ >= 0L),
+      "quotas must be >= 0")
+    val reserved = Seq("__graft_one", "__graft_h", "__graft_rank")
+    require(reserved.forall(r => !df.columns.contains(r)),
+      s"reserved columns $reserved present — rename them")
+    val ranked = PrefixScan.runningSumByKey(
+      df.withColumn("__graft_one", lit(1L))
+        .withColumn("__graft_h",
+          md5(col(idCol).cast("string").cast("binary"))),
+      Seq(keyCol), Seq(col("__graft_h"), col(idCol)), "__graft_one",
+      "__graft_rank", materialize)
+    val qMap = map(quotas.toSeq.sortBy(_._1).flatMap {
+      case (k, q) => Seq(lit(k), lit(q)) }: _*)
+    val quota = coalesce(element_at(qMap, col(keyCol).cast("string")),
+      lit(defaultQuota))
+    ranked.filter(col("__graft_rank") <= quota)
+      .drop("__graft_one", "__graft_h", "__graft_rank")
+  }
+
   /** Systematic (every k-th) sampling under a TOTAL order: keep the
     * rows whose 1-based position in `orderBy` order satisfies
     * `(pos − 1) % every == offset` — the audit-sampling mode where a

@@ -686,6 +686,37 @@ object DriveSmoke {
     val lp = graft.operators.Graph.linkPrediction(liftE, "tok_a", "tok_b")
     lp.explain("formatted")
     println("LINK_CANDIDATES=" + lp.count())
+
+    // r13: drift trio, diversity, budget planner, grouped scan,
+    // quota + k-center on REAL float embeddings
+    val refSlice = docs.where($"doc_id" % 2 === 0)
+      .select($"n_chars".cast("long").as("n_chars"), $"doc_id")
+    val curSlice = docs.where($"doc_id" % 2 === 1)
+      .select($"n_chars".cast("long").as("n_chars"), $"doc_id")
+    val ks = graft.operators.Drift.ksStat(refSlice, curSlice, "n_chars")
+    ks.explain("formatted")
+    println("KS=" + ks.collect().mkString)
+    println("CHI2=" + graft.operators.Drift.chiSquared(
+      docs.where($"doc_id" % 2 === 0).select("lang"),
+      docs.where($"doc_id" % 2 === 1).select("lang"), "lang")
+      .orderBy("lang").collect().length)
+    println("DISTINCT2=" + graft.operators.TextAnalysis
+      .distinctNgrams(docs, "lang", "text", 2).orderBy("lang")
+      .collect().map(r => r.getString(0) + ":" + r.getDouble(3))
+      .mkString(" "))
+    val alloc = graft.operators.Sampling.epochCappedAlloc(
+      docs.select($"source", $"n_chars".cast("long").as("n_chars")),
+      "source", "n_chars", budget = 50000L, maxEpochs = 3L)
+    println("ALLOC=" + alloc.collect().length)
+    val qs = graft.operators.Sampling.quotaSample(
+      docs.select("doc_id", "lang"), "doc_id", "lang",
+      Map("en" -> 5L, "de" -> 3L), materialize = false)
+    qs.explain("formatted")
+    println("QUOTA=" + qs.count())
+    val coreset = graft.operators.Coreset.kCenterGreedy(
+      emb.select($"vec_id", $"embedding"), "embedding", "vec_id", k = 4)
+    println("KCENTER=" + coreset.collect()
+      .map(r => r.getLong(1)).mkString(","))
     spark.stop()
   }
 }

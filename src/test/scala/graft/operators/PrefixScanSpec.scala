@@ -212,4 +212,28 @@ class PrefixScanSpec extends SparkSpec {
       .toMap
     assert(waste((1L, 1L)) == 1L && waste((1L, 0L)) == 0L)
   }
+
+  test("runningSumByKey equals the partitioned-window reference on a " +
+      "hot-key shape, any partitioning, nulls count as a key and 0") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // one hot key (800 rows), two small ones, a null key, a null value
+    val rows = (1 to 800).map(i => ("hot", i.toLong, (i % 7).toLong)) ++
+      Seq(("a", 901L, 5L), ("a", 902L, 7L), ("b", 903L, 11L)) ++
+      Seq((null.asInstanceOf[String], 904L, 13L),
+        ("a", 905L, -1L))
+    val df = rows.toDF("k", "id", "v")
+      .withColumn("v", when(col("id") === 905L,
+        lit(null).cast("long")).otherwise(col("v")))
+    val got = PrefixScan.runningSumByKey(df.repartition(13),
+        Seq("k"), Seq(col("id").asc), "v", "rt", materialize = false)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val ref = df.withColumn("rt",
+        sum(coalesce(col("v"), lit(0L))).over(
+          Window.partitionBy("k").orderBy("id")))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got === ref)
+    // the null-value row contributed 0, not a poisoned sum
+    assert(got(905L) === got(902L))
+  }
 }

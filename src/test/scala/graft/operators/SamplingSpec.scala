@@ -307,6 +307,31 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("quotaSample: exact per-stratum counts, short strata taken " +
+      "whole, unlisted strata dropped, partitioning-independent") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, "en")) ++
+      (201 to 205).map(i => (i.toLong, "fr")) ++
+      (301 to 310).map(i => (i.toLong, "xx"))).toDF("id", "lang")
+    val got = Sampling.quotaSample(df, "id", "lang",
+      Map("en" -> 7L, "fr" -> 50L), materialize = false)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("en" -> 7L, "fr" -> 5L),
+      s"exact quota, whole short stratum, no unlisted stratum: $got")
+    // deterministic membership across partitionings
+    val a = Sampling.quotaSample(df.repartition(9), "id", "lang",
+      Map("en" -> 7L, "fr" -> 50L), materialize = false)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.quotaSample(df, "id", "lang",
+      Map("en" -> 7L, "fr" -> 50L), materialize = false)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b && a.size === 12)
+    // defaultQuota admits unlisted strata
+    assert(Sampling.quotaSample(df, "id", "lang", Map("en" -> 1L),
+      defaultQuota = 2L, materialize = false).count() === 5L)
+  }
+
   test("epochCappedAlloc: hand-computed water level, caps bite in " +
       "(cap, key) order, epochs never exceed the cap factor") {
     import spark.implicits._
