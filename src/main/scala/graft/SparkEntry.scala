@@ -92,6 +92,31 @@ object SparkEntry {
       md5NearDupPairsCompute(s, dir)
     }
 
+  /** Per-(doc_id, d, v) md5 16-dim INTEGER document vectors — the
+    * gate-twin embedding convention, materialized once per process
+    * and shared by `embed_knn_md5` and `kcenter_md5` (both replay the
+    * identical construction in their twin SQL). md5 runs once per
+    * DISTINCT token (the vocabulary), then codes join back onto
+    * per-(doc, token) counts — sum(count·code) ≡ hashing every
+    * occurrence (the r8 twin-cost trick). */
+  private def md5DocVecs(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.materialized(s, dir, "md5docvecs") {
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"),
+          x => length(x) > 0)).as("tok"))
+      val tokCounts = toks.groupBy("doc_id", "tok")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val tokVecs = toks.select("tok").distinct()
+        .withColumn("hx", md5(col("tok")))
+        .withColumn("d", explode(sequence(lit(1), lit(16))))
+        .select(col("tok"), col("d"),
+          (expr("instr('0123456789abcdef', substring(hx, d, 1))")
+            * 2 - 17).cast("long").as("c"))
+      tokCounts.join(tokVecs, Seq("tok"))
+        .select(col("doc_id"), col("d"), (col("c") * col("cnt")).as("c"))
+        .groupBy("doc_id", "d").agg(sum("c").cast("long").as("v"))
+    }
+
   private def md5NearDupPairsCompute(s: SparkSession,
       dir: String): DataFrame = {
     val sh = md5ShinglesShared(s, dir)
@@ -1541,27 +1566,9 @@ object SparkEntry {
     // anywhere. The murmur HashEmbedder stays the rows-only perf path.
     "embed_knn_md5" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val toks = docs.select(col("doc_id"),
-        explode(filter(split(lower(col("text")), "\\s+"),
-          x => length(x) > 0)).as("tok"))
-      // md5 once per DISTINCT token (the corpus vocabulary, orders of
-      // magnitude smaller than token occurrences), then join the
-      // 16-dim codes back onto per-(doc, token) counts: sum over
-      // occurrences == sum(count * code), so the result is
-      // hash-identical to hashing every occurrence while the md5+
-      // string kernel — the twin's hot op — runs |vocab| times, not
-      // |occurrences| times (the r8 twin-cost item).
-      val tokCounts = toks.groupBy("doc_id", "tok")
-        .agg(count(lit(1)).cast("long").as("cnt"))
-      val tokVecs = toks.select("tok").distinct()
-        .withColumn("hx", md5(col("tok")))
-        .withColumn("d", explode(sequence(lit(1), lit(16))))
-        .select(col("tok"), col("d"),
-          (expr("instr('0123456789abcdef', substring(hx, d, 1))")
-            * 2 - 17).cast("long").as("c"))
-      val vecs = tokCounts.join(tokVecs, Seq("tok"))
-        .select(col("doc_id"), col("d"), (col("c") * col("cnt")).as("c"))
-        .groupBy("doc_id", "d").agg(sum("c").cast("long").as("v"))
+      // shared md5 16-dim vec artifact (see md5DocVecs — one build
+      // per process serves this query and kcenter_md5)
+      val vecs = md5DocVecs(s, dir)
       val qid = docs.agg(min("doc_id")).head.getLong(0)
       val qv = vecs.where(col("doc_id") === qid)
         .select(col("d"), col("v").as("qv"))
@@ -1621,23 +1628,10 @@ object SparkEntry {
     // unrolled stages. The float-embedding path is the same operator
     // (CoresetSpec pins it on hand-built fixtures).
     "kcenter_md5" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toks = docs.select(col("doc_id"),
-        explode(filter(split(lower(col("text")), "\\s+"),
-          x => length(x) > 0)).as("tok"))
-      val tokCounts = toks.groupBy("doc_id", "tok")
-        .agg(count(lit(1)).cast("long").as("cnt"))
-      val tokVecs = toks.select("tok").distinct()
-        .withColumn("hx", md5(col("tok")))
-        .withColumn("d", explode(sequence(lit(1), lit(16))))
-        .select(col("tok"), col("d"),
-          (expr("instr('0123456789abcdef', substring(hx, d, 1))")
-            * 2 - 17).cast("long").as("c"))
-      // slim (doc_id, 16-float vec) frame, materialized once: the
-      // k-round selection re-reads it k times, never the text
-      val vecs = tokCounts.join(tokVecs, Seq("tok"))
-        .select(col("doc_id"), col("d"), (col("c") * col("cnt")).as("c"))
-        .groupBy("doc_id", "d").agg(sum("c").cast("long").as("v"))
+      // slim (doc_id, 16-float vec) frame off the shared md5 vec
+      // artifact, materialized once: the k-round selection re-reads
+      // it k times, never the text
+      val vecs = md5DocVecs(s, dir)
         .groupBy("doc_id").agg(
           transform(array_sort(collect_list(struct(col("d"), col("v")))),
             x => x.getField("v").cast("float")).as("vec"))
@@ -2888,8 +2882,9 @@ object SparkEntry {
           graft.operators.TextClean.normalizeUnicode(col("text"))
             .as("norm_text"))
         .orderBy("doc_id")),
-    // per-language packing: one concatenated stream per lang (keyed
-    // window — parallel across keys, no global sort)
+    // per-language packing: one concatenated stream per lang (the
+    // GROUPED two-phase scan — parallel across AND within keys; a hot
+    // lang spans adjacent partitions instead of one window task)
     "sequence_pack_by_lang" -> ((s, dir) =>
       graft.operators.PrefixScan.packSequencesByKey(
         t(s, dir, "documents").select("doc_id", "lang", "n_chars"),

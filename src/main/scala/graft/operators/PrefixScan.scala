@@ -170,21 +170,29 @@ object PrefixScan {
 
   /** Per-key sequence packing: one concatenated stream PER KEY (e.g.
     * one pretraining stream per language), each cut into `chunkSize`
-    * windows. Unlike the global form, a window partitioned by key is
-    * the right plan here — keys parallelize across the cluster and no
-    * task owns more than one key's stream (a pathologically hot key
-    * falls back to the global [[packSequences]] run on its slice). */
+    * windows. Rides [[runningSumByKey]] (r13) — the earlier
+    * `PARTITION BY key` window serialized each key's whole stream
+    * into one task, which is fine for many small keys and a
+    * scale-killer for the hot one (the `en` slice); the grouped
+    * two-phase scan lets a hot key span adjacent partitions. Output
+    * and values are identical (exclusive prefix = inclusive − len).
+    * Lazy like the window form — pass deterministic input lineage. */
   def packSequencesByKey(df: DataFrame, keyCols: Seq[String],
       lenCol: String, chunkSize: Long, orderCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "key columns required")
     require(chunkSize > 0, "chunkSize must be positive")
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("start_offset", coalesce(
-        sum(coalesce(col(lenCol).cast(LongType), lit(0L))).over(w), lit(0L)))
+    val reserved = Seq("__graft_len", "__graft_incl")
+    require(reserved.forall(r => !df.columns.contains(r)),
+      s"reserved columns $reserved present — rename them")
+    runningSumByKey(
+      df.withColumn("__graft_len",
+        coalesce(col(lenCol).cast(LongType), lit(0L))),
+      keyCols, orderCols.map(col), "__graft_len", "__graft_incl",
+      materialize = false)
+      .withColumn("start_offset", col("__graft_incl") - col("__graft_len"))
       .withColumn("chunk_id",
         expr(s"start_offset div ${chunkSize}L").cast(LongType))
+      .drop("__graft_len", "__graft_incl")
   }
 
   /** Sequence packing: lay the corpus out as one concatenated token
