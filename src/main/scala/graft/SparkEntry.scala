@@ -358,7 +358,7 @@ object SparkEntry {
     "opq_fixed_knn", "pq_fixed_knn", "semantic_dedup_fixed",
     "triplet_mine_fixed", "ivf_lloyd_step", "pca_moments",
     "ivfbq_fixed_knn", "sq8_fixed_codes", "pca_fixed_embed",
-    "kcenter_md5")
+    "kcenter_md5", "embedding_anisotropy_md5")
 
   /** Queries whose measured time INCLUDES an in-query model fit
     * (Lloyd's / Procrustes / eigendecomposition / min-max range /
@@ -1618,6 +1618,32 @@ object SparkEntry {
         .groupBy("doc_id").agg(min("__cd").as("distance"))
         .orderBy(col("distance").asc, col("doc_id").asc)
         .limit(5)
+    }),
+    // embedding-geometry (anisotropy) report over the md5 integer
+    // vectors: mean pairwise dot product WITHOUT an all-pairs join,
+    // via the algebraic identity Σ_{i≠j}⟨vi,vj⟩ = |Σvi|² − Σ|vi|² —
+    // one narrow pass over the shared vec artifact. A mean pairwise
+    // similarity far from 0 relative to the mean norm says the space
+    // has collapsed into a cone (Ethayarajh 2019) and cosine rankings
+    // lose contrast. All-integer sums; one bridged division
+    "embedding_anisotropy_md5" -> ((s, dir) => {
+      val vecs = md5DocVecs(s, dir)
+      val perD = vecs.groupBy("d").agg(
+        sum("v").cast("long").as("__sv"),
+        sum(col("v") * col("v")).cast("long").as("__svv"))
+      val n = broadcast(vecs.select("doc_id").distinct()
+        .agg(count(lit(1)).cast("long").as("__n")))
+      perD.agg(
+          sum(col("__sv") * col("__sv")).cast("long").as("norm_sum_sq"),
+          sum("__svv").cast("long").as("sum_sq_norm"))
+        .crossJoin(n)
+        .select(col("__n").as("n_vectors"), col("norm_sum_sq"),
+          col("sum_sq_norm"),
+          when(col("__n") > 1L,
+            ((col("norm_sum_sq") - col("sum_sq_norm")).cast("double") /
+              (col("__n") * (col("__n") - 1L)).cast("double"))
+              .cast("decimal(18,9)").cast("string").cast("double"))
+            .as("mean_pairwise_dot"))
     }),
     // diverse-coreset selection gated end-to-end: greedy k-center
     // (farthest-point traversal, Gonzalez 1985) over the md5 integer
@@ -7620,6 +7646,34 @@ object SparkEntry {
         |  WHERE a.doc_id <> (SELECT MIN(doc_id) FROM documents)
         |  GROUP BY a.doc_id)
         |SELECT doc_id, distance FROM dist ORDER BY distance, doc_id LIMIT 5""".stripMargin,
+    // anisotropy twin: same md5 vecs, the same |Σv|² − Σ|v|² identity
+    // in exact BIGINT (bounded: |Σ_d (Σ_docs v)²| < 2^53 at any gate
+    // sf), one bridged division
+    "embedding_anisotropy_md5" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0)) AS tok FROM documents),
+        |cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY doc_id, tok),
+        |vt AS (SELECT DISTINCT tok FROM toks),
+        |codes AS (SELECT tok, d,
+        |    CAST(2 * strpos('0123456789abcdef',
+        |      substr(md5(tok), CAST(d AS INT), 1)) - 17 AS BIGINT) AS c
+        |  FROM (SELECT tok, unnest(range(1, 17)) AS d FROM vt)),
+        |vecs AS (SELECT doc_id, d, CAST(SUM(c * cnt) AS BIGINT) AS v
+        |  FROM cnt JOIN codes USING (tok) GROUP BY doc_id, d),
+        |pd AS (SELECT d, CAST(SUM(v) AS BIGINT) AS sv,
+        |    CAST(SUM(v * v) AS BIGINT) AS svv FROM vecs GROUP BY d),
+        |t AS (SELECT CAST(SUM(sv * sv) AS BIGINT) AS nss,
+        |    CAST(SUM(svv) AS BIGINT) AS ssn FROM pd),
+        |nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+        |  FROM vecs)
+        |SELECT n AS n_vectors, nss AS norm_sum_sq, ssn AS sum_sq_norm,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(CAST(CAST(CAST(nss - ssn AS DOUBLE) /
+        |      CAST(n * (n - 1) AS DOUBLE) AS DECIMAL(18,9)) AS VARCHAR)
+        |      AS DOUBLE) END AS mean_pairwise_dot
+        |FROM t, nn""".stripMargin,
     // kcenter_md5 twin: the greedy farthest-point trajectory unrolled
     // — stage r computes the distance table to pick r−1, folds it
     // into the running min (LEAST), and picks the argmax outside the

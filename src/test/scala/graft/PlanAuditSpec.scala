@@ -31,10 +31,11 @@ class PlanAuditSpec extends SparkSpec {
     // bigram_pmi — bounded by construction
     Set("knn_batch_join", "knn_classify", "retrieval_eval", "bigram_pmi",
       "skipgram_pmi",
-      // ks_drift / chi2_drift cross only their broadcast 1-row totals
-      // (Drift.ksStat / Drift.chiSquared) — bounded by construction,
-      // the bigram_pmi shape
-      "ks_drift", "chi2_drift",
+      // ks_drift / chi2_drift / embedding_anisotropy_md5 cross only
+      // their broadcast 1-row totals (Drift.ksStat / Drift.chiSquared
+      // / the anisotropy count) — bounded by construction, the
+      // bigram_pmi shape
+      "ks_drift", "chi2_drift", "embedding_anisotropy_md5",
       "dsir_weights", "dsir_select", "binary_batch_knn",
       "pct_rank_scores", "margin_pairs", "margin_mine", "domain_kl",
       "sketch_quantiles",
