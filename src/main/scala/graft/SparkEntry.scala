@@ -3145,6 +3145,16 @@ object SparkEntry {
         "n_chars", "doc_id", bins = 10)
         .orderBy("bin")
     }),
+    // EXACT per-source length quartiles — grouped discrete quantiles
+    // with NO window and NO approximation (the grouped two-phase scan
+    // ranks; ceil(q·n) in all-long arithmetic)
+    "quantiles_by_source" -> ((s, dir) =>
+      graft.operators.Profile.quantilesByKey(
+        t(s, dir, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("n_chars")),
+        Seq("source"), "n_chars", Seq(0.25, 0.5, 0.75),
+        materialize = false)
+        .orderBy("source", "q")),
     // categorical drift companion: chi-squared of src1's LANGUAGE mix
     // against the rest of the corpus — per-category observed/expected/
     // term, the discrete-column test psi/ks can't do (no ordering)
@@ -7890,6 +7900,20 @@ object SparkEntry {
     // PSI twin: ntile deciles on the reference (≡ ntileExact), edge
     // table, clamped current-slice binning, same smoothing and
     // per-bin bridged terms
+    // grouped-quantile twin: the same type-1 rank ceil(q·n) in
+    // all-integer arithmetic, replayed as the window DuckDB can afford
+    "quantiles_by_source" ->
+      """WITH b AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT source, v,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS n FROM b),
+        |qs(q, num) AS (VALUES (CAST(0.25 AS DOUBLE), 250000),
+        |  (CAST(0.5 AS DOUBLE), 500000), (CAST(0.75 AS DOUBLE), 750000))
+        |SELECT source, q, v AS quantile
+        |FROM r, qs
+        |WHERE rk = (n * num + 999999) // 1000000
+        |ORDER BY source, q""".stripMargin,
     // chi² twin: per-category side counts, expected =
     // (n_cur_total·ref_k)/n_ref_total bridged, term re-bridged with
     // the same zero guards

@@ -194,6 +194,59 @@ object Profile {
     * Scale: ONE count shuffle on the key (the partial-agg-bounded
     * shape every groupBy has), then a bucket re-agg of one row per
     * key. Null keys count as a group. */
+  /** EXACT per-group discrete quantiles — "the median/p25/p75 doc
+    * length per source" computed exactly, at scale, where the usual
+    * answer is either an approximation (approx_percentile) or a
+    * `PARTITION BY key` window that serializes a hot group into one
+    * task. Type-1 (lower discrete) quantiles: the value whose 1-based
+    * rank in (value, tiebreak ascending) order is `ceil(q·n_k)` —
+    * always an observed value, integer-exact, engine-replayable.
+    * Returns (keyCols…, q, quantile value), one row per (key, q);
+    * null values are EXCLUDED (a null is missing data, not an extreme
+    * of the order); groups whose values are all null drop out.
+    *
+    * Scale shape: one [[PrefixScan.runningSumByKey]] pass for the
+    * per-(key, row) rank (no window — a hot key spans adjacent
+    * partitions), one partial-aggregated per-key count joined back on
+    * the key, and a narrow rank-membership filter against the ≤|qs|
+    * target ranks (the qs list is a compile-time constant riding the
+    * expression). */
+  def quantilesByKey(df: DataFrame, keyCols: Seq[String],
+      valCol: String, qs: Seq[Double],
+      materialize: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "key columns required")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val reserved = Seq("__graft_one", "__graft_rank", "__graft_n")
+    require(reserved.forall(r => !df.columns.contains(r)),
+      s"reserved columns $reserved present — rename them")
+    val base = df.where(col(valCol).isNotNull)
+      .select((keyCols :+ valCol).map(col): _*)
+      .withColumn("__graft_one", lit(1L))
+    val ranked = PrefixScan.runningSumByKey(base, keyCols,
+      Seq(col(valCol).asc), "__graft_one", "__graft_rank", materialize)
+    val counts = base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("__graft_n"))
+    // rank r is kept iff ∃ q: r == ceil(q·n) — all-LONG arithmetic
+    // (ceil(q·n) on doubles is un-portable when q·n is exactly
+    // integral): q as the rational num/10^6 (exact for 6-dp qs), and
+    // ceil(a/b) = (a + b − 1) div b
+    def targetRank(q: Double): org.apache.spark.sql.Column = {
+      val num = math.round(q * 1e6)
+      expr(s"(__graft_n * ${num}L + 999999L) div 1000000L")
+    }
+    val hit = qs.map(q => col("__graft_rank") === targetRank(q))
+      .reduce(_ || _)
+    val qCase = qs.map(q =>
+      when(col("__graft_rank") === targetRank(q), lit(q)))
+    ranked.join(counts, keyCols)
+      .where(hit)
+      .select((keyCols.map(col) :+
+        explode(array(qCase: _*)).as("q") :+
+        col(valCol).as("quantile")): _*)
+      .where(col("q").isNotNull)
+  }
+
   def skewHistogram(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "key columns required")
     val counts = df.groupBy(keyCols.map(col): _*)

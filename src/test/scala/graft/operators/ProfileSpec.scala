@@ -129,4 +129,30 @@ class ProfileSpec extends SparkSpec {
     val df = Seq.empty[String].toDF("tok")
     assert(Profile.heavyHitters(df, "tok", 0.1).count() == 0L)
   }
+
+  test("quantilesByKey: type-1 quantiles hand-checked, q=1 is the " +
+      "max, nulls excluded, single-row and tied groups, " +
+      "partitioning-independent") {
+    import spark.implicits._
+    // a: 1..4 -> p25 rank ceil(1)=1 -> 1, p50 rank 2 -> 2, p75 rank 3
+    // b: {5} -> every q hits rank 1 -> 5
+    // c: {7,7,9} -> p50 rank 2 -> 7 (ties well-defined: value at rank)
+    // d: all-null values -> drops out
+    val df = (Seq(("a", 3L), ("a", 1L), ("a", 4L), ("a", 2L),
+      ("b", 5L), ("c", 7L), ("c", 9L), ("c", 7L))
+      .map { case (k, v) => (k, Some(v)) } :+ ("d" -> None))
+      .toDF("k", "v")
+    def run(in: org.apache.spark.sql.DataFrame) =
+      Profile.quantilesByKey(in, Seq("k"), "v",
+        Seq(0.25, 0.5, 0.75, 1.0), materialize = false)
+        .collect().map(r =>
+          (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val got = run(df)
+    assert(got(("a", 0.25)) === 1L && got(("a", 0.5)) === 2L &&
+      got(("a", 0.75)) === 3L && got(("a", 1.0)) === 4L)
+    assert(Seq(0.25, 0.5, 0.75, 1.0).forall(q => got(("b", q)) === 5L))
+    assert(got(("c", 0.5)) === 7L && got(("c", 1.0)) === 9L)
+    assert(!got.keySet.exists(_._1 == "d"), "all-null group must drop")
+    assert(run(df.repartition(7)) === got)
+  }
 }
