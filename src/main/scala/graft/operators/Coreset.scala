@@ -40,6 +40,24 @@ object Coreset {
   def kCenterGreedy(df: DataFrame, vecCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // the per-round least() chain and the not-yet-picked filter grow
+    // the plan linearly in k, and the driver holds k vectors — the
+    // "k ≤ a few hundred exemplars" contract, enforced loudly instead
+    // of degrading into a plan-compile stall (for large k use
+    // clustering, not farthest-point selection)
+    require(k <= 4096,
+      s"kCenterGreedy: k=$k exceeds the selection contract (k <= 4096): " +
+        "each round adds a distance term and an id to the plan, so " +
+        "large k stalls plan compilation and bloats the driver — use " +
+        "k-means (IvfIndex.fit) for cluster-scale k")
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"kCenterGreedy: $vecCol must be array<float> (got $other) — " +
+          "cast double embeddings with transform(v, x -> cast(x as " +
+          "float)) before selecting")
+    }
     val spark = df.sparkSession
     val slim = df.where(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol))

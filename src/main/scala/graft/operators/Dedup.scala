@@ -542,8 +542,19 @@ object Dedup {
     * operator, so the whole path is keyed joins + aggregates. */
   def keepBestByComponent(df: DataFrame, idCol: String, scoreCol: String,
       pairs: DataFrame, aCol: String = "idA",
-      bCol: String = "idB"): DataFrame = {
-    val comps = connectedComponents(pairs, aCol, bCol)
+      bCol: String = "idB"): DataFrame =
+    keepBestByComponentFrom(df, idCol, scoreCol,
+      connectedComponents(pairs, aCol, bCol))
+
+  /** [[keepBestByComponent]] over PRECOMPUTED component labels
+    * (`(id, component)` — [[connectedComponents]]' shape). The stored-
+    * artifact entry point: a pipeline materializes the component table
+    * once and every policy pass (keep-best, split-by-component,
+    * cluster reports) reads it instead of re-running the iterative
+    * contraction. */
+  def keepBestByComponentFrom(df: DataFrame, idCol: String,
+      scoreCol: String, components: DataFrame): DataFrame = {
+    val comps = components
       .select(col("id").as(idCol), col("component"))
     val scored = comps.join(df.select(col(idCol), col(scoreCol)),
       Seq(idCol))

@@ -126,8 +126,12 @@ object Drift {
       .localCheckpoint()
     // ref side re-enters as a LITERAL frame (it was just collected);
     // totals derive from the per-bin counts (every row lands in
-    // exactly one bin) instead of re-scanning either slice
-    val valType = c.schema("__val").dataType
+    // exactly one bin) instead of re-scanning either slice. The edge
+    // values were collected from the REF side, so the literal schema
+    // must carry the ref side's type — typing them with the cur
+    // side's would mis-encode (or crash createDataFrame) whenever the
+    // two slices' value types differ (int ref vs long cur).
+    val valType = r.schema("__val").dataType
     val refLit = r.sparkSession.createDataFrame(
       java.util.Arrays.asList(refStats: _*),
       org.apache.spark.sql.types.StructType(Seq(

@@ -342,10 +342,12 @@ object Lake {
     * directories, and the next commit numbers PAST the torn dir
     * (recovery = delete it, or just leave it — it stays invisible).
     * (2) CONCURRENT WRITERS — two commits racing the same `gen=N`:
-    * the loser TYPICALLY fails on `errorifexists` and
-    * [[commitSnapshot]] then retries it on the next free number
-    * (bounded attempts), so under ordinary interleavings both
-    * commits land, serialized. But `errorifexists` is a
+    * the loser TYPICALLY sees the winner's directory before writing
+    * (or its `_SUCCESS` after a failed write) and [[commitSnapshot]]
+    * then retries on the next free number (bounded attempts), so
+    * under ordinary interleavings both commits land, serialized; a
+    * write failure with NO committed racer at the target rethrows as
+    * this writer's own error — never retried. But `errorifexists` is a
     * check-then-write, NOT an atomic reservation — two writers whose
     * existence checks interleave before either writes can BOTH pass
     * and merge files into the same `gen=N` directory, a corrupt
@@ -420,11 +422,21 @@ object Lake {
     // existing gen= directory, committed or torn (assigning over a
     // torn dir would hit errorifexists forever; committed-only
     // numbering is what readers see). A racing writer landing first
-    // makes this writer's errorifexists fail; the loser re-lists and
+    // makes this writer lose the generation; the loser re-lists and
     // re-attempts on the next free number, so both commits land,
-    // serialized. Retried ONLY when the failure is a lost race (the
-    // target directory now exists) — any other write failure rethrows
-    // immediately.
+    // serialized. Race classification is deliberately conservative:
+    // a lost race is (a) the target already existing BEFORE this
+    // writer writes anything, or (b) after a failed write, the target
+    // carrying a _SUCCESS marker this writer cannot have produced (a
+    // racer completed there). A bare exists(target) after our own
+    // failed attempt proves nothing — OUR committer creates the dir
+    // before failing mid-write — so that case rethrows as a genuine
+    // write error instead of silently retrying it at successive
+    // generations (the narrow window where a racer created the dir
+    // between our pre-check and write but has not yet committed also
+    // rethrows; the error message names that possibility). Only
+    // NonFatal failures are classified at all — OOM/interrupt
+    // propagate untouched.
     var attempt = 0
     var committed = -1L
     while (committed < 0L) {
@@ -432,22 +444,35 @@ object Lake {
       val gen = genHook(dirs.fold(-1L)(ds =>
         if (ds.isEmpty) -1L else ds.map(_._1).max) + 1L)
       val target = s"$root/gen=$gen"
+      val p = new Path(target)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       attempt += 1
-      try {
-        full.write.mode("errorifexists").parquet(target)
-        committed = gen
-      } catch {
-        case e: Throwable =>
-          val p = new Path(target)
-          val lostRace =
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(p)
-          if (!lostRace || attempt >= maxAttempts)
-            throw new IllegalStateException(
-              s"snapshot commit to $target failed after $attempt " +
-                s"attempt(s)" + (if (lostRace) " (lost the race to a " +
-                "concurrent writer each time; raise maxAttempts or " +
-                "coordinate writers externally)" else ""), e)
+      def exhausted(cause: Throwable): Nothing =
+        throw new IllegalStateException(
+          s"snapshot commit to $target failed after $attempt " +
+            "attempt(s) (lost the race to a concurrent writer each " +
+            "time; raise maxAttempts or coordinate writers externally)",
+          cause)
+      if (fs.exists(p)) {
+        // a concurrent writer (committed or in-flight) owns this
+        // generation — nothing of ours was written; re-list and retry
+        if (attempt >= maxAttempts) exhausted(null)
+      } else {
+        try {
+          full.write.mode("errorifexists").parquet(target)
+          committed = gen
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            val racerCommitted = fs.exists(new Path(p, "_SUCCESS"))
+            if (!racerCommitted)
+              throw new IllegalStateException(
+                s"snapshot commit to $target failed mid-write (not a " +
+                  "lost race: no concurrent commit landed at this " +
+                  "generation — or a racer is still in flight there; " +
+                  "this writer's own torn directory, if any, carries " +
+                  "no _SUCCESS and readers ignore it)", e)
+            if (attempt >= maxAttempts) exhausted(e)
+        }
       }
     }
     committed

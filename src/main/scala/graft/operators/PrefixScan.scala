@@ -100,12 +100,25 @@ object PrefixScan {
     * list per partition to the driver (total entries ≤ #keys +
     * #partitions, because each partition holds a contiguous key
     * range), the driver prefix-adds per key across partitions, and
-    * pass 2 adds each partition's per-key offsets in one narrow map.
-    * Same `materialize` contract as [[runningSumBy]]. */
+    * pass 2 adds each partition's per-key offsets in one narrow map
+    * (the offset table rides a BROADCAST — one transfer per executor,
+    * and each task touches only its own partition's entry, never a
+    * per-task copy of every partition's map in the closure).
+    * Same `materialize` contract as [[runningSumBy]].
+    *
+    * Contract: LOW-CARDINALITY keys (languages, sources, splits). The
+    * driver holds one offset entry per (partition, key-run) —
+    * ≤ #keys + #partitions by contiguity — so a high-cardinality key
+    * silently degrades into a driver-sized structure. `maxKeyEntries`
+    * makes that failure LOUD: pass-1 aborts with a pointed error the
+    * moment the entry count exceeds it (raise it only when the driver
+    * is provisioned for the key space; for per-row keys use a plain
+    * groupBy/join rank instead — there is nothing to scan). */
   def runningSumByKey(df: DataFrame, keyCols: Seq[String],
       orderBy: Seq[Column], valueCol: String,
       outCol: String = "running_total",
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      maxKeyEntries: Long = 1L << 20): DataFrame = {
     require(keyCols.nonEmpty, "key columns required")
     require(!df.columns.contains(outCol),
       s"output column '$outCol' collides — rename one")
@@ -127,6 +140,16 @@ object PrefixScan {
         }
         Iterator((i, m.toSeq))
       }.collect().sortBy(_._1)
+      val nEntries = partTotals.iterator.map(_._2.size.toLong).sum
+      if (nEntries > maxKeyEntries)
+        throw new IllegalArgumentException(
+          s"runningSumByKey: pass-1 produced $nEntries (partition, key) " +
+            s"offset entries > maxKeyEntries=$maxKeyEntries — the grouped " +
+            "two-phase scan contracts LOW-cardinality keys (languages/" +
+            "sources/splits); a per-row or near-unique key makes the " +
+            "driver-side offset table data-sized. Use a groupBy rank or " +
+            "join for high-cardinality keys, or raise maxKeyEntries if " +
+            "the driver is provisioned for this key space.")
       val running = scala.collection.mutable.HashMap[Seq[Any], Long]()
       val offsets: Array[Map[Seq[Any], Long]] = partTotals.map {
         case (_, kvs) =>
@@ -136,9 +159,13 @@ object PrefixScan {
             running.update(k, running.getOrElse(k, 0L) + v) }
           off
       }
+      // broadcast, NOT closure capture: a captured Array[Map] ships
+      // EVERY partition's offsets with every task; the broadcast moves
+      // once per executor and each task indexes its own entry
+      val offsetsBc = spark.sparkContext.broadcast(offsets)
       val outSchema = sorted.schema.add(outCol, LongType, nullable = false)
       val out = rdd.mapPartitionsWithIndex { (i, it) =>
-        val off = offsets(i)
+        val off = offsetsBc.value(i)
         var curKey: Seq[Any] = null
         var run = 0L
         it.map { r =>
@@ -176,9 +203,19 @@ object PrefixScan {
     * scale-killer for the hot one (the `en` slice); the grouped
     * two-phase scan lets a hot key span adjacent partitions. Output
     * and values are identical (exclusive prefix = inclusive − len).
-    * Lazy like the window form — pass deterministic input lineage. */
+    *
+    * `materialize` follows [[runningSumByKey]]'s contract and DEFAULT
+    * (true, the always-safe mode): the two-phase scan runs pass 1 and
+    * pass 2 as separate jobs, so a NONDETERMINISTIC input lineage
+    * (sample(), unstable shuffle order, tie-arbitrary first-wins) can
+    * land rows in different partitions between the passes and make
+    * start_offset/chunk_id silently inconsistent — the old window form
+    * was self-consistent within one job regardless of lineage. Pass
+    * `materialize = false` ONLY when the input lineage is
+    * deterministic (reads storage, no rand/shuffle-order dependence). */
   def packSequencesByKey(df: DataFrame, keyCols: Seq[String],
-      lenCol: String, chunkSize: Long, orderCols: Seq[String]): DataFrame = {
+      lenCol: String, chunkSize: Long, orderCols: Seq[String],
+      materialize: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty, "key columns required")
     require(chunkSize > 0, "chunkSize must be positive")
     val reserved = Seq("__graft_len", "__graft_incl")
@@ -188,7 +225,7 @@ object PrefixScan {
       df.withColumn("__graft_len",
         coalesce(col(lenCol).cast(LongType), lit(0L))),
       keyCols, orderCols.map(col), "__graft_len", "__graft_incl",
-      materialize = false)
+      materialize = materialize)
       .withColumn("start_offset", col("__graft_incl") - col("__graft_len"))
       .withColumn("chunk_id",
         expr(s"start_offset div ${chunkSize}L").cast(LongType))

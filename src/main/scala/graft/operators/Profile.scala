@@ -239,9 +239,17 @@ object Profile {
       .reduce(_ || _)
     val qCase = qs.map(q =>
       when(col("__graft_rank") === targetRank(q), lit(q)))
-    ranked.join(counts, keyCols)
+    // null-safe (<=>) key join: runningSumByKey ranks a null key as a
+    // group like every sibling operator ("null keys count as a group",
+    // skewHistogram et al.), and a plain equality join would silently
+    // drop that group here — diverging from the SQL twin's window,
+    // which keeps a NULL partition
+    val joined = ranked.as("__r").join(counts.as("__c"),
+      keyCols.map(k => col(s"__r.`$k`") <=> col(s"__c.`$k`"))
+        .reduce(_ && _))
+    joined
       .where(hit)
-      .select((keyCols.map(col) :+
+      .select((keyCols.map(k => col(s"__r.`$k`").as(k)) :+
         explode(array(qCase: _*)).as("q") :+
         col(valCol).as("quantile")): _*)
       .where(col("q").isNotNull)

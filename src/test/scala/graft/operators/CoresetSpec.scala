@@ -36,6 +36,20 @@ class CoresetSpec extends SparkSpec {
     assert(empty.count() === 0L)
   }
 
+  test("rejects non-float vectors and cluster-scale k with pointed " +
+      "errors (a double vector used to surface as an opaque " +
+      "ClassCastException mid-round)") {
+    val dbl = Seq((1L, Array(0.0, 1.0))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Coreset.kCenterGreedy(dbl, "vec", "id", 1)
+    }
+    assert(e.getMessage.contains("array<float>"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Coreset.kCenterGreedy(pts, "vec", "id", 5000)
+    }
+    assert(e2.getMessage.contains("4096"), e2.getMessage)
+  }
+
   test("selection is partitioning-independent") {
     val a = Coreset.kCenterGreedy(pts.repartition(7), "vec", "id", 4)
       .collect().map(_.toString).toSeq

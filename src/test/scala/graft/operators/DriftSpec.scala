@@ -105,6 +105,20 @@ class DriftSpec extends SparkSpec {
     assert(shifted.map(_.getDouble(6)).sum > 1.0)
   }
 
+  test("psi: INT reference vs LONG current slice — the literal edge " +
+      "frame is typed from the REF side (the side the edges were " +
+      "collected from), so mixed value types bin instead of crashing") {
+    import spark.implicits._
+    val ref = (1 to 100).map(i => (i.toLong, i)).toDF("id", "v") // int v
+    val cur = (1L to 50L).map(i => (i, 1000L + i)).toDF("id", "v") // long
+    val out = Drift.psi(ref, cur, "v", "id", bins = 10)
+      .orderBy("bin").collect()
+    assert(out.length == 10)
+    assert(out.last.getLong(3) == 50L,
+      s"every long current value must clamp into the top bin: " +
+        s"${out.last}")
+  }
+
   test("ksStat: hand-computed D and argmax, identical slices score 0, " +
       "empty slice yields an empty frame") {
     import spark.implicits._

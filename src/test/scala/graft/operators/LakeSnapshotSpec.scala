@@ -190,6 +190,36 @@ class LakeSnapshotSpec extends SparkSpec {
     assert(state(root, 0L) == Map(1L -> ("a", 1L)))
   }
 
+  test("a mid-write failure of this writer's OWN attempt is not a " +
+      "lost race: rethrown immediately, never retried at later " +
+      "generations, registry untouched") {
+    val root = tmp()
+    Lake.commitSnapshot(spark, root,
+      Seq((1L, "a", 1L)).toDF("id", "v", "n"), Seq("id"))
+    // poison one row so the write job fails AFTER the committer has
+    // created the target directory — the old exists(target)
+    // classification misread exactly this as a lost race and retried
+    // the genuine write error at successive generations
+    val bad = Seq((2L, "b", 2L), (3L, "c", 3L)).toDF("id", "v", "n")
+      .withColumn("v",
+        when(col("id") === 3L, expr("raise_error('boom')"))
+          .otherwise(col("v")))
+    val e = intercept[IllegalStateException] {
+      Lake.commitSnapshot(spark, root, bad, Seq("id"))
+    }
+    assert(e.getMessage.contains("mid-write") &&
+      !e.getMessage.contains("lost the race"), e.getMessage)
+    assert(Lake.snapshotGenerations(spark, root).get == Seq(0L),
+      "the failed writer must not land anything committed")
+    // no retry happened: nothing (committed or torn) exists past the
+    // single attempted generation
+    val dirs = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("gen=")).map(_.getName).sorted
+    assert(!dirs.contains("gen=2"),
+      s"mid-write failure must not be retried at gen=2: " +
+        dirs.mkString(","))
+  }
+
   test("commitSnapshot rethrows after maxAttempts lost races and on " +
       "non-race failures") {
     val root = tmp()

@@ -213,6 +213,26 @@ class PrefixScanSpec extends SparkSpec {
     assert(waste((1L, 1L)) == 1L && waste((1L, 0L)) == 0L)
   }
 
+  test("runningSumByKey fails LOUD on a high-cardinality key (the " +
+      "driver-side offset guard), and the bound is caller-raisable") {
+    import spark.implicits._
+    // a near-unique key: every row its own group — exactly the call
+    // the low-cardinality contract forbids (the driver would hold one
+    // offset entry per row)
+    val df = (1 to 200).map(i => (i.toLong, s"k$i", 1L))
+      .toDF("id", "k", "len")
+    val e = intercept[IllegalArgumentException] {
+      PrefixScan.runningSumByKey(df, Seq("k"), Seq(col("id")), "len",
+        "cum", materialize = false, maxKeyEntries = 50).count()
+    }
+    assert(e.getMessage.contains("maxKeyEntries"), e.getMessage)
+    // raising the bound admits the same call (the guard is a contract
+    // check, not a correctness limit)
+    val n = PrefixScan.runningSumByKey(df, Seq("k"), Seq(col("id")),
+      "len", "cum", materialize = false, maxKeyEntries = 1000).count()
+    assert(n == 200L)
+  }
+
   test("runningSumByKey equals the partitioned-window reference on a " +
       "hot-key shape, any partitioning, nulls count as a key and 0") {
     import org.apache.spark.sql.expressions.Window

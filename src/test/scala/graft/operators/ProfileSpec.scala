@@ -155,4 +155,19 @@ class ProfileSpec extends SparkSpec {
     assert(!got.keySet.exists(_._1 == "d"), "all-null group must drop")
     assert(run(df.repartition(7)) === got)
   }
+
+  test("quantilesByKey keeps a NULL key group (null-safe key join — " +
+      "the sibling operators' 'null keys count as a group' rule)") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 1L), (Some("a"), 3L), (None, 5L),
+      (None, 7L)).toDF("k", "v")
+    val got = Profile.quantilesByKey(df, Seq("k"), "v", Seq(0.5, 1.0),
+      materialize = false)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(got((None, 0.5, 5L)) && got((None, 1.0, 7L)),
+      s"null-key group dropped: $got")
+    assert(got((Some("a"), 0.5, 1L)) && got((Some("a"), 1.0, 3L)))
+  }
 }
