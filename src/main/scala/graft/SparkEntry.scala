@@ -391,7 +391,7 @@ object SparkEntry {
     "opq_fixed_knn", "pq_fixed_knn", "semantic_dedup_fixed",
     "triplet_mine_fixed", "ivf_lloyd_step", "pca_moments",
     "ivfbq_fixed_knn", "sq8_fixed_codes", "pca_fixed_embed",
-    "kcenter_md5", "embedding_anisotropy_md5")
+    "pca_eig_fixed", "kcenter_md5", "embedding_anisotropy_md5")
 
   /** Queries whose measured time INCLUDES an in-query model fit
     * (Lloyd's / Procrustes / eigendecomposition / min-max range /
@@ -1836,11 +1836,44 @@ object SparkEntry {
     }),
     // PCA's distributed moment pass in exact quantized-BIGINT
     // arithmetic: upper-triangle second moments, linear sums, count —
-    // machine-checks everything fit folds; only the driver-side
-    // dim×dim eigendecomposition stays unoracled.
+    // machine-checks everything fit folds.
     "pca_moments" -> ((s, dir) =>
       graft.operators.PcaReduce.momentSumsQuantized(
         t(s, dir, "embeddings").select("embedding"), "embedding")),
+    // the LAST PCA stage pinned (r13 verdict item 6): driver-side
+    // eigSym + sign canonicalization replayed on a FIXED 8×8
+    // block-diagonal symmetric matrix with a closed-form spectrum.
+    // Each 2×2 block [[a,b],[b,a]] (EQUAL diagonals) has exact
+    // integer eigenvalues a±b and eigenvectors (1,±1)/√2; the zero
+    // off-diagonals between blocks deflate LAPACK's tridiagonal
+    // solver straight into its 2×2 closed form (dlaev2), whose
+    // entries are the correctly-rounded double 1/sqrt(2) — which any
+    // IEEE engine replays verbatim (probe-verified bit pattern
+    // 0x1.6a09e667f3bccp-1, and the block eigenvalue update a − b·t
+    // with t = 1 exactly). Distinct a±b across blocks pin the
+    // descending order; canonicalization makes the FIRST max-|entry|
+    // coordinate positive. Runs the REAL fit stage
+    // (PcaReduce.eigTopKCanonical — the same function pca_embed's
+    // fit calls). With this green, every PCA stage is oracle-pinned:
+    // moments (pca_moments) → eigenbasis (here) → projection
+    // (pca_fixed_embed).
+    "pca_eig_fixed" -> ((s, dir) => {
+      import s.implicits._
+      val blocks = Seq((5.0, 3.0), (2.0, 7.0), (12.0, 1.0), (20.0, 6.0))
+      val dim = 2 * blocks.length
+      val m = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+      blocks.zipWithIndex.foreach { case ((a, b), i) =>
+        m(2 * i, 2 * i) = a; m(2 * i + 1, 2 * i + 1) = a
+        m(2 * i, 2 * i + 1) = b; m(2 * i + 1, 2 * i) = b
+      }
+      val (comps, evals) =
+        graft.operators.PcaReduce.eigTopKCanonical(m, dim)
+      comps.zipWithIndex.flatMap { case (v, c) =>
+        v.zipWithIndex.map { case (x, i) =>
+          ((c + 1).toLong, (i + 1).toLong, evals(c), x) }
+      }.toSeq.toDF("component", "coord", "eigenvalue", "entry")
+        .orderBy("component", "coord")
+    }),
     // IVF-SQ composition: cell pruning × residual-fitted byte codes
     // (kmeans partitioning sensitivity → rows-only like the IVF/PQ
     // family; exactness-at-full-probe, residual-range tightness, and
@@ -4444,6 +4477,29 @@ object SparkEntry {
         |    (acc, x) -> acc + x) AS FLOAT) AS value
         |FROM terms GROUP BY vec_id, r
         |ORDER BY vec_id, comp""".stripMargin,
+    // pca_eig_fixed twin: the closed-form spectrum of the fixed
+    // block-diagonal matrix as literals. Eigenvalues a±b are exact
+    // integers; every canonical eigenvector entry is ± the
+    // correctly-rounded double 1/sqrt(2) cast to float (bit pattern
+    // 3f3504f3) or exactly +0.0 — engine-replayable because both
+    // sides compute 1/sqrt(2) as one IEEE division of a correctly-
+    // rounded sqrt. Component order = descending eigenvalue
+    // {26,14,13,11,9,8,2,-5}; (c1, c2) are each component's support
+    // coords with c1 canonicalized positive and sgn the c2 sign.
+    "pca_eig_fixed" ->
+      """WITH comps(component, eigenvalue, c1, c2, sgn) AS (VALUES
+        |  (1, 26, 7, 8, 1), (2, 14, 7, 8, -1), (3, 13, 5, 6, 1),
+        |  (4, 11, 5, 6, -1), (5, 9, 3, 4, 1), (6, 8, 1, 2, 1),
+        |  (7, 2, 1, 2, -1), (8, -5, 3, 4, -1)),
+        |g AS (SELECT component, eigenvalue, c1, c2, sgn,
+        |        unnest(range(1, 9)) AS coord FROM comps)
+        |SELECT CAST(component AS BIGINT) AS component,
+        |  CAST(coord AS BIGINT) AS coord,
+        |  CAST(eigenvalue AS DOUBLE) AS eigenvalue,
+        |  CAST(CASE WHEN coord = c1 THEN 1/sqrt(2)
+        |            WHEN coord = c2 THEN sgn * (1/sqrt(2))
+        |            ELSE 0.0 END AS FLOAT) AS entry
+        |FROM g ORDER BY component, coord""".stripMargin,
     // PCA moment pass in quantized-BIGINT arithmetic: round(x·10^6)
     // is exact in double (24 + 20 < 53 bits), every sum is integer —
     // order-free and engine-portable by construction

@@ -99,6 +99,27 @@ object PcaReduce {
     val cov = breeze.linalg.DenseMatrix.tabulate(dim, dim) { (i, j) =>
       cross(i)(j) / n - mean(i) * mean(j)
     }
+    val (comps, evals) = eigTopKCanonical(cov, k)
+    PcaModel(mean.map(_.toFloat), comps, evals,
+      breeze.linalg.trace(cov))
+  }
+
+  /** The driver-side eigenbasis stage of [[fit]], factored out so the
+    * gate can replay it on a FIXED matrix (`pca_eig_fixed`): eigSym,
+    * descending-eigenvalue top-k, and sign canonicalization (the
+    * coordinate with the largest magnitude is made positive; ties —
+    * only possible at equal |entry| — resolve to the FIRST such
+    * coordinate, so the canonical form is deterministic). Returns
+    * (components as float rows, eigenvalues), both in descending
+    * eigenvalue order. The `+ 0.0` normalizes IEEE negative zeros
+    * out of the canonical vectors (LAPACK emits −0.0 off-support
+    * entries; −0.0 + 0.0 = +0.0 and every other value is unchanged,
+    * so canonical components never carry a sign-of-zero artifact
+    * into stored models or engine comparisons). */
+  private[graft] def eigTopKCanonical(
+      cov: breeze.linalg.DenseMatrix[Double],
+      k: Int): (Array[Array[Float]], Array[Double]) = {
+    val dim = cov.rows
     val es = breeze.linalg.eigSym(cov)
     // eigSym returns ascending eigenvalues; take the top k, canonical
     // sign: the coordinate with the largest magnitude is positive
@@ -107,11 +128,9 @@ object PcaReduce {
       val v = Array.tabulate(dim)(i => es.eigenvectors(i, c))
       val m = v.indices.maxBy(i => math.abs(v(i)))
       val s = if (v(m) < 0) -1.0 else 1.0
-      v.map(x => (x * s).toFloat)
+      v.map(x => (x * s + 0.0).toFloat)
     }.toArray
-    PcaModel(mean.map(_.toFloat), comps,
-      order.map(es.eigenvalues(_)).toArray,
-      breeze.linalg.trace(cov))
+    (comps, order.map(es.eigenvalues(_)).toArray)
   }
 
   /** The [[fit]] moment pass as a cross-engine-auditable frame — the

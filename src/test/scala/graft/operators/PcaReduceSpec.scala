@@ -154,6 +154,36 @@ class PcaReduceSpec extends SparkSpec {
       s"ratio ${m.explainedRatio}")
   }
 
+  test("eigTopKCanonical is BIT-exact on the closed-form block " +
+      "matrix (the pca_eig_fixed contract): integer eigenvalues " +
+      "a±b descending, entries exactly ±double(1/sqrt(2)) as float, " +
+      "off-support entries +0.0 (negative zeros normalized)") {
+    val blocks = Seq((5.0, 3.0), (2.0, 7.0), (12.0, 1.0), (20.0, 6.0))
+    val dim = 2 * blocks.length
+    val m = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    blocks.zipWithIndex.foreach { case ((a, b), i) =>
+      m(2 * i, 2 * i) = a; m(2 * i + 1, 2 * i + 1) = a
+      m(2 * i, 2 * i + 1) = b; m(2 * i + 1, 2 * i) = b
+    }
+    val (comps, evals) = PcaReduce.eigTopKCanonical(m, dim)
+    assert(evals.toSeq == Seq(26.0, 14.0, 13.0, 11.0, 9.0, 8.0, 2.0,
+      -5.0))
+    val s2 = (1.0 / math.sqrt(2.0)).toFloat
+    // (support coords 0-based, c2 sign) in descending-λ order
+    val want = Seq((6, 7, 1), (6, 7, -1), (4, 5, 1), (4, 5, -1),
+      (2, 3, 1), (0, 1, 1), (0, 1, -1), (2, 3, -1))
+    comps.zip(want).foreach { case (v, (c1, c2, sgn)) =>
+      (0 until dim).foreach { i =>
+        val expect =
+          if (i == c1) s2 else if (i == c2) sgn * s2 else 0.0f
+        assert(java.lang.Float.floatToIntBits(v(i)) ==
+          java.lang.Float.floatToIntBits(expect),
+          s"entry($i) = ${v(i)} (bits ${java.lang.Integer.toHexString(
+            java.lang.Float.floatToIntBits(v(i)))}) != $expect")
+      }
+    }
+  }
+
   test("save/load roundtrip preserves the model exactly") {
     val df = anisotropic().toDF("id", "vec")
     val m = PcaReduce.fit(df, "vec", k = 3)
