@@ -70,7 +70,15 @@ object SharedFrames {
     * collide — no content read, no timestamp-resolution race.
     * Fingerprinting is one local directory listing — negligible next
     * to the scan it memoizes. */
-  private def fingerprinted(dir: String, key: String): String = {
+  private def fingerprinted(dir: String, key: String): String =
+    s"$dir#$key@${inputFingerprint(dir)}"
+
+  /** The md5 fingerprint of the parquet files under `dir` (relative
+    * path, inode fileKey, size, ns mtime — see [[fingerprinted]]).
+    * Package-private so registry-side memos that must key on input
+    * CONTENT identity rather than the bare directory string (the
+    * bucketed-store build memo) share the exact same protection. */
+  private[graft] def inputFingerprint(dir: String): String = {
     val root = java.nio.file.Paths.get(dir)
     val fp =
       if (!java.nio.file.Files.isDirectory(root)) "absent"
@@ -96,7 +104,7 @@ object SharedFrames {
             .map("%02x".format(_)).mkString
         } finally walk.close()
       }
-    s"$dir#$key@$fp"
+    fp
   }
 
   /** Memoized materialization: build `frame` once per (process, key),

@@ -142,6 +142,16 @@ object SparkEntry {
         .groupBy("doc_id", "d").agg(sum("c").cast("long").as("v"))
     }
 
+  /** [[md5DocVecs]] pivoted to (doc_id, vec: array&lt;float&gt;) in
+    * d-ascending order — the float cast is EXACT (|v| ≲ 10³ for any
+    * gate corpus's doc lengths, far under float's 2^24 integer
+    * ceiling), so the fixed-codebook ADC twins (`pq_fixed_adc`,
+    * `sq8_fixed_adc`) run all-integer arithmetic end to end. */
+  private def md5VecArr(s: SparkSession, dir: String): DataFrame =
+    md5DocVecs(s, dir).groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(d, v)))," +
+        " x -> cast(x.v as float))").as("vec"))
+
   private def md5NearDupPairsCompute(s: SparkSession,
       dir: String): DataFrame = {
     val sh = md5ShinglesShared(s, dir)
@@ -193,10 +203,14 @@ object SparkEntry {
     * `lang → option1`, `source → option2`, `embedding → vector`
     * (FIXTURES.md §B mapping); ids follow target order. */
   // process-local memo for the bucketed store's two-batch build (see
-  // store_bucketed_knn's registration comment). Keyed by corpus dir —
-  // the driver gate never regenerates a corpus in-process (the
-  // SharedFrames contract); the store object stays valid because one
-  // process drives one SparkSession.
+  // store_bucketed_knn's registration comment). Keyed by corpus dir
+  // PLUS the SharedFrames input fingerprint, and the bucketed table
+  // name carries the same fingerprint: a bare-dir key over one global
+  // table name would silently serve corpus A's bucketed rows to a
+  // query over corpus B (or stale rows after an in-process
+  // regeneration of the same dir). A superseded same-dir table leaks
+  // in the warehouse until process exit — acceptable for a gate/bench
+  // process, stated here because it is the cost of the safety.
   private val bucketedStoreMemo =
     new java.util.concurrent.ConcurrentHashMap[String, VectorStore]()
 
@@ -391,7 +405,8 @@ object SparkEntry {
     "opq_fixed_knn", "pq_fixed_knn", "semantic_dedup_fixed",
     "triplet_mine_fixed", "ivf_lloyd_step", "pca_moments",
     "ivfbq_fixed_knn", "sq8_fixed_codes", "pca_fixed_embed",
-    "pca_eig_fixed", "kcenter_md5", "embedding_anisotropy_md5")
+    "pca_eig_fixed", "kcenter_md5", "embedding_anisotropy_md5",
+    "pq_fixed_adc", "sq8_fixed_adc")
 
   /** Queries whose measured time INCLUDES an in-query model fit
     * (Lloyd's / Procrustes / eigendecomposition / min-max range /
@@ -1217,20 +1232,36 @@ object SparkEntry {
             s"graft-curation-gate-${java.util.UUID.randomUUID()}")
         try {
           // NOT an ingestion path: this feeder exists only to drive
-          // the MemoryStream gate harness. It deliberately avoids a
-          // full-corpus collect() — toLocalIterator streams one
-          // partition at a time to the driver and each addData chunk
-          // is bounded, so the feeder's driver footprint stays
-          // O(partition + chunk) at any sf (at sf0.1 each %3 batch is
-          // a single chunk, so the gate line is byte-identical to the
-          // old collect form). Production feeds the same funnel from
-          // readStream and never routes data through the driver.
+          // the MemoryStream gate harness. Each %3 slice is fed as
+          // ONE addData block: a MemoryStream block is consumed
+          // atomically, so the funnel sees exactly three
+          // deterministic micro-batches at ANY sf where a slice fits
+          // the bound — the r14 chunked form could split a >50k-row
+          // slice across micro-batches, silently moving the funnel's
+          // dupspan/neardup batch horizons at larger corpora
+          // (CurationFunnelStreamSpec pins which stages are
+          // boundary-invariant; dupspan/neardup are NOT in general).
+          // The driver-memory bound: a slice above 200k rows falls
+          // back to 200k-row blocks with a loud note — that sf
+          // (~12 for this corpus) exceeds every gate scale, and the
+          // fallback trades exact micro-batch parity for a bounded
+          // driver. Production feeds the same funnel from readStream
+          // and never routes data through the driver.
           import scala.jdk.CollectionConverters._
+          val sliceBound = 200000
           (0L to 2L).foreach { b =>
-            docs.where(col("doc_id") % 3 === b).toLocalIterator()
-              .asScala.map(r => (r.getLong(0), r.getString(1)))
-              .grouped(50000)
-              .foreach(chunk => source.addData(chunk.toSeq))
+            val it = docs.where(col("doc_id") % 3 === b)
+              .toLocalIterator().asScala
+              .map(r => (r.getLong(0), r.getString(1)))
+            it.grouped(sliceBound).zipWithIndex.foreach {
+              case (block, i) =>
+                if (i > 0) System.err.println(
+                  s"[streaming_curation_funnel] slice $b exceeds " +
+                    s"$sliceBound rows — fed as multiple blocks; " +
+                    "micro-batch boundaries differ from the " +
+                    "single-block feed (dupspan/neardup horizons)")
+                source.addData(block)
+            }
             funnel.query.processAllAvailable()
           }
         } finally funnel.query.stop()
@@ -1868,9 +1899,34 @@ object SparkEntry {
       }
       val (comps, evals) =
         graft.operators.PcaReduce.eigTopKCanonical(m, dim)
+      // backend robustness: the closed-form entries are exactly
+      // {0, ±float(1/√2)}; this host's LAPACK (dlaev2 deflation)
+      // produces them bit-exactly (PcaReduceSpec asserts it), but an
+      // alternate BLAS/LAPACK (MKL, other OpenBLAS builds) may round
+      // a few ULPs off. Snap any entry within 4 float-ULPs of a
+      // closed-form constant to it — a genuinely wrong eigenvector
+      // (0.5, a swapped support, a bad sign) stays unsnapped and
+      // fails the gate loudly; ULP-level backend drift does not.
+      val s2f = (1.0 / math.sqrt(2.0)).toFloat
+      def snap(x: Float): Float = {
+        // zero target: magnitude within 4 ULPs of 0 on either side
+        // (covers -0.0 and denormal noise); nonzero target: same sign
+        // and bit-lattice distance ≤ 4 (= ULP distance within a sign)
+        def near(t: Float): Boolean =
+          if (t == 0.0f) java.lang.Float.floatToIntBits(math.abs(x)) <= 4
+          else {
+            val a = java.lang.Float.floatToIntBits(x)
+            val b = java.lang.Float.floatToIntBits(t)
+            (a >= 0) == (b >= 0) && math.abs(a - b) <= 4
+          }
+        if (near(0.0f)) 0.0f
+        else if (near(s2f)) s2f
+        else if (near(-s2f)) -s2f
+        else x
+      }
       comps.zipWithIndex.flatMap { case (v, c) =>
         v.zipWithIndex.map { case (x, i) =>
-          ((c + 1).toLong, (i + 1).toLong, evals(c), x) }
+          ((c + 1).toLong, (i + 1).toLong, evals(c), snap(x)) }
       }.toSeq.toDF("component", "coord", "eigenvalue", "entry")
         .orderBy("component", "coord")
     }),
@@ -1930,6 +1986,34 @@ object SparkEntry {
         hex(sq_encode(col("embedding"), lo, step)).as("code_hex"))
         .orderBy("vec_id")
     }),
+    // SQ8's FUSED float ADC distance (SqAdcDistance — the "fused
+    // reconstruct-and-distance" kernel that stayed rows-only after
+    // sq8_fixed_codes pinned the encode) oracle-green over the md5
+    // integer vectors with a FIXED power-of-two range: lo=-2048,
+    // step=16 keeps the rounding argument (v+2048)/16 exact in both
+    // engines and POSITIVE for every realistic |v| (Java half-up ≡
+    // DuckDB half-away on positives; the 0-clamp absorbs the only
+    // sub--2048 tie divergence). Reconstruction -2048+16·code and
+    // the query are exact small-integer floats, each squared diff
+    // < 2^24, the 16-term double accumulation exact — so the twin
+    // replays encode → reconstruct → distance → rank in BIGINT.
+    // Together with pq_fixed_adc this closes the fused-ADC exemption
+    // family; sq8_knn's remaining exemption is the FITTED range only.
+    "sq8_fixed_adc" -> ((s, dir) => {
+      val arr = md5VecArr(s, dir)
+      val qid = t(s, dir, "documents").agg(min("doc_id")).head.getLong(0)
+      val q = arr.where(col("doc_id") === qid)
+        .select("vec").head.getSeq[Float](0).toArray
+      val lo = Array.fill(16)(-2048f)
+      val step = Array.fill(16)(16f)
+      arr.where(col("doc_id") =!= qid)
+        .select(col("doc_id"),
+          sq_adc(sq_encode(col("vec"), lo, step), q, lo, step)
+            .as("distance"))
+        .orderBy(col("distance").asc, col("doc_id").asc)
+        .limit(10)
+        .select(col("doc_id"), col("distance").cast("long").as("distance"))
+    }),
     // product-quantization ANN: 32× compressed codes + ADC scan +
     // exact re-rank (kmeans partitioning-sensitive → rows-only; ADC
     // exactness-on-centroids and refine-vs-brute-force are unit-tested)
@@ -1940,6 +2024,35 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head.getSeq[Float](0).toArray
       idx.query(q, k = 5, refineFactor = 8)
+    }),
+    // fused float ADC distance pinned oracle-green with a FIXED
+    // integer codebook (the sq8_fixed_codes / pca_eig_fixed recipe,
+    // r14 verdict item 4): the md5 16-dim INTEGER doc vectors flow
+    // through the REAL PqEncode kernel (4 books × 4 diagonal integer
+    // centroids over 4 dims each) and the REAL PqAdcDistance scan —
+    // PqIndex.query at refineFactor=1, the pure ADC-ranking path no
+    // other green row exercises. Every encode distance, ADC table
+    // entry, and summed row distance is an exact small integer in
+    // double (|v| ≲ 10³, so per-book sums of squares ≪ 2^53 — no
+    // rounding anywhere), which the twin replays in BIGINT with
+    // pqEncode's strict-'<' argmin tie-break (lowest code index).
+    // With this green, the PQ-family exemption narrows to the
+    // trained Lloyd's fit itself (algorithm-pinned via ivf twins).
+    "pq_fixed_adc" -> ((s, dir) => {
+      val arr = md5VecArr(s, dir)
+      val qid = t(s, dir, "documents").agg(min("doc_id")).head.getLong(0)
+      val q = arr.where(col("doc_id") === qid)
+        .select("vec").head.getSeq[Float](0).toArray
+      val corpus = arr.where(col("doc_id") =!= qid)
+      val books: Array[Array[Array[Float]]] = Array.fill(4)(
+        Array(-64f, -16f, 16f, 64f).map(tc => Array.fill(4)(tc)))
+      val idx = new graft.operators.PqIndex(books, corpus,
+        corpus.select(col("doc_id"),
+          pq_encode(col("vec"), books)
+            .as(graft.operators.PqIndex.CodeCol)),
+        "vec", "doc_id")
+      idx.query(q, k = 10, refineFactor = 1)
+        .select(col("doc_id"), col("distance").cast("long").as("distance"))
     }),
     // OPQ (alternating Procrustes/Lloyd's): data-adapted rotation +
     // PQ codes; exact refined path (rows-only for the same kmeans
@@ -2368,13 +2481,14 @@ object SparkEntry {
     // (min-of-3 reports the search), and the append-dedup plan shape
     // stays asserted by PlanAuditSpec.
     "store_bucketed_knn" -> ((s, dir) => {
-      val store = bucketedStoreMemo.computeIfAbsent(dir, _ => {
+      val fp = SharedFrames.inputFingerprint(dir)
+      val store = bucketedStoreMemo.computeIfAbsent(s"$dir@$fp", _ => {
         val in = storeBase(s, dir)
           .select(col("doc_id"), col("text").as("target"),
             col("lang").as("option1"), col("source").as("option2"),
             col("embedding").as("vector"))
         val st = new VectorStore(s, HashEmbedder(dim = 64),
-          bucketedTable = Some("graft_q_store_bucketed"))
+          bucketedTable = Some(s"graft_q_store_bucketed_${fp.take(12)}"))
         st.setData(in.filter(col("doc_id") < 250).drop("doc_id"))
         st.setData(in.drop("doc_id"), append = true)
         st
@@ -7765,6 +7879,67 @@ object SparkEntry {
         |  WHERE a.doc_id <> (SELECT MIN(doc_id) FROM documents)
         |  GROUP BY a.doc_id)
         |SELECT doc_id, distance FROM dist ORDER BY distance, doc_id LIMIT 5""".stripMargin,
+    // fixed-codebook ADC twin: same md5 vecs; per-(doc, book) encode
+    // replayed via the sxx − 2t·sx + 4t² identity (diagonal integer
+    // centroids), argmin tie → lowest code (pqEncode's strict '<'),
+    // ADC table = the query doc's dist2 rows, row distance = the
+    // 4-term table sum — every value an exact BIGINT
+    "pq_fixed_adc" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0)) AS tok FROM documents),
+        |cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY doc_id, tok),
+        |vt AS (SELECT DISTINCT tok FROM toks),
+        |codes AS (SELECT tok, d,
+        |    CAST(2 * strpos('0123456789abcdef',
+        |      substr(md5(tok), CAST(d AS INT), 1)) - 17 AS BIGINT) AS c
+        |  FROM (SELECT tok, unnest(range(1, 17)) AS d FROM vt)),
+        |vecs AS (SELECT doc_id, d, CAST(SUM(c * cnt) AS BIGINT) AS v
+        |  FROM cnt JOIN codes USING (tok) GROUP BY doc_id, d),
+        |sub AS (SELECT doc_id, CAST((d - 1) // 4 AS INT) AS s,
+        |    CAST(SUM(v) AS BIGINT) AS sx, CAST(SUM(v * v) AS BIGINT) AS sxx
+        |  FROM vecs GROUP BY 1, 2),
+        |cents(c, t) AS (VALUES (0, -64), (1, -16), (2, 16), (3, 64)),
+        |d2 AS (SELECT doc_id, s, c, sxx - 2 * t * sx + 4 * t * t AS dist2
+        |  FROM sub CROSS JOIN cents),
+        |enc AS (SELECT doc_id, s, c FROM (
+        |    SELECT doc_id, s, c,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id, s ORDER BY dist2, c) AS rn
+        |    FROM d2 WHERE doc_id <> (SELECT MIN(doc_id) FROM documents))
+        |  WHERE rn = 1),
+        |qt AS (SELECT s, c, dist2 FROM d2
+        |  WHERE doc_id = (SELECT MIN(doc_id) FROM documents)),
+        |dist AS (SELECT e.doc_id, CAST(SUM(q.dist2) AS BIGINT) AS distance
+        |  FROM enc e JOIN qt q ON e.s = q.s AND e.c = q.c GROUP BY e.doc_id)
+        |SELECT doc_id, distance FROM dist ORDER BY distance, doc_id LIMIT 10""".stripMargin,
+    // fixed-range fused SQ8 ADC twin: encode = clamp(round((v+2048)/16))
+    // (positive rounding args → half-up ≡ half-away; clamp absorbs
+    // sub--2048 ties), distance = Σ (qv − (−2048 + 16·code))² — all
+    // BIGINT-exact
+    "sq8_fixed_adc" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0)) AS tok FROM documents),
+        |cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY doc_id, tok),
+        |vt AS (SELECT DISTINCT tok FROM toks),
+        |codes AS (SELECT tok, d,
+        |    CAST(2 * strpos('0123456789abcdef',
+        |      substr(md5(tok), CAST(d AS INT), 1)) - 17 AS BIGINT) AS c
+        |  FROM (SELECT tok, unnest(range(1, 17)) AS d FROM vt)),
+        |vecs AS (SELECT doc_id, d, CAST(SUM(c * cnt) AS BIGINT) AS v
+        |  FROM cnt JOIN codes USING (tok) GROUP BY doc_id, d),
+        |q AS (SELECT d, v AS qv FROM vecs
+        |  WHERE doc_id = (SELECT MIN(doc_id) FROM documents)),
+        |enc AS (SELECT doc_id, d,
+        |    LEAST(GREATEST(CAST(round((v + 2048) / 16.0) AS BIGINT), 0), 255) AS code
+        |  FROM vecs WHERE doc_id <> (SELECT MIN(doc_id) FROM documents)),
+        |dist AS (SELECT a.doc_id,
+        |    CAST(SUM((q.qv - (-2048 + 16 * a.code)) *
+        |             (q.qv - (-2048 + 16 * a.code))) AS BIGINT) AS distance
+        |  FROM enc a JOIN q USING (d) GROUP BY a.doc_id)
+        |SELECT doc_id, distance FROM dist ORDER BY distance, doc_id LIMIT 10""".stripMargin,
     // anisotropy twin: same md5 vecs, the same |Σv|² − Σ|v|² identity
     // in exact BIGINT (bounded: |Σ_d (Σ_docs v)²| < 2^53 at any gate
     // sf), one bridged division

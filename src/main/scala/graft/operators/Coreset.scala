@@ -44,9 +44,12 @@ object Coreset {
     // the plan linearly in k, and the driver holds k vectors — the
     // "k ≤ a few hundred exemplars" contract, enforced loudly instead
     // of degrading into a plan-compile stall (for large k use
-    // clustering, not farthest-point selection)
-    require(k <= 4096,
-      s"kCenterGreedy: k=$k exceeds the selection contract (k <= 4096): " +
+    // clustering, not farthest-point selection). 512 is where the
+    // guard fires, matching the documented contract: at k≈4096 the
+    // least() chain alone is a 4096-term expression and Catalyst plan
+    // compilation stalls long before any data moves.
+    require(k <= 512,
+      s"kCenterGreedy: k=$k exceeds the selection contract (k <= 512): " +
         "each round adds a distance term and an id to the plan, so " +
         "large k stalls plan compilation and bloats the driver — use " +
         "k-means (IvfIndex.fit) for cluster-scale k")

@@ -463,19 +463,57 @@ object Lake {
           committed = gen
         } catch {
           case scala.util.control.NonFatal(e) =>
+            // Two RACE signatures, both retryable: (a) the target now
+            // carries a racer's _SUCCESS; (b) the write failed on the
+            // errorifexists pre-check itself (PATH_ALREADY_EXISTS /
+            // FileAlreadyExists) — that check runs BEFORE our job
+            // writes anything, so the directory is entirely a racer's
+            // even when its _SUCCESS is not yet visible (the
+            // pre-check-to-write window that a bare _SUCCESS probe
+            // misclassified as a hard mid-write failure — a liveness
+            // bug: one writer could fail despite attempts remaining).
             val racerCommitted = fs.exists(new Path(p, "_SUCCESS"))
-            if (!racerCommitted)
+            if (!racerCommitted && !isPathExistsFailure(e))
               throw new IllegalStateException(
                 s"snapshot commit to $target failed mid-write (not a " +
                   "lost race: no concurrent commit landed at this " +
-                  "generation — or a racer is still in flight there; " +
-                  "this writer's own torn directory, if any, carries " +
-                  "no _SUCCESS and readers ignore it)", e)
+                  "generation and the failure is not the " +
+                  "errorifexists pre-check; this writer's own torn " +
+                  "directory, if any, carries no _SUCCESS and readers " +
+                  "ignore it)", e)
             if (attempt >= maxAttempts) exhausted(e)
         }
       }
     }
     committed
+  }
+
+  /** True when `e` (or any cause in its chain) is the errorifexists
+    * path-collision failure: Spark's PATH_ALREADY_EXISTS
+    * AnalysisException or Hadoop's FileAlreadyExistsException. This
+    * failure fires in the writer's pre-write check — before any of
+    * OUR data moves — so in commitSnapshot's context (our own
+    * fs.exists pre-check saw no directory moments earlier) it proves
+    * a concurrent writer created the target in the window, i.e. a
+    * lost race, never a torn write of ours. Package-private for the
+    * classification spec. */
+  private[operators] def isPathExistsFailure(e: Throwable): Boolean = {
+    val seen = scala.collection.mutable.Set.empty[Throwable]
+    var cur = e
+    while (cur != null && seen.add(cur)) {
+      cur match {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          return true
+        case _: java.nio.file.FileAlreadyExistsException => return true
+        case ae: org.apache.spark.sql.AnalysisException
+            if Option(ae.getCondition).exists(
+                 _.contains("PATH_ALREADY_EXISTS")) ||
+               ae.getMessage.contains("already exists") => return true
+        case _ => ()
+      }
+      cur = cur.getCause
+    }
+    false
   }
 
   /** COMMITTED generation numbers under `root`, ascending; None when

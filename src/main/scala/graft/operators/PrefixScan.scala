@@ -114,6 +114,13 @@ object PrefixScan {
     * moment the entry count exceeds it (raise it only when the driver
     * is provisioned for the key space; for per-row keys use a plain
     * groupBy/join rank instead — there is nothing to scan). */
+  /** Test-only handle on the most recent offsets broadcast of
+    * [[runningSumByKey]], so the spec can assert the materialize=true
+    * path destroys it (the r14 leak: one broadcast block per call
+    * survived until ContextCleaner GC). Never read by product code. */
+  private[graft] var lastOffsetsBroadcastForTest:
+    Option[org.apache.spark.broadcast.Broadcast[_]] = None
+
   def runningSumByKey(df: DataFrame, keyCols: Seq[String],
       orderBy: Seq[Column], valueCol: String,
       outCol: String = "running_total",
@@ -163,6 +170,7 @@ object PrefixScan {
       // EVERY partition's offsets with every task; the broadcast moves
       // once per executor and each task indexes its own entry
       val offsetsBc = spark.sparkContext.broadcast(offsets)
+      lastOffsetsBroadcastForTest = Some(offsetsBc)
       val outSchema = sorted.schema.add(outCol, LongType, nullable = false)
       val out = rdd.mapPartitionsWithIndex { (i, it) =>
         val off = offsetsBc.value(i)
@@ -176,7 +184,23 @@ object PrefixScan {
         }
       }
       val result = spark.createDataFrame(out, outSchema).drop("__v")
-      if (materialize) result.localCheckpoint() else result
+      if (materialize) {
+        // localCheckpoint computes the partitions eagerly, so the
+        // offsets broadcast is consumed here and can be destroyed —
+        // without this every call leaked one broadcast block on the
+        // driver and executors until ContextCleaner GC (a long-lived
+        // service calling per-batch accumulates them indefinitely).
+        val ck = result.localCheckpoint()
+        offsetsBc.destroy()
+        ck
+      } else {
+        // lazy path: the broadcast must outlive this call because the
+        // returned plan re-reads it on every action; its lifecycle is
+        // pinned to ContextCleaner GC of the plan. Callers that loop
+        // should pass materialize=true (the default) precisely so the
+        // eager path above can reclaim it deterministically.
+        result
+      }
     } finally { if (materialize) { rdd.unpersist(); () } }
   }
 

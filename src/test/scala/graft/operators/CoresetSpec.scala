@@ -45,9 +45,9 @@ class CoresetSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("array<float>"), e.getMessage)
     val e2 = intercept[IllegalArgumentException] {
-      Coreset.kCenterGreedy(pts, "vec", "id", 5000)
+      Coreset.kCenterGreedy(pts, "vec", "id", 513)
     }
-    assert(e2.getMessage.contains("4096"), e2.getMessage)
+    assert(e2.getMessage.contains("512"), e2.getMessage)
   }
 
   test("selection is partitioning-independent") {

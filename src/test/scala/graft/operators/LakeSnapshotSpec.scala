@@ -220,6 +220,30 @@ class LakeSnapshotSpec extends SparkSpec {
         dirs.mkString(","))
   }
 
+  test("the errorifexists pre-check failure classifies as a lost " +
+      "race: a racer creating the target in the pre-check-to-write " +
+      "window (its _SUCCESS not yet visible) must be retryable, not " +
+      "a hard mid-write failure") {
+    val root = tmp()
+    val dir = s"$root/gen=0"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
+    // the real exception Spark raises when errorifexists collides —
+    // the classifier must recognize this exact shape, because in the
+    // race window it fires before OUR job writes anything
+    val e = intercept[Throwable] {
+      Seq((2L, "b")).toDF("id", "v")
+        .write.mode("errorifexists").parquet(dir)
+    }
+    assert(Lake.isPathExistsFailure(e),
+      s"errorifexists collision not classified as a race: $e")
+    // a genuine job failure must NOT classify as a race
+    assert(!Lake.isPathExistsFailure(
+      new RuntimeException("boom", new IllegalStateException("inner"))))
+    // cycle-safe on a self-caused chain
+    val cyc = new RuntimeException("a")
+    assert(!Lake.isPathExistsFailure(cyc))
+  }
+
   test("commitSnapshot rethrows after maxAttempts lost races and on " +
       "non-race failures") {
     val root = tmp()

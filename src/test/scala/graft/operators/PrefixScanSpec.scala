@@ -256,4 +256,27 @@ class PrefixScanSpec extends SparkSpec {
     // the null-value row contributed 0, not a poisoned sum
     assert(got(905L) === got(902L))
   }
+
+  test("runningSumByKey (materialize=true) destroys its offsets " +
+      "broadcast once the result is checkpointed — repeated calls " +
+      "must not accumulate broadcast blocks; the lazy path keeps " +
+      "the broadcast alive because the returned plan re-reads it") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (s"k${i % 3}", i.toLong, 1L))
+      .toDF("k", "id", "v")
+    val eager = PrefixScan.runningSumByKey(df, Seq("k"),
+      Seq(col("id").asc), "v", "rt", materialize = true)
+    assert(eager.count() == 50L)
+    val bcEager = PrefixScan.lastOffsetsBroadcastForTest.get
+    val e = intercept[org.apache.spark.SparkException](bcEager.value)
+    assert(e.getMessage.toLowerCase.contains("destroy"), e.getMessage)
+    // the checkpointed result stays fully readable after the destroy
+    assert(eager.agg(sum("rt")).head.getLong(0) > 0L)
+    val lazyRes = PrefixScan.runningSumByKey(df, Seq("k"),
+      Seq(col("id").asc), "v", "rt", materialize = false)
+    val bcLazy = PrefixScan.lastOffsetsBroadcastForTest.get
+    assert(bcLazy ne bcEager)
+    assert(lazyRes.count() == 50L)
+    bcLazy.value // still alive — the lazy plan depends on it
+  }
 }

@@ -93,6 +93,56 @@ class CurationFunnelStreamSpec extends SparkSpec {
     } finally funnel.query.stop()
   }
 
+  test("micro-batch boundary invariance holds exactly where the " +
+      "contract says: total/gopher/LM counts are per-row flags " +
+      "(equal under one-doc-per-batch chopping); dupspan's per-batch " +
+      "horizon legitimately moves (never killing MORE under " +
+      "chopping), and the exact clique still loses all but one " +
+      "member to the cross-batch seen-state") {
+    val docs = fixture.map(t => (t._1, t._2)).toDF("doc_id", "text")
+    val lmModel = graft.operators.TextAnalysis.charBigramModel(
+      docs, "text")
+    val benchmark = docs.where(col("doc_id") % 20 === 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def run(batches: Seq[Seq[(Long, String)]]) = {
+      val source = MemoryStream[(Long, String)]
+      val funnel = StreamIngest.streamingCurationFunnel(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        lmModel, benchmark)
+      try {
+        batches.foreach { b =>
+          source.addData(b)
+          funnel.query.processAllAvailable()
+        }
+        funnel.counts
+      } finally funnel.query.stop()
+    }
+    val whole = run((0 to 2).map(b =>
+      fixture.filter(_._3 == b).map(t => (t._1, t._2))))
+    val chopped = run(fixture.map(t => Seq((t._1, t._2))))
+    // contract-guaranteed invariants (the gate feeder relies on these
+    // only as a FALLBACK past its 200k-row slice bound; below the
+    // bound it feeds slice-atomic blocks so ALL stages are stable)
+    assert(chopped.total == whole.total &&
+      chopped.gopher == whole.gopher && chopped.lm == whole.lm,
+      s"per-row flag stages must be boundary-invariant: " +
+        s"chopped $chopped vs whole $whole")
+    // dupspan IS boundary-sensitive by contract: the clique's
+    // cross-doc grams duplicate only when co-batched, so chopping can
+    // only PASS more docs at the dupspan stage, never kill more
+    assert(chopped.dupspan >= whole.dupspan,
+      s"chopped $chopped vs whole $whole")
+    // the near-dup seen-state must still collapse the exact clique to
+    // one survivor even one-doc-per-batch: of the extra docs dupspan
+    // now passes (the 3-clique), at most ONE can reach the near-dup
+    // stage's pass count — the other copies die to the signature state
+    assert(chopped.neardup <= whole.neardup + 1,
+      s"seen-state failed to kill later clique copies: " +
+        s"chopped $chopped vs whole $whole")
+    assert(chopped.neardup >= whole.neardup,
+      s"chopped $chopped vs whole $whole")
+  }
+
   test("near-dup state spans micro-batches: a later exact copy of an " +
       "already-seen doc fails the near-dup stage") {
     val base = quality(55) + " " + quality(56)
