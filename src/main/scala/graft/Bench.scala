@@ -55,10 +55,17 @@ object Bench {
       val best: Either[String, Double] =
         if (successes.nonEmpty) Right(successes.min)
         else results.head
-      (name, best)
+      // the FIRST in-process run pays codegen plus every per-process
+      // memoized build (saved indexes, bucketed store, SharedFrames
+      // temp parquet, trained pair tables) that min-of-3 then reads
+      // warm — reported separately so fit/build throughput stays in
+      // evidence (r14 verdict: min-of-3 alone hides the cold cost)
+      val cold: Option[Double] = results.head.toOption
+      (name, best, cold)
     }
-    val ok = runs.collect { case (n, Right(sec)) => n -> sec }
-    val failed = runs.collect { case (n, Left(err)) => n -> err }
+    val ok = runs.collect { case (n, Right(sec), _) => n -> sec }
+    val coldOk = runs.collect { case (n, _, Some(sec)) => n -> sec }
+    val failed = runs.collect { case (n, Left(err), _) => n -> err }
     def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val errs = failed.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -84,7 +91,10 @@ object Bench {
     // per-query map is printed earlier (it may scroll out of the window).
     val allQs = ok.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
-    System.out.println(s"""[bench-full] {"metric":"total","value":${f2(total)},"unit":"sec","engine_sec":${f2(engineSec)},"twins_sec":${f2(twinsSec)},"fit_sec":${f2(fitSec)},"queries":$allQs,"errors":$errs,"sf":"$sfDir"}""")
+    val coldQs = coldOk.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    val coldTotal = coldOk.map(_._2).sum
+    System.out.println(s"""[bench-full] {"metric":"total","value":${f2(total)},"unit":"sec","engine_sec":${f2(engineSec)},"twins_sec":${f2(twinsSec)},"fit_sec":${f2(fitSec)},"cold_total":${f2(coldTotal)},"queries":$allQs,"queries_cold":$coldQs,"errors":$errs,"sf":"$sfDir"}""")
     val bySlow = ok.sortBy(-_._2)
     val budget = 1250 // chars for the per-query map body
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]

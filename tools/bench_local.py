@@ -47,8 +47,10 @@ def one_run(sf_dir: str, cpus: str) -> dict:
         "engine_sec": full.get("engine_sec"),
         "twins_sec": full.get("twins_sec"),
         "fit_sec": full.get("fit_sec"),
+        "cold_total": full.get("cold_total"),
         "errors": full.get("errors", {}),
         "queries": full["queries"],
+        "queries_cold": full.get("queries_cold", {}),
     }
 
 
@@ -67,12 +69,26 @@ def main() -> None:
     names = sorted({q for r in results for q in r["queries"]})
     mins = {q: min(r["queries"][q] for r in results if q in r["queries"])
             for q in names}
+    # cold-vs-warm breakout (r14 verdict item #2): each query's FIRST
+    # in-process run (Bench's queries_cold map) pays codegen plus every
+    # per-process memoized-artifact build (saved indexes, bucketed
+    # store, SharedFrames temp parquet, trained pair tables) that
+    # min-of-3 then reads warm. Run 1 of the first sbt invocation is
+    # the true cold process; its queries_cold is the committed cold
+    # evidence, with the >=0.5s deltas vs the warm min called out.
+    cold = results[0].get("queries_cold", {})
+    cold_deltas = {
+        q: round(cold[q] - mins[q], 2)
+        for q in names if q in cold and cold[q] - mins[q] >= 0.5}
     art = {
         "round": int(rnd),
         "sf": sf_dir,
         "cpus": int(cpus),
         "runs": results,
         "min_total": round(sum(mins.values()), 2),
+        "cold_total": results[0].get("cold_total"),
+        "cold_minus_min_by_query": dict(sorted(
+            cold_deltas.items(), key=lambda kv: -kv[1])),
         "query_min": {q: round(v, 2) for q, v in sorted(mins.items())},
         # engine/twins/fit splits are per-run subtotals (Bench's own
         # membership sets); the min-composite split is not recoverable
