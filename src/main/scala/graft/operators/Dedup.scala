@@ -5,6 +5,7 @@ import graft.functions.VectorFunctions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.Checkpoints.LineageCutOps
 
 import scala.util.Random
 
@@ -434,7 +435,7 @@ object Dedup {
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .lineageCut()
 
     // one star round: point (a filtered side of) each neighborhood at
     // its minimum. large keeps neighbors > u, small keeps neighbors < u
@@ -472,7 +473,7 @@ object Dedup {
     var converged = false
     while (it < maxRounds && !converged) {
       val next = round(round(e, large = true), large = false)
-        .localCheckpoint()
+        .lineageCut()
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
@@ -589,7 +590,7 @@ object Dedup {
     * orderable id type; no driver-side graph. */
   private def misDropped(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val e = pairs.select(col("idA").as("u"), col("idB").as("v"))
-      .distinct().localCheckpoint()
+      .distinct().lineageCut()
     val targets = e.select(col("v").as("id")).distinct()
     val nodes = e.select(col("u").as("id")).union(targets.select(col("id")))
       .distinct()
@@ -600,7 +601,7 @@ object Dedup {
       .withColumn("st", lit(1))
       .unionByName(nodes.join(targets, Seq("id"), "left_semi")
         .withColumn("st", lit(null).cast("int")))
-      .localCheckpoint()
+      .lineageCut()
     var undecided = status.filter(col("st").isNull).count()
     var it = 0
     while (undecided > 0 && it < maxRounds) {
@@ -615,7 +616,7 @@ object Dedup {
             .when(col("__anyKept") === 1, lit(0))
             .when(col("__allDecided") === 1, lit(1))
             .otherwise(lit(null).cast("int")).as("st"))
-        .localCheckpoint()
+        .lineageCut()
       undecided = status.filter(col("st").isNull).count()
       it += 1
     }

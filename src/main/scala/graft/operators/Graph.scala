@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.LineageCutOps
 
 /** Iterative graph analytics over plain edge frames — the Pregel
   * shapes (degree, fixed-iteration PageRank) expressed as keyed
@@ -70,7 +71,7 @@ object Graph {
       case None => symmetrize(edges, srcCol, dstCol)
         .withColumn("__w", lit(1L).cast("decimal(27,12)"))
     }
-    val sym = if (materializeEdges) sym0.localCheckpoint() else sym0
+    val sym = if (materializeEdges) sym0.lineageCut() else sym0
     val deg = sym.groupBy("__u").agg(count(lit(1)).as("__deg"),
       sum("__w").as("__wout"))
     // N enters every row via a broadcast 1-row aggregate (never a
@@ -154,11 +155,11 @@ object Graph {
           .distinct()
           .withColumn("__w", lit(1L).cast("decimal(27,12)"))
     }
-    val e = if (materializeEdges) e0.localCheckpoint() else e0
+    val e = if (materializeEdges) e0.lineageCut() else e0
     // vertex universe: every endpoint, sources and sinks alike
     val verts0 = e.select(col("__u")).unionByName(
       e.select(col("__v").as("__u"))).distinct()
-    val verts = if (materializeEdges) verts0.localCheckpoint() else verts0
+    val verts = if (materializeEdges) verts0.lineageCut() else verts0
     val outw = e.groupBy("__u").agg(count(lit(1)).as("__deg"),
       sum("__w").as("__wout"))
     val n = broadcast(verts.agg(count(lit(1)).as("__n")))
@@ -205,7 +206,7 @@ object Graph {
       // and is UNCONDITIONAL: materializeEdges governs only the edge
       // frame (whose rebuild can be cheaper than a cache); skipping
       // the rank checkpoint is never sane at any iters
-      pr = pr.localCheckpoint()
+      pr = pr.lineageCut()
     }
     pr.select(col("__u").as("node"), col("__pr").as("rank"))
   }
@@ -227,7 +228,7 @@ object Graph {
       iters: Int, materializeEdges: Boolean = true): DataFrame = {
     require(iters >= 1, "at least one iteration")
     val sym0 = symmetrize(edges, srcCol, dstCol)
-    val sym = if (materializeEdges) sym0.localCheckpoint() else sym0
+    val sym = if (materializeEdges) sym0.lineageCut() else sym0
     var labels = sym.select(col("__u")).distinct()
       .select(col("__u"), col("__u").as("__lbl"))
     for (_ <- 1 to iters) {
@@ -279,7 +280,7 @@ object Graph {
           .distinct()
           .withColumn("__w", lit(1L).cast("decimal(27,12)"))
     }
-    val e = if (materializeEdges) e0.localCheckpoint() else e0
+    val e = if (materializeEdges) e0.lineageCut() else e0
     val verts0 = e.select(col("__u")).unionByName(
       e.select(col("__v").as("__u"))).distinct()
     val sInGraph = verts0.join(
@@ -298,7 +299,7 @@ object Graph {
         when(col("__isSeed") === 1,
           lit(1.0) / col("__ns").cast("double"))
           .otherwise(lit(0.0)).as("__p"))
-    val verts = if (materializeEdges) verts1.localCheckpoint()
+    val verts = if (materializeEdges) verts1.lineageCut()
       else verts1
     val outw = e.groupBy("__u").agg(count(lit(1)).as("__deg"),
       sum("__w").as("__wout"))
@@ -333,7 +334,7 @@ object Graph {
                 .cast("string").cast("double") +
                 col("__d").cast("string").cast("double") *
                   col("__p"))).as("__pr"))
-      pr = pr.localCheckpoint() // see pageRankDirected: unconditional
+      pr = pr.lineageCut() // see pageRankDirected: unconditional
     }
     pr.select(col("__u").as("node"), col("__pr").as("rank"))
   }
@@ -360,10 +361,10 @@ object Graph {
       .where(col("__u").isNotNull && col("__v").isNotNull &&
         col("__u") =!= col("__v"))
       .distinct()
-    val e = if (materializeEdges) e0.localCheckpoint() else e0
+    val e = if (materializeEdges) e0.lineageCut() else e0
     val verts0 = e.select(col("__u")).unionByName(
       e.select(col("__v").as("__u"))).distinct()
-    val verts = if (materializeEdges) verts0.localCheckpoint() else verts0
+    val verts = if (materializeEdges) verts0.lineageCut() else verts0
     val zero = lit(0L).cast("decimal(18,12)")
     var hub = verts.withColumn("__h", lit(1.0))
     var auth = verts.withColumn("__a", lit(1.0))
@@ -379,7 +380,7 @@ object Graph {
         .select(col("__v").as("__u"),
           (col("__s").cast("string").cast("double") /
             col("__t").cast("string").cast("double")).as("__a"))
-      auth = auth.localCheckpoint() // see pageRankDirected: unconditional
+      auth = auth.lineageCut() // see pageRankDirected: unconditional
       val hraw = verts
         .join(e.join(auth.select(col("__u").as("__v"), col("__a")),
             Seq("__v"))
@@ -392,7 +393,7 @@ object Graph {
         .select(col("__u"),
           (col("__s").cast("string").cast("double") /
             col("__t").cast("string").cast("double")).as("__h"))
-      hub = hub.localCheckpoint() // see pageRankDirected: unconditional
+      hub = hub.lineageCut() // see pageRankDirected: unconditional
     }
     hub.join(auth, Seq("__u"))
       .select(col("__u").as("node"), col("__h").as("hub"),
@@ -493,7 +494,7 @@ object Graph {
       materializeEdges: Boolean = true): DataFrame = {
     require(maxHops >= 1, "at least one hop")
     val sym0 = symmetrize(edges, srcCol, dstCol)
-    val sym = if (materializeEdges) sym0.localCheckpoint() else sym0
+    val sym = if (materializeEdges) sym0.lineageCut() else sym0
     // off-graph seeds are NOT filtered out: a seed with no edges still
     // reports itself at distance 0 (spec-pinned) — callers wanting
     // graph-only nodes semi-join the output against the edge list
@@ -509,7 +510,7 @@ object Graph {
       // union + frontier join): checkpoint per round — unconditional,
       // like pageRankDirected's rank frame — or the lazy plan
       // re-derives it 2^maxHops times
-      dist = dist.localCheckpoint()
+      dist = dist.lineageCut()
     }
     dist.select(col("__u").as("node"), col("__d").as("hops"))
   }
@@ -547,7 +548,7 @@ object Graph {
   private[graft] def kCoreInstrumented(edges: DataFrame, srcCol: String,
       dstCol: String, k: Int, maxRounds: Int = 10000): (DataFrame, Int) = {
     require(k >= 1, "k must be >= 1")
-    var e = symmetrize(edges, srcCol, dstCol).localCheckpoint()
+    var e = symmetrize(edges, srcCol, dstCol).lineageCut()
     // ONE count action per round: the previous round's count is
     // already known, so carry it instead of re-counting the old frame
     var prevEdges = e.count()
@@ -564,7 +565,7 @@ object Graph {
         .join(survivors, Seq("__u"), "left_semi")
         .join(survivors.select(col("__u").as("__v")), Seq("__v"),
           "left_semi")
-        .localCheckpoint()
+        .lineageCut()
       // fixpoint when no edge was peeled this round (edge count is
       // monotone non-increasing, so equality IS convergence)
       val prunedEdges = pruned.count()
@@ -603,7 +604,7 @@ object Graph {
       dstCol: String, k: Int, maxRounds: Int = 10000): (DataFrame, Int) = {
     require(k >= 2, "k must be >= 2 (k-2 triangles per edge)")
     var canon = symmetrize(edges, srcCol, dstCol)
-      .where(col("__u") < col("__v")).localCheckpoint()
+      .where(col("__u") < col("__v")).lineageCut()
     var prevEdges = canon.count()
     var result: DataFrame = canon.withColumn("support", lit(0L))
     var rounds = 0
@@ -627,12 +628,12 @@ object Graph {
       val kept = canon.join(sup, Seq("__u", "__v"), "left")
         .withColumn("support", coalesce(col("support"), lit(0L)))
         .where(col("support") >= (k - 2).toLong)
-        .localCheckpoint()
+        .lineageCut()
       val keptEdges = kept.count()
       converged = keptEdges == prevEdges
       prevEdges = keptEdges
       result = kept
-      canon = kept.select("__u", "__v").localCheckpoint()
+      canon = kept.select("__u", "__v").lineageCut()
     }
     (result.select(col("__u").as(srcCol), col("__v").as(dstCol),
       col("support")), rounds)
@@ -661,7 +662,7 @@ object Graph {
     * confirming round) — see [[kCoreInstrumented]]. */
   private[graft] def corenessInstrumented(edges: DataFrame,
       srcCol: String, dstCol: String): (DataFrame, Int) = {
-    val e = symmetrize(edges, srcCol, dstCol).localCheckpoint()
+    val e = symmetrize(edges, srcCol, dstCol).lineageCut()
     // h-index of a descending-sorted int array: largest i (1-based)
     // with arr[i-1] >= i
     val hIndex = (arr: Column) => aggregate(
@@ -670,7 +671,7 @@ object Graph {
         (v, i) => when(v >= i, i).otherwise(lit(0))),
       lit(0), (acc, x) => greatest(acc, x))
     var c = e.groupBy("__u").agg(count(lit(1)).cast("int").as("__c"))
-      .localCheckpoint()
+      .lineageCut()
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -680,7 +681,7 @@ object Graph {
           Seq("__v"))
         .groupBy("__u")
         .agg(hIndex(collect_list(col("__cv"))).as("__c"))
-        .localCheckpoint()
+        .lineageCut()
       // values only ever DECREASE (h-index of neighbors ≤ degree, and
       // the map is monotone), so fixpoint == no row changed
       converged = next.join(c.withColumnRenamed("__c", "__prev"),

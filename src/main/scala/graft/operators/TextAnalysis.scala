@@ -106,25 +106,48 @@ object TextAnalysis {
     * libms. Documents shorter than 2 chars have no bigrams and drop
     * out. Returns (idCol, n_bigrams, lm_score). */
   def charBigramScore(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val model = charBigramModel(df, textCol)
+      textCol: String, minCount: Long = 1L,
+      maxModelRows: Int = 2000000): DataFrame = {
+    val model = charBigramModel(df, textCol, minCount, maxModelRows)
     scoreWithBigramModel(df, idCol, textCol, model)
   }
 
   /** FIT stage of [[charBigramScore]], exposed for streaming use: fit
     * once on a bootstrap corpus, apply to each micro-batch with
     * [[scoreWithBigramModel]] (a stream cannot re-fit per trigger —
-    * and a drifting model would make scores incomparable anyway). */
+    * and a drifting model would make scores incomparable anyway).
+    *
+    * The collect is model-bounded, not corpus-bounded — but "model"
+    * is only as small as the charset²: latin text is ~2k distinct
+    * bigrams, a multilingual CJK-heavy corpus reaches 10⁷–10⁸. The
+    * same driver-bound guard as [[wordLmModel]] therefore applies:
+    * `limit(maxModelRows+1)` keeps even the failing path bounded, the
+    * `require` names the two dials (prune harder via `minCount` — and
+    * move any oracle twin's HAVING threshold in LOCKSTEP — or raise
+    * `maxModelRows` deliberately). Bigrams pruned by `minCount` score
+    * as unseen (`ln(floorProb)`) downstream AND are excluded from the
+    * prefix denominators, exactly as if they never occurred. */
   def charBigramModel(df: DataFrame,
-      textCol: String): java.util.HashMap[String, java.lang.Double] = {
-    val pairCounts: Array[(String, Long)] = df
+      textCol: String, minCount: Long = 1L,
+      maxModelRows: Int = 2000000): java.util.HashMap[String, java.lang.Double] = {
+    require(minCount >= 1L, "minCount must be >= 1")
+    require(maxModelRows >= 1, "maxModelRows must be >= 1")
+    val counted = df
       .select(lower(col(textCol)).as("__lc"))
       .filter(length(col("__lc")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, length(__lc) - 1), i -> substring(__lc, i, 2))"))
         .as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cp"))
+    val pairCounts: Array[(String, Long)] = counted
+      .where(col("cp") >= minCount)
+      .limit(maxModelRows + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(pairCounts.length <= maxModelRows,
+      s"distinct-bigram table exceeds maxModelRows=$maxModelRows — the " +
+        "model no longer fits the driver at this corpus/charset size: " +
+        "raise minCount (move any oracle twin's HAVING threshold in " +
+        "LOCKSTEP) or raise maxModelRows deliberately")
     // prefix keyed by first CODEPOINT (not UTF-16 unit): two astral
     // chars sharing a high surrogate must not pool their counts
     val prefCounts = new java.util.HashMap[Integer, Long]()

@@ -465,4 +465,33 @@ class GraphSpec extends SparkSpec {
         truss.orderBy("src", "dst").collect().toSeq, s"k=$k idempotence")
     }
   }
+
+  test("reliable-checkpoint mode (spark.graft.checkpoint.dir) yields " +
+      "byte-identical results to localCheckpoint mode for the " +
+      "iterative operators, and actually writes to the dir") {
+    // ring + star + an isolated pair: multi-round convergence for
+    // all three operators under test
+    val e = (Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)) ++
+      (10L to 13L).map(i => (9L, i)) ++ Seq((20L, 21L))).toDF("src", "dst")
+    def runAll() = (
+      Graph.pageRank(e, "src", "dst", iters = 8)
+        .orderBy("node").collect().toSeq,
+      Graph.kCore(e, "src", "dst", 2).orderBy("node").collect().toSeq,
+      Dedup.connectedComponents(e, "src", "dst")
+        .orderBy("id").collect().toSeq)
+    val local = runAll()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    spark.conf.set(graft.Checkpoints.ConfKey, dir)
+    try {
+      val reliable = runAll()
+      assert(reliable == local,
+        "reliable checkpoint() changed iterative results")
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty,
+        s"no checkpoint data written under $dir — knob not in effect")
+    } finally {
+      spark.conf.unset(graft.Checkpoints.ConfKey)
+    }
+  }
 }

@@ -301,6 +301,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("charBigramModel: maxModelRows guard raises (bounded, named " +
+      "dials) instead of collecting an oversized model; minCount " +
+      "prunes rare bigrams out of model AND denominators") {
+    import spark.implicits._
+    // "abcdefgh" has 7 distinct bigrams — a cap of 5 must raise
+    val corpus = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.charBigramModel(corpus, "text", maxModelRows = 5)
+    }
+    assert(e.getMessage.contains("maxModelRows=5"))
+    assert(e.getMessage.contains("minCount"))
+    // a cap at exactly the distinct count passes
+    assert(TextAnalysis.charBigramModel(
+      corpus, "text", maxModelRows = 7).size == 7)
+    // minCount=2 on "aabab": bigrams aa(1) ab(2) ba(1) → only "ab"
+    // survives, and its prefix denominator counts ONLY surviving
+    // a-prefixed bigrams (2), so P(ab|a)=1 → lnp=0 exactly
+    val pruned = TextAnalysis.charBigramModel(
+      Seq((1L, "aabab")).toDF("doc_id", "text"), "text", minCount = 2L)
+    assert(pruned.size == 1 && pruned.get("ab") == 0.0, s"$pruned")
+  }
+
   test("scoreWithBigramModel: pre-fit model applies to NEW docs, " +
       "unseen bigrams take the floor") {
     import spark.implicits._
