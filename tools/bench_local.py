@@ -6,8 +6,10 @@ driver-host bench number is explainable from the repo alone (the r12
 lesson: the driver run said 185 s, the judge's re-run 119 s, and the
 evidence lived only in the judge's session).
 
-Usage: python3 tools/bench_local.py <round> [runs=3] [sf_dir] [cpus]
-Writes BENCH_LOCAL_r{round}.json in the repo root.
+Usage: python3 tools/bench_local.py <round> [runs=3] [sf_dir] [cpus] [out]
+Writes BENCH_LOCAL_r{round}.json in the repo root (or `out` when given —
+the sf1 scale runs commit as BENCH_SF1_r{round}.json to keep the sf0.1
+round-over-round series clean).
 """
 import json
 import os
@@ -97,7 +99,8 @@ def main() -> None:
         "run_twins_sec": [r["twins_sec"] for r in results],
         "run_fit_sec": [r["fit_sec"] for r in results],
     }
-    out = os.path.join(REPO, f"BENCH_LOCAL_r{rnd}.json")
+    out = (sys.argv[5] if len(sys.argv) > 5
+           else os.path.join(REPO, f"BENCH_LOCAL_r{rnd}.json"))
     with open(out, "w") as f:
         json.dump(art, f, indent=1, sort_keys=True)
     print(f"wrote {out}: min_total={art['min_total']}")
