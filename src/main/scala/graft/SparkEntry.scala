@@ -406,7 +406,7 @@ object SparkEntry {
     "triplet_mine_fixed", "ivf_lloyd_step", "pca_moments",
     "ivfbq_fixed_knn", "sq8_fixed_codes", "pca_fixed_embed",
     "pca_eig_fixed", "kcenter_md5", "embedding_anisotropy_md5",
-    "pq_fixed_adc", "sq8_fixed_adc")
+    "pq_fixed_adc", "sq8_fixed_adc", "mutual_knn_fixed")
 
   /** Queries whose measured time INCLUDES an in-query model fit
     * (Lloyd's / Procrustes / eigendecomposition / min-max range /
@@ -2221,6 +2221,53 @@ object SparkEntry {
     // columns so parquet min/max stats skip files for predicates on
     // either. Exact long shift/and/or arithmetic, replayed by the
     // oracle bit for bit.
+    // X210 mutual (reciprocal) k-NN graph with fixed centroids —
+    // in-cell candidates only, each distinct pair scored once, both
+    // directed ranks derived from that one score, reciprocal meet on
+    // slim edges. Fixed slice (vec_id < 2000) so the in-cell pair
+    // cost is constant across sf (the triplet_mine precedent).
+    "mutual_knn_fixed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(col("vec_id") < 2000)
+      val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      graft.operators.KnnGraph.mutualKnnWithCentroids(
+        emb, "vec_id", "embedding", cents, k = 5,
+        metric = graft.operators.Metric.Cosine)
+        .select(col("idA").as("id_a"), col("idB").as("id_b"),
+          col("score"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // X211 Unicode-script profile — one narrow codegen'd projection
+    // (8 regexp count subtractions + integer CASE arithmetic), zero
+    // shuffles; the exact-codepoint spoof/mislabel gate that runs
+    // before any statistical lang-ID
+    "script_profile" -> ((s, dir) =>
+      graft.operators.ScriptProfile.profile(
+        t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("mixed_script", col("mixed_script").cast("int"))
+        .orderBy("doc_id")),
+
+    // X212 URL canonicalization + first-wins dedup — crawl refetch
+    // removal. URL variants are SYNTHESIZED deterministically from
+    // documents (scheme/host case, default port, tracking params,
+    // fragment, trailing slash all exercised); the oracle twin
+    // derives the expected canonical ANALYTICALLY (not by replaying
+    // the regexes), so the whole regex pipeline is independently
+    // checked
+    "url_canonical_dedup" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("HTTPS://"), upper(col("source")), lit(".Example.COM:443/"),
+        col("lang"), lit("/item/"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0,
+          lit("/?utm_source=feed&x=1&fbclid=z#top"))
+          .when(col("doc_id") % 3 === 1, lit("?x=1#sec"))
+          .otherwise(lit("/"))).as("url"))
+      graft.operators.Urls.dedupByCanonical(urls, "doc_id", "url")
+        .orderBy("canon_url")
+    }),
+
     "zorder_keys" -> ((s, dir) =>
       graft.operators.Lake.zorderLayout(
         t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
@@ -5562,6 +5609,83 @@ object SparkEntry {
     "orc_roundtrip" ->
       """SELECT doc_id, text, n_chars, lang FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "mutual_knn_fixed" -> {
+      val cosAB =
+        s"""(CASE WHEN ${normOf("ea.embedding")} = 0 OR ${normOf("eb.embedding")} = 0 THEN 0.0
+           | ELSE list_sum(list_transform(range(1, len(ea.embedding) + 1), i ->
+           |   CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+           |   / (${normOf("ea.embedding")} * ${normOf("eb.embedding")}) END)""".stripMargin
+      s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+         |cells AS (SELECT vec_id AS cell, embedding AS cemb
+         |          FROM sub WHERE vec_id < 8),
+         |asg0 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDistOf("e.embedding", "c.cemb")}, c.cell) AS rn
+         |    FROM sub e, cells c)
+         |  WHERE rn = 1),
+         |ok AS (SELECT cell FROM asg0 GROUP BY cell HAVING COUNT(*) <= 10000),
+         |asg AS (SELECT a.vec_id, a.cell FROM asg0 a JOIN ok USING (cell)),
+         |pairs AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib, $cosAB AS score
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN sub ea ON ea.vec_id = a.vec_id
+         |  JOIN sub eb ON eb.vec_id = b.vec_id),
+         |directed AS (
+         |  SELECT ia AS src, ib AS dst, score FROM pairs
+         |  UNION ALL SELECT ib AS src, ia AS dst, score FROM pairs),
+         |ranked AS (SELECT src, dst, score,
+         |    row_number() OVER (PARTITION BY src
+         |      ORDER BY score DESC, dst) AS rn
+         |  FROM directed),
+         |kept AS (SELECT src, dst, score FROM ranked WHERE rn <= 5)
+         |SELECT a.src AS id_a, a.dst AS id_b, a.score AS score
+         |FROM kept a JOIN kept b ON a.src = b.dst AND a.dst = b.src
+         |  AND a.src < a.dst
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "script_profile" -> {
+      val scripts = graft.operators.ScriptProfile.Scripts
+      val cnts = scripts.map { case (n, cls) =>
+        s"(length(text) - length(regexp_replace(text, '$cls', '', 'g'))) AS n_$n"
+      }.mkString(",\n         |    ")
+      val names = scripts.map { case (n, _) => s"n_$n" }
+      val total = names.mkString(" + ")
+      val great = s"greatest(${names.mkString(", ")})"
+      val qual = names.map(n =>
+        s"(CASE WHEN $n >= 1 AND $n * 100 >= 10 * n_script_chars THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val dominant = scripts.map { case (n, _) =>
+        s"WHEN n_$n > 0 AND n_$n = $great THEN '$n'" }
+        .mkString("CASE ", " ", " ELSE 'none' END")
+      s"""WITH c AS (SELECT doc_id,
+         |    $cnts
+         |  FROM documents),
+         |t AS (SELECT *, ($total) AS n_script_chars FROM c),
+         |q AS (SELECT *, ($qual) AS n_scripts, $dominant AS dominant_script
+         |      FROM t)
+         |SELECT doc_id, ${names.mkString(", ")}, n_script_chars, n_scripts,
+         |  dominant_script,
+         |  CASE WHEN n_scripts >= 2 THEN 1 ELSE 0 END AS mixed_script
+         |FROM q ORDER BY doc_id""".stripMargin
+    },
+
+    // analytic twin: the expected canonical form is DERIVED from the
+    // synthesis rule, not recomputed through the same regexes — an
+    // independent check of the whole canonicalization pipeline
+    "url_canonical_dedup" ->
+      """WITH canon AS (SELECT doc_id,
+        |  'https://' || lower(source) || '.example.com/' || lang ||
+        |  '/item/' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN '?x=1' ELSE '' END
+        |    AS canon_url
+        |  FROM documents)
+        |SELECT canon_url, min(doc_id) AS doc_id,
+        |  count(*) AS n_variants
+        |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
     "zorder_keys" -> {
       // bit i of qa -> position 2i, of qb -> 2i+1 (Lake.zorderKey with
       // cols = (qa, qb), bits = 8)

@@ -137,7 +137,7 @@ object Dedup {
     * (id, band, bucket) frame: prune hot buckets, self-join on the
     * bucket key, dedup pairs that collide in several bands BEFORE any
     * payload is attached. */
-  private def candidatePairs(slim: DataFrame, idCol: String,
+  private[operators] def candidatePairs(slim: DataFrame, idCol: String,
       bucketKeys: Seq[String], maxBucketSize: Int): DataFrame = {
     val pruned = pruneHotBuckets(slim, bucketKeys, maxBucketSize)
     val a = pruned.select(bucketKeys.map(col) :+ col(idCol).as("idA"): _*)
@@ -149,7 +149,7 @@ object Dedup {
 
   /** Attach `payloadCol` from `payload` (keyed by idCol) to both sides
     * of a candidate-pair frame, as `<payloadCol>A` / `<payloadCol>B`. */
-  private def attachPayload(pairs: DataFrame, payload: DataFrame,
+  private[operators] def attachPayload(pairs: DataFrame, payload: DataFrame,
       idCol: String, payloadCol: String): DataFrame =
     pairs
       .join(payload.select(col(idCol).as("idA"),

@@ -856,4 +856,59 @@ object StreamIngest {
       }
     sessions.toDF(keyCol, "session_start", "session_end", "n_events")
   }
+
+  private[streaming] final case class QuotaSampleState(items: List[(String, Long)])
+
+  /** Streaming per-stratum quota sample with BOUNDED state — the
+    * streaming twin of [[graft.operators.Sampling.quotaSample]]: for
+    * every stratum key, keep the quota-n rows with the smallest
+    * (md5(id), id) priority seen so far. Because the kept set is "the
+    * n smallest priorities of everything seen", the reservoir after
+    * ANY prefix of the stream equals the batch `quotaSample` of that
+    * prefix — arrival order, micro-batch boundaries, and shuffle
+    * partitioning cannot change it (the spec asserts this parity),
+    * and a re-delivered row is idempotent (same priority, same slot).
+    * That determinism is what classic random reservoir sampling
+    * (Vitter 1985) gives up; hash-priority trades "uniform over the
+    * stream" for "uniform-by-hash AND reproducible".
+    *
+    * State per key is ≤ its quota (total ≤ Σ quotas + defaultQuota ×
+    * distinct keys), independent of stream length — the bounded-state
+    * contract `streamingFirstWins` deliberately lacks. Emits one
+    * (key, ids) snapshot row per UPDATED key per trigger (Update
+    * mode); the latest row per key is the current sample. `idCol`
+    * must cast to long; null keys take `defaultQuota` and emit a null
+    * key. */
+  def streamingQuotaSample(stream: DataFrame, keyCol: String,
+      idCol: String, quotas: Map[String, Long],
+      defaultQuota: Long = 0L): Dataset[(String, Seq[Long])] = {
+    require((quotas.values ++ Seq(defaultQuota)).forall(q =>
+      q >= 0L && q <= Int.MaxValue.toLong),
+      "quotas must be in [0, Int.MaxValue]")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    // identical priority to the batch twin: md5 of the id's string
+    // form, computed BEFORE grouping so the hash function (and its
+    // hex rendering) is the engine's own, not a JVM reimplementation
+    val prepared = stream.select(
+        col(keyCol).cast("string").as("k"),
+        md5(col(idCol).cast("string").cast("binary")).as("h"),
+        col(idCol).cast("long").as("id"))
+      .as[(String, String, Long)]
+    val grouped = prepared.groupByKey {
+      case (k, _, _) => if (k == null) "n" else "v" + k }
+    grouped.mapGroupsWithState[QuotaSampleState, (String, Seq[Long])](
+      GroupStateTimeout.NoTimeout()) {
+      (rk: String, rows: Iterator[(String, String, Long)],
+          state: GroupState[QuotaSampleState]) =>
+        val key = if (rk == "n") null else rk.substring(1)
+        val quota = (if (key == null) defaultQuota
+          else quotas.getOrElse(key, defaultQuota)).toInt
+        val prev = state.getOption.map(_.items).getOrElse(Nil)
+        val merged = (prev ++ rows.map(r => (r._2, r._3)))
+          .sorted.take(quota).toList
+        state.update(QuotaSampleState(merged))
+        (key, merged.map(_._2))
+    }
+  }
 }

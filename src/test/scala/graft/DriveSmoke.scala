@@ -717,6 +717,25 @@ object DriveSmoke {
       emb.select($"vec_id", $"embedding"), "embedding", "vec_id", k = 4)
     println("KCENTER=" + coreset.collect()
       .map(r => r.getLong(1)).mkString(","))
+    // r16: mutual k-NN graph, script profile, URL canonicalization
+    val mcents = emb.filter($"vec_id" < 4).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val mknn = graft.operators.KnnGraph.mutualKnnWithCentroids(
+      emb.select("vec_id", "embedding"), "vec_id", "embedding",
+      mcents, k = 3)
+    mknn.explain("formatted")
+    println("MUTUAL_KNN=" + mknn.count())
+    val sp = graft.operators.ScriptProfile.profile(docs, "doc_id", "text")
+    sp.explain("formatted")
+    println("SCRIPTS=" + sp.groupBy("dominant_script").count()
+      .orderBy("dominant_script").collect()
+      .map(r => r.getString(0) + ":" + r.getLong(1)).mkString(" "))
+    val urls = docs.select($"doc_id", concat(lit("HTTP://Ex.COM:80/"),
+      $"lang", lit("/"), ($"doc_id" % 5).cast("string"),
+      lit("/?utm_source=x")).as("url"))
+    val uc = graft.operators.Urls.dedupByCanonical(urls, "doc_id", "url")
+    uc.explain("formatted")
+    println("URL_GROUPS=" + uc.count())
     spark.stop()
   }
 }

@@ -1023,4 +1023,74 @@ class StreamIngestSpec extends SparkSpec {
       assert(got.map(_._2).toSeq === Seq(2L, 3L))
     } finally q.stop()
   }
+
+  test("streamingQuotaSample: bounded per-key reservoir matches the " +
+      "batch quotaSample of the full stream, across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val quotas = Map("en" -> 3L, "de" -> 2L)
+    val source = MemoryStream[(String, Long)]
+    val sampled = StreamIngest.streamingQuotaSample(
+      source.toDF().toDF("lang", "doc_id"), "lang", "doc_id", quotas)
+    val q = sampled.toDF("lang", "ids").writeStream
+      .format("memory").queryName("qsample_out")
+      .outputMode("update").start()
+    def batchTwin(rows: Seq[(String, Long)]): Map[String, Seq[Long]] =
+      graft.operators.Sampling.quotaSample(
+        rows.toDF("lang", "doc_id"), "doc_id", "lang", quotas,
+        materialize = false)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, v) =>
+          k -> v.map(_._2).sorted.toSeq }
+    try {
+      val b1 = Seq(("en", 1L), ("en", 2L), ("en", 3L), ("en", 4L),
+        ("de", 10L), ("fr", 99L))
+      source.addData(b1: _*)
+      q.processAllAvailable()
+      val b2 = Seq(("en", 5L), ("en", 6L), ("de", 11L), ("de", 12L))
+      source.addData(b2: _*)
+      q.processAllAvailable()
+      val snapshots = spark.table("qsample_out").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1))
+      // the update-mode sink appends one snapshot per updated key per
+      // trigger; the FINAL reservoir content must appear as a
+      // snapshot and equal the batch twin over b1 ++ b2
+      val twin = batchTwin(b1 ++ b2)
+      for ((k, ids) <- twin)
+        assert(snapshots.exists(s => s._1 == k && s._2.sorted == ids),
+          s"key $k: no snapshot matches batch twin $ids; " +
+            s"snapshots=${snapshots.filter(_._1 == k).toSeq}")
+      // fr has quota 0 (defaultQuota) -> its reservoir is always empty
+      assert(snapshots.filter(_._1 == "fr").forall(_._2.isEmpty))
+    } finally q.stop()
+  }
+
+  test("streamingQuotaSample: arrival order cannot change the " +
+      "reservoir - reversed stream converges to the same final sample") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val quotas = Map("en" -> 2L)
+    def runStream(data: Seq[(String, Long)], name: String) = {
+      val source = MemoryStream[(String, Long)]
+      val q = StreamIngest.streamingQuotaSample(
+        source.toDF().toDF("lang", "doc_id"), "lang", "doc_id", quotas)
+        .toDF("lang", "ids").writeStream.format("memory")
+        .queryName(name).outputMode("update").start()
+      try {
+        data.foreach { row =>
+          source.addData(row); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).collect()
+        .map(r => r.getSeq[Long](1).sorted.toSeq).toSet
+    }
+    val data = Seq(("en", 1L), ("en", 2L), ("en", 3L), ("en", 4L))
+    val fwd = runStream(data, "qs_fwd")
+    val rev = runStream(data.reverse, "qs_rev")
+    val twin = graft.operators.Sampling.quotaSample(
+      data.toDF("lang", "doc_id"), "doc_id", "lang", quotas,
+      materialize = false)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(fwd.contains(twin), s"forward snapshots $fwd lack twin $twin")
+    assert(rev.contains(twin), s"reversed snapshots $rev lack twin $twin")
+  }
 }
