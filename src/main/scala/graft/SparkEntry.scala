@@ -1375,6 +1375,27 @@ object SparkEntry {
     // 100 TB path; this exists to pin the selection logic cross-engine.
     "neardup_pairs_md5" -> ((s, dir) =>
       md5NearDupPairs(s, dir).orderBy("id_a", "id_b")),
+    // X215 edit-distance verify over the same md5-banded candidate
+    // stage the calibration twin replays: prefix-256 screen +
+    // THRESHOLDED levenshtein (banded DP — the 100 TB verify kernel;
+    // the accept set and distances equal the plain form the oracle
+    // runs). The trained-kernel sibling is
+    // Dedup.nearDupPairsEditDistance (spec-gated).
+    "edit_distance_verify" -> ((s, dir) => {
+      val bands = md5Bands(md5ShinglesShared(s, dir))
+      val cand = bands
+        .select(col("doc_id").as("idA"), col("band"), col("bkey"))
+        .join(bands.select(col("doc_id").as("idB"), col("band"),
+          col("bkey")), Seq("band", "bkey"))
+        .where(col("idA") < col("idB"))
+        .select("idA", "idB").distinct()
+      graft.operators.Dedup.verifyPairsEditDistance(cand,
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", maxDist = 12, prefixLen = 256)
+        .select(col("idA").as("id_a"), col("idB").as("id_b"),
+          col("edit_dist"))
+        .orderBy("id_a", "id_b")
+    }),
     // MinHash estimator CALIBRATION: for every LSH candidate pair (no
     // jaccard floor), the signature estimate (n_match/8) vs the exact
     // Jaccard, grouped by matching-hash count — the table you read
@@ -3369,6 +3390,14 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", k = 20,
         hashGrams = false)
         .orderBy("doc_id")),
+    // X216 Lee-et-al ExactSubstr REMOVAL (the rewrite companion of
+    // dup_spans): word-level 8-gram global first-occurrence rule,
+    // covered positions cut, survivors re-joined — the twin replays
+    // the identical (doc·2^20+pos) argmin and position-set union
+    "dedup_span_removal" -> ((s, dir) =>
+      graft.operators.Dedup.removeDupSpans(
+        t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
     // bigram PMI collocations (ln drift across libms → decimal-rounded
     // on both sides, same convention as tfidf_sample)
     "bigram_pmi" -> ((s, dir) =>
@@ -3663,6 +3692,19 @@ object SparkEntry {
         .select("tok_a", "tok_b")
       graft.operators.Graph.labelPropagation(pairs, "tok_a", "tok_b",
         iters = 2).orderBy("node")
+    }),
+    // X214 Newman modularity of the label-prop communities over the
+    // cooc graph — exact per-community longs (n_nodes, e_in, deg_sum,
+    // m) + one per-row double q_term from a fixed expression; the twin
+    // replays label propagation AND the modularity sums
+    "modularity_by_community" -> ((s, dir) => {
+      val pairs = SharedFrames.coocPairs(s, dir)
+        .select("tok_a", "tok_b")
+      val labels = graft.operators.Graph.labelPropagation(
+        pairs, "tok_a", "tok_b", iters = 2)
+      graft.operators.Graph.modularity(pairs, "tok_a", "tok_b",
+        labels, "node", "label")
+        .orderBy("label")
     }),
     // MERGE INTO: one full-outer key join applying update + insert +
     // conditional delete against a simulated source batch
@@ -7578,6 +7620,43 @@ object SparkEntry {
          |${round("l1", "l2")}
          |SELECT u AS node, lbl AS label FROM l2 ORDER BY node""".stripMargin
     },
+    // modularity twin: the label_prop CTE chain (same 2 rounds) plus
+    // the Newman sums — exact BIGINTs, one fixed double expression
+    // per community row (division → square, same op order as engine)
+    "modularity_by_community" -> {
+      def round(prev: String, out: String): String =
+        s"""c$out AS (SELECT s.v, p.lbl, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM sym s JOIN $prev p ON s.u = p.u GROUP BY s.v, p.lbl),
+           |$out AS (SELECT v AS u, lbl FROM (
+           |  SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v
+           |    ORDER BY c DESC, lbl ASC) AS rn FROM c$out)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH $coocPairsCte,
+         |sym AS (SELECT tok_a AS u, tok_b AS v FROM pairs
+         |        UNION SELECT tok_b, tok_a FROM pairs),
+         |l0 AS (SELECT DISTINCT u, u AS lbl FROM sym),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |e AS (SELECT DISTINCT LEAST(tok_a, tok_b) AS u,
+         |        GREATEST(tok_a, tok_b) AS v
+         |      FROM pairs WHERE tok_a <> tok_b),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+         |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+         |  SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+         |intr AS (SELECT lu.lbl AS label, CAST(COUNT(*) AS BIGINT) AS e_in
+         |  FROM e JOIN l2 lu ON e.u = lu.u JOIN l2 lv ON e.v = lv.u
+         |  WHERE lu.lbl = lv.lbl GROUP BY 1),
+         |byc AS (SELECT l2.lbl AS label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(COALESCE(deg.d, 0)) AS BIGINT) AS deg_sum
+         |  FROM l2 LEFT JOIN deg ON l2.u = deg.n GROUP BY 1)
+         |SELECT b.label, b.n_nodes,
+         |  CAST(COALESCE(i.e_in, 0) AS BIGINT) AS e_in, b.deg_sum, m.m,
+         |  CAST(COALESCE(i.e_in, 0) AS DOUBLE) / m.m
+         |    - (CAST(b.deg_sum AS DOUBLE) / (2.0 * m.m))
+         |      * (CAST(b.deg_sum AS DOUBLE) / (2.0 * m.m)) AS q_term
+         |FROM byc b LEFT JOIN intr i ON b.label = i.label, m
+         |ORDER BY b.label""".stripMargin
+    },
     // MERGE twin: kept targets ∪ surviving updates ∪ inserts — the
     // delete condition applies to MATCHED source rows only (unmatched
     // source rows insert regardless, Delta's clause separation)
@@ -7771,6 +7850,39 @@ object SparkEntry {
     // first dup position: pos - NULL > k is NULL → ELSE 0 (both
     // engines), so island numbering starts at 0 on each side
     "dup_spans" -> dupSpansSql,
+    // ExactSubstr-removal twin: the identical word-level 8-gram
+    // first-occurrence rule (argmin over doc_id·2^20+pos), covered
+    // position-set union, survivors re-joined in position order
+    "dedup_span_removal" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |occ0 AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+        |         FROM ws WHERE len(w) >= 8),
+        |occ AS (SELECT doc_id, i - 1 AS p,
+        |          array_to_string(w[i:i+7], ' ') AS g,
+        |          doc_id * 1048576 + (i - 1) AS enc
+        |        FROM occ0),
+        |fst AS (SELECT g, MIN(enc) AS fe FROM occ GROUP BY g
+        |        HAVING COUNT(*) >= 2),
+        |dup AS (SELECT o.doc_id, o.p FROM occ o
+        |        JOIN fst f ON o.g = f.g AND o.enc <> f.fe),
+        |cov AS (SELECT DISTINCT doc_id, cp FROM (
+        |  SELECT doc_id, unnest(range(p, p + 8)) AS cp FROM dup)),
+        |wpos AS (SELECT doc_id, w, unnest(range(0, len(w))) AS wp
+        |         FROM ws),
+        |wp2 AS (SELECT doc_id, wp, w[wp + 1] AS word FROM wpos),
+        |kept AS (SELECT wp2.doc_id, wp2.wp, wp2.word FROM wp2
+        |         LEFT JOIN cov ON wp2.doc_id = cov.doc_id
+        |           AND wp2.wp = cov.cp
+        |         WHERE cov.doc_id IS NULL)
+        |SELECT ws.doc_id,
+        |  COALESCE(string_agg(kept.word, ' ' ORDER BY kept.wp), '')
+        |    AS clean_text,
+        |  CAST(len(ws.w) AS BIGINT) AS n_words,
+        |  CAST(len(ws.w) - COUNT(kept.word) AS BIGINT) AS n_removed
+        |FROM ws LEFT JOIN kept ON ws.doc_id = kept.doc_id
+        |GROUP BY ws.doc_id, len(ws.w)
+        |ORDER BY ws.doc_id""".stripMargin,
     // MinHash LSH near-dup selection over the shared md5 kernel —
     // shingle → 8 min-hashes → 4 bands of 2 → candidate self-join →
     // exact-Jaccard verify (single division of exact ints, bit-stable)
@@ -7807,6 +7919,39 @@ object SparkEntry {
         |JOIN sizes zb ON zb.doc_id = i.id_b
         |WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5
         |ORDER BY i.id_a, i.id_b""".stripMargin,
+    // edit-distance-verify twin: the same md5 cand CTE chain, verified
+    // by PLAIN levenshtein on the 256-char prefixes — the engine's
+    // thresholded kernel returns identical distances inside the accept
+    // set by construction
+    "edit_distance_verify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+        |       FROM sh0),
+        |hj AS (SELECT doc_id, s, unnest(range(1, 9)) AS j FROM sh),
+        |sigs AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+        |         FROM hj GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, CAST((j + 1) // 2 AS INT) AS band,
+        |            string_agg(mh, '|' ORDER BY j) AS bkey
+        |          FROM sigs GROUP BY doc_id, CAST((j + 1) // 2 AS INT)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        |    AND a.doc_id < b.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(levenshtein(substring(da.text, 1, 256),
+        |                   substring(db.text, 1, 256)) AS BIGINT)
+        |    AS edit_dist
+        |FROM cand c
+        |JOIN documents da ON da.doc_id = c.id_a
+        |JOIN documents db ON db.doc_id = c.id_b
+        |WHERE levenshtein(substring(da.text, 1, 256),
+        |                  substring(db.text, 1, 256)) <= 12
+        |ORDER BY id_a, id_b""".stripMargin,
     // MinHash-calibration twin: the neardup_pairs_md5 CTE chain
     // without the jaccard floor, plus a per-pair signature-match
     // count; means through decimal(18,12)-quantized exact sums and

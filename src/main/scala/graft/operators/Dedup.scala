@@ -910,4 +910,136 @@ object Dedup {
     dedupByPairs(df, idCol,
       semanticDedupPairs(df, idCol, vecCol, nClusters, threshold, seed),
       policy)
+
+  /** EXACT-substring duplicate-span REMOVAL — the rewrite companion of
+    * [[dupSpanStats]] (which only scores): Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr) drop every k-word-gram occurrence whose identical
+    * gram appears EARLIER in the corpus under the global (doc, pos)
+    * order, then cut the covered word positions out of each document.
+    * Word granularity (not [[dupSpanStats]]'s char grams) so the
+    * rewrite re-joins on clean token boundaries — the form a training
+    * pipeline actually feeds back into the corpus.
+    *
+    * Rule: an occurrence (doc, pos) of gram g is a duplicate iff g
+    * occurs ≥ `minCount` times corpus-wide AND (doc, pos) is not g's
+    * first occurrence under (doc asc, pos asc). All word positions
+    * covered by any duplicate occurrence are removed; survivors
+    * re-join with single spaces. Overlapping duplicate grams merge
+    * naturally through the position-set union. Deterministic — no
+    * sampling, no hashing.
+    *
+    * Scale shape: the gram `groupBy` is the only corpus-wide shuffle
+    * and carries (gram, enc) with map-side partial `min`/`count`; the
+    * join-back side is SLIM — only grams that actually duplicate
+    * (post-HAVING), which AQE broadcasts when small. Covered-position
+    * explode is k× the DUPLICATE positions only, and the anti-join is
+    * co-partitioned on (id, pos). Per-doc reassembly state (the
+    * collect_list) is bounded by document length, never corpus-sized.
+    * The (doc, pos) order is encoded as one long `id·2²⁰ + pos`, so
+    * the global first-occurrence argmin is a plain `min` — documents
+    * are contractually < 2²⁰ words (a 1M-word "document" is a
+    * pipeline bug upstream of dedup).
+    *
+    * Returns one row per input doc:
+    * (idCol, clean_text, n_words, n_removed). */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Long = 2): DataFrame = {
+    require(k >= 2, "gram length k must be at least 2")
+    require(minCount >= 2, "minCount < 2 would mark every gram duplicate")
+    val words = df.select(col(idCol), split(col(textCol), " ").as("__ws"))
+    val grams = words.filter(size(col("__ws")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__ws) - $k)," +
+          s" i -> array_join(slice(__ws, i + 1, $k), ' '))"))
+        .as(Seq("__p", "__g")))
+      .withColumn("__enc",
+        col(idCol).cast("long") * lit(1L << 20) + col("__p"))
+    val dupFirsts = grams.groupBy("__g")
+      .agg(min("__enc").as("__first"), count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select("__g", "__first")
+    val covered = grams.join(dupFirsts, Seq("__g"))
+      .filter(col("__enc") =!= col("__first"))
+      .select(col(idCol).as("__cid"),
+        explode(sequence(col("__p"), col("__p") + lit(k - 1))).as("__cp"))
+      .distinct()
+    val pos = words.select(col(idCol),
+      posexplode(col("__ws")).as(Seq("__wp", "__w")))
+    val kept = pos.join(covered,
+      col(idCol) === col("__cid") && col("__wp") === col("__cp"),
+      "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("__nkept"),
+        expr("array_join(transform(array_sort(" +
+          "collect_list(struct(__wp, __w))), x -> x.__w), ' ')")
+          .as("clean_text"))
+    words.select(col(idCol), size(col("__ws")).cast("long").as("n_words"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_words"),
+        (col("n_words") - coalesce(col("__nkept"), lit(0L)))
+          .as("n_removed"))
+  }
+
+  /** Edit-distance verification of candidate pairs — the
+    * character-level verifier a crawl pipeline runs where Jaccard's
+    * bag-of-shingles view is too coarse (template pages differing by
+    * one injected phrase, OCR noise): `levenshtein(textA, textB) <=
+    * maxDist` on an (idA, idB) candidate frame, texts joined back by
+    * id so the DP runs ONCE per distinct pair.
+    *
+    * The kernel is Spark's THRESHOLDED levenshtein (3-arg form,
+    * banded DP: O(maxDist·min(|a|,|b|)) and early-exit, vs O(|a|·|b|)
+    * unthresholded) — at a 100 TB candidate table the threshold is
+    * the difference between a cheap verify stage and a quadratic
+    * string kernel. `prefixLen > 0` additionally truncates both sides
+    * first (prefix edit distance — the screening variant; document
+    * mutations concentrate early in crawl refetches, and a bounded
+    * prefix caps per-pair cost independent of document length).
+    *
+    * Returns (idA, idB, edit_dist) for pairs within maxDist. */
+  def verifyPairsEditDistance(pairs: DataFrame, payload: DataFrame,
+      idCol: String, textCol: String, maxDist: Int,
+      prefixLen: Int = 0): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val attached = attachPayload(
+      pairs.select("idA", "idB"),
+      payload.select(col(idCol),
+        (if (prefixLen > 0) substring(col(textCol), 1, prefixLen)
+         else col(textCol)).as("__vt")),
+      idCol, "__vt")
+    attached
+      .withColumn("edit_dist", expr(s"levenshtein(__vtA, __vtB, $maxDist)"))
+      .filter(col("edit_dist") >= 0)
+      .select(col("idA"), col("idB"),
+        col("edit_dist").cast("long").as("edit_dist"))
+  }
+
+  /** MinHash-banded candidates verified by thresholded edit distance
+    * — [[nearDupPairsMinHash]]'s banding stage with
+    * [[verifyPairsEditDistance]] as the verifier. Same shuffle budget
+    * as the Jaccard form: bands carry (id, band, bucket) only, texts
+    * cross a shuffle exactly twice (the payload re-joins). */
+  def nearDupPairsEditDistance(df: DataFrame, idCol: String,
+      textCol: String, maxDist: Int, shingleWidth: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, prefixLen: Int = 0,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val sh = shingles(col(textCol), shingleWidth)
+    val base = df.select(col(idCol), sh.as("__sh"), col(textCol))
+      .filter(size(col("__sh")) > 0)
+    val slim = base
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .select(col(idCol),
+        posexplode(minhashBands(col("__sig"), bands, rowsPerBand))
+          .as(Seq("__band", "__bh")))
+    val pairs = candidatePairs(slim, idCol, Seq("__band", "__bh"),
+      maxBucketSize)
+    verifyPairsEditDistance(pairs, base.select(col(idCol), col(textCol)),
+      idCol, textCol, maxDist, prefixLen)
+  }
 }

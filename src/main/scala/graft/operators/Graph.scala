@@ -767,6 +767,68 @@ object Graph {
       .groupBy("__u", "__v").agg(sum("__w").as("__w"))
   }
 
+  /** Newman modularity, per community (Newman & Girvan 2004): for an
+    * undirected graph (self-loops dropped, parallel edges collapsed;
+    * m = |E|) and a node→community assignment,
+    * q_term(c) = e_c/m − (d_c/2m)², so Q = Σ_c q_term(c) — the
+    * partition-quality read run after [[labelPropagation]] (or any
+    * clustering) to decide whether the communities are better than a
+    * random degree-preserving rewiring (Q ≈ 0) before acting on them.
+    *
+    * Per-community EXACT longs (n_nodes, e_in = e_c, deg_sum = d_c,
+    * m) plus one double `q_term` computed per row from those longs by
+    * a fixed parenthesized expression — no distributed float sum
+    * anywhere, so every row is bit-stable across engines; callers sum
+    * q_term driver-side (communities-sized) if they want scalar Q.
+    *
+    * Scale shape: canonicalize+distinct the edge list, two keyed
+    * joins of edges onto the labels (co-partitioned by node — labels
+    * are node-sized, NOT broadcast), degree as a count over the
+    * endpoint union, everything aggregated to communities-sized
+    * frames; m rides a broadcast one-row crossJoin. Nodes appearing
+    * in `labels` but not in any edge count into n_nodes with degree
+    * 0; every edge endpoint must be labeled (inner joins — an
+    * unlabeled endpoint's edges silently vanish, so callers pass the
+    * same node universe they clustered). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).as("__eu"), col(dstCol).as("__ev"))
+      .where(col("__eu").isNotNull && col("__ev").isNotNull &&
+        col("__eu") =!= col("__ev"))
+      .select(least(col("__eu"), col("__ev")).as("__eu"),
+        greatest(col("__eu"), col("__ev")).as("__ev"))
+      .distinct()
+    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("label"))
+    val mDf = e.agg(count(lit(1)).cast("long").as("m"))
+    val internal = e
+      .join(lab.select(col("__n").as("__eu"), col("label").as("__cu")),
+        Seq("__eu"))
+      .join(lab.select(col("__n").as("__ev"), col("label").as("__cv")),
+        Seq("__ev"))
+      .filter(col("__cu") === col("__cv"))
+      .groupBy(col("__cu").as("label"))
+      .agg(count(lit(1)).cast("long").as("e_in"))
+    val deg = e.select(col("__eu").as("__n"))
+      .unionByName(e.select(col("__ev").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).cast("long").as("__d"))
+    val byC = lab.join(deg, Seq("__n"), "left")
+      .na.fill(0L, Seq("__d"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum("__d").cast("long").as("deg_sum"))
+    byC.join(internal, Seq("label"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(mDf))
+      .withColumn("q_term",
+        col("e_in").cast("double") / col("m").cast("double")
+          - (col("deg_sum").cast("double")
+              / (lit(2.0d) * col("m").cast("double")))
+            * (col("deg_sum").cast("double")
+              / (lit(2.0d) * col("m").cast("double"))))
+      .select("label", "n_nodes", "e_in", "deg_sum", "m", "q_term")
+  }
+
   /** Both directions of each edge, self-loops dropped, null endpoints
     * dropped, parallel edges collapsed. */
   private def symmetrize(edges: DataFrame, srcCol: String,

@@ -736,6 +736,26 @@ object DriveSmoke {
     val uc = graft.operators.Urls.dedupByCanonical(urls, "doc_id", "url")
     uc.explain("formatted")
     println("URL_GROUPS=" + uc.count())
+    // r16: modularity, edit-distance verify, dup-span removal
+    val coocE = graft.operators.TextAnalysis.coocLift(
+      docs, "doc_id", "text", topV = 40, minSupport = 10L)
+      .select("tok_a", "tok_b")
+    val lbls = graft.operators.Graph.labelPropagation(
+      coocE, "tok_a", "tok_b", iters = 2)
+    val mods = graft.operators.Graph.modularity(
+      coocE, "tok_a", "tok_b", lbls, "node", "label")
+    mods.explain("formatted")
+    println("MODULARITY=" + mods.orderBy("label").collect()
+      .map(r => r.getString(0) + ":" + r.getDouble(5)).mkString(" "))
+    val edp = graft.operators.Dedup.nearDupPairsEditDistance(
+      docs.select("doc_id", "text"), "doc_id", "text",
+      maxDist = 12, prefixLen = 256)
+    edp.explain("formatted")
+    println("EDIT_PAIRS=" + edp.count())
+    val rds = graft.operators.Dedup.removeDupSpans(
+      docs.select("doc_id", "text"), "doc_id", "text", k = 8)
+    rds.explain("formatted")
+    println("SPAN_REMOVED=" + rds.agg(sum("n_removed")).collect()(0).getLong(0))
     spark.stop()
   }
 }

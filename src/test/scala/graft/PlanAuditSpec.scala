@@ -95,7 +95,10 @@ class PlanAuditSpec extends SparkSpec {
       // blocking_quality composes four broadcast 1-row counts;
       // hour_profile and covisitation cross their broadcast 1-row
       // totals — bounded by construction
-      "blocking_quality", "hour_profile", "covisitation")
+      "blocking_quality", "hour_profile", "covisitation",
+      // modularity crosses its broadcast 1-row edge count m onto the
+      // communities-sized frame — bounded by construction
+      "modularity_by_community")
 
   // Queries allowed to plan a GLOBAL (unpartitioned) window — each
   // windows over a frame bounded by construction, documented at the

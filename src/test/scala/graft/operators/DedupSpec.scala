@@ -539,4 +539,83 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(keptM === Set(2L, 5L, 6L))
   }
+
+  test("removeDupSpans cuts later cross-doc occurrences, merges " +
+      "overlapping covered spans, keeps first occurrence intact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d y"),
+      (3L, "short doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 is the first occurrence of "a b c" and "b c d" — untouched
+    assert(out(1L) === (("a b c d e", 5L, 0L)))
+    // doc 2's grams at pos 1 ("a b c") and pos 2 ("b c d") duplicate
+    // doc 1 — covered {1..3} ∪ {2..4} merge to {1..4}
+    assert(out(2L) === (("x y", 6L, 4L)))
+    // below k words: no grams, untouched
+    assert(out(3L) === (("short doc", 2L, 0L)))
+  }
+
+  test("removeDupSpans collapses in-doc repetition to the first " +
+      "period and empties an exact later duplicate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "p q r p q r p q r"),
+      (2L, "m n o z"),
+      (3L, "m n o z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "p q r" first at 0 (dups at 3, 6), "q r p" first at 1 (dup 4),
+    // "r p q" first at 2 (dup 5): covered = {3..8} → one clean period
+    assert(out(1L) === (("p q r", 9L, 6L)))
+    assert(out(2L) === (("m n o z", 4L, 0L)))
+    // doc 3 duplicates doc 2 entirely: grams at 0 and 1 both covered
+    assert(out(3L) === (("", 4L, 4L)))
+  }
+
+  test("verifyPairsEditDistance: thresholded accept set and distances " +
+      "match plain levenshtein; prefixLen screens on prefixes") {
+    import spark.implicits._
+    val payload = Seq(
+      (1L, "kitten"), (2L, "sitting"), (3L, "kitten"), (4L, "zzzzzz")
+    ).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("idA", "idB")
+    val got = Dedup.verifyPairsEditDistance(pairs, payload, "id", "text",
+      maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // kitten→sitting is the textbook distance 3; exact dup is 0;
+    // kitten→zzzzzz (distance 6) is filtered
+    assert(got === Map((1L, 2L) -> 3L, (1L, 3L) -> 0L))
+    // tighter threshold drops the distance-3 pair
+    val tight = Dedup.verifyPairsEditDistance(pairs, payload, "id",
+      "text", maxDist = 2).collect().map(_.getLong(2))
+    assert(tight.toSeq === Seq(0L))
+    // prefix screen: first-3-char prefixes "kit"/"sit" differ by 1
+    val pref = Dedup.verifyPairsEditDistance(pairs, payload, "id",
+      "text", maxDist = 1, prefixLen = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pref === Map((1L, 2L) -> 1L, (1L, 3L) -> 0L))
+  }
+
+  test("nearDupPairsEditDistance finds the banded near-identical " +
+      "pair within maxDist and excludes unrelated docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val df = Seq(
+      (1L, base + "alpha beta gamma"),
+      (2L, base + "alpha beta gamm"),
+      (3L, "completely different text about spark shuffles and " +
+        "partitions with no shared shingles at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupPairsEditDistance(df, "doc_id", "text",
+      maxDist = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1L)))
+  }
 }

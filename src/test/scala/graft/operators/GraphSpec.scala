@@ -494,4 +494,40 @@ class GraphSpec extends SparkSpec {
       spark.conf.unset(graft.Checkpoints.ConfKey)
     }
   }
+
+  test("modularity: two bridged triangles under the right communities," +
+      " hand-checked terms; singleton community contributes zero") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} plus bridge 3–4; self-loop and a
+    // reversed parallel edge must collapse away; node 7 is an
+    // edge-less labeled singleton
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val lab = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B"), (7L, "C")).toDF("node", "com")
+    val rows = Graph.modularity(e, "src", "dst", lab, "node", "com")
+      .orderBy("label").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // m = 7; d_A = 2+2+3 = 7, d_B = 3+2+2 = 7, e_A = e_B = 3
+    val expTerm = 3.0 / 7.0 - (7.0 / 14.0) * (7.0 / 14.0)
+    assert(rows.toSeq === Seq(
+      ("A", 3L, 3L, 7L, 7L, expTerm),
+      ("B", 3L, 3L, 7L, 7L, expTerm),
+      ("C", 1L, 0L, 0L, 7L, 0.0)))
+    // Q for a near-perfect 2-community split is solidly positive
+    assert(rows.map(_._6).sum > 0.3)
+  }
+
+  test("modularity of the everything-in-one-community partition " +
+      "equals 0 (e_in = m, deg_sum = 2m)") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val lab = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"))
+      .toDF("node", "com")
+    val rows = Graph.modularity(e, "src", "dst", lab, "node", "com")
+      .collect()
+    assert(rows.length === 1)
+    assert(rows.head.getDouble(5) === 0.0)
+  }
 }
