@@ -1466,18 +1466,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("source_a", "source_b")
     }),
-    // EXACT Jaccard self-join (recall 1.0, no LSH) via prefix
-    // filtering — the oracle twin is the NAIVE shared-token all-pairs
-    // join, so the gate machine-checks the prefix-filter completeness
-    // theorem itself: any qualifying pair the prefix join missed would
-    // hash-mismatch here. Registered in its corpus-scale form: the
-    // distinct (doc, shingle) token frame is the process-shared stored
-    // artifact (SharedFrames.docShingles — tokenize ONCE, every
-    // consumer reads the slim columnar index; the inline re-shingling
-    // form stays as `Dedup.jaccardPairsExact`, spec-pinned equal)
+    // EXACT Jaccard self-join (recall 1.0, no LSH) via prefix +
+    // positional filtering — the oracle twin is the NAIVE shared-token
+    // all-pairs join, so the gate machine-checks the prefix-filter
+    // completeness theorem itself: any qualifying pair the prefix join
+    // missed would hash-mismatch here. Registered on the doc_id%3==0
+    // AUDIT STRATUM (r16): the exact kernel is the audit tool — its
+    // meet volume is Σ prefix-df², which a FIXED token vocabulary
+    // drives quadratic in corpus size (the r16 sf1 bench measured the
+    // full-corpus form at >80 GB of candidate shuffle on the 31-word
+    // fixture vocab). A pipeline exact-audits a stratum and runs the
+    // banded MinHash path (`neardup_*`) on the corpus; the stratum
+    // keeps the completeness-theorem gate at every SF. The distinct
+    // (doc, shingle) token frame is the process-shared stored artifact
+    // (SharedFrames.docShingles — tokenize ONCE; the inline
+    // re-shingling form stays as `Dedup.jaccardPairsExact`,
+    // spec-pinned equal)
     "jaccard_pairs_exact" -> ((s, dir) =>
       Dedup.jaccardPairsExactFromTokens(
-        SharedFrames.docShingles(s, dir, width = 3),
+        SharedFrames.docShingles(s, dir, width = 3)
+          .filter(col("doc_id") % 3 === 0),
         "doc_id", "tok", threshold = 0.5)
         .orderBy("id_a", "id_b")),
     // asymmetric recall-1.0 probe (odd ids = new slice, even = frozen
@@ -1487,6 +1495,7 @@ object SparkEntry {
     // sliced by parity (identical sets to per-side re-tokenization).
     "jaccard_probe_exact" -> ((s, dir) => {
       val toks = SharedFrames.docShingles(s, dir, width = 3)
+        .filter(col("doc_id") % 3 === 0)
       Dedup.jaccardProbeExactFromTokens(
         toks.filter(col("doc_id") % 2 === 1),
         toks.filter(col("doc_id") % 2 === 0),
@@ -1500,12 +1509,19 @@ object SparkEntry {
     // construction) — pair completeness + reduction ratio, the two
     // numbers that justify a blocking scheme
     "blocking_quality" -> ((s, dir) => {
+      // evaluated on the doc_id%3==0 AUDIT STRATUM (r16, same contract
+      // as jaccard_pairs_exact): the truth side is the exact SSJoin,
+      // whose meet volume is quadratic on a fixed vocabulary — a
+      // blocking-quality evaluation samples a stratum and extrapolates
+      // (banding is per-doc, so the stratum's candidate/caught pairs
+      // are exactly the full tables restricted to the stratum)
       val sh = md5ShinglesShared(s, dir)
+        .filter(col("doc_id") % 3 === 0)
       // the candidate and truth pair tables are PRODUCTS of pipeline
       // stages — a quality report reads the stored tables, it doesn't
       // re-run blocking and the exact join (both memoize per process
       // like the verified md5 pair table they bracket)
-      val cand = SharedFrames.materialized(s, dir, "md5cand05") {
+      val cand = SharedFrames.materialized(s, dir, "md5cand05s3") {
         val bands = md5Bands(sh)
         bands
           .select(col("doc_id").as("id_a"), col("band"), col("bkey"))
@@ -1514,7 +1530,7 @@ object SparkEntry {
           .where(col("id_a") < col("id_b"))
           .select("id_a", "id_b").distinct()
       }
-      val truePairs = SharedFrames.materialized(s, dir, "truepairs05") {
+      val truePairs = SharedFrames.materialized(s, dir, "truepairs05s3") {
         Dedup.jaccardPairsExactFromTokens(
           sh.select(col("doc_id"), col("s").as("tok")),
           "doc_id", "tok", threshold = 0.5)
@@ -1522,7 +1538,9 @@ object SparkEntry {
       val nCand = broadcast(cand.agg(count(lit(1)).as("n_candidates")))
       val nTrue = broadcast(truePairs.agg(count(lit(1)).as("n_true")))
       val nCaught = broadcast(
-        md5NearDupPairs(s, dir).agg(count(lit(1)).as("n_caught")))
+        md5NearDupPairs(s, dir)
+          .filter(col("id_a") % 3 === 0 && col("id_b") % 3 === 0)
+          .agg(count(lit(1)).as("n_caught")))
       val nDocs = broadcast(sh.select("doc_id").distinct()
         .agg(count(lit(1)).as("__nd")))
       nCand.crossJoin(nTrue).crossJoin(nCaught).crossJoin(nDocs)
@@ -8014,7 +8032,7 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> length(x) > 0) AS ts
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 3 = 0),
         |sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
         |        FROM toks WHERE len(ts) >= 3),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
@@ -8039,7 +8057,7 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> length(x) > 0) AS ts
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 3 = 0),
         |sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
         |        FROM toks WHERE len(ts) >= 3),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
@@ -8096,7 +8114,7 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> length(x) > 0) AS ts
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 3 = 0),
         |sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
         |        FROM toks WHERE len(ts) >= 3),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s

@@ -253,15 +253,32 @@ object Dedup {
       .join(sizes, Seq(idCol))
       .filter(col("__rn") <=
         col("__n") - floor(lit(threshold) * col("__n")) + 1)
-      .select(col(idCol), col("__s"), col("__n"))
+      .select(col(idCol), col("__s"), col("__n"), col("__rn"))
+    // PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2) on every
+    // prefix meet, BEFORE the distinct shuffle: common tokens sit at
+    // global ranks ≥ this meet's rank on both sides, so the overlap
+    // is ≤ 1 + min(na−i, nb−j); J ≥ t needs overlap ≥ t/(1+t)·(na+nb)
+    // (floor — conservative under fp rounding, same argument as the
+    // prefix cut). Recall stays 1.0: a qualifying pair's FIRST common
+    // token always passes this bound (o ≤ 1 + min there), and one
+    // surviving meet per pair is all the distinct needs. Without it
+    // the raw meet volume — Σ over tokens of prefix-df² — is the
+    // quadratic cliff a fixed vocabulary drives at corpus scale (the
+    // r16 sf1 bench measured the unfiltered form at > 80 GB of
+    // candidate shuffle on a 31-word-vocab 50k-doc corpus).
     val cand = ranked
-      .select(col(idCol).as("id_a"), col("__s"), col("__n").as("__na"))
+      .select(col(idCol).as("id_a"), col("__s"), col("__n").as("__na"),
+        col("__rn").as("__ra"))
       .join(ranked
-        .select(col(idCol).as("id_b"), col("__s"), col("__n").as("__nb")),
+        .select(col(idCol).as("id_b"), col("__s"), col("__n").as("__nb"),
+          col("__rn").as("__rb")),
         Seq("__s"))
       .where(col("id_a") < col("id_b") &&
         col("__nb") >= floor(lit(threshold) * col("__na")) &&
-        col("__na") >= floor(lit(threshold) * col("__nb")))
+        col("__na") >= floor(lit(threshold) * col("__nb")) &&
+        lit(1) + least(col("__na") - col("__ra"), col("__nb") - col("__rb"))
+          >= floor(lit(threshold / (1.0 + threshold)) *
+              (col("__na") + col("__nb"))))
       .select("id_a", "id_b").distinct()
     val inter = cand
       .join(sh.select(col(idCol).as("id_a"), col("__s")), Seq("id_a"))
@@ -312,20 +329,26 @@ object Dedup {
       col(tokenCol).as("__s"))
     val freq = pa.select("__s").unionByName(ca.select("__s"))
       .groupBy("__s").agg(count(lit(1)).as("__df"))
-    def prefixed(sh: DataFrame, id: String, n: String): DataFrame = {
+    def prefixed(sh: DataFrame, id: String, n: String,
+        rn: String): DataFrame = {
       val sizes = sh.groupBy(id).agg(count(lit(1)).as(n))
       sh.join(freq, "__s")
-        .withColumn("__rn", row_number().over(
+        .withColumn(rn, row_number().over(
           Window.partitionBy(col(id)).orderBy(col("__df"), col("__s"))))
         .join(sizes, Seq(id))
-        .filter(col("__rn") <=
+        .filter(col(rn) <=
           col(n) - floor(lit(threshold) * col(n)) + 1)
-        .select(col(id), col("__s"), col(n))
+        .select(col(id), col("__s"), col(n), col(rn))
     }
-    val cand = prefixed(pa, "__idp", "__np")
-      .join(prefixed(ca, "__idc", "__nc"), Seq("__s"))
+    // positional filter on each prefix meet — see
+    // [[jaccardPairsExactFromTokens]] for the completeness argument
+    val cand = prefixed(pa, "__idp", "__np", "__rp")
+      .join(prefixed(ca, "__idc", "__nc", "__rc"), Seq("__s"))
       .where(col("__nc") >= floor(lit(threshold) * col("__np")) &&
-        col("__np") >= floor(lit(threshold) * col("__nc")))
+        col("__np") >= floor(lit(threshold) * col("__nc")) &&
+        lit(1) + least(col("__np") - col("__rp"), col("__nc") - col("__rc"))
+          >= floor(lit(threshold / (1.0 + threshold)) *
+              (col("__np") + col("__nc"))))
       .select("__idp", "__idc").distinct()
     val inter = cand
       .join(pa, Seq("__idp"))
