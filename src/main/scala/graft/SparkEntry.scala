@@ -406,7 +406,10 @@ object SparkEntry {
     "triplet_mine_fixed", "ivf_lloyd_step", "pca_moments",
     "ivfbq_fixed_knn", "sq8_fixed_codes", "pca_fixed_embed",
     "pca_eig_fixed", "kcenter_md5", "embedding_anisotropy_md5",
-    "pq_fixed_adc", "sq8_fixed_adc", "mutual_knn_fixed")
+    "pq_fixed_adc", "sq8_fixed_adc", "mutual_knn_fixed",
+    // source_sketch_jaccard replays the md5 sketch; the murmur kernel
+    // (CorpusSketch) is the engine path, spec-gated
+    "source_sketch_jaccard")
 
   /** Queries whose measured time INCLUDES an in-query model fit
     * (Lloyd's / Procrustes / eigendecomposition / min-max range /
@@ -2307,6 +2310,54 @@ object SparkEntry {
         .orderBy("canon_url")
     }),
 
+    // X217 corpus-level MinHash sketch overlap matrix (md5 gate form —
+    // the murmur kernel is CorpusSketch.minhashSketchByKey /
+    // sketchJaccardPairs, spec-gated): per-SOURCE union sketch = 8 md5
+    // min-hashes over the source's distinct shingle set (min over docs
+    // = sketch of the union, the mergeability property), then the
+    // complete pairwise component-match matrix. est_jaccard =
+    // n_match/8 is a power-of-two division of an exact int —
+    // bit-stable cross-engine.
+    "source_sketch_jaccard" -> ((s, dir) => {
+      val srcSh = md5ShinglesShared(s, dir)
+        .join(t(s, dir, "documents").select("doc_id", "source"),
+          Seq("doc_id"))
+        .select(col("source"), col("s")).distinct()
+      val sigs = srcSh
+        .withColumn("j", explode(sequence(lit(1), lit(8))))
+        .select(col("source"), col("j"),
+          md5(concat(col("j").cast("string"), lit(":"), col("s")))
+            .as("h"))
+        .groupBy("source", "j").agg(min("h").as("mh"))
+      sigs.select(col("source").as("src_a"), col("j"),
+          col("mh").as("ma"))
+        .join(sigs.select(col("source").as("src_b"), col("j"),
+          col("mh").as("mb")), Seq("j"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
+          .cast("long").as("n_match"))
+        .select(col("src_a"), col("src_b"), col("n_match"),
+          (col("n_match").cast("double") / lit(8.0)).as("est_jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // X218 exact per-source shingle-set overlap: intersection,
+    // Jaccard, and BOTH containments per source pair — the "is corpus
+    // A already inside corpus B" read the symmetric Jaccard hides.
+    // Group-level keys only (K sources; a universal shingle meets K
+    // rows) — the sketch form above is the 100 TB default, this is
+    // the exact audit (same contract as exact vs banded Jaccard,
+    // Dedup.scala:21). Ratios are single divisions of exact longs.
+    "source_overlap_exact" -> ((s, dir) =>
+      graft.operators.CorpusSketch.exactOverlapPairs(
+        t(s, dir, "documents").select("source", "text"),
+        "source", "text", shingleWidth = 3)
+        .select(col("keyA").as("src_a"), col("keyB").as("src_b"),
+          col("n_inter"), col("n_a"), col("n_b"), col("jaccard"),
+          col("cont_a_in_b"), col("cont_b_in_a"))
+        .orderBy("src_a", "src_b")),
+
     "zorder_keys" -> ((s, dir) =>
       graft.operators.Lake.zorderLayout(
         t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
@@ -3723,6 +3774,20 @@ object SparkEntry {
       graft.operators.Graph.modularity(pairs, "tok_a", "tok_b",
         labels, "node", "label")
         .orderBy("label")
+    }),
+    // X219 one synchronous Louvain move round over the label-prop
+    // assignment on the co-occurrence graph — the deterministic
+    // phase-1 local-move step (gain argmax, ties to smallest label,
+    // move iff gain > 0); exact longs + one fixed-shape double gain
+    // per candidate, so the selection replays bit-identically
+    "louvain_move" -> ((s, dir) => {
+      val pairs = SharedFrames.coocPairs(s, dir)
+        .select("tok_a", "tok_b")
+      val labels = graft.operators.Graph.labelPropagation(
+        pairs, "tok_a", "tok_b", iters = 2)
+      graft.operators.Graph.louvainMoveRound(pairs, "tok_a", "tok_b",
+        labels, "node", "label")
+        .orderBy("node")
     }),
     // MERGE INTO: one full-outer key join applying update + insert +
     // conditional delete against a simulated source batch
@@ -5746,6 +5811,64 @@ object SparkEntry {
         |  count(*) AS n_variants
         |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin,
 
+    // per-source union sketch (min over the source's distinct shingle
+    // set per md5 hash fn) → complete pairwise component-match matrix;
+    // n_match/8 is a power-of-two division of an exact int
+    "source_sketch_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+        |       FROM sh0),
+        |ssh AS (SELECT DISTINCT d.source, sh.s
+        |        FROM sh JOIN documents d ON d.doc_id = sh.doc_id),
+        |hj AS (SELECT source, s, unnest(range(1, 9)) AS j FROM ssh),
+        |sigs AS (SELECT source, j,
+        |           MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS mh
+        |         FROM hj GROUP BY source, j),
+        |m AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_match
+        |      FROM sigs a JOIN sigs b ON a.j = b.j
+        |        AND a.source < b.source
+        |      GROUP BY a.source, b.source)
+        |SELECT src_a, src_b, n_match,
+        |  CAST(n_match AS DOUBLE) / 8.0 AS est_jaccard
+        |FROM m ORDER BY src_a, src_b""".stripMargin,
+
+    // exact per-source shingle-set overlap: intersection size, Jaccard,
+    // both containments — single divisions of exact BIGINTs
+    "source_overlap_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+        |       FROM sh0),
+        |ssh AS (SELECT DISTINCT d.source, sh.s
+        |        FROM sh JOIN documents d ON d.doc_id = sh.doc_id),
+        |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM ssh GROUP BY source),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+        |            CAST(COUNT(*) AS BIGINT) AS n_inter
+        |          FROM ssh a JOIN ssh b ON a.s = b.s
+        |            AND a.source < b.source
+        |          GROUP BY a.source, b.source)
+        |SELECT i.src_a, i.src_b, i.n_inter, za.n AS n_a, zb.n AS n_b,
+        |  CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter)
+        |    AS jaccard,
+        |  CAST(i.n_inter AS DOUBLE) / za.n AS cont_a_in_b,
+        |  CAST(i.n_inter AS DOUBLE) / zb.n AS cont_b_in_a
+        |FROM inter i
+        |JOIN sizes za ON za.source = i.src_a
+        |JOIN sizes zb ON zb.source = i.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
     "zorder_keys" -> {
       // bit i of qa -> position 2i, of qb -> 2i+1 (Lake.zorderKey with
       // cols = (qa, qb), bits = 8)
@@ -7674,6 +7797,64 @@ object SparkEntry {
          |      * (CAST(b.deg_sum AS DOUBLE) / (2.0 * m.m)) AS q_term
          |FROM byc b LEFT JOIN intr i ON b.label = i.label, m
          |ORDER BY b.label""".stripMargin
+    },
+    // Louvain move-round twin: the modularity twin's l2 label-prop
+    // chain, then the synchronous move replay — neighbor-community
+    // counts, community degree masses, the identical fixed-shape gain
+    // expression, argmax by (gain DESC, label ASC), move iff gain > 0
+    "louvain_move" -> {
+      def round(prev: String, out: String): String =
+        s"""c$out AS (SELECT s.v, p.lbl, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM sym s JOIN $prev p ON s.u = p.u GROUP BY s.v, p.lbl),
+           |$out AS (SELECT v AS u, lbl FROM (
+           |  SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v
+           |    ORDER BY c DESC, lbl ASC) AS rn FROM c$out)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH $coocPairsCte,
+         |sym AS (SELECT tok_a AS u, tok_b AS v FROM pairs
+         |        UNION SELECT tok_b, tok_a FROM pairs),
+         |l0 AS (SELECT DISTINCT u, u AS lbl FROM sym),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |e AS (SELECT DISTINCT LEAST(tok_a, tok_b) AS u,
+         |        GREATEST(tok_a, tok_b) AS v
+         |      FROM pairs WHERE tok_a <> tok_b),
+         |symd AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+         |deg AS (SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS ki
+         |        FROM symd GROUP BY u),
+         |tot AS (SELECT l2.lbl, CAST(SUM(COALESCE(deg.ki, 0)) AS BIGINT)
+         |          AS tot
+         |        FROM l2 LEFT JOIN deg ON l2.u = deg.n GROUP BY l2.lbl),
+         |nbrc AS (SELECT s.u AS n, lv.lbl AS c,
+         |           CAST(COUNT(*) AS BIGINT) AS kic
+         |         FROM symd s JOIN l2 lv ON s.v = lv.u GROUP BY 1, 2),
+         |base AS (SELECT l2.u AS n, l2.lbl,
+         |           CAST(COALESCE(deg.ki, 0) AS BIGINT) AS ki,
+         |           ta.tot AS tota,
+         |           CAST(COALESCE(ka.kic, 0) AS BIGINT) AS kia
+         |         FROM l2
+         |         LEFT JOIN deg ON l2.u = deg.n
+         |         JOIN tot ta ON ta.lbl = l2.lbl
+         |         LEFT JOIN nbrc ka ON ka.n = l2.u AND ka.c = l2.lbl),
+         |cand AS (SELECT b.n, b.lbl, nc.c,
+         |           CAST(nc.kic - b.kia AS DOUBLE) / m.m
+         |             - (CAST(b.ki AS DOUBLE) / (2.0 * m.m))
+         |               * (CAST(tc.tot - b.tota + b.ki AS DOUBLE) / m.m)
+         |             AS gain
+         |         FROM nbrc nc
+         |         JOIN base b ON b.n = nc.n AND nc.c <> b.lbl
+         |         JOIN tot tc ON tc.lbl = nc.c, m),
+         |best AS (SELECT n, c, gain FROM (
+         |           SELECT n, c, gain, ROW_NUMBER() OVER (PARTITION BY n
+         |             ORDER BY gain DESC, c ASC) AS rn FROM cand)
+         |         WHERE rn = 1)
+         |SELECT b.n AS node, b.lbl AS old_label,
+         |  CASE WHEN best.gain > 0 THEN best.c ELSE b.lbl END
+         |    AS new_label,
+         |  CASE WHEN best.gain > 0 THEN best.gain ELSE 0.0 END AS gain
+         |FROM base b LEFT JOIN best ON best.n = b.n
+         |ORDER BY node""".stripMargin
     },
     // MERGE twin: kept targets ∪ surviving updates ∪ inserts — the
     // delete condition applies to MATCHED source rows only (unmatched

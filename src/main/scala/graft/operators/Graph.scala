@@ -829,6 +829,118 @@ object Graph {
       .select("label", "n_nodes", "e_in", "deg_sum", "m", "q_term")
   }
 
+  /** ONE synchronous Louvain move round (the phase-1 local-move step
+    * of Blondel et al. 2008 §2, made deterministic): every labeled
+    * node simultaneously evaluates moving into each NEIGHBOR
+    * community and takes the modularity-gain argmax — gain ties break
+    * to the smallest label, and a node moves only if its best gain is
+    * strictly positive. Classic sequential Louvain moves nodes one at
+    * a time in visit order (irreproducible under parallelism); the
+    * synchronous round is the standard distributed variant (one round
+    * of Prat-Pérez et al.-style parallel moves): deterministic,
+    * engine-replayable, and callers iterate rounds to convergence
+    * ([[louvainMoves]]), accepting that simultaneous moves can
+    * overshoot (label-swap oscillation on symmetric structures —
+    * same caveat as synchronous LPA, [[labelPropagation]]).
+    *
+    * Gain of moving i from its community A into C (unweighted simple
+    * graph, m = |E|, k_i = degree, k_{i,C} = edges from i into C,
+    * Σ_C = degree mass of C):
+    *   ΔQ = (k_{i,C} − k_{i,A})/m − k_i·(Σ_C − (Σ_A − k_i))/(2m²)
+    * — exact longs everywhere except the single fixed-shape double
+    * expression per candidate row (the [[modularity]] q_term
+    * convention), so selection replays bit-identically cross-engine.
+    *
+    * Returns one row per `labels` row: (node, old_label, new_label,
+    * gain) — gain 0.0 and new_label = old_label for stayers (isolated
+    * nodes included). Same labeling contract as [[modularity]]:
+    * unlabeled edge endpoints vanish (inner joins), so pass the node
+    * universe you clustered.
+    *
+    * Scale shape: canonical distinct edge set, neighbor-community
+    * counts via one edges⋈labels join + grouped count (map-side
+    * partials), community degree masses joined co-partitioned on
+    * label (communities can be node-sized — never broadcast), argmax
+    * via `min_by` over (−gain, label) — no window; m rides a
+    * broadcast one-row crossJoin. */
+  def louvainMoveRound(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).as("__eu"), col(dstCol).as("__ev"))
+      .where(col("__eu").isNotNull && col("__ev").isNotNull &&
+        col("__eu") =!= col("__ev"))
+      .select(least(col("__eu"), col("__ev")).as("__eu"),
+        greatest(col("__eu"), col("__ev")).as("__ev"))
+      .distinct()
+    val sym = e.unionByName(
+      e.select(col("__ev").as("__eu"), col("__eu").as("__ev")))
+    val lab = labels.select(col(nodeCol).as("__n"),
+      col(labelCol).as("__lbl"))
+    val mDf = e.agg(count(lit(1)).cast("long").as("__m"))
+    val deg = sym.groupBy(col("__eu").as("__n"))
+      .agg(count(lit(1)).cast("long").as("__ki"))
+    val tot = lab.join(deg, Seq("__n"), "left").na.fill(0L, Seq("__ki"))
+      .groupBy("__lbl").agg(sum("__ki").cast("long").as("__tot"))
+    val nbrC = sym
+      .join(lab.select(col("__n").as("__ev"), col("__lbl").as("__c")),
+        Seq("__ev"))
+      .groupBy(col("__eu").as("__n"), col("__c"))
+      .agg(count(lit(1)).cast("long").as("__kic"))
+    val base = lab
+      .join(deg, Seq("__n"), "left").na.fill(0L, Seq("__ki"))
+      .join(tot.select(col("__lbl"), col("__tot").as("__totA")),
+        Seq("__lbl"))
+      .join(nbrC.select(col("__n"), col("__c").as("__lbl"),
+        col("__kic").as("__kia")), Seq("__n", "__lbl"), "left")
+      .na.fill(0L, Seq("__kia"))
+    val cand = nbrC.join(base, Seq("__n"))
+      .where(col("__c") =!= col("__lbl"))
+      .join(tot.select(col("__lbl").as("__c"),
+        col("__tot").as("__totC")), Seq("__c"))
+      .crossJoin(broadcast(mDf))
+      .withColumn("__gain",
+        (col("__kic") - col("__kia")).cast("double")
+            / col("__m").cast("double")
+          - (col("__ki").cast("double")
+              / (lit(2.0d) * col("__m").cast("double")))
+            * ((col("__totC") - col("__totA") + col("__ki"))
+                .cast("double") / col("__m").cast("double")))
+    val best = cand.groupBy("__n")
+      .agg(min_by(struct(col("__c"), col("__gain")),
+        struct((lit(0.0d) - col("__gain")).as("ng"), col("__c")))
+        .as("__b"))
+      .select(col("__n"), col("__b.__c").as("__bc"),
+        col("__b.__gain").as("__bg"))
+    lab.join(best, Seq("__n"), "left")
+      .select(col("__n").as("node"), col("__lbl").as("old_label"),
+        when(col("__bg") > 0.0d, col("__bc")).otherwise(col("__lbl"))
+          .as("new_label"),
+        when(col("__bg") > 0.0d, col("__bg")).otherwise(lit(0.0d))
+          .as("gain"))
+  }
+
+  /** Iterated [[louvainMoveRound]] from singleton communities (every
+    * node its own label — the Louvain start state): `rounds` fixed
+    * synchronous move rounds, each reading the previous assignment
+    * (per-round lineage cut, the Pregel shape of [[pageRank]]).
+    * Returns the final (node, label). Fixed rounds for the same
+    * reason as pageRank/LPA — convergence checks are driver
+    * round-trips; local moves plateau in a handful of rounds. */
+  def louvainMoves(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one round")
+    val sym = symmetrize(edges, srcCol, dstCol).lineageCut()
+    var labels = sym.select(col("__u")).distinct()
+      .select(col("__u").as("node"), col("__u").as("label"))
+    for (_ <- 1 to rounds) {
+      labels = louvainMoveRound(sym, "__u", "__v", labels,
+        "node", "label")
+        .select(col("node"), col("new_label").as("label"))
+        .lineageCut()
+    }
+    labels
+  }
+
   /** Both directions of each edge, self-loops dropped, null endpoints
     * dropped, parallel edges collapsed. */
   private def symmetrize(edges: DataFrame, srcCol: String,

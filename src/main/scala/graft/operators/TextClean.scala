@@ -86,4 +86,43 @@ object TextClean {
     * step may emit spaces freely. */
   def clean(c: Column): Column =
     normalizeWhitespace(redactUrls(redactEmails(stripHtml(stripControlChars(c)))))
+
+  /** The 32 C1 control codepoints U+0080–U+009F as one literal regex
+    * character class — a C1 char in decoded text is the classic
+    * cp1252-bytes-read-as-latin1 tell (every smart quote / dash in
+    * cp1252 lands there). Literal chars, not an escape range, so the
+    * identical class string runs under both Java regex and RE2
+    * (DuckDB) without dialect-specific `\x{..}` syntax. */
+  private[operators] val C1Class: String =
+    "[" + (0x80 to 0x9F).map(_.toChar).mkString + "]"
+
+  /** Common UTF-8-decoded-as-latin1/cp1252 digraph sequences ("é" →
+    * "Ã©", "’" → "â€™", "°" → "Â°", …): a FIXED documented alternation
+    * of literal sequences — deliberately a closed list so the count
+    * replays in any regex engine; production deployments extend it.
+    * Covers the accented-latin vowels/consonants (Ã + continuation),
+    * the punctuation family (â€ + continuation), and the Â-prefixed
+    * symbol family (NBSP/degree/currency/copyright). */
+  private[operators] val MojibakePattern: String =
+    "Ã©|Ã¨|Ã¡|Ã³|Ãº|Ã±|Ã§|Ã¤|Ã¶|Ã¼|Ã£|Ãª|Ã®|Ã´|Ã»|" +
+      "â€™|â€˜|â€œ|â€|â€“|â€”|â€¦|Â°|Â£|Â©|Â®|Â "
+
+  /** Encoding-damage audit: per-document counts of the three classic
+    * mojibake signals — U+FFFD replacement characters (a decoder
+    * already gave up), raw C1 controls ([[C1Class]]), and
+    * double-decoded UTF-8 digraphs ([[MojibakePattern]]) — plus the
+    * boolean gate. The hygiene read that runs BEFORE any language-ID
+    * or quality scoring: damaged text degrades every downstream
+    * statistic, and at crawl scale a few percent of documents carry
+    * it. One narrow codegen'd projection (regexp_extract_all +
+    * length), zero shuffles; every count replays in ANSI-ish SQL.
+    * Null text → null counts (null-in/null-out like the other text
+    * kernels). */
+  def encodingDamage(c: Column): Column = struct(
+    (length(c) - length(regexp_replace(c, "�", "")))
+      .cast("long").as("n_replacement"),
+    size(regexp_extract_all(c, lit(C1Class), lit(0)))
+      .cast("long").as("n_c1"),
+    size(regexp_extract_all(c, lit(MojibakePattern), lit(0)))
+      .cast("long").as("n_mojibake"))
 }

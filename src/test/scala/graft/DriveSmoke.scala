@@ -756,6 +756,28 @@ object DriveSmoke {
       docs.select("doc_id", "text"), "doc_id", "text", k = 8)
     rds.explain("formatted")
     println("SPAN_REMOVED=" + rds.agg(sum("n_removed")).collect()(0).getLong(0))
+    // r16: corpus-level sketch overlap + exact containment matrix
+    val sk = graft.operators.CorpusSketch.minhashSketchByKey(
+      docs, "source", "text", numHashes = 32)
+    val skp = graft.operators.CorpusSketch.sketchJaccardPairs(
+      sk, "source", complete = true)
+    skp.explain("formatted")
+    println("SKETCH_PAIRS=" + skp.count())
+    val ov = graft.operators.CorpusSketch.exactOverlapPairs(
+      docs, "source", "text")
+    ov.explain("formatted")
+    println("OVERLAP=" + ov.agg(max("cont_a_in_b")).collect()(0).getDouble(0))
+    // r16: rendezvous sharding + encoding-damage audit
+    val plan = graft.operators.Sharding.shardPlan(docs, "doc_id", 8)
+    val bal = graft.operators.Sharding.shardBalance(plan, Some("n_chars"))
+    bal.explain("formatted")
+    println("SHARDS=" + bal.count() + " maxskew=" +
+      bal.agg(max("skew")).collect()(0).getDouble(0))
+    val dmg = docs.select(
+      graft.operators.TextClean.encodingDamage(col("text")).as("d"))
+      .agg(sum("d.n_replacement"), sum("d.n_c1"), sum("d.n_mojibake"))
+    dmg.explain("formatted")
+    println("DAMAGE=" + dmg.collect()(0).toSeq.mkString(","))
     spark.stop()
   }
 }

@@ -97,8 +97,10 @@ class PlanAuditSpec extends SparkSpec {
       // totals — bounded by construction
       "blocking_quality", "hour_profile", "covisitation",
       // modularity crosses its broadcast 1-row edge count m onto the
-      // communities-sized frame — bounded by construction
-      "modularity_by_community")
+      // communities-sized frame — bounded by construction; the
+      // louvain move round rides the same broadcast 1-row m onto its
+      // per-(node, neighbor-community) candidate frame
+      "modularity_by_community", "louvain_move")
 
   // Queries allowed to plan a GLOBAL (unpartitioned) window — each
   // windows over a frame bounded by construction, documented at the

@@ -79,4 +79,33 @@ class TextCleanSpec extends SparkSpec {
     assert(out(0).getString(0) == "")
     assert(out(1).isNullAt(0))
   }
+
+  test("encodingDamage counts replacement chars, C1 controls, mojibake digraphs") {
+    import spark.implicits._
+    def dmg(s: String): (Long, Long, Long) = {
+      val r = Seq(s).toDF("t")
+        .select(TextClean.encodingDamage(col("t")).as("d"))
+        .select("d.n_replacement", "d.n_c1", "d.n_mojibake")
+        .head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(dmg("clean ascii text") === ((0L, 0L, 0L)))
+    assert(dmg("bad � twice � here") === ((2L, 0L, 0L)))
+    // cp1252 smart quote read as latin1 lands on C1 U+0092
+    assert(dmg("its ok") === ((0L, 2L, 0L)))
+    // "café" double-decoded + a smart quote + an NBSP symbol
+    assert(dmg("cafÃ© naÃ¯ve?") === ((0L, 0L, 1L))) // Ã¯ not in the list
+    assert(dmg("cafÃ© â€™ Â°") === ((0L, 0L, 3L)))
+    // none of â € ™ Â ° are C1 codepoints
+    // (U+00E2/20AC/2122/00C2/00B0) — only the n_mojibake digraph
+    // counter sees them
+  }
+
+  test("encodingDamage is null-in/null-out per field") {
+    import spark.implicits._
+    val r = Seq(Option.empty[String]).toDF("t")
+      .select(TextClean.encodingDamage(col("t")).as("d"))
+      .select("d.n_replacement").head
+    assert(r.isNullAt(0))
+  }
 }

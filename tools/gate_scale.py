@@ -57,6 +57,23 @@ def worker(sf_dir, out_dir, name):
     t0 = time.time()
     try:
         con = duckdb.connect()
+        # in-memory connections have NO spill dir by default — a heavy
+        # twin (recursive pagerank CTE at sf1) then dies with an
+        # allocation failure instead of spilling. Give each worker a
+        # bounded spill area; the memory cap keeps concurrent workers
+        # from fighting over the box.
+        # PER-WORKER spill subdir: the quota counts every file in the
+        # dir, so a shared dir lets a dead worker's leftovers starve
+        # the next query (r16 lesson). Cleaned in the finally below.
+        spill = os.path.join(
+            os.environ.get("GATE_SPILL_DIR", "/tmp/duckdb_spill"),
+            f"{name}-{os.getpid()}")
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"SET temp_directory='{spill}'")
+        con.execute("SET max_temp_directory_size='"
+                    f"{os.environ.get('GATE_SPILL_MAX', '45GiB')}'")
+        con.execute(
+            f"SET memory_limit='{os.environ.get('GATE_MEM', '24GB')}'")
         for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
             t = os.path.basename(p)[: -len(".parquet")]
             con.execute(
@@ -96,6 +113,11 @@ def worker(sf_dir, out_dir, name):
     except Exception as e:
         res["status"] = "ERROR"
         res["detail"] = f"{type(e).__name__}: {e}"[:400]
+    finally:
+        import shutil
+        shutil.rmtree(os.path.join(
+            os.environ.get("GATE_SPILL_DIR", "/tmp/duckdb_spill"),
+            f"{name}-{os.getpid()}"), ignore_errors=True)
     print("RESULT " + json.dumps(res), flush=True)
 
 
@@ -139,6 +161,12 @@ def main():
             r = {"name": name, "status": "ORACLE_TIMEOUT",
                  "oracle_sec": timeout,
                  "rows_spark": spark_rows(out_dir, name)}
+            # a SIGKILLed worker never reaches its finally — reap its
+            # spill subdir here so later queries get the full disk
+            import shutil
+            root = os.environ.get("GATE_SPILL_DIR", "/tmp/duckdb_spill")
+            for d in glob.glob(os.path.join(root, f"{name}-*")):
+                shutil.rmtree(d, ignore_errors=True)
         return r
 
     with ThreadPoolExecutor(max_workers=workers) as ex:
