@@ -2358,6 +2358,42 @@ object SparkEntry {
           col("cont_a_in_b"), col("cont_b_in_a"))
         .orderBy("src_a", "src_b")),
 
+    // X220 encoding-damage audit — damage SYNTHESIZED deterministically
+    // onto the (pure-ASCII) corpus, the url_canonical_dedup convention:
+    // %7 docs get three mojibake digraphs, %11 a replacement char, %13
+    // two C1 controls; the oracle twin derives the expected counts
+    // ANALYTICALLY from the injection rule (not by replaying the
+    // regexes), so the whole detector is independently checked
+    "encoding_damage" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" cafÃ© â€™ Â°"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" �"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" "))
+            .otherwise(lit(""))).as("t"))
+      injected.select(col("doc_id"),
+          graft.operators.TextClean.encodingDamage(col("t")).as("d"))
+        .select(col("doc_id"), col("d.n_replacement"), col("d.n_c1"),
+          col("d.n_mojibake"),
+          ((col("d.n_replacement") + col("d.n_c1") + col("d.n_mojibake"))
+            > 0).cast("int").as("damaged"))
+        .orderBy("doc_id")
+    }),
+
+    // X221 rendezvous-hash shard plan + balance report: md5 HRW over
+    // doc_id into 8 shards (argmax of per-shard hashes — one narrow
+    // in-row array, no explode), then per-shard rows / n_chars weight
+    // / skew-vs-uniform; the twin replays the full argmax in SQL
+    "shard_plan" -> ((s, dir) => {
+      val plan = graft.operators.Sharding.shardPlan(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", numShards = 8)
+      graft.operators.Sharding.shardBalance(plan, Some("n_chars"))
+        .orderBy("shard")
+    }),
+
     "zorder_keys" -> ((s, dir) =>
       graft.operators.Lake.zorderLayout(
         t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
@@ -5868,6 +5904,42 @@ object SparkEntry {
         |JOIN sizes za ON za.source = i.src_a
         |JOIN sizes zb ON zb.source = i.src_b
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // ANALYTIC twin: expected damage counts derived from the injection
+    // rule (%7 → 3 mojibake digraphs, %11 → 1 replacement char, %13 →
+    // 2 C1 controls; base corpus is pure ASCII), independently checking
+    // the detector's regexes
+    "encoding_damage" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_replacement,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN 2 ELSE 0 END AS BIGINT)
+        |    AS n_c1,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 0 END AS BIGINT)
+        |    AS n_mojibake,
+        |  CAST(CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 0
+        |       OR doc_id % 13 = 0 THEN 1 ELSE 0 END AS INT) AS damaged
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // rendezvous-shard twin: full HRW argmax replay (md5 per (shard,
+    // key), arg_max), then the balance aggregate; skew is the single
+    // (weight × ns) / tw double both engines compute identically
+    "shard_plan" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |    unnest(range(0, 8)) AS s FROM documents),
+        |h2 AS (SELECT doc_id, n_chars, s,
+        |    md5(CAST(s AS VARCHAR) || '::' || CAST(doc_id AS VARCHAR))
+        |      AS hh FROM h),
+        |a AS (SELECT doc_id, CAST(arg_max(s, hh) AS INT) AS shard,
+        |    MIN(n_chars) AS n_chars FROM h2 GROUP BY doc_id),
+        |per AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(n_chars) AS BIGINT) AS weight FROM a GROUP BY shard),
+        |tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw,
+        |    CAST(COUNT(*) AS BIGINT) AS ns FROM per)
+        |SELECT shard, n_rows, weight,
+        |  CAST(weight AS DOUBLE) * CAST(ns AS DOUBLE)
+        |    / CAST(tw AS DOUBLE) AS skew
+        |FROM per, tot ORDER BY shard""".stripMargin,
 
     "zorder_keys" -> {
       // bit i of qa -> position 2i, of qb -> 2i+1 (Lake.zorderKey with
