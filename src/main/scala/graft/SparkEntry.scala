@@ -3825,6 +3825,17 @@ object SparkEntry {
         labels, "node", "label")
         .orderBy("node")
     }),
+    // X222 full multi-level Louvain (2 levels × 2 weighted move
+    // rounds + community contraction) on the co-occurrence graph —
+    // exact-long count weights at every level, so the whole
+    // clustering replays in SQL
+    "louvain_communities" -> ((s, dir) => {
+      val pairs = SharedFrames.coocPairs(s, dir)
+        .select("tok_a", "tok_b")
+      graft.operators.Graph.louvain(pairs, "tok_a", "tok_b",
+        levels = 2, roundsPerLevel = 2)
+        .orderBy("node")
+    }),
     // MERGE INTO: one full-outer key join applying update + insert +
     // conditional delete against a simulated source batch
     "merge_upsert" -> ((s, dir) => {
@@ -4631,7 +4642,42 @@ object SparkEntry {
     * twin cannot drift. */
   private[graft] val bpeTrainedMerges = 60
 
-  def oracleSql: Map[String, String] = Map(
+  /** Force every CTE in a twin to DuckDB's MATERIALIZED form. DuckDB
+    * INLINES non-materialized CTEs at every reference site, so a
+    * 30-round unrolled iteration whose round reads the previous CTE
+    * 2-3 times re-executes the whole prefix chain combinatorially —
+    * invisible at sf0.01 (milliseconds × multiplier), a 66 GB spill
+    * at sf1 (measured on pagerank_directed, r16). Purely an oracle-
+    * evaluation hint: results are byte-identical either way. Applied
+    * to the iterative/heavily-shared twins below via [[heavyTwins]];
+    * the pattern `name AS (` only ever occurs at CTE definitions in
+    * this SQL dialect (column aliases are `expr AS name`, derived
+    * tables are `(...) name`). */
+  private def materializeCtes(sql: String): String = {
+    // skip names defined more than once (a composed twin may nest a
+    // snippet whose inner WITH reuses an outer name in its own scope;
+    // plain inlining tolerates the shadowing, materialization's
+    // binder does not — leave those inlined)
+    val CteDef = "(\\w+) AS \\(".r
+    val dup = CteDef.findAllMatchIn(sql).toList.groupBy(_.group(1))
+      .collect { case (k, ms) if ms.size > 1 => k }.toSet
+    CteDef.replaceAllIn(sql, m =>
+      if (dup(m.group(1))) java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + " AS MATERIALIZED ("))
+  }
+
+  /** Twins whose CTE chains are deep and multiply-referenced —
+    * unrolled graph iterations and the composed curation funnel. */
+  private val heavyTwins: Set[String] = Set(
+    "curation_funnel", "split_by_component", "pagerank_directed",
+    "token_ppr", "token_hits", "token_kcore")
+
+  def oracleSql: Map[String, String] = oracleSqlRaw.map { case (k, v) =>
+    k -> (if (heavyTwins(k)) materializeCtes(v) else v)
+  }
+
+  private def oracleSqlRaw: Map[String, String] = Map(
     // Q17 twin: same division-free correlated-subquery text
     "q17_correlated" ->
       """SELECT
@@ -7926,6 +7972,77 @@ object SparkEntry {
          |    AS new_label,
          |  CASE WHEN best.gain > 0 THEN best.gain ELSE 0.0 END AS gain
          |FROM base b LEFT JOIN best ON best.n = b.n
+         |ORDER BY node""".stripMargin
+    },
+    // full-Louvain twin: 2 levels × 2 weighted move rounds + the
+    // community contraction, all replayed — every round block is
+    // GENERATED from one template so the four rounds cannot drift
+    // from each other (wRound emits the Graph.louvainMoveRoundWeighted
+    // math: long sums, the identical fixed-shape gain, argmax by
+    // (gain DESC, label ASC), move iff gain > 0)
+    "louvain_communities" -> {
+      // one weighted move round over graph CTE `g`(u,v,w canonical)
+      // and labels CTE `l`(n,lbl); emits CTEs prefixed `p`, final
+      // labels in CTE `<p>out`(n, lbl)
+      def wRound(g: String, l: String, p: String): String =
+        s"""${p}m AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS m FROM $g),
+           |${p}deg AS MATERIALIZED (SELECT n, CAST(SUM(kw) AS BIGINT) AS ki FROM (
+           |  SELECT u AS n, CASE WHEN u = v THEN 2 * w ELSE w END AS kw
+           |  FROM $g
+           |  UNION ALL SELECT v, w FROM $g WHERE u <> v) GROUP BY n),
+           |${p}tot AS MATERIALIZED (SELECT l.lbl,
+           |    CAST(SUM(COALESCE(d.ki, 0)) AS BIGINT) AS tot
+           |  FROM $l l LEFT JOIN ${p}deg d ON l.n = d.n GROUP BY l.lbl),
+           |${p}sym AS MATERIALIZED (SELECT u, v, w FROM $g WHERE u <> v
+           |  UNION ALL SELECT v, u, w FROM $g WHERE u <> v),
+           |${p}nbrc AS MATERIALIZED (SELECT s.u AS n, lv.lbl AS c,
+           |    CAST(SUM(s.w) AS BIGINT) AS kic
+           |  FROM ${p}sym s JOIN $l lv ON s.v = lv.n GROUP BY 1, 2),
+           |${p}base AS MATERIALIZED (SELECT l.n, l.lbl,
+           |    CAST(COALESCE(d.ki, 0) AS BIGINT) AS ki, ta.tot AS tota,
+           |    CAST(COALESCE(ka.kic, 0) AS BIGINT) AS kia
+           |  FROM $l l
+           |  LEFT JOIN ${p}deg d ON l.n = d.n
+           |  JOIN ${p}tot ta ON ta.lbl = l.lbl
+           |  LEFT JOIN ${p}nbrc ka ON ka.n = l.n AND ka.c = l.lbl),
+           |${p}cand AS (SELECT b.n, b.lbl, nc.c,
+           |    CAST(nc.kic - b.kia AS DOUBLE) / m.m
+           |      - (CAST(b.ki AS DOUBLE) / (2.0 * m.m))
+           |        * (CAST(tc.tot - b.tota + b.ki AS DOUBLE) / m.m)
+           |      AS gain
+           |  FROM ${p}nbrc nc
+           |  JOIN ${p}base b ON b.n = nc.n AND nc.c <> b.lbl
+           |  JOIN ${p}tot tc ON tc.lbl = nc.c, ${p}m m),
+           |${p}best AS MATERIALIZED (SELECT n, c, gain FROM (
+           |    SELECT n, c, gain, ROW_NUMBER() OVER (PARTITION BY n
+           |      ORDER BY gain DESC, c ASC) AS rn FROM ${p}cand)
+           |  WHERE rn = 1),
+           |${p}out AS MATERIALIZED (SELECT b.n,
+           |    CASE WHEN bs.gain > 0 THEN bs.c ELSE b.lbl END AS lbl
+           |  FROM ${p}base b LEFT JOIN ${p}best bs ON bs.n = b.n)"""
+          .stripMargin
+      s"""WITH $coocPairsCte,
+         |g1 AS MATERIALIZED (SELECT u, v, CAST(1 AS BIGINT) AS w FROM (
+         |  SELECT DISTINCT LEAST(tok_a, tok_b) AS u,
+         |    GREATEST(tok_a, tok_b) AS v
+         |  FROM pairs WHERE tok_a <> tok_b)),
+         |l10 AS MATERIALIZED (SELECT n, n AS lbl FROM (
+         |  SELECT DISTINCT u AS n FROM (
+         |    SELECT u FROM g1 UNION SELECT v FROM g1))),
+         |${wRound("g1", "l10", "r11")},
+         |${wRound("g1", "r11out", "r12")},
+         |g2 AS MATERIALIZED (SELECT LEAST(la.lbl, lb.lbl) AS u,
+         |    GREATEST(la.lbl, lb.lbl) AS v,
+         |    CAST(SUM(g1.w) AS BIGINT) AS w
+         |  FROM g1 JOIN r12out la ON g1.u = la.n
+         |  JOIN r12out lb ON g1.v = lb.n GROUP BY 1, 2),
+         |l20 AS MATERIALIZED (SELECT n, n AS lbl FROM (
+         |  SELECT DISTINCT u AS n FROM (
+         |    SELECT u FROM g2 UNION SELECT v FROM g2))),
+         |${wRound("g2", "l20", "r21")},
+         |${wRound("g2", "r21out", "r22")}
+         |SELECT a.n AS node, f.lbl AS community
+         |FROM r12out a JOIN r22out f ON f.n = a.lbl
          |ORDER BY node""".stripMargin
     },
     // MERGE twin: kept targets ∪ surviving updates ∪ inserts — the

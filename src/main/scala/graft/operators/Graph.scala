@@ -941,6 +941,159 @@ object Graph {
     labels
   }
 
+  /** [[louvainMoveRound]] over a WEIGHTED canonical edge list with
+    * LONG count weights and self-loops — the form [[coarsenByLabels]]
+    * produces, which is what makes multi-level Louvain possible: after
+    * coarsening, "edges" are inter-community edge COUNTS and
+    * self-loops are internal counts, so every quantity here stays an
+    * exact long and the gain is still one fixed-shape double per
+    * candidate (cross-engine bit-stable through every level).
+    *
+    * Conventions (the original Louvain/igraph ones): an edge {u,v},
+    * u≠v, of weight w adds w to m, to k_u and to k_v; a self-loop
+    * {u,u} of weight w adds w to m and 2w to k_u. A node's self-loop
+    * travels with it on a move, so it cancels out of the gain
+    * comparison and is EXCLUDED from k_{i,C}; it still counts in k_i
+    * and Σ_C. Input rows are canonicalized (least, greatest) and
+    * summed, so callers may pass either orientation. */
+  def louvainMoveRoundWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, labels: DataFrame, nodeCol: String,
+      labelCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).as("__a"), col(dstCol).as("__b"),
+        col(wCol).cast("long").as("__w"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__w").isNotNull && col("__w") > 0L)
+      .select(least(col("__a"), col("__b")).as("__eu"),
+        greatest(col("__a"), col("__b")).as("__ev"), col("__w"))
+      .groupBy("__eu", "__ev").agg(sum("__w").cast("long").as("__w"))
+    val lab = labels.select(col(nodeCol).as("__n"),
+      col(labelCol).as("__lbl"))
+    val mDf = e.agg(sum("__w").cast("long").as("__m"))
+    // k_i: w to each endpoint of a proper edge, 2w for a self-loop
+    val deg = e.select(col("__eu").as("__n"),
+        when(col("__eu") === col("__ev"), col("__w") * 2L)
+          .otherwise(col("__w")).as("__kw"))
+      .unionByName(e.where(col("__eu") =!= col("__ev"))
+        .select(col("__ev").as("__n"), col("__w").as("__kw")))
+      .groupBy("__n").agg(sum("__kw").cast("long").as("__ki"))
+    val tot = lab.join(deg, Seq("__n"), "left").na.fill(0L, Seq("__ki"))
+      .groupBy("__lbl").agg(sum("__ki").cast("long").as("__tot"))
+    // weighted neighbor-community mass, self-loops excluded
+    val proper = e.where(col("__eu") =!= col("__ev"))
+    val sym = proper.select(col("__eu"), col("__ev"), col("__w"))
+      .unionByName(proper.select(col("__ev").as("__eu"),
+        col("__eu").as("__ev"), col("__w")))
+    val nbrC = sym
+      .join(lab.select(col("__n").as("__ev"), col("__lbl").as("__c")),
+        Seq("__ev"))
+      .groupBy(col("__eu").as("__n"), col("__c"))
+      .agg(sum("__w").cast("long").as("__kic"))
+    val base = lab
+      .join(deg, Seq("__n"), "left").na.fill(0L, Seq("__ki"))
+      .join(tot.select(col("__lbl"), col("__tot").as("__totA")),
+        Seq("__lbl"))
+      .join(nbrC.select(col("__n"), col("__c").as("__lbl"),
+        col("__kic").as("__kia")), Seq("__n", "__lbl"), "left")
+      .na.fill(0L, Seq("__kia"))
+    val cand = nbrC.join(base, Seq("__n"))
+      .where(col("__c") =!= col("__lbl"))
+      .join(tot.select(col("__lbl").as("__c"),
+        col("__tot").as("__totC")), Seq("__c"))
+      .crossJoin(broadcast(mDf))
+      .withColumn("__gain",
+        (col("__kic") - col("__kia")).cast("double")
+            / col("__m").cast("double")
+          - (col("__ki").cast("double")
+              / (lit(2.0d) * col("__m").cast("double")))
+            * ((col("__totC") - col("__totA") + col("__ki"))
+                .cast("double") / col("__m").cast("double")))
+    val best = cand.groupBy("__n")
+      .agg(min_by(struct(col("__c"), col("__gain")),
+        struct((lit(0.0d) - col("__gain")).as("ng"), col("__c")))
+        .as("__b"))
+      .select(col("__n"), col("__b.__c").as("__bc"),
+        col("__b.__gain").as("__bg"))
+    lab.join(best, Seq("__n"), "left")
+      .select(col("__n").as("node"), col("__lbl").as("old_label"),
+        when(col("__bg") > 0.0d, col("__bc")).otherwise(col("__lbl"))
+          .as("new_label"),
+        when(col("__bg") > 0.0d, col("__bg")).otherwise(lit(0.0d))
+          .as("gain"))
+  }
+
+  /** Louvain phase-2 coarsening: contract each community to one node;
+    * inter-community weights sum, internal weights (including existing
+    * self-loops) become the community's self-loop. One edges⋈labels
+    * join per endpoint (co-partitioned — labels are node-sized) + one
+    * grouped sum; weights stay exact longs. Modularity is INVARIANT
+    * under this contraction (spec-asserted via the identity-labels
+    * weighted sums), which is what lets the next level's moves keep
+    * optimizing the same Q. */
+  def coarsenByLabels(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, labels: DataFrame, nodeCol: String,
+      labelCol: String): DataFrame = {
+    val lab = labels.select(col(nodeCol).as("__n"),
+      col(labelCol).as("__lbl"))
+    edges
+      .select(col(srcCol).as("__a"), col(dstCol).as("__b"),
+        col(wCol).cast("long").as("__w"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__w").isNotNull && col("__w") > 0L)
+      .join(lab.select(col("__n").as("__a"), col("__lbl").as("__ca")),
+        Seq("__a"))
+      .join(lab.select(col("__n").as("__b"), col("__lbl").as("__cb")),
+        Seq("__b"))
+      .select(least(col("__ca"), col("__cb")).as("u"),
+        greatest(col("__ca"), col("__cb")).as("v"), col("__w"))
+      .groupBy("u", "v").agg(sum("__w").cast("long").as("w"))
+  }
+
+  /** Full multi-level Louvain (Blondel et al. 2008): per level,
+    * `roundsPerLevel` synchronous weighted move rounds
+    * ([[louvainMoveRoundWeighted]]) then community contraction
+    * ([[coarsenByLabels]]); the node→community map composes across
+    * levels by one keyed join per level. Deterministic end to end
+    * (every tie broken to the smallest label), exact-long weights at
+    * every level, per-step lineage cuts. Returns (node, community)
+    * over the BASE graph's nodes. */
+  def louvain(edges: DataFrame, srcCol: String, dstCol: String,
+      levels: Int = 2, roundsPerLevel: Int = 2): DataFrame = {
+    require(levels >= 1 && roundsPerLevel >= 1,
+      "at least one level and one round")
+    val base = edges
+      .select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("u"),
+        greatest(col("__a"), col("__b")).as("v"))
+      .distinct()
+      .withColumn("w", lit(1L))
+    var g = base.lineageCut()
+    var assign = g.select(col("u").as("node")).unionByName(
+        g.select(col("v").as("node"))).distinct()
+      .select(col("node"), col("node").as("community"))
+    for (_ <- 1 to levels) {
+      var labels = g.select(col("u").as("node")).unionByName(
+          g.select(col("v").as("node"))).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to roundsPerLevel) {
+        labels = louvainMoveRoundWeighted(g, "u", "v", "w", labels,
+          "node", "label")
+          .select(col("node"), col("new_label").as("label"))
+          .lineageCut()
+      }
+      assign = assign
+        .join(labels.select(col("node").as("community"),
+          col("label").as("__new")), Seq("community"))
+        .select(col("node"), col("__new").as("community"))
+        .lineageCut()
+      g = coarsenByLabels(g, "u", "v", "w", labels, "node", "label")
+        .lineageCut()
+    }
+    assign
+  }
+
   /** Both directions of each edge, self-loops dropped, null endpoints
     * dropped, parallel edges collapsed. */
   private def symmetrize(edges: DataFrame, srcCol: String,

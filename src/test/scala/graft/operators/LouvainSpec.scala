@@ -76,4 +76,64 @@ class LouvainSpec extends SparkSpec {
     assert(moved.except(again).count() === 0 &&
       again.except(moved).count() === 0)
   }
+
+  test("weighted move round with unit weights equals the unweighted round") {
+    val weighted = Graph.louvainMoveRoundWeighted(
+      triEdges.withColumn("w", lit(1L)), "u", "v", "w",
+      triLabels, "n", "lbl")
+    val unweighted = Graph.louvainMoveRound(triEdges, "u", "v",
+      triLabels, "n", "lbl")
+    assert(weighted.except(unweighted).count() === 0 &&
+      unweighted.except(weighted).count() === 0)
+  }
+
+  test("coarsenByLabels: hand-checked inter weights and self-loops") {
+    val labels = Seq(("a", "A"), ("b", "A"), ("c", "A"),
+      ("d", "B"), ("e", "B"), ("f", "B")).toDF("n", "lbl")
+    val coarse = Graph.coarsenByLabels(
+      triEdges.withColumn("w", lit(1L)), "u", "v", "w",
+      labels, "n", "lbl")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(coarse === Map(("A", "A") -> 3L, ("B", "B") -> 3L,
+      ("A", "B") -> 1L))
+  }
+
+  test("modularity is invariant under coarsening (weighted sums match the base Q)") {
+    val labels = Seq(("a", "A"), ("b", "A"), ("c", "A"),
+      ("d", "B"), ("e", "B"), ("f", "B")).toDF("n", "lbl")
+    val baseQ = Graph.modularity(triEdges, "u", "v", labels, "n", "lbl")
+      .agg(sum("q_term")).collect().head.getDouble(0)
+    val coarse = Graph.coarsenByLabels(
+      triEdges.withColumn("w", lit(1L)), "u", "v", "w",
+      labels, "n", "lbl")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // weighted Q of the coarse graph under identity labels, driver-side
+    val m = coarse.map(_._3).sum.toDouble
+    val selfW = coarse.collect { case (u, v, w) if u == v => u -> w }.toMap
+    val kOf = coarse.flatMap { case (u, v, w) =>
+      if (u == v) Seq(u -> 2L * w) else Seq(u -> w, v -> w)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val coarseQ = kOf.keys.toSeq.map { c =>
+      selfW.getOrElse(c, 0L) / m -
+        (kOf(c) / (2.0 * m)) * (kOf(c) / (2.0 * m))
+    }.sum
+    assert(math.abs(baseQ - coarseQ) < 1e-12,
+      s"base $baseQ vs coarse $coarseQ")
+  }
+
+  test("full louvain separates two bridged cliques into two communities") {
+    val k4a = for (i <- 1 to 4; j <- (i + 1) to 4) yield (s"a$i", s"a$j")
+    val k4b = for (i <- 1 to 4; j <- (i + 1) to 4) yield (s"b$i", s"b$j")
+    val edges = (k4a ++ k4b :+ ("a1", "b1")).toDF("u", "v")
+    val out = Graph.louvain(edges, "u", "v", levels = 2,
+      roundsPerLevel = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.size === 8)
+    val aComms = (1 to 4).map(i => out(s"a$i")).toSet
+    val bComms = (1 to 4).map(i => out(s"b$i")).toSet
+    assert(aComms.size === 1, s"clique A split: $aComms")
+    assert(bComms.size === 1, s"clique B split: $bComms")
+    assert(aComms != bComms, "cliques merged")
+  }
 }
