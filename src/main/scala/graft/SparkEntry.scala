@@ -2394,6 +2394,29 @@ object SparkEntry {
         .orderBy("shard")
     }),
 
+    // X223 score-calibration reliability table + ECE over a
+    // deterministic synthetic (score, label) pair derived from
+    // doc_id — miscalibrated by construction (label rate tracks
+    // doc_id%97 only loosely), so the bins carry nonzero gaps; means
+    // ride the decimal(18,12) exact-sum bridge
+    "calibration_bins" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        ((col("doc_id") % 97).cast("double") / lit(97.0)).as("score"),
+        when((col("doc_id") * 7919) % 97 < col("doc_id") % 97, 1L)
+          .otherwise(0L).as("label"))
+      graft.operators.Calibration.reliabilityBins(
+        scored, "score", "label", bins = 10)
+        .orderBy("bin")
+    }),
+    "calibration_ece" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        ((col("doc_id") % 97).cast("double") / lit(97.0)).as("score"),
+        when((col("doc_id") * 7919) % 97 < col("doc_id") % 97, 1L)
+          .otherwise(0L).as("label"))
+      graft.operators.Calibration.ece(scored, "score", "label",
+        bins = 10)
+    }),
+
     "zorder_keys" -> ((s, dir) =>
       graft.operators.Lake.zorderLayout(
         t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
@@ -5986,6 +6009,58 @@ object SparkEntry {
         |  CAST(weight AS DOUBLE) * CAST(ns AS DOUBLE)
         |    / CAST(tw AS DOUBLE) AS skew
         |FROM per, tot ORDER BY shard""".stripMargin,
+
+    // calibration twins: identical synthetic (score, label), the same
+    // equal-width binning with the 1.0 clamp, and means through the
+    // decimal(18,12) exact-sum + decimal(18,9) bridge
+    "calibration_bins" ->
+      """WITH scored AS (SELECT
+        |    CAST(doc_id % 97 AS DOUBLE) / 97.0 AS score,
+        |    CASE WHEN (doc_id * 7919) % 97 < doc_id % 97
+        |         THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |b AS (SELECT LEAST(CAST(FLOOR(score * 10) AS INT), 9) AS bin,
+        |    CAST(score AS DECIMAL(18,12)) AS s,
+        |    CAST(label AS BIGINT) AS l
+        |  FROM scored),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, SUM(s) AS ss,
+        |    CAST(SUM(l) AS BIGINT) AS sl FROM b GROUP BY bin),
+        |r AS (SELECT bin, n,
+        |    CAST(CAST(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS DECIMAL(18,9)) AS DOUBLE) AS conf,
+        |    CAST(CAST(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS DECIMAL(18,9)) AS DOUBLE) AS acc
+        |  FROM g)
+        |SELECT bin, n, conf, acc, acc - conf AS gap
+        |FROM r ORDER BY bin""".stripMargin,
+    "calibration_ece" ->
+      """WITH scored AS (SELECT
+        |    CAST(doc_id % 97 AS DOUBLE) / 97.0 AS score,
+        |    CASE WHEN (doc_id * 7919) % 97 < doc_id % 97
+        |         THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |b AS (SELECT LEAST(CAST(FLOOR(score * 10) AS INT), 9) AS bin,
+        |    CAST(score AS DECIMAL(18,12)) AS s,
+        |    CAST(label AS BIGINT) AS l
+        |  FROM scored),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, SUM(s) AS ss,
+        |    CAST(SUM(l) AS BIGINT) AS sl FROM b GROUP BY bin),
+        |r AS (SELECT bin, n,
+        |    CAST(CAST(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS DECIMAL(18,9)) AS DOUBLE) AS conf,
+        |    CAST(CAST(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS DECIMAL(18,9)) AS DOUBLE) AS acc
+        |  FROM g),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM r),
+        |w AS (SELECT n,
+        |    CAST(ABS(acc - conf) AS DECIMAL(18,12))
+        |      * CAST(n AS DECIMAL(20,0)) AS wgap,
+        |    ABS(acc - conf) AS agap FROM r)
+        |SELECT t.nn AS n,
+        |  CAST(CAST(CAST(SUM(w.wgap) AS DOUBLE) / CAST(t.nn AS DOUBLE)
+        |    AS DECIMAL(18,9)) AS DOUBLE) AS ece,
+        |  CAST(CAST(MAX(w.agap) AS DECIMAL(18,9)) AS DOUBLE) AS mce
+        |FROM w, t GROUP BY t.nn""".stripMargin,
 
     "zorder_keys" -> {
       // bit i of qa -> position 2i, of qb -> 2i+1 (Lake.zorderKey with
