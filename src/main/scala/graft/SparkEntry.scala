@@ -2382,6 +2382,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X224 mojibake REPAIR over the same deterministic injection as
+    // encoding_damage — the twin derives the expected repaired text
+    // ANALYTICALLY (original + true-character tails), so the derived
+    // repair map and the cp1252 translate are independently checked;
+    // n_residual proves repair clears the detector except the FFFD
+    // tombstone
+    "encoding_repair" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" cafÃ© â€™ Â°"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" �"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" "))
+            .otherwise(lit(""))).as("t"))
+      injected.select(col("doc_id"),
+          graft.operators.TextClean.repairMojibake(col("t")).as("fixed"))
+        .withColumn("d",
+          graft.operators.TextClean.encodingDamage(col("fixed")))
+        .select(col("doc_id"), col("fixed"),
+          (col("d.n_replacement") + col("d.n_c1") + col("d.n_mojibake"))
+            .as("n_residual"))
+        .orderBy("doc_id")
+    }),
+
     // X221 rendezvous-hash shard plan + balance report: md5 HRW over
     // doc_id into 8 shards (argmax of per-shard hashes — one narrow
     // in-row array, no explode), then per-shard rows / n_chars weight
@@ -4681,7 +4706,12 @@ object SparkEntry {
     // snippet whose inner WITH reuses an outer name in its own scope;
     // plain inlining tolerates the shadowing, materialization's
     // binder does not — leave those inlined)
-    val CteDef = "(\\w+) AS \\(".r
+    // negative lookbehind: a named WINDOW clause ("WINDOW win AS
+    // (PARTITION ...)") shares the `name AS (` shape but cannot be
+    // materialized
+    // \b pins the match to the name's start so the lookbehind cannot
+    // be dodged by re-matching a suffix of the same word
+    val CteDef = "(?<!WINDOW )\\b(\\w+) AS \\(".r
     val dup = CteDef.findAllMatchIn(sql).toList.groupBy(_.group(1))
       .collect { case (k, ms) if ms.size > 1 => k }.toSet
     CteDef.replaceAllIn(sql, m =>
@@ -4690,14 +4720,8 @@ object SparkEntry {
         m.group(1) + " AS MATERIALIZED ("))
   }
 
-  /** Twins whose CTE chains are deep and multiply-referenced —
-    * unrolled graph iterations and the composed curation funnel. */
-  private val heavyTwins: Set[String] = Set(
-    "curation_funnel", "split_by_component", "pagerank_directed",
-    "token_ppr", "token_hits", "token_kcore")
-
   def oracleSql: Map[String, String] = oracleSqlRaw.map { case (k, v) =>
-    k -> (if (heavyTwins(k)) materializeCtes(v) else v)
+    k -> materializeCtes(v)
   }
 
   private def oracleSqlRaw: Map[String, String] = Map(
@@ -5988,6 +6012,20 @@ object SparkEntry {
         |    AS n_mojibake,
         |  CAST(CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 0
         |       OR doc_id % 13 = 0 THEN 1 ELSE 0 END AS INT) AS damaged
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ANALYTIC repair twin: expected text = original + the TRUE
+    // characters the injected damage encodes (é ’ ° / … ’); only the
+    // FFFD tombstone survives the re-audit
+    "encoding_repair" ->
+      """SELECT doc_id,
+        |  text || CASE WHEN doc_id % 7 = 0 THEN ' café ’ °'
+        |               ELSE '' END
+        |       || CASE WHEN doc_id % 11 = 0 THEN ' �' ELSE '' END
+        |       || CASE WHEN doc_id % 13 = 0 THEN ' …’' ELSE '' END
+        |    AS fixed,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_residual
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // rendezvous-shard twin: full HRW argmax replay (md5 per (shard,

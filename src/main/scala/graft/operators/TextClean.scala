@@ -107,6 +107,61 @@ object TextClean {
     "Ã©|Ã¨|Ã¡|Ã³|Ãº|Ã±|Ã§|Ã¤|Ã¶|Ã¼|Ã£|Ãª|Ã®|Ã´|Ã»|" +
       "â€™|â€˜|â€œ|â€|â€“|â€”|â€¦|Â°|Â£|Â©|Â®|Â "
 
+  /** cp1252 mapping for the C1 range 0x80–0x9F (what a lenient
+    * decoder shows when cp1252 bytes are read as latin1): defined
+    * slots map to their cp1252 character, the five undefined slots
+    * (0x81 8D 8F 90 9D) stay as their C1 codepoint. */
+  private val Cp1252C1: Map[Int, Char] = Map(
+    0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ',
+    0x84 -> '„', 0x85 -> '…', 0x86 -> '†',
+    0x87 -> '‡', 0x88 -> 'ˆ', 0x89 -> '‰',
+    0x8A -> 'Š', 0x8B -> '‹', 0x8C -> 'Œ',
+    0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’',
+    0x93 -> '“', 0x94 -> '”', 0x95 -> '•',
+    0x96 -> '–', 0x97 -> '—', 0x98 -> '˜',
+    0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
+    0x9C -> 'œ', 0x9E -> 'ž', 0x9F -> 'Ÿ')
+
+  /** The mojibake rendering of `c`: its UTF-8 bytes re-decoded as
+    * cp1252-with-latin1-fallback — EXACTLY how the damage appears, so
+    * the repair map below is derived, not hand-typed (it cannot drift
+    * from the encoding tables). */
+  private def mojibakeOf(c: Char): String =
+    c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map { b =>
+        val i = b & 0xFF
+        Cp1252C1.getOrElse(i, i.toChar)
+      }.mkString
+
+  /** The characters [[repairMojibake]] restores — the same closed
+    * family the detector flags: accented latin vowels/consonants,
+    * the cp1252 punctuation block, and the Â-prefixed symbols. */
+  private val RepairTargets: Seq[Char] =
+    "éèáóúñçäöüãêîôû’‘“”–—…°£©® ".toSeq
+
+  /** ftfy-style mojibake REPAIR — the fixing companion of
+    * [[encodingDamage]] (detect first, repair what is confidently
+    * mappable): (1) each double-decoded digraph from the derived
+    * repair map collapses back to its true character (longest
+    * sequences first so "â€™" wins over any 2-char prefix);
+    * (2) remaining raw C1 controls translate through the cp1252
+    * table (a lone U+0092 was almost surely a cp1252 ’). U+FFFD is
+    * NOT touched — the original bytes are gone; it stays as the
+    * honest tombstone. Chained codegen'd regexp_replace + one
+    * translate, zero shuffles, null-in/null-out. */
+  def repairMojibake(c: Column): Column = {
+    val repairs = RepairTargets.map(t => mojibakeOf(t) -> t.toString)
+      .sortBy(-_._1.length)
+    val afterDigraphs = repairs.foldLeft(c) { case (acc, (bad, good)) =>
+      regexp_replace(acc,
+        java.util.regex.Pattern.quote(bad),
+        java.util.regex.Matcher.quoteReplacement(good))
+    }
+    val from = Cp1252C1.keys.toSeq.sorted.map(_.toChar).mkString
+    val to = Cp1252C1.keys.toSeq.sorted.map(Cp1252C1).mkString
+    translate(afterDigraphs, from, to)
+  }
+
   /** Encoding-damage audit: per-document counts of the three classic
     * mojibake signals — U+FFFD replacement characters (a decoder
     * already gave up), raw C1 controls ([[C1Class]]), and

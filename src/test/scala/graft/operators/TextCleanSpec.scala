@@ -108,4 +108,26 @@ class TextCleanSpec extends SparkSpec {
       .select("d.n_replacement").head
     assert(r.isNullAt(0))
   }
+
+  test("repairMojibake restores digraphs and lone C1 chars; FFFD stays") {
+    import spark.implicits._
+    def fix(s: String): String =
+      Seq(s).toDF("t").select(TextClean.repairMojibake(col("t")))
+        .head.getString(0)
+    assert(fix("cafÃ© â€™ Â°") === "café ’ °")
+    // en-dash and ellipsis damage (â€ + cp1252-mapped continuation)
+    assert(fix("a â€“ b â€¦") === "a – b …")
+    // lone C1 chars translate through the cp1252 table
+    assert(fix("its ok") === "it’s …ok")
+    // the replacement char is an honest tombstone — untouched
+    assert(fix("bad � char") === "bad � char")
+    // clean text is a fixpoint; repaired text re-audits clean
+    assert(fix("plain ascii") === "plain ascii")
+    val audited = Seq("cafÃ© â€™ Â° its").toDF("t")
+      .select(TextClean.encodingDamage(
+        TextClean.repairMojibake(col("t"))).as("d"))
+      .select("d.n_replacement", "d.n_c1", "d.n_mojibake").head
+    assert((audited.getLong(0), audited.getLong(1),
+      audited.getLong(2)) === ((0L, 0L, 0L)))
+  }
 }
