@@ -30,7 +30,13 @@ object Sharding {
   /** Shard id (0-based) for `key` under `numShards` via rendezvous
     * hashing: argmax over md5(shard || ':' || salt || ':' || key).
     * Ties are md5 collisions — ignored by construction. `salt`
-    * versions the whole layout (bump it to force a full reshard). */
+    * versions the whole layout (bump it to force a full reshard).
+    *
+    * Cost is `numShards` hashes per row — fine to a few thousand
+    * shards. For 10⁵+ output files, compose two levels (HRW into
+    * √N groups, then HRW within the group, salting the second level
+    * with the group id): √N + √N hashes per row, and a shard-count
+    * change still only disturbs its own subtree. */
   def rendezvousShard(key: Column, numShards: Int,
       salt: String = ""): Column = {
     require(numShards >= 1, "numShards must be >= 1")

@@ -100,7 +100,12 @@ class PlanAuditSpec extends SparkSpec {
       // communities-sized frame — bounded by construction; the
       // louvain move round rides the same broadcast 1-row m onto its
       // per-(node, neighbor-community) candidate frame
-      "modularity_by_community", "louvain_move")
+      "modularity_by_community", "louvain_move",
+      // calibration_ece crosses its broadcast 1-row bin-count total
+      // onto the bins-sized reliability frame; shard_plan crosses its
+      // broadcast 1-row weight total onto the shards-sized balance
+      // report — both bounded by construction (the bigram_pmi shape)
+      "calibration_ece", "shard_plan")
 
   // Queries allowed to plan a GLOBAL (unpartitioned) window — each
   // windows over a frame bounded by construction, documented at the
