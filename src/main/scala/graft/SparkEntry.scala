@@ -2442,6 +2442,15 @@ object SparkEntry {
         bins = 10)
     }),
 
+    // X225 EXACT mergeable distinct via the built-in bitmap
+    // aggregates — one 4-KiB bitmap per (key, occupied 32768-id
+    // bucket) crosses the shuffle after map-side combine; exact like
+    // COUNT(DISTINCT), shard-mergeable like HLL
+    "bitmap_distinct" -> ((s, dir) =>
+      graft.operators.Hll.exactDistinctBitmap(
+        t(s, dir, "events"), Seq("event_type"), "user_id")
+        .orderBy("event_type")),
+
     "zorder_keys" -> ((s, dir) =>
       graft.operators.Lake.zorderLayout(
         t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
@@ -6099,6 +6108,11 @@ object SparkEntry {
         |    AS DECIMAL(18,9)) AS DOUBLE) AS ece,
         |  CAST(CAST(MAX(w.agap) AS DECIMAL(18,9)) AS DOUBLE) AS mce
         |FROM w, t GROUP BY t.nn""".stripMargin,
+
+    "bitmap_distinct" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "zorder_keys" -> {
       // bit i of qa -> position 2i, of qb -> 2i+1 (Lake.zorderKey with

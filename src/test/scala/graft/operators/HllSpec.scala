@@ -166,4 +166,35 @@ class HllSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("est_a") -
       Hll.alphaM2(256) / 256.0) < 1e-9)
   }
+
+  test("exactDistinctBitmap matches COUNT(DISTINCT) per key and globally") {
+    val ev = spark.read.parquet(sf() + "/events.parquet")
+    val got = Hll.exactDistinctBitmap(ev, Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    val g = Hll.exactDistinctBitmap(ev, Nil, "user_id")
+      .collect().head.getLong(0)
+    assert(g === ev.select("user_id").distinct().count())
+  }
+
+  test("bitmap shards merge to the union count; negatives and reuse are exact") {
+    import spark.implicits._
+    val ev = spark.read.parquet(sf() + "/events.parquet")
+    val a = Hll.bitmapShards(
+      ev.where($"event_id" % 2 === 0), Seq("event_type"), "user_id")
+    val b = Hll.bitmapShards(
+      ev.where($"event_id" % 2 =!= 0), Seq("event_type"), "user_id")
+    val merged = Hll.mergeDistinctBitmaps(Seq(a, b), Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = Hll.exactDistinctBitmap(ev, Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === whole)
+    // negative ids land in negative buckets and stay exact
+    val neg = Seq(-1L, -1L, -40000L, 3L, 0L).toDF("v")
+    assert(Hll.exactDistinctBitmap(neg, Nil, "v")
+      .collect().head.getLong(0) === 4L)
+  }
 }
