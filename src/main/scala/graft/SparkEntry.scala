@@ -3893,6 +3893,18 @@ object SparkEntry {
         levels = 2, roundsPerLevel = 2)
         .orderBy("node")
     }),
+    // weighted-modularity score of the louvain assignment — the
+    // partition-quality read over the clustering X222 just produced
+    "louvain_quality" -> ((s, dir) => {
+      val pairs = SharedFrames.coocPairs(s, dir)
+        .select("tok_a", "tok_b")
+      val labels = graft.operators.Graph.louvain(pairs, "tok_a",
+        "tok_b", levels = 2, roundsPerLevel = 2)
+      graft.operators.Graph.modularityWeighted(
+        pairs.withColumn("w", lit(1L)), "tok_a", "tok_b", "w",
+        labels, "node", "community")
+        .orderBy("label")
+    }),
     // MERGE INTO: one full-outer key join applying update + insert +
     // conditional delete against a simulated source batch
     "merge_upsert" -> ((s, dir) => {
@@ -4728,6 +4740,75 @@ object SparkEntry {
       else java.util.regex.Matcher.quoteReplacement(
         m.group(1) + " AS MATERIALIZED ("))
   }
+
+  /** Shared louvain twin chain: 2 levels x 2 weighted move rounds +
+    * contraction, replaying Graph.louvain(levels=2, roundsPerLevel=2)
+    * on the co-occurrence graph; ends with `lv`(node, community), the
+    * final assignment. Round blocks are generated from ONE template
+    * (wRound = the louvainMoveRoundWeighted math) so the four rounds
+    * cannot drift; both louvain twins consume this single chain. */
+  private def louvainTwinChain: String = {
+    def wRound(g: String, l: String, p: String): String =
+      s"""${p}m AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS m FROM $g),
+         |${p}deg AS MATERIALIZED (SELECT n, CAST(SUM(kw) AS BIGINT) AS ki FROM (
+         |  SELECT u AS n, CASE WHEN u = v THEN 2 * w ELSE w END AS kw
+         |  FROM $g
+         |  UNION ALL SELECT v, w FROM $g WHERE u <> v) GROUP BY n),
+         |${p}tot AS MATERIALIZED (SELECT l.lbl,
+         |    CAST(SUM(COALESCE(d.ki, 0)) AS BIGINT) AS tot
+         |  FROM $l l LEFT JOIN ${p}deg d ON l.n = d.n GROUP BY l.lbl),
+         |${p}sym AS MATERIALIZED (SELECT u, v, w FROM $g WHERE u <> v
+         |  UNION ALL SELECT v, u, w FROM $g WHERE u <> v),
+         |${p}nbrc AS MATERIALIZED (SELECT s.u AS n, lv.lbl AS c,
+         |    CAST(SUM(s.w) AS BIGINT) AS kic
+         |  FROM ${p}sym s JOIN $l lv ON s.v = lv.n GROUP BY 1, 2),
+         |${p}base AS MATERIALIZED (SELECT l.n, l.lbl,
+         |    CAST(COALESCE(d.ki, 0) AS BIGINT) AS ki, ta.tot AS tota,
+         |    CAST(COALESCE(ka.kic, 0) AS BIGINT) AS kia
+         |  FROM $l l
+         |  LEFT JOIN ${p}deg d ON l.n = d.n
+         |  JOIN ${p}tot ta ON ta.lbl = l.lbl
+         |  LEFT JOIN ${p}nbrc ka ON ka.n = l.n AND ka.c = l.lbl),
+         |${p}cand AS (SELECT b.n, b.lbl, nc.c,
+         |    CAST(nc.kic - b.kia AS DOUBLE) / m.m
+         |      - (CAST(b.ki AS DOUBLE) / (2.0 * m.m))
+         |        * (CAST(tc.tot - b.tota + b.ki AS DOUBLE) / m.m)
+         |      AS gain
+         |  FROM ${p}nbrc nc
+         |  JOIN ${p}base b ON b.n = nc.n AND nc.c <> b.lbl
+         |  JOIN ${p}tot tc ON tc.lbl = nc.c, ${p}m m),
+         |${p}best AS MATERIALIZED (SELECT n, c, gain FROM (
+         |    SELECT n, c, gain, ROW_NUMBER() OVER (PARTITION BY n
+         |      ORDER BY gain DESC, c ASC) AS rn FROM ${p}cand)
+         |  WHERE rn = 1),
+         |${p}out AS MATERIALIZED (SELECT b.n,
+         |    CASE WHEN bs.gain > 0 THEN bs.c ELSE b.lbl END AS lbl
+         |  FROM ${p}base b LEFT JOIN ${p}best bs ON bs.n = b.n)"""
+        .stripMargin
+    s"""WITH $coocPairsCte,
+       |g1 AS MATERIALIZED (SELECT u, v, CAST(1 AS BIGINT) AS w FROM (
+       |  SELECT DISTINCT LEAST(tok_a, tok_b) AS u,
+       |    GREATEST(tok_a, tok_b) AS v
+       |  FROM pairs WHERE tok_a <> tok_b)),
+       |l10 AS MATERIALIZED (SELECT n, n AS lbl FROM (
+       |  SELECT DISTINCT u AS n FROM (
+       |    SELECT u FROM g1 UNION SELECT v FROM g1))),
+       |${wRound("g1", "l10", "r11")},
+       |${wRound("g1", "r11out", "r12")},
+       |g2 AS MATERIALIZED (SELECT LEAST(la.lbl, lb.lbl) AS u,
+       |    GREATEST(la.lbl, lb.lbl) AS v,
+       |    CAST(SUM(g1.w) AS BIGINT) AS w
+       |  FROM g1 JOIN r12out la ON g1.u = la.n
+       |  JOIN r12out lb ON g1.v = lb.n GROUP BY 1, 2),
+       |l20 AS MATERIALIZED (SELECT n, n AS lbl FROM (
+       |  SELECT DISTINCT u AS n FROM (
+       |    SELECT u FROM g2 UNION SELECT v FROM g2))),
+       |${wRound("g2", "l20", "r21")},
+       |${wRound("g2", "r21out", "r22")},
+       |lv AS MATERIALIZED (SELECT a.n AS node, f.lbl AS community
+       |  FROM r12out a JOIN r22out f ON f.n = a.lbl)""".stripMargin
+  }
+
 
   def oracleSql: Map[String, String] = oracleSqlRaw.map { case (k, v) =>
     k -> materializeCtes(v)
@@ -8107,71 +8188,35 @@ object SparkEntry {
     // from each other (wRound emits the Graph.louvainMoveRoundWeighted
     // math: long sums, the identical fixed-shape gain, argmax by
     // (gain DESC, label ASC), move iff gain > 0)
-    "louvain_communities" -> {
-      // one weighted move round over graph CTE `g`(u,v,w canonical)
-      // and labels CTE `l`(n,lbl); emits CTEs prefixed `p`, final
-      // labels in CTE `<p>out`(n, lbl)
-      def wRound(g: String, l: String, p: String): String =
-        s"""${p}m AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS m FROM $g),
-           |${p}deg AS MATERIALIZED (SELECT n, CAST(SUM(kw) AS BIGINT) AS ki FROM (
-           |  SELECT u AS n, CASE WHEN u = v THEN 2 * w ELSE w END AS kw
-           |  FROM $g
-           |  UNION ALL SELECT v, w FROM $g WHERE u <> v) GROUP BY n),
-           |${p}tot AS MATERIALIZED (SELECT l.lbl,
-           |    CAST(SUM(COALESCE(d.ki, 0)) AS BIGINT) AS tot
-           |  FROM $l l LEFT JOIN ${p}deg d ON l.n = d.n GROUP BY l.lbl),
-           |${p}sym AS MATERIALIZED (SELECT u, v, w FROM $g WHERE u <> v
-           |  UNION ALL SELECT v, u, w FROM $g WHERE u <> v),
-           |${p}nbrc AS MATERIALIZED (SELECT s.u AS n, lv.lbl AS c,
-           |    CAST(SUM(s.w) AS BIGINT) AS kic
-           |  FROM ${p}sym s JOIN $l lv ON s.v = lv.n GROUP BY 1, 2),
-           |${p}base AS MATERIALIZED (SELECT l.n, l.lbl,
-           |    CAST(COALESCE(d.ki, 0) AS BIGINT) AS ki, ta.tot AS tota,
-           |    CAST(COALESCE(ka.kic, 0) AS BIGINT) AS kia
-           |  FROM $l l
-           |  LEFT JOIN ${p}deg d ON l.n = d.n
-           |  JOIN ${p}tot ta ON ta.lbl = l.lbl
-           |  LEFT JOIN ${p}nbrc ka ON ka.n = l.n AND ka.c = l.lbl),
-           |${p}cand AS (SELECT b.n, b.lbl, nc.c,
-           |    CAST(nc.kic - b.kia AS DOUBLE) / m.m
-           |      - (CAST(b.ki AS DOUBLE) / (2.0 * m.m))
-           |        * (CAST(tc.tot - b.tota + b.ki AS DOUBLE) / m.m)
-           |      AS gain
-           |  FROM ${p}nbrc nc
-           |  JOIN ${p}base b ON b.n = nc.n AND nc.c <> b.lbl
-           |  JOIN ${p}tot tc ON tc.lbl = nc.c, ${p}m m),
-           |${p}best AS MATERIALIZED (SELECT n, c, gain FROM (
-           |    SELECT n, c, gain, ROW_NUMBER() OVER (PARTITION BY n
-           |      ORDER BY gain DESC, c ASC) AS rn FROM ${p}cand)
-           |  WHERE rn = 1),
-           |${p}out AS MATERIALIZED (SELECT b.n,
-           |    CASE WHEN bs.gain > 0 THEN bs.c ELSE b.lbl END AS lbl
-           |  FROM ${p}base b LEFT JOIN ${p}best bs ON bs.n = b.n)"""
-          .stripMargin
-      s"""WITH $coocPairsCte,
-         |g1 AS MATERIALIZED (SELECT u, v, CAST(1 AS BIGINT) AS w FROM (
-         |  SELECT DISTINCT LEAST(tok_a, tok_b) AS u,
-         |    GREATEST(tok_a, tok_b) AS v
-         |  FROM pairs WHERE tok_a <> tok_b)),
-         |l10 AS MATERIALIZED (SELECT n, n AS lbl FROM (
-         |  SELECT DISTINCT u AS n FROM (
-         |    SELECT u FROM g1 UNION SELECT v FROM g1))),
-         |${wRound("g1", "l10", "r11")},
-         |${wRound("g1", "r11out", "r12")},
-         |g2 AS MATERIALIZED (SELECT LEAST(la.lbl, lb.lbl) AS u,
-         |    GREATEST(la.lbl, lb.lbl) AS v,
-         |    CAST(SUM(g1.w) AS BIGINT) AS w
-         |  FROM g1 JOIN r12out la ON g1.u = la.n
-         |  JOIN r12out lb ON g1.v = lb.n GROUP BY 1, 2),
-         |l20 AS MATERIALIZED (SELECT n, n AS lbl FROM (
-         |  SELECT DISTINCT u AS n FROM (
-         |    SELECT u FROM g2 UNION SELECT v FROM g2))),
-         |${wRound("g2", "l20", "r21")},
-         |${wRound("g2", "r21out", "r22")}
-         |SELECT a.n AS node, f.lbl AS community
-         |FROM r12out a JOIN r22out f ON f.n = a.lbl
-         |ORDER BY node""".stripMargin
-    },
+    "louvain_communities" ->
+      s"""$louvainTwinChain
+         |SELECT node, community FROM lv ORDER BY node""".stripMargin,
+    // weighted-modularity score of the final louvain assignment over
+    // the unit-weight base graph — the replay of
+    // Graph.modularityWeighted's exact longs + one fixed double
+    "louvain_quality" ->
+      s"""$louvainTwinChain,
+         |mm AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS m FROM g1),
+         |intr AS MATERIALIZED (SELECT lu.community AS label,
+         |    CAST(SUM(g1.w) AS BIGINT) AS w_in
+         |  FROM g1 JOIN lv lu ON g1.u = lu.node
+         |  JOIN lv lw ON g1.v = lw.node
+         |  WHERE lu.community = lw.community GROUP BY 1),
+         |dg AS MATERIALIZED (SELECT n, CAST(SUM(kw) AS BIGINT) AS d FROM (
+         |  SELECT u AS n, CASE WHEN u = v THEN 2 * w ELSE w END AS kw
+         |  FROM g1
+         |  UNION ALL SELECT v, w FROM g1 WHERE u <> v) GROUP BY n),
+         |byc AS MATERIALIZED (SELECT lv.community AS label,
+         |    CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    CAST(SUM(COALESCE(dg.d, 0)) AS BIGINT) AS deg_sum
+         |  FROM lv LEFT JOIN dg ON lv.node = dg.n GROUP BY 1)
+         |SELECT b.label, b.n_nodes,
+         |  CAST(COALESCE(i.w_in, 0) AS BIGINT) AS w_in, b.deg_sum, mm.m,
+         |  CAST(COALESCE(i.w_in, 0) AS DOUBLE) / mm.m
+         |    - (CAST(b.deg_sum AS DOUBLE) / (2.0 * mm.m))
+         |      * (CAST(b.deg_sum AS DOUBLE) / (2.0 * mm.m)) AS q_term
+         |FROM byc b LEFT JOIN intr i ON b.label = i.label, mm
+         |ORDER BY b.label""".stripMargin,
     // MERGE twin: kept targets ∪ surviving updates ∪ inserts — the
     // delete condition applies to MATCHED source rows only (unmatched
     // source rows insert regardless, Delta's clause separation)

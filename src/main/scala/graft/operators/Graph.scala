@@ -829,6 +829,60 @@ object Graph {
       .select("label", "n_nodes", "e_in", "deg_sum", "m", "q_term")
   }
 
+  /** WEIGHTED per-community modularity — [[modularity]] generalized
+    * to the weighted-with-self-loops graphs [[coarsenByLabels]]
+    * produces (and any caller-weighted edge list with exact LONG
+    * weights): q_term(c) = w_in(c)/m − (S_c/2m)², where w_in counts
+    * internal edge weight (a self-loop counts its full weight), k_i
+    * follows the Louvain convention (w per proper-edge endpoint, 2w
+    * per self-loop) and S_c = Σ k_i. Reduces exactly to
+    * [[modularity]] on a unit-weight simple graph (spec-asserted).
+    * Same scale shape and exact-longs/one-double contract. */
+  def modularityWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, labels: DataFrame, nodeCol: String,
+      labelCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).as("__a"), col(dstCol).as("__b"),
+        col(wCol).cast("long").as("__w"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__w").isNotNull && col("__w") > 0L)
+      .select(least(col("__a"), col("__b")).as("__eu"),
+        greatest(col("__a"), col("__b")).as("__ev"), col("__w"))
+      .groupBy("__eu", "__ev").agg(sum("__w").cast("long").as("__w"))
+    val lab = labels.select(col(nodeCol).as("__n"),
+      col(labelCol).as("label"))
+    val mDf = e.agg(sum("__w").cast("long").as("m"))
+    val internal = e
+      .join(lab.select(col("__n").as("__eu"), col("label").as("__cu")),
+        Seq("__eu"))
+      .join(lab.select(col("__n").as("__ev"), col("label").as("__cv")),
+        Seq("__ev"))
+      .filter(col("__cu") === col("__cv"))
+      .groupBy(col("__cu").as("label"))
+      .agg(sum("__w").cast("long").as("w_in"))
+    val deg = e.select(col("__eu").as("__n"),
+        when(col("__eu") === col("__ev"), col("__w") * 2L)
+          .otherwise(col("__w")).as("__kw"))
+      .unionByName(e.where(col("__eu") =!= col("__ev"))
+        .select(col("__ev").as("__n"), col("__w").as("__kw")))
+      .groupBy("__n").agg(sum("__kw").cast("long").as("__d"))
+    val byC = lab.join(deg, Seq("__n"), "left")
+      .na.fill(0L, Seq("__d"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum("__d").cast("long").as("deg_sum"))
+    byC.join(internal, Seq("label"), "left")
+      .na.fill(0L, Seq("w_in"))
+      .crossJoin(broadcast(mDf))
+      .withColumn("q_term",
+        col("w_in").cast("double") / col("m").cast("double")
+          - (col("deg_sum").cast("double")
+              / (lit(2.0d) * col("m").cast("double")))
+            * (col("deg_sum").cast("double")
+              / (lit(2.0d) * col("m").cast("double"))))
+      .select("label", "n_nodes", "w_in", "deg_sum", "m", "q_term")
+  }
+
   /** ONE synchronous Louvain move round (the phase-1 local-move step
     * of Blondel et al. 2008 §2, made deterministic): every labeled
     * node simultaneously evaluates moving into each NEIGHBOR

@@ -122,6 +122,33 @@ class LouvainSpec extends SparkSpec {
       s"base $baseQ vs coarse $coarseQ")
   }
 
+  test("modularityWeighted reduces to modularity on unit weights and " +
+      "scores coarse graphs identically to the base assignment") {
+    val labels = Seq(("a", "A"), ("b", "A"), ("c", "A"),
+      ("d", "B"), ("e", "B"), ("f", "B")).toDF("n", "lbl")
+    val unw = Graph.modularity(triEdges, "u", "v", labels, "n", "lbl")
+      .select("label", "q_term").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val w = Graph.modularityWeighted(
+      triEdges.withColumn("w", lit(1L)), "u", "v", "w",
+      labels, "n", "lbl")
+      .select("label", "q_term").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(unw === w)
+    // the coarse graph under identity labels carries the SAME Q
+    val coarse = Graph.coarsenByLabels(
+      triEdges.withColumn("w", lit(1L)), "u", "v", "w",
+      labels, "n", "lbl")
+    val idLabels = coarse.select($"u".as("n")).union(
+        coarse.select($"v")).distinct()
+      .select($"n", $"n".as("lbl"))
+    val coarseQ = Graph.modularityWeighted(coarse, "u", "v", "w",
+      idLabels, "n", "lbl")
+      .agg(sum("q_term")).collect().head.getDouble(0)
+    val baseQ = unw.values.sum
+    assert(math.abs(coarseQ - baseQ) < 1e-12)
+  }
+
   test("full louvain separates two bridged cliques into two communities") {
     val k4a = for (i <- 1 to 4; j <- (i + 1) to 4) yield (s"a$i", s"a$j")
     val k4b = for (i <- 1 to 4; j <- (i + 1) to 4) yield (s"b$i", s"b$j")
