@@ -105,7 +105,10 @@ class PlanAuditSpec extends SparkSpec {
       // onto the bins-sized reliability frame; shard_plan crosses its
       // broadcast 1-row weight total onto the shards-sized balance
       // report — both bounded by construction (the bigram_pmi shape)
-      "calibration_ece", "shard_plan")
+      "calibration_ece", "shard_plan",
+      // louvain_quality rides modularityWeighted's broadcast 1-row m
+      // cross onto the communities-sized frame (the modularity shape)
+      "louvain_quality")
 
   // Queries allowed to plan a GLOBAL (unpartitioned) window — each
   // windows over a frame bounded by construction, documented at the
