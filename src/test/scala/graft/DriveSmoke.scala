@@ -778,6 +778,30 @@ object DriveSmoke {
       .agg(sum("d.n_replacement"), sum("d.n_c1"), sum("d.n_mojibake"))
     dmg.explain("formatted")
     println("DAMAGE=" + dmg.collect()(0).toSeq.mkString(","))
+    // r16: calibration, bitmap distinct, louvain + weighted modularity
+    val scored = docs.select(
+      (($"doc_id" % 97).cast("double") / lit(97.0)).as("score"),
+      when(($"doc_id" * 7919) % 97 < $"doc_id" % 97, 1L)
+        .otherwise(0L).as("label"))
+    val ecef = graft.operators.Calibration.ece(scored, "score", "label")
+    ecef.explain("formatted")
+    println("ECE=" + ecef.collect()(0).getDouble(1))
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val bd = graft.operators.Hll.exactDistinctBitmap(
+      ev, Seq("event_type"), "user_id")
+    bd.explain("formatted")
+    println("BITMAP_DISTINCT=" + bd.collect()
+      .map(r => r.getString(0) + ":" + r.getLong(1)).mkString(" "))
+    val louv = graft.operators.Graph.louvain(coocE, "tok_a", "tok_b",
+      levels = 2, roundsPerLevel = 2)
+    val lq = graft.operators.Graph.modularityWeighted(
+      coocE.withColumn("w", lit(1L)), "tok_a", "tok_b", "w",
+      louv, "node", "community")
+    lq.explain("formatted")
+    println("LOUVAIN_Q=" + lq.agg(sum("q_term")).collect()(0).getDouble(0))
+    val fixedText = docs.select(
+      graft.operators.TextClean.repairMojibake($"text").as("f"))
+    println("REPAIR_ROWS=" + fixedText.count())
     spark.stop()
   }
 }
