@@ -15,6 +15,12 @@ object Verify {
       // default; read as long (epoch nanos) and convert where needed.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // PER-PROCESS warehouse: bucketed-table queries write managed
+      // tables; a shared ./spark-warehouse let a concurrent process
+      // (another Verify tier, a spec run) overwrite them mid-read —
+      // observed once as a bucketed_join count mismatch at sf1
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-wh-${ProcessHandle.current.pid}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -12,6 +12,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // per-process warehouse: keeps spec-written bucketed tables from
+      // racing a concurrently running Verify/Bench over a shared
+      // ./spark-warehouse (same rationale as Verify.scala)
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-wh-${ProcessHandle.current.pid}")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
