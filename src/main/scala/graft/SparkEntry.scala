@@ -106,6 +106,17 @@ object SparkEntry {
         md5NearDupPairs(s, dir).select("id_a", "id_b"), "id_a", "id_b")
     }
 
+  // process-shared louvain assignment (2 levels × 2 rounds on the
+  // co-occurrence graph) — a pipeline persists its clustering once
+  // and both the assignment dump and the quality score read it
+  private def louvainLabelsShared(s: SparkSession,
+      dir: String): DataFrame =
+    SharedFrames.materialized(s, dir, "louvain22") {
+      graft.operators.Graph.louvain(
+        SharedFrames.coocPairs(s, dir).select("tok_a", "tok_b"),
+        "tok_a", "tok_b", levels = 2, roundsPerLevel = 2)
+    }
+
   // process-shared TRAINED (murmur/FNV minhash) near-dup pair table at
   // the registry's threshold 0.5 — the trained sibling of
   // md5NearDupPairs: the corpus minhash is the expensive part and the
@@ -3886,23 +3897,18 @@ object SparkEntry {
     // rounds + community contraction) on the co-occurrence graph —
     // exact-long count weights at every level, so the whole
     // clustering replays in SQL
-    "louvain_communities" -> ((s, dir) => {
-      val pairs = SharedFrames.coocPairs(s, dir)
-        .select("tok_a", "tok_b")
-      graft.operators.Graph.louvain(pairs, "tok_a", "tok_b",
-        levels = 2, roundsPerLevel = 2)
-        .orderBy("node")
-    }),
+    "louvain_communities" -> ((s, dir) =>
+      louvainLabelsShared(s, dir).orderBy("node")),
     // weighted-modularity score of the louvain assignment — the
     // partition-quality read over the clustering X222 just produced
+    // (reads the shared assignment artifact, the persist-then-score
+    // pipeline shape)
     "louvain_quality" -> ((s, dir) => {
       val pairs = SharedFrames.coocPairs(s, dir)
         .select("tok_a", "tok_b")
-      val labels = graft.operators.Graph.louvain(pairs, "tok_a",
-        "tok_b", levels = 2, roundsPerLevel = 2)
       graft.operators.Graph.modularityWeighted(
         pairs.withColumn("w", lit(1L)), "tok_a", "tok_b", "w",
-        labels, "node", "community")
+        louvainLabelsShared(s, dir), "node", "community")
         .orderBy("label")
     }),
     // MERGE INTO: one full-outer key join applying update + insert +
