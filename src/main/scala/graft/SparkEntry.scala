@@ -2453,6 +2453,29 @@ object SparkEntry {
         bins = 10)
     }),
 
+    // X226 exact grouped ROC-AUC (rank-sum with average-rank ties,
+    // all longs + one division) and the PR sweep — both over the
+    // calibration synthetic, cumulatives via the grouped two-phase
+    // scan (no PARTITION BY window)
+    "auc_by_lang" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("lang"),
+        ((col("doc_id") % 97).cast("double") / lit(97.0)).as("score"),
+        when((col("doc_id") * 7919) % 97 < col("doc_id") % 97, 1L)
+          .otherwise(0L).as("label"))
+      graft.operators.Calibration.aucByKey(scored, Seq("lang"),
+        "score", "label")
+        .orderBy("lang")
+    }),
+    "pr_curve" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("lang"),
+        ((col("doc_id") % 97).cast("double") / lit(97.0)).as("score"),
+        when((col("doc_id") * 7919) % 97 < col("doc_id") % 97, 1L)
+          .otherwise(0L).as("label"))
+      graft.operators.Calibration.prCurveByKey(scored, Seq("lang"),
+        "score", "label")
+        .orderBy("lang", "threshold")
+    }),
+
     // X225 EXACT mergeable distinct via the built-in bitmap
     // aggregates — one 4-KiB bitmap per (key, occupied 32768-id
     // bucket) crosses the shuffle after map-side combine; exact like
@@ -6200,6 +6223,58 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // grouped ROC-AUC twin: identical rank-sum identity — per
+    // (lang, score) counts, ascending cumulative, tie-group
+    // contribution np*(2*below + n + 1), one final division
+    "auc_by_lang" ->
+      """WITH scored AS (SELECT lang,
+        |    CAST(doc_id % 97 AS DOUBLE) / 97.0 AS s,
+        |    CASE WHEN (doc_id * 7919) % 97 < doc_id % 97
+        |         THEN 1 ELSE 0 END AS l
+        |  FROM documents),
+        |g AS (SELECT lang, s, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(l) AS BIGINT) AS np FROM scored GROUP BY 1, 2),
+        |c AS (SELECT lang, s, n, np,
+        |    CAST(SUM(n) OVER (PARTITION BY lang ORDER BY s) AS BIGINT)
+        |      AS cum FROM g),
+        |p AS (SELECT lang,
+        |    CAST(SUM(np * (2 * (cum - n) + n + 1)) AS BIGINT)
+        |      AS two_sum,
+        |    CAST(SUM(np) AS BIGINT) AS npos,
+        |    CAST(SUM(n) AS BIGINT) AS ntot FROM c GROUP BY lang)
+        |SELECT lang, ntot AS n, npos AS n_pos,
+        |  CASE WHEN npos > 0 AND ntot > npos THEN
+        |    CAST(two_sum - npos * (npos + 1) AS DOUBLE)
+        |      / CAST(2 * npos * (ntot - npos) AS DOUBLE)
+        |  END AS auc
+        |FROM p ORDER BY lang""".stripMargin,
+
+    // PR-sweep twin: descending cumulative counts per threshold,
+    // exact TP/FP/FN + single-division precision/recall
+    "pr_curve" ->
+      """WITH scored AS (SELECT lang,
+        |    CAST(doc_id % 97 AS DOUBLE) / 97.0 AS s,
+        |    CASE WHEN (doc_id * 7919) % 97 < doc_id % 97
+        |         THEN 1 ELSE 0 END AS l
+        |  FROM documents),
+        |g AS (SELECT lang, s, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(l) AS BIGINT) AS np FROM scored GROUP BY 1, 2),
+        |c AS (SELECT lang, s, n, np,
+        |    CAST(SUM(n) OVER (PARTITION BY lang ORDER BY s DESC)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(np) OVER (PARTITION BY lang ORDER BY s DESC)
+        |      AS BIGINT) AS cump FROM g),
+        |t AS (SELECT lang, CAST(SUM(np) AS BIGINT) AS tpos
+        |      FROM g GROUP BY lang)
+        |SELECT c.lang, c.s AS threshold,
+        |  c.cump AS tp, c.cum - c.cump AS fp, t.tpos - c.cump AS fn,
+        |  CAST(c.cump AS DOUBLE) / CAST(c.cum AS DOUBLE) AS precision,
+        |  CASE WHEN t.tpos > 0 THEN
+        |    CAST(c.cump AS DOUBLE) / CAST(t.tpos AS DOUBLE) END
+        |    AS recall
+        |FROM c JOIN t ON t.lang = c.lang
+        |ORDER BY c.lang, threshold""".stripMargin,
 
     "zorder_keys" -> {
       // bit i of qa -> position 2i, of qb -> 2i+1 (Lake.zorderKey with

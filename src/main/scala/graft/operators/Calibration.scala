@@ -50,6 +50,92 @@ object Calibration {
           - bridged(col("__ss"), col("n"))).as("gap"))
   }
 
+  /** EXACT grouped ROC-AUC via the rank-sum (Mann–Whitney) identity
+    * with average-rank tie handling — the discrimination-side read
+    * next to [[reliabilityBins]]'s calibration: AUC =
+    * (2·ΣR₊ − n₊(n₊+1)) / (2·n₊·n₋), where ΣR₊ sums positives'
+    * average ranks under ascending score order. Everything up to the
+    * final single division is exact longs: per (key, score) counts,
+    * cumulative counts via the grouped two-phase scan
+    * ([[PrefixScan.runningSumByKey]] — no PARTITION BY window, hot
+    * keys safe), and each tie group contributes
+    * n₊·(2·below + n + 1) = 2·Σ(average ranks of its positives).
+    *
+    * Returns (keyCols..., n, n_pos, auc) — auc null when a key has no
+    * positives or no negatives (undefined, not 0.5). Empty `keyCols`
+    * computes one global row. Long-exactness holds to ~10⁹ rows per
+    * key (2·ΣR₊ < 2n²). */
+  def aucByKey(df: DataFrame, keyCols: Seq[String], scoreCol: String,
+      labelCol: String): DataFrame = {
+    val keys = if (keyCols.nonEmpty) keyCols else Seq("__allk")
+    val base0 = df.where(col(scoreCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s") +:
+        col(labelCol).cast("long").as("__l") +: keyCols.map(col): _*)
+    val base = if (keyCols.nonEmpty) base0
+      else base0.withColumn("__allk", lit(1))
+    val byScore = base.groupBy(keys.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum("__l").cast("long").as("__np"))
+    val scanned = PrefixScan.runningSumByKey(byScore, keys,
+      Seq(col("__s").asc), "__n", outCol = "__cum")
+    val perKey = scanned
+      .withColumn("__contrib",
+        col("__np") * (lit(2L) * (col("__cum") - col("__n"))
+          + col("__n") + 1L))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("__contrib").cast("long").as("__two_sum"),
+        sum("__np").cast("long").as("n_pos"),
+        sum("__n").cast("long").as("n"))
+    val out = perKey.select(keys.map(col) :+ col("n") :+ col("n_pos") :+
+      when(col("n_pos") > 0L && col("n") > col("n_pos"),
+        (col("__two_sum") - col("n_pos") * (col("n_pos") + 1L))
+          .cast("double")
+          / (lit(2L) * col("n_pos") * (col("n") - col("n_pos")))
+            .cast("double"))
+        .as("auc"): _*)
+    if (keyCols.nonEmpty) out else out.drop("__allk")
+  }
+
+  /** Precision/recall sweep over every distinct score threshold
+    * (predict positive iff score ≥ t): per (key, t) the exact
+    * TP/FP/FN and single-division precision/recall — the
+    * operating-point table read next to [[aucByKey]]'s scalar.
+    * Cumulatives via the grouped scan under DESCENDING score order
+    * (two passes, one per counter — the scan carries one long).
+    * Output rows per key = distinct scores; quantize dense float
+    * scores upstream if that bound matters. */
+  def prCurveByKey(df: DataFrame, keyCols: Seq[String], scoreCol: String,
+      labelCol: String): DataFrame = {
+    val keys = if (keyCols.nonEmpty) keyCols else Seq("__allk")
+    val base0 = df.where(col(scoreCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("threshold") +:
+        col(labelCol).cast("long").as("__l") +: keyCols.map(col): _*)
+    val base = if (keyCols.nonEmpty) base0
+      else base0.withColumn("__allk", lit(1))
+    val byScore = base.groupBy(keys.map(col) :+ col("threshold"): _*)
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum("__l").cast("long").as("__np"))
+    val c1 = PrefixScan.runningSumByKey(byScore, keys,
+      Seq(col("threshold").desc), "__n", outCol = "__cum")
+    val c2 = PrefixScan.runningSumByKey(c1, keys,
+      Seq(col("threshold").desc), "__np", outCol = "__cump")
+    val tot = byScore.groupBy(keys.map(col): _*)
+      .agg(sum("__np").cast("long").as("__tpos"))
+    val out = c2.join(tot, keys)
+      .select(keys.map(col) :+ col("threshold") :+
+        col("__cump").as("tp") :+
+        (col("__cum") - col("__cump")).as("fp") :+
+        (col("__tpos") - col("__cump")).as("fn") :+
+        (col("__cump").cast("double") / col("__cum").cast("double"))
+          .as("precision") :+
+        when(col("__tpos") > 0L,
+          col("__cump").cast("double") / col("__tpos").cast("double"))
+          .as("recall"): _*)
+    if (keyCols.nonEmpty) out else out.drop("__allk")
+  }
+
   /** Expected calibration error over [[reliabilityBins]]: one row,
     * `ece = Σ_b (n_b/N)·|acc_b − conf_b|`, plus N and the max
     * absolute bin gap (MCE). The per-bin |gap| and the weighted sum

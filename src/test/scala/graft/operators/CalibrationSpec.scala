@@ -37,6 +37,60 @@ class CalibrationSpec extends SparkSpec {
     assert(pe.getDouble(1) === 0.0 && pe.getDouble(2) === 0.0)
   }
 
+  test("aucByKey: hand-checked ranks with ties; perfect and inverted scores") {
+    val d = Seq(
+      ("x", 0.1, 0L), ("x", 0.2, 0L), ("x", 0.3, 1L), ("x", 0.3, 0L),
+      ("x", 0.9, 1L),
+      ("p", 0.1, 0L), ("p", 0.2, 0L), ("p", 0.8, 1L), ("p", 0.9, 1L),
+      ("r", 0.1, 1L), ("r", 0.2, 1L), ("r", 0.8, 0L), ("r", 0.9, 0L),
+      ("allpos", 0.5, 1L)
+    ).toDF("k", "score", "label")
+    val out = Calibration.aucByKey(d, Seq("k"), "score", "label")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // ranks 1,2,{3.5,3.5},5; sum of positive ranks 8.5 -> 11/12
+    assert(math.abs(out("x").get - 11.0 / 12.0) < 1e-15)
+    assert(out("p").get === 1.0)
+    assert(out("r").get === 0.0)
+    assert(out("allpos").isEmpty) // undefined, not 0.5
+  }
+
+  test("aucByKey matches a driver-side pairwise computation on real data") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select($"lang",
+        (($"doc_id" % 97).cast("double") / lit(97.0)).as("score"),
+        when(($"doc_id" * 7919) % 97 < $"doc_id" % 97, 1L)
+          .otherwise(0L).as("label"))
+    val got = Calibration.aucByKey(docs, Seq("lang"), "score", "label")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val rows = docs.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2)))
+    for ((lang, perLang) <- rows.groupBy(_._1)) {
+      val pos = perLang.filter(_._3 == 1L).map(_._2)
+      val neg = perLang.filter(_._3 == 0L).map(_._2)
+      val wins = (for (p <- pos; n <- neg) yield
+        if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      val expected = wins / (pos.length.toDouble * neg.length)
+      assert(math.abs(got(lang) - expected) < 1e-12,
+        s"$lang: ${got(lang)} vs $expected")
+    }
+  }
+
+  test("prCurveByKey: hand-checked sweep") {
+    val d = Seq(
+      ("x", 0.1, 0L), ("x", 0.2, 0L), ("x", 0.3, 1L), ("x", 0.3, 0L),
+      ("x", 0.9, 1L)).toDF("k", "score", "label")
+    val out = Calibration.prCurveByKey(d, Seq("k"), "score", "label")
+      .collect().map(r => r.getDouble(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out(0.9) === ((1L, 0L, 1L, 1.0, 0.5)))
+    assert(out(0.3)._1 === 2L && out(0.3)._2 === 1L && out(0.3)._3 === 0L)
+    assert(math.abs(out(0.3)._4 - 2.0 / 3.0) < 1e-15)
+    assert(out(0.3)._5 === 1.0)
+    assert(out(0.1) === ((2L, 3L, 0L, 0.4, 1.0)))
+  }
+
   test("null scores and labels are dropped") {
     val withNulls = Seq(
       (Some(0.5), Some(1L)), (None, Some(0L)), (Some(0.5), None)
