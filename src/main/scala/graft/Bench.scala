@@ -12,9 +12,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // per-process warehouse — same isolation rationale as Verify
-      .config("spark.sql.warehouse.dir",
-        s"/tmp/graft-wh-${ProcessHandle.current.pid}")
+      // per-process warehouse — same isolation rationale as Verify;
+      // WarehouseDir wipes stale same-pid leftovers + self-cleans
+      .config("spark.sql.warehouse.dir", WarehouseDir.path)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the alphabetically-first query doesn't

@@ -4163,15 +4163,22 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 4000),
         "vec_id", "embedding", nClusters = 32, threshold = 0.9)
         .select("vec_id", "label").orderBy("vec_id")),
-    // SemDeDup SELECTION with fixed centroids (first 8 embeddings) —
-    // no Lloyd's, so cell assignment + in-cell exact-cosine pairing is
-    // float-deterministic and oracle-checked end to end (the trained
-    // semantic_dedup stays rows-only for the kmeans fit alone); the
-    // synthetic embeddings carry no true near-dups, so the threshold
-    // sits at the top of the actual cosine distribution
+    // SemDeDup SELECTION with fixed centroids — no Lloyd's, so cell
+    // assignment + in-cell exact-cosine pairing is float-deterministic
+    // and oracle-checked end to end (the trained semantic_dedup stays
+    // rows-only for the kmeans fit alone); the synthetic embeddings
+    // carry no true near-dups, so the threshold sits at the top of the
+    // actual cosine distribution. The centroid count is DERIVED FROM
+    // THE CORPUS SIZE (first max(8, ceil(n/250)) embeddings — the twin
+    // computes the same cutoff from COUNT(*)), so cells grow with the
+    // data and the in-cell pair volume stays LINEAR in n: the gate
+    // query now exercises the documented nClusters∝n scale shape
+    // instead of pinning 8 cells (which made sf0.1→sf1 go ×25). At
+    // sf≤0.1 (n≤2000) the cutoff floors at the historical 8.
     "semantic_dedup_fixed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      val nCent = math.max(8L, math.ceil(emb.count() / 250.0).toLong)
+      val cents = emb.filter(col("vec_id") < nCent).orderBy("vec_id")
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)
       graft.operators.Dedup.semanticDedupPairsWithCentroids(
         emb, "vec_id", "embedding", cents, threshold = 0.35)
@@ -4207,11 +4214,15 @@ object SparkEntry {
     // triplet mining with fixed centroids — the hard-negative
     // SELECTION (in-cell scoring, per-anchor argmax positive/negative
     // with (cosine desc, id asc) ties) machine-checked; only Lloyd's
-    // keeps the trained variant rows-only
+    // keeps the trained variant rows-only. Centroid count is
+    // sf-derived exactly like semantic_dedup_fixed (max(8,
+    // ceil(n/250)), twin in lockstep) so in-cell pair volume scales
+    // linearly with the corpus.
     "triplet_mine_fixed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select("vec_id", "embedding", "label")
-      val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      val nCent = math.max(8L, math.ceil(emb.count() / 250.0).toLong)
+      val cents = emb.filter(col("vec_id") < nCent).orderBy("vec_id")
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)
       graft.operators.Triplets.mineWithCentroids(
         emb, "vec_id", "embedding", "label", cents)
@@ -4747,11 +4758,18 @@ object SparkEntry {
     * invisible at sf0.01 (milliseconds × multiplier), a 66 GB spill
     * at sf1 (measured on pagerank_directed, r16). Purely an oracle-
     * evaluation hint: results are byte-identical either way. Applied
-    * to the iterative/heavily-shared twins below via [[heavyTwins]];
-    * the pattern `name AS (` only ever occurs at CTE definitions in
-    * this SQL dialect (column aliases are `expr AS name`, derived
-    * tables are `(...) name`). */
-  private def materializeCtes(sql: String): String = {
+    * GLOBALLY — [[oracleSql]] maps every twin in [[oracleSqlRaw]]
+    * through this rewrite; the pattern `name AS (` only ever occurs
+    * at CTE definitions in this SQL dialect (column aliases are
+    * `expr AS name`, derived tables are `(...) name`, and the named-
+    * WINDOW / shadowed-name shapes are excluded below). Column-list
+    * CTE heads (`r(x) AS (`) are deliberately NOT matched (the `)`
+    * before ` AS` breaks `\w+`) and stay inlined — also safe, just
+    * unoptimized. `WITH RECURSIVE r AS (` IS matched and DuckDB
+    * accepts the materialized recursive form (exercised by the
+    * *_md5 component twins at sf1). Edge cases are pinned by
+    * MaterializeCtesSpec. */
+  private[graft] def materializeCtes(sql: String): String = {
     // skip names defined more than once (a composed twin may nest a
     // snippet whose inner WITH reuses an outer name in its own scope;
     // plain inlining tolerates the shadowing, materialization's
@@ -5066,7 +5084,9 @@ object SparkEntry {
            |   CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
            |   / (${normOf("ea.embedding")} * ${normOf("eb.embedding")}) END)""".stripMargin
       s"""WITH cells AS (SELECT vec_id AS cell, embedding AS cemb
-         |               FROM embeddings WHERE vec_id < 8),
+         |               FROM embeddings WHERE vec_id <
+         |                 (SELECT GREATEST(8, CAST(ceil(COUNT(*) / 250.0)
+         |                    AS BIGINT)) FROM embeddings)),
          |asg AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT e.vec_id, c.cell,
@@ -5131,7 +5151,9 @@ object SparkEntry {
            |   CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
            |   / (${normOf("ea.embedding")} * ${normOf("eb.embedding")}) END)""".stripMargin
       s"""WITH cells AS (SELECT vec_id AS cell, embedding AS cemb
-         |               FROM embeddings WHERE vec_id < 8),
+         |               FROM embeddings WHERE vec_id <
+         |                 (SELECT GREATEST(8, CAST(ceil(COUNT(*) / 250.0)
+         |                    AS BIGINT)) FROM embeddings)),
          |asg AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT e.vec_id, c.cell,
@@ -6211,7 +6233,7 @@ object SparkEntry {
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM r),
         |w AS (SELECT n,
         |    CAST(ABS(acc - conf) AS DECIMAL(18,12))
-        |      * CAST(n AS DECIMAL(20,0)) AS wgap,
+        |      * CAST(n AS DECIMAL(19,0)) AS wgap,
         |    ABS(acc - conf) AS agap FROM r)
         |SELECT t.nn AS n,
         |  CAST(CAST(CAST(SUM(w.wgap) AS DOUBLE) / CAST(t.nn AS DOUBLE)

@@ -18,9 +18,9 @@ object Verify {
       // PER-PROCESS warehouse: bucketed-table queries write managed
       // tables; a shared ./spark-warehouse let a concurrent process
       // (another Verify tier, a spec run) overwrite them mid-read —
-      // observed once as a bucketed_join count mismatch at sf1
-      .config("spark.sql.warehouse.dir",
-        s"/tmp/graft-wh-${ProcessHandle.current.pid}")
+      // observed once as a bucketed_join count mismatch at sf1.
+      // WarehouseDir wipes stale same-pid leftovers + self-cleans.
+      .config("spark.sql.warehouse.dir", WarehouseDir.path)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -30,6 +30,8 @@ object Calibration {
   def reliabilityBins(df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 1, "bins must be >= 1")
+    checkReserved(Seq(scoreCol, labelCol),
+      Seq("bin", "__s", "__l", "n", "conf", "acc", "gap"))
     val score = col(scoreCol).cast("double")
     val label = col(labelCol).cast("long")
     def bridged(sumCol: org.apache.spark.sql.Column,
@@ -67,6 +69,9 @@ object Calibration {
     * key (2·ΣR₊ < 2n²). */
   def aucByKey(df: DataFrame, keyCols: Seq[String], scoreCol: String,
       labelCol: String): DataFrame = {
+    checkReserved(keyCols :+ scoreCol :+ labelCol,
+      Seq("__s", "__l", "__n", "__np", "__cum", "__contrib", "__allk",
+        "n", "n_pos", "auc"))
     val keys = if (keyCols.nonEmpty) keyCols else Seq("__allk")
     val base0 = df.where(col(scoreCol).isNotNull &&
         col(labelCol).isNotNull)
@@ -107,6 +112,9 @@ object Calibration {
     * scores upstream if that bound matters. */
   def prCurveByKey(df: DataFrame, keyCols: Seq[String], scoreCol: String,
       labelCol: String): DataFrame = {
+    checkReserved(keyCols :+ scoreCol :+ labelCol,
+      Seq("threshold", "__l", "__n", "__np", "__cum", "__cump",
+        "__tpos", "__allk", "tp", "fp", "fn", "precision", "recall"))
     val keys = if (keyCols.nonEmpty) keyCols else Seq("__allk")
     val base0 = df.where(col(scoreCol).isNotNull &&
         col(labelCol).isNotNull)
@@ -146,8 +154,13 @@ object Calibration {
     val tot = b.agg(sum("n").cast("long").as("__N"))
     b.crossJoin(broadcast(tot))
       .select(col("__N"),
+        // decimal(19,0): the product type is decimal(18+19+1=38,12) —
+        // exactly at Spark's 38-digit cap with NO precision loss; a
+        // (20,0) count made it decimal(38,11) with HALF_UP rounding,
+        // silently diverging from DuckDB's exact DECIMAL(38,12) the
+        // moment the bridge scale exceeds 11
         (abs(col("gap")).cast("decimal(18,12)")
-          * col("n").cast("decimal(20,0)")).as("__w"),
+          * col("n").cast("decimal(19,0)")).as("__w"),
         abs(col("gap")).as("__g"))
       .groupBy("__N")
       .agg(sum("__w").as("__sw"), max("__g").as("mce"))
@@ -155,5 +168,18 @@ object Calibration {
         (col("__sw").cast("double") / col("__N").cast("double"))
           .cast("decimal(18,9)").cast("double").as("ece"),
         col("mce").cast("decimal(18,9)").cast("double").as("mce"))
+  }
+
+  /** Reject input column names that collide with the operator's
+    * internal working columns or output schema — a keyCol named
+    * `threshold` or a scoreCol named `__s` would otherwise produce
+    * ambiguous-reference errors or silently wrong columns deep inside
+    * the plan (the CorpusSketch.minhashSketchByKey convention). */
+  private def checkReserved(inputs: Seq[String],
+      reserved: Seq[String]): Unit = {
+    val hit = inputs.filter(reserved.contains)
+    require(hit.isEmpty,
+      s"input column name(s) ${hit.mkString(", ")} collide with " +
+        s"reserved internal/output columns $reserved — rename upstream")
   }
 }

@@ -47,10 +47,17 @@ object Sharding {
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
-  /** Assignment frame: input plus a `shard` column. */
+  /** Assignment frame: input plus a `shard` column. Rejects inputs
+    * that already carry a `shard` column — `withColumn` would
+    * silently REPLACE it (a re-sharded frame piped back in would
+    * lose its original assignment with no error). */
   def shardPlan(df: DataFrame, keyCol: String, numShards: Int,
-      salt: String = ""): DataFrame =
+      salt: String = ""): DataFrame = {
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — drop or rename it before " +
+        "shardPlan (withColumn would silently replace it)")
     df.withColumn("shard", rendezvousShard(col(keyCol), numShards, salt))
+  }
 
   /** Per-shard balance report over an assignment: rows, weight (bytes
     * if `weightCol` given, else rows again), and each shard's share
@@ -60,6 +67,10 @@ object Sharding {
     * one-row total; shards-sized output. */
   def shardBalance(assigned: DataFrame, weightCol: Option[String] = None)
       : DataFrame = {
+    val reserved = Seq("__tw", "__ns", "n_rows", "weight", "skew")
+    require(weightCol.forall(w => !reserved.contains(w)),
+      s"weightCol collides with reserved internal/output columns " +
+        s"$reserved — rename upstream")
     val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
     val per = assigned.groupBy("shard")
       .agg(count(lit(1)).cast("long").as("n_rows"),

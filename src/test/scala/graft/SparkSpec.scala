@@ -14,9 +14,9 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       // per-process warehouse: keeps spec-written bucketed tables from
       // racing a concurrently running Verify/Bench over a shared
-      // ./spark-warehouse (same rationale as Verify.scala)
-      .config("spark.sql.warehouse.dir",
-        s"/tmp/graft-wh-${ProcessHandle.current.pid}")
+      // ./spark-warehouse (same rationale as Verify.scala);
+      // WarehouseDir wipes stale same-pid leftovers + self-cleans
+      .config("spark.sql.warehouse.dir", WarehouseDir.path)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -99,4 +99,20 @@ class CalibrationSpec extends SparkSpec {
       .collect()
     assert(out.length === 1 && out.head.getLong(1) === 1L)
   }
+
+  test("reserved-column collisions are rejected with a pointed error") {
+    val d = Seq((0.5, 1L, "a")).toDF("score", "label", "threshold")
+    val e = intercept[IllegalArgumentException] {
+      Calibration.prCurveByKey(d, Seq("threshold"), "score", "label")
+    }
+    assert(e.getMessage.contains("threshold"))
+    val d2 = Seq((0.5, 1L)).toDF("__s", "label")
+    assert(intercept[IllegalArgumentException] {
+      Calibration.aucByKey(d2, Nil, "__s", "label")
+    }.getMessage.contains("__s"))
+    assert(intercept[IllegalArgumentException] {
+      Calibration.reliabilityBins(
+        Seq((0.5, 1L)).toDF("bin", "label"), "bin", "label")
+    }.getMessage.contains("bin"))
+  }
 }

@@ -73,4 +73,18 @@ class ShardingSpec extends SparkSpec {
     assert(math.abs(skewSum - 8.0) < 1e-9)
     assert(bal.map(_.getDouble(3)).max < 2.0) // no pathological shard
   }
+
+  test("shardPlan rejects an input that already carries 'shard'") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "n_chars")
+    val once = Sharding.shardPlan(d, "doc_id", 8)
+    val e = intercept[IllegalArgumentException] {
+      Sharding.shardPlan(once, "doc_id", 9)
+    }
+    assert(e.getMessage.contains("shard"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sharding.shardBalance(once, Some("weight"))
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
 }
