@@ -46,8 +46,18 @@ object StreamSoak {
       stateBytes: Long, watermark: String)
 
   /** Collects every progress event for one named query (recentProgress
-    * only keeps the last 100; a soak can produce more). */
-  private final class Collector(queryName: String)
+    * only keeps the last 100; a soak can produce more).
+    *
+    * `memoStateRows`: pipelines whose dedup state lives in a
+    * foreachBatch-compacted table (nearDupIngest's accepted-signature
+    * segments) have NO state-store operator, so `p.stateOperators` is
+    * empty and the state line would read a misleading 0 forever. For
+    * those, the caller passes a cumulative-row sampler (the survivor
+    * counter — one signature row per survivor) and a payload width;
+    * the collector reports that as the state line instead. */
+  private final class Collector(queryName: String,
+      memoStateRows: Option[() => Long] = None,
+      memoBytesPerRow: Long = 16L)
       extends StreamingQueryListener {
     val triggers = new ArrayBuffer[Trigger]
     override def onQueryStarted(
@@ -62,6 +72,8 @@ object StreamSoak {
           .filter(_.nonEmpty)
           .map(ops => (ops.map(_.numRowsTotal).sum,
             ops.map(_.memoryUsedBytes).sum))
+          .orElse(memoStateRows.map { f =>
+            val r = f(); (r, r * memoBytesPerRow) })
           .getOrElse((0L, 0L))
         triggers.synchronized {
           triggers += Trigger(p.batchId, p.numInputRows,
@@ -100,12 +112,23 @@ object StreamSoak {
     s"""$extras,"per_trigger":$perTrigger}"""
   }
 
+  /** Args: outJson, soakSecA, soakSecB, docsPerSec, eventsPerSec.
+    * The rate args accept comma-separated STEPPED rates
+    * ("5000,10000,20000") — each rate soaks for its phase's full
+    * duration in its own query, producing one section per (pipeline,
+    * rate) named `neardup_ingest_<rate>` / `sessionization_<rate>`
+    * (single rates keep the historical unsuffixed names). A pipeline
+    * saturates where rows_per_sec_wall stops tracking the offered
+    * rate and max_trigger_ms escapes the trigger interval — the knee
+    * the r16 verdict asked to locate. */
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("STREAM_SOAK.json")
     val soakA = args.lift(1).map(_.toInt).getOrElse(300)
     val soakB = args.lift(2).map(_.toInt).getOrElse(180)
-    val docsPerSec = args.lift(3).map(_.toInt).getOrElse(2000)
-    val eventsPerSec = args.lift(4).map(_.toInt).getOrElse(20000)
+    def rates(i: Int, dflt: Int): Seq[Int] = args.lift(i)
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(dflt))
+    val docRates = rates(3, 2000)
+    val eventRates = rates(4, 20000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -116,8 +139,11 @@ object StreamSoak {
     spark.sparkContext.setLogLevel("WARN")
     val sections = new ArrayBuffer[String]
 
-    // ---- Phase A: near-dup ingest ----
-    {
+    // ---- Phase A: near-dup ingest (one run per offered rate) ----
+    for (docsPerSec <- docRates) {
+      val label = if (docRates.size == 1) "neardup_ingest"
+        else s"neardup_ingest_$docsPerSec"
+      val qname = s"graft-soak-neardup-$docsPerSec"
       val vocabCol = array(Vocab.map(lit): _*)
       val grp = col("value") - pmod(col("value"), lit(10L))
       val mutPos = pmod(hash(col("value")), lit(40))
@@ -133,30 +159,38 @@ object StreamSoak {
         .select(col("value").as("doc_id"),
           array_join(words, " ").as("text"))
       val survivors = new AtomicLong(0)
-      val collector = new Collector("graft-soak-neardup")
+      // memo-state pipeline: the accepted-signature state lives in a
+      // foreachBatch-compacted table (no state-store operator), so the
+      // collector samples the cumulative survivor count — one 16-byte
+      // (id long, sig long) row per survivor — as the state line
+      val collector = new Collector(qname,
+        memoStateRows = Some(() => survivors.get))
       spark.streams.addListener(collector)
       val t0 = System.nanoTime()
       val filter = streaming.StreamIngest.nearDupIngest(
         docs, "doc_id", "text",
         onSurvivors = b => survivors.addAndGet(b.count()),
-        queryName = "graft-soak-neardup")
+        queryName = qname)
       Thread.sleep(soakA * 1000L)
       filter.query.stop()
       filter.query.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
       val stateRows = filter.acceptedSignatures.count()
       spark.streams.removeListener(collector)
-      sections += summarize("neardup_ingest", collector.triggers.toSeq,
+      sections += summarize(label, collector.triggers.toSeq,
         wall, Map(
           "rows_per_sec_offered" -> docsPerSec.toString,
           "survivors" -> survivors.get.toString,
           "accepted_signature_rows" -> stateRows.toString))
-      println(s"[soak] neardup: ${survivors.get} survivors, " +
+      println(s"[soak] $label: ${survivors.get} survivors, " +
         s"$stateRows accepted sigs, ${collector.triggers.size} triggers")
     }
 
     // ---- Phase B: sessionization (flatMapGroupsWithState) ----
-    {
+    for (eventsPerSec <- eventRates) {
+      val label = if (eventRates.size == 1) "sessionization"
+        else s"sessionization_$eventsPerSec"
+      val qname = s"graft-soak-sessions-$eventsPerSec"
       val users = 15000
       val events = spark.readStream.format("rate")
         .option("rowsPerSecond", eventsPerSec.toLong)
@@ -167,11 +201,11 @@ object StreamSoak {
         events, "user_id", "ts", maxGapMs = 2000,
         watermark = "5 seconds")
       val closed = new AtomicLong(0)
-      val collector = new Collector("graft-soak-sessions")
+      val collector = new Collector(qname)
       spark.streams.addListener(collector)
       val t0 = System.nanoTime()
       val q = sessions.writeStream
-        .queryName("graft-soak-sessions")
+        .queryName(qname)
         .outputMode("append")
         .foreachBatch { (b: DataFrame, _: Long) =>
           closed.addAndGet(b.count()); () }
@@ -180,12 +214,12 @@ object StreamSoak {
       q.stop(); q.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
       spark.streams.removeListener(collector)
-      sections += summarize("sessionization", collector.triggers.toSeq,
+      sections += summarize(label, collector.triggers.toSeq,
         wall, Map(
           "rows_per_sec_offered" -> eventsPerSec.toString,
           "closed_sessions" -> closed.get.toString,
           "distinct_users" -> users.toString))
-      println(s"[soak] sessions: ${closed.get} closed, " +
+      println(s"[soak] $label: ${closed.get} closed, " +
         s"${collector.triggers.size} triggers")
     }
 
