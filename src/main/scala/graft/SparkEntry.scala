@@ -2321,6 +2321,48 @@ object SparkEntry {
         .orderBy("canon_url")
     }),
 
+    // X227 raw-crawl WET/WARC record ingest — the missing FIRST stage
+    // of the curation funnel: a deterministic multi-member-gzip WET
+    // fixture is synthesized FROM documents (doc_id % 10 stratum so
+    // the fixture scales with sf; 16 shard files written DISTRIBUTED
+    // via mapGroups — no driver collect), read back through
+    // WetSource's framing parser, and the twin derives every field
+    // ANALYTICALLY from documents (the url_canonical_dedup recipe) —
+    // so header framing, multi-member resync, Content-Length
+    // accounting, and UTF-8 decode are all independently checked.
+    "wet_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-wet-fix").toString
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          concat(lit("http://"), col("source"),
+            lit(".example.com/"), col("lang"), lit("/"),
+            col("doc_id").cast("string")).as("url"),
+          format_string("2024-01-01T%02d:%02d:%02dZ",
+            ((col("doc_id") % 86400) / 3600).cast("int"),
+            ((col("doc_id") % 3600) / 60).cast("int"),
+            (col("doc_id") % 60).cast("int")).as("warc_date"),
+          col("text"))
+      docs.select(pmod(col("doc_id"), lit(16L)).as("shard"),
+          col("doc_id"), col("url"), col("warc_date"), col("text"))
+        .as[(Long, Long, String, String, String)]
+        .groupByKey(_._1)
+        .mapGroups { (shard, it) =>
+          val recs = it.toSeq.sortBy(_._2)
+            .map(r => (r._3, r._4, r._5))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, f"shard$shard%02d.warc.wet.gz"),
+            graft.sources.WetSource.writeMembers(recs))
+          shard
+        }.collect() // 16 shard ids — the write barrier, driver-small
+      graft.sources.WetSource.read(s, tmp + "/*.warc.wet.gz")
+        .select(col("url"), col("warcDate").as("warc_date"),
+          col("nBytes").as("n_bytes"), col("text"))
+        .orderBy("url")
+    }),
+
     // X217 corpus-level MinHash sketch overlap matrix (md5 gate form —
     // the murmur kernel is CorpusSketch.minhashSketchByKey /
     // sketchJaccardPairs, spec-gated): per-SOURCE union sketch = 8 md5
@@ -6080,6 +6122,23 @@ object SparkEntry {
         |SELECT canon_url, min(doc_id) AS doc_id,
         |  count(*) AS n_variants
         |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
+    // analytic WET twin: every field rebuilt from the documents table
+    // by the synthesis rule — url concat, the HH:MM:SS arithmetic,
+    // and n_bytes as the UTF-8 OCTET count (octet_length over encode)
+    // — never by re-running the framing parser, so the parser is
+    // independently checked end to end
+    "wet_ingest" ->
+      """SELECT
+        |  'http://' || source || '.example.com/' || lang || '/' ||
+        |    CAST(doc_id AS VARCHAR) AS url,
+        |  strftime(TIMESTAMP '2024-01-01 00:00:00'
+        |    + to_seconds(doc_id % 86400), '%Y-%m-%dT%H:%M:%SZ')
+        |    AS warc_date,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  text
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY url""".stripMargin,
 
     // per-source union sketch (min over the source's distinct shingle
     // set per md5 hash fn) → complete pairwise component-match matrix;
