@@ -7,6 +7,7 @@ lesson: the driver run said 185 s, the judge's re-run 119 s, and the
 evidence lived only in the judge's session).
 
 Usage: python3 tools/bench_local.py <round> [runs=3] [sf_dir] [cpus] [out]
+       [only=q1,q2,...]   (subset runs record their membership in the artifact)
 Writes BENCH_LOCAL_r{round}.json in the repo root (or `out` when given —
 the sf1 scale runs commit as BENCH_SF1_r{round}.json to keep the sf0.1
 round-over-round series clean).
@@ -20,9 +21,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def one_run(sf_dir: str, cpus: str) -> dict:
+def one_run(sf_dir: str, cpus: str, only: str = "") -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=cpus)
     env.pop("SPARK_GRAFT_ONLY", None)
+    if only:  # explicit subset runs (the sf10 heavy-subset artifact)
+        env["SPARK_GRAFT_ONLY"] = only
     t0 = time.time()
     load0 = os.getloadavg()
     out = subprocess.run(
@@ -61,9 +64,10 @@ def main() -> None:
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     cpus = sys.argv[4] if len(sys.argv) > 4 else "32"
+    only = sys.argv[6] if len(sys.argv) > 6 else ""
     results = []
     for i in range(runs):
-        r = one_run(sf_dir, cpus)
+        r = one_run(sf_dir, cpus, only)
         results.append(r)
         print(f"run {i + 1}/{runs}: total={r['total']} "
               f"wall={r['wall_sec']}s load={r['loadavg_before']}",
@@ -84,6 +88,7 @@ def main() -> None:
         for q in names if q in cold and cold[q] - mins[q] >= 0.5}
     art = {
         "round": int(rnd),
+        "subset": sorted(only.split(",")) if only else None,
         "sf": sf_dir,
         "cpus": int(cpus),
         "runs": results,
