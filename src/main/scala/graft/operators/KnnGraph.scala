@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -90,5 +91,107 @@ object KnnGraph {
     fwd.join(rev, Seq("src", "dst"))
       .filter(col("src") < col("dst"))
       .select(col("src").as("idA"), col("dst").as("idB"), col("score"))
+  }
+
+  /** Batched BEAM SEARCH over a precomputed neighbor graph — the
+    * graph-traversal ANN family (NSW/HNSW, Malkov & Yashunin 2016;
+    * DiskANN, Jayaram Subramanya et al. 2019) expressed in Spark's
+    * bulk-synchronous model: instead of one sequential priority queue
+    * per query, EVERY query advances one hop per superstep, and each
+    * superstep is three bounded joins. Complements the cell-probe
+    * family ([[IvfIndex]] and its code variants): a graph search
+    * reaches across cell boundaries by construction — the recall
+    * failure mode of one-cell probing — at the price of `hops`
+    * sequential rounds.
+    *
+    * Semantics (deterministic, the batched variant — NOT the
+    * sequential best-first queue, which is order-dependent):
+    *   - hop 0: every query scores the shared `seeds` entry points.
+    *   - hop h: the up-to-`beam` best nodes FIRST DISCOVERED at hop
+    *     h−1 (ties: id ASC) expand along `edges`; neighbors already
+    *     scored for that query are dropped (each (query, node) pair
+    *     is scored exactly ONCE); survivors are scored.
+    *   - result: top-`k` of everything visited, rank 1-based,
+    *     ties id ASC.
+    * Recall rises monotonically in `beam`, `hops`, and seed count
+    * (the visited set only grows); `hops=0` degenerates to scoring
+    * the seeds.
+    *
+    * Scale design (100 TB corpus, large query batch): per superstep,
+    * (a) frontier⋈edges is a slim (qid, node) join co-partitioned on
+    * the graph's src key — frontier is ≤ queries×beam rows; (b) the
+    * visited anti-join bounds re-scoring, with visited ≤
+    * queries×(seeds + hops×beam×maxDegree) rows of three columns —
+    * bounded state, the graph analog of a watermark; (c) vectors
+    * join back by node id ONCE per newly discovered node, so the
+    * score-kernel volume equals the number of distinct visits, never
+    * corpus×queries. Per-query windows run over frontier-expansion
+    * slices (≤ beam×maxDegree rows per qid) — WindowGroupLimit cuts
+    * them below the shuffle; no global window, no corpus broadcast.
+    * Seeds ride a guarded driver-side collect (≤ `maxSeeds`, the
+    * [[Coreset]] center-list contract) into one literal-array
+    * explode — zero shuffle, no cross join. Per-hop lineage cuts via
+    * [[Checkpoints.cut]] (the Pregel convention of [[Graph]]).
+    *
+    * @param edges directed adjacency (srcCol, dstCol) — e.g.
+    *              [[knnEdgesWithCentroids]] output; scores on the
+    *              edges are NOT used (the query re-scores nodes).
+    * @param seeds single-column frame of entry-point ids, shared by
+    *              all queries. Driver-small by contract (≤ maxSeeds).
+    * @return (qid, id, score, rank) with rank ≤ k per qid. */
+  def graphSearch(base: DataFrame, idCol: String, vecCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      seeds: DataFrame, beam: Int, hops: Int, k: Int,
+      metric: Metric = Metric.Cosine, maxSeeds: Int = 64): DataFrame = {
+    require(beam > 0, "beam must be positive")
+    require(hops >= 0, "hops must be >= 0")
+    require(k > 0, "k must be positive")
+    val bv = base.select(col(idCol).as("__nid"), col(vecCol).as("__nv"))
+    val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
+    val adj = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct()
+
+    val seedRows = seeds.select(col(seeds.columns.head).as("__nid"))
+      .distinct().limit(maxSeeds + 1).collect()
+    require(seedRows.nonEmpty, "at least one seed entry point")
+    require(seedRows.length <= maxSeeds,
+      s"seed frame exceeds maxSeeds=$maxSeeds — entry points are a " +
+        "driver-small list by contract (raise maxSeeds deliberately)")
+    val seedArr = array(seedRows.map(r => lit(r.get(0))): _*)
+
+    val ord =
+      if (metric.ascending) Seq(col("__s").asc, col("__nid").asc)
+      else Seq(col("__s").desc, col("__nid").asc)
+    // (qid, nid) -> (qid, nid, score): vectors join back by id once
+    // per distinct visit
+    def score(cand: DataFrame): DataFrame =
+      cand.join(bv, "__nid").join(q, "__qid")
+        .select(col("__qid"), col("__nid"),
+          metric.score(col("__qv"), col("__nv")).as("__s"))
+    def topPerQ(scored: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("__qid")).orderBy(ord: _*)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n)
+    }
+
+    var visited = Checkpoints.cut(score(
+      q.select(col("__qid"), explode(seedArr).as("__nid"))))
+    var frontier = topPerQ(visited, beam).select("__qid", "__nid")
+    var h = 0
+    while (h < hops) {
+      val cand = frontier
+        .join(adj, frontier("__nid") === adj("__src"))
+        .select(col("__qid"), col("__dst").as("__nid")).distinct()
+        .join(visited.select("__qid", "__nid"),
+          Seq("__qid", "__nid"), "left_anti")
+      val fresh = Checkpoints.cut(score(cand))
+      visited = Checkpoints.cut(visited.unionByName(fresh))
+      frontier = topPerQ(fresh, beam).select("__qid", "__nid")
+      h += 1
+    }
+    topPerQ(visited, k).select(col("__qid").as("qid"),
+      col("__nid").as("id"), col("__s").as("score"),
+      col("__rn").as("rank"))
   }
 }

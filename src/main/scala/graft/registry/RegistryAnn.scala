@@ -1126,7 +1126,60 @@ private[graft] object RegistryAnn {
         emb, "vec_id", "embedding", "label", cents)
         .orderBy("vec_id")
     }),
+    // X228 graph-traversal ANN (the NSW/DiskANN family): batched beam
+    // search over the fixed-centroid directed kNN graph — hop 0
+    // scores the shared seed entry points, each hop expands the beam
+    // of newly discovered nodes along graph edges, every (query,
+    // node) visit scored exactly once. Fixed slice (vec_id < 2000,
+    // the mutual_knn_fixed precedent) so graph build + search cost is
+    // constant across sf; the WHOLE trajectory (seed scoring, per-hop
+    // frontier cuts, visited-set growth, final ranks) replays in SQL.
+    "graph_ann_beam" -> ((s, dir) =>
+      graphBeamFrames(s, dir)._3.orderBy("qid", "rank")),
+    // …and its evaluation read: recall@5 (plus MRR/AP/nDCG via
+    // RetrievalEval) of the beam trajectory against the EXACT cosine
+    // top-5 over the same slice — the number that justifies a graph
+    // index's beam/hops budget (the ivf_fixed_recall precedent for
+    // cell-probe ANN). Exact side = topKJoin's broadcast query cross
+    // (≤ 5 queries, bounded — plan-audit allowlisted).
+    "graph_ann_recall" -> ((s, dir) => {
+      val (emb, qs, beam) = graphBeamFrames(s, dir)
+      val truth = Similarity.topKJoin(emb, qs, k = 5,
+        corpusIdCol = "vec_id", corpusVecCol = "embedding",
+        queryIdCol = "qid", queryVecCol = "qvec",
+        metric = Metric.Cosine, scoreCol = "sim")
+        .select("qid", "vec_id")
+      graft.operators.RetrievalEval.perQuery(
+        beam.select(col("qid"), col("id"), col("rank")),
+        truth.select(col("qid"), col("vec_id").as("id")),
+        "qid", "id", "rank", k = 5)
+        .orderBy("qid")
+    }),
   )
+
+  /** X228 shared construction: fixed-centroid directed kNN graph +
+    * batched beam search over it (slice vec_id < 2000, centroids
+    * vec_id < 8, seeds {8,9,10}, queries vec_id % 401 = 0, beam 4,
+    * hops 3, k 5 — the twin replays these constants in lockstep).
+    * Returns (slice, queries, beam results). */
+  private def graphBeamFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      .filter(col("vec_id") < 2000)
+    val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val edges = graft.operators.KnnGraph.knnEdgesWithCentroids(
+      emb, "vec_id", "embedding", cents, k = 5, metric = Metric.Cosine)
+    val qs = emb.filter(col("vec_id") % 401 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val seeds = emb.filter(col("vec_id").isin(8L, 9L, 10L))
+      .select("vec_id")
+    val beam = graft.operators.KnnGraph.graphSearch(
+      emb, "vec_id", "embedding", edges, "src", "dst",
+      qs, "qid", "qvec", seeds, beam = 4, hops = 3, k = 5,
+      metric = Metric.Cosine)
+    (emb, qs, beam)
+  }
 
   def twins: Map[String, String] = Map(
     "knn_top5" ->
@@ -2086,5 +2139,127 @@ private[graft] object RegistryAnn {
         |            FROM embeddings)
         |      GROUP BY label, i)
         |ORDER BY label, i""".stripMargin,
+    // graph-ANN beam search: the mutual_knn_fixed directed-edge chain
+    // builds the graph, then hop blocks generated from ONE template
+    // (the louvain convention — they cannot drift) replay seed
+    // scoring, per-hop frontier cuts (beam 4, ties id ASC),
+    // visited-set anti-joins, and the final top-5 ranks.
+    "graph_ann_beam" ->
+      s"""$graphAnnChainSql
+         |SELECT qid, id, score, rank FROM (
+         |  SELECT qid, id, score, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, id) AS INT) AS rank FROM v3)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // recall twin: the SAME chain (shared val — zero drift), beam
+    // top-5 vs the exact cosine top-5 over the slice, then the
+    // retrieval_eval metric tail at k=5
+    "graph_ann_recall" ->
+      s"""$graphAnnChainSql,
+         |beam AS (SELECT qid, id, rank FROM (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, id) AS rank FROM v3)
+         |  WHERE rank <= 5),
+         |truth AS (SELECT qid, id FROM (
+         |  SELECT q.qid, b.vec_id AS id,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY $graphAnnCosQ DESC, b.vec_id) AS rn
+         |  FROM q, sub b) WHERE rn <= 5),
+         |nrel AS (SELECT qid, COUNT(*) AS n_rel FROM truth GROUP BY qid),
+         |g AS (SELECT r, CAST(round(1.0/(ln(r+1.0)/ln(2.0)), 9) AS DECIMAL(18,9)) AS gain
+         |      FROM generate_series(1, 5) t(r)),
+         |hits AS (
+         |  SELECT s.qid, s.rank,
+         |    row_number() OVER (PARTITION BY s.qid ORDER BY s.rank) AS hit_idx
+         |  FROM beam s JOIN truth t ON s.qid = t.qid AND s.id = t.id),
+         |hs AS (SELECT h.qid, COUNT(*) AS hits, MIN(h.rank) AS minrank,
+         |    CAST(CAST(SUM(CAST(round(CAST(h.hit_idx AS DOUBLE)/h.rank, 9) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS sum_prec,
+         |    CAST(CAST(SUM(g.gain) AS VARCHAR) AS DOUBLE) AS dcg
+         |  FROM hits h JOIN g ON g.r = h.rank GROUP BY h.qid),
+         |uq AS (SELECT DISTINCT qid FROM beam)
+         |SELECT u.qid, COALESCE(n.n_rel, 0) AS n_rel,
+         |  COALESCE(h.hits, 0) AS hits,
+         |  CASE WHEN COALESCE(n.n_rel, 0) = 0 THEN 0.0
+         |       ELSE CAST(COALESCE(h.hits, 0) AS DOUBLE) / n.n_rel END AS recall,
+         |  COALESCE(1.0 / h.minrank, 0.0) AS mrr,
+         |  CASE WHEN COALESCE(n.n_rel, 0) = 0 OR h.sum_prec IS NULL THEN 0.0
+         |       ELSE h.sum_prec / least(n.n_rel, 5) END AS ap,
+         |  CASE WHEN COALESCE(n.n_rel, 0) = 0 OR h.dcg IS NULL THEN 0.0
+         |       ELSE h.dcg / (SELECT CAST(CAST(SUM(gain) AS VARCHAR) AS DOUBLE)
+         |                     FROM g WHERE r <= least(n.n_rel, 5)) END AS ndcg
+         |FROM uq u LEFT JOIN nrel n ON u.qid = n.qid
+         |LEFT JOIN hs h ON u.qid = h.qid
+         |ORDER BY u.qid""".stripMargin,
   )
+
+  /** Query-to-node cosine for the X228 twins (q.qv vs b.embedding,
+    * the [[graft.functions.VectorOps.cosine]] kernel shape). */
+  private val graphAnnCosQ: String =
+    s"""(CASE WHEN ${normOf("q.qv")} = 0 OR ${normOf("b.embedding")} = 0 THEN 0.0
+       | ELSE list_sum(list_transform(range(1, len(q.qv) + 1), i ->
+       |   CAST(q.qv[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |   / (${normOf("q.qv")} * ${normOf("b.embedding")}) END)""".stripMargin
+
+  /** X228 shared twin chain: fixed-centroid directed kNN edges (the
+    * mutual_knn_fixed chain), then hop blocks generated from ONE
+    * template — seed scoring (v0), per-hop candidate anti-joins (cN),
+    * fresh-node scoring (sN), visited growth (vN), beam-4 frontier
+    * cuts (fN). Shared by graph_ann_beam and graph_ann_recall so the
+    * trajectory replay cannot drift between them. */
+  private val graphAnnChainSql: String = {
+    val cosAB =
+      s"""(CASE WHEN ${normOf("ea.embedding")} = 0 OR ${normOf("eb.embedding")} = 0 THEN 0.0
+         | ELSE list_sum(list_transform(range(1, len(ea.embedding) + 1), i ->
+         |   CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+         |   / (${normOf("ea.embedding")} * ${normOf("eb.embedding")}) END)""".stripMargin
+    def hop(h: Int): String =
+      s"""c$h AS (
+         |  SELECT DISTINCT f.qid, e.dst AS id
+         |  FROM f${h - 1} f JOIN kept e ON e.src = f.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} v
+         |                    WHERE v.qid = f.qid AND v.id = e.dst)),
+         |s$h AS (
+         |  SELECT c.qid, c.id, $graphAnnCosQ AS score
+         |  FROM c$h c JOIN sub b ON b.vec_id = c.id
+         |  JOIN q ON q.qid = c.qid),
+         |v$h AS (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM s$h),
+         |f$h AS (SELECT qid, id FROM (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, id) AS rn FROM s$h) WHERE rn <= 4)"""
+        .stripMargin
+    s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+       |cells AS (SELECT vec_id AS cell, embedding AS cemb
+       |          FROM sub WHERE vec_id < 8),
+       |asg0 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqDistOf("e.embedding", "c.cemb")}, c.cell) AS rn
+       |    FROM sub e, cells c)
+       |  WHERE rn = 1),
+       |ok AS (SELECT cell FROM asg0 GROUP BY cell HAVING COUNT(*) <= 10000),
+       |asg AS (SELECT a.vec_id, a.cell FROM asg0 a JOIN ok USING (cell)),
+       |pairs AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib, $cosAB AS score
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN sub ea ON ea.vec_id = a.vec_id
+       |  JOIN sub eb ON eb.vec_id = b.vec_id),
+       |directed AS (
+       |  SELECT ia AS src, ib AS dst, score FROM pairs
+       |  UNION ALL SELECT ib AS src, ia AS dst, score FROM pairs),
+       |ranked AS (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src
+       |      ORDER BY score DESC, dst) AS rn
+       |  FROM directed),
+       |kept AS (SELECT src, dst FROM ranked WHERE rn <= 5),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM sub
+       |      WHERE vec_id % 401 = 0),
+       |v0 AS (SELECT q.qid, b.vec_id AS id, $graphAnnCosQ AS score
+       |       FROM q, sub b WHERE b.vec_id IN (8, 9, 10)),
+       |f0 AS (SELECT qid, id FROM (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, id) AS rn FROM v0) WHERE rn <= 4),
+       |${hop(1)},
+       |${hop(2)},
+       |${hop(3)}""".stripMargin
+  }
 }

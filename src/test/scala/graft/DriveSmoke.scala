@@ -802,6 +802,37 @@ object DriveSmoke {
     val fixedText = docs.select(
       graft.operators.TextClean.repairMojibake($"text").as("f"))
     println("REPAIR_ROWS=" + fixedText.count())
+    // r17: WET record source + graph-traversal ANN beam search
+    val wetDir = java.nio.file.Files.createTempDirectory("smoke-wet")
+    val wetRecs = docs.orderBy("doc_id").limit(50)
+      .select($"doc_id", $"text").collect()
+      .map(r => (s"https://example.org/d/${r.getLong(0)}",
+        "2026-08-16T00:00:00Z", r.getString(1))).toSeq
+    wetRecs.grouped(17).zipWithIndex.foreach { case (chunk, i) =>
+      java.nio.file.Files.write(
+        wetDir.resolve(f"shard-$i%02d.warc.wet.gz"),
+        graft.sources.WetSource.writeMembers(chunk))
+    }
+    val wet = graft.sources.WetSource.read(spark, wetDir.toString)
+    wet.explain("formatted")
+    println("WET_RECORDS=" + wet.count())
+    val embAll = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val gCents = embAll.filter($"vec_id" < 4).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val gEdges = graft.operators.KnnGraph.knnEdgesWithCentroids(
+      embAll, "vec_id", "embedding", gCents, k = 4,
+      metric = graft.operators.Metric.Cosine)
+    val gq = embAll.filter($"vec_id" % 7 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val beamHits = graft.operators.KnnGraph.graphSearch(
+      embAll, "vec_id", "embedding", gEdges, "src", "dst",
+      gq, "qid", "qvec", embAll.filter($"vec_id" < 3).select("vec_id"),
+      beam = 3, hops = 3, k = 3, metric = graft.operators.Metric.Cosine)
+    beamHits.explain("formatted")
+    println("BEAM_TOP=" + beamHits.orderBy("qid", "rank").collect()
+      .map(r => r.getLong(0) + ">" + r.getLong(1)).take(6).mkString(" "))
     spark.stop()
   }
 }

@@ -66,6 +66,9 @@ class PlanAuditSpec extends SparkSpec {
       // split_by_component crosses its broadcast 1-row leaking-pair
       // count — bounded by construction
       "ivf_fixed_recall", "split_by_component",
+      // graph_ann_recall rides the same topKJoin broadcast query
+      // cross for its exact-cosine truth side (≤ 5 queries, bounded)
+      "graph_ann_recall",
       // rfm_segments crosses three broadcast 1-row counts (the
       // Profile.ntileExact quartile arithmetic) — bounded by
       // construction

@@ -89,4 +89,114 @@ class KnnGraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mutual == Set((0L, 1L), (2L, 3L)), s"got $mutual")
   }
+
+  // ---- graphSearch (batched beam search over a neighbor graph) ----
+
+  // path graph over the line corpus: 0-1-2-3-4 chained both ways —
+  // a query near x=11 must WALK from seed 0 hop by hop
+  private def chainEdges = Seq(
+    (0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+    (3L, 4L), (4L, 3L)).toDF("src", "dst")
+
+  private def oneQuery = Seq((100L, Array(11.0f, 1.0f)))
+    .toDF("qid", "qvec")
+
+  private def seedsDf(ids: Long*) = ids.toDF("id")
+
+  test("graphSearch walks the chain: each hop discovers the next " +
+      "node, hops=0 degenerates to scoring the seeds") {
+    def run(hops: Int) = KnnGraph.graphSearch(
+      lineCorpus, "id", "vec", chainEdges, "src", "dst",
+      oneQuery, "qid", "qvec", seedsDf(0L), beam = 1, hops = hops,
+      k = 10, metric = Metric.SquaredL2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toMap
+    assert(run(0) == Map(0L -> 1), "hops=0: only the seed is visited")
+    // beam=1 from seed 0: hop1 discovers 1, hop2 discovers 2, …
+    assert(run(2).keySet == Set(0L, 1L, 2L))
+    val full = run(4)
+    assert(full.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // ranks: nearest to x=11 is 4, then 3, then 2…
+    assert(full(4L) == 1 && full(3L) == 2 && full(2L) == 3)
+  }
+
+  test("graphSearch never reaches a disconnected component and " +
+      "scores every visited node exactly once") {
+    // drop the 2-3 bridge: {3,4} unreachable from seed 0
+    val cut = chainEdges.filter(
+      !(col("src").isin(2L, 3L) && col("dst").isin(2L, 3L)))
+    val out = KnnGraph.graphSearch(
+      lineCorpus, "id", "vec", cut, "src", "dst",
+      oneQuery, "qid", "qvec", seedsDf(0L), beam = 4, hops = 6,
+      k = 10, metric = Metric.SquaredL2).collect()
+    val ids = out.map(_.getLong(1))
+    assert(ids.toSet == Set(0L, 1L, 2L), s"got ${ids.toSet}")
+    assert(ids.length == ids.distinct.length,
+      "each (query, node) scored exactly once")
+  }
+
+  test("graphSearch beam prunes: beam=1 under squared L2 follows " +
+      "only the best new node, ties break to the smaller id") {
+    // star: seed 2 links to 1 and 3; query at x=6 → 3 (d=16) beats
+    // 1 (d=25), so beam=1 expands only 3 (then 3→4)
+    val star = Seq((2L, 1L), (2L, 3L), (1L, 0L), (3L, 4L))
+      .toDF("src", "dst")
+    val q = Seq((7L, Array(6.0f, 1.0f))).toDF("qid", "qvec")
+    val ids = KnnGraph.graphSearch(
+      lineCorpus, "id", "vec", star, "src", "dst",
+      q, "qid", "qvec", seedsDf(2L), beam = 1, hops = 2, k = 10,
+      metric = Metric.SquaredL2)
+      .collect().map(_.getLong(1)).toSet
+    // hop1 discovers {1,3}, beam keeps 3 only; hop2 expands 3 → 4.
+    // 1 was VISITED (scored) but never expanded → 0 never found.
+    assert(ids == Set(2L, 1L, 3L, 4L), s"got $ids")
+    // equidistant tie: query at x=5.5 exactly between 1 (x=1) and
+    // 3 (x=10) — both at d=20.25
+    val qTie = Seq((8L, Array(5.5f, 1.0f))).toDF("qid", "qvec")
+    val tieIds = KnnGraph.graphSearch(
+      lineCorpus, "id", "vec", star, "src", "dst",
+      qTie, "qid", "qvec", seedsDf(2L), beam = 1, hops = 2, k = 10,
+      metric = Metric.SquaredL2)
+      .collect().map(_.getLong(1)).toSet
+    // hop1: 1 and 3 tie at d=1 → id ASC keeps 1; hop2 expands 1 → 0
+    assert(tieIds == Set(2L, 1L, 3L, 0L), s"got $tieIds")
+  }
+
+  test("graphSearch batches queries independently and is " +
+      "partitioning-invariant") {
+    val qs = Seq((100L, Array(11.0f, 1.0f)), (200L, Array(0.0f, 1.0f)))
+      .toDF("qid", "qvec")
+    def run(parts: Int) = KnnGraph.graphSearch(
+      lineCorpus.repartition(parts), "id", "vec",
+      chainEdges.repartition(parts), "src", "dst",
+      qs.repartition(parts), "qid", "qvec", seedsDf(2L),
+      beam = 2, hops = 4, k = 2, metric = Metric.SquaredL2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .toSet
+    val a = run(1)
+    // query 100 (x=11): nearest reachable 4 then 3; query 200 (x=0):
+    // 0 then 1 — per-query ranks independent
+    assert(a == Set((100L, 4L, 1), (100L, 3L, 2),
+      (200L, 0L, 1), (200L, 1L, 2)), s"got $a")
+    assert(run(7) == a)
+  }
+
+  test("graphSearch rejects an oversized seed frame and composes " +
+      "with knnEdgesWithCentroids under cosine") {
+    intercept[IllegalArgumentException] {
+      KnnGraph.graphSearch(lineCorpus, "id", "vec", chainEdges,
+        "src", "dst", oneQuery, "qid", "qvec",
+        lineCorpus.select("id"), beam = 1, hops = 1, k = 1,
+        maxSeeds = 2)
+    }
+    // end-to-end: build the graph, search it — self is its own top-1
+    // under cosine (score ≈ 1.0; dot/(√n·√n) may round off exact 1)
+    val edges = KnnGraph.knnEdgesWithCentroids(lineCorpus, "id", "vec",
+      oneCell, k = 2, metric = Metric.Cosine)
+    val q = Seq((4L, Array(11.0f, 1.0f))).toDF("qid", "qvec")
+    val top = KnnGraph.graphSearch(lineCorpus, "id", "vec",
+      edges, "src", "dst", q, "qid", "qvec", seedsDf(0L),
+      beam = 2, hops = 4, k = 1, metric = Metric.Cosine).collect()
+    assert(top.length == 1 && top.head.getLong(1) == 4L
+      && math.abs(top.head.getDouble(2) - 1.0) < 1e-9)
+  }
 }
