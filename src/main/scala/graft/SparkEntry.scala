@@ -40,6 +40,23 @@ object SparkEntry {
     3L * (k0 + 1L - (k0 % 2L))
   }
 
+  /** Modulus of the EMBEDDING audit stratum (`vec_id % m == 0`) for
+    * the SRP LSH gate query: the registered query pins 2×8
+    * hyperplanes (the twin replays their literals), so bucket
+    * occupancy grows linearly with the corpus and in-bucket pair
+    * volume quadratically — the same cliff class as the pinned
+    * k-means gates, cut the same way as [[auditMod]]: a fixed BUDGET
+    * (~20k vectors, the sf1 level measured at 2.2 s) instead of a
+    * fixed fraction. m = 1 through sf1, so every existing gate hash
+    * is unchanged; at sf10 m = 10. The twin computes the same m from
+    * COUNT(*). The OPERATOR scales by the planesPerTable knob
+    * (occupancy ∝ n/2^planes — hold it flat by growing planes with
+    * log₂ n); the stratum is gate-evidence budgeting, not an operator
+    * limit. */
+  private[graft] def embedAuditMod(s: SparkSession, dir: String): Long =
+    math.max(1L,
+      math.ceil(t(s, dir, "embeddings").count() / 20000.0).toLong)
+
   /** The events table with `ts` normalized to epoch-nanos long,
     * whatever the parquet's physical timestamp encoding (raw INT64
     * nanos, TIMESTAMP(MICROS) tz or ntz) — the testdata has shipped
@@ -509,6 +526,13 @@ object SparkEntry {
   // empties. DuckDB standard strings keep backslashes literal.
   private[graft] val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)"
+
+  /** Blocklist for the `blocklist_filter` gate query — ONE literal
+    * list interpolated into BOTH the Spark registration and the
+    * DuckDB twin so the two sides cannot drift. "leak" is absent
+    * from the corpus vocabulary on purpose (a zero-hit term must not
+    * perturb the report). */
+  private[graft] val blocklistTerms = Seq("dup", "leak", "slow")
 
   private[graft] def shSql(toks: String): String =
     s"list_transform(range(1, len($toks)), j -> $toks[j] || ' ' || $toks[j + 1])"

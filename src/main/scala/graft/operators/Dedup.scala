@@ -1074,4 +1074,118 @@ object Dedup {
     verifyPairsEditDistance(pairs, base.select(col(idCol), col(textCol)),
       idCol, textCol, maxDist, prefixLen)
   }
+  /** Asymmetric EXACT containment join at recall 1.0 — the
+    * subset-duplicate audit Jaccard structurally misses: a short
+    * document quoted whole inside a long one has
+    * C(A,B) = |A∩B|/|A| = 1.0 while J(A,B) ≈ |A|/|B| sits below any
+    * useful Jaccard threshold. Returns (id_a, id_b, containment) for
+    * every pair with C(small, large) >= threshold, oriented id_a =
+    * the SMALLER token set (ties by smaller id); containment is one
+    * exact-int division |A∩B|/|A|.
+    *
+    * Same SSJoin skeleton as [[jaccardPairsExactFromTokens]] with the
+    * containment-specific bounds (Chaudhuri et al. ICDE'06 §4 treats
+    * the asymmetric overlap constraint): the required overlap
+    * ceil(t·|A|) is a function of the SMALL side only, so the prefix
+    * cut applies to A (length |A| − floor(t·|A|) + 1,
+    * floor-conservative like the Jaccard cut) while the large side
+    * probes with its FULL ranked postings — the inverted index. Meet
+    * volume is Σ_tok prefixdf(tok)·df(tok): prefix tokens are each
+    * document's globally RAREST under the (df, token) total order, so
+    * the full-side posting lists they touch are short. The PPJoin
+    * positional filter then prunes every meet before the distinct
+    * shuffle: common tokens rank ≥ this meet's rank on BOTH sides, so
+    * overlap ≤ 1 + min(na−ra, nb−rb), and a qualifying pair's FIRST
+    * common token always survives the (floor-conservative) bound —
+    * recall stays 1.0. */
+  def containmentPairsExact(df: DataFrame, idCol: String,
+      textCol: String, shingleWidth: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    containmentPairsExactFromTokens(
+      df.select(col(idCol),
+        explode(shingles(col(textCol), shingleWidth)).as("__s"))
+        .distinct(),
+      idCol, "__s", threshold)
+
+  /** [[containmentPairsExact]] over a PRE-TOKENIZED distinct
+    * (id, token) frame (see [[jaccardPairsExactFromTokens]] for why
+    * the stored token frame is the corpus-scale form). */
+  def containmentPairsExactFromTokens(tokens: DataFrame, idCol: String,
+      tokenCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    val sh = tokens.select(col(idCol), col(tokenCol).as("__s"))
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n"))
+    val freq = sh.groupBy("__s").agg(count(lit(1)).as("__df"))
+    val ranked = sh.join(freq, "__s")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__df"), col("__s"))))
+      .join(sizes, Seq(idCol))
+      .select(col(idCol), col("__s"), col("__n"), col("__rn"))
+    // prefix side = the contained candidate A; full side = B's whole
+    // ranked posting list (rank carried for the positional filter)
+    val prefA = ranked.filter(col("__rn") <=
+      col("__n") - floor(lit(threshold) * col("__n")) + 1)
+    val cand = prefA
+      .select(col(idCol).as("id_a"), col("__s"), col("__n").as("__na"),
+        col("__rn").as("__ra"))
+      .join(ranked
+        .select(col(idCol).as("id_b"), col("__s"), col("__n").as("__nb"),
+          col("__rn").as("__rb")),
+        Seq("__s"))
+      .where((col("__nb") > col("__na") ||
+          (col("__nb") === col("__na") && col("id_b") > col("id_a"))) &&
+        lit(1) + least(col("__na") - col("__ra"), col("__nb") - col("__rb"))
+          >= floor(lit(threshold) * col("__na")))
+      .select("id_a", "id_b").distinct()
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("__s")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__s")), Seq("id_b", "__s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__ninter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        (col("__ninter").cast("double") / col("__na")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /** Survivorship merge — the "golden record" stage that closes an
+    * entity-resolution pipeline (pairs → components → ONE canonical
+    * row per cluster): each field's value is chosen independently as
+    * the most frequent non-null value in the cluster, ties broken to
+    * the SMALLEST value (a deterministic total order, so re-runs and
+    * re-partitionings emit identical records). A cluster whose
+    * members are all null in a field yields null. Returns
+    * (clusterCol, n_members, fields...).
+    *
+    * Scale shape: one count aggregate per field over
+    * (cluster, value) — map-side combinable, output bounded by
+    * distinct values per cluster — reduced by min_by over a
+    * (−count, value) struct (no window, no hot-key risk), then
+    * cluster-keyed left joins onto the member-count spine; every
+    * shuffle shares the cluster key, so AQE coalesces them onto one
+    * exchange footprint. Fields are schema-sized — the fold
+    * multiplies stages, never data. */
+  def goldenRecord(df: DataFrame, clusterCol: String,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    require(!fields.contains(clusterCol),
+      s"clusterCol $clusterCol cannot also be a survivorship field")
+    val reserved = Seq("n_members", "__cnt")
+    val bad = (clusterCol +: fields).filter(reserved.contains)
+    require(bad.isEmpty,
+      s"column name(s) ${bad.mkString(", ")} collide with reserved " +
+        s"internal/output columns $reserved — rename upstream")
+    val spine = df.groupBy(clusterCol).agg(count(lit(1)).as("n_members"))
+    fields.foldLeft(spine) { (acc, f) =>
+      val winner = df.where(col(f).isNotNull)
+        .groupBy(col(clusterCol), col(f))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(clusterCol)
+        .agg(min_by(col(f),
+          struct((-col("__cnt")).as("__negc"), col(f).as("__v"))).as(f))
+      acc.join(winner, Seq(clusterCol), "left")
+    }
+  }
 }

@@ -718,4 +718,98 @@ object TextAnalysis {
           (col("df_a").cast("double") * col("df_b").cast("double")))
           .as("lift"))
   }
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney ICASSP'95;
+    * Chen & Goodman CSL'99 eq. 20's interpolated form, one absolute
+    * discount): per document the mean ln of
+    *   P(w|v) = (c(vw) − D)/c(v·)
+    *          + (D·N1+(v·)/c(v·)) · (N1+(·w)/B)
+    * over its bigram positions, with c(v·) = Σ_w c(vw) (v as
+    * context), N1+(v·)/N1+(·w) the distinct right/left continuation
+    * type counts, and B the distinct bigram types. The continuation
+    * distribution is KN's signature — a word seen in MANY contexts
+    * backs off high even when rare ("Francisco" backs off low). Model
+    * and scores share the corpus, so c(vw) ≥ 1 at every scored
+    * position and no zero-probability branch exists.
+    *
+    * Cross-engine exactness: D = 0.75 = 3/4 is dyadic (exact binary
+    * double); each per-position probability is the SAME double
+    * expression in the same operation order as the DuckDB twin; ln is
+    * libm on both engines; each ln is quantized to decimal(18,12) and
+    * the per-doc mean crosses the exact decimal sum + decimal(18,9)
+    * bridge — order-free, so no ordered fold and no window is needed.
+    *
+    * Returns (idCol, n_bigrams, kn_score); documents with fewer than
+    * two tokens are absent (no bigram position — count upstream).
+    *
+    * Scale shape: bigram pairs explode narrowly from the token array
+    * (no self-join, no per-doc window); three count aggregates
+    * (map-side combine; outputs are bigram-type / vocab sized);
+    * scoring equi-joins hit those count tables on their own keys with
+    * NO forced broadcast — unlike [[wordLmScore]]'s driver-bounded
+    * broadcast model, the KN model STAYS distributed, the right shape
+    * when the bigram-type table outgrows executor memory at corpus
+    * scale. B rides a broadcast one-row cross. */
+  def kneserNeyScore(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .where(size(col("__ts")) >= 2)
+    val big = toks.select(col(idCol), explode(expr(
+      "transform(sequence(2, size(__ts)), i -> " +
+        "named_struct('w1', __ts[i - 2], 'w', __ts[i - 1]))")).as("__b"))
+      .select(col(idCol), col("__b.w1").as("__w1"), col("__b.w").as("__w"))
+    val cvw = big.groupBy("__w1", "__w")
+      .agg(count(lit(1)).cast("long").as("__cvw"))
+    val ctx = cvw.groupBy("__w1")
+      .agg(sum("__cvw").cast("long").as("__cv"),
+        count(lit(1)).cast("long").as("__n1pv"))
+    val cont = cvw.groupBy("__w")
+      .agg(count(lit(1)).cast("long").as("__n1cw"))
+    val btypes = cvw.agg(count(lit(1)).cast("long").as("__btypes"))
+    val scored = big
+      .join(cvw, Seq("__w1", "__w"))
+      .join(ctx, Seq("__w1"))
+      .join(cont, Seq("__w"))
+      .crossJoin(broadcast(btypes))
+      .select(col(idCol),
+        log((col("__cvw").cast("double") - lit(0.75)) /
+            col("__cv").cast("double") +
+          (lit(0.75) * col("__n1pv").cast("double") /
+            col("__cv").cast("double")) *
+          (col("__n1cw").cast("double") / col("__btypes").cast("double")))
+          .cast("decimal(18,12)").as("__lnp"))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum("__lnp").as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s").cast("double") / col("n_bigrams").cast("double"))
+          .cast("decimal(18,9)").cast("double").as("kn_score"))
+  }
+  /** C4-style blocklist audit (Raffel et al. JMLR'20 §2.2: drop any
+    * document containing a listed word; the RefinedWeb word-filter
+    * analog): per document the number of DISTINCT blocklisted words
+    * present, the matched words themselves (sorted ascending and
+    * joined to ONE scalar string, so the report stays
+    * oracle-comparable), and the keep flag. Matching is on lowercased
+    * whitespace TOKENS — the C4 contract — so a listed "ass" does not
+    * hit "assassin" (substring matching is the documented
+    * false-positive trap of naive blocklists).
+    *
+    * Scale shape: the deduplicated, lowercased pattern list travels
+    * as ONE array literal inside the projection (the
+    * broadcast-variable analog — no join, no shuffle); the whole
+    * audit is a single codegen'd narrow pass over the text column,
+    * so at 100 TB it rides the same scan as any other per-doc
+    * feature. Blocklists are human-curated and small (the C4 list is
+    * ~400 entries); for a list too large to inline, broadcast-join a
+    * pattern table against exploded tokens instead. */
+  def blocklistAudit(df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    val lits = typedLit(blocklist.map(_.toLowerCase).distinct.sorted)
+    val hits = array_sort(array_intersect(
+      array_distinct(tokens(col(textCol))), lits))
+    df.select(col(idCol), size(hits).as("n_hits"),
+      array_join(hits, " ").as("hit_terms"),
+      (size(hits) === 0).as("keep"))
+  }
 }

@@ -254,6 +254,29 @@ private[graft] object RegistryDedup {
         "doc_id", "tok", threshold = 0.4)
         .orderBy("doc_id")
     }),
+    // asymmetric exact containment at recall 1.0 — the subset-dup
+    // audit Jaccard structurally misses (a short doc quoted whole
+    // inside a long one): C(small, large) = |inter|/|small| >= 0.6 on
+    // the shared shingle frame, same corpus-derived audit stratum and
+    // naive all-pairs twin contract as jaccard_pairs_exact (0.6 is
+    // non-dyadic, so the floor-robust prefix/positional cuts are
+    // exercised against a twin that has no prefix math at all)
+    "containment_pairs_exact" -> ((s, dir) =>
+      Dedup.containmentPairsExactFromTokens(
+        SharedFrames.docShingles(s, dir, width = 3)
+          .filter(col("doc_id") % auditMod(s, dir) === 0),
+        "doc_id", "tok", threshold = 0.6)
+        .orderBy("id_a", "id_b")),
+    // survivorship merge closing the entity-resolution chain: collapse
+    // exact-dup clusters (the exact_dedup first-3-token key) to ONE
+    // canonical row — per field the most frequent non-null value,
+    // ties to the smallest value, plus the member count
+    "golden_record" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("key", array_join(slice(tokens(col("text")), 1, 3), " "))
+      Dedup.goldenRecord(docs, "key", Seq("lang", "source", "n_chars"))
+        .orderBy("key")
+    }),
     // LSH BLOCKING-QUALITY report (the entity-resolution evaluation
     // pair): candidates from the md5 band join, truth from the naive
     // exact-Jaccard >= 0.5 pairs ON THE SAME shingle frame, caught =
@@ -591,9 +614,15 @@ private[graft] object RegistryDedup {
     // inlined as literals — the FULL pipeline (sign codes, banding,
     // hot-bucket prune, verify) is oracle-checked, no fixed twin
     // needed (the binary_knn trick applied to LSH dedup).
+    // registered on the vec_id % embedAuditMod == 0 BUDGET stratum
+    // (m = 1 through sf1 — hashes unchanged; ~20k vectors at every
+    // sf): the gate pins the 2x8 plane set for the twin, so corpus
+    // growth at fixed planes is quadratic in-bucket pair volume —
+    // the jaccard_pairs_exact budget contract, embedding edition
     "srp_neardup" -> ((s, dir) =>
       graft.operators.Dedup.nearDupPairsCosine(
-        t(s, dir, "embeddings").select("vec_id", "embedding"),
+        t(s, dir, "embeddings").select("vec_id", "embedding")
+          .filter(col("vec_id") % embedAuditMod(s, dir) === 0),
         "vec_id", "embedding", dim = 64, threshold = 0.3,
         numTables = 2, planesPerTable = 8, seed = 42L)
         .select(col("idA").as("id_a"), col("idB").as("id_b"),
@@ -692,10 +721,13 @@ private[graft] object RegistryDedup {
            | ELSE list_sum(list_transform(range(1, len(ea.embedding) + 1), i ->
            |   CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
            |   / (${normOf("ea.embedding")} * ${normOf("eb.embedding")}) END)""".stripMargin
-      s"""WITH codes AS (
-         |  SELECT vec_id, 0 AS tbl, ${bucket(0)} AS bucket FROM embeddings
+      s"""WITH emb AS (SELECT * FROM embeddings WHERE vec_id %
+         |    (SELECT GREATEST(1, CAST(ceil(COUNT(*) / 20000.0) AS BIGINT))
+         |     FROM embeddings) = 0),
+         |codes AS (
+         |  SELECT vec_id, 0 AS tbl, ${bucket(0)} AS bucket FROM emb
          |  UNION ALL
-         |  SELECT vec_id, 1 AS tbl, ${bucket(1)} AS bucket FROM embeddings),
+         |  SELECT vec_id, 1 AS tbl, ${bucket(1)} AS bucket FROM emb),
          |ok AS (SELECT tbl, bucket FROM codes GROUP BY tbl, bucket
          |       HAVING COUNT(*) <= 1000),
          |pc AS (SELECT c.vec_id, c.tbl, c.bucket
@@ -706,8 +738,8 @@ private[graft] object RegistryDedup {
          |SELECT id_a, id_b, cosine FROM (
          |  SELECT cand.id_a, cand.id_b, $cosAB AS cosine
          |  FROM cand
-         |  JOIN embeddings ea ON ea.vec_id = cand.id_a
-         |  JOIN embeddings eb ON eb.vec_id = cand.id_b)
+         |  JOIN emb ea ON ea.vec_id = cand.id_a
+         |  JOIN emb eb ON eb.vec_id = cand.id_b)
          |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
     },
     "exact_dedup" ->
@@ -1073,6 +1105,72 @@ private[graft] object RegistryDedup {
         |JOIN sizes zb ON zb.doc_id = i.id_b
         |WHERE CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // containment twin: naive all-pairs intersection on the same
+    // stratum shingles, oriented smaller-set-first (ties by id) and
+    // divided by the SMALL side — candidates come from ANY shared
+    // token, so neither the prefix cut nor the positional filter can
+    // hide an incompleteness
+    "containment_pairs_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> length(x) > 0) AS ts
+        |  FROM documents WHERE doc_id %
+        |    (SELECT 3 * (k + 1 - (k % 2)) FROM
+        |      (SELECT GREATEST(1, CAST(ceil(COUNT(*) / 50000.0)
+        |         AS BIGINT)) AS k FROM documents)) = 0),
+        |sh0 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+        |       FROM sh0),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT sa.doc_id AS x, sb.doc_id AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS ninter
+        |  FROM sh sa JOIN sh sb ON sb.s = sa.s AND sa.doc_id < sb.doc_id
+        |  GROUP BY sa.doc_id, sb.doc_id),
+        |o AS (
+        |  SELECT CASE WHEN zx.n < zy.n OR (zx.n = zy.n AND i.x < i.y)
+        |           THEN i.x ELSE i.y END AS id_a,
+        |         CASE WHEN zx.n < zy.n OR (zx.n = zy.n AND i.x < i.y)
+        |           THEN i.y ELSE i.x END AS id_b,
+        |         i.ninter, LEAST(zx.n, zy.n) AS na
+        |  FROM inter i
+        |  JOIN sizes zx ON zx.doc_id = i.x
+        |  JOIN sizes zy ON zy.doc_id = i.y)
+        |SELECT id_a, id_b, CAST(ninter AS DOUBLE) / na AS containment
+        |FROM o WHERE CAST(ninter AS DOUBLE) / na >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+    // golden-record twin: per-field (cluster, value) counts ranked by
+    // (count DESC, value ASC) — the same (−count, value) total order
+    // as the min_by struct — left-joined onto the member-count spine
+    "golden_record" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    array_to_string(list_slice($toksSql, 1, 3), ' ') AS key,
+         |    lang, source, n_chars FROM documents),
+         |spine AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_members
+         |          FROM d GROUP BY key),
+         |f_lang AS (SELECT key, lang FROM (
+         |  SELECT key, lang, ROW_NUMBER() OVER (PARTITION BY key
+         |    ORDER BY c DESC, lang ASC) AS rn
+         |  FROM (SELECT key, lang, COUNT(*) AS c FROM d
+         |        WHERE lang IS NOT NULL GROUP BY key, lang)) WHERE rn = 1),
+         |f_source AS (SELECT key, source FROM (
+         |  SELECT key, source, ROW_NUMBER() OVER (PARTITION BY key
+         |    ORDER BY c DESC, source ASC) AS rn
+         |  FROM (SELECT key, source, COUNT(*) AS c FROM d
+         |        WHERE source IS NOT NULL GROUP BY key, source)) WHERE rn = 1),
+         |f_nc AS (SELECT key, n_chars FROM (
+         |  SELECT key, n_chars, ROW_NUMBER() OVER (PARTITION BY key
+         |    ORDER BY c DESC, n_chars ASC) AS rn
+         |  FROM (SELECT key, n_chars, COUNT(*) AS c FROM d
+         |        WHERE n_chars IS NOT NULL GROUP BY key, n_chars)) WHERE rn = 1)
+         |SELECT s.key, s.n_members, f_lang.lang, f_source.source,
+         |  f_nc.n_chars
+         |FROM spine s
+         |LEFT JOIN f_lang ON f_lang.key = s.key
+         |LEFT JOIN f_source ON f_source.key = s.key
+         |LEFT JOIN f_nc ON f_nc.key = s.key
+         |ORDER BY s.key""".stripMargin,
     // blocking-quality twin: the md5 candidate chain + the naive
     // exact-pair chain on the same shingles, counted; caught = the
     // verified >= 0.5 candidate pairs; bridged ratios

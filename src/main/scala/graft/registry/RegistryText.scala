@@ -300,6 +300,22 @@ private[graft] object RegistryText {
       graft.operators.TextAnalysis.wordLmScore(
         t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // C4-style blocklist audit: distinct listed-token hits per doc,
+    // the sorted matched terms as one scalar string, and the keep
+    // flag; the list is ONE shared literal (SparkEntry.blocklistTerms)
+    // interpolated into both sides
+    "blocklist_filter" -> ((s, dir) =>
+      graft.operators.TextAnalysis.blocklistAudit(
+        t(s, dir, "documents"), "doc_id", "text", blocklistTerms)
+        .orderBy("doc_id")),
+    // interpolated Kneser–Ney bigram LM (D = 3/4, dyadic): the
+    // continuation-count smoothing family next to stupid-backoff's
+    // MLE chain; the model stays DISTRIBUTED (no driver collect) and
+    // the per-doc mean rides the decimal exact-sum bridge
+    "kneser_ney_score" -> ((s, dir) =>
+      graft.operators.TextAnalysis.kneserNeyScore(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // CCNet-style perplexity terciles: shared scored frame + exact
     // tercile cut-points → head/middle/tail buckets
     "ccnet_buckets" -> ((s, dir) =>
@@ -858,6 +874,50 @@ private[graft] object RegistryText {
          |SELECT doc_id, n_tokens,
          |  CAST(CAST(CAST(s / n_tokens AS DECIMAL(18,6)) AS VARCHAR)
          |    AS DOUBLE) AS lm_score
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    // blocklist twin: same literal list, same distinct-token
+    // intersection, ascending sort, joined scalar
+    "blocklist_filter" -> {
+      val litList = blocklistTerms.map(_.toLowerCase).distinct.sorted
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH h AS (SELECT doc_id,
+         |  list_sort(list_intersect(list_distinct($toksSql), $litList)) AS hits
+         |  FROM documents)
+         |SELECT doc_id, len(hits) AS n_hits,
+         |  COALESCE(array_to_string(hits, ' '), '') AS hit_terms,
+         |  len(hits) = 0 AS keep
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+    // Kneser–Ney twin: the same three count tables, the same double
+    // expression in the same operation order (subtract, divide, add —
+    // D = 0.75 exact in binary), per-position ln quantized to
+    // decimal(18,12), exact decimal sum, decimal(18,9) VARCHAR bridge
+    "kneser_ney_score" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |tt AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 2),
+         |bg AS (SELECT doc_id, unnest(ts[:len(ts) - 1]) AS w1,
+         |       unnest(ts[2:]) AS w FROM tt),
+         |cvw AS (SELECT w1, w, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM bg GROUP BY w1, w),
+         |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cv,
+         |        CAST(COUNT(*) AS BIGINT) AS n1pv FROM cvw GROUP BY w1),
+         |cont AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1cw
+         |         FROM cvw GROUP BY w),
+         |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS btypes FROM cvw),
+         |scored AS (SELECT bg.doc_id,
+         |  CAST(ln((CAST(c.c AS DOUBLE) - 0.75) / CAST(x.cv AS DOUBLE)
+         |    + (0.75 * CAST(x.n1pv AS DOUBLE) / CAST(x.cv AS DOUBLE))
+         |      * (CAST(k.n1cw AS DOUBLE)
+         |         / CAST((SELECT btypes FROM bt) AS DOUBLE)))
+         |    AS DECIMAL(18,12)) AS lnp
+         |  FROM bg JOIN cvw c ON c.w1 = bg.w1 AND c.w = bg.w
+         |  JOIN ctx x ON x.w1 = bg.w1
+         |  JOIN cont k ON k.w = bg.w),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |        SUM(lnp) AS s FROM scored GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  CAST(CAST(CAST(CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         |    AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE) AS kn_score
          |FROM agg ORDER BY doc_id""".stripMargin,
     // tercile twin composed from the shared LM twin + the exact
     // type-7 quantile shape of value_quantiles; tercile probabilities

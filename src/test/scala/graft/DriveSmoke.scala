@@ -833,6 +833,24 @@ object DriveSmoke {
     beamHits.explain("formatted")
     println("BEAM_TOP=" + beamHits.orderBy("qid", "rank").collect()
       .map(r => r.getLong(0) + ">" + r.getLong(1)).take(6).mkString(" "))
+    // r17: containment audit, golden record, Kneser–Ney, blocklist
+    val contp = graft.operators.Dedup.containmentPairsExact(
+      docs, "doc_id", "text", shingleWidth = 3, threshold = 0.6)
+    contp.explain("formatted")
+    println("CONTAIN_PAIRS=" + contp.count())
+    val gr = graft.operators.Dedup.goldenRecord(
+      docs.withColumn("key",
+        array_join(slice(graft.functions.TextFunctions.tokens($"text"),
+          1, 3), " ")),
+      "key", Seq("lang", "source", "n_chars"))
+    println("GOLDEN=" + gr.count() + " of " + docs.count())
+    val kns = graft.operators.TextAnalysis.kneserNeyScore(
+      docs, "doc_id", "text")
+    println("KN_MEAN=" + kns.agg(avg("kn_score")).collect()(0).getDouble(0))
+    val bla = graft.operators.TextAnalysis.blocklistAudit(
+      docs, "doc_id", "text", Seq("dup", "slow"))
+    println("BLOCK_KEEP=" + bla.filter($"keep").count() + "/" + bla.count())
+
     spark.stop()
   }
 }

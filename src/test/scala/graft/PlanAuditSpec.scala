@@ -111,7 +111,11 @@ class PlanAuditSpec extends SparkSpec {
       "calibration_ece", "shard_plan",
       // louvain_quality rides modularityWeighted's broadcast 1-row m
       // cross onto the communities-sized frame (the modularity shape)
-      "louvain_quality")
+      "louvain_quality",
+      // kneser_ney_score crosses its broadcast 1-row bigram-type
+      // total B onto the per-position score frame — bounded by
+      // construction (the bigram_pmi shape)
+      "kneser_ney_score")
 
   // Queries allowed to plan a GLOBAL (unpartitioned) window — each
   // windows over a frame bounded by construction, documented at the

@@ -618,4 +618,73 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((1L, 2L, 1L)))
   }
+
+  test("containmentPairsExact equals brute force at a non-dyadic " +
+      "threshold, oriented smaller-set-first; catches the subset dup " +
+      "Jaccard misses") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val (docs0, _) = plantedCorpus
+    // plant a short doc that is a verbatim span of doc 1: full
+    // containment, but Jaccard ~ |A|/|B| stays far below 0.5
+    val span = docs0.find(_._1 == 1L).get._2.split(" ").slice(4, 16)
+      .mkString(" ")
+    val docs = docs0 :+ (500L -> span)
+    val df = docs.toDF("id", "text")
+    val got = Dedup.containmentPairsExact(df, "id", "text",
+      shingleWidth = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val sh = df.select(col("id"),
+      array_distinct(shingles(col("text"), 3)).as("sh"))
+    val brute = sh.select(col("id").as("x"), col("sh").as("shx"))
+      .crossJoin(sh.select(col("id").as("y"), col("sh").as("shy")))
+      .where(col("x") < col("y"))
+      .select(col("x"), col("y"), size(col("shx")).as("nx"),
+        size(col("shy")).as("ny"),
+        size(array_intersect(col("shx"), col("shy"))).as("ninter"))
+      .collect().map { r =>
+        val (x, y, nx, ny, ni) = (r.getLong(0), r.getLong(1),
+          r.getInt(2), r.getInt(3), r.getInt(4))
+        val (a, b, na) = if (nx < ny || (nx == ny && x < y)) (x, y, nx)
+          else (y, x, ny)
+        (a, b, ni.toDouble / na)
+      }.filter(_._3 >= 0.6).toSet
+    assert(brute.nonEmpty, "corpus produced no qualifying pairs")
+    assert(got == brute, s"missed: ${brute -- got}\nextra: ${got -- brute}")
+    assert(got.exists { case (a, b, c) => a == 500L && b == 1L && c == 1.0 },
+      s"planted span pair missing from $got")
+    val jac = Dedup.jaccardPairsExact(df, "id", "text",
+      shingleWidth = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 500L)) && !jac.contains((500L, 1L)),
+      "subset dup unexpectedly visible to the Jaccard audit")
+  }
+
+  test("goldenRecord picks per-field majority with smallest-value " +
+      "tiebreak; null-only fields stay null; reserved names rejected") {
+    import spark.implicits._
+    val df = Seq(
+      ("c1", Option("en"), Option(10L)),
+      ("c1", Option("en"), Option(20L)),
+      ("c1", Option("de"), Option(20L)),
+      ("c2", Option.empty[String], Option.empty[Long]),
+      ("c2", Option("fr"), Option.empty[Long]),
+      ("c3", Option.empty[String], Option.empty[Long])
+    ).toDF("cluster", "lang", "n")
+    val out = Dedup.goldenRecord(df, "cluster", Seq("lang", "n"))
+      .orderBy("cluster").collect()
+    assert(out(0).getString(0) == "c1" && out(0).getLong(1) == 3L &&
+      out(0).getString(2) == "en" && out(0).getLong(3) == 20L)
+    assert(out(1).getString(0) == "c2" && out(1).getLong(1) == 2L &&
+      out(1).getString(2) == "fr" && out(1).isNullAt(3))
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3))
+    val tie = Seq(("t", "b"), ("t", "a")).toDF("cluster", "v")
+    val w = Dedup.goldenRecord(tie, "cluster", Seq("v")).collect()(0)
+    assert(w.getString(2) == "a", "count tie must break to smallest value")
+    intercept[IllegalArgumentException] {
+      Dedup.goldenRecord(df.withColumnRenamed("n", "n_members"),
+        "cluster", Seq("n_members"))
+    }
+  }
 }

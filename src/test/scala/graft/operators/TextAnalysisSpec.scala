@@ -378,4 +378,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bigramPmi(docs, "text").count() == 0)
     assert(TextAnalysis.bigramPmi(docs.limit(0), "text").count() == 0)
   }
+  test("blocklistAudit: token-boundary matching (no substring hits), " +
+      "case-fold, distinct sorted terms, zero-shuffle narrow plan") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the Assassin class shows nothing"),
+      (2L, "bad ass and BAD words"),
+      (3L, "clean text only")
+    ).toDF("id", "t")
+    val audit = TextAnalysis.blocklistAudit(df, "id", "t",
+      Seq("ass", "bad", "unused"))
+    val out = audit.orderBy("id").collect()
+    // "assassin" contains "ass" as a substring but not as a token
+    assert(out(0).getInt(1) == 0 && out(0).getString(2) == "" &&
+      out(0).getBoolean(3))
+    // distinct (BAD+bad counted once), sorted ascending, joined
+    assert(out(1).getInt(1) == 2 && out(1).getString(2) == "ass bad" &&
+      !out(1).getBoolean(3))
+    assert(out(2).getInt(1) == 0 && out(2).getBoolean(3))
+    val plan = audit.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") &&
+      !plan.toLowerCase.contains("join"), plan)
+  }
 }
