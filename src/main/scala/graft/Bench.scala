@@ -4,7 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // dev-only config experiments (SPARK_GRAFT_EXTRA_CONF="k=v;k=v"):
+    // lets a config candidate be A/B-measured WITHOUT editing the
+    // committed session config. The driver never sets it, so its
+    // bench runs always measure the committed configuration.
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // explicit, not inherited from build.sbt javaOptions: bench and
@@ -15,7 +22,8 @@ object Bench {
       // per-process warehouse — same isolation rationale as Verify;
       // WarehouseDir wipes stale same-pid leftovers + self-cleans
       .config("spark.sql.warehouse.dir", WarehouseDir.path)
-      .getOrCreate()
+    val spark = extraConf.foldLeft(builder) {
+      case (b, (k, v)) => b.config(k, v) }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the alphabetically-first query doesn't
     // absorb ~4s of classloading; touches no benchmark data.

@@ -83,9 +83,15 @@ object KnnGraph {
   def mutualKnnWithCentroids(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], k: Int,
       metric: Metric = Metric.Cosine,
-      maxCellSize: Int = 10000): DataFrame = {
-    val edges = knnEdgesWithCentroids(df, idCol, vecCol, centroids, k,
-      metric, maxCellSize)
+      maxCellSize: Int = 10000): DataFrame =
+    mutualFromEdges(knnEdgesWithCentroids(df, idCol, vecCol, centroids,
+      k, metric, maxCellSize))
+
+  /** The mutual meet over a PRECOMPUTED directed edge frame
+    * (src, dst, score) — the stored-graph entry point: a pipeline
+    * persists its kNN edges once ([[knnEdgesWithCentroids]] output)
+    * and derives the reciprocal pair set from the stored table. */
+  def mutualFromEdges(edges: DataFrame): DataFrame = {
     val fwd = edges.select(col("src"), col("dst"), col("score"))
     val rev = edges.select(col("src").as("dst"), col("dst").as("src"))
     fwd.join(rev, Seq("src", "dst"))
@@ -175,9 +181,20 @@ object KnnGraph {
         .filter(col("__rn") <= n)
     }
 
-    var visited = Checkpoints.cut(score(
+    // visited = union of per-hop CUT slices, never re-cut as a whole:
+    // each hop's fresh scores are materialized exactly once, and the
+    // union of already-cut frames has depth-1 lineage (h+1 leaves), so
+    // re-materializing the full visited set every hop — O(hops²)
+    // block writes, the r17 optimization finding: it doubled the cut
+    // count and re-copied every prior hop's rows each superstep — buys
+    // nothing. Plan width grows linearly in `hops`; NSW/DiskANN-style
+    // searches run a small constant hop budget by design (a very deep
+    // walk would fold the slices periodically).
+    val hop0 = Checkpoints.cut(score(
       q.select(col("__qid"), explode(seedArr).as("__nid"))))
-    var frontier = topPerQ(visited, beam).select("__qid", "__nid")
+    var visitedParts = Vector(hop0)
+    def visited: DataFrame = visitedParts.reduce(_.unionByName(_))
+    var frontier = topPerQ(hop0, beam).select("__qid", "__nid")
     var h = 0
     while (h < hops) {
       val cand = frontier
@@ -186,7 +203,7 @@ object KnnGraph {
         .join(visited.select("__qid", "__nid"),
           Seq("__qid", "__nid"), "left_anti")
       val fresh = Checkpoints.cut(score(cand))
-      visited = Checkpoints.cut(visited.unionByName(fresh))
+      visitedParts = visitedParts :+ fresh
       frontier = topPerQ(fresh, beam).select("__qid", "__nid")
       h += 1
     }

