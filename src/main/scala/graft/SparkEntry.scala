@@ -22,8 +22,66 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Base-table reader, memoized per (session, file identity): every
+    * `spark.read.parquet` call builds a fresh InMemoryFileIndex
+    * (directory listing) and re-reads a footer for schema inference —
+    * ~10-20 ms of driver work that the bench pays 270 queries × 3
+    * runs × 1-3 tables per query. Reusing the analyzed relation is
+    * what a catalog table would do; keyed by inode/size/mtime of the
+    * parquet path so an in-process regeneration (spec fixtures) can
+    * never serve a stale listing. The DataFrame is immutable and
+    * session-bound; consumers apply their own projections/filters on
+    * top, so sharing the relation changes no plan semantics. */
+  // per-session weak map (SparkSession does not override equals, so
+  // keys are identity; a stopped, collected session's entries vanish
+  // with it — a relation can never outlive or cross its session)
+  private val tableMemo = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = tableMemo.synchronized {
+      var m = tableMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        tableMemo.put(s, m)
+      }
+      m
+    }
+    val path = s"$dir/$name.parquet"
+    val key = s"$path@${pathStamp(path)}"
+    val got = perSession.get(key)
+    if (got != null) got
+    else {
+      val df = s.read.parquet(path)
+      val prev = perSession.putIfAbsent(key, df)
+      if (prev != null) prev else df
+    }
+  }
+
+  /** Identity stamp of a parquet path (file OR directory): inode,
+    * size, ns-mtime per regular file — the SharedFrames fingerprint
+    * discipline applied to base tables. */
+  private def pathStamp(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    def stamp(f: java.nio.file.Path): String = {
+      val a = Files.readAttributes(f,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      val inode = Option(a.fileKey).map(_.toString).getOrElse("nokey")
+      s"$inode:${a.size}:${a.lastModifiedTime
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)}"
+    }
+    if (Files.isRegularFile(p)) stamp(p)
+    else if (Files.isDirectory(p)) {
+      val walk = Files.walk(p)
+      try {
+        val entries = new java.util.ArrayList[String]()
+        walk.filter(f => Files.isRegularFile(f))
+          .forEach(f => entries.add(p.relativize(f).toString + ":" + stamp(f)))
+        java.util.Collections.sort(entries)
+        String.join("\n", entries).hashCode.toString
+      } finally walk.close()
+    } else "absent"
+  }
 
   /** Modulus of the exact-Jaccard AUDIT STRATUM (`doc_id % m == 0`),
     * derived from the corpus size so the audit carries a fixed BUDGET
