@@ -125,6 +125,27 @@ class SharedFramesSpec extends SparkSpec {
       "memo must key on input fingerprint, not bare directory path")
   }
 
+  test("SparkEntry.t memoizes the relation per file identity and " +
+      "serves a fresh read after the file is regenerated") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tmemo-").toAbsolutePath.toString
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val first = SparkEntry.t(spark, dir, "documents")
+    assert(SparkEntry.t(spark, dir, "documents") eq first,
+      "same file identity must return the SAME analyzed relation")
+    assert(first.count() == 2L)
+    // regenerate: new part files, new inodes/mtimes → new identity.
+    // A stale memo here would silently serve the old two rows.
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val second = SparkEntry.t(spark, dir, "documents")
+    assert(!(second eq first))
+    assert(second.count() == 3L,
+      "memo must key on file identity, not bare path")
+  }
+
   test("perplexityBucketsFromScored over the shared frame equals " +
       "perplexityBuckets run end-to-end") {
     val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")

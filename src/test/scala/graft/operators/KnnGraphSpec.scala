@@ -90,6 +90,27 @@ class KnnGraphSpec extends SparkSpec {
     assert(mutual == Set((0L, 1L), (2L, 3L)), s"got $mutual")
   }
 
+  test("mutualFromEdges over a stored edge frame equals the composed " +
+      "operator, and one-directional edges never pair") {
+    // the stored-graph entry point must be definitionally equal to
+    // mutualKnnWithCentroids (the registry shares one persisted edge
+    // artifact across consumers on the strength of this identity)
+    val edges = KnnGraph.knnEdgesWithCentroids(lineCorpus, "id", "vec",
+      oneCell, k = 2, metric = Metric.SquaredL2)
+    val viaStored = KnnGraph.mutualFromEdges(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val composed = KnnGraph.mutualKnnWithCentroids(lineCorpus, "id",
+      "vec", oneCell, k = 2, metric = Metric.SquaredL2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(viaStored == composed)
+    // a strictly one-directional edge frame has no reciprocal pair
+    val oneWay = Seq((0L, 1L, 0.5), (1L, 2L, 0.5)).toDF(
+      "src", "dst", "score")
+    assert(KnnGraph.mutualFromEdges(oneWay).count() == 0L)
+  }
+
   // ---- graphSearch (batched beam search over a neighbor graph) ----
 
   // path graph over the line corpus: 0-1-2-3-4 chained both ways —
