@@ -94,6 +94,12 @@ object Bench {
     // without a judge re-run.
     val fitSec = ok.collect {
       case (n, s) if SparkEntry.inQueryFit(n) => s }.sum
+    // measured artifact-build subtotal (r17 verdict item 1): the
+    // *_build lines construct each SharedFrames artifact fresh in
+    // their timed region, so shared-build cost is a driver-visible
+    // number, not a cache read hidden by min-of-3
+    val buildSec = ok.collect {
+      case (n, s) if SparkEntry.artifactBuilds(n) => s }.sum
     // The harness keeps only the LAST ~2000 chars of combined output and
     // parses the JSON line out of that window. With 80+ queries a
     // full-precision map overflows it and the whole line is lost, so the
@@ -105,7 +111,7 @@ object Bench {
     val coldQs = coldOk.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     val coldTotal = coldOk.map(_._2).sum
-    System.out.println(s"""[bench-full] {"metric":"total","value":${f2(total)},"unit":"sec","engine_sec":${f2(engineSec)},"twins_sec":${f2(twinsSec)},"fit_sec":${f2(fitSec)},"cold_total":${f2(coldTotal)},"queries":$allQs,"queries_cold":$coldQs,"errors":$errs,"sf":"$sfDir"}""")
+    System.out.println(s"""[bench-full] {"metric":"total","value":${f2(total)},"unit":"sec","engine_sec":${f2(engineSec)},"twins_sec":${f2(twinsSec)},"fit_sec":${f2(fitSec)},"build_sec":${f2(buildSec)},"cold_total":${f2(coldTotal)},"queries":$allQs,"queries_cold":$coldQs,"errors":$errs,"sf":"$sfDir"}""")
     val bySlow = ok.sortBy(-_._2)
     val budget = 1250 // chars for the per-query map body
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -123,7 +129,11 @@ object Bench {
     // shutdown-hook loggers that would otherwise fire after main returns.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","engine_sec":${f2(engineSec)},"twins_sec":${f2(twinsSec)},"fit_sec":${f2(fitSec)},"queries":$qs,"fast_n":${fast.size},"fast_sec":${f2(fast.map(_._2).sum)},"errors":$errs,"sf":"$sfDir"}""")
+    // cold_total/build_sec in the contract line (r17 verdict item 1):
+    // the driver's PERF can track per-process first-run cost (every
+    // memoized build + codegen) and the explicit build-line subtotal
+    // round-over-round without parsing the [bench-full] dump
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","engine_sec":${f2(engineSec)},"twins_sec":${f2(twinsSec)},"fit_sec":${f2(fitSec)},"build_sec":${f2(buildSec)},"cold_total":${f2(coldTotal)},"queries":$qs,"fast_n":${fast.size},"fast_sec":${f2(fast.map(_._2).sum)},"errors":$errs,"sf":"$sfDir"}""")
     System.out.flush()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -31,35 +31,51 @@ object SparkEntry {
     * parquet path so an in-process regeneration (spec fixtures) can
     * never serve a stale listing. The DataFrame is immutable and
     * session-bound; consumers apply their own projections/filters on
-    * top, so sharing the relation changes no plan semantics. */
-  // per-session weak map (SparkSession does not override equals, so
-  // keys are identity; a stopped, collected session's entries vanish
-  // with it — a relation can never outlive or cross its session)
-  private val tableMemo = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    * top, so sharing the relation changes no plan semantics — with ONE
+    * caveat: repeated calls return the IDENTICAL DataFrame instance
+    * (same expression ids), so a SELF-join of two t() reads must use
+    * string join keys or explicit aliases, never `df("col")` column
+    * references (which would be ambiguous/trivially-true across the
+    * shared instance). Every registry consumer already does. */
+  // per-session map: the inner map keys on PATH and stores the stamp
+  // in the value, so a regenerated file REPLACES its entry (bounded —
+  // no stale stamps accumulate); stopped sessions are evicted on the
+  // next call (a DataFrame strongly references its session, so weak
+  // KEYS alone could never collect an entry).
+  private val tableMemo = new java.util.HashMap[
+    SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]]()
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = tableMemo.synchronized {
+      tableMemo.keySet.removeIf(sess => sess.sparkContext.isStopped)
       var m = tableMemo.get(s)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[
+          String, (String, DataFrame)]()
         tableMemo.put(s, m)
       }
       m
     }
     val path = s"$dir/$name.parquet"
-    val key = s"$path@${pathStamp(path)}"
-    val got = perSession.get(key)
-    if (got != null) got
+    val stamp = pathStamp(path)
+    val got = perSession.get(path)
+    if (got != null && got._1 == stamp) got._2
     else {
       val df = s.read.parquet(path)
-      val prev = perSession.putIfAbsent(key, df)
-      if (prev != null) prev else df
+      if (got == null) {
+        val prev = perSession.putIfAbsent(path, (stamp, df))
+        if (prev != null && prev._1 == stamp) prev._2
+        else { perSession.put(path, (stamp, df)); df }
+      } else { perSession.put(path, (stamp, df)); df }
     }
   }
 
   /** Identity stamp of a parquet path (file OR directory): inode,
     * size, ns-mtime per regular file — the SharedFrames fingerprint
-    * discipline applied to base tables. */
+    * discipline applied to base tables. Directory stamps digest the
+    * entry list with md5 (not 32-bit hashCode — a collision would
+    * silently serve a stale relation, the exact failure the stamp
+    * exists to close). */
   private def pathStamp(path: String): String = {
     import java.nio.file.{Files, Paths}
     val p = Paths.get(path)
@@ -78,7 +94,9 @@ object SparkEntry {
         walk.filter(f => Files.isRegularFile(f))
           .forEach(f => entries.add(p.relativize(f).toString + ":" + stamp(f)))
         java.util.Collections.sort(entries)
-        String.join("\n", entries).hashCode.toString
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(String.join("\n", entries).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
       } finally walk.close()
     } else "absent"
   }
@@ -104,13 +122,17 @@ object SparkEntry {
     * (keyed by the same content fingerprint as SharedFrames), and the
     * count() behind it used to re-run as a driver job on every call
     * site of every bench rerun. */
-  private val scalarMemos =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // keyed on the LOGICAL (dir, knob) key with the content fingerprint
+  // in the value: a regenerated input replaces its entry instead of
+  // accumulating one per stamp (bounded, like tableMemo/SharedFrames)
+  private val scalarMemos = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long)]()
   private def scalarMemo(dir: String, key: String)(v: => Long): Long = {
-    val full = s"$dir#$key@${SharedFrames.inputFingerprint(dir)}"
-    val got = scalarMemos.get(full)
-    if (got != null) got.longValue()
-    else { val computed = v; scalarMemos.putIfAbsent(full, computed); computed }
+    val logical = s"$dir#$key"
+    val fp = SharedFrames.inputFingerprint(dir)
+    val got = scalarMemos.get(logical)
+    if (got != null && got._1 == fp) got._2
+    else { val computed = v; scalarMemos.put(logical, (fp, computed)); computed }
   }
 
   /** Modulus of the EMBEDDING audit stratum (`vec_id % m == 0`) for
@@ -188,25 +210,36 @@ object SparkEntry {
     * shingle set — identical rows by construction. */
   private[graft] def md5SigsShared(s: SparkSession, dir: String): DataFrame =
     SharedFrames.materialized(s, dir, "md5sigs8") {
-      val H = 8
-      md5ShinglesShared(s, dir)
-        .withColumn("j", explode(sequence(lit(1), lit(H))))
-        .select(col("doc_id"), col("j"),
-          md5(concat(col("j").cast("string"), lit(":"), col("s"))).as("mh"))
-        .groupBy("doc_id", "j").agg(min("mh").as("mh"))
+      md5SigsCompute(md5ShinglesShared(s, dir))
     }
+
+  /** The signature kernel over a (doc_id, s) shingle frame — ONE
+    * definition shared by the memoized artifact and the measured
+    * `md5_index_build` line (so the timed build cannot drift from
+    * what consumers read). */
+  private[graft] def md5SigsCompute(shingles: DataFrame): DataFrame = {
+    val H = 8
+    shingles
+      .withColumn("j", explode(sequence(lit(1), lit(H))))
+      .select(col("doc_id"), col("j"),
+        md5(concat(col("j").cast("string"), lit(":"), col("s"))).as("mh"))
+      .groupBy("doc_id", "j").agg(min("mh").as("mh"))
+  }
 
   /** Process-shared LSH band keys (doc_id, band∈1..4, bkey) derived
     * from [[md5SigsShared]] — 4 bands of 2 hashes, the t≈0.5 LSH
     * collision curve. */
   private[graft] def md5BandsShared(s: SparkSession, dir: String): DataFrame =
     SharedFrames.materialized(s, dir, "md5bands42") {
-      md5SigsShared(s, dir)
-        .withColumn("band", expr("CAST((j + 1) div 2 AS INT)"))
-        .groupBy("doc_id", "band")
-        .agg(concat_ws("|", min_by(col("mh"), col("j")),
-          max_by(col("mh"), col("j"))).as("bkey"))
+      md5BandsCompute(md5SigsShared(s, dir))
     }
+
+  private[graft] def md5BandsCompute(sigs: DataFrame): DataFrame =
+    sigs
+      .withColumn("band", expr("CAST((j + 1) div 2 AS INT)"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws("|", min_by(col("mh"), col("j")),
+        max_by(col("mh"), col("j"))).as("bkey"))
 
   /** Process-shared whole-corpus LSH candidate pairs (id_a < id_b,
     * distinct) from the band self-join — consumed by the verified
@@ -216,13 +249,15 @@ object SparkEntry {
     * blocking_quality. */
   private[graft] def md5CandAll(s: SparkSession, dir: String): DataFrame =
     SharedFrames.materialized(s, dir, "md5candall") {
-      val bands = md5BandsShared(s, dir)
-      bands.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
-        .join(bands.select(col("doc_id").as("id_b"), col("band"),
-          col("bkey")), Seq("band", "bkey"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      md5CandCompute(md5BandsShared(s, dir))
     }
+
+  private[graft] def md5CandCompute(bands: DataFrame): DataFrame =
+    bands.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("id_b"), col("band"),
+        col("bkey")), Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
 
   /** Process-shared exact shingle-intersection counts
     * (id_a, id_b, ninter) for every [[md5CandAll]] candidate — the
@@ -230,13 +265,16 @@ object SparkEntry {
     * replay; crossdup_md5 reads its mixed-parity slice. */
   private[graft] def md5InterAll(s: SparkSession, dir: String): DataFrame =
     SharedFrames.materialized(s, dir, "md5interall") {
-      val sh = md5ShinglesShared(s, dir)
-      md5CandAll(s, dir)
-        .join(sh.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("s")),
-          Seq("id_b", "s"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("ninter"))
+      md5InterCompute(md5CandAll(s, dir), md5ShinglesShared(s, dir))
     }
+
+  private[graft] def md5InterCompute(cand: DataFrame,
+      sh: DataFrame): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("s")),
+        Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ninter"))
 
   // process-shared artifact: four registered queries (pairs,
   // components, keep-best, the curation funnel) replay this kernel —
@@ -371,13 +409,19 @@ object SparkEntry {
   // parquet bit-exactly.
   private[graft] def storeBase(s: SparkSession, dir: String): DataFrame =
     SharedFrames.materialized(s, dir, "storebase") {
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-      val joined = docs.join(emb, col("doc_id") === col("vec_id"))
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("embedding"))
-      Dedup.exactFirstWins(joined, Seq("text"), Seq("doc_id"))
+      storeBaseCompute(s, dir)
     }
+
+  /** The ingest-prep computation itself — shared by the memoized
+    * stored table and the measured `store_ingest_build` line. */
+  private[graft] def storeBaseCompute(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val joined = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("embedding"))
+    Dedup.exactFirstWins(joined, Seq("text"), Seq("doc_id"))
+  }
 
   /** In-memory VectorStore over [[storeBase]]: `text → target`,
     * `lang → option1`, `source → option2`, `embedding → vector`
@@ -589,7 +633,18 @@ object SparkEntry {
     "pq_fixed_adc", "sq8_fixed_adc", "mutual_knn_fixed",
     // source_sketch_jaccard replays the md5 sketch; the murmur kernel
     // (CorpusSketch) is the engine path, spec-gated
-    "source_sketch_jaccard")
+    "source_sketch_jaccard",
+    // the measured md5-chain build is twin plumbing like its consumers
+    "md5_index_build")
+
+  /** The measured artifact-build lines (r17 verdict item 1): each
+    * constructs a SharedFrames-amortized artifact FRESH inside its
+    * timed region, so the bench carries every shared build as its own
+    * driver-visible line (min-of-3 measures the build, not a cache
+    * read). Bench reports their subtotal as `build_sec`; the memo
+    * surface itself is FROZEN — no new consumers move work into it. */
+  val artifactBuilds: Set[String] = Set("md5_index_build",
+    "bm25_index_build", "knn_graph_build", "store_ingest_build")
 
   /** Queries whose measured time INCLUDES an in-query model fit
     * (Lloyd's / Procrustes / eigendecomposition / min-max range /
@@ -720,7 +775,11 @@ object SparkEntry {
   // component, as a WITH RECURSIVE chain ending in `comp` — shared by
   // neardup_components_md5 and neardup_keep_best_md5 (one definition,
   // no drift)
-  private[graft] val md5ComponentsCtes: String =
+  // the shingle → signature → band → candidate → exact-intersection
+  // prefix alone (no component closure) — reused by the measured
+  // `md5_index_build` twin so the build line's stage counts replay
+  // the same definitions the component twins consume
+  private[graft] val md5PairStagesCtes: String =
     """toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
       |    x -> length(x) > 0) AS ts
@@ -745,7 +804,10 @@ object SparkEntry {
       |  FROM cand c
       |  JOIN shm sa ON sa.doc_id = c.id_a
       |  JOIN shm sb ON sb.doc_id = c.id_b AND sb.s = sa.s
-      |  GROUP BY c.id_a, c.id_b),
+      |  GROUP BY c.id_a, c.id_b)""".stripMargin
+
+  private[graft] val md5ComponentsCtes: String =
+    md5PairStagesCtes + """,
       |mpairs AS (
       |  SELECT i.id_a, i.id_b FROM inter i
       |  JOIN sizes za ON za.doc_id = i.id_a

@@ -18,13 +18,20 @@ object WarehouseDir {
   }
 
   private def delete(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        // deepest-first so directories empty before their own delete
-        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(f => Files.deleteIfExists(f))
-      } finally walk.close()
-    }
+    // best-effort: shutdown hooks run CONCURRENTLY, and SharedFrames'
+    // cleanup hook may be deleting its artifact subdirs under this
+    // warehouse at the same instant — a NoSuchFileException mid-walk
+    // must never escape (an uncaught hook exception prints a stack
+    // trace AFTER Bench's final JSON line and breaks the driver parse)
+    try {
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          // deepest-first so directories empty before their own delete
+          walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(f => Files.deleteIfExists(f))
+        } finally walk.close()
+      }
+    } catch { case _: Throwable => () }
 }

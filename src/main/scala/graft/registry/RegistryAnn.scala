@@ -882,7 +882,7 @@ private[graft] object RegistryAnn {
     // production "search online" cost the in-query-fit forms conflate.
     "ivf_saved_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val root = SharedFrames.materializedArtifact(dir, "idx_ivf") { p =>
+      val root = SharedFrames.materializedArtifact(s, dir, "idx_ivf") { p =>
         graft.operators.IvfIndex.save(
           graft.operators.IvfIndex.build(emb, "embedding", "vec_id",
             nClusters = 16, maxIter = 8, sampleFraction = 0.25), p)
@@ -895,7 +895,7 @@ private[graft] object RegistryAnn {
     }),
     "sq8_saved_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val root = SharedFrames.materializedArtifact(dir, "idx_sq8") { p =>
+      val root = SharedFrames.materializedArtifact(s, dir, "idx_sq8") { p =>
         graft.operators.SqIndex.save(
           graft.operators.SqIndex.fit(emb, "embedding", "vec_id"), p)
       }
@@ -907,7 +907,7 @@ private[graft] object RegistryAnn {
     }),
     "pq_saved_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val root = SharedFrames.materializedArtifact(dir, "idx_pq") { p =>
+      val root = SharedFrames.materializedArtifact(s, dir, "idx_pq") { p =>
         graft.operators.PqIndex.save(
           graft.operators.PqIndex.train(emb, "embedding", "vec_id",
             m = 8, codesPerBook = 16, sampleFraction = 0.25), p)
@@ -920,7 +920,7 @@ private[graft] object RegistryAnn {
     }),
     "opq_saved_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val root = SharedFrames.materializedArtifact(dir, "idx_opq") { p =>
+      val root = SharedFrames.materializedArtifact(s, dir, "idx_opq") { p =>
         graft.operators.PqIndex.saveRotated(
           graft.operators.PqIndex.trainOpq(emb, "embedding", "vec_id",
             m = 8, codesPerBook = 16, sampleFraction = 0.25,
@@ -934,7 +934,7 @@ private[graft] object RegistryAnn {
     }),
     "ivfpq_saved_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val root = SharedFrames.materializedArtifact(dir, "idx_ivfpq") { p =>
+      val root = SharedFrames.materializedArtifact(s, dir, "idx_ivfpq") { p =>
         graft.operators.IvfPqIndex.save(
           graft.operators.IvfPqIndex.build(emb, "embedding", "vec_id",
             nClusters = 16, m = 8, codesPerBook = 16,
@@ -948,7 +948,7 @@ private[graft] object RegistryAnn {
     }),
     "pca_sq8_saved_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val root = SharedFrames.materializedArtifact(dir, "idx_pcasq8") { p =>
+      val root = SharedFrames.materializedArtifact(s, dir, "idx_pcasq8") { p =>
         graft.operators.PcaReduce.saveSq(
           graft.operators.PcaReduce.fitSq(emb, "embedding", "vec_id",
             k = 16), s, p)
@@ -1154,6 +1154,25 @@ private[graft] object RegistryAnn {
         "qid", "id", "rank", k = 5)
         .orderBy("qid")
     }),
+    // measured artifact build (r17 verdict item 1): the kNN edge graph
+    // (assign cells → in-cell candidate pairs → cosine → per-src top-5)
+    // constructed FRESH on every call — the timed region IS the build
+    // that graph_ann_beam/graph_ann_recall/mutual_knn_fixed amortize
+    // through the shared artifact. Output: one exact-long summary row.
+    "knn_graph_build" -> ((s, dir) =>
+      knnEdges2000Compute(s, dir).agg(
+        count(lit(1)).cast("long").as("n_edges"),
+        countDistinct(col("src")).as("n_src"),
+        countDistinct(col("dst")).as("n_dst"))),
+    // measured artifact build (r17 verdict item 1): the store-family
+    // ingest prep (documents⋈embeddings + deterministic first-wins
+    // text dedup) run FRESH on every call — the construction the five
+    // store_* registrations amortize through the shared stored table.
+    "store_ingest_build" -> ((s, dir) =>
+      storeBaseCompute(s, dir).agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))),
   )
 
   /** X228 shared construction: fixed-centroid directed kNN graph +
@@ -1171,14 +1190,20 @@ private[graft] object RegistryAnn {
     * parameters); build cost lands in queries_cold. */
   private def knnEdges2000Shared(s: SparkSession, dir: String): DataFrame =
     SharedFrames.materialized(s, dir, "knnedges2000k5") {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-        .filter(col("vec_id") < 2000)
-      val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
-        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-      graft.operators.KnnGraph.knnEdgesWithCentroids(
-        emb, "vec_id", "embedding", cents, k = 5, metric = Metric.Cosine)
-        .select("src", "dst", "score")
+      knnEdges2000Compute(s, dir)
     }
+
+  /** The kNN edge-graph construction itself — shared by the memoized
+    * artifact and the measured `knn_graph_build` line. */
+  private def knnEdges2000Compute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      .filter(col("vec_id") < 2000)
+    val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    graft.operators.KnnGraph.knnEdgesWithCentroids(
+      emb, "vec_id", "embedding", cents, k = 5, metric = Metric.Cosine)
+      .select("src", "dst", "score")
+  }
 
   private def graphBeamFrames(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -1197,6 +1222,27 @@ private[graft] object RegistryAnn {
   }
 
   def twins: Map[String, String] = Map(
+    // summary of the kNN edge-graph build — the SAME edge CTE chain
+    // the graph-ANN search twins traverse
+    "knn_graph_build" ->
+      s"""WITH $graphAnnEdgesCtes
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |  CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src,
+         |  CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_dst
+         |FROM kept""".stripMargin,
+    // summary of the store ingest prep: docs⋈embeddings, first-wins
+    // (lowest doc_id) per exact text — doc_id is unique post-join, so
+    // "row whose doc_id is the group min" IS the min_by(struct) row
+    "store_ingest_build" ->
+      """WITH j AS (
+        |  SELECT d.doc_id, d.text, d.lang, d.source
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |w AS (SELECT text, MIN(doc_id) AS doc_id FROM j GROUP BY text),
+        |b AS (SELECT j.* FROM j JOIN w ON j.doc_id = w.doc_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM b""".stripMargin,
     "knn_top5" ->
       s"""SELECT e.vec_id, $sqDist AS distance
          |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
@@ -2220,28 +2266,17 @@ private[graft] object RegistryAnn {
     * fresh-node scoring (sN), visited growth (vN), beam-4 frontier
     * cuts (fN). Shared by graph_ann_beam and graph_ann_recall so the
     * trajectory replay cannot drift between them. */
-  private val graphAnnChainSql: String = {
+  /** The in-cell kNN edge construction alone (through `kept`) — shared
+    * by the graph-ANN search twins and the measured `knn_graph_build`
+    * line, so the build twin replays exactly the edge set the search
+    * traverses. */
+  private val graphAnnEdgesCtes: String = {
     val cosAB =
       s"""(CASE WHEN ${normOf("ea.embedding")} = 0 OR ${normOf("eb.embedding")} = 0 THEN 0.0
          | ELSE list_sum(list_transform(range(1, len(ea.embedding) + 1), i ->
          |   CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
          |   / (${normOf("ea.embedding")} * ${normOf("eb.embedding")}) END)""".stripMargin
-    def hop(h: Int): String =
-      s"""c$h AS (
-         |  SELECT DISTINCT f.qid, e.dst AS id
-         |  FROM f${h - 1} f JOIN kept e ON e.src = f.id
-         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} v
-         |                    WHERE v.qid = f.qid AND v.id = e.dst)),
-         |s$h AS (
-         |  SELECT c.qid, c.id, $graphAnnCosQ AS score
-         |  FROM c$h c JOIN sub b ON b.vec_id = c.id
-         |  JOIN q ON q.qid = c.qid),
-         |v$h AS (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM s$h),
-         |f$h AS (SELECT qid, id FROM (
-         |  SELECT qid, id, row_number() OVER (PARTITION BY qid
-         |    ORDER BY score DESC, id) AS rn FROM s$h) WHERE rn <= 4)"""
-        .stripMargin
-    s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+    s"""sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
        |cells AS (SELECT vec_id AS cell, embedding AS cemb
        |          FROM sub WHERE vec_id < 8),
        |asg0 AS (
@@ -2265,7 +2300,26 @@ private[graft] object RegistryAnn {
        |    row_number() OVER (PARTITION BY src
        |      ORDER BY score DESC, dst) AS rn
        |  FROM directed),
-       |kept AS (SELECT src, dst FROM ranked WHERE rn <= 5),
+       |kept AS (SELECT src, dst FROM ranked WHERE rn <= 5)""".stripMargin
+  }
+
+  private val graphAnnChainSql: String = {
+    def hop(h: Int): String =
+      s"""c$h AS (
+         |  SELECT DISTINCT f.qid, e.dst AS id
+         |  FROM f${h - 1} f JOIN kept e ON e.src = f.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} v
+         |                    WHERE v.qid = f.qid AND v.id = e.dst)),
+         |s$h AS (
+         |  SELECT c.qid, c.id, $graphAnnCosQ AS score
+         |  FROM c$h c JOIN sub b ON b.vec_id = c.id
+         |  JOIN q ON q.qid = c.qid),
+         |v$h AS (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM s$h),
+         |f$h AS (SELECT qid, id FROM (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, id) AS rn FROM s$h) WHERE rn <= 4)"""
+        .stripMargin
+    s"""WITH $graphAnnEdgesCtes,
        |q AS (SELECT vec_id AS qid, embedding AS qv FROM sub
        |      WHERE vec_id % 401 = 0),
        |v0 AS (SELECT q.qid, b.vec_id AS id, $graphAnnCosQ AS score

@@ -21,6 +21,31 @@ private[graft] object RegistryDedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- measured artifact build (r17 verdict item 1): the md5
+    // MinHash index chain (shingles → 8 signatures → LSH bands →
+    // candidate self-join → exact-intersection verify) built FRESH
+    // from the raw corpus on every call — the timed region IS the
+    // construction the SharedFrames consumers amortize, so the bench
+    // carries the build cost as its own driver-visible line. Composes
+    // the SAME md5*Compute kernels the shared artifacts persist (no
+    // drift); output is one stage-count row per pipeline stage.
+    "md5_index_build" -> ((s, dir) => {
+      val sh = md5Shingles(t(s, dir, "documents"))
+      val sigs = md5SigsCompute(sh)
+      val bands = md5BandsCompute(sigs)
+      val cand = md5CandCompute(bands)
+      val inter = md5InterCompute(cand, sh)
+      def stage(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).cast("long").as("n"))
+          .select(lit(name).as("stage"), col("n"))
+      stage("1_shingles", sh)
+        .unionByName(stage("2_sigs", sigs))
+        .unionByName(stage("3_bands", bands))
+        .unionByName(stage("4_cand", cand))
+        .unionByName(stage("5_inter", inter))
+        .orderBy("stage")
+    }),
+
     // ---- dedup + text analysis (LLM-pipeline operators) ----
     "exact_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -657,6 +682,18 @@ private[graft] object RegistryDedup {
   )
 
   def twins: Map[String, String] = Map(
+    // stage counts of the md5 MinHash index build — replays the SAME
+    // CTE prefix the component twins consume (md5PairStagesCtes), so
+    // the measured build line is hash-green end to end
+    "md5_index_build" ->
+      s"""WITH $md5PairStagesCtes
+         |SELECT stage, n FROM (
+         |  SELECT '1_shingles' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM shm
+         |  UNION ALL SELECT '2_sigs', CAST(COUNT(*) AS BIGINT) FROM sigs
+         |  UNION ALL SELECT '3_bands', CAST(COUNT(*) AS BIGINT) FROM bands
+         |  UNION ALL SELECT '4_cand', CAST(COUNT(*) AS BIGINT) FROM cand
+         |  UNION ALL SELECT '5_inter', CAST(COUNT(*) AS BIGINT) FROM inter)
+         |ORDER BY stage""".stripMargin,
     // SemDeDup selection with fixed centroids: nearest-cell assignment
     // (ties → lowest cell), in-cell pairs only, exact cosine with the
     // zero-norm guard, threshold filter

@@ -299,7 +299,7 @@ private[graft] object RegistryLake {
     // as-of gen 1 (updates visible, later deletes NOT) union as-of
     // gen 2, each one pruned scan + one keyed max_by(row, gen)
     "snapshot_asof" -> ((s, dir) => {
-      val root = SharedFrames.materializedArtifact(dir, "snap_table") { p =>
+      val root = SharedFrames.materializedArtifact(s, dir, "snap_table") { p =>
         val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
         graft.operators.Lake.commitSnapshot(s, p, base, Seq("doc_id"))
         graft.operators.Lake.commitSnapshot(s, p,
@@ -321,7 +321,7 @@ private[graft] object RegistryLake {
     // recoverable from the layout alone (here: the zh tombstones
     // surface as op='delete' rows)
     "snapshot_cdc" -> ((s, dir) => {
-      val root = SharedFrames.materializedArtifact(dir, "snap_table") { p =>
+      val root = SharedFrames.materializedArtifact(s, dir, "snap_table") { p =>
         val base = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
         graft.operators.Lake.commitSnapshot(s, p, base, Seq("doc_id"))
         graft.operators.Lake.commitSnapshot(s, p,

@@ -318,6 +318,23 @@ private[graft] object RegistryRetrieval {
       graft.operators.Bm25.search(
         graft.operators.Bm25.load(s, bm25SavedRoot(s, dir)),
         Seq("spark", "hash", "window"), k = 20)),
+    // measured artifact build (r17 verdict item 1): the BM25 index fit
+    // (tokenize → tf postings → dl join → df → corpus stats) runs
+    // FRESH on every call — the timed region IS the construction that
+    // bm25_saved_topk/bm25_prf/bm25_batch/hybrid_rrf amortize through
+    // the saved artifact. Output: one summary row of exact longs over
+    // the fitted frames (forcing postings AND docFreq, so the whole
+    // fit is inside the timed region).
+    "bm25_index_build" -> ((s, dir) => {
+      val idx = graft.operators.Bm25.fit(
+        t(s, dir, "documents"), "doc_id", "text")
+      idx.postings.agg(
+          count(lit(1)).cast("long").as("n_postings"),
+          countDistinct(col("token")).cast("long").as("n_terms"))
+        .select(lit(idx.nDocs).as("n_docs"),
+          lit(idx.totalDl).as("total_dl"),
+          col("n_terms"), col("n_postings"))
+    }),
     // RM3-lite pseudo-relevance feedback: seed search → top-5
     // expansion terms by summed tf·idf in the top-10 feedback docs →
     // expanded search (the recall lever when the seed query
@@ -372,12 +389,26 @@ private[graft] object RegistryRetrieval {
     * process (SharedFrames.materializedArtifact) and every lexical
     * search variant reopens the same saved postings/docfreq/stats. */
   private def bm25SavedRoot(s: SparkSession, dir: String): String =
-    SharedFrames.materializedArtifact(dir, "idx_bm25") { p =>
+    SharedFrames.materializedArtifact(s, dir, "idx_bm25") { p =>
       graft.operators.Bm25.save(graft.operators.Bm25.fit(
         t(s, dir, "documents"), "doc_id", "text"), p)
     }
 
   def twins: Map[String, String] = Map(
+    // summary of the BM25 fit — same toks/tf shapes as bm25Sql's
+    // prefix, exact longs only
+    "bm25_index_build" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+         |  GROUP BY doc_id, token)
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS n_docs,
+         |  (SELECT CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) FROM toks)
+         |    AS total_dl,
+         |  (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) FROM tf) AS n_terms,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tf) AS n_postings""".stripMargin,
     // greedy budget fill composed verbatim from the doc_quality twin;
     // the running sum is exact BIGINT addition in an explicit-ROWS
     // window ordered by the (engine-identical) quality score

@@ -146,6 +146,39 @@ class SharedFramesSpec extends SparkSpec {
       "memo must key on file identity, not bare path")
   }
 
+  test("artifacts root resolves from spark.graft.artifacts.dir (else " +
+      "the warehouse dir) — no java.io.tmpdir dependence in query paths") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-artroot-").toAbsolutePath.toString
+    spark.conf.set(SharedFrames.ArtifactsDirKey, root)
+    try {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sfspec-root-").toAbsolutePath.toString
+      Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val files = SharedFrames.lmScoredDocs(spark, dir).inputFiles
+      assert(files.nonEmpty && files.forall(_.contains(root)),
+        s"artifact must live under the conf root $root, got: " +
+          files.mkString(", "))
+    } finally spark.conf.unset(SharedFrames.ArtifactsDirKey)
+    // default: under the session warehouse (per-process, self-cleaning),
+    // NEVER java.io.tmpdir — a driver-local temp dir is unreadable by
+    // remote executors on a real cluster
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-sfspec-root2-").toAbsolutePath.toString
+    Seq((1L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val wh = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath match {
+      case null => spark.conf.get("spark.sql.warehouse.dir")
+      case p => p
+    }
+    val files2 = SharedFrames.lmScoredDocs(spark, dir2).inputFiles
+    assert(files2.nonEmpty && files2.forall(_.contains(wh)),
+      s"default artifact root must be the warehouse dir $wh, got: " +
+        files2.mkString(", "))
+  }
+
   test("perplexityBucketsFromScored over the shared frame equals " +
       "perplexityBuckets run end-to-end") {
     val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
