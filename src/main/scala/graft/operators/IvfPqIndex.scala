@@ -92,8 +92,11 @@ object IvfPqIndex {
       sampleFraction, maxIter)
     val resid = ivf.assigned.withColumn("__resid",
       cell_residual(col(IvfIndex.ClusterCol), col(vecCol), ivf.centroids))
-    val pq = PqIndex.train(resid.select(col(idCol), col("__resid")),
-      "__resid", idCol, m, codesPerBook, seed, sampleFraction, maxIter)
+    // dim is already known from the coarse centroids (residuals keep
+    // the vector dim) — skip PqIndex.train's probeDim limit-1 job
+    val pq = PqIndex.trainWithDim(resid.select(col(idCol), col("__resid")),
+      "__resid", idCol, m, codesPerBook, seed, sampleFraction, maxIter,
+      ivf.centroids(0).length)
     // cache the codes table: queries fan out into nprobe filtered
     // branches, and without this each branch would recompute cell
     // assignment + residual + encode over the full corpus. The cached

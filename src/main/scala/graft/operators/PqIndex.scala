@@ -165,7 +165,9 @@ object PqIndex {
     firstRows(0).getSeq[Float](0).length
   }
 
-  private def trainWithDim(df: DataFrame, vecCol: String, idCol: String,
+  // package-visible so IvfPqIndex can pass the dim it already knows
+  // from its coarse centroids instead of paying probeDim's extra job
+  private[operators] def trainWithDim(df: DataFrame, vecCol: String, idCol: String,
       m: Int, codesPerBook: Int, seed: Long, sampleFraction: Double,
       maxIter: Int, dim: Int): PqIndex = {
     require(m >= 1, "need at least 1 subspace")
